@@ -1,13 +1,160 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cdc.Cdc
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
+  *
+  * Each `queries` entry is one capability from SURVEY.md §2; `oracleSql`
+  * holds the DuckDB-equivalent SQL the driver replays over the same parquet
+  * tables. Column names/types are aligned on both sides (the comparator
+  * sorts columns by name before hashing). Money/measure aggregates go
+  * through DECIMAL on both sides so sums are exact and order-independent.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC core (SURVEY §2A)
+    "cdc_flatten" -> (Cdc.flattenQ _),
+    "cdc_dedup_latest" -> (Cdc.dedupLatestQ _),
+    "cdc_upsert_snapshot" -> (Cdc.upsertSnapshotQ _),
+    "cdc_soft_delete" -> (Cdc.softDeleteQ _),
+    "cdc_append" -> (Cdc.appendQ _),
+    "cdc_partition_month" -> (Cdc.partitionMonthQ _),
+    "cdc_typemap" -> (Cdc.typeMapQ _),
+    "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
+    "cdc_merge_incremental" -> (Cdc.mergeIncrementalQ _),
+    // Analytics (SURVEY §2B)
+    "q1_pricing" -> (Analytics.q1Pricing _),
+    "q3_shipping" -> (Analytics.q3Shipping _),
+    "q5_region_volume" -> (Analytics.q5RegionVolume _),
+    "q_top_customers" -> (Analytics.qTopCustomers _),
+    "q14_promo_share" -> (Analytics.q14PromoShare _),
+    "q_events_hourly" -> (Analytics.qEventsHourly _),
+    "q_user_sessions" -> (Analytics.qUserSessions _)
+  )
+
+  /** DuckDB-flavored flatten of the `events` changelog, shared by the CDC
+    * oracles. Matches graft.cdc.Cdc.flatten exactly. */
+  private val flattenSql: String =
+    """SELECT event_id, user_id, event_type, value, ts,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'r'
+      |       WHEN 'error' THEN 'd' ELSE 'u' END AS __op,
+      |  epoch_ms(ts) AS __ts_ms,
+      |  ts AS __source_ts_ms,
+      |  event_type = 'error' AS __deleted
+      |FROM events""".stripMargin
+
+  private val opPrioSql =
+    "CASE __op WHEN 'c' THEN 1 WHEN 'r' THEN 2 WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE -1 END"
+
+  private val dedupLatestSql: String =
+    s"""SELECT event_id, user_id, event_type, value, ts, prop_k, __op, __ts_ms,
+       |  __source_ts_ms, __deleted
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id
+       |    ORDER BY __source_ts_ms DESC, $opPrioSql DESC, event_id DESC) AS rn
+       |  FROM ($flattenSql) flat
+       |) t WHERE rn = 1""".stripMargin
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_flatten" -> flattenSql,
+    "cdc_dedup_latest" -> dedupLatestSql,
+    "cdc_upsert_snapshot" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
+    "cdc_soft_delete" -> dedupLatestSql,
+    "cdc_append" ->
+      s"SELECT *, 'events' AS __table, 'graft' AS __db FROM ($flattenSql) f",
+    "cdc_partition_month" ->
+      """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS part_month,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "cdc_typemap" ->
+      """SELECT event_id,
+        |  CAST(epoch_ms(ts) // 86400000 AS INT) AS epoch_day,
+        |  DATE '1970-01-01' + CAST(epoch_ms(ts) // 86400000 AS INT) AS day_date,
+        |  epoch_ms(epoch_ms(ts)) AS ts_from_ms,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_no_z
+        |FROM events""".stripMargin,
+    "cdc_schema_evolution" ->
+      """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id < 500
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id >= 500""".stripMargin,
+    "cdc_merge_incremental" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      s"""SELECT n_name, CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, n_orders, total_spent FROM (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_spent
+        |  FROM orders GROUP BY o_custkey
+        |) j JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+         |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(38,4)) AS promo_revenue,
+         |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_user_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |    FROM events
+        |  ) w
+        |) g GROUP BY user_id""".stripMargin
+  )
 }

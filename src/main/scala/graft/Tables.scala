@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical readers for the test warehouse (TPC-H-ish star schema +
+  * `events`/`documents`/`embeddings`, see TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` keeps the scan declarative so Catalyst pushes
+  * filters/projections into the parquet reader (verify via `PushedFilters`
+  * in `.explain`).
+  */
+object Tables {
+
+  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects. We read it as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to micros —
+    * identical truncation to what DuckDB does when it loads the same file,
+    * so oracle comparisons line up exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      // `div` = integer division; a double division would lose precision on
+      // ~1.7e18 nanosecond values (> 2^53).
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+}

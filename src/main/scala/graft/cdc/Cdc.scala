@@ -1,0 +1,201 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core CDC data-processing semantics of the reference
+  * (debezium-server-bigquery), re-expressed Spark-first.
+  *
+  * The reference consumes Debezium change events whose envelope was already
+  * unwrapped (`ExtractNewRecordState`, DebeziumConfig.java:69-87) into a flat
+  * record plus metadata columns `__op`, `__ts_ms`, `__source_ts_ms`,
+  * `__deleted`, and either appends them (bigquerybatch) or MERGEs them by
+  * primary key (bigquerystream upsert mode,
+  * StreamBigqueryChangeConsumer.java:219-266).
+  *
+  * Here the synthetic `events` table plays the changelog: key = `user_id`,
+  * op derived from `event_type` (signup→c, view→r, click/purchase→u,
+  * error→d), source timestamp = `ts`, tie-break = `event_id`.
+  *
+  * Scale notes: every op below is a pure projection or a single hash
+  * aggregation with map-side partial combine — no windows (which force a
+  * per-partition sort), no driver-side collection. `dedupLatest` on 100 TB
+  * shuffles each key exactly once and reduces early.
+  */
+object Cdc {
+
+  /** CDC op-code precedence used by the reference when two changes to the
+    * same key carry the same source timestamp
+    * (StreamBigqueryChangeConsumer.java:64 `cdcOperations`). */
+  val OpPriority: Map[String, Int] = Map("c" -> 1, "r" -> 2, "u" -> 3, "d" -> 4)
+
+  def opPriorityCol(op: Column): Column =
+    when(op === "c", 1).when(op === "r", 2).when(op === "u", 3)
+      .when(op === "d", 4).otherwise(-1)
+
+  private def opCol(eventType: Column): Column =
+    when(eventType === "signup", "c")
+      .when(eventType === "view", "r")
+      .when(eventType === "error", "d")
+      .otherwise("u")
+
+  /** Envelope flatten + metadata columns (BaseRecordConverter.java:96-125):
+    * JSON payload field extraction plus `__op`/`__ts_ms`/`__source_ts_ms`/
+    * `__deleted`. Pure projection — stays inside one WholeStageCodegen span,
+    * no shuffle. */
+  def flatten(events: DataFrame): DataFrame = {
+    events.select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("ts"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"),
+      opCol(col("event_type")).as("__op"),
+      unix_millis(col("ts")).as("__ts_ms"),
+      col("ts").as("__source_ts_ms"),
+      (col("event_type") === "error").as("__deleted")
+    )
+  }
+
+  /** Batch/append mode (BatchBigqueryChangeConsumer.java:84-160): every
+    * change event lands, enriched with the `add.fields` metadata
+    * (op, table, db — DebeziumConfig.java:75-77). */
+  def append(events: DataFrame): DataFrame =
+    flatten(events)
+      .withColumn("__table", lit("events"))
+      .withColumn("__db", lit("graft"))
+
+  /** Keep only the LAST change per key, ordered by (source ts, op priority,
+    * tie-break id) — the reference's in-batch deduplication
+    * (StreamBigqueryChangeConsumer.deduplicateBatch + compareByTsThenOp).
+    *
+    * Implemented as `max_by(struct(payload), struct(ordering))`: a single
+    * hash aggregation with map-side partial combine. At 100 TB this beats a
+    * `row_number()` window (shuffle + full per-partition sort) by a wide
+    * margin — the reduction happens before the shuffle.
+    *
+    * @param df       flattened changelog
+    * @param keyCols  primary-key columns
+    * @param ordering ordering columns, latest-wins lexicographically
+    */
+  def dedupLatest(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(ordering: _*)).as("__latest"))
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** Latest change per user with the reference's exact ordering. */
+  def dedupLatestEvents(events: DataFrame): DataFrame = {
+    val flat = flatten(events)
+    dedupLatest(
+      flat,
+      keyCols = Seq("user_id"),
+      ordering = Seq(col("__source_ts_ms"), opPriorityCol(col("__op")), col("event_id"))
+    )
+  }
+
+  /** Changelog → final table state with hard deletes
+    * (upsert mode, `upsert-keep-deletes=false`: rows whose last change is a
+    * delete disappear — StreamRecordConverter.java:78-92 `_CHANGE_TYPE`). */
+  def upsertSnapshot(events: DataFrame): DataFrame =
+    dedupLatestEvents(events).filter(col("__op") =!= "d")
+
+  /** Changelog → final state keeping soft-deleted rows flagged
+    * (`upsert-keep-deletes=true`, StreamConsumerConfig.java:74-76). */
+  def softDeleteSnapshot(events: DataFrame): DataFrame =
+    dedupLatestEvents(events)
+
+  /** MERGE of an incremental batch into an existing snapshot — what BigQuery
+    * executes server-side for `_CHANGE_TYPE` UPSERT/DELETE rows. Union the
+    * snapshot (treated as op='r' at its own ts) with the new batch and
+    * re-run latest-wins; equivalent to, but cheaper than, a full-outer join
+    * because partial aggregation collapses each key map-side.
+    *
+    * Exposed over `events` split at `cutoff` so the result provably equals
+    * `upsertSnapshot` over the whole changelog. */
+  def mergeIncremental(events: DataFrame, cutoff: Column): DataFrame = {
+    val snapshot = upsertSnapshot(events.filter(col("ts") < cutoff))
+    val batch = flatten(events.filter(col("ts") >= cutoff))
+    val merged = snapshot.unionByName(batch)
+    dedupLatest(
+      merged,
+      keyCols = Seq("user_id"),
+      ordering = Seq(col("__source_ts_ms"), opPriorityCol(col("__op")), col("event_id"))
+    ).filter(col("__op") =!= "d")
+  }
+
+  /** MONTH time-partitioning stats (BatchConsumerConfig `partition-type` =
+    * MONTH on `__ts_ms`): the partition column a warehouse sink would write
+    * under, with per-partition rollups. Decimal sum keeps the aggregate
+    * exact and order-independent (doubles would drift between engines). */
+  def partitionMonth(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("month", col("ts")).as("part_month"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value")
+      )
+
+  /** Debezium semantic-type mapping (BaseRecordConverter.schemaPrimitiveField
+    * + handleFieldValue): epoch-days → DATE, epoch-millis → TIMESTAMP,
+    * ISO-8601 rendering with the trailing-Z strip
+    * (removeTemporalValueTrailingZ). All built-in codegen'd functions. */
+  def typeMap(events: DataFrame): DataFrame = {
+    // `div` (integer division) on both engines — a double division followed
+    // by an int cast would truncate in Spark but round in DuckDB.
+    val day = expr("unix_millis(ts) div 86400000").cast("int")
+    events.select(
+      col("event_id"),
+      day.as("epoch_day"),
+      date_from_unix_date(day).as("day_date"),
+      timestamp_millis(unix_millis(col("ts"))).as("ts_from_ms"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("iso_no_z")
+    )
+  }
+
+  /** Schema evolution (allow-field-addition / relaxation,
+    * StreamBigqueryChangeConsumer.updateTableSchema): an old batch lacking a
+    * column unions with a new batch that has it; missing fields become NULL.
+    * `unionByName(allowMissingColumns=true)` is the declarative equivalent
+    * of BigQuery's ALLOW_FIELD_ADDITION + ALLOW_FIELD_RELAXATION. */
+  def schemaEvolution(events: DataFrame, cutoff: Column): DataFrame = {
+    val oldBatch = events.filter(col("event_id") < cutoff)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val newBatch = events.filter(col("event_id") >= cutoff)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    oldBatch.unionByName(newBatch, allowMissingColumns = true)
+  }
+
+  /** Destination → table-name routing (BaseChangeConsumer.getTableId:
+    * regexp-replace then `.` → `_`). */
+  def routeDestination(destination: String, regexp: Option[String] = None,
+                       replace: Option[String] = None): String =
+    destination
+      .replaceAll(regexp.getOrElse(""), replace.getOrElse(""))
+      .replace(".", "_")
+
+  /** Convenience entry points over the test warehouse. */
+  def flattenQ(spark: SparkSession, dir: String): DataFrame =
+    flatten(Tables.events(spark, dir))
+  def dedupLatestQ(spark: SparkSession, dir: String): DataFrame =
+    dedupLatestEvents(Tables.events(spark, dir))
+  def upsertSnapshotQ(spark: SparkSession, dir: String): DataFrame =
+    upsertSnapshot(Tables.events(spark, dir))
+  def softDeleteQ(spark: SparkSession, dir: String): DataFrame =
+    softDeleteSnapshot(Tables.events(spark, dir))
+  def appendQ(spark: SparkSession, dir: String): DataFrame =
+    append(Tables.events(spark, dir))
+  def partitionMonthQ(spark: SparkSession, dir: String): DataFrame =
+    partitionMonth(Tables.events(spark, dir))
+  def typeMapQ(spark: SparkSession, dir: String): DataFrame =
+    typeMap(Tables.events(spark, dir))
+  def schemaEvolutionQ(spark: SparkSession, dir: String): DataFrame =
+    schemaEvolution(Tables.events(spark, dir), lit(500))
+  def mergeIncrementalQ(spark: SparkSession, dir: String): DataFrame =
+    mergeIncremental(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
+}

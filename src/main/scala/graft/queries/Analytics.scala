@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BigQuery-style SQL analytics over the warehouse — the query surface a
+  * user of the reference runs against the tables the sink maintains.
+  *
+  * Scale design:
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast
+  *    explicitly — no shuffle of the fact side for those joins;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once, with
+  *    AQE free to re-plan on runtime stats;
+  *  - money aggregates go through DECIMAL so results are exact and
+  *    independent of partial-aggregation order (double sums are neither);
+  *  - every filter lands in the parquet scan (`PushedFilters`).
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  /** TPC-H Q1-style pricing summary: single scan, hash aggregate. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** TPC-H Q3-style shipping priority: broadcast customer filter into
+    * orders, shuffle-join lineitem, top-10 by revenue (deterministic
+    * tie-break on l_orderkey). */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional volume: all four dims broadcast; the only
+    * shuffle joins are orders⋈lineitem. */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val natInAsia = broadcast(
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val cust = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
+    val supp = broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(natInAsia, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .cast("decimal(38,4)").as("revenue"))
+  }
+
+  /** Customer lifetime rollup: fact aggregated first (smallest shuffle),
+    * then broadcast-joined to the dim. */
+  def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("total_spent"))
+    perCust.join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spent"))
+  }
+
+  /** TPC-H Q14-style promo share: conditional aggregation over a broadcast
+    * join; numerator/denominator kept separate (cross-engine division
+    * precision rules differ). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val pt = broadcast(Tables.part(spark, dir).select("p_partkey", "p_type"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("decimal(38,4)").as("promo_revenue"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("total_revenue"))
+  }
+
+  /** Tumbling-hour event rollup — the batch shape of a streaming windowed
+    * aggregation (same plan Structured Streaming produces per trigger). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+
+  /** Sessionization: per-user ordered gap detection (30-min timeout).
+    * The one legitimate window use — sessionization is inherently
+    * sequential per key; partitioned by user so each key sorts locally. */
+  def qUserSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"))
+  }
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs after `graft.Verify` has dumped each query result to
+<verifyOutDir>/<name>/ (parquet) and the oracle SQL to oracle_sql.json.
+Registers every parquet table from <sfDir> as a DuckDB view, replays the
+oracle SQL, and compares row multisets (columns sorted by name, values
+rendered to strings) against the Spark parquet output.
+"""
+import json
+import sys
+
+import duckdb
+
+
+def norm_rows(rel):
+    cols = sorted(rel.columns)
+    # stable string rendering; sort rows for multiset compare
+    df = rel.df()[cols]
+    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    return cols, rows
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_cols, got = norm_rows(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            exp_cols, exp = norm_rows(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got != exp:
+            n_fail += 1
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            diff_g = [r for r in got if r not in set(exp)][:3]
+            diff_e = [r for r in exp if r not in set(got)][:3]
+            print(f"  spark-only: {diff_g}")
+            print(f"  oracle-only: {diff_e}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
