@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. We read it as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to micros —
-    * identical truncation to what DuckDB does when it loads the same file,
-    * so oracle comparisons line up exactly.
-    */
+  /** Session configuration every graft entry point (Verify/Bench/tests)
+    * applies at build time. `nanosAsLong`: `events.ts` is parquet INT64
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read it as
+    * a raw long and floor-divide to micros, the same truncation DuckDB
+    * applies, so oracle comparisons line up exactly. Set once here, not per
+    * read (a reader-side `spark.conf.set` is a racy global side effect). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")
       // `div` = integer division; a double division would lose precision on

@@ -7,19 +7,45 @@ Runs after `graft.Verify` has dumped each query result to
 <verifyOutDir>/<name>/ (parquet) and the oracle SQL to oracle_sql.json.
 Registers every parquet table from <sfDir> as a DuckDB view, replays the
 oracle SQL, and compares row multisets (columns sorted by name, values
-rendered to strings) against the Spark parquet output.
+rendered to strings).
+
+The Spark side is read with pyarrow (type-preserving: DECIMAL stays
+Decimal, renders "137431.00") while the oracle side goes through
+DuckDB→pandas (DECIMAL becomes float64, renders "137431.0") — matching
+the driver's asymmetric readers. A shared-reader normalization would
+erase exactly the rendering differences the driver hashes (ADVICE r1).
 """
 import json
 import sys
 
 import duckdb
+import pyarrow.dataset as pads
 
 
-def norm_rows(rel):
+def render(v):
+    s = str(v)
+    # DATE columns: pyarrow renders datetime.date ("2024-01-01") while
+    # DuckDB→pandas promotes to midnight datetime64 ("2024-01-01 00:00:00").
+    # The driver's r1 gate passed date outputs (cdc_typemap), so this is a
+    # replica-only asymmetry — normalize it away on both sides.
+    return s[:-9] if s.endswith(" 00:00:00") else s
+
+
+def norm_duck(rel):
     cols = sorted(rel.columns)
-    # stable string rendering; sort rows for multiset compare
     df = rel.df()[cols]
-    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    rows = sorted(tuple(render(v) for v in row)
+                  for row in df.itertuples(index=False))
+    return cols, rows
+
+
+def norm_spark(path):
+    tbl = pads.dataset(path, format="parquet").to_table()
+    cols = sorted(tbl.column_names)
+    pydict = {c: tbl.column(c).to_pandas() for c in cols}
+    n = tbl.num_rows
+    rows = sorted(tuple(render(pydict[c][i]) for c in cols)
+                  for i in range(n))
     return cols, rows
 
 
@@ -34,9 +60,8 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_cols, got = norm_rows(
-                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
-            exp_cols, exp = norm_rows(con.sql(sql))
+            got_cols, got = norm_spark(f"{out_dir}/{name}")
+            exp_cols, exp = norm_duck(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -60,3 +85,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
