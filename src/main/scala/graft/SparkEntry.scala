@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.Cdc
+import graft.llm.TextOps
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
@@ -37,7 +38,12 @@ object SparkEntry {
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
-    "q_user_sessions" -> (Analytics.qUserSessions _)
+    "q_user_sessions" -> (Analytics.qUserSessions _),
+    // LLM-data-pipeline: text analysis (SURVEY §2C)
+    "text_tokens" -> (TextOps.textTokensQ _),
+    "text_quality" -> (TextOps.textQualityQ _),
+    "text_langid" -> (TextOps.textLangidQ _),
+    "text_fingerprint" -> (TextOps.textFingerprintQ _)
   )
 
   /** DuckDB-flavored flatten of the `events` changelog, shared by the CDC
@@ -158,6 +164,62 @@ object SparkEntry {
         |      lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |    FROM events
         |  ) w
-        |) g GROUP BY user_id""".stripMargin
+        |) g GROUP BY user_id""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  len($tokSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(text) AS DOUBLE) AS nc,
+         |    CAST(len($tokSql) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '$punctClass')) AS DOUBLE) AS np,
+         |    CAST(len(list_filter($tokSql,
+         |      t -> t IN ($stopwordsSql))) AS DOUBLE) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(nc AS BIGINT) AS n_chars_m,
+         |  CAST(nt AS BIGINT) AS n_tokens,
+         |  np / nc AS punct_ratio,
+         |  ns / nt AS stopword_ratio,
+         |  nc / nt AS mean_token_len,
+         |  least(nt / 64.0, 1.0) * (1.0 - np / nc) AS quality_score
+         |FROM m""".stripMargin,
+    "text_langid" -> {
+      val scores = TextOps.LangMarkers.map { case (lang, markers) =>
+        val set = markers.map(m => s"'$m'").mkString(", ")
+        s"    len(list_filter($tokSql, t -> t IN ($set))) AS score_$lang"
+      }.mkString(",\n")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val caseChain = langs.init.map { lang =>
+        val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$lang'"
+      }.mkString(" ")
+      val greatestSql = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |$scores
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE $caseChain ELSE '${langs.last}' END AS pred_lang,
+         |  $greatestSql AS score
+         |FROM s""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS set_fingerprint,
+         |  md5(array_to_string($tokSql[1:16], ' ')) AS prefix_fingerprint
+         |FROM documents""".stripMargin
   )
+
+  /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is
+    * a plain (non-interpolated concatenation of) string so the SQL carries
+    * a single backslash-s. */
+  private val tokSql: String =
+    "regexp_split_to_array(trim(lower(text)), '" + """\s""" + "+')"
+  private val punctClass: String = """[^a-zA-Z0-9\s]"""
+  private def stopwordsSql: String =
+    TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 }

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Every operator here is a pure per-row projection built from codegen'd
+  * built-in functions — no UDFs, no shuffle, no state. At 100 TB these run
+  * at parquet-scan speed inside a single WholeStageCodegen span, and column
+  * pruning means only `doc_id`/`text` are ever read.
+  */
+object TextOps {
+
+  /** Lower-cased whitespace tokens of `text`. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** BPE-ish pre-tokenizer: runs of letters, runs of digits, or a single
+    * non-alphanumeric non-space symbol — the classic GPT-2-style regex
+    * family reduced to character classes both Java regex and RE2 agree on. */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens per doc. */
+  def textTokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("bpe_tokens")
+    )
+
+  /** Stopword list for the quality score (English function words). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality scoring: doc length, punctuation ratio, stopword ratio, mean
+    * word length, and a composite score — the standard cheap heuristics
+    * (C4/Gopher-style) for filtering web-scale corpora. All arithmetic is
+    * int-derived doubles, deterministic across engines. */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(toks).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nChars.cast("bigint").as("n_chars_m"),
+      nTokens.cast("bigint").as("n_tokens"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nStop / nTokens).as("stopword_ratio"),
+      (nChars / nTokens).as("mean_token_len"),
+      // composite: long enough, not punctuation soup — bounded [0,1]
+      (least(nTokens / lit(64.0), lit(1.0)) * (lit(1.0) - nPunct / nChars)).as("quality_score")
+    )
+  }
+
+  /** Marker-token sets per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: langid at corpus scale is a cheap vote
+    * over high-frequency function words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  /** Language ID: per-language marker-token hit count, argmax with a fixed
+    * priority order (en > es > de > fr > zh) on ties — deterministic. */
+  def textLangid(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
+        size(filter(toks, t => t.isin(markers: _*))).as(s"score_$lang")
+      }): _*
+    )
+    // argmax by CASE chain: first language (in declaration order) whose
+    // score is >= all others wins — same chain in the oracle SQL.
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (lang, rest) =>
+      val ge = langs.filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(ge, lit(lang)).otherwise(rest)
+    }
+    scored.select(
+      col("doc_id"),
+      pred.as("pred_lang"),
+      greatest(langs.map(l => col(s"score_$l")): _*).as("score")
+    )
+  }
+
+  /** Document fingerprinting: (a) content fingerprint = md5 over the
+    * sorted distinct token set (order-insensitive exact-set identity);
+    * (b) prefix fingerprint = md5 of the first 16 BPE-ish tokens (cheap
+    * rolling-window-style locality hash over the doc head). */
+  def textFingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("set_fingerprint"),
+      md5(concat_ws(" ", slice(toks, 1, 16))).as("prefix_fingerprint")
+    )
+  }
+
+  // --- SparkEntry wiring ---
+  def textTokensQ(spark: SparkSession, dir: String): DataFrame =
+    textTokens(Tables.documents(spark, dir))
+  def textQualityQ(spark: SparkSession, dir: String): DataFrame =
+    textQuality(Tables.documents(spark, dir))
+  def textLangidQ(spark: SparkSession, dir: String): DataFrame =
+    textLangid(Tables.documents(spark, dir))
+  def textFingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    textFingerprint(Tables.documents(spark, dir))
+}
