@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.Cdc
-import graft.llm.TextOps
+import graft.llm.{Ann, Dedup, TextOps}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
@@ -43,7 +43,16 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokensQ _),
     "text_quality" -> (TextOps.textQualityQ _),
     "text_langid" -> (TextOps.textLangidQ _),
-    "text_fingerprint" -> (TextOps.textFingerprintQ _)
+    "text_fingerprint" -> (TextOps.textFingerprintQ _),
+    // LLM-data-pipeline: dedup family (SURVEY §2C)
+    "dedup_exact" -> (Dedup.dedupExactQ _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
+    "dedup_minhash" -> (Dedup.dedupMinhashQ _),
+    "dedup_simhash" -> (Dedup.dedupSimhashQ _),
+    // LLM-data-pipeline: similarity search (SURVEY §2C)
+    "ann_topk" -> (Ann.annTopKQ _),
+    "ann_lsh_topk" -> (Ann.annLshTopKQ _),
+    "dedup_embed" -> (Ann.dedupEmbedQ _)
   )
 
   /** DuckDB-flavored flatten of the `events` changelog, shared by the CDC
@@ -211,7 +220,54 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS set_fingerprint,
          |  md5(array_to_string($tokSql[1:16], ' ')) AS prefix_fingerprint
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
+    // integer arithmetic into one double division — engine-stable.
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+         |FROM pairs
+         |JOIN counts ca ON doc_a = ca.doc_id
+         |JOIN counts cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // ranks (not raw float sims) are compared: adjacent-rank cosine margins
+    // in this corpus are >=2e-5, far above cross-engine double noise, so
+    // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    "ann_topk" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+        |  FROM embeddings q, embeddings c,
+        |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+        |s AS (
+        |  SELECT query_id, d.vec_id, dt / (nq.nrm * nc.nrm) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON d.query_id = nq.vec_id
+        |  JOIN norms nc ON d.vec_id = nc.vec_id)
+        |SELECT query_id, rank, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 10""".stripMargin
   )
 
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is

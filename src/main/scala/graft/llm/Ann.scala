@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search and embedding near-dup over `embeddings`
+  * (vec_id, embedding: array<float> 64-d, label).
+  *
+  * Scale design (100 TB corpus, k queries ≪ corpus):
+  *  - brute-force top-k: the QUERY set is broadcast (it is tiny by
+  *    definition); the corpus scan stays partition-local and each partition
+  *    reduces to its own top-k before a final merge over
+  *    (#queries × #partitions × k) rows — the corpus is never sorted or
+  *    shuffled in full.
+  *  - LSH path: random-hyperplane signatures bucket the corpus; candidates
+  *    come from bucket joins (multi-table for recall), exact cosine ranks
+  *    them. Shuffle carries (table, bucket, id) — never pairwise floats.
+  *  - all dot products are expression-level folds (`aggregate`/`zip_with`)
+  *    — codegen'd, no UDF, deterministic sequential summation.
+  */
+object Ann {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def vecAsDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors by cosine, self excluded. Output
+    * (query_id, rank, vec_id) — ranks are deterministic (tie-break on
+    * vec_id) and engine-stable, unlike raw float similarities.
+    *
+    * Two-phase top-k: `row_number` over (query, input-partition) keeps k
+    * per partition — each window partition is one task's slice, so the sort
+    * is local and bounded — then a second window over the
+    * (#queries × #partitions × k) survivors produces the global ranks. */
+  def annTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("q")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v")))).as("sim"),
+        spark_partition_id().as("pid"))
+    val localW = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val globalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  // --- Random-hyperplane LSH ---
+
+  /** Banded OR-structure: 8 bands × 4 hyperplane sign bits. A pair is a
+    * candidate if ANY band bucket matches — recall at cosine θ is
+    * 1−(1−c⁴)⁸ with c = 1−acos(θ)/π: ≈0.75 at θ=0.4, ≈0.9998 at θ=0.95.
+    * For web-scale corpora raise BitsPerBand (narrower buckets) and
+    * NumBands together — recall holds while bucket occupancy, which drives
+    * the pairwise work, shrinks geometrically. Gaussian coefficients come
+    * from a fixed seed — identical on every executor. */
+  val NumBands = 8
+  val BitsPerBand = 4
+
+  val Hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Seq.fill(NumBands * BitsPerBand)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  private val planesCol: Column =
+    array(Hyperplanes.map(p => array(p.map(lit): _*)): _*)
+
+  /** Per-band LSH bucket ids for a vector: bit b of band t is the sign of
+    * v·plane[t*BitsPerBand+b]. Returns array<struct<tbl:int, bucket:int>>. */
+  def lshBuckets(v: Column): Column = {
+    val planes = planesCol
+    transform(sequence(lit(0), lit(NumBands - 1)), t =>
+      struct(t.as("tbl"),
+        aggregate(sequence(lit(0), lit(BitsPerBand - 1)),
+          lit(0),
+          (acc, b) => acc * 2 +
+            when(dot(v, element_at(planes, t * BitsPerBand + b + 1)) > 0, 1)
+              .otherwise(0)).as("bucket")))
+  }
+
+  /** Embedding cosine near-dup pairs ≥ `tau` via hyperplane LSH buckets.
+    * Candidates = pairs sharing any (table, bucket); exact cosine verifies.
+    * The corpus shuffles as (table, bucket, id, vec) — pairwise work only
+    * inside buckets. */
+  def dedupEmbed(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val buckets = vecs.select(col("vec_id"), col("v"), col("nrm"),
+      explode(lshBuckets(col("v"))).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .distinct()
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates for each query are corpus
+    * vectors sharing any LSH bucket with it; exact cosine ranks candidates;
+    * top-k per query. Approximate — recall depends on table count — but the
+    * corpus-side work is one bucket shuffle regardless of query count. */
+  def annLshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val buckets = vecs.select(col("vec_id"), col("v"), col("nrm"),
+      explode(lshBuckets(col("v"))).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val qb = broadcast(buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"), col("tbl"), col("bucket")))
+    val cand = buckets.join(qb, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q"), col("v")) / (col("qnrm") * col("nrm"))).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  // --- SparkEntry wiring ---
+  def annTopKQ(spark: SparkSession, dir: String): DataFrame =
+    annTopK(Tables.embeddings(spark, dir))
+  def annLshTopKQ(spark: SparkSession, dir: String): DataFrame =
+    annLshTopK(Tables.embeddings(spark, dir))
+  def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbed(Tables.embeddings(spark, dir))
+}
