@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.cdc.Cdc
-import graft.llm.{Ann, Dedup, TextOps}
+import graft.cdc.{Cdc, MergePipeline}
+import graft.llm.{Ann, Dedup, Multimodal, TextOps}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_typemap" -> (Cdc.typeMapQ _),
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
     "cdc_merge_incremental" -> (Cdc.mergeIncrementalQ _),
+    "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -52,7 +53,9 @@ object SparkEntry {
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
-    "dedup_embed" -> (Ann.dedupEmbedQ _)
+    "dedup_embed" -> (Ann.dedupEmbedQ _),
+    // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)
+    "multimodal" -> (Multimodal.multimodalQ _)
   )
 
   /** DuckDB-flavored flatten of the `events` changelog, shared by the CDC
@@ -109,6 +112,7 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id >= 500""".stripMargin,
     "cdc_merge_incremental" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
+    "cdc_merge_partitioned" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // Final aggregates are CAST(... AS DOUBLE) on BOTH sides: the driver
     // hashes rendered values, and Decimal "137431.00" ≠ float64 "137431.0"
     // (VERDICT r1). Accumulation stays DECIMAL for exactness.

@@ -1,0 +1,105 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{CreateDisposition, WarehouseSink, WriteDisposition}
+
+/** Incremental changelog → snapshot MERGE on top of the partitioned
+  * warehouse — the scale-safe replacement for recomputing the snapshot
+  * from the full changelog (the reference's server-side BigQuery MERGE of
+  * `_CHANGE_TYPE` UPSERT/DELETE rows, StreamBigqueryChangeConsumer
+  * .java:186-266).
+  *
+  * The snapshot table is partitioned by a stable key-hash bucket
+  * (`part_bucket`), so per batch the cost is O(batch + touched buckets),
+  * NOT O(history):
+  *  1. the batch's distinct buckets are computed (≤ numBuckets values,
+  *     tiny driver-side collect);
+  *  2. ONLY those snapshot buckets are read back — `part_bucket IN (...)`
+  *     prunes directories at planning time, and because a key's bucket is
+  *     stable no stale row can hide in an unread partition;
+  *  3. union + latest-wins dedup (one hash shuffle, map-side partial
+  *     aggregation) + hard-delete filter;
+  *  4. dynamic partition overwrite rewrites ONLY the touched buckets.
+  *
+  * At 100 TB: a key-localized micro-batch touches few buckets and the
+  * MERGE is proportional to the batch; a fully-spread batch degrades to
+  * one table pass — never worse than the naive recompute, with the same
+  * single-shuffle dedup.
+  *
+  * Delete semantics match the reference's hard-delete upsert
+  * (`upsert-keep-deletes=false`): a key whose latest change is `d` leaves
+  * the table, and — as in BigQuery's `_CHANGE_TYPE=DELETE` MERGE — a
+  * LATER-arriving OLDER change would re-insert it; sources that can
+  * deliver out of order across batches should use soft deletes
+  * (`softDeleteSnapshot`) so the tombstone wins the dedup instead. */
+object MergePipeline {
+
+  val NumBuckets = 32
+
+  private def ordering: Seq[Column] =
+    Seq(col("__source_ts_ms"), Cdc.opPriorityCol(col("__op")), col("event_id"))
+
+  /** MERGE one flattened batch into `table`, keyed by `keyCols`,
+    * latest-wins by (source ts, op priority, tie-break id), hard deletes
+    * dropped (upsert mode, keep-deletes=false). */
+  def mergeBatch(spark: SparkSession, sink: WarehouseSink, table: String,
+                 batch: DataFrame, keyCols: Seq[String]): Unit = {
+    val bucket = WarehouseSink.bucketPartition(keyCols, NumBuckets)
+    if (!sink.tableExists(table)) {
+      val snap = Cdc.dedupLatest(batch, keyCols, ordering)
+        .filter(col("__op") =!= "d")
+        .withColumn("part_bucket", bucket)
+      sink.write(snap, table, "part_bucket", keyCols :+ "__source_ts_ms")
+    } else {
+      // buckets this batch touches — bounded by NumBuckets
+      val buckets = batch.select(bucket.as("b")).distinct()
+        .collect().map(_.getInt(0))
+      val existing = sink.read(spark, table)
+        .filter(col("part_bucket").isin(buckets.map(b => lit(b)): _*))
+        .drop("part_bucket")
+      val merged = Cdc.dedupLatest(
+        existing.unionByName(batch), keyCols, ordering)
+        .filter(col("__op") =!= "d")
+        .withColumn("part_bucket", bucket)
+        .persist()
+      sink.write(merged, table, "part_bucket", keyCols :+ "__source_ts_ms",
+        createDisposition = CreateDisposition.CreateNever,
+        writeDisposition = WriteDisposition.WriteAppend,
+        dynamicOverwrite = true)
+      // Dynamic overwrite only rewrites partitions PRESENT in the output.
+      // A bucket whose every key ended deleted has no output rows, so its
+      // stale files would survive — drop those partition dirs explicitly.
+      val written = merged.select("part_bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      merged.unpersist()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      (buckets.toSet -- written).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${sink.tablePath(table)}/part_bucket=$b"), true)
+      }
+    }
+  }
+
+  /** Driver-contract query: split `events` at `cutoff`, seed the warehouse
+    * with the older half, MERGE the newer half through the partitioned
+    * sink, read the final table back. Result is provably equal to
+    * `upsertSnapshot` over the whole changelog (same oracle SQL), but the
+    * MERGE itself read only the touched buckets. */
+  def mergePartitionedQ(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_warehouse_").toString
+    val sink = new WarehouseSink(tmp)
+    val events = graft.Tables.events(spark, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    mergeBatch(spark, sink, "events_snapshot",
+      Cdc.flatten(events.filter(col("ts") < cutoff)), Seq("user_id"))
+    mergeBatch(spark, sink, "events_snapshot",
+      Cdc.flatten(events.filter(col("ts") >= cutoff)), Seq("user_id"))
+    sink.read(spark, "events_snapshot")
+      .select("event_id", "user_id", "event_type", "value", "ts", "prop_k",
+        "__op", "__ts_ms", "__source_ts_ms", "__deleted")
+  }
+}

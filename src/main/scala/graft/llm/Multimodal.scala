@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed metadata carried alongside an opaque media payload. */
+case class MediaMeta(format: String, width: Int, height: Int)
+
+/** One media row: the payload is an opaque binary column — the engine
+  * never interprets it except inside the decode stage. */
+case class MediaRecord(doc_id: Long, media: Array[Byte], meta: MediaMeta)
+
+/** Decoded features produced by the (stubbed) decode stage. */
+case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+                         mean_byte: Double, grid: Array[Double])
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by a batched per-partition
+  * pipeline — the Spark-native shape of a decode → feature-extract →
+  * resize stage.
+  *
+  * The DECODE step is a deliberate, clearly-marked STUB (this container has
+  * no image/audio codecs): it derives bytes deterministically from the
+  * document content, so every downstream stage — schema, Dataset encoders,
+  * partition-local batching, feature extraction, aggregation — is real and
+  * testable, and swapping in a real JPEG/PCM decoder changes one function.
+  *
+  * Scale notes: the pipeline is `mapPartitions` over a typed Dataset —
+  * one JVM pass per partition, records processed in fixed-size batches
+  * (the `mapInPandas` batch shape), no driver involvement, no shuffle.
+  * Binary payloads stream through the partition iterator without being
+  * materialized per-partition in full.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** STUB decode: a real implementation would parse the codec here.
+    * Deterministic fake: payload = doc text bytes repeated/truncated to
+    * n_chars, "pixels" = raw bytes. */
+  def stubPayload(text: String): Array[Byte] =
+    text.getBytes("UTF-8")
+
+  /** Attach a synthetic media column to `documents`: payload bytes from the
+    * text (deterministic stand-in for real image bytes), metadata struct
+    * typed as it would be for a real corpus. */
+  def withMediaColumn(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      // binary payload column — opaque to the engine from here on
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height")
+      ).as("meta")
+    ).as[MediaRecord]
+  }
+
+  /** Batched decode + feature extraction. Real Spark plumbing (typed
+    * mapPartitions, fixed batch shape, per-record features); stubbed codec
+    * (features come from raw payload bytes, not decoded pixels). */
+  def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // batch boundary = where a real decoder would process a
+        // vectorized chunk (the mapInPandas batch shape)
+        batch.iterator.map { r =>
+          val bytes = r.media
+          val n = bytes.length
+          val mean =
+            if (n == 0) 0.0
+            else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / n
+          // "resize" stub: 16-cell grid of per-slice byte means
+          val grid = Array.tabulate(16) { g =>
+            val lo = g * n / 16
+            val hi = (g + 1) * n / 16
+            if (hi <= lo) 0.0
+            else (lo until hi).foldLeft(0L)((acc, i) => acc + (bytes(i) & 0xff))
+              .toDouble / (hi - lo)
+          }
+          MediaFeatures(r.doc_id, r.meta.format, n, mean, grid)
+        }
+      }
+    }
+  }
+
+  /** End-to-end multimodal pipeline over `documents`: attach media column,
+    * batched decode/feature stage, flat feature frame out. */
+  def multimodalQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = withMediaColumn(Tables.documents(spark, dir))
+    extractFeatures(media).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("mean_byte"), col("grid"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Cdc
+import graft.sinks.WarehouseSink
+import graft.state.OffsetStore
+import graft.streaming.{BatchSizeWait, CdcStream}
+
+class CdcStreamSpec extends AnyFunSuite with SparkFixture {
+
+  test("streamed MERGE over multiple triggers equals the batch snapshot, and resumes") {
+    val events = Tables.events(spark, sfDir)
+    val flat = Cdc.flatten(events)
+    val inputDir = tmpDir("stream_in_")
+    val base = tmpDir("stream_state_")
+    val sink = new WarehouseSink(s"$base/warehouse")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+
+    // two CDC "files" arrive before the stream starts
+    flat.filter(col("ts") < cutoff).coalesce(1)
+      .write.parquet(s"$inputDir/batch0")
+    flat.filter(col("ts") >= cutoff && col("ts") < lit("2024-01-22").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$inputDir/batch1")
+
+    val schema = flat.schema
+    def runDrain(): Unit = {
+      val q = CdcStream.start(spark, s"$inputDir/batch*", schema, sink,
+        "events_snapshot", Seq("user_id"), s"$base/checkpoint", offsets,
+        availableNow = true, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+    }
+    runDrain()
+    val afterTwo = sink.read(spark, "events_snapshot")
+    val wantTwo = Cdc.upsertSnapshot(
+      events.filter(col("ts") < lit("2024-01-22").cast("timestamp")))
+    assert(afterTwo.drop("part_bucket")
+      .exceptAll(wantTwo.select(afterTwo.drop("part_bucket").columns.map(col): _*))
+      .isEmpty)
+    assert(offsets.load().contains("stream/events_snapshot"))
+
+    // a third file lands; restarting from the checkpoint processes ONLY it
+    flat.filter(col("ts") >= lit("2024-01-22").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$inputDir/batch2")
+    runDrain()
+    val got = sink.read(spark, "events_snapshot").drop("part_bucket")
+    val want = Cdc.upsertSnapshot(events).select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("dynamic batch-size wait grows when batches run empty and zeroes when full") {
+    val wait = new BatchSizeWait(maxBatchSize = 1000, maxWaitMs = 10000)
+    assert(wait.nextWaitMs(1000) === 0L)
+    assert(wait.nextWaitMs(0) === 10000L)
+    assert(wait.nextWaitMs(900) === 1000L)
+    assert(wait.nextWaitMs(500) === 5000L)
+  }
+}

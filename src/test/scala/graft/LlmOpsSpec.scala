@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Ann, Dedup, Multimodal, TextOps}
+
+class LlmOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dedup_exact groups identical texts and keeps the smallest doc_id") {
+    import spark.implicits._
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.dedupExact(d)
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs pair at 1.0, disjoint docs never pair") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words in this one here now"))
+    val out = Dedup.dedupNgramJaccard(d, tau = 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 1.0)))
+  }
+
+  test("minhash finds exact duplicates with est_sim 1.0 and skips disjoint docs") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated content talking about databases and queries"))
+    val out = Dedup.dedupMinhash(d)
+      .select("doc_a", "doc_b", "est_sim").as[(Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 1.0)))
+  }
+
+  test("minhash candidates on the test corpus are exactly the true near-dup pairs") {
+    // the regression that motivates this: a bad permutation modulus made
+    // est_sim ~0.8 for pairs whose true jaccard was ~0.05
+    val d = Tables.documents(spark, sfDir)
+    val mh = Dedup.dedupMinhash(d).select("doc_a", "doc_b")
+    val truth = Dedup.dedupNgramJaccard(d, tau = 0.8).select("doc_a", "doc_b")
+    assert(mh.exceptAll(truth).isEmpty, "minhash produced false positives")
+    assert(truth.exceptAll(mh).isEmpty, "minhash missed true near-dup pairs")
+  }
+
+  test("simhash: identical docs at hamming 0; banding finds them") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val out = Dedup.dedupSimhash(d)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out === Array((1L, 2L, 0)))
+  }
+
+  test("brute-force ANN ranks an exact duplicate vector first") {
+    import spark.implicits._
+    // vec 5 duplicates vec 0 (query); must be its top-1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.annTopK(vecs, nQueries = 1, k = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().sortBy(_._2)
+    assert(out.head === ((0L, 1, 5L)))
+    assert(out.map(_._3).toSet === Set(5L, 1L, 4L))
+  }
+
+  test("LSH ANN recalls most of the brute-force top-k on the test corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
+    val lsh = Ann.annLshTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
+    val recall = lsh.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+  }
+
+  test("text tokens: bpe token count splits finer than whitespace") {
+    import spark.implicits._
+    val d = docs((1L, "hello, world! x2"))
+    val out = TextOps.textTokens(d).as[(Long, Int, Int)].collect().head
+    // ws: [hello,, world!, x2]; bpe: [hello][,][world][!][x][2]
+    assert(out === ((1L, 3, 6)))
+  }
+
+  test("langid votes by marker words with deterministic ties") {
+    import spark.implicits._
+    val d = docs((1L, "el la de y es algo"), (2L, "the and of is a thing"))
+    val out = TextOps.textLangid(d)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Array((1L, "es"), (2L, "en")))
+  }
+
+  test("multimodal pipeline: deterministic features, schema intact") {
+    implicit val s = spark
+    val media = Multimodal.withMediaColumn(docs((1L, "abcd"), (2L, "zzzz")))
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L))
+    val f1 = feats.head
+    assert(f1.n_bytes === 4)
+    // mean of 'a','b','c','d' = (97+98+99+100)/4
+    assert(f1.mean_byte === 98.5)
+    assert(f1.grid.length === 16)
+    // determinism: a second run produces identical features
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(again.map(_.mean_byte).toSeq === feats.map(_.mean_byte).toSeq)
+  }
+}

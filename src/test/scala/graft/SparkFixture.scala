@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+/** Shared local SparkSession for the test suite. */
+trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkFixture.session
+
+  /** Smallest test warehouse — correctness only, speed matters here. */
+  val sfDir = "/root/testdata/sf0.001"
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = Tables.configure(SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
