@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.cdc.{Cdc, MergePipeline}
+import graft.cdc.{Cdc, MergePipeline, TypeMap}
 import graft.llm.{Ann, Dedup, Multimodal, TextOps}
 import graft.queries.Analytics
 
@@ -29,6 +29,7 @@ object SparkEntry {
     "cdc_append" -> (Cdc.appendQ _),
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
     "cdc_typemap" -> (Cdc.typeMapQ _),
+    "cdc_typemap_complex" -> (TypeMap.typeMapComplexQ _),
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
     "cdc_merge_incremental" -> (Cdc.mergeIncrementalQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
@@ -104,6 +105,23 @@ object SparkEntry {
         |  DATE '1970-01-01' + CAST(epoch_ms(ts) // 86400000 AS INT) AS day_date,
         |  epoch_ms(epoch_ms(ts)) AS ts_from_ms,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_no_z
+        |FROM events""".stripMargin,
+    // full Connect-schema type surface: semantic date/ts/zoned-ts, JSON,
+    // array, bytes, geometry struct, nested struct — flattened typed values
+    "cdc_typemap_complex" ->
+      """SELECT event_id AS id,
+        |  DATE '1970-01-01' + CAST(epoch_ms(ts) // 86400000 AS INT) AS day,
+        |  epoch_ms(epoch_ms(ts)) AS created_ms,
+        |  ts AS zts,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
+        |  2 AS n_tags,
+        |  hex(event_type) AS blob_hex,
+        |  4326 AS geo_srid,
+        |  concat('PT-', user_id) AS geo_wkb,
+        |  user_id AS nested_uid,
+        |  value AS nested_val,
+        |  epoch_ms(epoch_ms(ts)) AS ts,
+        |  event_type = 'error' AS deleted
         |FROM events""".stripMargin,
     "cdc_schema_evolution" ->
       """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value

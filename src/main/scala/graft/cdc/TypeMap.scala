@@ -1,0 +1,197 @@
+package graft.cdc
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Kafka-Connect JSON-schema → Spark schema + semantic value conversion:
+  * the full type surface of the reference's BaseRecordConverter
+  * (schemaPrimitiveField, BaseRecordConverter.java:336-394; geometry and
+  * nested-struct handling :100-130; semantic value fix-ups
+  * handleFieldValue :280-333), re-expressed as a declarative two-step —
+  * parse the wire envelope with `from_json`, then one projection of
+  * codegen'd casts. No per-record interpretation on the hot path: schema
+  * parsing happens once on the driver, the executors run a fixed
+  * expression tree.
+  *
+  * Mapping (reference → Spark):
+  *  - int8/16/32/64 → LONG; `__ts_ms`/`__source_ts_ms` → TIMESTAMP
+  *    (epoch-millis)
+  *  - io.debezium.time.Date (epoch days) → DATE
+  *  - io.debezium.time.Timestamp / MicroTimestamp (epoch ms/µs) → TIMESTAMP
+  *  - io.debezium.time.ZonedTimestamp (ISO-8601, trailing Z) → TIMESTAMP
+  *  - io.debezium.data.Json → JSON string (query with get_json_object)
+  *  - float8..float64/double → DOUBLE, boolean → BOOLEAN, bytes (base64) → BINARY
+  *  - array → ARRAY of the mapped element type (BQ REPEATED)
+  *  - io.debezium.data.geometry.Geometry → STRUCT<srid: LONG, wkb: BINARY>
+  *  - nested struct → STRUCT, or a JSON string when `nestedAsJson`
+  *    (debezium.sink.bigquerybatch.nested-as-json analog)
+  */
+object TypeMap {
+
+  /** Metadata fields carrying epoch-millis that become TIMESTAMP
+    * (BaseRecordConverter.TS_MS_FIELDS). */
+  val TsMsFields: Set[String] = Set("__ts_ms", "__source_ts_ms")
+
+  /** String fields rendered as booleans in rewrite mode
+    * (BaseRecordConverter.BOOLEAN_FIELDS). */
+  val BooleanFields: Set[String] = Set("__deleted")
+
+  val GeometryTypeName = "io.debezium.data.geometry.Geometry"
+
+  private val mapper = new ObjectMapper()
+
+  /** One parsed Connect field: name, connect type, semantic name, items
+    * node for arrays, nested fields for structs. */
+  private case class ConnectField(name: String, tpe: String, semantic: String,
+                                  node: JsonNode)
+
+  private def fieldsOf(schemaNode: JsonNode): Seq[ConnectField] =
+    schemaNode.get("fields").elements().asScala.map { f =>
+      ConnectField(
+        f.get("field").textValue(),
+        f.get("type").textValue(),
+        if (f.has("name")) f.get("name").textValue() else "",
+        f)
+    }.toSeq
+
+  /** The WIRE schema: how values sit in the JSON envelope before semantic
+    * conversion (epoch numbers as LONG, temporal strings as STRING, bytes
+    * as base64 STRING). */
+  private def wireType(f: ConnectField, nestedAsJson: Boolean): DataType = f.tpe match {
+    case "int8" | "int16" | "int32" | "int64" => LongType
+    case "float8" | "float16" | "float32" | "float64" | "double" => DoubleType
+    case "boolean" => BooleanType
+    case "string" => StringType
+    case "bytes" => StringType // base64 on the wire
+    case "array" =>
+      val items = f.node.get("items")
+      if (items == null) StringType
+      else ArrayType(wireType(
+        ConnectField(f.name + "_element", items.get("type").textValue(),
+          if (items.has("name")) items.get("name").textValue() else "", items),
+        nestedAsJson))
+    case "struct" =>
+      StructType(fieldsOf(f.node).map(sf =>
+        StructField(sf.name, wireType(sf, nestedAsJson))))
+    case _ => StringType
+  }
+
+  /** Semantic conversion of one wire column to its engine type. */
+  private def semanticCol(f: ConnectField, c: Column, nestedAsJson: Boolean): Column = {
+    val converted = f.tpe match {
+      case "int8" | "int16" | "int32" | "int64" =>
+        if (TsMsFields.contains(f.name)) timestamp_millis(c)
+        else f.semantic match {
+          case "io.debezium.time.Date" => date_from_unix_date(c.cast("int"))
+          case "io.debezium.time.Timestamp" => timestamp_millis(c)
+          case "io.debezium.time.MicroTimestamp" => timestamp_micros(c)
+          case _ => c
+        }
+      case "string" =>
+        if (BooleanFields.contains(f.name)) c.cast("boolean")
+        else f.semantic match {
+          // reference strips the trailing Z and hands the rest to BQ
+          // (removeTemporalValueTrailingZ); Spark's to_timestamp parses
+          // the zone directly into a UTC instant — same point in time.
+          case "io.debezium.time.ZonedTimestamp" => to_timestamp(c)
+          case "io.debezium.time.IsoDate" => to_date(c)
+          case "io.debezium.data.Json" => c // JSON stays queryable text
+          case _ => c
+        }
+      case "bytes" => unbase64(c)
+      case "array" =>
+        val items = f.node.get("items")
+        if (items == null) c
+        else {
+          val ef = ConnectField(f.name + "_element",
+            items.get("type").textValue(),
+            if (items.has("name")) items.get("name").textValue() else "", items)
+          transform(c, x => semanticCol(ef, x, nestedAsJson))
+        }
+      case "struct" if f.semantic == GeometryTypeName =>
+        // {srid INT, wkb base64} → STRUCT<srid LONG, wkb BINARY>
+        struct(c.getField("srid").as("srid"),
+          unbase64(c.getField("wkb")).as("wkb"))
+      case "struct" =>
+        if (nestedAsJson) to_json(c)
+        else struct(fieldsOf(f.node).map(sf =>
+          semanticCol(sf, c.getField(sf.name), nestedAsJson).as(sf.name)): _*)
+      case _ => c
+    }
+    converted.as(f.name)
+  }
+
+  /** Convert a frame holding Connect-envelope JSON in `valueCol` into a
+    * typed frame per the embedded schema document. */
+  def convert(records: DataFrame, schemaJson: String, valueCol: String = "value",
+              nestedAsJson: Boolean = false): DataFrame = {
+    val schemaNode = mapper.readTree(schemaJson)
+    val flds = fieldsOf(schemaNode)
+    val wire = StructType(flds.map(f => StructField(f.name, wireType(f, nestedAsJson))))
+    records
+      .select(from_json(col(valueCol), wire).as("__r"))
+      .select(flds.map(f => semanticCol(f, col(s"__r.${f.name}"), nestedAsJson)): _*)
+  }
+
+  /** Connect schema document exercising every mapped type (driver-contract
+    * query below). */
+  val ComplexSchemaJson: String =
+    """{"type":"struct","fields":[
+      |{"field":"id","type":"int64"},
+      |{"field":"day","type":"int32","name":"io.debezium.time.Date"},
+      |{"field":"created_ms","type":"int64","name":"io.debezium.time.Timestamp"},
+      |{"field":"zts","type":"string","name":"io.debezium.time.ZonedTimestamp"},
+      |{"field":"payload","type":"string","name":"io.debezium.data.Json"},
+      |{"field":"tags","type":"array","items":{"type":"string"}},
+      |{"field":"blob","type":"bytes"},
+      |{"field":"geo","type":"struct","name":"io.debezium.data.geometry.Geometry",
+      | "fields":[{"field":"srid","type":"int32"},{"field":"wkb","type":"bytes"}]},
+      |{"field":"nested","type":"struct",
+      | "fields":[{"field":"uid","type":"int64"},{"field":"val","type":"float64"}]},
+      |{"field":"__ts_ms","type":"int64"},
+      |{"field":"__deleted","type":"string"}
+      |]}""".stripMargin
+
+  /** Driver-contract query: round-trip `events` through a synthesized
+    * Connect JSON envelope covering the reference's whole type surface —
+    * semantic dates/timestamps, zoned ISO strings, JSON payloads, arrays,
+    * bytes, geometry structs, nested structs — then flatten the typed
+    * result for the oracle. */
+  def typeMapComplexQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+    val wire = events.select(to_json(struct(
+      col("event_id").as("id"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      unix_millis(col("ts")).as("created_ms"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("zts"),
+      col("props").as("payload"),
+      array(col("event_type"), lit("evt")).as("tags"),
+      base64(encode(col("event_type"), "UTF-8")).as("blob"),
+      struct(lit(4326L).as("srid"),
+        base64(encode(concat(lit("PT-"), col("user_id")), "UTF-8")).as("wkb")).as("geo"),
+      struct(col("user_id").as("uid"), col("value").as("val")).as("nested"),
+      unix_millis(col("ts")).as("__ts_ms"),
+      when(col("event_type") === "error", "true").otherwise("false").as("__deleted")
+    )).as("value"))
+    convert(wire, ComplexSchemaJson)
+      .select(
+        col("id"),
+        col("day"),
+        col("created_ms"),
+        col("zts"),
+        get_json_object(col("payload"), "$.k").cast("bigint").as("payload_k"),
+        size(col("tags")).as("n_tags"),
+        hex(col("blob")).as("blob_hex"),
+        col("geo.srid").as("geo_srid"),
+        decode(col("geo.wkb"), "UTF-8").as("geo_wkb"),
+        col("nested.uid").as("nested_uid"),
+        col("nested.val").as("nested_val"),
+        col("__ts_ms").as("ts"),
+        col("__deleted").as("deleted"))
+  }
+}

@@ -94,9 +94,44 @@ class WarehouseSink(val warehousePath: String) {
   }
 
   /** Read a table; filters on the partition column prune directories at
-    * planning time (PartitionFilters in explain). */
+    * planning time (PartitionFilters in explain). `mergeSchema` surfaces
+    * the union schema of an evolved table (older files simply lack the
+    * newer columns → NULL). Footer-merging costs one metadata read per
+    * file; evolved tables at 100 TB should keep partition counts sane or
+    * pin the latest schema explicitly via `.schema(...)`. */
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(tablePath(table))
+    spark.read.option("mergeSchema", "true").parquet(tablePath(table))
+
+  /** Schema-evolving append against the LIVE stored table — the
+    * ALLOW_FIELD_ADDITION / ALLOW_FIELD_RELAXATION behavior of the
+    * reference (BatchBigqueryChangeConsumer.java:73-76,
+    * StreamBigqueryChangeConsumer.updateTableSchema):
+    *  - columns new in the batch extend the table (recorded in the schema
+    *    history as ADD COLUMN events);
+    *  - columns missing from the batch are appended as NULL (parquet
+    *    columns are nullable — relaxation is inherent);
+    *  - existing files are never rewritten; `read` merges footers.
+    */
+  def evolveAndAppend(spark: SparkSession, df: DataFrame, table: String,
+                      partitionCol: String, clusterCols: Seq[String],
+                      history: Option[graft.state.SchemaHistory] = None): Unit = {
+    if (!tableExists(table)) {
+      history.foreach(_.record(
+        s"CREATE TABLE $table (${df.schema.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")})"))
+      write(df, table, partitionCol, clusterCols)
+    } else {
+      val existing = read(spark, table).schema
+      val existingNames = existing.fieldNames.toSet
+      val added = df.schema.fields.filterNot(f => existingNames(f.name))
+      added.foreach(f => history.foreach(_.record(
+        s"ALTER TABLE $table ADD COLUMN ${f.name} ${f.dataType.sql}")))
+      // columns the batch lacks ride along as NULL of the stored type
+      val completed = existing.fields
+        .filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      write(completed, table, partitionCol, clusterCols)
+    }
+  }
 }
 
 object WarehouseSink {

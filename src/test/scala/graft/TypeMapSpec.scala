@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.TypeMap
+import graft.sinks.WarehouseSink
+import graft.state.SchemaHistory
+
+class TypeMapSpec extends AnyFunSuite with SparkFixture {
+
+  private val schema =
+    """{"type":"struct","fields":[
+      |{"field":"id","type":"int64"},
+      |{"field":"d","type":"int32","name":"io.debezium.time.Date"},
+      |{"field":"t","type":"int64","name":"io.debezium.time.Timestamp"},
+      |{"field":"z","type":"string","name":"io.debezium.time.ZonedTimestamp"},
+      |{"field":"j","type":"string","name":"io.debezium.data.Json"},
+      |{"field":"arr","type":"array","items":{"type":"int32"}},
+      |{"field":"b","type":"bytes"},
+      |{"field":"g","type":"struct","name":"io.debezium.data.geometry.Geometry",
+      | "fields":[{"field":"srid","type":"int32"},{"field":"wkb","type":"bytes"}]},
+      |{"field":"n","type":"struct",
+      | "fields":[{"field":"x","type":"int64"},{"field":"y","type":"string"}]},
+      |{"field":"__ts_ms","type":"int64"},
+      |{"field":"__deleted","type":"string"}
+      |]}""".stripMargin
+
+  private def oneRecord = {
+    import spark.implicits._
+    // 2024-01-02 = epoch day 19724; QQ== is base64("A"); wkb base64("pt")
+    Seq("""{"id":7,"d":19724,"t":1704153600000,
+      |"z":"2024-01-02T00:00:00.000000Z","j":"{\"k\":42}","arr":[1,2,3],
+      |"b":"QQ==","g":{"srid":4326,"wkb":"cHQ="},
+      |"n":{"x":5,"y":"hi"},"__ts_ms":1704153600000,"__deleted":"false"}"""
+      .stripMargin.replace("\n", "")).toDF("value")
+  }
+
+  test("full Connect type surface maps to typed Spark columns") {
+    val out = TypeMap.convert(oneRecord, schema)
+    val row = out.head()
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("d") === DateType)
+    assert(types("t") === TimestampType)
+    assert(types("z") === TimestampType)
+    assert(types("__ts_ms") === TimestampType)
+    assert(types("b") === BinaryType)
+    assert(types("arr") === ArrayType(LongType))
+    assert(types("g") === StructType(Seq(
+      StructField("srid", LongType), StructField("wkb", BinaryType))))
+    assert(types("__deleted") === BooleanType)
+    assert(row.getAs[java.sql.Date]("d").toString === "2024-01-02")
+    assert(row.getAs[java.sql.Timestamp]("t") ===
+      row.getAs[java.sql.Timestamp]("z"))
+    assert(new String(row.getAs[Array[Byte]]("b"), "UTF-8") === "A")
+    assert(new String(row.getAs[org.apache.spark.sql.Row]("g")
+      .getAs[Array[Byte]]("wkb"), "UTF-8") === "pt")
+    assert(row.getAs[org.apache.spark.sql.Row]("n").getAs[Long]("x") === 5L)
+    assert(row.getAs[Boolean]("__deleted") === false)
+  }
+
+  test("JSON semantic type stays queryable text") {
+    val out = TypeMap.convert(oneRecord, schema)
+      .select(get_json_object(col("j"), "$.k").cast("int").as("k"))
+    assert(out.head().getInt(0) === 42)
+  }
+
+  test("nested-as-json mode renders plain structs as JSON, not geometry") {
+    val out = TypeMap.convert(oneRecord, schema, nestedAsJson = true)
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("n") === StringType)
+    // geometry keeps its typed struct even in nested-as-json mode
+    assert(types("g").isInstanceOf[StructType])
+    val n = out.select(get_json_object(col("n"), "$.x").cast("long")).head().getLong(0)
+    assert(n === 5L)
+  }
+
+  test("schema evolution against a live stored table: add + relax") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("wh_evolve_"))
+    val hist = new SchemaHistory(tmpDir("wh_evolve_hist_") + "/h", spark)
+    val v1 = Seq((1L, "a", "2024-01-01 00:00:00"))
+      .toDF("id", "name", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("part_month", WarehouseSink.monthPartition("ts"))
+    sink.evolveAndAppend(spark, v1, "t", "part_month", Seq("id"), Some(hist))
+    // v2 adds `score`, drops `name` (relaxed to NULL for new rows)
+    val v2 = Seq((2L, 0.5, "2024-02-01 00:00:00"))
+      .toDF("id", "score", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("part_month", WarehouseSink.monthPartition("ts"))
+    sink.evolveAndAppend(spark, v2, "t", "part_month", Seq("id"), Some(hist))
+    val out = sink.read(spark, "t")
+    assert(out.columns.toSet === Set("id", "name", "score", "ts", "part_month"))
+    val rows = out.select("id", "name", "score")
+      .as[(Long, Option[String], Option[Double])].collect().sortBy(_._1)
+    assert(rows === Array((1L, Some("a"), None), (2L, None, Some(0.5))))
+    val ddl = hist.replay()
+    assert(ddl.exists(_.startsWith("CREATE TABLE t")))
+    assert(ddl.exists(_.contains("ADD COLUMN score")))
+  }
+}
