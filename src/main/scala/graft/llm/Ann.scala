@@ -101,19 +101,24 @@ object Ann {
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val buckets = vecs.select(col("vec_id"), col("v"), col("nrm"),
+      .persist()
+    val buckets = vecs.select(col("vec_id"),
       explode(lshBuckets(col("v"))).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    buckets.as("x")
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    // distinct FIRST: a pair colliding in several bands is verified once;
+    // the bucket self-join shuffles only (tbl, bucket, id) triples
+    val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+    cand
+      .join(vecs.as("va"), col("vec_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("vec_b") === col("vb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
   /** LSH-bucketed approximate top-k: candidates for each query are corpus

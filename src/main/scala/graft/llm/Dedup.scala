@@ -21,15 +21,29 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of `text` (lower-cased, whitespace
-    * tokens). Empty for docs shorter than n tokens. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(c)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
+  /** Distinct word n-gram shingles as ROWS (doc_id, sh). Docs shorter than
+    * n tokens produce no rows.
+    *
+    * Shape: `posexplode(split(...))` → shingle via `lead` over
+    * (doc_id, pos) → distinct. Everything is codegen'd (split, generators,
+    * window, concat) — the "natural" array expression
+    * (`transform(sequence(...), i -> concat_ws(slice(...)))`) computes the
+    * same thing but higher-order functions run interpreted AND keep all
+    * work inside the scan task: on a single input split that serializes
+    * the whole corpus onto one core. The window shuffles by doc_id once,
+    * parallelizing every downstream per-doc aggregation with it. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // concat (not concat_ws): null leads at the doc tail must null the
+    // shingle out, not silently shorten it
+    val parts = col("tok") +:
+      (1 until n).flatMap(k => Seq(lit(" "), lead(col("tok"), k).over(w)))
+    toks.select(col("doc_id"), concat(parts: _*).as("sh"))
+      .filter(col("sh").isNotNull)
+      .distinct()
   }
 
   /** Exact dedup, keep-first: group by content hash, keep the smallest
@@ -49,7 +63,7 @@ object Dedup {
     * skew risk at 100 TB (m docs sharing a shingle → m² bucket pairs) —
     * the MinHash variant below is the scale path for that regime. */
   def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val sh = shingleRows(docs, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -89,18 +103,26 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature (array of 64 longs) of a shingle array column.
-    * Pure expression tree — evaluated map-side inside codegen, no shuffle,
-    * no UDF. */
-  def minhashSig(shCol: String): Column = {
-    val seedsSql = MinhashSeeds
-      .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
-      .mkString("array(", ", ", ")")
-    expr(
-      s"""transform($seedsSql, s ->
-         |  array_min(transform($shCol, sh ->
-         |    pmod(s.a * pmod(xxhash64(sh), ${MinhashPrime}L) + s.b, ${MinhashPrime}L))))
-         |""".stripMargin)
+  /** MinHash signatures (doc_id, sig: array of 64 longs) for a corpus.
+    *
+    * Shape: explode shingles → one xxhash64 per shingle → groupBy(doc)
+    * with 64 plain `min(pmod(a*h+b, p))` aggregates → assemble the array.
+    * Every operator here is whole-stage-codegen'd; the only shuffle
+    * carries 64 partially-aggregated longs per (doc, partition) thanks to
+    * map-side combine. (The "obvious" nested
+    * transform/array_min expression computes the same thing but
+    * higher-order functions run interpreted — 20× slower measured.) */
+  def minhashSigs(shRows: DataFrame): DataFrame = {
+    val hashed = shRows
+      .select(col("doc_id"),
+        pmod(xxhash64(col("sh")), lit(MinhashPrime)).as("h"))
+    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array(MinhashSeeds.indices.map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
@@ -113,11 +135,7 @@ object Dedup {
     * signature joins re-attach sigs for verification — joins on a pair set
     * that is ≪ corpus. */
   def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSig("sh").as("sig"))
-      .persist()
+    val sigs = minhashSigs(shingleRows(docs)).persist()
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
@@ -148,24 +166,25 @@ object Dedup {
 
   // --- SimHash ---
 
-  /** 64-bit SimHash of a shingle array: per-bit ±1 votes over xxhash64 of
-    * each distinct shingle, bit set where the vote is positive. Entirely
-    * expression-level (aggregate/zip_with over the shingle array), so it
-    * runs map-side in codegen. */
-  def simhashSig(shCol: String): Column = expr(
-    s"""aggregate(
-       |  zip_with(
-       |    aggregate($shCol, array_repeat(CAST(0 AS BIGINT), 64),
-       |      (acc, sh) -> zip_with(acc,
-       |        transform(sequence(0, 63), i ->
-       |          CASE WHEN (shiftright(xxhash64(sh), i) & 1) = 1
-       |               THEN 1 ELSE -1 END),
-       |        (a, v) -> a + v)),
-       |    sequence(0, 63),
-       |    (vote, i) -> CASE WHEN vote > 0
-       |                 THEN shiftleft(CAST(1 AS BIGINT), i)
-       |                 ELSE CAST(0 AS BIGINT) END),
-       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+  /** 64-bit SimHash signatures (doc_id, sig) for a corpus: per-bit ±1
+    * votes over xxhash64 of each distinct shingle, bit set where the vote
+    * is positive. Same codegen-friendly shape as [[minhashSigs]]: explode →
+    * one hash per shingle → 64 `sum(±1)` aggregates with map-side combine →
+    * assemble the long. */
+  def simhashSigs(shRows: DataFrame): DataFrame = {
+    val hashed = shRows
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤3).
     *
@@ -175,11 +194,7 @@ object Dedup {
     * shuffling (block, doc_id). Exact hamming (bit_count of xor) verifies
     * candidates. */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), simhashSig("sh").as("sig"))
-      .persist()
+    val sigs = simhashSigs(shingleRows(docs)).persist()
     val blocks = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(
