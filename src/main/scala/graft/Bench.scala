@@ -22,14 +22,26 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JVM/codegen/classloader startup otherwise lands in
+    // whichever query happens to run first (r1 skewed q_user_sessions by
+    // ~5s); one cheap scan+shuffle+window exercises the machinery
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
