@@ -42,14 +42,22 @@ object MergePipeline {
     Seq(col("__source_ts_ms"), Cdc.opPriorityCol(col("__op")), col("event_id"))
 
   /** MERGE one flattened batch into `table`, keyed by `keyCols`,
-    * latest-wins by (source ts, op priority, tie-break id), hard deletes
-    * dropped (upsert mode, keep-deletes=false). */
+    * latest-wins by (source ts, op priority, tie-break id).
+    *
+    * @param keepDeletes `upsert-keep-deletes` (StreamConsumerConfig
+    *                    .java:74-76): true keeps the last row of a deleted
+    *                    key flagged (`__op='d'`, soft delete — also the
+    *                    safe mode for out-of-order sources, the tombstone
+    *                    keeps winning the dedup); false drops it (hard
+    *                    delete, reference default). */
   def mergeBatch(spark: SparkSession, sink: WarehouseSink, table: String,
-                 batch: DataFrame, keyCols: Seq[String]): Unit = {
+                 batch: DataFrame, keyCols: Seq[String],
+                 keepDeletes: Boolean = false): Unit = {
+    val dropDeleted: DataFrame => DataFrame =
+      df => if (keepDeletes) df else df.filter(col("__op") =!= "d")
     val bucket = WarehouseSink.bucketPartition(keyCols, NumBuckets)
     if (!sink.tableExists(table)) {
-      val snap = Cdc.dedupLatest(batch, keyCols, ordering)
-        .filter(col("__op") =!= "d")
+      val snap = dropDeleted(Cdc.dedupLatest(batch, keyCols, ordering))
         .withColumn("part_bucket", bucket)
       sink.write(snap, table, "part_bucket", keyCols :+ "__source_ts_ms")
     } else {
@@ -59,9 +67,8 @@ object MergePipeline {
       val existing = sink.read(spark, table)
         .filter(col("part_bucket").isin(buckets.map(b => lit(b)): _*))
         .drop("part_bucket")
-      val merged = Cdc.dedupLatest(
-        existing.unionByName(batch), keyCols, ordering)
-        .filter(col("__op") =!= "d")
+      val merged = dropDeleted(Cdc.dedupLatest(
+        existing.unionByName(batch), keyCols, ordering))
         .withColumn("part_bucket", bucket)
         .persist()
       sink.write(merged, table, "part_bucket", keyCols :+ "__source_ts_ms",

@@ -44,7 +44,8 @@ object CdcStream {
             offsets: OffsetStore,
             availableNow: Boolean = true,
             maxFilesPerTrigger: Int = 1,
-            triggerMs: Long = 1000L): StreamingQuery = {
+            triggerMs: Long = 1000L,
+            keepDeletes: Boolean = false): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -52,7 +53,7 @@ object CdcStream {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MergePipeline.mergeBatch(spark, sink, table, batch, keyCols)
+        MergePipeline.mergeBatch(spark, sink, table, batch, keyCols, keepDeletes)
         offsets.put(Map(s"stream/$table" -> batchId.toString))
       }
     val triggered =
