@@ -22,13 +22,17 @@ import graft.Tables
   */
 object Ann {
 
-  /** Sequential-fold dot product of two array<double> columns.
-    * (Measured note: an "unrolled" 64-term element_at sum looks
-    * codegen-friendlier but ran 6× SLOWER — 64 separate array accessors
-    * with per-element null/bounds checks beat the fold's single pass at
-    * nothing. The higher-order fold stays.) */
+  /** Dot product of two array<double> columns, backed by the native
+    * codegen'd [[graft.functions.VecDot]] expression (registered
+    * idempotently by every Ann entry point).
+    *
+    * Escalation history, measured: built-in fold
+    * `aggregate(zip_with(_*_), 0d, _+_)` works but higher-order functions
+    * evaluate interpreted; an "unrolled" 64-term `element_at` sum was 6×
+    * WORSE (per-element null/bounds checks); the custom expression
+    * generates the tight loop no built-in combination can. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -153,10 +157,16 @@ object Ann {
   }
 
   // --- SparkEntry wiring ---
-  def annTopKQ(spark: SparkSession, dir: String): DataFrame =
+  def annTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     annTopK(Tables.embeddings(spark, dir))
-  def annLshTopKQ(spark: SparkSession, dir: String): DataFrame =
+  }
+  def annLshTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     annLshTopK(Tables.embeddings(spark, dir))
-  def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame =
+  }
+  def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     dedupEmbed(Tables.embeddings(spark, dir))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the CDC event stream: the `readStream` →
+  * transform → `writeStream` surface (watermarked windowed aggregation,
+  * custom session state) that complements the foreachBatch MERGE pipeline.
+  *
+  * Scale notes: the windowed aggregation is the canonical streaming
+  * shuffle — partial aggregation per micro-batch, state keyed by
+  * (window, event_type) in the state store, watermark bounding state
+  * growth. Sessionization keeps one small state row per active user and
+  * emits sessions closed by the gap; event-time timeout expires idle
+  * state, so memory is O(active users), not O(history). */
+object StreamAggs {
+
+  /** Tumbling 1-hour rollup per event type with a watermark bounding late
+    * data and state. Same result shape as the batch `q_events_hourly`. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  val DefaultGapMs: Long = 30 * 60 * 1000L
+
+  /** Session builder usable in BOTH batch and streaming:
+    *  - batch (single invocation with the key's full history, no
+    *    watermark): emits every session, including the final one — the
+    *    input is complete, so the last session is closed by definition;
+    *  - streaming (`flatMapGroupsWithState`, append mode, event-time
+    *    timeout): emits sessions closed by the gap within or across
+    *    micro-batches, holds the open session in state and flushes it when
+    *    the watermark passes its timeout.
+    */
+  def sessionFunc(gapMs: Long)(
+      userId: Long, events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(Session(userId, s.start_ms, s.last_ms, s.n_events))
+    }
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption
+    val out = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val ms = e.ts.getTime
+      cur match {
+        case Some(s) if ms - s.last_ms <= gapMs =>
+          cur = Some(SessionState(s.start_ms, ms, s.n_events + 1))
+        case Some(s) =>
+          out += Session(userId, s.start_ms, s.last_ms, s.n_events)
+          cur = Some(SessionState(ms, ms, 1))
+        case None =>
+          cur = Some(SessionState(ms, ms, 1))
+      }
+    }
+    cur.foreach { s =>
+      if (streamingWithWatermark(state)) {
+        state.update(s)
+        state.setTimeoutTimestamp(s.last_ms + gapMs)
+      } else {
+        // batch execution: input is complete — close the final session
+        out += Session(userId, s.start_ms, s.last_ms, s.n_events)
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Event-time timeouts exist only in streaming execution with a
+    * watermark; in batch, `getCurrentWatermarkMs` throws. */
+  private def streamingWithWatermark(state: GroupState[_]): Boolean =
+    try { state.getCurrentWatermarkMs(); true }
+    catch { case _: UnsupportedOperationException => false }
+
+  /** Sessionization with custom state: one state row per active user,
+    * sessions appended as the gap (or the watermark) closes them. Works on
+    * batch Datasets too (full-history invocation, see [[sessionFunc]]). */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = DefaultGapMs,
+                 watermark: String = "1 minute")
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark).as[SessionEvent]
+              else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionFunc(gapMs))
+  }
+}

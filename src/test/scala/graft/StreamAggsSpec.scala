@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics
+import graft.streaming.StreamAggs
+import graft.streaming.StreamAggs.{Session, SessionEvent}
+
+class StreamAggsSpec extends AnyFunSuite with SparkFixture {
+
+  test("streaming hourly rollup over file triggers equals the batch aggregate") {
+    val events = Tables.events(spark, sfDir)
+      .select("ts", "event_type", "value")
+    val inputDir = tmpDir("sagg_in_")
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    events.filter(col("ts") < cutoff).coalesce(1).write.parquet(s"$inputDir/f0")
+    events.filter(col("ts") >= cutoff).coalesce(1).write.parquet(s"$inputDir/f1")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = StreamAggs.hourlyCounts(stream).writeStream
+      .format("memory").queryName("hourly")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("sagg_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("hourly")
+    val want = Analytics.qEventsHourly(spark, sfDir)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("batch sessionization matches the window-based session counts") {
+    import spark.implicits._
+    implicit val s = spark
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).as[SessionEvent]
+    val sessions = StreamAggs.sessionize(events)
+    val counts = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val want = Analytics.qUserSessions(spark, sfDir)
+      .select("user_id", "n_sessions", "n_events")
+    val got = counts.select("user_id", "n_sessions", "n_events")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming sessionization emits a gap-closed session across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val inputDir = tmpDir("sess_in_")
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // file 0: user 1 has two events 10 min apart (one session)
+    Seq(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(10)))
+      .toDF().coalesce(1).write.parquet(s"$inputDir/f0")
+    // file 1: user 1 returns 2h later -> the first session closes by gap
+    Seq(SessionEvent(1L, ts(130)))
+      .toDF().coalesce(1).write.parquet(s"$inputDir/f1")
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+      .as[SessionEvent]
+    val q = StreamAggs.sessionize(stream).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("sess_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val closed = spark.table("sessions").as[Session].collect()
+    // the 2-event session must have been emitted when the third event
+    // opened a new one (gap exceeded within the data, no timeout needed)
+    assert(closed.exists(se =>
+      se.user_id == 1L && se.n_events == 2 &&
+        se.start_ms == ts(0).getTime && se.end_ms == ts(10).getTime))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+class VecDotSpec extends AnyFunSuite with SparkFixture {
+
+  test("vec_dot computes the dot product and resolves from SQL") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    assert(df.select(VectorFunctions.vecDot(col("a"), col("b")))
+      .head().getDouble(0) === 32.0)
+    df.createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT vec_dot(a, b) FROM vecs").head().getDouble(0) === 32.0)
+  }
+
+  test("vec_dot agrees with the higher-order fold on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val fold = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = emb.select(
+      abs(VectorFunctions.vecDot(col("v"), col("v")) - fold).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff === 0.0) // identical summation order → bit-identical
+  }
+
+  test("vec_dot is null-safe and rejects wrong types") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    assert(df.select(VectorFunctions.vecDot(col("a"), col("b")))
+      .head().isNullAt(0))
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(VectorFunctions.vecDot(col("a"), col("b"))).head()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_dot") ||
+      err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+}
