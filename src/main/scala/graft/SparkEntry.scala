@@ -54,6 +54,7 @@ object SparkEntry {
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
+    "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)
     "multimodal" -> (Multimodal.multimodalQ _)

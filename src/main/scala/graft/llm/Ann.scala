@@ -156,6 +156,78 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  // --- IVF (inverted-file) ANN ---
+
+  /** IVF top-k: a k-means coarse quantizer partitions the corpus into
+    * `nlist` cells; each query probes its `nprobe` nearest cells and ranks
+    * only those candidates by exact cosine.
+    *
+    * Scale shape: Lloyd iterations keep the CORPUS distributed — only the
+    * (nlist × dim) centroid table ever reaches the driver, and assignment
+    * is a map-side argmax against broadcast centroid literals (VecDot
+    * codegen). The final search shuffles candidates by cell, so corpus
+    * work per query is ~nprobe/nlist of a full scan — the IVF contract.
+    * Deterministic: seeded by vec_id order, fixed iteration count,
+    * lexicographic (score, cell) tie-breaks. */
+  def annIvfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                 nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v")).persist()
+
+    def centroidScore(c: Array[Double]): Column = {
+      val c2 = c.map(x => x * x).sum
+      dot(col("v"), typedLit(c.toSeq)) - lit(c2 / 2.0) // argmax == min L2 dist
+    }
+    def assignCol(cents: Seq[Array[Double]]): Column =
+      array_max(array(cents.zipWithIndex.map { case (c, j) =>
+        struct(centroidScore(c).as("s"), lit(j).as("cid"))
+      }: _*)).getField("cid")
+
+    // init: first nlist vectors by id (deterministic); then Lloyd updates
+    var centroids: Seq[Array[Double]] = vecs.orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val means = vecs.select(assignCol(centroids).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        means.get(j).map { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(old)
+      }
+    }
+
+    val assigned = vecs.withColumn("cid", assignCol(centroids))
+      .withColumn("nrm", norm(col("v")))
+    // probe lists computed driver-side from the collected query vectors
+    val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      val q2 = math.sqrt(qv.map(x => x * x).sum)
+      centroids.zipWithIndex
+        .map { case (c, j) =>
+          (j, qv.zip(c).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2) }
+        .sortBy { case (j, s) => (-s, j) }.take(nprobe)
+        .map { case (j, _) => (qid, j, q2) }
+    }.toSeq
+    import embeddings.sparkSession.implicits._
+    val probeDf = broadcast(probes.toDF("query_id", "cid", "qnrm"))
+    val qv = broadcast(queryVecs.toSeq.toDF("query_id", "q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(probeDf, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(qv, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q"), col("v")) / (col("qnrm") * col("nrm"))).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
   // --- SparkEntry wiring ---
   def annTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -168,5 +240,9 @@ object Ann {
   def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     dedupEmbed(Tables.embeddings(spark, dir))
+  }
+  def annIvfTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annIvfTopK(Tables.embeddings(spark, dir))
   }
 }

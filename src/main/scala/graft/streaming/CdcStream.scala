@@ -61,6 +61,40 @@ object CdcStream {
       else writer.trigger(Trigger.ProcessingTime(triggerMs))
     triggered.start()
   }
+
+  /** Multi-table variant — the reference's complete loop: each micro-batch
+    * carries a destination column, is grouped per destination and MERGEd
+    * into its routed table (`handleBatch` → `getTableId` →
+    * `uploadDestination`). Offsets record the last batch id per stream. */
+  def startRouted(spark: SparkSession,
+                  inputDir: String,
+                  schema: StructType,
+                  sink: WarehouseSink,
+                  destCol: String,
+                  keyCols: Seq[String],
+                  checkpointDir: String,
+                  offsets: OffsetStore,
+                  regexp: Option[String] = None,
+                  replace: Option[String] = None,
+                  availableNow: Boolean = true,
+                  maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tables = graft.cdc.Router.routeAndWrite(
+          spark, sink, batch, destCol,
+          graft.cdc.Router.UpsertMode(keyCols), regexp, replace)
+        offsets.put(
+          tables.map(t => s"stream/$t" -> batchId.toString).toMap)
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(1000L))
+      .start()
+  }
 }
 
 /** Dynamic batch-size throttle: the reference's DynamicBatchSizeWait

@@ -50,6 +50,34 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("routed stream merges each destination into its own table") {
+    import spark.implicits._
+    val inputDir = tmpDir("routed_in_")
+    val base = tmpDir("routed_state_")
+    val sink = new WarehouseSink(s"$base/warehouse")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    def mk(rows: Seq[(String, Long, Long, String, String)], f: String) =
+      rows.toDF("destination", "event_id", "user_id", "__op", "__source_ts_ms")
+        .withColumn("__source_ts_ms", col("__source_ts_ms").cast("timestamp"))
+        .coalesce(1).write.parquet(s"$inputDir/$f")
+    mk(Seq(
+      ("srv1.db.orders", 1L, 10L, "c", "2024-01-01 00:00:00"),
+      ("srv1.db.users", 2L, 20L, "c", "2024-01-01 00:00:00")), "f0")
+    mk(Seq(
+      ("srv1.db.orders", 3L, 10L, "u", "2024-01-02 00:00:00"),
+      ("srv1.db.users", 4L, 21L, "c", "2024-01-02 00:00:00")), "f1")
+    val schema = spark.read.parquet(s"$inputDir/f0").schema
+    val q = CdcStream.startRouted(spark, s"$inputDir/f*", schema, sink,
+      "destination", Seq("user_id"), s"$base/ckpt", offsets,
+      regexp = Some("^srv1\\."), replace = Some(""))
+    q.awaitTermination()
+    assert(sink.read(spark, "db_orders")
+      .select("user_id", "event_id").as[(Long, Long)].collect()
+      .sorted === Array((10L, 3L)))
+    assert(sink.read(spark, "db_users").count() === 2)
+    assert(offsets.load().keySet === Set("stream/db_orders", "stream/db_users"))
+  }
+
   test("dynamic batch-size wait grows when batches run empty and zeroes when full") {
     val wait = new BatchSizeWait(maxBatchSize = 1000, maxWaitMs = 10000)
     assert(wait.nextWaitMs(1000) === 0L)

@@ -90,6 +90,19 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN recalls a good share of the brute-force top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
+    val ivf = Ann.annIvfTopK(emb, nQueries = 5, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id")
+    val recall = ivf.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // determinism: same params -> identical result set
+    val again = Ann.annIvfTopK(emb, nQueries = 5, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id")
+    assert(ivf.exceptAll(again).isEmpty && again.exceptAll(ivf).isEmpty)
+  }
+
   test("text tokens: bpe token count splits finer than whitespace") {
     import spark.implicits._
     val d = docs((1L, "hello, world! x2"))
