@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics
+
+/** Regression guards on the PHYSICAL PLANS of the headline queries — the
+  * scale properties (pushdown, pruning, no cartesian products) that a
+  * correctness gate cannot see. If a refactor silently un-pushes a filter
+  * or degrades a join to a nested loop, these fail before any benchmark
+  * notices. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("analytics filters reach the parquet scans (PushedFilters)") {
+    val checks = Seq(
+      Analytics.q1Pricing(spark, sfDir) -> "LessThanOrEqual(l_shipdate",
+      Analytics.q3Shipping(spark, sfDir) -> "EqualTo(c_mktsegment,BUILDING)",
+      Analytics.q5RegionVolume(spark, sfDir) -> "EqualTo(r_name,ASIA)",
+      Analytics.q14PromoShare(spark, sfDir) -> "GreaterThanOrEqual(l_shipdate"
+    )
+    checks.foreach { case (df, expected) =>
+      assert(planString(df).contains(expected),
+        s"expected pushed filter '$expected' missing from plan")
+    }
+  }
+
+  test("lineitem scans are column-pruned (no full-width reads)") {
+    val plan = planString(Analytics.q1Pricing(spark, sfDir))
+    val readSchemas = "ReadSchema: struct<([^>]*)>?".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    // q1 needs exactly 6 of lineitem's 16 columns
+    assert(readSchemas.forall(_.split(",").length <= 6),
+      s"scan reads too many columns: $readSchemas")
+  }
+
+  test("no cartesian product or nested-loop join in the analytics set") {
+    val all = Seq(
+      Analytics.q1Pricing(spark, sfDir),
+      Analytics.q3Shipping(spark, sfDir),
+      Analytics.q5RegionVolume(spark, sfDir),
+      Analytics.qTopCustomers(spark, sfDir),
+      Analytics.q14PromoShare(spark, sfDir))
+    all.foreach { df =>
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    }
+  }
+
+  test("merge snapshot read prunes partitions by bucket") {
+    val sink = new graft.sinks.WarehouseSink(tmpDir("plan_merge_"))
+    val flat = graft.cdc.Cdc.flatten(Tables.events(spark, sfDir))
+    graft.cdc.MergePipeline.mergeBatch(spark, sink, "s", flat, Seq("user_id"))
+    val pruned = sink.read(spark, "s")
+      .filter(org.apache.spark.sql.functions.col("part_bucket").isin(1, 2, 3))
+    assert(planString(pruned).contains("PartitionFilters: [part_bucket"),
+      "bucket filter not applied as a partition filter")
+  }
+}
