@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
+    "dedup_corpus" -> (Dedup.dedupCorpusQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
@@ -266,6 +267,31 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // connected-component dedup: keep the smallest doc_id per near-dup
+    // component (recursive CTE computes the transitive closure)
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS inter
+         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |fpairs AS (SELECT doc_a, doc_b FROM jpairs
+         |           JOIN counts ca ON doc_a = ca.doc_id
+         |           JOIN counts cb ON doc_b = cb.doc_id
+         |           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+         |          UNION SELECT doc_b, doc_a FROM fpairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION
+         |                SELECT r.a, e.b FROM reach r
+         |                JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         |drops AS (SELECT DISTINCT a FROM reach WHERE b < a)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT a FROM drops)""".stripMargin,
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.

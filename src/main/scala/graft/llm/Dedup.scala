@@ -212,6 +212,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Collapse near-dup PAIRS into a deduplicated corpus: connected
+    * components over the pair graph, keep the smallest doc_id per
+    * component, drop the rest.
+    *
+    * The component computation is driver-side union-find over the PAIRS —
+    * legitimate at scale because candidate pairs are ≪ corpus by
+    * construction (they only exist for near-duplicates; a corpus where
+    * pairs rival the corpus size is mostly one duplicate cluster). The
+    * corpus itself is never collected: the drop-set joins back as a
+    * broadcast anti-join. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN id so every component root is its keeper
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val drops = parent.keys.filter(x => find(x) != x).toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.join(broadcast(drops.toDF("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   // --- SparkEntry wiring ---
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
     dedupExact(Tables.documents(spark, dir))
@@ -221,4 +253,8 @@ object Dedup {
     dedupMinhash(Tables.documents(spark, dir))
   def dedupSimhashQ(spark: SparkSession, dir: String): DataFrame =
     dedupSimhash(Tables.documents(spark, dir))
+  def dedupCorpusQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupedCorpus(docs, dedupNgramJaccard(docs)).select(col("doc_id"))
+  }
 }

@@ -90,6 +90,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("dedupedCorpus drops all but the smallest doc of each near-dup component") {
+    import spark.implicits._
+    val d = docs((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c"))
+    // pairs form one component {1,2,3} (transitively via 2-3)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupedCorpus(d, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L))
+    // end-to-end: jaccard pairs over the real corpus collapse the 25
+    // planted near-dup pairs into their keepers
+    val corpus = Tables.documents(spark, sfDir)
+    val realPairs = Dedup.dedupNgramJaccard(corpus, tau = 0.8)
+    val deduped = Dedup.dedupedCorpus(corpus, realPairs)
+    assert(deduped.count() < corpus.count())
+    // no pair should survive within the deduped corpus
+    val survivors = Dedup.dedupNgramJaccard(deduped, tau = 0.8)
+    assert(survivors.count() === 0)
+  }
+
   test("IVF ANN recalls a good share of the brute-force top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
