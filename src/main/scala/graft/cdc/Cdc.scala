@@ -186,6 +186,14 @@ object Cdc {
       .getOrElse(destination)
       .replace(".", "_")
 
+  /** `cast-deleted-field` (BatchConsumerConfig.java:69-71): in rewrite
+    * mode `__deleted` arrives as the strings "true"/"false"; when enabled
+    * the engine casts it to BOOLEAN (BaseRecordConverter.BOOLEAN_FIELDS). */
+  def castDeleted(df: DataFrame, enabled: Boolean = true): DataFrame =
+    if (enabled && df.columns.contains("__deleted"))
+      df.withColumn("__deleted", col("__deleted").cast("boolean"))
+    else df
+
   /** Convenience entry points over the test warehouse. */
   def flattenQ(spark: SparkSession, dir: String): DataFrame =
     flatten(Tables.events(spark, dir))

@@ -23,23 +23,34 @@ object Router {
   case object AppendMode extends Mode
   case class UpsertMode(keyCols: Seq[String]) extends Mode
 
+  /** Heartbeat topic prefix skipped during upload
+    * (`debezium.source.topic.heartbeat.prefix` +
+    * `skip-consuming`, DebeziumConfig.java:82-88;
+    * BaseChangeConsumer.java:171,212). */
+  val HeartbeatPrefix = "__debezium-heartbeat"
+
   /** Route one batch to its destination tables. Returns the routed table
-    * names written. */
+    * names written (heartbeat destinations are consumed for offsets but
+    * never uploaded, matching the reference). */
   def routeAndWrite(spark: SparkSession, sink: WarehouseSink,
                     batch: DataFrame, destCol: String, mode: Mode,
                     regexp: Option[String] = None,
                     replace: Option[String] = None,
-                    tsCol: String = "__source_ts_ms"): Seq[String] = {
+                    tsCol: String = "__source_ts_ms",
+                    partitionType: String = "MONTH",
+                    skipHeartbeat: Boolean = true): Seq[String] = {
     val dests = batch.select(destCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+      .filterNot(d => skipHeartbeat && d.startsWith(HeartbeatPrefix))
     dests.map { dest =>
       val table = Cdc.routeDestination(dest, regexp, replace)
       val slice = batch.filter(col(destCol) === dest).drop(destCol)
       mode match {
         case AppendMode =>
           sink.write(
-            slice.withColumn("part_month", WarehouseSink.monthPartition(tsCol)),
-            table, "part_month", Seq(tsCol))
+            slice.withColumn("part_time",
+              WarehouseSink.timePartition(tsCol, partitionType)),
+            table, "part_time", Seq(tsCol))
         case UpsertMode(keyCols) =>
           MergePipeline.mergeBatch(spark, sink, table, slice, keyCols)
       }

@@ -135,9 +135,19 @@ class WarehouseSink(val warehousePath: String) {
 }
 
 object WarehouseSink {
+
+  /** Time-partition column for append tables at the reference's
+    * granularities (`partition-type`: HOUR | DAY | MONTH | YEAR,
+    * BatchConsumerConfig.java:46-48; default MONTH). */
+  def timePartition(tsCol: String, partitionType: String = "MONTH"): Column = {
+    val t = partitionType.toUpperCase
+    require(Set("HOUR", "DAY", "MONTH", "YEAR").contains(t),
+      s"unsupported partition-type $partitionType")
+    date_trunc(t.toLowerCase, col(tsCol))
+  }
+
   /** MONTH time-partition column for append tables. */
-  def monthPartition(tsCol: String): Column =
-    date_trunc("month", col(tsCol))
+  def monthPartition(tsCol: String): Column = timePartition(tsCol)
 
   /** Stable key-hash bucket partition column for keyed snapshot tables. */
   def bucketPartition(keyCols: Seq[String], numBuckets: Int): Column =

@@ -44,6 +44,43 @@ class RouterSpec extends AnyFunSuite with SparkFixture {
     assert(!sink.tableExists("inventory_customers"))
   }
 
+  test("heartbeat destinations are skipped, not uploaded") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("route_hb_"))
+    val withHb = batch.unionByName(
+      Seq(("__debezium-heartbeat.srv1", 9L, 99L, "r", "2024-01-01 00:00:00"))
+        .toDF("destination", "event_id", "user_id", "__op", "__source_ts_ms")
+        .withColumn("__source_ts_ms", col("__source_ts_ms").cast("timestamp")))
+    val tables = Router.routeAndWrite(spark, sink, withHb, "destination",
+      Router.AppendMode, regexp = Some("^srv1\\."), replace = Some(""))
+    assert(tables === Seq("inventory_customers", "inventory_orders"))
+    assert(!sink.tableExists("__debezium-heartbeat_srv1"))
+  }
+
+  test("partition granularity is configurable (DAY makes daily dirs)") {
+    val sink = new WarehouseSink(tmpDir("route_day_"))
+    Router.routeAndWrite(spark, sink, batch, "destination",
+      Router.AppendMode, regexp = Some("^srv1\\."), replace = Some(""),
+      partitionType = "DAY")
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(sink.tablePath("inventory_orders")))
+      .toArray.map(_.toString).filter(_.contains("part_time="))
+    assert(dirs.length === 2) // Jan 1 and Jan 2 events → two daily dirs
+  }
+
+  test("cast-deleted-field turns rewrite-mode strings into booleans") {
+    import spark.implicits._
+    val df = Seq((1L, "true"), (2L, "false")).toDF("id", "__deleted")
+    val out = graft.cdc.Cdc.castDeleted(df)
+    assert(out.schema("__deleted").dataType ===
+      org.apache.spark.sql.types.BooleanType)
+    assert(out.filter(col("__deleted")).count() === 1)
+    // disabled → untouched
+    assert(graft.cdc.Cdc.castDeleted(df, enabled = false)
+      .schema("__deleted").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("soft-delete merge keeps the tombstone row flagged") {
     import spark.implicits._
     val sink = new WarehouseSink(tmpDir("route_soft_"))
