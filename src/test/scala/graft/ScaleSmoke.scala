@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.llm.{Ann, Dedup}
+import graft.cdc.{Cdc, MergePipeline}
+import graft.sinks.WarehouseSink
+
+/** Synthetic 10x scale smoke: replicate sf0.1 with shifted ids and check
+  * the hot operators complete with ~linear cost. */
+object ScaleSmoke {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"=== $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+  }
+  def times10(df: DataFrame, idCol: String, shift: Long): DataFrame =
+    (0 until 10).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
+      .reduce(_ unionByName _)
+  def main(args: Array[String]): Unit = {
+    val spark = SparkFixture.session
+    val dir = "/root/testdata/sf0.1"
+    val docs10 = times10(Tables.documents(spark, dir), "doc_id", 1000000L)
+    val emb10 = times10(Tables.embeddings(spark, dir), "vec_id", 1000000L)
+    val ev10 = (0 until 10).map { i =>
+      Tables.events(spark, dir)
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 100000L))
+    }.reduce(_ unionByName _)
+    println("=== docs: " + docs10.count() + " emb: " + emb10.count() + " events: " + ev10.count())
+    t("dedup_minhash 50k docs")(Dedup.dedupMinhash(docs10).write.format("noop").mode("overwrite").save())
+    t("dedup_simhash 50k docs")(Dedup.dedupSimhash(docs10).write.format("noop").mode("overwrite").save())
+    t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
+    t("dedup_latest 1M events")(Cdc.dedupLatestEvents(ev10).write.format("noop").mode("overwrite").save())
+    val sink = new WarehouseSink(java.nio.file.Files.createTempDirectory("scale_wh_").toString)
+    t("bucket merge 1M events")(MergePipeline.mergeBatch(spark, sink, "s", Cdc.flatten(ev10), Seq("user_id")))
+    spark.stop()
+  }
+}
