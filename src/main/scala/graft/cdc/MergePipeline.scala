@@ -65,7 +65,7 @@ object MergePipeline {
       val buckets = batch.select(bucket.as("b")).distinct()
         .collect().map(_.getInt(0))
       val existing = sink.read(spark, table)
-        .filter(col("part_bucket").isin(buckets.map(b => lit(b)): _*))
+        .filter(col("part_bucket").isin(buckets.toIndexedSeq.map(b => lit(b)): _*))
         .drop("part_bucket")
       val merged = dropDeleted(Cdc.dedupLatest(
         existing.unionByName(batch), keyCols, ordering))
