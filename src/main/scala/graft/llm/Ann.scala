@@ -169,8 +169,12 @@ object Ann {
     * work per query is ~nprobe/nlist of a full scan — the IVF contract.
     * Deterministic: seeded by vec_id order, fixed iteration count,
     * lexicographic (score, cell) tie-breaks. */
+  /** One Lloyd iteration by default: measured recall is flat in the
+    * iteration count on clustered data (98/100 at sf0.1 for iters 1 and
+    * 2) and each iteration is a full assignment job; at 100 TB train the
+    * quantizer on a sample if centroid drift ever warrants more. */
   def annIvfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
-                 nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+                 nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v")).persist()
