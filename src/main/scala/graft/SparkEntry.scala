@@ -46,6 +46,8 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQualityQ _),
     "text_langid" -> (TextOps.textLangidQ _),
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
+    "text_scrub" -> (TextOps.textScrubQ _),
+    "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -249,6 +251,27 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // PII scrub: DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextOps.PhonePattern}', '<PHONE>', 'g') AS clean_text,
+         |  len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS n_ips
+         |FROM documents""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3)
+         |SELECT tr.doc_id, count(*) AS n_contaminated_ngrams
+         |FROM sh tr
+         |JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 20) b ON tr.s = b.s
+         |WHERE tr.doc_id >= 20
+         |GROUP BY 1""".stripMargin,
     // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
     // integer arithmetic into one double division — engine-stable.
     "dedup_ngram_jaccard" ->

@@ -106,6 +106,45 @@ object TextOps {
     )
   }
 
+  /** PII scrubbing: redact e-mail addresses, phone-ish number runs and
+    * IPv4 addresses with typed placeholders — the standard first pass over
+    * web-scale training text. Patterns stick to character classes both
+    * Java regex and RE2 interpret identically. Pure projection. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Scrub + count what was redacted (audit columns). */
+  def textScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      scrubPii(col("text")).as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0))).as("n_ips"))
+
+  /** Decontamination: flag training docs sharing any word n-gram with a
+    * benchmark/eval set — the standard guard against test-set leakage.
+    *
+    * Scale shape: benchmark shingles are DISTINCT and broadcast (eval sets
+    * are small by definition); the corpus side is the usual shingle
+    * explode, so the check is one broadcast semi-join — no shuffle of the
+    * corpus. Returns (doc_id, n_contaminated_ngrams) for flagged docs. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val docSh = Dedup.shingleRows(docs, n)
+    val benchSh = broadcast(
+      Dedup.shingleRows(benchmark, n).select(col("sh")).distinct())
+    docSh.join(benchSh, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   // --- SparkEntry wiring ---
   def textTokensQ(spark: SparkSession, dir: String): DataFrame =
     textTokens(Tables.documents(spark, dir))
@@ -115,4 +154,12 @@ object TextOps {
     textLangid(Tables.documents(spark, dir))
   def textFingerprintQ(spark: SparkSession, dir: String): DataFrame =
     textFingerprint(Tables.documents(spark, dir))
+  def textScrubQ(spark: SparkSession, dir: String): DataFrame =
+    textScrub(Tables.documents(spark, dir))
+  /** Benchmark set = docs with doc_id < 20 (stand-in eval set); training
+    * corpus = the rest. */
+  def textDecontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+  }
 }

@@ -138,6 +138,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, "es"), (2L, "en")))
   }
 
+  test("PII scrub redacts emails, IPs and phone runs with audit counts") {
+    import spark.implicits._
+    val d = docs((1L,
+      "contact bob@example.com or 192.168.0.1 or call +1 (555) 123-4567 now"))
+    val out = TextOps.textScrub(d).head()
+    val clean = out.getAs[String]("clean_text")
+    assert(clean.contains("<EMAIL>") && clean.contains("<IP>") &&
+      clean.contains("<PHONE>"))
+    assert(!clean.contains("bob@") && !clean.contains("192.168"))
+    assert(out.getAs[Int]("n_emails") === 1 && out.getAs[Int]("n_ips") === 1)
+  }
+
+  test("decontamination flags docs sharing benchmark n-grams, skips clean docs") {
+    import spark.implicits._
+    val bench = docs((100L, "the secret benchmark answer is forty two"))
+    val train = docs(
+      (1L, "prefix words then the secret benchmark answer is forty two suffix"),
+      (2L, "totally unrelated content about databases and sorting"))
+    val out = TextOps.decontaminate(train, bench)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out(1L) >= 5) // the copied span's 3-grams
+    assert(!out.contains(2L))
+  }
+
   test("multimodal pipeline: deterministic features, schema intact") {
     implicit val s = spark
     val media = Multimodal.withMediaColumn(docs((1L, "abcd"), (2L, "zzzz")))
