@@ -37,12 +37,6 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** STUB decode: a real implementation would parse the codec here.
-    * Deterministic fake: payload = doc text bytes repeated/truncated to
-    * n_chars, "pixels" = raw bytes. */
-  def stubPayload(text: String): Array[Byte] =
-    text.getBytes("UTF-8")
-
   /** Attach a synthetic media column to `documents`: payload bytes from the
     * text (deterministic stand-in for real image bytes), metadata struct
     * typed as it would be for a real corpus. */
