@@ -48,6 +48,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
+    "text_repetition" -> (TextOps.textRepetitionQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -262,6 +263,22 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS n_emails,
          |  len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS n_ips
          |FROM documents""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tokrows AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |tokfreq AS (SELECT doc_id, tok, count(*) AS c FROM tokrows GROUP BY 1, 2),
+         |tokstats AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS nd_tok,
+         |               max(c) AS max_c FROM tokfreq GROUP BY 1),
+         |t3 AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |shall AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |          FROM t3, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |          WHERE len(t) >= 3),
+         |shstats AS (SELECT doc_id, count(*) AS n_3g,
+         |              count(DISTINCT s) AS nd_3g FROM shall GROUP BY 1)
+         |SELECT ts.doc_id,
+         |  1.0 - CAST(nd_tok AS DOUBLE) / n_tok AS tok_rep,
+         |  CAST(max_c AS DOUBLE) / n_tok AS max_tok_frac,
+         |  coalesce(1.0 - CAST(nd_3g AS DOUBLE) / n_3g, 0.0) AS dup_3gram_frac
+         |FROM tokstats ts LEFT JOIN shstats ss ON ts.doc_id = ss.doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s

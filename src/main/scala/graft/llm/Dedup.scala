@@ -32,7 +32,12 @@ object Dedup {
     * work inside the scan task: on a single input split that serializes
     * the whole corpus onto one core. The window shuffles by doc_id once,
     * parallelizing every downstream per-doc aggregation with it. */
-  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleRowsAll(docs, n).distinct()
+
+  /** Like [[shingleRows]] but keeping every occurrence (positional
+    * multiset) — what within-doc repetition metrics need. */
+  def shingleRowsAll(docs: DataFrame, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -43,7 +48,6 @@ object Dedup {
       (1 until n).flatMap(k => Seq(lit(" "), lead(col("tok"), k).over(w)))
     toks.select(col("doc_id"), concat(parts: _*).as("sh"))
       .filter(col("sh").isNotNull)
-      .distinct()
   }
 
   /** Exact dedup, keep-first: group by content hash, keep the smallest

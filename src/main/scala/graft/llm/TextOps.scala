@@ -145,6 +145,37 @@ object TextOps {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Within-doc repetition metrics (Gopher-style quality signals): how
+    * much of a document is itself repeated. High values flag boilerplate,
+    * template spam and degenerate generations.
+    *
+    *  - `tok_rep`: 1 − distinct/total tokens
+    *  - `max_tok_frac`: share of the single most frequent token
+    *  - `dup_3gram_frac`: 1 − distinct/total word 3-grams
+    *
+    * Shape: one token explode + two-level aggregation and one shingle
+    * explode + aggregation, all keyed by doc_id — codegen'd, map-side
+    * combined, integer arithmetic into final double ratios. */
+  def textRepetition(docs: DataFrame): DataFrame = {
+    val tokRows = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tokFreq = tokRows.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val tokStats = tokFreq.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tok"),
+      count(lit(1)).as("nd_tok"),
+      max(col("c")).as("max_c"))
+    val shStats = Dedup.shingleRowsAll(docs)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_3g"),
+        count_distinct(col("sh")).as("nd_3g"))
+    tokStats.join(shStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (lit(1.0) - col("nd_tok").cast("double") / col("n_tok")).as("tok_rep"),
+        (col("max_c").cast("double") / col("n_tok")).as("max_tok_frac"),
+        coalesce(lit(1.0) - col("nd_3g").cast("double") / col("n_3g"), lit(0.0))
+          .as("dup_3gram_frac"))
+  }
+
   // --- SparkEntry wiring ---
   def textTokensQ(spark: SparkSession, dir: String): DataFrame =
     textTokens(Tables.documents(spark, dir))
@@ -156,6 +187,8 @@ object TextOps {
     textFingerprint(Tables.documents(spark, dir))
   def textScrubQ(spark: SparkSession, dir: String): DataFrame =
     textScrub(Tables.documents(spark, dir))
+  def textRepetitionQ(spark: SparkSession, dir: String): DataFrame =
+    textRepetition(Tables.documents(spark, dir))
   /** Benchmark set = docs with doc_id < 20 (stand-in eval set); training
     * corpus = the rest. */
   def textDecontaminateQ(spark: SparkSession, dir: String): DataFrame = {

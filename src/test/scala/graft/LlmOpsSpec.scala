@@ -162,6 +162,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(!out.contains(2L))
   }
 
+  test("repetition metrics separate repetitive from varied docs") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "six completely different words here now"))
+    val out = TextOps.textRepetition(d)
+      .select("doc_id", "tok_rep", "max_tok_frac", "dup_3gram_frac")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    val (_, rep1, maxf1, dup1) = out(0)
+    val (_, rep2, maxf2, dup2) = out(1)
+    assert(rep1 > 0.8 && maxf1 === 1.0 && dup1 > 0.7) // all one token
+    assert(rep2 === 0.0 && maxf2 < 0.2 && dup2 === 0.0) // all distinct
+  }
+
   test("multimodal pipeline: deterministic features, schema intact") {
     implicit val s = spark
     val media = Multimodal.withMediaColumn(docs((1L, "abcd"), (2L, "zzzz")))
