@@ -168,8 +168,9 @@ object Ann {
     * codegen). The final search shuffles candidates by cell, so corpus
     * work per query is ~nprobe/nlist of a full scan — the IVF contract.
     * Deterministic: seeded by vec_id order, fixed iteration count,
-    * lexicographic (score, cell) tie-breaks. */
-  /** One Lloyd iteration by default: measured recall is flat in the
+    * lexicographic (score, cell) tie-breaks.
+    *
+    * One Lloyd iteration by default: measured recall is flat in the
     * iteration count on clustered data (98/100 at sf0.1 for iters 1 and
     * 2) and each iteration is a full assignment job; at 100 TB train the
     * quantizer on a sample if centroid drift ever warrants more. */
@@ -211,12 +212,12 @@ object Ann {
     val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probes = queryVecs.flatMap { case (qid, qv) =>
-      val q2 = math.sqrt(qv.map(x => x * x).sum)
+      val qnorm = math.sqrt(qv.map(x => x * x).sum)
       centroids.zipWithIndex
         .map { case (c, j) =>
           (j, qv.zip(c).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2) }
         .sortBy { case (j, s) => (-s, j) }.take(nprobe)
-        .map { case (j, _) => (qid, j, q2) }
+        .map { case (j, _) => (qid, j, qnorm) }
     }.toSeq
     import embeddings.sparkSession.implicits._
     val probeDf = broadcast(probes.toDF("query_id", "cid", "qnrm"))
