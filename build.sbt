@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that defeats line-wise JSON parsing of the
+// Bench metric (BENCH_r02 parsed=null). StdoutOutput passes the forked
+// process's output through to sbt's stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,11 +45,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val sf = sfDir.split("/").last.stripPrefix("sf")
+    // emit sf as a number only when it IS one — an arbitrary dir basename
+    // interpolated unquoted would make the whole line invalid JSON (ADVICE r2)
+    val sfTok = sfDir.split("/").last.stripPrefix("sf")
+    val sf = if (sfTok.matches("""-?\d+(\.\d+)?""")) sfTok else "\"" + sfTok + "\""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()
+    // printed after spark.stop() so no shutdown logs trail it; build.sbt
+    // sets `run / outputStrategy := StdoutOutput` so this line reaches
+    // sbt's stdout verbatim (no "[info] " prefix — BENCH_r02 parsed=null)
     println(line)
   }
 }

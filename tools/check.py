@@ -15,6 +15,7 @@ DuckDB→pandas (DECIMAL becomes float64, renders "137431.0") — matching
 the driver's asymmetric readers. A shared-reader normalization would
 erase exactly the rendering differences the driver hashes (ADVICE r1).
 """
+import datetime
 import json
 import sys
 
@@ -23,12 +24,18 @@ import pyarrow.dataset as pads
 
 
 def render(v):
-    s = str(v)
     # DATE columns: pyarrow renders datetime.date ("2024-01-01") while
     # DuckDB→pandas promotes to midnight datetime64 ("2024-01-01 00:00:00").
     # The driver's r1 gate passed date outputs (cdc_typemap), so this is a
-    # replica-only asymmetry — normalize it away on both sides.
-    return s[:-9] if s.endswith(" 00:00:00") else s
+    # replica-only asymmetry — normalize it away on both sides. Type-gated
+    # (ADVICE r2): a string that happens to end in " 00:00:00" must not be
+    # rewritten, and a genuine midnight TIMESTAMP-vs-DATE schema mismatch
+    # between Spark and oracle should still surface. pd.Timestamp subclasses
+    # datetime.datetime, so the isinstance covers both readers.
+    if isinstance(v, datetime.datetime) and v.time() == datetime.time(0) \
+            and v.tzinfo is None:
+        return str(v.date())
+    return str(v)
 
 
 def norm_duck(rel):
