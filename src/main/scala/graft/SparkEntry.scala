@@ -49,6 +49,7 @@ object SparkEntry {
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     "text_repetition" -> (TextOps.textRepetitionQ _),
+    "corpus_sample" -> (TextOps.corpusSampleQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -289,6 +290,15 @@ object SparkEntry {
          |JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 20) b ON tr.s = b.s
          |WHERE tr.doc_id >= 20
          |GROUP BY 1""".stripMargin,
+    // consistent-hash stratified sampling — identical integer arithmetic
+    // on both engines (id reduced mod a prime keeps the product < 2^63)
+    "corpus_sample" -> {
+      val cases = TextOps.SampleRatesPermille
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}) % 1000 <
+         |  CASE lang $cases ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin
+    },
     // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
     // integer arithmetic into one double division — engine-stable.
     "dedup_ngram_jaccard" ->

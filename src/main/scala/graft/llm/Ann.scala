@@ -172,13 +172,26 @@ object Ann {
     *
     * One Lloyd iteration by default: measured recall is flat in the
     * iteration count on clustered data (98/100 at sf0.1 for iters 1 and
-    * 2) and each iteration is a full assignment job; at 100 TB train the
-    * quantizer on a sample if centroid drift ever warrants more. */
+    * 2).
+    *
+    * Quantizer training runs on a capped deterministic SAMPLE
+    * (`trainCap` ≈ 256 vectors per cell, hash-sampled on vec_id): a coarse
+    * quantizer needs cell-level structure, not the corpus, so Lloyd cost
+    * stays O(trainCap) while the corpus only ever pays the one map-side
+    * assignment pass. Below the cap the sample IS the corpus — local
+    * results are bit-identical to full training. */
   def annIvfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
-                 nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+                 nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
+                 trainPerCell: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v")).persist()
+    val corpusN = vecs.count()
+    val trainCap = nlist.toLong * trainPerCell
+    val train =
+      if (corpusN <= trainCap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
 
     def centroidScore(c: Array[Double]): Column = {
       val c2 = c.map(x => x * x).sum
@@ -189,11 +202,12 @@ object Ann {
         struct(centroidScore(c).as("s"), lit(j).as("cid"))
       }: _*)).getField("cid")
 
-    // init: first nlist vectors by id (deterministic); then Lloyd updates
-    var centroids: Seq[Array[Double]] = vecs.orderBy("vec_id").limit(nlist)
+    // init: first nlist sampled vectors by id (deterministic); Lloyd
+    // updates see only the training sample
+    var centroids: Seq[Array[Double]] = train.orderBy("vec_id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
-      val means = vecs.select(assignCol(centroids).as("cid"),
+      val means = train.select(assignCol(centroids).as("cid"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .collect().groupBy(_.getInt(0))

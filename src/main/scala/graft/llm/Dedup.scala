@@ -50,6 +50,18 @@ object Dedup {
       .filter(col("sh").isNotNull)
   }
 
+  /** Distinct HASHED shingles (doc_id, sh_h: long). The shingle string
+    * itself is never shuffled: hashing in the map stage means the distinct,
+    * every downstream groupBy, and the inverted-index self-join all carry
+    * 8-byte longs instead of ~n-word strings — at 100 TB that is the
+    * difference between shuffling the corpus and shuffling a fingerprint
+    * of it. xxhash64 collisions (~|shingles|²/2⁶⁴) are the standard,
+    * vanishing accuracy trade of hashed shingling. */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleRowsAll(docs, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+      .distinct()
+
   /** Exact dedup, keep-first: group by content hash, keep the smallest
     * doc_id. Single hash aggregation with map-side partial combine — at
     * 100 TB this shuffles one (hash, id, count) triple per distinct text,
@@ -60,18 +72,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs at threshold `tau`.
     *
-    * Inverted-index shape: explode distinct shingles, self-join on the
-    * shingle (the ONLY shuffle key), count shared shingles per pair, then
+    * Inverted-index shape: explode shingles hashed to longs
+    * ([[shingleHashes]] — the strings never shuffle), self-join on the
+    * hash (the ONLY shuffle key), count shared shingles per pair, then
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ τ. Shingles unique to one doc join to
     * nothing and cost only their hash; ultra-frequent shingles are the
     * skew risk at 100 TB (m docs sharing a shingle → m² bucket pairs) —
     * the MinHash variant below is the scale path for that regime. */
   def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, n)
+    val sh = shingleHashes(docs, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -107,19 +120,19 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signatures (doc_id, sig: array of 64 longs) for a corpus.
+  /** MinHash signatures (doc_id, sig: array of 64 longs) for a corpus,
+    * from HASHED shingle rows ([[shingleHashes]]).
     *
-    * Shape: explode shingles → one xxhash64 per shingle → groupBy(doc)
+    * Shape: explode shingles → hash to long map-side → groupBy(doc)
     * with 64 plain `min(pmod(a*h+b, p))` aggregates → assemble the array.
     * Every operator here is whole-stage-codegen'd; the only shuffle
     * carries 64 partially-aggregated longs per (doc, partition) thanks to
     * map-side combine. (The "obvious" nested
     * transform/array_min expression computes the same thing but
     * higher-order functions run interpreted — 20× slower measured.) */
-  def minhashSigs(shRows: DataFrame): DataFrame = {
-    val hashed = shRows
-      .select(col("doc_id"),
-        pmod(xxhash64(col("sh")), lit(MinhashPrime)).as("h"))
+  def minhashSigs(shHashes: DataFrame): DataFrame = {
+    val hashed = shHashes
+      .select(col("doc_id"), pmod(col("sh_h"), lit(MinhashPrime)).as("h"))
     val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
     }
@@ -139,7 +152,7 @@ object Dedup {
     * signature joins re-attach sigs for verification — joins on a pair set
     * that is ≪ corpus. */
   def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5): DataFrame = {
-    val sigs = minhashSigs(shingleRows(docs)).persist()
+    val sigs = minhashSigs(shingleHashes(docs)).persist()
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
@@ -171,13 +184,12 @@ object Dedup {
   // --- SimHash ---
 
   /** 64-bit SimHash signatures (doc_id, sig) for a corpus: per-bit ±1
-    * votes over xxhash64 of each distinct shingle, bit set where the vote
-    * is positive. Same codegen-friendly shape as [[minhashSigs]]: explode →
-    * one hash per shingle → 64 `sum(±1)` aggregates with map-side combine →
-    * assemble the long. */
-  def simhashSigs(shRows: DataFrame): DataFrame = {
-    val hashed = shRows
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    * votes over the hash of each distinct shingle ([[shingleHashes]]), bit
+    * set where the vote is positive. Same codegen-friendly shape as
+    * [[minhashSigs]]: explode → one hash per shingle → 64 `sum(±1)`
+    * aggregates with map-side combine → assemble the long. */
+  def simhashSigs(shHashes: DataFrame): DataFrame = {
+    val hashed = shHashes.select(col("doc_id"), col("sh_h").as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$i")
@@ -198,7 +210,7 @@ object Dedup {
     * shuffling (block, doc_id). Exact hamming (bit_count of xor) verifies
     * candidates. */
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(shingleRows(docs)).persist()
+    val sigs = simhashSigs(shingleHashes(docs)).persist()
     val blocks = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(

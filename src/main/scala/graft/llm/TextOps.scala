@@ -132,17 +132,51 @@ object TextOps {
   /** Decontamination: flag training docs sharing any word n-gram with a
     * benchmark/eval set — the standard guard against test-set leakage.
     *
-    * Scale shape: benchmark shingles are DISTINCT and broadcast (eval sets
-    * are small by definition); the corpus side is the usual shingle
-    * explode, so the check is one broadcast semi-join — no shuffle of the
-    * corpus. Returns (doc_id, n_contaminated_ngrams) for flagged docs. */
+    * Scale shape: benchmark shingles are DISTINCT, HASHED to longs and
+    * broadcast (eval sets are small by definition); the corpus side hashes
+    * its shingles map-side, so the check is one broadcast semi-join probing
+    * 8-byte keys — no shuffle of the corpus, no strings in the broadcast.
+    * Returns (doc_id, n_contaminated_ngrams) for flagged docs. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    val docSh = Dedup.shingleRows(docs, n)
+    val docSh = Dedup.shingleHashes(docs, n)
     val benchSh = broadcast(
-      Dedup.shingleRows(benchmark, n).select(col("sh")).distinct())
-    docSh.join(benchSh, "sh")
+      Dedup.shingleHashes(benchmark, n).select(col("sh_h")).distinct())
+    docSh.join(benchSh, "sh_h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
+  /** Per-language mixture rates in per-mille for [[corpusSample]] — a
+    * typical keep-English / downsample-others training mixture. */
+  val SampleRatesPermille: Seq[(String, Int)] = Seq(
+    "en" -> 1000, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 250)
+  val SampleDefaultPermille = 100
+
+  /** Knuth multiplicative-hash constant (⌊2³²/φ⌋) — also used by the
+    * reference ecosystem's consistent-hash samplers; any odd constant with
+    * good bit mixing works. */
+  val SampleMultiplier = 2654435761L
+  /** doc_id is reduced mod this prime BEFORE the multiply so the product
+    * stays < 2⁶³ for any int64 id — ANSI mode (Spark 4 default) throws on
+    * long overflow rather than wrapping. */
+  val SampleIdPrime = 999983L
+
+  /** Stratified corpus sampling: deterministic per-language downsampling to
+    * a target training mixture. A doc is kept iff
+    * `hash(doc_id) mod 1000 < rate(lang)` — the standard consistent-hash
+    * sampler: reproducible across runs/engines, stable under corpus growth
+    * (a doc's fate never changes as neighbors arrive), and a pure map-side
+    * filter: no shuffle, no randomness, pushed to the scan. */
+  def corpusSample(docs: DataFrame,
+                   ratesPermille: Seq[(String, Int)] = SampleRatesPermille,
+                   defaultPermille: Int = SampleDefaultPermille): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val bucket = pmod(pmod(col("doc_id"), lit(SampleIdPrime)) * SampleMultiplier,
+      lit(1000L))
+    docs.filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
   }
 
   /** Within-doc repetition metrics (Gopher-style quality signals): how
@@ -163,10 +197,12 @@ object TextOps {
       sum(col("c")).as("n_tok"),
       count(lit(1)).as("nd_tok"),
       max(col("c")).as("max_c"))
+    // distinct 3-gram counting goes through the 8-byte hash — the expanded
+    // (doc_id, shingle) distinct pass never shuffles the strings
     val shStats = Dedup.shingleRowsAll(docs)
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_3g"),
-        count_distinct(col("sh")).as("nd_3g"))
+        count_distinct(xxhash64(col("sh"))).as("nd_3g"))
     tokStats.join(shStats, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -187,6 +223,8 @@ object TextOps {
     textFingerprint(Tables.documents(spark, dir))
   def textScrubQ(spark: SparkSession, dir: String): DataFrame =
     textScrub(Tables.documents(spark, dir))
+  def corpusSampleQ(spark: SparkSession, dir: String): DataFrame =
+    corpusSample(Tables.documents(spark, dir))
   def textRepetitionQ(spark: SparkSession, dir: String): DataFrame =
     textRepetition(Tables.documents(spark, dir))
   /** Benchmark set = docs with doc_id < 20 (stand-in eval set); training

@@ -176,6 +176,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rep2 === 0.0 && maxf2 < 0.2 && dup2 === 0.0) // all distinct
   }
 
+  test("corpus_sample: deterministic, stratified by lang, rate-ordered") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "zh", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = TextOps.corpusSample(d)
+    // en rate is 1000 permille -> every en doc survives
+    assert(kept.filter(col("lang") === "en").count() === 500)
+    // zh rate is 250 permille -> strictly downsampled, non-empty
+    val zh = kept.filter(col("lang") === "zh").count()
+    assert(zh > 50 && zh < 250)
+    // deterministic: second evaluation keeps exactly the same ids
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextOps.corpusSample(d).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
   test("multimodal pipeline: deterministic features, schema intact") {
     implicit val s = spark
     val media = Multimodal.withMediaColumn(docs((1L, "abcd"), (2L, "zzzz")))
