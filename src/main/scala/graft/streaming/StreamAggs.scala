@@ -28,6 +28,21 @@ object StreamAggs {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup guard for at-least-once sources: a redelivered
+    * change event (same `event_id`) must land once, not twice — the
+    * reference leans on BigQuery MERGE idempotence for this
+    * (StreamBigqueryChangeConsumer upsert); a Spark-first pipeline drops
+    * the duplicate in flight. `dropDuplicatesWithinWatermark` keeps one
+    * row per id and expires its dedup state once the watermark passes —
+    * state is O(events inside the watermark window), not O(history).
+    * Batch frames take the plain `dropDuplicates` path. */
+  def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+                  watermark: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

@@ -80,6 +80,32 @@ class StreamAggsSpec extends AnyFunSuite with SparkFixture {
         se.start_ms == ts(0).getTime && se.end_ms == ts(10).getTime))
   }
 
+  test("streaming dedup drops a redelivered event across micro-batches") {
+    import spark.implicits._
+    val inputDir = tmpDir("ddup_in_")
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    // the same event (id=7) is delivered in both files; id=8 only in f1
+    Seq((7L, 1L, ts(0))).toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(s"$inputDir/f0")
+    Seq((7L, 1L, ts(0)), (8L, 1L, ts(5))).toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(s"$inputDir/f1")
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = StreamAggs.dedupEvents(stream).writeStream
+      .format("memory").queryName("ddup")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ddup_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val ids = spark.table("ddup").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(7L, 8L))
+  }
+
   test("late event behind the watermark is dropped, not a query-killer (ADVICE r2)") {
     import spark.implicits._
     implicit val s = spark
