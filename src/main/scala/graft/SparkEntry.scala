@@ -119,6 +119,10 @@ object SparkEntry {
         |  DATE '1970-01-01' + CAST(epoch_ms(ts) // 86400000 AS INT) AS day,
         |  epoch_ms(epoch_ms(ts)) AS created_ms,
         |  ts AS zts,
+        |  epoch_ms(epoch_ms(ts)) AS nano_ts,
+        |  date_trunc('second', ts) AS iso_dt,
+        |  strftime(ts, '%H:%M:%S') AS iso_t,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr_k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
         |  2 AS n_tags,
         |  hex(event_type) AS blob_hex,

@@ -22,11 +22,18 @@ import scala.jdk.CollectionConverters._
   *  - int8/16/32/64 → LONG; `__ts_ms`/`__source_ts_ms` → TIMESTAMP
   *    (epoch-millis)
   *  - io.debezium.time.Date (epoch days) → DATE
-  *  - io.debezium.time.Timestamp / MicroTimestamp (epoch ms/µs) → TIMESTAMP
+  *  - io.debezium.time.Timestamp / MicroTimestamp / NanoTimestamp
+  *    (epoch ms/µs/ns) → TIMESTAMP (ns truncated to µs, Spark's precision)
   *  - io.debezium.time.ZonedTimestamp (ISO-8601, trailing Z) → TIMESTAMP
+  *  - io.debezium.time.IsoDate → DATE; IsoTimestamp → TIMESTAMP_NTZ (the
+  *    BigQuery DATETIME analog)
+  *  - io.debezium.time.IsoTime / ZonedTime → STRING (reference maps these
+  *    to BigQuery TIME; Spark has no time-of-day type, so the ISO string
+  *    passes through — deliberate divergence)
   *  - io.debezium.data.Json → JSON string (query with get_json_object)
   *  - float8..float64/double → DOUBLE, boolean → BOOLEAN, bytes (base64) → BINARY
   *  - array → ARRAY of the mapped element type (BQ REPEATED)
+  *  - map → MAP<STRING, mapped value type> (BaseRecordConverter.java:387)
   *  - io.debezium.data.geometry.Geometry → STRUCT<srid: LONG, wkb: BINARY>
   *  - nested struct → STRUCT, or a JSON string when `nestedAsJson`
   *    (debezium.sink.bigquerybatch.nested-as-json analog)
@@ -75,6 +82,13 @@ object TypeMap {
         ConnectField(f.name + "_element", items.get("type").textValue(),
           if (items.has("name")) items.get("name").textValue() else "", items),
         nestedAsJson))
+    case "map" =>
+      val values = f.node.get("values")
+      if (values == null) MapType(StringType, StringType)
+      else MapType(StringType, wireType(
+        ConnectField(f.name + "_value", values.get("type").textValue(),
+          if (values.has("name")) values.get("name").textValue() else "", values),
+        nestedAsJson))
     case "struct" =>
       StructType(fieldsOf(f.node).map(sf =>
         StructField(sf.name, wireType(sf, nestedAsJson))))
@@ -90,6 +104,10 @@ object TypeMap {
           case "io.debezium.time.Date" => date_from_unix_date(c.cast("int"))
           case "io.debezium.time.Timestamp" => timestamp_millis(c)
           case "io.debezium.time.MicroTimestamp" => timestamp_micros(c)
+          case "io.debezium.time.NanoTimestamp" =>
+            // ns → µs via IntegralDivide (`div`): a float division would
+            // round — ~1.7e18 ns exceeds double's 2^53 exact-integer range
+            timestamp_micros(call_function("div", c, lit(1000L)))
           case _ => c
         }
       case "string" =>
@@ -100,6 +118,9 @@ object TypeMap {
           // the zone directly into a UTC instant — same point in time.
           case "io.debezium.time.ZonedTimestamp" => to_timestamp(c)
           case "io.debezium.time.IsoDate" => to_date(c)
+          case "io.debezium.time.IsoTimestamp" => to_timestamp_ntz(c)
+          // Spark has no TIME type: ISO time-of-day strings pass through
+          case "io.debezium.time.IsoTime" | "io.debezium.time.ZonedTime" => c
           case "io.debezium.data.Json" => c // JSON stays queryable text
           case _ => c
         }
@@ -112,6 +133,15 @@ object TypeMap {
             items.get("type").textValue(),
             if (items.has("name")) items.get("name").textValue() else "", items)
           transform(c, x => semanticCol(ef, x, nestedAsJson))
+        }
+      case "map" =>
+        val values = f.node.get("values")
+        if (values == null) c
+        else {
+          val vf = ConnectField(f.name + "_value",
+            values.get("type").textValue(),
+            if (values.has("name")) values.get("name").textValue() else "", values)
+          transform_values(c, (_, v) => semanticCol(vf, v, nestedAsJson))
         }
       case "struct" if f.semantic == GeometryTypeName =>
         // {srid INT, wkb base64} → STRUCT<srid LONG, wkb BINARY>
@@ -146,6 +176,10 @@ object TypeMap {
       |{"field":"day","type":"int32","name":"io.debezium.time.Date"},
       |{"field":"created_ms","type":"int64","name":"io.debezium.time.Timestamp"},
       |{"field":"zts","type":"string","name":"io.debezium.time.ZonedTimestamp"},
+      |{"field":"nano","type":"int64","name":"io.debezium.time.NanoTimestamp"},
+      |{"field":"iso_dt","type":"string","name":"io.debezium.time.IsoTimestamp"},
+      |{"field":"iso_t","type":"string","name":"io.debezium.time.IsoTime"},
+      |{"field":"attrs","type":"map","values":{"type":"int64"}},
       |{"field":"payload","type":"string","name":"io.debezium.data.Json"},
       |{"field":"tags","type":"array","items":{"type":"string"}},
       |{"field":"blob","type":"bytes"},
@@ -169,6 +203,12 @@ object TypeMap {
       expr("unix_millis(ts) div 86400000").as("day"),
       unix_millis(col("ts")).as("created_ms"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("zts"),
+      // ms → ns: ≤ ~1.8e18, inside int64 under ANSI
+      (unix_millis(col("ts")) * lit(1000000L)).as("nano"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_dt"),
+      date_format(col("ts"), "HH:mm:ss").as("iso_t"),
+      map_from_arrays(array(lit("k")),
+        array(get_json_object(col("props"), "$.k").cast("long"))).as("attrs"),
       col("props").as("payload"),
       array(col("event_type"), lit("evt")).as("tags"),
       base64(encode(col("event_type"), "UTF-8")).as("blob"),
@@ -184,6 +224,10 @@ object TypeMap {
         col("day"),
         col("created_ms"),
         col("zts"),
+        col("nano").as("nano_ts"),
+        col("iso_dt"),
+        col("iso_t"),
+        element_at(col("attrs"), "k").as("attr_k"),
         get_json_object(col("payload"), "$.k").cast("bigint").as("payload_k"),
         size(col("tags")).as("n_tags"),
         hex(col("blob")).as("blob_hex"),

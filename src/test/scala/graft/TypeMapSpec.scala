@@ -16,6 +16,10 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
       |{"field":"d","type":"int32","name":"io.debezium.time.Date"},
       |{"field":"t","type":"int64","name":"io.debezium.time.Timestamp"},
       |{"field":"z","type":"string","name":"io.debezium.time.ZonedTimestamp"},
+      |{"field":"nano","type":"int64","name":"io.debezium.time.NanoTimestamp"},
+      |{"field":"idt","type":"string","name":"io.debezium.time.IsoTimestamp"},
+      |{"field":"it","type":"string","name":"io.debezium.time.IsoTime"},
+      |{"field":"m","type":"map","values":{"type":"int64"}},
       |{"field":"j","type":"string","name":"io.debezium.data.Json"},
       |{"field":"arr","type":"array","items":{"type":"int32"}},
       |{"field":"b","type":"bytes"},
@@ -31,7 +35,9 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     // 2024-01-02 = epoch day 19724; QQ== is base64("A"); wkb base64("pt")
     Seq("""{"id":7,"d":19724,"t":1704153600000,
-      |"z":"2024-01-02T00:00:00.000000Z","j":"{\"k\":42}","arr":[1,2,3],
+      |"z":"2024-01-02T00:00:00.000000Z","nano":1704153600000000000,
+      |"idt":"2024-01-02T00:00:00","it":"12:34:56","m":{"a":1,"b":2},
+      |"j":"{\"k\":42}","arr":[1,2,3],
       |"b":"QQ==","g":{"srid":4326,"wkb":"cHQ="},
       |"n":{"x":5,"y":"hi"},"__ts_ms":1704153600000,"__deleted":"false"}"""
       .stripMargin.replace("\n", "")).toDF("value")
@@ -44,6 +50,10 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
     assert(types("d") === DateType)
     assert(types("t") === TimestampType)
     assert(types("z") === TimestampType)
+    assert(types("nano") === TimestampType)
+    assert(types("idt") === TimestampNTZType)
+    assert(types("it") === StringType) // no TIME type in Spark: ISO string
+    assert(types("m") === MapType(StringType, LongType))
     assert(types("__ts_ms") === TimestampType)
     assert(types("b") === BinaryType)
     assert(types("arr") === ArrayType(LongType))
@@ -53,6 +63,11 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
     assert(row.getAs[java.sql.Date]("d").toString === "2024-01-02")
     assert(row.getAs[java.sql.Timestamp]("t") ===
       row.getAs[java.sql.Timestamp]("z"))
+    // nano (1704153600000000000 ns) is the same instant as t (ms)
+    assert(row.getAs[java.sql.Timestamp]("nano") ===
+      row.getAs[java.sql.Timestamp]("t"))
+    assert(row.getAs[String]("it") === "12:34:56")
+    assert(row.getAs[Map[String, Long]]("m") === Map("a" -> 1L, "b" -> 2L))
     assert(new String(row.getAs[Array[Byte]]("b"), "UTF-8") === "A")
     assert(new String(row.getAs[org.apache.spark.sql.Row]("g")
       .getAs[Array[Byte]]("wkb"), "UTF-8") === "pt")
