@@ -80,24 +80,32 @@ object Ann {
   val NumBands = 8
   val BitsPerBand = 4
 
-  val Hyperplanes: Seq[Seq[Double]] = {
+  /** First `n` seeded Gaussian hyperplanes — a PREFIX of one fixed stream,
+    * so widening the banding never re-randomizes the planes already in
+    * use. */
+  def hyperplanes(n: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(1234)
-    Seq.fill(NumBands * BitsPerBand)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(n)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  private val planesCol: Column =
-    array(Hyperplanes.map(p => array(p.map(lit): _*)): _*)
-
   /** Per-band LSH bucket ids for a vector: bit b of band t is the sign of
-    * v·plane[t*BitsPerBand+b]. Returns array<struct<tbl:int, bucket:int>>. */
-  def lshBuckets(v: Column): Column = {
-    val planes = planesCol
-    transform(sequence(lit(0), lit(NumBands - 1)), t =>
+    * v·plane[t*bitsPerBand+b]. Returns array<struct<tbl:int, bucket:int>>.
+    *
+    * `bitsPerBand` is the occupancy dial: expected bucket size is
+    * n/2^bits per band, and the pairwise verify work inside buckets is
+    * quadratic in it — at web scale raise bits (and bands with it, to hold
+    * recall) so occupancy shrinks geometrically while signature cost grows
+    * only linearly. */
+  def lshBuckets(v: Column, numBands: Int = NumBands,
+                 bitsPerBand: Int = BitsPerBand): Column = {
+    val planes = array(hyperplanes(numBands * bitsPerBand)
+      .map(p => array(p.map(lit): _*)): _*)
+    transform(sequence(lit(0), lit(numBands - 1)), t =>
       struct(t.as("tbl"),
-        aggregate(sequence(lit(0), lit(BitsPerBand - 1)),
+        aggregate(sequence(lit(0), lit(bitsPerBand - 1)),
           lit(0),
           (acc, b) => acc * 2 +
-            when(dot(v, element_at(planes, t * BitsPerBand + b + 1)) > 0, 1)
+            when(dot(v, element_at(planes, t * bitsPerBand + b + 1)) > 0, 1)
               .otherwise(0)).as("bucket")))
   }
 
@@ -105,13 +113,15 @@ object Ann {
     * Candidates = pairs sharing any (table, bucket); exact cosine verifies.
     * The corpus shuffles as (table, bucket, id, vec) — pairwise work only
     * inside buckets. */
-  def dedupEmbed(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+  def dedupEmbed(embeddings: DataFrame, tau: Double = 0.4,
+                 numBands: Int = NumBands,
+                 bitsPerBand: Int = BitsPerBand): DataFrame = {
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist()
     val buckets = vecs.select(col("vec_id"),
-      explode(lshBuckets(col("v"))).as("b"))
+      explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
     // distinct FIRST: a pair colliding in several bands is verified once;
     // the bucket self-join shuffles only (tbl, bucket, id) triples

@@ -52,6 +52,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("shingle pipelines shuffle hashed longs, never shingle strings") {
+    val docs = Tables.documents(spark, sfDir)
+    val plans = Seq(
+      graft.llm.Dedup.dedupNgramJaccard(docs),
+      graft.llm.Dedup.dedupMinhash(docs),
+      graft.llm.Dedup.dedupSimhash(docs)).map(planString)
+    plans.foreach { p =>
+      // every exchange key must be doc_id / sh_h / band-hash — a raw `sh`
+      // string in a hashpartitioning means the corpus text is shuffling
+      val keys = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(keys.nonEmpty)
+      assert(!keys.exists(_.startsWith("sh#")),
+        s"shingle strings in a shuffle: $keys")
+    }
+  }
+
   test("merge snapshot read prunes partitions by bucket") {
     val sink = new graft.sinks.WarehouseSink(tmpDir("plan_merge_"))
     val flat = graft.cdc.Cdc.flatten(Tables.events(spark, sfDir))
