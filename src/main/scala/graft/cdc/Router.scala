@@ -15,8 +15,11 @@ import graft.sinks.WarehouseSink
   * through [[Cdc.routeDestination]] and written through the warehouse
   * sink — append mode lands every event under MONTH partitions, upsert
   * mode runs the bucket-pruned MERGE per table. Parallelism comes from
-  * Spark inside each write; at the reference's cardinalities (tens of
-  * tables per batch) the per-table loop is not the bottleneck. */
+  * Spark inside each write, and `maxConcurrentUploads` additionally
+  * overlaps per-table write JOBS — the reference's semaphore-bounded
+  * executor (BaseChangeConsumer.java:83-113,218-244). Overlap matters
+  * when tables are many and small (each write underfills the cluster);
+  * one large table saturates executors on its own. */
 object Router {
 
   sealed trait Mode
@@ -38,11 +41,12 @@ object Router {
                     replace: Option[String] = None,
                     tsCol: String = "__source_ts_ms",
                     partitionType: String = "MONTH",
-                    skipHeartbeat: Boolean = true): Seq[String] = {
+                    skipHeartbeat: Boolean = true,
+                    maxConcurrentUploads: Int = 1): Seq[String] = {
     val dests = batch.select(destCol).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
       .filterNot(d => skipHeartbeat && d.startsWith(HeartbeatPrefix))
-    dests.map { dest =>
+    def uploadOne(dest: String): String = {
       val table = Cdc.routeDestination(dest, regexp, replace)
       val slice = batch.filter(col(destCol) === dest).drop(destCol)
       mode match {
@@ -55,6 +59,19 @@ object Router {
           MergePipeline.mergeBatch(spark, sink, table, slice, keyCols)
       }
       table
+    }
+    if (maxConcurrentUploads <= 1 || dests.size <= 1) dests.map(uploadOne)
+    else {
+      // SparkSession actions are thread-safe; each table writes a disjoint
+      // path, so overlapping the jobs is race-free
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(maxConcurrentUploads, dests.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(dests.map(d => Future(uploadOne(d)))), Duration.Inf)
+      finally pool.shutdown()
     }
   }
 }

@@ -68,6 +68,22 @@ class RouterSpec extends AnyFunSuite with SparkFixture {
     assert(dirs.length === 2) // Jan 1 and Jan 2 events → two daily dirs
   }
 
+  test("concurrent uploads produce the same tables and rows as sequential") {
+    val seqSink = new WarehouseSink(tmpDir("route_seq_"))
+    val parSink = new WarehouseSink(tmpDir("route_par_"))
+    val t1 = Router.routeAndWrite(spark, seqSink, batch, "destination",
+      Router.AppendMode, regexp = Some("^srv1\\."), replace = Some(""))
+    val t2 = Router.routeAndWrite(spark, parSink, batch, "destination",
+      Router.AppendMode, regexp = Some("^srv1\\."), replace = Some(""),
+      maxConcurrentUploads = 4)
+    assert(t1.sorted === t2.sorted)
+    t1.foreach { t =>
+      val a = seqSink.read(spark, t).orderBy("event_id").collect().toSeq
+      val b = parSink.read(spark, t).orderBy("event_id").collect().toSeq
+      assert(a === b)
+    }
+  }
+
   test("cast-deleted-field turns rewrite-mode strings into booleans") {
     import spark.implicits._
     val df = Seq((1L, "true"), (2L, "false")).toDF("id", "__deleted")
