@@ -50,6 +50,7 @@ object SparkEntry {
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
+    "corpus_pack" -> (TextOps.corpusPackQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -303,6 +304,20 @@ object SparkEntry {
          |WHERE ((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}) % 1000 <
          |  CASE lang $cases ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin
     },
+    // sequence packing: the oracle computes the SAME concatenated-stream
+    // layout with one global window cumsum (fine at sf0.01; the Spark side
+    // is the distributed prefix-sum that scales)
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tok AS tok_start
+         |      FROM t)
+         |SELECT doc_id, n_tok,
+         |  CAST(tok_start // 512 AS BIGINT) AS pack_id,
+         |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
     // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
     // integer arithmetic into one double division — engine-stable.
     "dedup_ngram_jaccard" ->

@@ -179,6 +179,47 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Sequence packing: lay the corpus out as one concatenated token stream
+    * (doc_id order) chunked into fixed `packTokens` training sequences —
+    * each doc gets the pack it STARTS in and its token offset within it.
+    *
+    * Scale shape — a distributed prefix-sum, because a single global
+    * window (`ORDER BY doc_id` over everything) would serialize the corpus
+    * through one task:
+    *  1. docs bucket by `doc_id div bucketWidth` (contiguous ranges);
+    *  2. per-bucket token totals aggregate map-side; only #buckets rows
+    *     reach the driver, which prefix-sums them into bucket offsets;
+    *  3. offsets broadcast back; each bucket runs its own bounded window
+    *     cumsum in parallel, shifted by its offset.
+    * Pick `bucketWidth` so #buckets stays driver-small (~10⁴ at 100 TB)
+    * while each bucket holds far more rows than cores. */
+  def corpusPack(docs: DataFrame, packTokens: Int = 512,
+                 bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      call_function("div", col("doc_id"), lit(bucketWidth)).as("bkt"))
+    val bucketTotals = toks.groupBy("bkt").agg(sum("n_tok").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // prefix-sum the bucket totals: bucket k's offset is the sum of all
+    // earlier buckets' totals
+    val offsets = bucketTotals
+      .zip(bucketTotals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot })
+      .map { case ((bkt, _), prefix) => (bkt, prefix) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("bkt", "bkt_offset"))
+    val w = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = (col("bkt_offset") + sum(col("n_tok")).over(w) - col("n_tok"))
+      .as("tok_start")
+    toks.join(offsetDf, "bkt")
+      .select(col("doc_id"), col("n_tok"), start)
+      .select(col("doc_id"), col("n_tok"),
+        call_function("div", col("tok_start"), lit(packTokens.toLong)).as("pack_id"),
+        pmod(col("tok_start"), lit(packTokens.toLong)).as("pack_offset"))
+  }
+
   /** Within-doc repetition metrics (Gopher-style quality signals): how
     * much of a document is itself repeated. High values flag boilerplate,
     * template spam and degenerate generations.
@@ -225,6 +266,8 @@ object TextOps {
     textScrub(Tables.documents(spark, dir))
   def corpusSampleQ(spark: SparkSession, dir: String): DataFrame =
     corpusSample(Tables.documents(spark, dir))
+  def corpusPackQ(spark: SparkSession, dir: String): DataFrame =
+    corpusPack(Tables.documents(spark, dir))
   def textRepetitionQ(spark: SparkSession, dir: String): DataFrame =
     textRepetition(Tables.documents(spark, dir))
   /** Benchmark set = docs with doc_id < 20 (stand-in eval set); training

@@ -193,6 +193,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ids1 === ids2)
   }
 
+  test("corpus_pack distributed prefix-sum equals a single global cumsum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (0L until 500L).map(i => (i, ("w " * (1 + (i % 37)).toInt).trim))
+      .toDF("doc_id", "text")
+    // tiny buckets force many prefix-offset boundaries
+    val got = TextOps.corpusPack(d, packTokens = 64, bucketWidth = 7L)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = d.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("tok_start", sum("n_tok").over(w) - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("tok_start") - pmod(col("tok_start"), lit(64L)))./(lit(64L))
+          .cast("long").as("pack_id"),
+        pmod(col("tok_start"), lit(64L)).as("pack_offset"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // packs fill contiguously: every pack id in [0, max] is used
+    val packIds = got.select("pack_id").distinct().as[Long].collect().sorted
+    assert(packIds.toSeq === (packIds.head to packIds.last))
+  }
+
   test("multimodal pipeline: deterministic features, schema intact") {
     implicit val s = spark
     val media = Multimodal.withMediaColumn(docs((1L, "abcd"), (2L, "zzzz")))
