@@ -89,12 +89,14 @@ object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry so SQL
     * (`SELECT vec_dot(a, b)`), `expr(...)` and [[vecDot]] resolve it.
-    * Idempotent — re-registration replaces the same builder. */
+    * Idempotent — already-registered sessions are left alone (a blind
+    * re-register works but logs a replacement WARN per call). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      builder)
+    val id = FunctionIdentifier("vec_dot")
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        id, new ExpressionInfo(classOf[VecDot].getName, "vec_dot"), builder)
+    }
   }
 }
 

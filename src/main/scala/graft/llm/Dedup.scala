@@ -80,20 +80,48 @@ object Dedup {
     * skew risk at 100 TB (m docs sharing a shingle → m² bucket pairs) —
     * the MinHash variant below is the scale path for that regime. */
   def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3): DataFrame = {
-    val sh = shingleHashes(docs, n)
+    // EXACT-duplicate collapse first (same rationale as dedupEmbed):
+    // identical texts have identical shingle sets, so their inverted-index
+    // work is quadratic in duplicate mass and their pairwise relations are
+    // fully determined by one representative. Pairs re-expand at the end —
+    // cross-class pairs inherit the rep jaccard, within-class pairs are
+    // exactly 1.0 (identical sets) when the class shingles at all.
+    val members = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+    val reps = docs.groupBy(md5(col("text")).as("tkey"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+      .persist()
+    val sh = shingleHashes(
+      reps.select(col("tkey").as("doc_id"), col("text")), n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
+    val repPairs = sh.as("a")
       .join(sh.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("ka"), col("b.doc_id").as("kb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
+      .join(counts.as("ca"), col("ka") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("kb") === col("cb.doc_id"))
+      .select(col("ka"), col("kb"),
         (col("inter").cast("double") /
           (col("ca.n_sh") + col("cb.n_sh") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
+    val cross = repPairs
+      .join(members.as("ma"), col("ka") === col("ma.tkey"))
+      .join(members.as("mb"), col("kb") === col("mb.tkey"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("jaccard"))
+    // within-class pairs exist only for classes that produce shingles
+    // (docs under n tokens generate no inverted-index rows — and no pairs)
+    val shingled = counts.filter(col("n_sh") > 0)
+      .select(col("doc_id").as("shingled_tkey"))
+    val within = members.as("ma")
+      .join(members.as("mb"),
+        col("ma.tkey") === col("mb.tkey") && col("ma.doc_id") < col("mb.doc_id"))
+      .join(shingled, col("ma.tkey") === col("shingled_tkey"))
+      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   // --- MinHash + LSH ---

@@ -90,6 +90,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("dedup_embed collapse+expand: duplicate classes yield every member pair") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val base = Array.tabulate(64)(i => math.sin(i + 1))          // class A vector
+    val near = base.updated(0, base(0) + 1e-4)                   // ≈A, own class
+    val ortho = Array.tabulate(64)(i => math.cos(3 * (i + 1)))   // unrelated
+    val emb = Seq(
+      1L -> base, 2L -> base,            // class A: exact duplicates
+      3L -> near, 4L -> near,            // class B: exact duplicates, B≈A
+      5L -> ortho)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.dedupEmbed(emb, tau = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // within-class pairs + all four cross-class member pairs; nothing with 5
+    assert(pairs === Set((1L, 2L), (3L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+  }
+
   test("dedupedCorpus drops all but the smallest doc of each near-dup component") {
     import spark.implicits._
     val d = docs((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c"))

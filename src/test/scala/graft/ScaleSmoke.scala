@@ -28,7 +28,15 @@ object ScaleSmoke {
     println("=== docs: " + docs10.count() + " emb: " + emb10.count() + " events: " + ev10.count())
     t("dedup_minhash 50k docs")(Dedup.dedupMinhash(docs10).write.format("noop").mode("overwrite").save())
     t("dedup_simhash 50k docs")(Dedup.dedupSimhash(docs10).write.format("noop").mode("overwrite").save())
+    t("dedup_jaccard 50k docs")(Dedup.dedupNgramJaccard(docs10).write.format("noop").mode("overwrite").save())
+    t("corpus_pack 50k docs")(graft.llm.TextOps.corpusPack(docs10).write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
+    // the 10×-replicated corpus is 90% exact duplicates — the regime the
+    // exact-collapse stage inside dedupEmbed exists for (uncollapsed this
+    // took 435 s: duplicate groups share every bucket at any banding)
+    t("dedup_embed 20k vecs")(Ann.dedupEmbed(emb10)
+      .write.format("noop").mode("overwrite").save())
+    t("ann_ivf 20k vecs")(Ann.annIvfTopK(emb10).write.format("noop").mode("overwrite").save())
     t("dedup_latest 1M events")(Cdc.dedupLatestEvents(ev10).write.format("noop").mode("overwrite").save())
     val sink = new WarehouseSink(java.nio.file.Files.createTempDirectory("scale_wh_").toString)
     t("bucket merge 1M events")(MergePipeline.mergeBatch(spark, sink, "s", Cdc.flatten(ev10), Seq("user_id")))
