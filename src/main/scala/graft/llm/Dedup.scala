@@ -86,12 +86,47 @@ object Dedup {
     // fully determined by one representative. Pairs re-expand at the end —
     // cross-class pairs inherit the rep jaccard, within-class pairs are
     // exactly 1.0 (identical sets) when the class shingles at all.
-    val members = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
-    val reps = docs.groupBy(md5(col("text")).as("tkey"))
-      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+    // Class key is md5 (128-bit: a collision would silently merge two
+    // different texts; xxhash64 would expect ~|docs|²/2⁶⁴ of them at web
+    // scale), but it shuffles exactly once — (doc_id, tkey) into the
+    // min-id rep aggregation. The TEXT never shuffles, and the whole
+    // inverted-index pipeline runs on rep LONGS: rep shingle rows are
+    // selected by a long/long join on the already-hashed shingles.
+    val classes = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      .groupBy(col("tkey")).agg(min(col("doc_id")).as("rep_id"))
       .persist()
-    val sh = shingleHashes(
-      reps.select(col("tkey").as("doc_id"), col("text")), n)
+    // ADAPTIVE: one cheap aggregation pass decides whether collapse pays.
+    // The direct path finds duplicate pairs too (identical docs share all
+    // shingles); collapse exists purely to kill the quadratic bucket work
+    // of LARGE duplicate mass. Under 5% duplicates the rep indirection
+    // and expansion joins cost more than they save (the common case for
+    // an already-exact-deduped pipeline stage), so run direct.
+    val nClasses = classes.count()
+    val nDocs = docs.count()
+    if (nClasses >= nDocs * 0.95) {
+      classes.unpersist()
+      val sh = shingleHashes(docs, n)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      return sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("ca.n_sh") + col("cb.n_sh") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= tau)
+    }
+    // (doc_id, rep_id): each doc tagged with its class representative
+    val members = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      .join(classes, "tkey").select(col("doc_id"), col("rep_id"))
+      .persist()
+    val sh = shingleHashes(docs, n)
+      .join(members.filter(col("doc_id") === col("rep_id"))
+        .select(col("rep_id")), col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("sh_h"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val repPairs = sh.as("a")
       .join(sh.as("b"),
@@ -105,8 +140,8 @@ object Dedup {
           (col("ca.n_sh") + col("cb.n_sh") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
     val cross = repPairs
-      .join(members.as("ma"), col("ka") === col("ma.tkey"))
-      .join(members.as("mb"), col("kb") === col("mb.tkey"))
+      .join(members.as("ma"), col("ka") === col("ma.rep_id"))
+      .join(members.as("mb"), col("kb") === col("mb.rep_id"))
       .select(
         least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
@@ -114,11 +149,12 @@ object Dedup {
     // within-class pairs exist only for classes that produce shingles
     // (docs under n tokens generate no inverted-index rows — and no pairs)
     val shingled = counts.filter(col("n_sh") > 0)
-      .select(col("doc_id").as("shingled_tkey"))
+      .select(col("doc_id").as("shingled_rep"))
     val within = members.as("ma")
       .join(members.as("mb"),
-        col("ma.tkey") === col("mb.tkey") && col("ma.doc_id") < col("mb.doc_id"))
-      .join(shingled, col("ma.tkey") === col("shingled_tkey"))
+        col("ma.rep_id") === col("mb.rep_id") &&
+          col("ma.doc_id") < col("mb.doc_id"))
+      .join(shingled, col("ma.rep_id") === col("shingled_rep"))
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
     cross.unionByName(within)
