@@ -197,7 +197,12 @@ object TypeMap {
     * bytes, geometry structs, nested structs — then flatten the typed
     * result for the oracle. */
   def typeMapComplexQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // the test table is a single parquet split; without a repartition the
+    // whole to_json/from_json round-trip would run on ONE core, measuring
+    // the file layout rather than the conversion (a real CDC source
+    // arrives in many files/partitions)
     val events = graft.Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val wire = events.select(to_json(struct(
       col("event_id").as("id"),
       expr("unix_millis(ts) div 86400000").as("day"),

@@ -79,7 +79,12 @@ object Dedup {
     * nothing and cost only their hash; ultra-frequent shingles are the
     * skew risk at 100 TB (m docs sharing a shingle → m² bucket pairs) —
     * the MinHash variant below is the scale path for that regime. */
-  def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3): DataFrame = {
+  /** @param collapseThreshold classes/docs ratio above which the direct
+    *        path runs (collapse pays only for large duplicate mass);
+    *        0.0 forces direct, anything > 1 forces collapse — exposed so
+    *        tests can prove both paths produce the same pairs. */
+  def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3,
+                        collapseThreshold: Double = 0.95): DataFrame = {
     // EXACT-duplicate collapse first (same rationale as dedupEmbed):
     // identical texts have identical shingle sets, so their inverted-index
     // work is quadratic in duplicate mass and their pairwise relations are
@@ -103,7 +108,7 @@ object Dedup {
     // an already-exact-deduped pipeline stage), so run direct.
     val nClasses = classes.count()
     val nDocs = docs.count()
-    if (nClasses >= nDocs * 0.95) {
+    if (nClasses >= nDocs * collapseThreshold) {
       classes.unpersist()
       val sh = shingleHashes(docs, n)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

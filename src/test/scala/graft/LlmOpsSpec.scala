@@ -90,6 +90,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("jaccard collapse and direct paths produce identical pair sets") {
+    import spark.implicits._
+    // duplicate-heavy corpus: 3 copies each of 6 base docs + unique docs
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "sphinx of black quartz judge my vow tonight ok",
+      "how vexingly quick daft zebras jump over fences",
+      "the five boxing wizards jump quickly at dawn",
+      "a completely different sentence about spark engines")
+    val d = (bases.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 3).map(r => (i * 10L + r, t))
+    } ++ Seq((100L, "unique words appear here once and never again"),
+             (101L, "zz")) // too short to shingle
+      ).toDF("doc_id", "text")
+    val direct = Dedup.dedupNgramJaccard(d, tau = 0.8, collapseThreshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard")
+    val collapsed = Dedup.dedupNgramJaccard(d, tau = 0.8, collapseThreshold = 2.0)
+      .select("doc_a", "doc_b", "jaccard")
+    assert(direct.exceptAll(collapsed).isEmpty &&
+      collapsed.exceptAll(direct).isEmpty)
+    // sanity: each base trio yields its 3 within pairs
+    assert(collapsed.count() >= 18)
+  }
+
   test("dedup_embed collapse+expand: duplicate classes yield every member pair") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
