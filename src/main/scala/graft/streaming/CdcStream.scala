@@ -97,25 +97,36 @@ object CdcStream {
   }
 }
 
-/** Dynamic batch-size throttle: the reference's DynamicBatchSizeWait
-  * (batchsizewait/DynamicBatchSizeWait.java:84) grows the sleep while
-  * batches run under the target size and shrinks it when they fill up, so
-  * a slow source coalesces into fewer, fuller batches. Same computation,
-  * engine-agnostic: feed it the observed batch size, sleep the returned
-  * millis before polling again. */
+/** Dynamic batch-size throttle — the reference's DynamicBatchSizeWait
+  * computation exactly (batchsizewait/DynamicBatchSizeWait.java:35-81):
+  * a banded controller over a 3-sample moving average of batch sizes that
+  * targets 85-90% of `maxBatchSize`. Fill ≥97/95/90% multiplies the last
+  * sleep by 0.50/0.65/0.80; 85-90% holds it; below 85% the sleep grows
+  * proportionally (`last × max/observed`). Sleeps clamp to
+  * [100 ms, maxWaitMs]; empty polls repeat the last sleep unchanged.
+  * Engine-agnostic: feed it each batch's size, sleep the returned millis
+  * before polling again (Structured Streaming analog: adjust the
+  * processing-time trigger interval between restarts). */
 class BatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long) {
-  private var waitMs: Long = 0L
+  private val batchSizeHistory = scala.collection.mutable.Queue(1L, 1L, 1L)
+  private val sleepMsHistory = scala.collection.mutable.Queue(100L, 100L, 100L)
 
-  def nextWaitMs(observedBatchSize: Int): Long = {
-    waitMs =
-      if (observedBatchSize >= maxBatchSize) 0L
-      else {
-        // proportional controller: wait scales with how empty the batch is
-        val emptiness = 1.0 - observedBatchSize.toDouble / maxBatchSize
-        math.min(maxWaitMs, math.round(emptiness * maxWaitMs))
-      }
-    waitMs
+  def nextWaitMs(observedBatchSize: Long): Long = {
+    if (observedBatchSize <= 0) return sleepMsHistory.last
+    batchSizeHistory.enqueue(observedBatchSize)
+    batchSizeHistory.dequeue()
+    val fill = batchSizeHistory.sum.toDouble / batchSizeHistory.size / maxBatchSize
+    val last = sleepMsHistory.last
+    val sleepMs =
+      if (fill >= 0.97) (last * 0.50).toLong
+      else if (fill >= 0.95) (last * 0.65).toLong
+      else if (fill >= 0.90) (last * 0.80).toLong
+      else if (fill >= 0.85) return last
+      else last * maxBatchSize / observedBatchSize
+    sleepMsHistory.enqueue(math.min(math.max(sleepMs, 100L), maxWaitMs))
+    sleepMsHistory.dequeue()
+    sleepMsHistory.last
   }
 
-  def currentWaitMs: Long = waitMs
+  def currentWaitMs: Long = sleepMsHistory.last
 }

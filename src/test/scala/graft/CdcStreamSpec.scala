@@ -78,11 +78,22 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(offsets.load().keySet === Set("stream/db_orders", "stream/db_users"))
   }
 
-  test("dynamic batch-size wait grows when batches run empty and zeroes when full") {
+  test("dynamic batch-size wait mirrors the reference controller bands") {
     val wait = new BatchSizeWait(maxBatchSize = 1000, maxWaitMs = 10000)
-    assert(wait.nextWaitMs(1000) === 0L)
+    // a near-empty batch grows the sleep proportionally (last × max/obs),
+    // clamped at maxWaitMs
+    assert(wait.nextWaitMs(10) === 10000L)
+    // an empty poll repeats the last sleep unchanged
     assert(wait.nextWaitMs(0) === 10000L)
-    assert(wait.nextWaitMs(900) === 1000L)
-    assert(wait.nextWaitMs(500) === 5000L)
+    // the 3-sample average lags: two full batches keep fill < 97%
+    assert(wait.nextWaitMs(1000) === 10000L)
+    assert(wait.nextWaitMs(1000) === 10000L)
+    // sustained full batches halve the sleep per step
+    assert(wait.nextWaitMs(1000) === 5000L)
+    assert(wait.nextWaitMs(1000) === 2500L)
+    // decay bands: ≥95% → ×0.65, ≥90% → ×0.80, then 85-90% holds
+    assert(wait.nextWaitMs(870) === 1625L)
+    assert(wait.nextWaitMs(870) === 1300L)
+    assert(wait.nextWaitMs(870) === 1300L)
   }
 }

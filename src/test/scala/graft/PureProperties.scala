@@ -30,11 +30,14 @@ object PureProperties extends Properties("graft.pure") {
         dest.replace(".", "_")
     }
 
-  property("BatchSizeWait bounded by [0, maxWaitMs]; full batches never wait") =
-    Prop.forAll(Gen.chooseNum(1, 100000), Gen.chooseNum(0L, 60000L),
-      Gen.chooseNum(0, 200000)) { (maxBatch, maxWait, observed) =>
-      val ms = new BatchSizeWait(maxBatch, maxWait).nextWaitMs(observed)
-      ms >= 0L && ms <= maxWait && (observed < maxBatch || ms == 0L)
+  property("BatchSizeWait sleeps stay in [100ms, maxWaitMs] over any history") =
+    Prop.forAll(Gen.chooseNum(1, 100000), Gen.chooseNum(100L, 60000L),
+      Gen.listOfN(8, Gen.chooseNum(1L, 200000L))) { (maxBatch, maxWait, sizes) =>
+      val w = new BatchSizeWait(maxBatch, maxWait)
+      sizes.forall { s =>
+        val ms = w.nextWaitMs(s)
+        ms >= 100L && ms <= maxWait
+      }
     }
 
   property("op priority is total and matches the reference order c<r<u<d") =
