@@ -97,6 +97,31 @@ object CdcStream {
   }
 }
 
+/** Fill-or-timeout throttle — the reference's MaxBatchSizeWait
+  * (batchsizewait/MaxBatchSizeWait.java:58-67): poll the source's queued
+  * size every `waitIntervalMs` until it reaches `maxBatchSize` or
+  * `maxWaitMs` has elapsed, skipping entirely while a snapshot runs.
+  * Engine-agnostic: `queuedSize` abstracts the Debezium metrics supplier
+  * (in a Spark pipeline, e.g. pending files or source lag); `sleep` is
+  * injectable so tests run without wall-clock waits. Returns total
+  * milliseconds waited. */
+class MaxBatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long,
+                       val waitIntervalMs: Long,
+                       sleep: Long => Unit = Thread.sleep) {
+  require(waitIntervalMs <= maxWaitMs,
+    "wait-interval-ms cannot be bigger than max-wait-ms")
+
+  def waitMs(queuedSize: () => Long, snapshotRunning: () => Boolean = () => false): Long = {
+    if (snapshotRunning()) return 0L
+    var totalWaitMs = 0L
+    while (totalWaitMs < maxWaitMs && queuedSize() < maxBatchSize) {
+      totalWaitMs += waitIntervalMs
+      sleep(waitIntervalMs)
+    }
+    totalWaitMs
+  }
+}
+
 /** Dynamic batch-size throttle — the reference's DynamicBatchSizeWait
   * computation exactly (batchsizewait/DynamicBatchSizeWait.java:35-81):
   * a banded controller over a 3-sample moving average of batch sizes that

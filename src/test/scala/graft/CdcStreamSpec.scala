@@ -78,6 +78,22 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(offsets.load().keySet === Set("stream/db_orders", "stream/db_users"))
   }
 
+  test("max batch-size wait fills or times out, and skips during snapshots") {
+    import graft.streaming.MaxBatchSizeWait
+    var slept = 0L
+    val wait = new MaxBatchSizeWait(maxBatchSize = 100, maxWaitMs = 1000,
+      waitIntervalMs = 100, sleep = ms => slept += ms)
+    // queue fills after 3 polls → waited 3 intervals
+    var polls = 0
+    assert(wait.waitMs(() => { polls += 1; if (polls > 3) 100L else 0L }) === 300L)
+    // queue never fills → waits out maxWaitMs
+    slept = 0L
+    assert(wait.waitMs(() => 0L) === 1000L && slept === 1000L)
+    // snapshot running → no wait at all
+    slept = 0L
+    assert(wait.waitMs(() => 0L, () => true) === 0L && slept === 0L)
+  }
+
   test("dynamic batch-size wait mirrors the reference controller bands") {
     val wait = new BatchSizeWait(maxBatchSize = 1000, maxWaitMs = 10000)
     // a near-empty batch grows the sleep proportionally (last × max/obs),
