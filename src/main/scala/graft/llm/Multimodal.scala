@@ -93,7 +93,11 @@ object Multimodal {
     * cells; the full array stays available via [[extractFeatures]]. */
   def multimodalQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val media = withMediaColumn(Tables.documents(spark, dir))
+    // the test table is one parquet split; without a repartition the whole
+    // decode/feature mapPartitions stage would run on a single core (a
+    // real media corpus arrives in many files)
+    val media = withMediaColumn(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
     extractFeatures(media).toDF()
       .select(col("doc_id"), col("format"), col("n_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"),
