@@ -61,14 +61,17 @@ object MergePipeline {
         .withColumn("part_bucket", bucket)
       sink.write(snap, table, "part_bucket", keyCols :+ "__source_ts_ms")
     } else {
+      // the batch is consumed twice (bucket discovery, then the merge
+      // union) — persist the micro-batch so the source computes once
+      val cached = batch.persist()
       // buckets this batch touches — bounded by NumBuckets
-      val buckets = batch.select(bucket.as("b")).distinct()
+      val buckets = cached.select(bucket.as("b")).distinct()
         .collect().map(_.getInt(0))
       val existing = sink.read(spark, table)
         .filter(col("part_bucket").isin(buckets.toIndexedSeq.map(b => lit(b)): _*))
         .drop("part_bucket")
       val merged = dropDeleted(Cdc.dedupLatest(
-        existing.unionByName(batch), keyCols, ordering))
+        existing.unionByName(cached), keyCols, ordering))
         .withColumn("part_bucket", bucket)
         .persist()
       sink.write(merged, table, "part_bucket", keyCols :+ "__source_ts_ms",
@@ -81,6 +84,7 @@ object MergePipeline {
       val written = merged.select("part_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
       merged.unpersist()
+      cached.unpersist()
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       (buckets.toSet -- written).foreach { b =>
