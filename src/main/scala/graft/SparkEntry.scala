@@ -37,6 +37,7 @@ object SparkEntry {
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
     "q5_region_volume" -> (Analytics.q5RegionVolume _),
+    "q7_volume_shipping" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
+    "text_rarity" -> (TextOps.textRarityQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -175,6 +177,20 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |  AND c_custkey = o_custkey
+         |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1999-01-01'
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,
@@ -304,6 +320,19 @@ object SparkEntry {
          |WHERE ((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}) % 1000 <
          |  CASE lang $cases ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin
     },
+    // rarity profile: integer counts and int/int divisions only — a float
+    // log-prob mean would be partial-sum-order-dependent across engines
+    "text_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1)
+         |SELECT doc_id,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS rarity_ratio,
+         |  CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_freq
+         |FROM tok JOIN freq USING (t)
+         |GROUP BY doc_id""".stripMargin,
     // sequence packing: the oracle computes the SAME concatenated-stream
     // layout with one global window cumsum (fine at sf0.01; the Spark side
     // is the distributed prefix-sum that scales)

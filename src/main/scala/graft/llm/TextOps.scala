@@ -179,6 +179,32 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Corpus-frequency rarity profile per document — the integer-exact core
+    * of a CCNet-style LM quality filter: documents dominated by tokens the
+    * corpus has barely seen are OOV-heavy noise (or rare gold — either way
+    * the filter's signal). A float log-prob mean would be order-dependent
+    * across engines; rare-token counts and count ratios are exact.
+    *
+    * Two-pass distributed shape: (1) corpus unigram frequencies — one
+    * explode + hash agg with map-side combine; (2) re-join occurrences to
+    * frequencies on the token and aggregate per doc. The frequency table
+    * is vocab-sized: AQE broadcasts it while small, shuffles at web scale.
+    *
+    * @param rareMax a token is "rare" when its corpus occurrence count is
+    *                ≤ this. */
+  def textRarity(docs: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    tok.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        (sum(when(col("c") <= rareMax, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("rarity_ratio"),
+        (sum(col("c")).cast("double") / count(lit(1))).as("mean_tok_freq"))
+  }
+
   /** Sequence packing: lay the corpus out as one concatenated token stream
     * (doc_id order) chunked into fixed `packTokens` training sequences —
     * each doc gets the pack it STARTS in and its token offset within it.
@@ -268,6 +294,8 @@ object TextOps {
     corpusSample(Tables.documents(spark, dir))
   def corpusPackQ(spark: SparkSession, dir: String): DataFrame =
     corpusPack(Tables.documents(spark, dir))
+  def textRarityQ(spark: SparkSession, dir: String): DataFrame =
+    textRarity(Tables.documents(spark, dir))
   def textRepetitionQ(spark: SparkSession, dir: String): DataFrame =
     textRepetition(Tables.documents(spark, dir))
   /** Benchmark set = docs with doc_id < 20 (stand-in eval set); training

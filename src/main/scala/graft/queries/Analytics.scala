@@ -93,6 +93,40 @@ object Analytics {
         .as("revenue"))
   }
 
+  /** TPC-H Q7-style volume shipping: revenue flow between two nations by
+    * ship year. Nation (25 rows, bounded) broadcasts into supplier and
+    * customer; the fact-fact joins (lineitem⋈orders, then the
+    * nation-filtered cust/supp sides) shuffle under AQE. The nation
+    * filter lands BEFORE the big joins, so only ~2/25 of customers and
+    * suppliers reach the shuffle. */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    val nat = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).as("l_year"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))))
+        .as("revenue"))
+  }
+
   /** Customer lifetime rollup: fact aggregated first (smallest shuffle),
     * then joined to the dim. No broadcast hint on customer — it grows with
     * SF; AQE picks broadcast while it fits and shuffle beyond that. */
