@@ -38,6 +38,7 @@ object SparkEntry {
     "q3_shipping" -> (Analytics.q3Shipping _),
     "q5_region_volume" -> (Analytics.q5RegionVolume _),
     "q7_volume_shipping" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
@@ -191,6 +192,18 @@ object SparkEntry {
          |  AND l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1999-01-01'
          |GROUP BY 1, 2, 3""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+        |  sum_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+        |) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,

@@ -141,6 +141,26 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spent"))
   }
 
+  /** TPC-H Q18-style large-order customers: aggregate-as-filter — the
+    * lineitem rollup runs FIRST (one shuffle keyed by order, map-side
+    * combined) and only qualifying orders join onward, so the expensive
+    * joins see a tiny filtered set; customer attaches under AQE. */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        asDouble(dec(col("o_totalprice"))).as("o_totalprice"), col("sum_qty"))
+  }
+
   /** TPC-H Q14-style promo share: conditional aggregation over a broadcast
     * join; numerator/denominator kept separate (cross-engine division
     * precision rules differ). */
