@@ -20,6 +20,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Analytics.q1Pricing(spark, sfDir) -> "LessThanOrEqual(l_shipdate",
       Analytics.q3Shipping(spark, sfDir) -> "EqualTo(c_mktsegment,BUILDING)",
       Analytics.q5RegionVolume(spark, sfDir) -> "EqualTo(r_name,ASIA)",
+      Analytics.q7VolumeShipping(spark, sfDir) -> "GreaterThanOrEqual(l_shipdate",
       Analytics.q14PromoShare(spark, sfDir) -> "GreaterThanOrEqual(l_shipdate"
     )
     checks.foreach { case (df, expected) =>
@@ -43,6 +44,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Analytics.q1Pricing(spark, sfDir),
       Analytics.q3Shipping(spark, sfDir),
       Analytics.q5RegionVolume(spark, sfDir),
+      Analytics.q7VolumeShipping(spark, sfDir),
+      Analytics.q18LargeOrders(spark, sfDir),
       Analytics.qTopCustomers(spark, sfDir),
       Analytics.q14PromoShare(spark, sfDir))
     all.foreach { df =>
