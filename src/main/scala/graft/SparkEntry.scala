@@ -42,6 +42,7 @@ object SparkEntry {
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
+    "q_retention" -> (Analytics.qRetention _),
     "q_user_sessions" -> (Analytics.qUserSessions _),
     // LLM-data-pipeline: text analysis (SURVEY §2C)
     "text_tokens" -> (TextOps.textTokensQ _),
@@ -223,6 +224,14 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH m AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |           FROM events)
+        |SELECT a.wk AS cohort_week, count(*) AS n_retained
+        |FROM m a JOIN m b
+        |  ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+        |GROUP BY 1""".stripMargin,
     "q_user_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions

@@ -188,6 +188,24 @@ object Analytics {
         count(lit(1)).as("n_events"),
         asDouble(sum(dec(col("value")))).as("sum_value"))
 
+  /** Week-over-week cohort retention: users active in week W who are
+    * also active in W+1. The (user, week) distinct runs first (one
+    * shuffle with partial agg — events collapse to at most one row per
+    * user-week), then a self-join on (user, derived next-week key);
+    * both sides of the join are the SAME deduplicated frame, so Spark
+    * reuses the exchange. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    activity.as("a")
+      .join(activity.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.wk") === date_add(col("a.wk").cast("date"), 7).cast("timestamp"))
+      .groupBy(col("a.wk").as("cohort_week"))
+      .agg(count(lit(1)).as("n_retained"))
+  }
+
   /** Sessionization: per-user ordered gap detection (30-min timeout).
     * The one legitimate window use — sessionization is inherently
     * sequential per key; partitioned by user so each key sorts locally. */
