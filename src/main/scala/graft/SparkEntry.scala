@@ -334,12 +334,14 @@ object SparkEntry {
          |WHERE tr.doc_id >= 20
          |GROUP BY 1""".stripMargin,
     // consistent-hash stratified sampling — identical integer arithmetic
-    // on both engines (id reduced mod a prime keeps the product < 2^63)
+    // on both engines (id reduced mod a prime keeps the product < 2^63;
+    // bucket bits taken ABOVE SampleShift so they mix all id bits)
     "corpus_sample" -> {
       val cases = TextOps.SampleRatesPermille
         .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE ((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}) % 1000 <
+         |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
+         |       >> ${TextOps.SampleShift}) % 1000 <
          |  CASE lang $cases ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin
     },
     // rarity profile: integer counts and int/int divisions only — a float

@@ -114,23 +114,61 @@ object Ann {
     * The corpus shuffles as (table, bucket, id, vec) — pairwise work only
     * inside buckets.
     *
-    * EXACT duplicates collapse BEFORE the LSH stage: byte-identical
-    * vectors land in identical buckets at any banding, so duplicate
-    * groups cannot be split by finer buckets and their bucket-join work
-    * is quadratic in duplicate mass (measured: a 10×-replicated corpus
-    * was ~40× slower un-collapsed). Classes are keyed by a content hash,
-    * one representative per class runs the LSH pipeline, and the pair
-    * set re-expands at the end — within-class pairs directly, rep-level
-    * near-dup pairs to every cross-class member pair. The output pair
-    * set is exactly what the un-collapsed pipeline produces (identical
-    * vectors share all buckets and all cosines). */
+    * EXACT duplicates collapse BEFORE the LSH stage — ADAPTIVELY:
+    * byte-identical vectors land in identical buckets at any banding, so
+    * duplicate groups cannot be split by finer buckets and their
+    * bucket-join work is quadratic in duplicate mass (measured: a
+    * 10×-replicated corpus was ~40× slower un-collapsed). But on a
+    * mostly-unique corpus — the common case after exact dedup — the rep
+    * indirection and expansion joins cost more than they save (r3 bench:
+    * unconditional collapse was the round's slowest entry), so one cheap
+    * aggregation job (corpus count + HLL distinct-content-hash estimate,
+    * map-side sketches only) picks the path. The ±2% HLL error can only
+    * flip the choice near the threshold; both paths produce the identical
+    * pair set (identical vectors share all buckets and all cosines).
+    *
+    * @param collapseThreshold classes/docs ratio at or above which the
+    *        direct path runs; 0.0 forces direct, anything > 1 forces
+    *        collapse — exposed so tests can prove path equivalence. */
   def dedupEmbed(embeddings: DataFrame, tau: Double = 0.4,
                  numBands: Int = NumBands,
-                 bitsPerBand: Int = BitsPerBand): DataFrame = {
-    val members = embeddings.select(col("vec_id"),
+                 bitsPerBand: Int = BitsPerBand,
+                 collapseThreshold: Double = 0.95): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
+    val gate = vecs.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("v")), 0.02).as("nc")).head()
+    val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
+    if (nClasses >= nDocs * collapseThreshold) {
+      // DIRECT: LSH over every vector, no rep indirection.
+      val sigs = vecs.withColumn("nrm", norm(col("v")))
+      val buckets = sigs.select(col("vec_id"),
+        explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
+        .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      // distinct FIRST: a pair colliding in several bands is verified
+      // once; the bucket self-join shuffles only (tbl, bucket, id) triples
+      val cand = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      return cand
+        .join(sigs.as("ma"), col("vec_a") === col("ma.vec_id"))
+        .join(sigs.as("mb"), col("vec_b") === col("mb.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("cos"))
+        .filter(col("cos") >= tau)
+    }
+    // COLLAPSE path. Class key = two salted xxhash64 passes over the raw
+    // array (~128 bits combined: silent-merge odds ~|corpus|²/2¹²⁸) — no
+    // JSON rendering of the vector (r3's md5(to_json(v)) burned CPU
+    // proportional to corpus × dim) and an 8+8-byte shuffle key.
+    val vkey = struct(xxhash64(lit(0), col("v")).as("h0"),
+      xxhash64(lit(1), col("v")).as("h1"))
+    val members = vecs
       .withColumn("nrm", norm(col("v")))
-      .withColumn("vkey", md5(to_json(col("v"))))
+      .withColumn("vkey", vkey)
       .persist()
     // one representative per exact-duplicate class (min id: deterministic)
     val reps = members.groupBy(col("vkey"))
@@ -141,8 +179,6 @@ object Ann {
       explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
       .select(col("rep_id"), col("vkey"),
         col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
-    // distinct FIRST: a pair colliding in several bands is verified once;
-    // the bucket self-join shuffles only (tbl, bucket, id) triples
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -171,7 +207,14 @@ object Ann {
       .select(col("ma.vec_id").as("vec_a"), col("mb.vec_id").as("vec_b"),
         (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
-    cross.unionByName(within)
+    // materialize before unpersisting the cached intermediates: the
+    // result's lineage would otherwise recompute members/reps per use.
+    // The collapse path only runs on duplicate-heavy corpora, where this
+    // pair set is the operator's output anyway (MEMORY_AND_DISK blocks).
+    val result = cross.unionByName(within).localCheckpoint()
+    members.unpersist()
+    reps.unpersist()
+    result
   }
 
   /** LSH-bucketed approximate top-k: candidates for each query are corpus

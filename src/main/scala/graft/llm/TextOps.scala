@@ -160,20 +160,34 @@ object TextOps {
     * stays < 2⁶³ for any int64 id — ANSI mode (Spark 4 default) throws on
     * long overflow rather than wrapping. */
   val SampleIdPrime = 999983L
+  /** Bucket bits come from the product SHIFTED DOWN by this — the Knuth
+    * scheme takes high bits because bit i of k*M depends only on bits
+    * 0..i of k: a plain `product mod 1000` (ADVICE r3) reads the low ~10
+    * bits, which mix only the low bits of the id, so block-allocated ids
+    * sample with systematic bias. Bits ≥20 of the product depend on ALL
+    * 20 bits of `doc_id mod prime`. */
+  val SampleShift = 20
 
   /** Stratified corpus sampling: deterministic per-language downsampling to
     * a target training mixture. A doc is kept iff
-    * `hash(doc_id) mod 1000 < rate(lang)` — the standard consistent-hash
-    * sampler: reproducible across runs/engines, stable under corpus growth
-    * (a doc's fate never changes as neighbors arrive), and a pure map-side
-    * filter: no shuffle, no randomness, pushed to the scan. */
+    * `hash(doc_id) mod 1000 < rate(lang)` with
+    * `hash(id) = (((id mod p) * M) >> 20)` — a genuine Knuth
+    * multiplicative mix (every bucket bit depends on every id bit), the
+    * same integer arithmetic on any engine. Reproducible across
+    * runs/engines, stable under corpus growth (a doc's fate never changes
+    * as neighbors arrive), and a pure map-side filter: no shuffle, no
+    * randomness, pushed to the scan. Residual caveat: ids congruent mod
+    * the ~10⁶ prime share a fate — irrelevant unless id blocks are
+    * allocated in exact multiples of it. */
   def corpusSample(docs: DataFrame,
                    ratesPermille: Seq[(String, Int)] = SampleRatesPermille,
                    defaultPermille: Int = SampleDefaultPermille): DataFrame = {
     val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
       case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    val bucket = pmod(pmod(col("doc_id"), lit(SampleIdPrime)) * SampleMultiplier,
+    val bucket = pmod(
+      shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * SampleMultiplier,
+        SampleShift),
       lit(1000L))
     docs.filter(bucket < rate)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -193,9 +207,15 @@ object TextOps {
     * @param rareMax a token is "rare" when its corpus occurrence count is
     *                ≤ this. */
   def textRarity(docs: DataFrame, rareMax: Long = 2L): DataFrame = {
+    // tokens hash to longs map-side (same trick as the shingle
+    // pipelines): the vocab aggregation and the occurrence⋈frequency
+    // join shuffle 8-byte keys, never the token strings. xxhash64
+    // collisions merge two tokens' counts with odds ~|vocab|²/2⁶⁴ —
+    // vanishing at any real vocabulary size.
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    tok.join(freq, "t")
+      .select(col("doc_id"), xxhash64(col("t")).as("th"))
+    val freq = tok.groupBy("th").agg(count(lit(1)).as("c"))
+    tok.join(freq, "th")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),

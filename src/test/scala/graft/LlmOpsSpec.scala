@@ -133,6 +133,52 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs === Set((1L, 2L), (3L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
   }
 
+  test("simhash banded pairs equal brute-force hamming on the test corpus") {
+    // the banding is pigeonhole-COMPLETE for hamming <= 3 (4 blocks of 16
+    // bits: 3 flipped bits leave at least one block verbatim), so the
+    // banded pipeline must equal the all-pairs check EXACTLY — the only
+    // §2C dedup whose correctness previously rested on identity cases
+    val d = Tables.documents(spark, sfDir)
+    val sigs = Dedup.simhashSigs(Dedup.shingleHashes(d))
+    val brute = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = Dedup.dedupSimhash(d)
+    assert(banded.exceptAll(brute).isEmpty, "banded produced extra pairs")
+    assert(brute.exceptAll(banded).isEmpty, "banded missed true pairs")
+  }
+
+  test("dedup_embed collapse and direct paths produce identical pair sets") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val direct = Ann.dedupEmbed(emb, collapseThreshold = 0.0)
+      .select("vec_a", "vec_b")
+    val collapsed = Ann.dedupEmbed(emb, collapseThreshold = 2.0)
+      .select("vec_a", "vec_b")
+    assert(direct.exceptAll(collapsed).isEmpty &&
+      collapsed.exceptAll(direct).isEmpty)
+  }
+
+  test("distributed CC converges on a long chain via pointer doubling") {
+    import spark.implicits._
+    // a 50-hop chain: one-hop propagation needs 50 rounds (> maxIters=20
+    // — the silent-split failure ADVICE r3 flagged); pointer doubling
+    // closes it in ~log2(50) rounds
+    val n = 50L
+    val d = (0L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsDistributed(pairs)
+    assert(labels.count() === n + 1)
+    assert(labels.filter(col("label") =!= 0L).count() === 0,
+      "chain not fully labeled with the component minimum")
+    // end-to-end through the forced-distributed dedup path
+    val kept = Dedup.dedupedCorpus(d, pairs, maxDriverPairs = 0L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L))
+  }
+
   test("distributed connected components equals driver union-find") {
     import spark.implicits._
     val d = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

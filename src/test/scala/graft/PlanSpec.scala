@@ -55,20 +55,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("shingle pipelines shuffle hashed longs, never shingle strings") {
+  test("shingle/token pipelines shuffle hashed longs, never the strings") {
     val docs = Tables.documents(spark, sfDir)
     val plans = Seq(
       graft.llm.Dedup.dedupNgramJaccard(docs),
       graft.llm.Dedup.dedupMinhash(docs),
-      graft.llm.Dedup.dedupSimhash(docs)).map(planString)
+      graft.llm.Dedup.dedupSimhash(docs),
+      graft.llm.TextOps.textRarity(docs)).map(planString)
     plans.foreach { p =>
-      // every exchange key must be doc_id / sh_h / band-hash — a raw `sh`
-      // string in a hashpartitioning means the corpus text is shuffling
+      // every exchange key must be doc_id / sh_h / th / band-hash — a raw
+      // `sh` shingle or `t` token string in a hashpartitioning means the
+      // corpus text is shuffling
       val keys = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
         .findAllMatchIn(p).map(_.group(1)).toList
       assert(keys.nonEmpty)
-      assert(!keys.exists(_.startsWith("sh#")),
-        s"shingle strings in a shuffle: $keys")
+      assert(!keys.exists(k => k.startsWith("sh#") || k.startsWith("t#")),
+        s"shingle/token strings in a shuffle: $keys")
     }
   }
 
