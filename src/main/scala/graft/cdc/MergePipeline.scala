@@ -36,35 +36,50 @@ import graft.sinks.{CreateDisposition, WarehouseSink, WriteDisposition}
   * (`softDeleteSnapshot`) so the tombstone wins the dedup instead. */
 object MergePipeline {
 
-  val NumBuckets = 32
+  /** Default key-hash bucket count — sized for the TEST scale, not a
+    * 100 TB setting. The bucket count is a per-table LAYOUT parameter
+    * (`mergeBatch(..., numBuckets = n)`): size it so one bucket holds
+    * ≲1 GB at the table's expected volume (a 100 TB snapshot wants
+    * O(10⁵) buckets), because every MERGE rewrites each touched bucket
+    * whole. It must stay CONSTANT for the life of the table — a key's
+    * bucket is its partition, so changing the count moves keys across
+    * partitions and strands stale rows; resizing = one full re-shuffle
+    * rewrite into a fresh table directory with the new count. */
+  val DefaultNumBuckets = 32
 
   private def ordering: Seq[Column] =
     Seq(col("__source_ts_ms"), Cdc.opPriorityCol(col("__op")), col("event_id"))
 
   /** MERGE one flattened batch into `table`, keyed by `keyCols`,
-    * latest-wins by (source ts, op priority, tie-break id).
+    * latest-wins by (source ts, op priority, tie-break id). Rows cluster
+    * within buckets on the reference's capped clustering fields
+    * ([[WarehouseSink.clusteringColumns]]).
     *
     * @param keepDeletes `upsert-keep-deletes` (StreamConsumerConfig
     *                    .java:74-76): true keeps the last row of a deleted
     *                    key flagged (`__op='d'`, soft delete — also the
     *                    safe mode for out-of-order sources, the tombstone
     *                    keeps winning the dedup); false drops it (hard
-    *                    delete, reference default). */
+    *                    delete, reference default).
+    * @param numBuckets  per-table bucket count (see [[DefaultNumBuckets]]
+    *                    for sizing; constant per table). */
   def mergeBatch(spark: SparkSession, sink: WarehouseSink, table: String,
                  batch: DataFrame, keyCols: Seq[String],
-                 keepDeletes: Boolean = false): Unit = {
+                 keepDeletes: Boolean = false,
+                 numBuckets: Int = DefaultNumBuckets): Unit = {
     val dropDeleted: DataFrame => DataFrame =
       df => if (keepDeletes) df else df.filter(col("__op") =!= "d")
-    val bucket = WarehouseSink.bucketPartition(keyCols, NumBuckets)
+    val bucket = WarehouseSink.bucketPartition(keyCols, numBuckets)
+    val clusterCols = WarehouseSink.clusteringColumns(keyCols)
     if (!sink.tableExists(table)) {
       val snap = dropDeleted(Cdc.dedupLatest(batch, keyCols, ordering))
         .withColumn("part_bucket", bucket)
-      sink.write(snap, table, "part_bucket", keyCols :+ "__source_ts_ms")
+      sink.write(snap, table, "part_bucket", clusterCols)
     } else {
       // the batch is consumed twice (bucket discovery, then the merge
       // union) — persist the micro-batch so the source computes once
       val cached = batch.persist()
-      // buckets this batch touches — bounded by NumBuckets
+      // buckets this batch touches — bounded by numBuckets
       val buckets = cached.select(bucket.as("b")).distinct()
         .collect().map(_.getInt(0))
       val existing = sink.read(spark, table)
@@ -74,7 +89,7 @@ object MergePipeline {
         existing.unionByName(cached), keyCols, ordering))
         .withColumn("part_bucket", bucket)
         .persist()
-      sink.write(merged, table, "part_bucket", keyCols :+ "__source_ts_ms",
+      sink.write(merged, table, "part_bucket", clusterCols,
         createDisposition = CreateDisposition.CreateNever,
         writeDisposition = WriteDisposition.WriteAppend,
         dynamicOverwrite = true)

@@ -75,9 +75,13 @@ class WarehouseSink(val warehousePath: String) {
       throw new IllegalStateException(
         s"table $table is not empty and writeDisposition=WRITE_EMPTY")
 
+    // clustering caps at the destination's field limit, as the reference
+    // does against BigQuery's 4 (extra sort keys past the cap would be
+    // layout the destination cannot represent)
     val clustered = df
       .repartition(col(partitionCol))
-      .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+      .sortWithinPartitions(
+        (partitionCol +: clusterCols.take(WarehouseSink.MaxClusterCols)).map(col): _*)
 
     val mode = writeDisposition match {
       case WriteDisposition.WriteTruncate => "overwrite"
@@ -152,4 +156,18 @@ object WarehouseSink {
   /** Stable key-hash bucket partition column for keyed snapshot tables. */
   def bucketPartition(keyCols: Seq[String], numBuckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+
+  /** The destination's clustering-field limit, mirrored from BigQuery's
+    * 4-field cap the reference enforces. */
+  val MaxClusterCols = 4
+
+  /** Reference-parity clustering fields: primary-key columns capped at 3
+    * plus the source timestamp — exactly the reference's table clustering
+    * (BatchBigqueryChangeConsumer.java:95-113 builds Clustering from PK
+    * fields, keeping at most `MaxClusterCols - 1` and appending
+    * `__source_ts_ms`; StreamBigqueryChangeConsumer does the same). A
+    * wider PK silently clusters on its 3-field prefix, as in BigQuery. */
+  def clusteringColumns(keyCols: Seq[String],
+                        tsCol: String = "__source_ts_ms"): Seq[String] =
+    keyCols.take(MaxClusterCols - 1) :+ tsCol
 }

@@ -15,11 +15,13 @@ import graft.state.OffsetStore
   * with the offset store checkpointing progress per batch (the analog of
   * `BigqueryOffsetBackingStore` alongside Spark's own checkpoint).
   *
-  * Throttling: the reference's batch-size-wait strategies
-  * (MaxBatchSizeWait / DynamicBatchSizeWait in the batchsizewait package) map to
-  * the source/trigger knobs — `maxFilesPerTrigger` bounds batch size and
-  * the processing-time trigger sets the cadence; `BatchSizeWait` below
-  * reproduces the dynamic sleep computation for custom schedulers.
+  * Throttling: `maxFilesPerTrigger` bounds batch size and the
+  * processing-time trigger sets the base cadence; on top of those,
+  * `start(throttle = Some(...))` wires the reference's dynamic
+  * batch-size-wait controller ([[BatchSizeWait]], reproducing
+  * DynamicBatchSizeWait) into the live loop at the reference's position —
+  * after each upload, before the next poll. [[NoBatchSizeWait]] and
+  * [[MaxBatchSizeWait]] complete the strategy surface.
   *
   * Scale: each micro-batch runs the bucket-pruned MERGE (O(batch +
   * touched buckets)); state between batches lives in the warehouse layout,
@@ -33,6 +35,20 @@ object CdcStream {
     * @param availableNow drain all pending input then stop (test/batch
     *                     catch-up mode); otherwise run continuously with a
     *                     processing-time trigger.
+    * @param throttle     dynamic batch-size throttle, consulted INSIDE the
+    *                     consume loop as the reference does
+    *                     (BaseChangeConsumer.handleBatch calls
+    *                     `batchSizeWait.waitMs(...)` after each upload):
+    *                     each micro-batch's observed size feeds the banded
+    *                     controller and the loop sleeps the returned
+    *                     millis before the next trigger fires — small
+    *                     batches slow the poll cadence down, full batches
+    *                     speed it up. None = no throttling (the
+    *                     reference's NoBatchSizeWait default).
+    * @param sleep        injectable so tests observe the computed waits
+    *                     without wall-clock delays.
+    * @param numBuckets   snapshot-table bucket count (see
+    *                     [[MergePipeline.DefaultNumBuckets]]).
     */
   def start(spark: SparkSession,
             inputDir: String,
@@ -45,7 +61,10 @@ object CdcStream {
             availableNow: Boolean = true,
             maxFilesPerTrigger: Int = 1,
             triggerMs: Long = 1000L,
-            keepDeletes: Boolean = false): StreamingQuery = {
+            keepDeletes: Boolean = false,
+            throttle: Option[BatchSizeWait] = None,
+            sleep: Long => Unit = Thread.sleep,
+            numBuckets: Int = MergePipeline.DefaultNumBuckets): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -53,8 +72,15 @@ object CdcStream {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MergePipeline.mergeBatch(spark, sink, table, batch, keyCols, keepDeletes)
+        // size probe is its own scan of the micro-batch file(s) — cheap
+        // next to the merge; mergeBatch persists the batch internally
+        val observed = if (throttle.isDefined) batch.count() else 0L
+        MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
+          keepDeletes, numBuckets)
         offsets.put(Map(s"stream/$table" -> batchId.toString))
+        // reference loop position: throttle AFTER the upload, before the
+        // next poll (blocking foreachBatch delays the next trigger)
+        throttle.foreach(t => sleep(t.nextWaitMs(observed)))
       }
     val triggered =
       if (availableNow) writer.trigger(Trigger.AvailableNow())
@@ -95,6 +121,15 @@ object CdcStream {
                else Trigger.ProcessingTime(1000L))
       .start()
   }
+}
+
+/** Pass-through throttle — the reference's default
+  * (batchsizewait/NoBatchSizeWait.java: `waitMs` returns 0 always).
+  * Config-surface parity so a pipeline can select "no throttling"
+  * explicitly through the same interface shape. */
+class NoBatchSizeWait {
+  def waitMs(queuedSize: () => Long = () => 0L,
+             snapshotRunning: () => Boolean = () => false): Long = 0L
 }
 
 /** Fill-or-timeout throttle — the reference's MaxBatchSizeWait

@@ -35,11 +35,17 @@ object StreamAggs {
     * the duplicate in flight. `dropDuplicatesWithinWatermark` keeps one
     * row per id and expires its dedup state once the watermark passes —
     * state is O(events inside the watermark window), not O(history).
-    * Batch frames take the plain `dropDuplicates` path. */
+    * Batch frames take the plain `dropDuplicates` path.
+    *
+    * @param tsCol the event-time column the watermark rides on —
+    *              parameterized like `idCols` (ADVICE r3: a hardcoded
+    *              "ts" threw at analysis time for any frame keyed by a
+    *              different event-time column). */
   def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
-                  watermark: String = "30 minutes"): DataFrame =
+                  watermark: String = "30 minutes",
+                  tsCol: String = "ts"): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("ts", watermark)
+      events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 

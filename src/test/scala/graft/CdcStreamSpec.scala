@@ -78,6 +78,34 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(offsets.load().keySet === Set("stream/db_orders", "stream/db_users"))
   }
 
+  test("throttle wired into the live loop: cadence responds to observed batch sizes") {
+    import spark.implicits._
+    val inputDir = tmpDir("throttle_in_")
+    val base = tmpDir("throttle_state_")
+    val sink = new WarehouseSink(s"$base/warehouse")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    // three single-row CDC files → three micro-batches at maxFilesPerTrigger=1
+    def mk(id: Long, f: String): Unit =
+      Seq((id, 10L, "c", "2024-01-01 00:00:00"))
+        .toDF("event_id", "user_id", "__op", "__source_ts_ms")
+        .withColumn("__source_ts_ms", col("__source_ts_ms").cast("timestamp"))
+        .coalesce(1).write.parquet(s"$inputDir/$f")
+    mk(1L, "f0"); mk(2L, "f1"); mk(3L, "f2")
+    val schema = spark.read.parquet(s"$inputDir/f0").schema
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = CdcStream.start(spark, s"$inputDir/f*", schema, sink, "t",
+      Seq("user_id"), s"$base/ckpt", offsets, availableNow = true,
+      maxFilesPerTrigger = 1,
+      throttle = Some(new BatchSizeWait(maxBatchSize = 10, maxWaitMs = 60000)),
+      sleep = ms => sleeps += ms)
+    q.awaitTermination()
+    // the controller was consulted once per micro-batch, at the
+    // reference's loop position, and grew the wait for underfilled
+    // batches (1 row vs maxBatchSize=10): 100→1000→10000→clamp
+    assert(sleeps.toSeq === Seq(1000L, 10000L, 60000L))
+    assert(sink.read(spark, "t").count() === 1) // upserts still landed
+  }
+
   test("max batch-size wait fills or times out, and skips during snapshots") {
     import graft.streaming.MaxBatchSizeWait
     var slept = 0L

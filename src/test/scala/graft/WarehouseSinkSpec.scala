@@ -75,6 +75,40 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("MERGE with a non-default bucket count lays out and matches the snapshot") {
+    val sink = new WarehouseSink(tmpDir("wh_buckets_"))
+    val events = Tables.events(spark, sfDir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    MergePipeline.mergeBatch(spark, sink, "snap",
+      graft.cdc.Cdc.flatten(events.filter(col("ts") < cutoff)), Seq("user_id"),
+      numBuckets = 7)
+    MergePipeline.mergeBatch(spark, sink, "snap",
+      graft.cdc.Cdc.flatten(events.filter(col("ts") >= cutoff)), Seq("user_id"),
+      numBuckets = 7)
+    // layout really is 7-way: every partition dir in [0, 7)
+    val dirs = Files.list(Paths.get(sink.tablePath("snap"))).toArray
+      .map(_.toString).filter(_.contains("part_bucket="))
+      .map(_.split("part_bucket=").last.toInt)
+    assert(dirs.nonEmpty && dirs.forall(b => b >= 0 && b < 7))
+    val got = sink.read(spark, "snap").drop("part_bucket")
+    val want = graft.cdc.Cdc.upsertSnapshot(events)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("clustering caps at the reference's 4 fields: PK prefix + source ts") {
+    // BatchBigqueryChangeConsumer.java:95-113 — Clustering over PK fields
+    // keeps at most 3 and appends __source_ts_ms (BigQuery's 4-field cap)
+    assert(WarehouseSink.clusteringColumns(Seq("a", "b", "c", "d", "e"))
+      === Seq("a", "b", "c", "__source_ts_ms"))
+    assert(WarehouseSink.clusteringColumns(Seq("id"))
+      === Seq("id", "__source_ts_ms"))
+    // write() tolerates an over-wide cluster list by sorting on its cap
+    val sink = new WarehouseSink(tmpDir("wh_cap_"))
+    sink.write(monthDf, "t", "part_month", Seq("id", "v", "ts", "id", "v", "ts"))
+    assert(sink.read(spark, "t").count() === 3)
+  }
+
   test("a key moves buckets never: stale rows cannot hide from the pruned merge") {
     import spark.implicits._
     val sink = new WarehouseSink(tmpDir("wh_stable_"))
