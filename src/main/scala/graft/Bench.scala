@@ -34,13 +34,15 @@ object Bench {
         .groupBy("n_regionkey").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    // best-of-2 per query: the first execution of a plan pays Janino
-    // codegen compilation and driver-job fixed costs that a warm engine
-    // never sees again (measured: q1 first run 5.9 s, steady state 0.9 s
-    // on a shared box). The min of two runs is the steady-state number a
-    // long-lived cluster delivers.
+    // three runs per query, reporting BOTH min and median (VERDICT r3:
+    // single-number rounds made regressions ambiguous against the ±20%
+    // shared-box noise). The first execution of a plan pays Janino
+    // codegen compilation and driver-job fixed costs a warm engine never
+    // sees again (measured: q1 first run 5.9 s, steady state 0.9 s), so
+    // min ~= steady state on a long-lived cluster; the median shows
+    // whether that min is reproducible or a lucky outlier.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -48,17 +50,20 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      name -> (times.min, times.sorted.apply(times.size / 2))
+    }
+    def jsonObj(sel: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = jsonObj(_._1)
+    val qsMedian = jsonObj(_._2)
+    val total = results.map(_._2._1).sum
     // emit sf as a number only when it IS one — an arbitrary dir basename
     // interpolated unquoted would make the whole line invalid JSON (ADVICE r2)
     val sfTok = sfDir.split("/").last.stripPrefix("sf")
     val sf = if (sfTok.matches("""-?\d+(\.\d+)?""")) sfTok else "\"" + sfTok + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"sf":$sf}"""
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()
     // printed after spark.stop() so no shutdown logs trail it; build.sbt

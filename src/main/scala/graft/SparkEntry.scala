@@ -39,6 +39,8 @@ object SparkEntry {
     "q5_region_volume" -> (Analytics.q5RegionVolume _),
     "q7_volume_shipping" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "q4_priority" -> (Analytics.q4Priority _),
+    "q10_returns" -> (Analytics.q10Returns _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
@@ -205,6 +207,30 @@ object SparkEntry {
         |) big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    // top-20 cutoff ordered on the EXACT decimal revenue (tie-break
+    // c_custkey) on both sides; double cast only in the final projection
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
+         |  CAST(rev AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT o_custkey, sum($discPriceSql) AS rev
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1) r
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,

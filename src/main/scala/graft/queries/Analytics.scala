@@ -161,6 +161,55 @@ object Analytics {
         asDouble(dec(col("o_totalprice"))).as("o_totalprice"), col("sum_qty"))
   }
 
+  /** TPC-H Q4-style order-priority check: orders per priority having at
+    * least one returned lineitem. The EXISTS is a LEFT SEMI join — the
+    * probe side is never widened or duplicated (no distinct needed on
+    * lineitem, no row explosion on multi-line orders), and the date
+    * filter prunes orders at the scan before the join. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q10-style returned-item revenue: top-20 customers by revenue
+    * lost to returns in one quarter. The rollup keyed by customer runs
+    * BEFORE the dim attach (the shuffle carries one row per customer,
+    * not per lineitem); nation broadcasts; customer attaches under AQE.
+    * The top-20 cutoff orders on the exact DECIMAL revenue with a
+    * c_custkey tie-break, so both engines cut identically; the double
+    * cast happens after. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val nat = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+        .as("rev_dec"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        asDouble(dec(col("c_acctbal"))).as("c_acctbal"),
+        asDouble(col("rev_dec")).as("revenue"))
+  }
+
   /** TPC-H Q14-style promo share: conditional aggregation over a broadcast
     * join; numerator/denominator kept separate (cross-engine division
     * precision rules differ). */

@@ -21,7 +21,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Analytics.q3Shipping(spark, sfDir) -> "EqualTo(c_mktsegment,BUILDING)",
       Analytics.q5RegionVolume(spark, sfDir) -> "EqualTo(r_name,ASIA)",
       Analytics.q7VolumeShipping(spark, sfDir) -> "GreaterThanOrEqual(l_shipdate",
-      Analytics.q14PromoShare(spark, sfDir) -> "GreaterThanOrEqual(l_shipdate"
+      Analytics.q14PromoShare(spark, sfDir) -> "GreaterThanOrEqual(l_shipdate",
+      Analytics.q4Priority(spark, sfDir) -> "EqualTo(l_returnflag,R)",
+      Analytics.q10Returns(spark, sfDir) -> "GreaterThanOrEqual(o_orderdate"
     )
     checks.foreach { case (df, expected) =>
       assert(planString(df).contains(expected),
@@ -47,7 +49,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Analytics.q7VolumeShipping(spark, sfDir),
       Analytics.q18LargeOrders(spark, sfDir),
       Analytics.qTopCustomers(spark, sfDir),
-      Analytics.q14PromoShare(spark, sfDir))
+      Analytics.q14PromoShare(spark, sfDir),
+      Analytics.q4Priority(spark, sfDir),
+      Analytics.q10Returns(spark, sfDir))
     all.foreach { df =>
       val p = planString(df)
       assert(!p.contains("CartesianProduct"), "cartesian product in plan")
