@@ -105,19 +105,8 @@ object Dedup {
       approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
     val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
     if (nClasses >= nDocs * collapseThreshold) {
-      val sh = shingleHashes(docs, n)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      return sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("ca.n_sh") + col("cb.n_sh") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= tau)
+      return jaccardPairs(withShingleCount(shingleHashes(docs, n)), tau)
+        .select(col("ka").as("doc_a"), col("kb").as("doc_b"), col("jaccard"))
     }
     // COLLAPSE path — only now is the exact class table computed.
     // Class key is md5 (128-bit: a collision would silently merge two
@@ -132,22 +121,18 @@ object Dedup {
     val members = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
       .join(classes, "tkey").select(col("doc_id"), col("rep_id"))
       .persist()
-    val sh = shingleHashes(docs, n)
-      .join(members.filter(col("doc_id") === col("rep_id"))
-        .select(col("rep_id")), col("doc_id") === col("rep_id"))
-      .select(col("doc_id"), col("sh_h"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val repPairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ka"), col("b.doc_id").as("kb"))
-      .agg(count(lit(1)).as("inter"))
-      .join(counts.as("ca"), col("ka") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("kb") === col("cb.doc_id"))
-      .select(col("ka"), col("kb"),
-        (col("inter").cast("double") /
-          (col("ca.n_sh") + col("cb.n_sh") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    // rep shingle rows, persisted: the self-join references them twice
+    // and the eager checkpoint below lets the cache release on return
+    // (measured at 10×: un-cached, each reference recomputed the whole
+    // tokenize→window→distinct pipeline — exchange reuse does NOT kick
+    // in across the aliased join sides under AQE)
+    val shW = withShingleCount(
+      shingleHashes(docs, n)
+        .join(members.filter(col("doc_id") === col("rep_id"))
+          .select(col("rep_id")), col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("sh_h")))
+      .persist()
+    val repPairs = jaccardPairs(shW, tau)
     val cross = repPairs
       .join(members.as("ma"), col("ka") === col("ma.rep_id"))
       .join(members.as("mb"), col("kb") === col("mb.rep_id"))
@@ -157,8 +142,7 @@ object Dedup {
         col("jaccard"))
     // within-class pairs exist only for classes that produce shingles
     // (docs under n tokens generate no inverted-index rows — and no pairs)
-    val shingled = counts.filter(col("n_sh") > 0)
-      .select(col("doc_id").as("shingled_rep"))
+    val shingled = shW.select(col("doc_id").as("shingled_rep")).distinct()
     val within = members.as("ma")
       .join(members.as("mb"),
         col("ma.rep_id") === col("mb.rep_id") &&
@@ -166,13 +150,43 @@ object Dedup {
       .join(shingled, col("ma.rep_id") === col("shingled_rep"))
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
-    // materialize before unpersisting the cached members frame — the
-    // collapse path only runs on duplicate-heavy corpora, where the pair
-    // set is the operator's output anyway (MEMORY_AND_DISK blocks).
+    // materialize before unpersisting the cached frames — the collapse
+    // path only runs on duplicate-heavy corpora, where the pair set is
+    // the operator's output anyway (MEMORY_AND_DISK blocks).
     val result = cross.unionByName(within).localCheckpoint()
     members.unpersist()
+    shW.unpersist()
     result
   }
+
+  /** Attach each doc's distinct-shingle count to its shingle rows via a
+    * window keyed by doc_id — ONE extra keyed shuffle, instead of a
+    * separately recomputed counts aggregate re-joined onto the pair set
+    * twice (the r3 shape: with exchange reuse not firing across aliased
+    * self-join sides, that recomputed the whole shingling pipeline per
+    * reference). The sort under the window is a partition-local long
+    * sort. */
+  def withShingleCount(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** Inverted-index Jaccard pairs over shingle rows that carry their
+    * per-doc counts ([[withShingleCount]]): one self-join on the 8-byte
+    * shingle hash, one pair aggregation — |A∩B| from the match count,
+    * |A| and |B| ride along as constants per doc (min = the constant), so
+    * no post-aggregation joins remain. */
+  private def jaccardPairs(shW: DataFrame, tau: Double): DataFrame =
+    shW.as("a")
+      .join(shW.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ka"), col("b.doc_id").as("kb"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+      .select(col("ka"), col("kb"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
 
   // --- MinHash + LSH ---
 
