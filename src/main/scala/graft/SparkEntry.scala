@@ -57,6 +57,8 @@ object SparkEntry {
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
+    "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
+    "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -383,6 +385,27 @@ object SparkEntry {
          |  CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_freq
          |FROM tok JOIN freq USING (t)
          |GROUP BY doc_id""".stripMargin,
+    // mixture report: integer totals + shares of integer totals
+    "corpus_mix_report" ->
+      s"""WITH g AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, n_tokens, n_chars,
+         |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS doc_share,
+         |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
+         |FROM g""".stripMargin,
+    // top-k n-grams: deterministic (count desc, shingle asc) cutoff
+    "text_ngram_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3)
+         |SELECT sh, count(*) AS n_occurrences
+         |FROM sh GROUP BY 1
+         |ORDER BY n_occurrences DESC, sh ASC
+         |LIMIT 100""".stripMargin,
     // sequence packing: the oracle computes the SAME concatenated-stream
     // layout with one global window cumsum (fine at sf0.01; the Spark side
     // is the distributed prefix-sum that scales)

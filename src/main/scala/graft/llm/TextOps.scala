@@ -299,6 +299,50 @@ object TextOps {
           .as("dup_3gram_frac"))
   }
 
+  /** Corpus mixture report: per-(lang, source) document, token and
+    * character totals plus corpus shares — the dashboard every training
+    * mixture is steered by (what fraction of the corpus is English web
+    * text, how many tokens does each source contribute). One hash
+    * aggregation with map-side combine over a 3-column scan; the group
+    * count is bounded by |langs| × |sources|, so the shuffle is
+    * dimension-sized at any corpus size. Shares divide exact integer
+    * totals — engine-stable. */
+  def corpusMixReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    // corpus totals via an unpartitioned window — g is dimension-sized
+    // (|langs| × |sources| rows), so the single-partition pass is free
+    // and the corpus itself is scanned exactly once
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+      col("n_chars"),
+      (col("n_docs").cast("double") / sum(col("n_docs")).over(w)).as("doc_share"),
+      (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w)).as("token_share"))
+  }
+
+  /** Corpus-wide top-k word n-grams — the vocabulary/boilerplate report
+    * (an n-gram suddenly dominating a crawl usually IS the boilerplate).
+    *
+    * The count aggregates over the shingle STRING, which is safe here
+    * precisely because of map-side partial aggregation: each task
+    * pre-reduces to its distinct shingles, so the shuffle carries
+    * (shingle, partial count), not the corpus. The top-k cutoff is a
+    * TakeOrdered (per-partition heaps, no global sort) with a
+    * deterministic (count desc, shingle asc) order. */
+  def textNgramTopK(docs: DataFrame, n: Int = 3, k: Int = 100): DataFrame =
+    Dedup.shingleRowsAll(docs, n)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("sh").asc)
+      .limit(k)
+
   // --- SparkEntry wiring ---
   def textTokensQ(spark: SparkSession, dir: String): DataFrame =
     textTokens(Tables.documents(spark, dir))
@@ -316,6 +360,10 @@ object TextOps {
     corpusPack(Tables.documents(spark, dir))
   def textRarityQ(spark: SparkSession, dir: String): DataFrame =
     textRarity(Tables.documents(spark, dir))
+  def corpusMixReportQ(spark: SparkSession, dir: String): DataFrame =
+    corpusMixReport(Tables.documents(spark, dir))
+  def textNgramTopKQ(spark: SparkSession, dir: String): DataFrame =
+    textNgramTopK(Tables.documents(spark, dir))
   def textRepetitionQ(spark: SparkSession, dir: String): DataFrame =
     textRepetition(Tables.documents(spark, dir))
   /** Benchmark set = docs with doc_id < 20 (stand-in eval set); training

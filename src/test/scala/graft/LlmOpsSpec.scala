@@ -300,6 +300,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ids1 === ids2)
   }
 
+  test("corpus mix report: dimension-sized totals and shares that sum to 1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "four five", "en", "web"),
+      (3L, "six seven eight nine", "zh", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.corpusMixReport(d)
+      .select("lang", "source", "n_docs", "n_tokens", "doc_share", "token_share")
+      .as[(String, String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ===
+      Seq(("en", "web", 2L, 5L), ("zh", "books", 1L, 4L)))
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-12)
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-12)
+  }
+
+  test("top-k n-grams ranks the repeated shingle first, deterministic ties") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "spam spam spam spam spam"),          // "spam spam spam" x3
+      (2L, "alpha beta gamma delta"))            // singleton shingles
+    val out = TextOps.textNgramTopK(d, k = 3)
+      .as[(String, Long)].collect()
+    assert(out.head === (("spam spam spam", 3L)))
+    // remaining singletons tie at 1 and order lexicographically
+    assert(out.drop(1).map(_._1).toSeq === out.drop(1).map(_._1).sorted.toSeq)
+  }
+
   test("corpus_pack distributed prefix-sum equals a single global cumsum") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
