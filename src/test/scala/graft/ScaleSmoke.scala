@@ -29,6 +29,14 @@ object ScaleSmoke {
     t("dedup_minhash 50k docs")(Dedup.dedupMinhash(docs10).write.format("noop").mode("overwrite").save())
     t("dedup_simhash 50k docs")(Dedup.dedupSimhash(docs10).write.format("noop").mode("overwrite").save())
     t("dedup_jaccard 50k docs")(Dedup.dedupNgramJaccard(docs10).write.format("noop").mode("overwrite").save())
+    // the 10x-replicated corpus's pair set is ~20x the corpus (every
+    // 10-clique contributes 45 pairs) — forces the DISTRIBUTED
+    // connected-components path end-to-end on a pair graph >> corpus
+    t("dedup_corpus 50k docs (distributed CC)")(
+      Dedup.dedupedCorpus(docs10, Dedup.dedupNgramJaccard(docs10), maxDriverPairs = 0L)
+        .write.format("noop").mode("overwrite").save())
+    t("text_rarity 50k docs")(graft.llm.TextOps.textRarity(docs10).write.format("noop").mode("overwrite").save())
+    t("ngram_topk 50k docs")(graft.llm.TextOps.textNgramTopK(docs10).write.format("noop").mode("overwrite").save())
     t("corpus_pack 50k docs")(graft.llm.TextOps.corpusPack(docs10).write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
     // the 10×-replicated corpus is 90% exact duplicates — the regime the
