@@ -52,23 +52,32 @@ object Bench {
       }
       name -> (times.min, times.sorted.apply(times.size / 2))
     }
-    def jsonObj(sel: ((Double, Double)) => Double): String = results
-      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
-      .mkString("{", ",", "}")
-    val qs = jsonObj(_._1)
-    val qsMedian = jsonObj(_._2)
+    def jsonObj(sel: ((Double, Double)) => Double, fmt: Double => String): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }
+        .mkString("{", ",", "}")
+    def r3(d: Double): String = f"$d%.3f"
     val total = results.map(_._2._1).sum
+    val totalMedian = results.map(_._2._2).sum
     // emit sf as a number only when it IS one — an arbitrary dir basename
     // interpolated unquoted would make the whole line invalid JSON (ADVICE r2)
     val sfTok = sfDir.split("/").last.stripPrefix("sf")
     val sf = if (sfTok.matches("""-?\d+(\.\d+)?""")) sfTok else "\"" + sfTok + "\""
+    // The stdout line must stay SHORT: the driver keeps only a ~2000-char
+    // tail of sbt stdout and parses the JSON line out of it. r4's line
+    // (full-precision min+median maps, ~4.4k chars) overflowed the window
+    // and BENCH_r04 recorded parsed=null. So: 3-decimal per-query mins,
+    // medians collapsed to one scalar (~1.3k chars at 45 queries); the
+    // full-precision min+median maps go to bench_result.json instead.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"sf":$sf}"""
-    Files.writeString(Paths.get("bench_result.json"), line + "\n")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonObj(_._1, r3)},"total_median":${r3(totalMedian)},"sf":$sf}"""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonObj(_._1, _.toString)},"queries_median":${jsonObj(_._2, _.toString)},"total_median":$totalMedian,"sf":$sf}"""
+    Files.writeString(Paths.get("bench_result.json"), detail + "\n")
     spark.stop()
     // printed after spark.stop() so no shutdown logs trail it; build.sbt
     // sets `run / outputStrategy := StdoutOutput` so this line reaches
     // sbt's stdout verbatim (no "[info] " prefix — BENCH_r02 parsed=null)
+    assert(line.length < 1800, s"bench line ${line.length} chars risks driver tail overflow")
     println(line)
   }
 }
