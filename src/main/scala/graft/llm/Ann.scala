@@ -140,8 +140,12 @@ object Ann {
       approx_count_distinct(xxhash64(col("v")), 0.02).as("nc")).head()
     val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
     if (nClasses >= nDocs * collapseThreshold) {
-      // DIRECT: LSH over every vector, no rep indirection.
-      val sigs = vecs.withColumn("nrm", norm(col("v")))
+      // DIRECT: LSH over every vector, no rep indirection. sigs is
+      // referenced three times (bucket derivation + both verify sides) —
+      // persisted, or each reference re-scans and re-norms the corpus
+      // (exchange reuse does not fire across aliased join sides, ADVICE
+      // r4).
+      val sigs = vecs.withColumn("nrm", norm(col("v"))).persist()
       val buckets = sigs.select(col("vec_id"),
         explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
         .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
@@ -153,12 +157,14 @@ object Ann {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         .distinct()
-      return cand
+      val result = graft.Exec.materialize(cand
         .join(sigs.as("ma"), col("vec_a") === col("ma.vec_id"))
         .join(sigs.as("mb"), col("vec_b") === col("mb.vec_id"))
         .select(col("vec_a"), col("vec_b"),
           (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("cos"))
-        .filter(col("cos") >= tau)
+        .filter(col("cos") >= tau))
+      sigs.unpersist()
+      return result
     }
     // COLLAPSE path. Class key = two salted xxhash64 passes over the raw
     // array (~128 bits combined: silent-merge odds ~|corpus|²/2¹²⁸) — no
@@ -210,8 +216,8 @@ object Ann {
     // materialize before unpersisting the cached intermediates: the
     // result's lineage would otherwise recompute members/reps per use.
     // The collapse path only runs on duplicate-heavy corpora, where this
-    // pair set is the operator's output anyway (MEMORY_AND_DISK blocks).
-    val result = cross.unionByName(within).localCheckpoint()
+    // pair set is the operator's output anyway.
+    val result = graft.Exec.materialize(cross.unionByName(within))
     members.unpersist()
     reps.unpersist()
     result

@@ -105,8 +105,16 @@ object Dedup {
       approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
     val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
     if (nClasses >= nDocs * collapseThreshold) {
-      return jaccardPairs(withShingleCount(shingleHashes(docs, n)), tau)
-        .select(col("ka").as("doc_a"), col("kb").as("doc_b"), col("jaccard"))
+      // DIRECT: persist the shingle rows before jaccardPairs' self-join —
+      // exchange reuse does NOT fire across the aliased join sides under
+      // AQE (measured, see the collapse path's shW), so un-cached the
+      // tokenize→window→distinct pipeline would run twice.
+      val shW = withShingleCount(shingleHashes(docs, n)).persist()
+      val result = graft.Exec.materialize(
+        jaccardPairs(shW, tau)
+          .select(col("ka").as("doc_a"), col("kb").as("doc_b"), col("jaccard")))
+      shW.unpersist()
+      return result
     }
     // COLLAPSE path — only now is the exact class table computed.
     // Class key is md5 (128-bit: a collision would silently merge two
@@ -152,8 +160,8 @@ object Dedup {
         lit(1.0).as("jaccard"))
     // materialize before unpersisting the cached frames — the collapse
     // path only runs on duplicate-heavy corpora, where the pair set is
-    // the operator's output anyway (MEMORY_AND_DISK blocks).
-    val result = cross.unionByName(within).localCheckpoint()
+    // the operator's output anyway.
+    val result = graft.Exec.materialize(cross.unionByName(within))
     members.unpersist()
     shW.unpersist()
     result
@@ -176,7 +184,7 @@ object Dedup {
     * shingle hash, one pair aggregation — |A∩B| from the match count,
     * |A| and |B| ride along as constants per doc (min = the constant), so
     * no post-aggregation joins remain. */
-  private def jaccardPairs(shW: DataFrame, tau: Double): DataFrame =
+  private[graft] def jaccardPairs(shW: DataFrame, tau: Double): DataFrame =
     shW.as("a")
       .join(shW.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
@@ -382,7 +390,7 @@ object Dedup {
     * are constant along every edge, i.e. the component minimum.
     *
     * Each round is two keyed joins + one hash aggregation. Lineage is
-    * truncated by `localCheckpoint` every `checkpointEvery` rounds —
+    * truncated by a checkpoint every `checkpointEvery` rounds —
     * without it the iteration stacks every round's joins into one plan
     * (VERDICT r3). Convergence is detected by an exact changed-label
     * count; if `maxIters` is hit without a fixpoint the call THROWS
@@ -411,10 +419,11 @@ object Dedup {
           col("a.label") === col("b.lid"))
         .select(col("a.id").as("id"),
           least(col("a.label"), col("llabel")).as("label"))
-      // localCheckpoint both truncates lineage and caches; plain rounds
-      // persist explicitly
+      // the checkpoint both truncates lineage and materializes (reliable
+      // when a checkpoint dir is configured — see Exec.materialize);
+      // plain rounds persist explicitly
       val next =
-        if ((iter + 1) % checkpointEvery == 0) jumped.localCheckpoint()
+        if ((iter + 1) % checkpointEvery == 0) graft.Exec.materialize(jumped)
         else jumped.persist()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))

@@ -1,9 +1,28 @@
 package graft.state
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+private[state] object StoreFiles {
+  /** Snapshot of the store's current data files (part files and their
+    * `.crc` shadows — everything a later compaction must retire). */
+  def dataFiles(path: String): Seq[Path] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.contains("part-"))
+        .toVector
+      finally s.close()
+    }
+  }
+}
 
 /** Offset checkpoint store: a tiny parquet key/value table, the analog of
   * the reference's `_debezium_offset_storage` BigQuery table
@@ -16,7 +35,14 @@ import org.apache.spark.sql.functions._
   * instance and cached (r3 re-scanned the whole store per put), and every
   * `compactEvery` generations the store rewrites itself as a single
   * latest-per-key generation — a long-lived stream no longer accumulates
-  * one file and one O(generations) read per micro-batch. */
+  * one file and one O(generations) read per micro-batch.
+  *
+  * SINGLE WRITER: like the reference's offset table, the store assumes
+  * one live writer per path (Debezium's engine holds exactly one offset
+  * writer). The cached sequence is re-validated against disk at every
+  * compaction boundary, so a violated assumption surfaces within
+  * `compactEvery` puts rather than never — but two concurrent writers
+  * can still interleave colliding generations between boundaries. */
 class OffsetStore(val path: String, spark: SparkSession,
                   val compactEvery: Int = 64) {
 
@@ -51,16 +77,25 @@ class OffsetStore(val path: String, spark: SparkSession,
   }
 
   /** Rewrite the store as ONE latest-per-key generation at the current
-    * seq. State is collected first (the store is a handful of keys by
-    * design) so the overwrite never reads the path it replaces. */
+    * seq — crash-safely: the compacted generation is APPENDED first and
+    * the superseded part files are deleted only after that write commits
+    * (ADVICE r4: `mode("overwrite")` deleted history before the new write
+    * committed, so a mid-compact crash wiped all offsets). A crash in the
+    * delete window leaves duplicate rows at the same seq with identical
+    * values, which the `max_by` in [[load]] resolves to the same answer.
+    * State is collected first (a handful of keys by design) so the append
+    * never reads the path it rewrites. */
   def compact(): Unit = {
     val latest = load()
     if (latest.nonEmpty) {
+      cachedSeq = Long.MinValue // re-validate against disk (single-writer check)
       val seq = lastSeq()
+      val old = StoreFiles.dataFiles(path)
       latest.toSeq.toDF("key", "value")
         .withColumn("seq", lit(seq))
         .coalesce(1)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("append").parquet(path)
+      old.foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -85,7 +120,8 @@ class OffsetStore(val path: String, spark: SparkSession,
   * Like [[OffsetStore]], the sequence is cached per instance and the log
   * compacts every `compactEvery` records into a single file — compaction
   * keeps EVERY record (replay needs the full history), it only merges the
-  * one-file-per-append generations. */
+  * one-file-per-append generations. Single-writer per path, with the same
+  * compaction-boundary re-validation as [[OffsetStore]]. */
 class SchemaHistory(val path: String, spark: SparkSession,
                     val compactEvery: Int = 64) {
 
@@ -123,24 +159,39 @@ class SchemaHistory(val path: String, spark: SparkSession,
     if (seq > 0 && seq % compactEvery == 0) compact()
   }
 
-  /** Merge all generations into one file, preserving every record. The
-    * log is collected first (schema history is DDL-sized) so the
-    * overwrite never reads the path it replaces. */
+  /** Merge all generations into one file, preserving every record —
+    * crash-safely, like [[OffsetStore.compact]]: append the merged file
+    * first, delete the superseded part files only after the write
+    * commits. Schema-history loss is unrecoverable (replay IS the
+    * recovery contract), so the old delete-then-write overwrite was the
+    * worst possible place for a crash window. A crash between the append
+    * and the deletes leaves exact-duplicate rows, which [[replay]]
+    * collapses by seq. The log is collected first (DDL-sized) so the
+    * append never reads the path it rewrites. */
   def compact(): Unit = {
     val all = if (!storageExists) Seq.empty
       else spark.read.parquet(path)
+        .dropDuplicates("seq")
         .orderBy("seq")
         .as[(Long, String, Long)].collect().toSeq
-    if (all.nonEmpty)
+    if (all.nonEmpty) {
+      cachedSeq = Long.MinValue // re-validate against disk (single-writer check)
+      lastSeq()
+      val old = StoreFiles.dataFiles(path)
       all.toDF("seq", "entry", "recorded_at_ms")
         .coalesce(1)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("append").parquet(path)
+      old.foreach(Files.deleteIfExists(_))
+    }
   }
 
-  /** Replay the full history in append order. */
+  /** Replay the full history in append order. `dropDuplicates("seq")`
+    * tolerates the half-compacted state (merged file committed, old
+    * generations not yet deleted) — duplicates are exact copies. */
   def replay(): Seq[String] =
     if (!storageExists) Seq.empty
     else spark.read.parquet(path)
+      .dropDuplicates("seq")
       .orderBy("seq").select("entry").as[String].collect().toSeq
 
   /** Recovery: feed every record, oldest first, to `consume` — the

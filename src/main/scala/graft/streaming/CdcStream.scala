@@ -17,11 +17,11 @@ import graft.state.OffsetStore
   *
   * Throttling: `maxFilesPerTrigger` bounds batch size and the
   * processing-time trigger sets the base cadence; on top of those,
-  * `start(throttle = Some(...))` wires the reference's dynamic
-  * batch-size-wait controller ([[BatchSizeWait]], reproducing
-  * DynamicBatchSizeWait) into the live loop at the reference's position —
-  * after each upload, before the next poll. [[NoBatchSizeWait]] and
-  * [[MaxBatchSizeWait]] complete the strategy surface.
+  * `start(throttle = ...)` accepts any [[BatchSizeWait]] strategy —
+  * [[NoBatchSizeWait]] (the reference's default, and ours),
+  * [[MaxBatchSizeWait]] (fill-or-timeout) or [[DynamicBatchSizeWait]]
+  * (the banded controller) — consulted in the live loop at the
+  * reference's position: after each upload, before the next poll.
   *
   * Scale: each micro-batch runs the bucket-pruned MERGE (O(batch +
   * touched buckets)); state between batches lives in the warehouse layout,
@@ -35,18 +35,16 @@ object CdcStream {
     * @param availableNow drain all pending input then stop (test/batch
     *                     catch-up mode); otherwise run continuously with a
     *                     processing-time trigger.
-    * @param throttle     dynamic batch-size throttle, consulted INSIDE the
+    * @param throttle     batch-size-wait strategy, consulted INSIDE the
     *                     consume loop as the reference does
     *                     (BaseChangeConsumer.handleBatch calls
     *                     `batchSizeWait.waitMs(...)` after each upload):
-    *                     each micro-batch's observed size feeds the banded
-    *                     controller and the loop sleeps the returned
-    *                     millis before the next trigger fires — small
-    *                     batches slow the poll cadence down, full batches
-    *                     speed it up. None = no throttling (the
-    *                     reference's NoBatchSizeWait default).
-    * @param sleep        injectable so tests observe the computed waits
-    *                     without wall-clock delays.
+    *                     each micro-batch's observed size feeds the
+    *                     strategy, which blocks before the next trigger
+    *                     fires — small batches slow the poll cadence
+    *                     down, full batches speed it up. Defaults to
+    *                     [[NoBatchSizeWait]], matching the reference's
+    *                     default strategy.
     * @param numBuckets   snapshot-table bucket count (see
     *                     [[MergePipeline.DefaultNumBuckets]]).
     */
@@ -62,8 +60,7 @@ object CdcStream {
             maxFilesPerTrigger: Int = 1,
             triggerMs: Long = 1000L,
             keepDeletes: Boolean = false,
-            throttle: Option[BatchSizeWait] = None,
-            sleep: Long => Unit = Thread.sleep,
+            throttle: BatchSizeWait = NoBatchSizeWait,
             numBuckets: Int = MergePipeline.DefaultNumBuckets): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
@@ -73,14 +70,17 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // size probe is its own scan of the micro-batch file(s) — cheap
-        // next to the merge; mergeBatch persists the batch internally
-        val observed = if (throttle.isDefined) batch.count() else 0L
+        // next to the merge, and skipped entirely on the no-op default;
+        // mergeBatch persists the batch internally
+        val observed =
+          if (throttle eq NoBatchSizeWait) 0L else batch.count()
         MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
           keepDeletes, numBuckets)
         offsets.put(Map(s"stream/$table" -> batchId.toString))
         // reference loop position: throttle AFTER the upload, before the
         // next poll (blocking foreachBatch delays the next trigger)
-        throttle.foreach(t => sleep(t.nextWaitMs(observed)))
+        throttle.waitMs(observed)
+        ()
       }
     val triggered =
       if (availableNow) writer.trigger(Trigger.AvailableNow())
@@ -123,33 +123,55 @@ object CdcStream {
   }
 }
 
+/** Strategy interface for optimizing batch sizes, mirroring the
+  * reference's `batchsizewait/BatchSizeWait.java:17-22` (`waitMs(
+  * numRecordsProcessed, processingTimeMs)` — void, blocks per strategy).
+  * Graft's shape: [[waitMs]] blocks as the strategy dictates after a
+  * batch of `observedBatchSize` records and returns the millis waited
+  * (the reference returns void; the return value serves tests and
+  * metrics). Any implementation plugs into [[CdcStream.start]]'s
+  * `throttle` parameter — the selectable surface the reference exposes
+  * via its `debezium.sink.batch.batch-size-wait` config. */
+trait BatchSizeWait {
+  /** Block per strategy; returns total milliseconds waited. */
+  def waitMs(observedBatchSize: Long): Long
+}
+
 /** Pass-through throttle — the reference's default
-  * (batchsizewait/NoBatchSizeWait.java: `waitMs` returns 0 always).
-  * Config-surface parity so a pipeline can select "no throttling"
-  * explicitly through the same interface shape. */
-class NoBatchSizeWait {
-  def waitMs(queuedSize: () => Long = () => 0L,
-             snapshotRunning: () => Boolean = () => false): Long = 0L
+  * (batchsizewait/NoBatchSizeWait.java: `waitMs` returns immediately). */
+object NoBatchSizeWait extends BatchSizeWait {
+  def waitMs(observedBatchSize: Long): Long = 0L
 }
 
 /** Fill-or-timeout throttle — the reference's MaxBatchSizeWait
   * (batchsizewait/MaxBatchSizeWait.java:58-67): poll the source's queued
   * size every `waitIntervalMs` until it reaches `maxBatchSize` or
   * `maxWaitMs` has elapsed, skipping entirely while a snapshot runs.
-  * Engine-agnostic: `queuedSize` abstracts the Debezium metrics supplier
-  * (in a Spark pipeline, e.g. pending files or source lag); `sleep` is
-  * injectable so tests run without wall-clock waits. Returns total
-  * milliseconds waited. */
+  * Engine-agnostic: the `queuedSize`/`snapshotRunning` suppliers abstract
+  * the Debezium metrics the reference polls (in a Spark pipeline, e.g.
+  * pending files or source lag) and are bound at construction so the
+  * strategy fits the common [[BatchSizeWait]] interface; `sleep` is
+  * injectable so tests run without wall-clock waits. */
 class MaxBatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long,
                        val waitIntervalMs: Long,
-                       sleep: Long => Unit = Thread.sleep) {
+                       queuedSize: () => Long = () => 0L,
+                       snapshotRunning: () => Boolean = () => false,
+                       sleep: Long => Unit = Thread.sleep)
+    extends BatchSizeWait {
   require(waitIntervalMs <= maxWaitMs,
     "wait-interval-ms cannot be bigger than max-wait-ms")
 
-  def waitMs(queuedSize: () => Long, snapshotRunning: () => Boolean = () => false): Long = {
-    if (snapshotRunning()) return 0L
+  /** Trait entry point: the observed batch size is irrelevant to this
+    * strategy (the reference's MaxBatchSizeWait ignores
+    * `numRecordsProcessed` too) — it watches the queue suppliers. */
+  def waitMs(observedBatchSize: Long): Long = waitMs(queuedSize, snapshotRunning)
+
+  /** Supplier-explicit variant (reference semantics, used by tests). */
+  def waitMs(queued: () => Long,
+             snapshot: () => Boolean = () => false): Long = {
+    if (snapshot()) return 0L
     var totalWaitMs = 0L
-    while (totalWaitMs < maxWaitMs && queuedSize() < maxBatchSize) {
+    while (totalWaitMs < maxWaitMs && queued() < maxBatchSize) {
       totalWaitMs += waitIntervalMs
       sleep(waitIntervalMs)
     }
@@ -164,13 +186,22 @@ class MaxBatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long,
   * sleep by 0.50/0.65/0.80; 85-90% holds it; below 85% the sleep grows
   * proportionally (`last × max/observed`). Sleeps clamp to
   * [100 ms, maxWaitMs]; empty polls repeat the last sleep unchanged.
-  * Engine-agnostic: feed it each batch's size, sleep the returned millis
-  * before polling again (Structured Streaming analog: adjust the
-  * processing-time trigger interval between restarts). */
-class BatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long) {
+  * Engine-agnostic: feed it each batch's size and it sleeps the computed
+  * millis before the next poll ([[nextWaitMs]] exposes the pure
+  * computation for tests; `sleep` is injectable). */
+class DynamicBatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long,
+                           sleep: Long => Unit = Thread.sleep)
+    extends BatchSizeWait {
   private val batchSizeHistory = scala.collection.mutable.Queue(1L, 1L, 1L)
   private val sleepMsHistory = scala.collection.mutable.Queue(100L, 100L, 100L)
 
+  def waitMs(observedBatchSize: Long): Long = {
+    val ms = nextWaitMs(observedBatchSize)
+    if (ms > 0) sleep(ms)
+    ms
+  }
+
+  /** The banded-controller computation alone — no blocking. */
   def nextWaitMs(observedBatchSize: Long): Long = {
     if (observedBatchSize <= 0) return sleepMsHistory.last
     batchSizeHistory.enqueue(observedBatchSize)

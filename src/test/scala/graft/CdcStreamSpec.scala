@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.cdc.Cdc
 import graft.sinks.WarehouseSink
 import graft.state.OffsetStore
-import graft.streaming.{BatchSizeWait, CdcStream}
+import graft.streaming.{CdcStream, DynamicBatchSizeWait}
 
 class CdcStreamSpec extends AnyFunSuite with SparkFixture {
 
@@ -96,8 +96,8 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     val q = CdcStream.start(spark, s"$inputDir/f*", schema, sink, "t",
       Seq("user_id"), s"$base/ckpt", offsets, availableNow = true,
       maxFilesPerTrigger = 1,
-      throttle = Some(new BatchSizeWait(maxBatchSize = 10, maxWaitMs = 60000)),
-      sleep = ms => sleeps += ms)
+      throttle = new DynamicBatchSizeWait(maxBatchSize = 10, maxWaitMs = 60000,
+        sleep = ms => sleeps += ms))
     q.awaitTermination()
     // the controller was consulted once per micro-batch, at the
     // reference's loop position, and grew the wait for underfilled
@@ -123,7 +123,7 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("dynamic batch-size wait mirrors the reference controller bands") {
-    val wait = new BatchSizeWait(maxBatchSize = 1000, maxWaitMs = 10000)
+    val wait = new DynamicBatchSizeWait(maxBatchSize = 1000, maxWaitMs = 10000)
     // a near-empty batch grows the sleep proportionally (last × max/obs),
     // clamped at maxWaitMs
     assert(wait.nextWaitMs(10) === 10000L)

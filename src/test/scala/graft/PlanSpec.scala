@@ -62,7 +62,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("shingle/token pipelines shuffle hashed longs, never the strings") {
     val docs = Tables.documents(spark, sfDir)
     val plans = Seq(
-      graft.llm.Dedup.dedupNgramJaccard(docs),
+      // dedupNgramJaccard materializes its result eagerly (checkpoint —
+      // ADVICE r4), which leaves no exchanges in the returned frame's
+      // plan; guard the exact lazy pipeline the direct path runs instead
+      graft.llm.Dedup.jaccardPairs(
+        graft.llm.Dedup.withShingleCount(graft.llm.Dedup.shingleHashes(docs)), 0.8),
       graft.llm.Dedup.dedupMinhash(docs),
       graft.llm.Dedup.dedupSimhash(docs),
       graft.llm.TextOps.textRarity(docs)).map(planString)

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 
 import graft.cdc.Cdc
-import graft.streaming.BatchSizeWait
+import graft.streaming.DynamicBatchSizeWait
 
 /** ScalaCheck properties of graft's pure (non-Spark) functions — picked up
   * directly by sbt's test framework. */
@@ -30,10 +30,10 @@ object PureProperties extends Properties("graft.pure") {
         dest.replace(".", "_")
     }
 
-  property("BatchSizeWait sleeps stay in [100ms, maxWaitMs] over any history") =
+  property("DynamicBatchSizeWait sleeps stay in [100ms, maxWaitMs] over any history") =
     Prop.forAll(Gen.chooseNum(1, 100000), Gen.chooseNum(100L, 60000L),
       Gen.listOfN(8, Gen.chooseNum(1L, 200000L))) { (maxBatch, maxWait, sizes) =>
-      val w = new BatchSizeWait(maxBatch, maxWait)
+      val w = new DynamicBatchSizeWait(maxBatch, maxWait)
       sizes.forall { s =>
         val ms = w.nextWaitMs(s)
         ms >= 100L && ms <= maxWait

@@ -58,6 +58,49 @@ class StoresSpec extends AnyFunSuite with SparkFixture {
     assert(reopened.replay() === (0 to 7).map(i => s"DDL $i"))
   }
 
+  test("stores tolerate a crash mid-compaction (new generation written, old not yet deleted)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Compaction appends the merged generation BEFORE deleting superseded
+    // files (ADVICE r4: overwrite-mode compaction wiped history if the
+    // job died mid-write). Recreate the worst crash window by restoring
+    // the superseded files after compact() — the dir then holds both the
+    // old generations and the compacted one, and reads must not change.
+    def partFiles(dir: String) = {
+      val s = Files.list(Paths.get(dir))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-")).toSeq
+      finally s.close()
+    }
+    def withRestore(dir: String)(body: => Unit): Unit = {
+      val stash = Files.createTempDirectory("crash_stash_")
+      val old = partFiles(dir)
+      old.foreach(f => Files.copy(f, stash.resolve(f.getFileName),
+        StandardCopyOption.REPLACE_EXISTING))
+      body
+      old.foreach(f => Files.copy(stash.resolve(f.getFileName), f,
+        StandardCopyOption.REPLACE_EXISTING))
+    }
+
+    val oPath = tmpDir("offsets_crash_") + "/offsets"
+    val store = new OffsetStore(oPath, spark, compactEvery = 1000)
+    store.put(Map("k" -> "v1", "j" -> "a"))
+    store.put(Map("k" -> "v2"))
+    withRestore(oPath) { store.compact() }
+    assert(store.load() === Map("k" -> "v2", "j" -> "a"))
+    assert(new OffsetStore(oPath, spark).load() === Map("k" -> "v2", "j" -> "a"))
+
+    val hPath = tmpDir("hist_crash_") + "/history"
+    val hist = new SchemaHistory(hPath, spark, compactEvery = 1000)
+    (0 until 5).foreach(i => hist.record(s"DDL $i"))
+    withRestore(hPath) { hist.compact() }
+    assert(hist.replay() === (0 until 5).map(i => s"DDL $i"))
+    // and the next compact() cleans the duplicates up for good
+    hist.compact()
+    assert(hist.replay() === (0 until 5).map(i => s"DDL $i"))
+    assert(new SchemaHistory(hPath, spark).replay() === (0 until 5).map(i => s"DDL $i"))
+  }
+
   test("schema history: replay returns entries in append order") {
     val hist = new SchemaHistory(tmpDir("hist_") + "/history", spark)
     assert(hist.replay() === Seq.empty)
