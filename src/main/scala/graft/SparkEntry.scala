@@ -46,6 +46,7 @@ object SparkEntry {
     "q_events_hourly" -> (Analytics.qEventsHourly _),
     "q_retention" -> (Analytics.qRetention _),
     "q_user_sessions" -> (Analytics.qUserSessions _),
+    "events_asof" -> (graft.operators.AsofJoin.eventsAsofQ _),
     // LLM-data-pipeline: text analysis (SURVEY §2C)
     "text_tokens" -> (TextOps.textTokensQ _),
     "text_quality" -> (TextOps.textQualityQ _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
+    "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
@@ -273,6 +275,27 @@ object SparkEntry {
         |    FROM events
         |  ) w
         |) g GROUP BY user_id""".stripMargin,
+    // as-of join: purchases pick the latest STRICTLY earlier click per
+    // user. The window mirrors graft.operators.AsofJoin exactly: union
+    // both sides, clicks sort AFTER purchases at equal ts (side 2 vs 1 =
+    // strict), 1-PRECEDING window reads the last click before this row.
+    // ids/ts as BIGINT with -1 sentinels — NULLs render asymmetrically.
+    "events_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 2 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |    value
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+        |  FROM tagged
+        |)
+        |SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+        |  CAST(coalesce(prior_click, -1) AS BIGINT) AS click_event_id
+        |FROM w WHERE side = 1""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  len($tokSql) AS ws_tokens,
@@ -463,6 +486,21 @@ object SparkEntry {
          |drops AS (SELECT DISTINCT a FROM reach WHERE b < a)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT a FROM drops)""".stripMargin,
+    // incremental dedup: the 60% split is the fingerprinted corpus, the
+    // rest is the "new" batch; dup_of = corpus keeper, else earlier batch
+    // twin, else -1 (kept). md5 hex strings match across engines.
+    "dedup_incremental" ->
+      """WITH c AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+        |           FROM documents WHERE doc_id % 10 < 6 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(text) AS h
+        |      FROM documents WHERE doc_id % 10 >= 6),
+        |wb AS (SELECT doc_id, h,
+        |         min(doc_id) OVER (PARTITION BY h) AS first_b FROM b)
+        |SELECT wb.doc_id,
+        |  CAST(coalesce(c.keeper,
+        |    CASE WHEN wb.first_b < wb.doc_id THEN wb.first_b END,
+        |    -1) AS BIGINT) AS dup_of
+        |FROM wb LEFT JOIN c ON wb.h = c.h""".stripMargin,
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.

@@ -457,4 +457,75 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     dedupedCorpus(docs, dedupNgramJaccard(docs)).select(col("doc_id"))
   }
+
+  // --- Incremental dedup against a persisted fingerprint store ---
+
+  /** Build (or rebuild) the exact-fingerprint store for a corpus: one row
+    * per distinct content hash with its keeper (min doc_id), laid out as a
+    * key-hash-bucketed warehouse table ([[graft.sinks.WarehouseSink]]'s
+    * snapshot layout, bucketed on the fingerprint).
+    *
+    * This is the piece that makes dedup INCREMENTAL at 100 TB: once the
+    * corpus is fingerprinted, a new batch never re-reads corpus text —
+    * it joins the store, and because the store is bucket-partitioned by
+    * fingerprint hash, the join reads only the buckets the batch's own
+    * fingerprints land in (partition pruning, same property the CDC MERGE
+    * uses). Growing the store with the batch's accepted keepers is a
+    * [[graft.cdc.MergePipeline.mergeBatch]]-shaped upsert on the same
+    * layout. */
+  def buildFingerprintStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
+                            table: String = "fingerprints",
+                            numBuckets: Int = 32): Unit = {
+    val idx = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("h"), numBuckets))
+    sink.write(idx, table, "part_bucket", Seq("h"))
+  }
+
+  /** Dedup a NEW batch of documents against the fingerprint store WITHOUT
+    * touching corpus text: per batch doc, `dup_of` = the store's keeper
+    * for its content hash, else the smallest earlier batch doc with the
+    * same hash, else -1 (kept). O(batch) work: the batch is hashed
+    * map-side, the store read is pruned to the batch's buckets, and the
+    * join key is the 8-byte bucket + hash. */
+  def dedupIncremental(newDocs: DataFrame, spark: SparkSession,
+                       sink: graft.sinks.WarehouseSink,
+                       table: String = "fingerprints",
+                       numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("h"), numBuckets))
+      .persist()
+    // buckets this batch's fingerprints land in — bounded by numBuckets
+    val touched = b.select("part_bucket").distinct().collect().map(_.getInt(0))
+    val store = sink.read(spark, table)
+      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+      .select(col("h"), col("keeper"))
+    // within-batch keep-first rides the same shuffle key as the store join
+    val firstInBatch = min(col("doc_id")).over(Window.partitionBy(col("h")))
+    val result = graft.Exec.materialize(
+      b.withColumn("first_b", firstInBatch)
+        .join(store, Seq("h"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper"),
+            when(col("first_b") < col("doc_id"), col("first_b")),
+            lit(-1L)).as("dup_of")))
+    b.unpersist()
+    result
+  }
+
+  /** Driver query: fingerprint the `doc_id % 10 < 6` corpus split into a
+    * fresh store, then dedup the remaining docs against it — the result
+    * marks each "new" doc kept (-1) or duplicate-of (keeper id). */
+  def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sink = new graft.sinks.WarehouseSink(
+      java.nio.file.Files.createTempDirectory("graft_fpstore_").toString)
+    buildFingerprintStore(docs.filter(pmod(col("doc_id"), lit(10)) < 6), sink)
+    dedupIncremental(docs.filter(pmod(col("doc_id"), lit(10)) >= 6),
+      spark, sink)
+  }
 }

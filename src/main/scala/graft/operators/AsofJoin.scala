@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join: attach to each left row the LATEST right row at or before
+  * its timestamp, per key — the point-in-time lookup every event pipeline
+  * needs (enrich a trade with the prevailing quote, a purchase with the
+  * click that led to it) and the classic operator relational engines lack
+  * (DuckDB grew a native ASOF JOIN for it; Spark has no built-in).
+  *
+  * Spark-first shape — NOT a range join: union-tag both sides, then one
+  * window per key ordered by (ts, side, tie) with
+  * `last(right_payload, ignoreNulls)` over `rowsBetween(unboundedPreceding,
+  * -1)`. Cost is ONE hash shuffle on the key plus a partition-local sort —
+  * the same plan shape as sessionization — instead of the
+  * O(|left| × |right-per-key|) expansion a `l.ts >= r.ts` theta-join
+  * produces (which Spark plans as a broadcast-nested-loop or sort-merge
+  * range join: quadratic per key, fatal at 100 TB; the union never
+  * expands rows at all, and both payloads ride the one shuffle as
+  * structs — no join-back pass).
+  *
+  * Skew note: one window partition per key — a single pathological key
+  * (e.g. a bot user) serializes onto one task. At 100 TB, pre-split such
+  * keys by a time-bucket salt carrying forward the last right row per
+  * bucket, the standard salting trade. */
+object AsofJoin {
+
+  /** @param left      probe side; every left row appears exactly once in
+    *                  the result, with its original columns.
+    * @param right     reference side, attached as `<rightPrefix>_<col>`
+    *                  columns (null where no right row qualifies).
+    * @param keyCols   equality keys (the shuffle key), present both sides.
+    * @param leftTs    left event-time column.
+    * @param rightTs   right event-time column.
+    * @param rightCols right payload columns to attach.
+    * @param strict    true → right row must be STRICTLY earlier
+    *                  (`r.ts < l.ts`); false → ties qualify (`<=`), and a
+    *                  right row at the exact left timestamp wins over any
+    *                  earlier one.
+    * @param toleranceSec max lookback `l.ts - r.ts` in seconds — matches
+    *                  further back attach nothing (the ASOF `tolerance`
+    *                  every implementation grows eventually). Right rows
+    *                  at identical (key, ts) resolve by a deterministic
+    *                  payload-hash tie-break. */
+  def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           rightPrefix: String = "r", strict: Boolean = true,
+           toleranceSec: Option[Long] = None): DataFrame = {
+    val keys = keyCols.map(col)
+    // side ordering at equal ts encodes strictness: the window looks one
+    // row back, so a right row sorting BEFORE the left row at the same ts
+    // is visible to it (inclusive), sorting after is not (strict)
+    val (rightSide, leftSide) = if (strict) (2, 1) else (0, 1)
+    val rpay = struct(col(rightTs).as("__rts") +:
+      rightCols.map(c => col(c).as(c)): _*)
+    val lpay = struct(left.columns.map(col): _*)
+    // each side carries a typed NULL for the other side's payload (the
+    // struct types come from the schemas, not from cross-referencing the
+    // other frame's columns)
+    val rpayType = right.select(rpay).schema.head.dataType
+    val lpayType = left.select(lpay).schema.head.dataType
+    val r = right.select(keys :+ col(rightTs).as("__ts") :+
+      lit(rightSide).as("__side") :+ rpay.as("__rpay") :+
+      lit(null).cast(lpayType).as("__lpay") :+
+      xxhash64(rpay).as("__tie"): _*)
+    val l = left.select(keys :+ col(leftTs).as("__ts") :+
+      lit(leftSide).as("__side") :+ lit(null).cast(rpayType).as("__rpay") :+
+      lpay.as("__lpay") :+ lit(null).cast("long").as("__tie"): _*)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftSide)
+    val bounded = toleranceSec match {
+      case Some(t) => matched.withColumn("__match",
+        when(col("__match").isNotNull &&
+          col(s"__lpay.$leftTs").cast("long") -
+            col("__match.__rts").cast("long") <= t,
+          col("__match")))
+      case None => matched
+    }
+    bounded.select(
+      left.columns.map(c => col(s"__lpay.$c").as(c)) ++
+        rightCols.map(c => col(s"__match.$c").as(s"${rightPrefix}_$c")): _*)
+  }
+
+  /** Driver query: each purchase event joined as-of to the latest strictly
+    * earlier click by the same user — ids and timestamps surfaced as
+    * BIGINT millis with -1 for "no prior click" (exact cross-engine
+    * compare; a NULL timestamp renders asymmetrically). */
+  def eventsAsofQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    asof(purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightCols = Seq("click_id"), rightPrefix = "c", strict = true)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        coalesce(col("c_click_id"), lit(-1L)).as("click_event_id"))
+  }
+}

@@ -21,6 +21,43 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup: store keepers win, then batch-first, else kept") {
+    import spark.implicits._
+    val sink = new graft.sinks.WarehouseSink(tmpDir("fp_store_"))
+    Dedup.buildFingerprintStore(
+      docs((1L, "a b c"), (2L, "x y z"), (3L, "a b c")), sink)
+    val batch = docs(
+      (10L, "a b c"),  // dup of corpus keeper 1
+      (11L, "p q r"),  // new, duplicated at 12 → kept, 12 points here
+      (12L, "p q r"),
+      (13L, "fresh"))  // genuinely new
+    val out = Dedup.dedupIncremental(batch, spark, sink)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 1L, 11L -> -1L, 12L -> 11L, 13L -> -1L))
+    // the next batch deduped against the SAME store still sees the corpus
+    // (the store is persistent state, not a per-call recompute)
+    val out2 = Dedup.dedupIncremental(docs((20L, "x y z")), spark, sink)
+      .as[(Long, Long)].collect().toMap
+    assert(out2 === Map(20L -> 2L))
+  }
+
+  test("incremental dedup prunes the store read to the batch's buckets") {
+    val sink = new graft.sinks.WarehouseSink(tmpDir("fp_prune_"))
+    Dedup.buildFingerprintStore(
+      docs((0L to 99L).map(i => (i, s"corpus doc $i")): _*), sink)
+    val batch = docs((500L, "corpus doc 7"), (501L, "novel"))
+    val out = Dedup.dedupIncremental(batch, spark, sink)
+    import spark.implicits._
+    assert(out.as[(Long, Long)].collect().toMap === Map(500L -> 7L, 501L -> -1L))
+    // the two batch fingerprints land in ≤2 buckets; the store scan must
+    // carry a partition filter (pruned read — the point of the layout)
+    val store = sink.read(spark, "fingerprints")
+      .filter(col("part_bucket").isin(0, 1))
+    assert(store.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [part_bucket"),
+      "store read not partition-pruned")
+  }
+
   test("ngram jaccard: identical docs pair at 1.0, disjoint docs never pair") {
     import spark.implicits._
     val d = docs(
