@@ -88,17 +88,24 @@ object MergePipeline {
       val merged = dropDeleted(Cdc.dedupLatest(
         existing.unionByName(cached), keyCols, ordering))
         .withColumn("part_bucket", bucket)
-        .persist()
-      sink.write(merged, table, "part_bucket", clusterCols,
+      // Dynamic overwrite only rewrites partitions PRESENT in the output.
+      // A bucket whose every key ended deleted has no output rows, so its
+      // stale files would survive — those partition dirs are dropped
+      // explicitly below. The written-bucket set is observed INSIDE the
+      // write job (CollectMetrics over ≤ numBuckets values): no second
+      // pass over `merged`, and with its single consumer gone, no persist
+      // of it either — union+dedup+write is ONE job.
+      val obs = org.apache.spark.sql.Observation(s"merge_$table")
+      sink.write(merged.observe(obs, collect_set(col("part_bucket")).as("w")),
+        table, "part_bucket", clusterCols,
         createDisposition = CreateDisposition.CreateNever,
         writeDisposition = WriteDisposition.WriteAppend,
         dynamicOverwrite = true)
-      // Dynamic overwrite only rewrites partitions PRESENT in the output.
-      // A bucket whose every key ended deleted has no output rows, so its
-      // stale files would survive — drop those partition dirs explicitly.
-      val written = merged.select("part_bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      merged.unpersist()
+      // an output with no tasks (every key deleted) reports no metrics —
+      // fall back to a direct pass, trivially cheap on that near-empty plan
+      val written = scala.util.Try(obs.get("w").asInstanceOf[Seq[Int]].toSet)
+        .getOrElse(merged.select("part_bucket").distinct()
+          .collect().map(_.getInt(0)).toSet)
       cached.unpersist()
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
