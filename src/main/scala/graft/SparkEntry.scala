@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
     "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
+    "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),

@@ -251,33 +251,46 @@ object Dedup {
     * distinct-ed (a pair can collide in several bands), then the two
     * signature joins re-attach sigs for verification — joins on a pair set
     * that is ≪ corpus. */
-  def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5): DataFrame = {
-    val sigs = minhashSigs(shingleHashes(docs)).persist()
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${NumBands - 1}), j ->
-           |  named_struct('band', j, 'bh',
-           |    xxhash64(concat_ws(',', transform(
-           |      slice(sig, j * $RowsPerBand + 1, $RowsPerBand),
-           |      x -> CAST(x AS STRING))))))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5): DataFrame =
+    minhashPairs(minhashSigs(shingleHashes(docs)).persist(), minEstSim)
+
+  /** LSH band rows (doc_id, sig, band, bh) for a signature frame — the
+    * 16-band banding both the batch self-join and the incremental store
+    * lookup key on. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = sigs.select(
+    col("doc_id"), col("sig"),
+    explode(expr(
+      s"""transform(sequence(0, ${NumBands - 1}), j ->
+         |  named_struct('band', j, 'bh',
+         |    xxhash64(concat_ws(',', transform(
+         |      slice(sig, j * $RowsPerBand + 1, $RowsPerBand),
+         |      x -> CAST(x AS STRING))))))""".stripMargin)).as("b"))
+    .select(col("doc_id"), col("sig"),
+      col("b.band").as("band"), col("b.bh").as("bh"))
+
+  /** Signature-agreement estimate over columns `sa`/`sb`. */
+  private def estSim = expr(
+    """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+      |  0, (acc, v) -> acc + v)""".stripMargin)
+    .cast("double") / NumHashes
+
+  /** Banded candidate pairs within one signature frame, verified at
+    * `minEstSim` (the core of [[dedupMinhash]]; `sigs` should be
+    * persisted — referenced three times). */
+  private[graft] def minhashPairs(sigs: DataFrame, minEstSim: Double): DataFrame = {
+    val bands = bandRows(sigs).drop("sig")
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val est = expr(
-      """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-        |  0, (acc, v) -> acc + v)""".stripMargin)
-      .cast("double") / NumHashes
     cand
       .join(sigs.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(sigs.as("pb"), col("doc_b") === col("pb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         col("pa.sig").as("sa"), col("pb.sig").as("sb"))
-      .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
+      .select(col("doc_a"), col("doc_b"), estSim.as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }
 
@@ -526,6 +539,85 @@ object Dedup {
       java.nio.file.Files.createTempDirectory("graft_fpstore_").toString)
     buildFingerprintStore(docs.filter(pmod(col("doc_id"), lit(10)) < 6), sink)
     dedupIncremental(docs.filter(pmod(col("doc_id"), lit(10)) >= 6),
+      spark, sink)
+  }
+
+  /** Build (or, with `append = true`, extend) the MinHash band store: one
+    * row per (doc_id, band, band_hash) with the full signature riding
+    * along, bucket-partitioned by hash(band, bh). This is [[dedupMinhash]]
+    * made INCREMENTAL — the near-dup analog of [[buildFingerprintStore]]:
+    * a new batch probes the store by band hash and only reads the buckets
+    * its own bands land in, never re-shingling the corpus.
+    *
+    * The signature is denormalized onto all 16 band rows (space-for-
+    * locality): pair verification needs both signatures, and carrying
+    * them on the probed rows keeps the whole lookup inside the pruned
+    * read — a separate doc_id-keyed signature table would cost an
+    * unprunable second corpus-wide join. ~16×64×8 B ≈ 8 KB per doc,
+    * small next to the text it fingerprints. */
+  def buildMinhashStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
+                        table: String = "minhash_bands",
+                        numBuckets: Int = 32,
+                        append: Boolean = false): Unit = {
+    val rows = bandRows(minhashSigs(shingleHashes(docs)))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("band", "bh"), numBuckets))
+    sink.write(rows, table, "part_bucket", Seq("bh"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
+  }
+
+  /** Near-dup pairs of a NEW batch: against the stored corpus (via the
+    * band store, store-bucket-pruned) and within the batch itself —
+    * without touching corpus text or signatures outside the probed
+    * buckets. Returns (doc_a, doc_b, est_sim) exactly like
+    * [[dedupMinhash]], restricted to pairs involving a new doc; union the
+    * kept docs into the store with `buildMinhashStore(append = true)` to
+    * roll the corpus forward. */
+  def dedupIncrementalMinhash(newDocs: DataFrame, spark: SparkSession,
+                              sink: graft.sinks.WarehouseSink,
+                              table: String = "minhash_bands",
+                              minEstSim: Double = 0.5,
+                              numBuckets: Int = 32): DataFrame = {
+    val sigs = minhashSigs(shingleHashes(newDocs)).persist()
+    val bands = bandRows(sigs)
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("band", "bh"), numBuckets))
+      .persist()
+    val touched = bands.select("part_bucket").distinct().collect().map(_.getInt(0))
+    val store = sink.read(spark, table)
+      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    // corpus×new candidates: band-hash equijoin, then one aggregation
+    // dedups band collisions AND carries both signatures to the verify
+    val cross = store.as("c")
+      .join(bands.as("n"),
+        col("c.band") === col("n.band") && col("c.bh") === col("n.bh") &&
+          col("c.doc_id") =!= col("n.doc_id"))
+      .groupBy(col("c.doc_id").as("cid"), col("n.doc_id").as("nid"))
+      .agg(first(col("c.sig")).as("sa"), first(col("n.sig")).as("sb"))
+      .select(least(col("cid"), col("nid")).as("doc_a"),
+        greatest(col("cid"), col("nid")).as("doc_b"), estSim.as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+    val within = minhashPairs(sigs, minEstSim)
+    // a batch doc already in the store (re-probe, or a batch overlapping
+    // the corpus) would surface a pair via both arms — one row per pair
+    val result = graft.Exec.materialize(
+      cross.unionByName(within).dropDuplicates("doc_a", "doc_b"))
+    bands.unpersist()
+    sigs.unpersist()
+    result
+  }
+
+  /** Driver query (rows-only; LlmOpsSpec proves it equals the full
+    * [[dedupMinhash]] restricted to new-doc pairs): band-store the
+    * `doc_id % 10 < 6` split, probe with the rest. */
+  def dedupIncrementalMinhashQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sink = new graft.sinks.WarehouseSink(
+      java.nio.file.Files.createTempDirectory("graft_mhstore_").toString)
+    buildMinhashStore(docs.filter(pmod(col("doc_id"), lit(10)) < 6), sink)
+    dedupIncrementalMinhash(docs.filter(pmod(col("doc_id"), lit(10)) >= 6),
       spark, sink)
   }
 }

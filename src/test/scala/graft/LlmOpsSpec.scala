@@ -90,6 +90,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(truth.exceptAll(mh).isEmpty, "minhash missed true near-dup pairs")
   }
 
+  test("incremental minhash equals the full run restricted to new-doc pairs") {
+    import spark.implicits._
+    // real corpus split 60/40 by id — near-dup pairs exist on both sides
+    // of the split and across it (the dedup_minhash driver rows)
+    val d = Tables.documents(spark, sfDir)
+    val corpus = d.filter(pmod(col("doc_id"), lit(10)) < 6)
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) >= 6)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("mh_store_"))
+    Dedup.buildMinhashStore(corpus, sink)
+    val inc = Dedup.dedupIncrementalMinhash(batch, spark, sink)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val isNew = (id: Long) => id % 10 >= 6
+    val expected = Dedup.dedupMinhash(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      .filter(p => isNew(p._1) || isNew(p._2))
+    assert(inc === expected)
+    // appending the batch to the store makes a later probe see it
+    Dedup.buildMinhashStore(batch, sink, append = true)
+    val again = Dedup.dedupIncrementalMinhash(batch, spark, sink)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // now batch-vs-batch pairs arrive via the store too (plus the same
+    // within-batch detection) — still the identical pair set
+    assert(again === expected)
+  }
+
   test("simhash: identical docs at hamming 0; banding finds them") {
     import spark.implicits._
     val d = docs(
