@@ -48,6 +48,21 @@ object ScaleSmoke {
     t("dedup_latest 1M events")(Cdc.dedupLatestEvents(ev10).write.format("noop").mode("overwrite").save())
     val sink = new WarehouseSink(java.nio.file.Files.createTempDirectory("scale_wh_").toString)
     t("bucket merge 1M events")(MergePipeline.mergeBatch(spark, sink, "s", Cdc.flatten(ev10), Seq("user_id")))
+    t("asof 1M events") {
+      val p = ev10.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = ev10.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asof(p, c, Seq("user_id"), "ts", "ts",
+        Seq("click_id")).write.format("noop").mode("overwrite").save()
+    }
+    // 10× incremental near-dup: 30k-doc store probed by a 20k-doc batch
+    val mhSink = new WarehouseSink(java.nio.file.Files.createTempDirectory("scale_mh_").toString)
+    t("minhash store build 30k docs")(Dedup.buildMinhashStore(
+      docs10.filter(pmod(col("doc_id"), lit(10)) < 6), mhSink))
+    t("incremental minhash probe 20k docs")(Dedup.dedupIncrementalMinhash(
+      docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, mhSink)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
