@@ -251,8 +251,69 @@ object Dedup {
     * distinct-ed (a pair can collide in several bands), then the two
     * signature joins re-attach sigs for verification — joins on a pair set
     * that is ≪ corpus. */
-  def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5): DataFrame =
-    minhashPairs(minhashSigs(shingleHashes(docs)).persist(), minEstSim)
+  /** @param collapseThreshold classes/docs ratio at or above which the
+    *        direct path runs. DEFAULT 0.0 = always direct, deliberately
+    *        the opposite of [[dedupNgramJaccard]]/`Ann.dedupEmbed`:
+    *        measured head-to-head (MhProfile, 50k docs), direct beats the
+    *        exact-duplicate collapse at class sizes 10 (5.6 vs 8.0 s),
+    *        25 and even 100 — minhash's 16 narrow bands keep bucket
+    *        occupancy equal to the duplicate-class size, so the
+    *        per-bucket quadratic term stays benign where jaccard's
+    *        shared-shingle inverted index (and embed's wide buckets)
+    *        explode. The collapse path only pays once classes reach ~10³
+    *        members — a corpus that should run [[dedupExact]] first, the
+    *        documented pipeline order. Operators that skip exact dedup on
+    *        a known duplicate-concentrated corpus can opt in (> 1 forces
+    *        collapse); both paths produce the identical pair set
+    *        (LlmOpsSpec path-equality test). With the default 0.0 the
+    *        gate aggregation is skipped entirely — zero overhead. */
+  def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5,
+                   collapseThreshold: Double = 0.0): DataFrame = {
+    val direct = collapseThreshold <= 0.0 || {
+      val gate = docs.agg(count(lit(1)).as("n"),
+        approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
+      gate.getLong(1) >= gate.getLong(0) * collapseThreshold
+    }
+    if (direct)
+      return minhashPairs(minhashSigs(shingleHashes(docs)).persist(), minEstSim)
+    // COLLAPSE: signatures (and all band-bucket work) computed for class
+    // REPRESENTATIVES only; member pairs inherit the rep pair's estimate
+    // (identical texts have identical signatures, so the expansion is
+    // exact — within-class pairs agree on all 64 rows: est_sim = 1.0).
+    val classes = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      .groupBy(col("tkey")).agg(min(col("doc_id")).as("rep_id"))
+    val members = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      .join(classes, "tkey").select(col("doc_id"), col("rep_id"))
+      .persist()
+    val repSigs = minhashSigs(
+      shingleHashes(docs)
+        .join(members.filter(col("doc_id") === col("rep_id"))
+          .select(col("rep_id")), col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("sh_h")))
+      .persist()
+    val repPairs = minhashPairs(repSigs, minEstSim)
+    val cross = repPairs
+      .join(members.as("ma"), col("doc_a") === col("ma.rep_id"))
+      .join(members.as("mb"), col("doc_b") === col("mb.rep_id"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("est_sim"))
+    // within-class pairs exist only for classes whose rep signed (docs
+    // under n tokens produce no shingles, hence no signature, no pairs)
+    val signed = repSigs.select(col("doc_id").as("signed_rep"))
+    val within = members.as("ma")
+      .join(members.as("mb"),
+        col("ma.rep_id") === col("mb.rep_id") &&
+          col("ma.doc_id") < col("mb.doc_id"))
+      .join(signed, col("ma.rep_id") === col("signed_rep"))
+      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+        lit(1.0).as("est_sim"))
+    val result = graft.Exec.materialize(cross.unionByName(within))
+    members.unpersist()
+    repSigs.unpersist()
+    result
+  }
 
   /** LSH band rows (doc_id, sig, band, bh) for a signature frame — the
     * 16-band banding both the batch self-join and the incremental store

@@ -177,6 +177,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(collapsed.count() >= 18)
   }
 
+  test("minhash collapse and direct paths produce identical pair sets") {
+    import spark.implicits._
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "sphinx of black quartz judge my vow tonight ok",
+      "a completely different sentence about spark engines")
+    val d = (bases.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 3).map(r => (i * 10L + r, t))
+    } ++ Seq((100L, "unique words appear here once and never again"),
+             (101L, "zz")) // too short to shingle → no signature
+      ).toDF("doc_id", "text")
+    val direct = Dedup.dedupMinhash(d, collapseThreshold = 0.0)
+      .select("doc_a", "doc_b", "est_sim")
+    val collapsed = Dedup.dedupMinhash(d, collapseThreshold = 2.0)
+      .select("doc_a", "doc_b", "est_sim")
+    assert(direct.exceptAll(collapsed).isEmpty &&
+      collapsed.exceptAll(direct).isEmpty)
+    // each base trio yields its 3 within pairs at est 1.0
+    assert(collapsed.filter(col("est_sim") === 1.0).count() >= 12)
+  }
+
   test("dedup_embed collapse+expand: duplicate classes yield every member pair") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
