@@ -60,6 +60,7 @@ object SparkEntry {
     "text_rarity" -> (TextOps.textRarityQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
+    "corpus_refine" -> (TextOps.corpusRefineQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
@@ -487,6 +488,35 @@ object SparkEntry {
          |drops AS (SELECT DISTINCT a FROM reach WHERE b < a)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT a FROM drops)""".stripMargin,
+    // composed refinery: scrub → quality gate on clean text → exact
+    // content dedup keep-first → consistent-hash stratified sample. All
+    // float terms are single divisions/multiplies of exact integers —
+    // bit-identical on both engines (same arithmetic text_quality uses).
+    "corpus_refine" -> {
+      val cases = TextOps.SampleRatesPermille
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source, $scrubSql AS ct FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source, ct,
+         |    CAST(len(${tokSqlOf("ct")}) AS DOUBLE) AS nt,
+         |    CAST(len(ct) AS DOUBLE) AS nc,
+         |    CAST(len(regexp_extract_all(ct, '$punctClass')) AS DOUBLE) AS np
+         |  FROM s),
+         |g AS (
+         |  SELECT *, least(nt / 64.0, 1.0) * (1.0 - np / nc) AS qs FROM m
+         |  WHERE CAST(nt AS BIGINT) >= 8
+         |    AND least(nt / 64.0, 1.0) * (1.0 - np / nc) >= 0.25),
+         |d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(ct)) AS keeper
+         |      FROM g)
+         |SELECT doc_id, lang, source, CAST(nt AS BIGINT) AS n_tokens,
+         |  qs AS quality_score
+         |FROM d
+         |WHERE doc_id = keeper
+         |  AND (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
+         |       >> ${TextOps.SampleShift}) % 1000 <
+         |    CASE lang $cases ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin
+    },
     // incremental dedup: the 60% split is the fingerprinted corpus, the
     // rest is the "new" batch; dup_of = corpus keeper, else earlier batch
     // twin, else -1 (kept). md5 hex strings match across engines.
@@ -532,9 +562,17 @@ object SparkEntry {
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is
     * a plain (non-interpolated concatenation of) string so the SQL carries
     * a single backslash-s. */
-  private val tokSql: String =
-    "regexp_split_to_array(trim(lower(text)), '" + """\s""" + "+')"
+  private def tokSqlOf(c: String): String =
+    "regexp_split_to_array(trim(lower(" + c + ")), '" + """\s""" + "+')"
+  private val tokSql: String = tokSqlOf("text")
   private val punctClass: String = """[^a-zA-Z0-9\s]"""
   private def stopwordsSql: String =
     TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+  /** DuckDB equivalent of TextOps.scrubPii (the 'g' flag matches Spark's
+    * replace-all semantics). */
+  private def scrubSql: String =
+    s"""regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+       |    '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+       |    '${TextOps.PhonePattern}', '<PHONE>', 'g')""".stripMargin
 }

@@ -181,7 +181,14 @@ object TextOps {
     * allocated in exact multiples of it. */
   def corpusSample(docs: DataFrame,
                    ratesPermille: Seq[(String, Int)] = SampleRatesPermille,
-                   defaultPermille: Int = SampleDefaultPermille): DataFrame = {
+                   defaultPermille: Int = SampleDefaultPermille): DataFrame =
+    docs.filter(sampleKeep(ratesPermille, defaultPermille))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** The consistent-hash keep predicate of [[corpusSample]], reusable by
+    * any pipeline stage (map-side, deterministic, engine-portable). */
+  def sampleKeep(ratesPermille: Seq[(String, Int)] = SampleRatesPermille,
+                 defaultPermille: Int = SampleDefaultPermille): Column = {
     val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
       case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
@@ -189,8 +196,7 @@ object TextOps {
       shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * SampleMultiplier,
         SampleShift),
       lit(1000L))
-    docs.filter(bucket < rate)
-      .select(col("doc_id"), col("lang"), col("source"))
+    bucket < rate
   }
 
   /** Corpus-frequency rarity profile per document — the integer-exact core
@@ -372,4 +378,48 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     decontaminate(docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
   }
+
+  /** End-to-end corpus refinery — the composed daily pipeline of a
+    * training-data run, as ONE declarative plan: PII scrub → quality gate
+    * (token floor + composite score on the CLEAN text) → exact content
+    * dedup keep-first → stratified consistent-hash sampling.
+    *
+    * Scale shape: scrub, quality and sampling are pure map-side
+    * projections/filters fused into the scan by Catalyst; the only
+    * shuffle in the whole pipeline is the dedup window keyed on the
+    * content hash. Filters run BEFORE the shuffle (gated docs never
+    * shuffle), and the hash, not the text, is the window key — the same
+    * one-shuffle discipline as [[graft.llm.Dedup.dedupExact]]. Composing
+    * the stages as separate jobs would scan the corpus four times; the
+    * fused plan scans it once. */
+  def corpusRefine(docs: DataFrame,
+                   minTokens: Long = 8,
+                   minQuality: Double = 0.25,
+                   ratesPermille: Seq[(String, Int)] = SampleRatesPermille,
+                   defaultPermille: Int = SampleDefaultPermille): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scrubbed = docs.select(col("doc_id"), col("lang"), col("source"),
+      scrubPii(col("text")).as("ct"))
+    val nc = length(col("ct")).cast("double")
+    val nt = size(tokens(col("ct"))).cast("double")
+    val np = size(regexp_extract_all(col("ct"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double")
+    val qs = least(nt / lit(64.0), lit(1.0)) * (lit(1.0) - np / nc)
+    val gated = scrubbed
+      .withColumn("n_tokens", nt.cast("bigint"))
+      .withColumn("quality_score", qs)
+      .filter(col("n_tokens") >= minTokens &&
+        col("quality_score") >= minQuality)
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("ct"))))
+    gated
+      .withColumn("keeper", keeper)
+      .filter(col("doc_id") === col("keeper") &&
+        sampleKeep(ratesPermille, defaultPermille))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"))
+  }
+
+  def corpusRefineQ(spark: SparkSession, dir: String): DataFrame =
+    corpusRefine(Tables.documents(spark, dir))
 }

@@ -21,6 +21,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, 2L), (3L, 1L)))
   }
 
+  test("corpus_refine: scrub feeds the gate, dedup keeps first, sample is consistent") {
+    import spark.implicits._
+    val good = (1 to 70).map(i => s"word$i").mkString(" ") // long, clean
+    val d = Seq(
+      (1L, good, "en", "web"),
+      (2L, good, "en", "web"),              // exact dup of 1 → dropped
+      (3L, "short text here", "en", "web"), // under the token floor
+      (4L, ("!! ?? ;; ,, ## $$ %% ^^ && **" + " !?") * 4, "en", "web"), // punct soup
+      (5L, good + " extra tail", "en", "web"),
+      // 6/7 differ ONLY by email — identical after scrub → dedup as one
+      (6L, good + " contact a@b.com", "en", "web"),
+      (7L, good + " contact z@w.org", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.TextOps.corpusRefine(d,
+      ratesPermille = Seq("en" -> 1000)) // keep-all sampling for the test
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 5L, 6L))
+    // the sampler composes: rate 0 drops everything deterministically
+    assert(graft.llm.TextOps.corpusRefine(d,
+      ratesPermille = Seq("en" -> 0), defaultPermille = 0).count() === 0)
+    // plan: exactly ONE exchange — the dedup window's content-hash
+    // shuffle; scrub/gate/sample stay fused map-side
+    val plan = graft.llm.TextOps.corpusRefine(d).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(500))
+  }
+
   test("incremental dedup: store keepers win, then batch-first, else kept") {
     import spark.implicits._
     val sink = new graft.sinks.WarehouseSink(tmpDir("fp_store_"))
