@@ -41,6 +41,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q4_priority" -> (Analytics.q4Priority _),
     "q10_returns" -> (Analytics.q10Returns _),
+    "q21_sole_blame" -> (Analytics.q21SoleBlame _),
+    "q16_supplier_diversity" -> (Analytics.q16SupplierDiversity _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
@@ -237,6 +239,28 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
+    // EXISTS + NOT EXISTS chain; the Spark side plans it as semi + anti
+    "q21_sole_blame" ->
+      """WITH ret AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |             FROM lineitem WHERE l_returnflag = 'R'),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ret r1 JOIN supplier ON s_suppkey = r1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs o
+        |              WHERE o.l_orderkey = r1.l_orderkey
+        |                AND o.l_suppkey <> r1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ret r2
+        |                  WHERE r2.l_orderkey = r1.l_orderkey
+        |                    AND r2.l_suppkey <> r1.l_suppkey)
+        |GROUP BY 1""".stripMargin,
+    // NOT IN as anti join + distinct count
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,

@@ -271,4 +271,54 @@ object Analytics {
         count(lit(1)).as("n_events"),
         sum(col("new_session")).as("n_sessions"))
   }
+
+  /** TPC-H Q21-style "sole blamed supplier": suppliers with a returned
+    * line in multi-supplier orders where NO other supplier had a return —
+    * the classic EXISTS + NOT EXISTS chain, planned Spark-first as a LEFT
+    * SEMI then LEFT ANTI join (no correlated subquery execution, no row
+    * expansion: both probes stream against a hash relation). The distinct
+    * (orderkey, suppkey) projections collapse lineitem to association
+    * pairs BEFORE any join, so the semi/anti probes carry two longs per
+    * row. Adapted to this schema's flags: "waiting" = `l_returnflag='R'`
+    * (no receipt/commit dates in the synthetic lineitem). */
+  def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    val assoc = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val pairs = assoc.select("l_orderkey", "l_suppkey").distinct()
+    val ret = assoc.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val sup = broadcast(Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name"))
+    ret.as("r1")
+      // EXISTS: some other supplier appears on the same order
+      .join(pairs.as("o"),
+        col("r1.l_orderkey") === col("o.l_orderkey") &&
+          col("r1.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+      // NOT EXISTS: no other supplier also had a return on it
+      .join(ret.as("r2"),
+        col("r1.l_orderkey") === col("r2.l_orderkey") &&
+          col("r1.l_suppkey") =!= col("r2.l_suppkey"), "left_anti")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q16-style supplier diversity per part class, excluding
+    * flagged suppliers — the NOT IN subquery planned as a LEFT ANTI join
+    * against a broadcast exclusion list, then a two-level distinct
+    * aggregation (partial distinct per partition before the final
+    * count). */
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = broadcast(Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    val pt = broadcast(Tables.part(spark, dir)
+      .filter(col("p_size") <= 25)
+      .select("p_partkey", "p_brand", "p_size"))
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
 }

@@ -51,7 +51,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Analytics.qTopCustomers(spark, sfDir),
       Analytics.q14PromoShare(spark, sfDir),
       Analytics.q4Priority(spark, sfDir),
-      Analytics.q10Returns(spark, sfDir))
+      Analytics.q10Returns(spark, sfDir),
+      Analytics.q21SoleBlame(spark, sfDir),
+      Analytics.q16SupplierDiversity(spark, sfDir))
     all.foreach { df =>
       val p = planString(df)
       assert(!p.contains("CartesianProduct"), "cartesian product in plan")
