@@ -74,11 +74,75 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two array<long> columns agree — the MinHash
+  * signature-agreement kernel, as a NATIVE codegen'd expression.
+  *
+  * Same escalation rationale as [[VecDot]]: the composed
+  * `aggregate(zip_with(sa, sb, CASE WHEN x = y ...))` is interpreted
+  * per-element, and the verify stage evaluates it once per CANDIDATE PAIR
+  * — at 100 TB that is billions of 64-element loops on the hot path after
+  * the bucket join. The generated loop stays inside the surrounding
+  * whole-stage-codegen stage.
+  *
+  * Null semantics: null if either array is null; elements compare via the
+  * unsafe long read (signatures are dense by construction). */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_match_count requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level API for graft's native functions. */
 object VectorFunctions {
 
   val builder: Seq[Expression] => Expression =
     children => VecDot(children(0), children(1))
+
+  val sigBuilder: Seq[Expression] => Expression =
+    children => SigMatchCount(children(0), children(1))
 
   /** Column-level dot product backed by [[VecDot]]. Requires
     * [[register]] (idempotent) on the session first — `call_function`
@@ -87,15 +151,26 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 
-  /** Register `vec_dot` in the session's function registry so SQL
-    * (`SELECT vec_dot(a, b)`), `expr(...)` and [[vecDot]] resolve it.
+  /** Column-level signature agreement backed by [[SigMatchCount]]. */
+  def sigMatchCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sig_match_count", a, b)
+
+  /** Register graft's native functions in the session's function registry
+    * so SQL, `expr(...)` and the Column wrappers resolve them.
     * Idempotent — already-registered sessions are left alone (a blind
     * re-register works but logs a replacement WARN per call). */
   def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("vec_dot")
-    if (!spark.sessionState.functionRegistry.functionExists(id)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        id, new ExpressionInfo(classOf[VecDot].getName, "vec_dot"), builder)
+    val reg = spark.sessionState.functionRegistry
+    val vd = FunctionIdentifier("vec_dot")
+    if (!reg.functionExists(vd)) {
+      reg.registerFunction(
+        vd, new ExpressionInfo(classOf[VecDot].getName, "vec_dot"), builder)
+    }
+    val sm = FunctionIdentifier("sig_match_count")
+    if (!reg.functionExists(sm)) {
+      reg.registerFunction(
+        sm, new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
+        sigBuilder)
     }
   }
 }
@@ -104,9 +179,14 @@ object VectorFunctions {
   * native functions at session build — the standard extension point, so a
   * cluster config enables them without code changes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       VectorFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("sig_match_count"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
+      VectorFunctions.sigBuilder))
+  }
 }

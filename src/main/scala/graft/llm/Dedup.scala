@@ -329,16 +329,22 @@ object Dedup {
     .select(col("doc_id"), col("sig"),
       col("b.band").as("band"), col("b.bh").as("bh"))
 
-  /** Signature-agreement estimate over columns `sa`/`sb`. */
-  private def estSim = expr(
-    """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-      |  0, (acc, v) -> acc + v)""".stripMargin)
-    .cast("double") / NumHashes
+  /** Signature-agreement estimate over columns `sa`/`sb`, via the native
+    * codegen'd [[graft.functions.SigMatchCount]] kernel — the verify
+    * stage runs once per CANDIDATE PAIR, and the composed
+    * `aggregate(zip_with(...))` evaluates interpreted (HOF lambda
+    * dispatch per element; the measured VecDot rationale applies
+    * verbatim). Callers must register the function on the session first
+    * ([[minhashPairs]]/[[dedupIncrementalMinhash]] do). */
+  private def estSim =
+    graft.functions.VectorFunctions.sigMatchCount(col("sa"), col("sb"))
+      .cast("double") / NumHashes
 
   /** Banded candidate pairs within one signature frame, verified at
     * `minEstSim` (the core of [[dedupMinhash]]; `sigs` should be
     * persisted — referenced three times). */
   private[graft] def minhashPairs(sigs: DataFrame, minEstSim: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(sigs.sparkSession)
     val bands = bandRows(sigs).drop("sig")
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -641,6 +647,7 @@ object Dedup {
                               table: String = "minhash_bands",
                               minEstSim: Double = 0.5,
                               numBuckets: Int = 32): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val sigs = minhashSigs(shingleHashes(newDocs)).persist()
     val bands = bandRows(sigs)
       .withColumn("part_bucket",

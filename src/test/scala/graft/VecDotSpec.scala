@@ -28,6 +28,31 @@ class VecDotSpec extends AnyFunSuite with SparkFixture {
     assert(diff === 0.0) // identical summation order → bit-identical
   }
 
+  test("sig_match_count counts agreeing positions, codegen and SQL paths") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)))
+      .toDF("a", "b")
+    assert(df.select(VectorFunctions.sigMatchCount(col("a"), col("b")))
+      .head().getInt(0) === 3)
+    df.createOrReplaceTempView("sigs")
+    assert(spark.sql("SELECT sig_match_count(a, b) FROM sigs")
+      .head().getInt(0) === 3)
+    // agrees with the interpreted HOF fold on real signatures
+    val real = graft.llm.Dedup.minhashSigs(
+      graft.llm.Dedup.shingleHashes(Tables.documents(spark, sfDir)))
+      .select(col("sig").as("sa"), reverse(col("sig")).as("sb"))
+    val fold = expr(
+      """aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+        |  0, (acc, v) -> acc + v)""".stripMargin)
+    val mismatches = real.filter(
+      VectorFunctions.sigMatchCount(col("sa"), col("sb")) =!= fold).count()
+    assert(mismatches === 0)
+    // null-safe like the built-ins
+    val n = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+    assert(n.select(VectorFunctions.sigMatchCount(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("vec_dot is null-safe and rejects wrong types") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
