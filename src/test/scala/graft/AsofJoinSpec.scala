@@ -76,6 +76,58 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
       "union+window shape has no join at all")
   }
 
+  test("salted as-of equals the plain as-of on real events, any bucket size") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select(col("event_id"), coalesce(col("c_click_id"), lit(-1L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = run(AsofJoin.asof(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id"), rightPrefix = "c"))
+    // hour buckets (many boundaries) and week buckets (few) both agree
+    Seq(3600L, 7 * 86400L).foreach { b =>
+      val salted = run(AsofJoin.asofSalted(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"), rightPrefix = "c", bucketSeconds = b))
+      assert(salted === plain, s"bucketSeconds=$b")
+    }
+    // tolerance composes with salting identically too
+    val pt = run(AsofJoin.asof(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id"), rightPrefix = "c",
+      toleranceSec = Some(36000L)))
+    val st = run(AsofJoin.asofSalted(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id"), rightPrefix = "c",
+      toleranceSec = Some(36000L), bucketSeconds = 3600L))
+    assert(st === pt)
+  }
+
+  test("salted as-of spreads a hot key across bucket partitions") {
+    import spark.implicits._
+    // one key owns every row: the plain window is one task; the salted
+    // window must partition by (key, bucket)
+    val hotL = (0 until 200).map(i => (1L, i.toLong, ts("2024-01-01 00:00:00")))
+      .map { case (k, id, t0) =>
+        (k, id, new java.sql.Timestamp(t0.getTime + id * 3600_000L)) }
+      .toDF("k", "id", "t")
+    val hotR = (0 until 200).map(i => (1L, 1000L + i,
+      new java.sql.Timestamp(ts("2024-01-01 00:30:00").getTime + i * 3600_000L)))
+      .toDF("k", "rid", "rt")
+    val out = AsofJoin.asofSalted(hotL, hotR, Seq("k"), "t", "rt",
+      Seq("rid"), bucketSeconds = 86400L)
+    // row i at hour i sees the right row of hour i-1 (:30 past) — except
+    // row 0, which precedes every right
+    val got = out.select(col("id"), col("r_rid")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(0L) === None)
+    (1 until 200).foreach(i => assert(got(i.toLong) === Some(1000L + i - 1), s"row $i"))
+    // the heavy window's partition key includes the bucket
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), "salted window must key on the time bucket")
+  }
+
   test("driver query agrees with a per-row reference on real events") {
     import spark.implicits._
     val out = AsofJoin.eventsAsofQ(spark, sfDir)
