@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q21/q16 plan as hash semi/anti joins, never correlated or looped") {
+    val q21 = planString(Analytics.q21SoleBlame(spark, sfDir))
+    assert(q21.contains("LeftSemi"), "q21 EXISTS must plan as a semi join")
+    assert(q21.contains("LeftAnti"), "q21 NOT EXISTS must plan as an anti join")
+    val q16 = planString(Analytics.q16SupplierDiversity(spark, sfDir))
+    assert(q16.contains("LeftAnti"), "q16 NOT IN must plan as an anti join")
+    assert(q16.contains("BroadcastHashJoin"),
+      "q16's exclusion list and part dim must broadcast")
+  }
+
   test("shingle/token pipelines shuffle hashed longs, never the strings") {
     val docs = Tables.documents(spark, sfDir)
     val plans = Seq(
