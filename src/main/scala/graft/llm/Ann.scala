@@ -341,6 +341,109 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  // --- Incremental embedding dedup against a persisted LSH store ---
+
+  /** Build (or, with `append = true`, extend) the vector LSH store: one
+    * row per (vec_id, tbl, bucket) with the vector and its norm riding
+    * along, bucket-partitioned by hash(tbl, bucket) — [[dedupEmbed]] made
+    * incremental, completing the trilogy with
+    * [[graft.llm.Dedup.buildFingerprintStore]] (exact) and
+    * [[graft.llm.Dedup.buildMinhashStore]] (text near-dup). The vector is
+    * denormalized onto its band rows for the same space-for-locality
+    * trade: cosine verification happens inside the pruned read. */
+  def buildEmbedStore(embeddings: DataFrame, sink: graft.sinks.WarehouseSink,
+                      table: String = "embed_lsh",
+                      numBands: Int = NumBands, bitsPerBand: Int = BitsPerBand,
+                      numBuckets: Int = 32,
+                      append: Boolean = false): Unit = {
+    val rows = embeddings
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("tbl", "bucket"), numBuckets))
+    sink.write(rows, table, "part_bucket", Seq("bucket"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
+  }
+
+  /** Near-dup pairs of a NEW vector batch: against the stored corpus (LSH
+    * store probe, bucket-pruned) and within the batch — corpus vectors
+    * outside the probed buckets are never read. Returns (vec_a, vec_b,
+    * cos) like [[dedupEmbed]], restricted to pairs involving a new
+    * vector. */
+  def dedupEmbedIncremental(newEmbeddings: DataFrame, spark: SparkSession,
+                            sink: graft.sinks.WarehouseSink,
+                            table: String = "embed_lsh",
+                            tau: Double = 0.4,
+                            numBands: Int = NumBands,
+                            bitsPerBand: Int = BitsPerBand,
+                            numBuckets: Int = 32): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val sigs = newEmbeddings
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    val bands = sigs
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("tbl", "bucket"), numBuckets))
+      .persist()
+    val touched = bands.select("part_bucket").distinct().collect().map(_.getInt(0))
+    val store = sink.read(spark, table)
+      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    val cross = store.as("c")
+      .join(bands.as("n"),
+        col("c.tbl") === col("n.tbl") && col("c.bucket") === col("n.bucket") &&
+          col("c.vec_id") =!= col("n.vec_id"))
+      .groupBy(col("c.vec_id").as("cid"), col("n.vec_id").as("nid"))
+      .agg(first(col("c.v")).as("cv"), first(col("c.nrm")).as("cn"),
+        first(col("n.v")).as("nv"), first(col("n.nrm")).as("nn"))
+      .select(least(col("cid"), col("nid")).as("vec_a"),
+        greatest(col("cid"), col("nid")).as("vec_b"),
+        (dot(col("cv"), col("nv")) / (col("cn") * col("nn"))).as("cos"))
+      .filter(col("cos") >= tau)
+    // within-batch pairs: the direct dedupEmbed shape over the new sigs
+    val nb = bands.drop("v", "nrm", "part_bucket")
+    val cand = nb.as("x")
+      .join(nb.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val within = cand
+      .join(sigs.as("ma"), col("vec_a") === col("ma.vec_id"))
+      .join(sigs.as("mb"), col("vec_b") === col("mb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+    val result = graft.Exec.materialize(
+      cross.unionByName(within).dropDuplicates("vec_a", "vec_b"))
+    bands.unpersist()
+    sigs.unpersist()
+    result
+  }
+
+  /** Driver query (rows-only; LlmOpsSpec proves equality with the full
+    * [[dedupEmbed]] restricted to new-vector pairs): LSH-store the
+    * `vec_id % 10 < 6` split, probe with the rest. */
+  def dedupEmbedIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val sink = new graft.sinks.WarehouseSink(
+      java.nio.file.Files.createTempDirectory("graft_embstore_").toString)
+    buildEmbedStore(emb.filter(pmod(col("vec_id"), lit(10)) < 6), sink)
+    dedupEmbedIncremental(emb.filter(pmod(col("vec_id"), lit(10)) >= 6),
+      spark, sink)
+  }
+
   // --- SparkEntry wiring ---
   def annTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

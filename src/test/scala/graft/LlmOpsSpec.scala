@@ -141,6 +141,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(again === expected)
   }
 
+  test("incremental embed dedup equals the full run restricted to new-vector pairs") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 6)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) >= 6)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("emb_store_"))
+    Ann.buildEmbedStore(corpus, sink)
+    val inc = Ann.dedupEmbedIncremental(batch, spark, sink)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val isNew = (id: Long) => id % 10 >= 6
+    val expected = Ann.dedupEmbed(emb)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      .filter(p => isNew(p._1) || isNew(p._2))
+    assert(inc === expected)
+    assert(inc.nonEmpty, "split produced no cross/within pairs to check")
+  }
+
   test("simhash: identical docs at hamming 0; banding finds them") {
     import spark.implicits._
     val d = docs(
