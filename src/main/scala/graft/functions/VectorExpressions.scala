@@ -135,6 +135,125 @@ case class SigMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack an array<long> into a big-endian binary blob (8 bytes per
+  * element) — the storage/shuffle form of a MinHash signature.
+  *
+  * A packed signature rides shuffles and parquet as one flat blob instead
+  * of an UnsafeArrayData with per-element layout, and keeps verification
+  * on the codegen'd [[SigMatchCountBinary]] kernel. (Disk size is NOT the
+  * argument: measured on the band store, packing saved only ~6% — the 16
+  * denormalized copies live in 16 different bucket partitions, out of
+  * reach of parquet's per-partition dictionaries.) Big-endian so equal
+  * signatures are equal blobs byte-for-byte. */
+case class PackLongs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pack_longs requires array<bigint>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pack_longs"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n * 8)
+    var i = 0
+    while (i < n) {
+      val v = x.getLong(i)
+      val o = i * 8
+      var j = 0
+      while (j < 8) { out(o + j) = (v >>> (56 - 8 * j)).toByte; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n * 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  for (int $j = 0; $j < 8; $j++) {
+         |    $out[$i * 8 + $j] = (byte)($v >>> (56 - 8 * $j));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackLongs =
+    copy(child = newChild)
+}
+
+/** [[SigMatchCount]] over two [[PackLongs]]-packed binaries: count of
+  * agreeing 8-byte groups. */
+case class SigMatchCountBinary(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt == org.apache.spark.sql.types.BinaryType
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_match_count_bin requires two binary arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_match_count_bin"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length) / 8
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var eq = true
+      var j = i * 8
+      val end = j + 8
+      while (eq && j < end) { if (x(j) != y(j)) eq = false; j += 1 }
+      if (eq) m += 1
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length) / 8;
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  boolean $eq = true;
+         |  for (int $j = $i * 8; $j < $i * 8 + 8; $j++) {
+         |    if ($a[$j] != $b[$j]) { $eq = false; break; }
+         |  }
+         |  if ($eq) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCountBinary =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level API for graft's native functions. */
 object VectorFunctions {
 
@@ -155,22 +274,32 @@ object VectorFunctions {
   def sigMatchCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sig_match_count", a, b)
 
+  /** Column-level signature packing backed by [[PackLongs]]. */
+  def packLongs(a: Column): Column =
+    org.apache.spark.sql.functions.call_function("pack_longs", a)
+
+  /** Column-level agreement over packed signatures. */
+  def sigMatchCountBin(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sig_match_count_bin", a, b)
+
   /** Register graft's native functions in the session's function registry
     * so SQL, `expr(...)` and the Column wrappers resolve them.
     * Idempotent — already-registered sessions are left alone (a blind
     * re-register works but logs a replacement WARN per call). */
+  private[functions] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDot].getName, builder),
+    ("sig_match_count", classOf[SigMatchCount].getName, sigBuilder),
+    ("pack_longs", classOf[PackLongs].getName, cs => PackLongs(cs.head)),
+    ("sig_match_count_bin", classOf[SigMatchCountBinary].getName,
+      cs => SigMatchCountBinary(cs(0), cs(1))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val vd = FunctionIdentifier("vec_dot")
-    if (!reg.functionExists(vd)) {
-      reg.registerFunction(
-        vd, new ExpressionInfo(classOf[VecDot].getName, "vec_dot"), builder)
-    }
-    val sm = FunctionIdentifier("sig_match_count")
-    if (!reg.functionExists(sm)) {
-      reg.registerFunction(
-        sm, new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
-        sigBuilder)
+    all.foreach { case (name, cls, b) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id, new ExpressionInfo(cls, name), b)
+      }
     }
   }
 }
@@ -179,14 +308,9 @@ object VectorFunctions {
   * native functions at session build — the standard extension point, so a
   * cluster config enables them without code changes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      VectorFunctions.builder))
-    ext.injectFunction((
-      FunctionIdentifier("sig_match_count"),
-      new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
-      VectorFunctions.sigBuilder))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorFunctions.all.foreach { case (name, cls, b) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(cls, name), b))
+    }
 }

@@ -620,13 +620,22 @@ object Dedup {
     * locality): pair verification needs both signatures, and carrying
     * them on the probed rows keeps the whole lookup inside the pruned
     * read — a separate doc_id-keyed signature table would cost an
-    * unprunable second corpus-wide join. ~16×64×8 B ≈ 8 KB per doc,
-    * small next to the text it fingerprints. */
+    * unprunable second corpus-wide join. Stored PACKED
+    * ([[graft.functions.PackLongs]], 8 B/hash big-endian binary).
+    * Measured honestly: disk barely changes (16.3 → 15.4 MB at 3 k docs —
+    * a doc's 16 copies land in 16 DIFFERENT bucket partitions, so
+    * parquet's per-partition dictionaries can't collapse them); the win
+    * is the shuffle/row format — a flat blob instead of an
+    * UnsafeArrayData with per-element layout — and the verify kernel
+    * ([[graft.functions.SigMatchCountBinary]]) staying codegen'd. */
   def buildMinhashStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
                         table: String = "minhash_bands",
                         numBuckets: Int = 32,
                         append: Boolean = false): Unit = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val rows = bandRows(minhashSigs(shingleHashes(docs)))
+      .withColumn("sigb", graft.functions.VectorFunctions.packLongs(col("sig")))
+      .drop("sig")
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("band", "bh"), numBuckets))
     sink.write(rows, table, "part_bucket", Seq("bh"),
@@ -650,6 +659,8 @@ object Dedup {
     graft.functions.VectorFunctions.register(spark)
     val sigs = minhashSigs(shingleHashes(newDocs)).persist()
     val bands = bandRows(sigs)
+      .withColumn("sigb", graft.functions.VectorFunctions.packLongs(col("sig")))
+      .drop("sig")
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("band", "bh"), numBuckets))
       .persist()
@@ -657,15 +668,18 @@ object Dedup {
     val store = sink.read(spark, table)
       .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
     // corpus×new candidates: band-hash equijoin, then one aggregation
-    // dedups band collisions AND carries both signatures to the verify
+    // dedups band collisions AND carries both (packed) signatures to the
+    // verify — blobs, not lists, ride the shuffle
+    val estBin = graft.functions.VectorFunctions
+      .sigMatchCountBin(col("sa"), col("sb")).cast("double") / NumHashes
     val cross = store.as("c")
       .join(bands.as("n"),
         col("c.band") === col("n.band") && col("c.bh") === col("n.bh") &&
           col("c.doc_id") =!= col("n.doc_id"))
       .groupBy(col("c.doc_id").as("cid"), col("n.doc_id").as("nid"))
-      .agg(first(col("c.sig")).as("sa"), first(col("n.sig")).as("sb"))
+      .agg(first(col("c.sigb")).as("sa"), first(col("n.sigb")).as("sb"))
       .select(least(col("cid"), col("nid")).as("doc_a"),
-        greatest(col("cid"), col("nid")).as("doc_b"), estSim.as("est_sim"))
+        greatest(col("cid"), col("nid")).as("doc_b"), estBin.as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
     val within = minhashPairs(sigs, minEstSim)
     // a batch doc already in the store (re-probe, or a batch overlapping

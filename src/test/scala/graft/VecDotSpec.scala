@@ -53,6 +53,27 @@ class VecDotSpec extends AnyFunSuite with SparkFixture {
       .head().isNullAt(0))
   }
 
+  test("pack_longs round-trips through the binary match count") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, -2L, Long.MaxValue, 0L), Array(1L, -2L, 7L, 0L)),
+      (Array(5L, 5L), Array(5L, 6L)))
+      .toDF("a", "b")
+    val packed = df.select(
+      VectorFunctions.sigMatchCount(col("a"), col("b")).as("arr"),
+      VectorFunctions.sigMatchCountBin(
+        VectorFunctions.packLongs(col("a")),
+        VectorFunctions.packLongs(col("b"))).as("bin"))
+    assert(packed.collect().forall(r => r.getInt(0) === r.getInt(1)))
+    // equal arrays pack to byte-identical blobs (the dictionary property)
+    val blobs = Seq((Array(3L, 4L), Array(3L, 4L))).toDF("a", "b")
+      .select(VectorFunctions.packLongs(col("a")).as("pa"),
+        VectorFunctions.packLongs(col("b")).as("pb"))
+      .head()
+    assert(java.util.Arrays.equals(
+      blobs.getAs[Array[Byte]](0), blobs.getAs[Array[Byte]](1)))
+  }
+
   test("vec_dot is null-safe and rejects wrong types") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
