@@ -555,13 +555,17 @@ object Dedup {
     * layout. */
   def buildFingerprintStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
                             table: String = "fingerprints",
-                            numBuckets: Int = 32): Unit = {
+                            numBuckets: Int = 32,
+                            append: Boolean = false): Unit = {
     val idx = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("h"), numBuckets))
-    sink.write(idx, table, "part_bucket", Seq("h"))
+    sink.write(idx, table, "part_bucket", Seq("h"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
   }
 
   /** Dedup a NEW batch of documents against the fingerprint store WITHOUT
@@ -579,11 +583,16 @@ object Dedup {
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("h"), numBuckets))
       .persist()
-    // buckets this batch's fingerprints land in — bounded by numBuckets
+    // buckets this batch's fingerprints land in — bounded by numBuckets;
+    // an absent store (first ingest of a fresh corpus) reads as empty
     val touched = b.select("part_bucket").distinct().collect().map(_.getInt(0))
-    val store = sink.read(spark, table)
-      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
-      .select(col("h"), col("keeper"))
+    val store =
+      if (!sink.tableExists(table)) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("h", "keeper")
+      } else sink.read(spark, table)
+        .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+        .select(col("h"), col("keeper"))
     // within-batch keep-first rides the same shuffle key as the store join
     val firstInBatch = min(col("doc_id")).over(Window.partitionBy(col("h")))
     val result = graft.Exec.materialize(

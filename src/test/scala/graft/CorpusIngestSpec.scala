@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.WarehouseSink
+import graft.state.OffsetStore
+import graft.streaming.CorpusIngest
+
+class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("ingestBatch accepts new docs, rejects dups, rolls the store forward") {
+    val sink = new WarehouseSink(tmpDir("ingest_wh_"))
+    // first batch: one internal dup — 2 of 3 accepted, store created
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((1L, "alpha beta", "web"), (2L, "alpha beta", "web"),
+        (3L, "gamma delta", "book"))) === 2L)
+    // second batch: dup of batch 1 (via the STORE, not any rescan),
+    // plus one genuinely new doc
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((10L, "alpha beta", "web"), (11L, "epsilon zeta", "web"))) === 1L)
+    // corpus holds exactly the accepted docs, partitioned by source
+    import spark.implicits._
+    val corpus = sink.read(spark, "corpus")
+    assert(corpus.select("doc_id").as[Long].collect().sorted
+      === Array(1L, 3L, 11L))
+    assert(corpus.select("part_src").distinct().as[String].collect().sorted
+      === Array("book", "web"))
+    // an all-duplicate batch accepts nothing and leaves state unchanged
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((20L, "gamma delta", "book"))) === 0L)
+    assert(sink.read(spark, "corpus").count() === 3)
+  }
+
+  test("streaming loop dedups across micro-batches through the store") {
+    val base = tmpDir("ingest_stream_")
+    val sink = new WarehouseSink(s"$base/wh")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    val inputDir = tmpDir("ingest_in_")
+    docs((1L, "one two three", "web")).coalesce(1)
+      .write.parquet(s"$inputDir/f0")
+    docs((2L, "one two three", "web"), (3L, "four five six", "web"))
+      .coalesce(1).write.parquet(s"$inputDir/f1")
+    val schema = spark.read.parquet(s"$inputDir/f0").schema
+    val q = CorpusIngest.start(spark, s"$inputDir/f*", schema, sink, offsets,
+      s"$base/ckpt", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    import spark.implicits._
+    // doc 2 (batch 1) is a dup of doc 1 (batch 0) — caught via the store
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 3L))
+    assert(offsets.load().keySet === Set("ingest/corpus"))
+  }
+}
