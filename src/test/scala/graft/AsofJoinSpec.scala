@@ -128,6 +128,47 @@ class AsofJoinSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("__bkt"), "salted window must key on the time bucket")
   }
 
+  test("randomized corpus: plain and salted agree with brute force, both tie modes") {
+    import spark.implicits._
+    // fixed-seed random data with deliberate ts collisions (coarse grid)
+    val rnd = new scala.util.Random(7)
+    def randTs() = new java.sql.Timestamp(
+      ts("2024-01-01 00:00:00").getTime + rnd.nextInt(500) * 60_000L)
+    val lRows = (0 until 300).map(i => (rnd.nextInt(20).toLong, i.toLong, randTs()))
+    val rRows = (0 until 300).map(i => (rnd.nextInt(20).toLong, 10000L + i, randTs()))
+    val lDf = lRows.toDF("k", "lid", "t")
+    val rDf = rRows.toDF("k", "rid", "rt")
+    Seq(true, false).foreach { strict =>
+      // brute force: per left row, the best qualifying right TIMESTAMP
+      val want = lRows.map { case (k, lid, t) =>
+        val cands = rRows.filter { case (rk, _, rt) =>
+          rk == k && (if (strict) rt.getTime < t.getTime else rt.getTime <= t.getTime)
+        }
+        // order by (rt, payload-hash) matches the operator's tie-break;
+        // ids are unique per ts collision set only through the hash, so
+        // restrict the check to rows whose best ts is UNAMBIGUOUS
+        val best = cands.map(_._3.getTime).maxOption
+        lid -> best
+      }.toMap
+      def gotOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("lid"), col("r_rt"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(1)).map(_.getTime))
+        .toMap
+      val plain = gotOf(AsofJoin.asof(lDf, rDf, Seq("k"), "t", "rt",
+        Seq("rt"), strict = strict))
+      val salted = gotOf(AsofJoin.asofSalted(lDf, rDf, Seq("k"), "t", "rt",
+        Seq("rt"), strict = strict, bucketSeconds = 3600L))
+      // the matched TIMESTAMP is tie-insensitive (ties share a ts) — check
+      // it against brute force for every row; and the two operators must
+      // agree exactly
+      lRows.foreach { case (_, lid, _) =>
+        assert(plain(lid) === want(lid), s"plain strict=$strict lid=$lid")
+      }
+      assert(salted === plain, s"salted != plain at strict=$strict")
+    }
+  }
+
   test("driver query agrees with a per-row reference on real events") {
     import spark.implicits._
     val out = AsofJoin.eventsAsofQ(spark, sfDir)
