@@ -254,6 +254,126 @@ case class SigMatchCountBinary(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH band buckets of a vector in ONE codegen'd
+  * pass: element i of the result is band i's bucket id — bit b is the
+  * sign of v·plane[i*bitsPerBand+b].
+  *
+  * Escalation rationale (the [[VecDot]] one, squared): the composed form
+  * runs `transform(sequence(...), aggregate(sequence(...), dot(...)))` —
+  * THREE nested interpreted higher-order functions around an interpreted
+  * per-plane dot — once per corpus row in every LSH operator
+  * (dedup_embed, ann_lsh, the embed store build/probe). Here the planes
+  * ride along as one flat constant array and the whole signature is a
+  * pair of tight loops inside the surrounding codegen stage.
+  *
+  * `planes` is flattened row-major (plane p = cells p*dim..p*dim+dim-1);
+  * vectors shorter than `dim` read as zero-padded. */
+case class HyperplaneBuckets(vec: Expression, planesE: Expression,
+                             bandsE: Expression, bitsE: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, planesE, bandsE, bitsE)
+  override def nullable: Boolean = vec.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDoubles(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!isDoubles(vec.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"lsh_buckets requires array<double> vector, got ${vec.dataType.simpleString}")
+    else if (!isDoubles(planesE.dataType) || !planesE.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "lsh_buckets requires a foldable array<double> planes argument")
+    else if (!bandsE.foldable || !bitsE.foldable ||
+      bandsE.dataType != org.apache.spark.sql.types.IntegerType ||
+      bitsE.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "lsh_buckets requires foldable int numBands/bitsPerBand arguments")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  // constants — evaluated once from the foldable children
+  private lazy val numBands: Int = bandsE.eval().asInstanceOf[Int]
+  private lazy val bitsPerBand: Int = bitsE.eval().asInstanceOf[Int]
+  private lazy val planes: Array[Double] =
+    planesE.eval().asInstanceOf[ArrayData].toDoubleArray()
+  private lazy val dim: Int = planes.length / (numBands * bitsPerBand)
+
+  private def bucketsOf(x: ArrayData): Array[Int] = {
+    val n = math.min(x.numElements(), dim)
+    val out = new Array[Int](numBands)
+    var t = 0
+    while (t < numBands) {
+      var bucket = 0
+      var b = 0
+      while (b < bitsPerBand) {
+        val base = (t * bitsPerBand + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getDouble(i) * planes(base + i); i += 1 }
+        bucket = bucket * 2 + (if (s > 0) 1 else 0)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = vec.eval(input)
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bucketsOf(a.asInstanceOf[ArrayData]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vecCode = vec.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val n = ctx.freshName("n")
+    val out = ctx.freshName("out")
+    val t = ctx.freshName("t")
+    val b = ctx.freshName("b")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val bk = ctx.freshName("bk")
+    val base = ctx.freshName("base")
+    ev.copy(code = code"""
+      ${vecCode.code}
+      boolean ${ev.isNull} = ${vecCode.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        int $n = java.lang.Math.min(${vecCode.value}.numElements(), $dim);
+        int[] $out = new int[$numBands];
+        for (int $t = 0; $t < $numBands; $t++) {
+          int $bk = 0;
+          for (int $b = 0; $b < $bitsPerBand; $b++) {
+            int $base = ($t * $bitsPerBand + $b) * $dim;
+            double $s = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $s += ${vecCode.value}.getDouble($i) * $planesRef[$base + $i];
+            }
+            $bk = $bk * 2 + ($s > 0 ? 1 : 0);
+          }
+          $out[$t] = $bk;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HyperplaneBuckets =
+    copy(vec = newChildren(0), planesE = newChildren(1),
+      bandsE = newChildren(2), bitsE = newChildren(3))
+}
+
 /** Registration + Column-level API for graft's native functions. */
 object VectorFunctions {
 
@@ -282,6 +402,17 @@ object VectorFunctions {
   def sigMatchCountBin(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sig_match_count_bin", a, b)
 
+  /** Column-level LSH band buckets backed by [[HyperplaneBuckets]]: the
+    * planes/band geometry travel as foldable literal arguments so the
+    * expression stays registry-constructible. Returns array<int>, element
+    * t = band t's bucket. */
+  def lshBucketsNative(v: Column, planesFlat: Seq[Double],
+                       numBands: Int, bitsPerBand: Int): Column =
+    org.apache.spark.sql.functions.call_function("lsh_buckets", v,
+      org.apache.spark.sql.functions.lit(planesFlat.toArray),
+      org.apache.spark.sql.functions.lit(numBands),
+      org.apache.spark.sql.functions.lit(bitsPerBand))
+
   /** Register graft's native functions in the session's function registry
     * so SQL, `expr(...)` and the Column wrappers resolve them.
     * Idempotent — already-registered sessions are left alone (a blind
@@ -291,7 +422,9 @@ object VectorFunctions {
     ("sig_match_count", classOf[SigMatchCount].getName, sigBuilder),
     ("pack_longs", classOf[PackLongs].getName, cs => PackLongs(cs.head)),
     ("sig_match_count_bin", classOf[SigMatchCountBinary].getName,
-      cs => SigMatchCountBinary(cs(0), cs(1))))
+      cs => SigMatchCountBinary(cs(0), cs(1))),
+    ("lsh_buckets", classOf[HyperplaneBuckets].getName,
+      cs => HyperplaneBuckets(cs(0), cs(1), cs(2), cs(3))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -95,19 +95,29 @@ object Ann {
     * n/2^bits per band, and the pairwise verify work inside buckets is
     * quadratic in it — at web scale raise bits (and bands with it, to hold
     * recall) so occupancy shrinks geometrically while signature cost grows
-    * only linearly. */
+    * only linearly.
+    *
+    * Computed by the native codegen'd
+    * [[graft.functions.HyperplaneBuckets]] (all bands' dots in one tight
+    * loop — the composed form nested three interpreted HOFs around an
+    * interpreted dot, once per corpus row); the residual `transform` here
+    * only wraps the 16 ints in the (tbl, bucket) struct shape. Callers on
+    * the hot path should prefer [[lshBucketInts]] + `posexplode`. */
   def lshBuckets(v: Column, numBands: Int = NumBands,
                  bitsPerBand: Int = BitsPerBand): Column = {
-    val planes = array(hyperplanes(numBands * bitsPerBand)
-      .map(p => array(p.map(lit): _*)): _*)
-    transform(sequence(lit(0), lit(numBands - 1)), t =>
-      struct(t.as("tbl"),
-        aggregate(sequence(lit(0), lit(bitsPerBand - 1)),
-          lit(0),
-          (acc, b) => acc * 2 +
-            when(dot(v, element_at(planes, t * bitsPerBand + b + 1)) > 0, 1)
-              .otherwise(0)).as("bucket")))
+    val ints = lshBucketInts(v, numBands, bitsPerBand)
+    transform(ints, (bkt, idx) =>
+      struct(idx.cast("int").as("tbl"), bkt.as("bucket")))
   }
+
+  /** array<int> of band buckets (element t = band t's bucket id) via the
+    * native expression — posexplode to (tbl, bucket) rows. Requires
+    * [[graft.functions.VectorFunctions.register]] on the session (the
+    * operators call it). */
+  def lshBucketInts(v: Column, numBands: Int = NumBands,
+                    bitsPerBand: Int = BitsPerBand): Column =
+    graft.functions.VectorFunctions.lshBucketsNative(v,
+      hyperplanes(numBands * bitsPerBand).flatten, numBands, bitsPerBand)
 
   /** Embedding cosine near-dup pairs ≥ `tau` via hyperplane LSH buckets.
     * Candidates = pairs sharing any (table, bucket); exact cosine verifies.
@@ -147,8 +157,8 @@ object Ann {
       // r4).
       val sigs = vecs.withColumn("nrm", norm(col("v"))).persist()
       val buckets = sigs.select(col("vec_id"),
-        explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
-        .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+        posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+          .as(Seq("tbl", "bucket")))
       // distinct FIRST: a pair colliding in several bands is verified
       // once; the bucket self-join shuffles only (tbl, bucket, id) triples
       val cand = buckets.as("x")
@@ -182,9 +192,8 @@ object Ann {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .persist()
     val buckets = reps.select(col("rep_id"), col("vkey"),
-      explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
-      .select(col("rep_id"), col("vkey"),
-        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+        .as(Seq("tbl", "bucket")))
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -233,9 +242,7 @@ object Ann {
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val buckets = vecs.select(col("vec_id"), col("v"), col("nrm"),
-      explode(lshBuckets(col("v"))).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      posexplode(lshBucketInts(col("v"))).as(Seq("tbl", "bucket")))
     val qb = broadcast(buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q"),
         col("nrm").as("qnrm"), col("tbl"), col("bucket")))
@@ -360,9 +367,8 @@ object Ann {
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+        posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+          .as(Seq("tbl", "bucket")))
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("tbl", "bucket"), numBuckets))
     sink.write(rows, table, "part_bucket", Seq("bucket"),

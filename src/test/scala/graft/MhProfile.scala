@@ -114,6 +114,18 @@ object MhProfile {
         graft.llm.Dedup.dedupMinhash(docs)
           .write.format("noop").mode("overwrite").save()
       }
+      t("embed store build") {
+        val emb = Tables.embeddings(spark, dir)
+        val esink = new graft.sinks.WarehouseSink(
+          java.nio.file.Files.createTempDirectory("prof_emb_").toString)
+        graft.llm.Ann.buildEmbedStore(
+          emb.filter(pmod(col("vec_id"), lit(10)) < 6), esink)
+        t("embed probe") {
+          graft.llm.Ann.dedupEmbedIncremental(
+            emb.filter(pmod(col("vec_id"), lit(10)) >= 6), spark, esink)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
       // probe phase split
       locally {
         import graft.llm.Dedup
@@ -137,7 +149,7 @@ object MhProfile {
             col("c.band") === col("n.band") && col("c.bh") === col("n.bh") &&
               col("c.doc_id") =!= col("n.doc_id"))
           .groupBy(col("c.doc_id").as("cid"), col("n.doc_id").as("nid"))
-          .agg(first(col("c.sig")).as("sa"), first(col("n.sig")).as("sb"))
+          .agg(first(col("c.sigb")).as("sa"), first(col("n.sig")).as("sb"))
           .select(least(col("cid"), col("nid")).as("doc_a"),
             greatest(col("cid"), col("nid")).as("doc_b"))
         t("  cross join") { cross.write.format("noop").mode("overwrite").save() }

@@ -74,6 +74,26 @@ class VecDotSpec extends AnyFunSuite with SparkFixture {
       blobs.getAs[Array[Byte]](0), blobs.getAs[Array[Byte]](1)))
   }
 
+  test("native lsh_buckets equals the composed HOF formula on real embeddings") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the pre-native composed form, verbatim
+    val planes = array(Ann.hyperplanes(Ann.NumBands * Ann.BitsPerBand)
+      .map(p => array(p.map(lit): _*)): _*)
+    val composed = transform(sequence(lit(0), lit(Ann.NumBands - 1)), t =>
+      aggregate(sequence(lit(0), lit(Ann.BitsPerBand - 1)),
+        lit(0),
+        (acc, b) => acc * 2 +
+          when(Ann.dot(col("v"),
+            element_at(planes, t * Ann.BitsPerBand + b + 1)) > 0, 1)
+            .otherwise(0)))
+    val mismatches = emb.select(
+      Ann.lshBucketInts(col("v")).as("native"), composed.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
   test("vec_dot is null-safe and rejects wrong types") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
