@@ -65,6 +65,7 @@ object SparkEntry {
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
+    "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
@@ -373,6 +374,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    // fuzzy-exact: same keep-first over C4-style normalized text
+    "dedup_fuzzy" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS norm_hash,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     // PII scrub: DuckDB regexp_replace needs the 'g' flag to match
     // Spark's replace-all semantics

@@ -70,6 +70,20 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text normalization for fuzzy-exact dedup (the C4/Gopher
+    * preprocessing shape): lowercase, collapse every non-alphanumeric run
+    * to one space, trim. Pure codegen'd projection. */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Fuzzy-exact dedup keep-first: [[dedupExact]] over the NORMALIZED
+    * text, so casing/punctuation/whitespace variants of the same content
+    * collapse ("Hello, World!" == "hello world"). Same single
+    * hash-shuffle plan — normalization stays map-side in the scan. */
+  def dedupFuzzy(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normalizeText(col("text"))).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
   /** Exact n-gram Jaccard pairs at threshold `tau`.
     *
     * Inverted-index shape: explode shingles hashed to longs
@@ -527,6 +541,8 @@ object Dedup {
   // --- SparkEntry wiring ---
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
     dedupExact(Tables.documents(spark, dir))
+  def dedupFuzzyQ(spark: SparkSession, dir: String): DataFrame =
+    dedupFuzzy(Tables.documents(spark, dir))
   def dedupNgramJaccardQ(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccard(Tables.documents(spark, dir))
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =

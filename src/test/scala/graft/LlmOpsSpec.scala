@@ -21,6 +21,19 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, 2L), (3L, 1L)))
   }
 
+  test("fuzzy dedup collapses case/punct/whitespace variants; exact keeps them apart") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD"),
+      (4L, "goodbye world"))
+    val fuzzy = Dedup.dedupFuzzy(d)
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(fuzzy === Array((1L, 3L), (4L, 1L)))
+    assert(Dedup.dedupExact(d).count() === 4) // byte-distinct texts stay apart
+  }
+
   test("corpus_refine: scrub feeds the gate, dedup keeps first, sample is consistent") {
     import spark.implicits._
     val good = (1 to 70).map(i => s"word$i").mkString(" ") // long, clean
