@@ -55,7 +55,10 @@ object Bench {
     def jsonObj(sel: ((Double, Double)) => Double, fmt: Double => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }
         .mkString("{", ",", "}")
-    def r3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON line
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val total = results.map(_._2._1).sum
     val totalMedian = results.map(_._2._2).sum
     // emit sf as a number only when it IS one — an arbitrary dir basename

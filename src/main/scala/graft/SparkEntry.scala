@@ -306,7 +306,9 @@ object SparkEntry {
     // as-of join: purchases pick the latest STRICTLY earlier click per
     // user. The window mirrors graft.operators.AsofJoin exactly: union
     // both sides, clicks sort AFTER purchases at equal ts (side 2 vs 1 =
-    // strict), 1-PRECEDING window reads the last click before this row.
+    // strict), 1-PRECEDING window reads the last click before this row;
+    // event_id in the ordering matches the operator's rightTieCol, so
+    // equal-ts clicks resolve identically on both engines.
     // ids/ts as BIGINT with -1 sentinels — NULLs render asymmetrically.
     "events_asof" ->
       """WITH tagged AS (
@@ -317,7 +319,7 @@ object SparkEntry {
         |  FROM events WHERE event_type IN ('click', 'purchase')
         |), w AS (
         |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts, side
+        |      PARTITION BY user_id ORDER BY ts, side, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
         |  FROM tagged
         |)

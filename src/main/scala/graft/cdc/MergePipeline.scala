@@ -101,11 +101,14 @@ object MergePipeline {
         createDisposition = CreateDisposition.CreateNever,
         writeDisposition = WriteDisposition.WriteAppend,
         dynamicOverwrite = true)
-      // an output with no tasks (every key deleted) reports no metrics —
-      // fall back to a direct pass, trivially cheap on that near-empty plan
+      // Missing metrics ⇔ the write ran ZERO tasks ⇔ merged was empty
+      // (CollectMetrics emits its row whenever any task runs, and
+      // Observation.get returns only after the action's listener fired) —
+      // so the fallback is the empty set. Do NOT re-execute `merged`
+      // here: its plan reads `existing` through a file index listed
+      // BEFORE the dynamic overwrite replaced those files.
       val written = scala.util.Try(obs.get("w").asInstanceOf[Seq[Int]].toSet)
-        .getOrElse(merged.select("part_bucket").distinct()
-          .collect().map(_.getInt(0)).toSet)
+        .getOrElse(Set.empty[Int])
       cached.unpersist()
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)

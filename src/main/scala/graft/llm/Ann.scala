@@ -396,9 +396,8 @@ object Ann {
       .persist()
     val bands = sigs
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(lshBuckets(col("v"), numBands, bitsPerBand)).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+        posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+          .as(Seq("tbl", "bucket")))
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("tbl", "bucket"), numBuckets))
       .persist()

@@ -288,8 +288,15 @@ object Dedup {
         approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
       gate.getLong(1) >= gate.getLong(0) * collapseThreshold
     }
-    if (direct)
-      return minhashPairs(minhashSigs(shingleHashes(docs)).persist(), minEstSim)
+    if (direct) {
+      // materialize + unpersist like the embed/jaccard direct paths —
+      // a leaked persisted sigs frame per call otherwise accumulates
+      // cache until LRU pressure (ADVICE-r5-class leak, caught in review)
+      val sigs = minhashSigs(shingleHashes(docs)).persist()
+      val result = graft.Exec.materialize(minhashPairs(sigs, minEstSim))
+      sigs.unpersist()
+      return result
+    }
     // COLLAPSE: signatures (and all band-bucket work) computed for class
     // REPRESENTATIVES only; member pairs inherit the rep pair's estimate
     // (identical texts have identical signatures, so the expansion is

@@ -43,13 +43,17 @@ object AsofJoin {
     *                  earlier one.
     * @param toleranceSec max lookback `l.ts - r.ts` in seconds — matches
     *                  further back attach nothing (the ASOF `tolerance`
-    *                  every implementation grows eventually). Right rows
-    *                  at identical (key, ts) resolve by a deterministic
-    *                  payload-hash tie-break. */
+    *                  every implementation grows eventually).
+    * @param rightTieCol column ordering right rows at identical
+    *                  (key, ts) — the LARGEST value wins. None falls back
+    *                  to a deterministic payload-hash tie-break; name a
+    *                  column (an id) when the tie must be expressible on
+    *                  other engines / match the streaming operator. */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
            rightPrefix: String = "r", strict: Boolean = true,
-           toleranceSec: Option[Long] = None): DataFrame = {
+           toleranceSec: Option[Long] = None,
+           rightTieCol: Option[String] = None): DataFrame = {
     val keys = keyCols.map(col)
     // side ordering at equal ts encodes strictness: the window looks one
     // row back, so a right row sorting BEFORE the left row at the same ts
@@ -63,10 +67,12 @@ object AsofJoin {
     // other frame's columns)
     val rpayType = right.select(rpay).schema.head.dataType
     val lpayType = left.select(lpay).schema.head.dataType
+    val tie = rightTieCol.map(c => col(c).cast("long"))
+      .getOrElse(xxhash64(rpay))
     val r = right.select(keys :+ col(rightTs).as("__ts") :+
       lit(rightSide).as("__side") :+ rpay.as("__rpay") :+
       lit(null).cast(lpayType).as("__lpay") :+
-      xxhash64(rpay).as("__tie"): _*)
+      tie.as("__tie"): _*)
     val l = left.select(keys :+ col(leftTs).as("__ts") :+
       lit(leftSide).as("__side") :+ lit(null).cast(rpayType).as("__rpay") :+
       lpay.as("__lpay") :+ lit(null).cast("long").as("__tie"): _*)
@@ -76,7 +82,7 @@ object AsofJoin {
     val matched = l.unionByName(r)
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide)
-    bounded(matched, leftTs, strict = strict, toleranceSec = toleranceSec)
+    bounded(matched, leftTs, toleranceSec)
       .select(
       left.columns.map(c => col(s"__lpay.$c").as(c)) ++
         rightCols.map(c => col(s"__match.$c").as(s"${rightPrefix}_$c")): _*)
@@ -106,7 +112,8 @@ object AsofJoin {
                  leftTs: String, rightTs: String, rightCols: Seq[String],
                  rightPrefix: String = "r", strict: Boolean = true,
                  toleranceSec: Option[Long] = None,
-                 bucketSeconds: Long = 86400L): DataFrame = {
+                 bucketSeconds: Long = 86400L,
+                 rightTieCol: Option[String] = None): DataFrame = {
     val keys = keyCols.map(col)
     val (rightSide, leftSide) = if (strict) (2, 1) else (0, 1)
     val rpay = struct(col(rightTs).as("__rts") +:
@@ -116,11 +123,13 @@ object AsofJoin {
     val lpayType = left.select(lpay).schema.head.dataType
     def bucketOf(ts: String) = (col(ts).cast("long") / lit(bucketSeconds))
       .cast("long")
+    val tie = rightTieCol.map(c => col(c).cast("long"))
+      .getOrElse(xxhash64(rpay))
     val r = right.select(keys :+ col(rightTs).as("__ts") :+
       bucketOf(rightTs).as("__bkt") :+
       lit(rightSide).as("__side") :+ rpay.as("__rpay") :+
       lit(null).cast(lpayType).as("__lpay") :+
-      xxhash64(rpay).as("__tie"): _*)
+      tie.as("__tie"): _*)
     val l = left.select(keys :+ col(leftTs).as("__ts") :+
       bucketOf(leftTs).as("__bkt") :+
       lit(leftSide).as("__side") :+ lit(null).cast(rpayType).as("__rpay") :+
@@ -153,14 +162,14 @@ object AsofJoin {
     val filled = local
       .join(carried, keyCols :+ "__bkt", "left")
       .withColumn("__match", coalesce(col("__match"), col("__carry")))
-    bounded(filled, leftTs, strict = strict, toleranceSec = toleranceSec)
+    bounded(filled, leftTs, toleranceSec)
       .select(
         left.columns.map(c => col(s"__lpay.$c").as(c)) ++
           rightCols.map(c => col(s"__match.$c").as(s"${rightPrefix}_$c")): _*)
   }
 
   /** Tolerance hook shared by the plain and salted shapes. */
-  private def bounded(df: DataFrame, leftTs: String, strict: Boolean,
+  private def bounded(df: DataFrame, leftTs: String,
                       toleranceSec: Option[Long]): DataFrame =
     toleranceSec match {
       case Some(t) => df.withColumn("__match",
@@ -182,7 +191,8 @@ object AsofJoin {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     asof(purchases, clicks, Seq("user_id"), "ts", "ts",
-      rightCols = Seq("click_id"), rightPrefix = "c", strict = true)
+      rightCols = Seq("click_id"), rightPrefix = "c", strict = true,
+      rightTieCol = Some("click_id"))
       .select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("ts_ms"), col("value"),
         coalesce(col("c_click_id"), lit(-1L)).as("click_event_id"))

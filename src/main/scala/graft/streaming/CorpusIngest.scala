@@ -25,11 +25,46 @@ import graft.state.OffsetStore
   * executor memory (the [[CdcStream]] restart discipline). */
 object CorpusIngest {
 
+  /** Idempotent keyed upsert of documents: the corpus table is
+    * bucket-partitioned by hash(doc_id); each write unions the touched
+    * buckets with the incoming docs and dedups on doc_id before a
+    * dynamic overwrite. Re-running the same write converges to the same
+    * table — the property the crash-replay story below rests on. */
+  private def upsertDocs(spark: SparkSession, sink: WarehouseSink,
+                         table: String, docs: DataFrame,
+                         numBuckets: Int): Unit = {
+    val bucket = WarehouseSink.bucketPartition(Seq("doc_id"), numBuckets)
+    if (!sink.tableExists(table)) {
+      sink.write(docs.withColumn("part_bucket", bucket), table,
+        "part_bucket", Seq("doc_id"))
+    } else {
+      val touched = docs.select(bucket.as("b")).distinct()
+        .collect().map(_.getInt(0))
+      val existing = sink.read(spark, table)
+        .filter(col("part_bucket").isin(touched.toIndexedSeq.map(b => lit(b)): _*))
+        .drop("part_bucket")
+      val merged = existing.unionByName(docs).dropDuplicates("doc_id")
+        .withColumn("part_bucket", bucket)
+      sink.write(merged, table, "part_bucket", Seq("doc_id"),
+        createDisposition = graft.sinks.CreateDisposition.CreateNever,
+        writeDisposition = graft.sinks.WriteDisposition.WriteAppend,
+        dynamicOverwrite = true)
+    }
+  }
+
   /** One ingestion step, shared by the stream loop and batch backfills:
-    * dedup `batch` against the store, append survivors (docs whose
-    * `dup_of == -1`) to `corpusTable` partitioned by source, extend the
+    * dedup `batch` against the store, UPSERT survivors (docs whose
+    * `dup_of == -1`) into the doc_id-bucketed `corpusTable`, extend the
     * fingerprint store with the survivors' hashes. Returns the accepted
-    * row count. */
+    * row count.
+    *
+    * Replay safety (foreachBatch re-runs a batch after any crash): the
+    * corpus write is a keyed UPSERT — replaying it converges — and it
+    * commits BEFORE the store append. Crash between the two → replay
+    * still sees the survivors as new (store unchanged), re-upserts them
+    * (no duplicates) and completes the store append. Crash after both →
+    * replay finds every survivor's hash in the store (each is its own
+    * keeper), accepts nothing, and rewrites nothing. */
   def ingestBatch(spark: SparkSession, sink: WarehouseSink, batch: DataFrame,
                   corpusTable: String = "corpus",
                   fpTable: String = "fingerprints",
@@ -43,9 +78,7 @@ object CorpusIngest {
     val survivors = cached.join(accepted, "doc_id").persist()
     val n = survivors.count()
     if (n > 0) {
-      sink.write(
-        survivors.withColumn("part_src", coalesce(col("source"), lit("unknown"))),
-        corpusTable, "part_src", Seq("doc_id"))
+      upsertDocs(spark, sink, corpusTable, survivors, numBuckets)
       Dedup.buildFingerprintStore(survivors, sink, fpTable, numBuckets,
         append = true)
     }

@@ -24,17 +24,33 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     // plus one genuinely new doc
     assert(CorpusIngest.ingestBatch(spark, sink,
       docs((10L, "alpha beta", "web"), (11L, "epsilon zeta", "web"))) === 1L)
-    // corpus holds exactly the accepted docs, partitioned by source
+    // corpus holds exactly the accepted docs in the doc_id-bucket layout
     import spark.implicits._
     val corpus = sink.read(spark, "corpus")
     assert(corpus.select("doc_id").as[Long].collect().sorted
       === Array(1L, 3L, 11L))
-    assert(corpus.select("part_src").distinct().as[String].collect().sorted
-      === Array("book", "web"))
     // an all-duplicate batch accepts nothing and leaves state unchanged
     assert(CorpusIngest.ingestBatch(spark, sink,
       docs((20L, "gamma delta", "book"))) === 0L)
     assert(sink.read(spark, "corpus").count() === 3)
+  }
+
+  test("replaying a batch converges: full replay no-ops, half-committed replay upserts") {
+    val sink = new WarehouseSink(tmpDir("ingest_replay_"))
+    val b = docs((1L, "replay me", "web"), (2L, "and me", "web"))
+    assert(CorpusIngest.ingestBatch(spark, sink, b) === 2L)
+    // replay AFTER both writes committed (crash before the offset write):
+    // the store knows every hash → nothing accepted, nothing rewritten
+    assert(CorpusIngest.ingestBatch(spark, sink, b) === 0L)
+    assert(sink.read(spark, "corpus").count() === 2)
+    // replay of the crash BETWEEN corpus upsert and store append: the
+    // corpus has the docs but the store does not (simulated with a fresh
+    // store table) — the upsert must converge with no duplicate rows
+    assert(CorpusIngest.ingestBatch(spark, sink, b, fpTable = "fp_fresh") === 2L)
+    assert(sink.read(spark, "corpus").count() === 2)
+    import spark.implicits._
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 2L))
   }
 
   test("streaming loop dedups across micro-batches through the store") {

@@ -79,7 +79,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // plan; guard the exact lazy pipeline the direct path runs instead
       graft.llm.Dedup.jaccardPairs(
         graft.llm.Dedup.withShingleCount(graft.llm.Dedup.shingleHashes(docs)), 0.8),
-      graft.llm.Dedup.dedupMinhash(docs),
+      // dedupMinhash also materializes eagerly now — guard its lazy core
+      graft.llm.Dedup.minhashPairs(
+        graft.llm.Dedup.minhashSigs(graft.llm.Dedup.shingleHashes(docs)), 0.5),
       graft.llm.Dedup.dedupSimhash(docs),
       graft.llm.TextOps.textRarity(docs)).map(planString)
     plans.foreach { p =>
