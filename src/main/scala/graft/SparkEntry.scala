@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
     "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
+    "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),

@@ -410,15 +410,19 @@ object Dedup {
     * bucketing by (block_idx, block_value) finds ALL such pairs while only
     * shuffling (block, doc_id). Exact hamming (bit_count of xor) verifies
     * candidates. */
+  /** Pigeonhole block rows (doc_id, sig, blk, v) for a simhash signature
+    * frame — the 4×16-bit banding both the self-join and the incremental
+    * store key on. */
+  private[graft] def simhashBlocks(sigs: DataFrame): DataFrame = sigs.select(
+    col("doc_id"), col("sig"),
+    explode(expr(
+      """transform(sequence(0, 3), j ->
+        |  named_struct('blk', j,
+        |    'v', shiftright(sig, j * 16) & 65535))""".stripMargin)).as("b"))
+    .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.v").as("v"))
+
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(shingleHashes(docs)).persist()
-    val blocks = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(expr(
-        """transform(sequence(0, 3), j ->
-          |  named_struct('blk', j,
-          |    'v', shiftright(sig, j * 16) & 65535))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.v").as("v"))
+    val blocks = simhashBlocks(simhashSigs(shingleHashes(docs)).persist())
     blocks.as("x")
       .join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
@@ -427,6 +431,78 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Build (or extend) the SimHash block store — the cheapest of the
+    * incremental family: the signature is ONE long, so block rows are
+    * four 24-byte rows per doc, bucket-partitioned by hash(blk, v). Same
+    * probe discipline as [[buildMinhashStore]]. */
+  def buildSimhashStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
+                        table: String = "simhash_blocks",
+                        numBuckets: Int = 32,
+                        append: Boolean = false): Unit = {
+    val rows = simhashBlocks(simhashSigs(shingleHashes(docs)))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("blk", "v"), numBuckets))
+    sink.write(rows, table, "part_bucket", Seq("v"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
+  }
+
+  /** Hamming-≤`maxHamming` near-dup pairs of a NEW batch vs the stored
+    * corpus (block-store probe, bucket-pruned) plus within the batch —
+    * (doc_a, doc_b, hamming) like [[dedupSimhash]], restricted to pairs
+    * involving a new doc. Complete by the same pigeonhole argument: a
+    * pair within hamming 3 shares at least one verbatim 16-bit block, so
+    * it collides in that block's bucket wherever the two docs live. */
+  def dedupIncrementalSimhash(newDocs: DataFrame, spark: SparkSession,
+                              sink: graft.sinks.WarehouseSink,
+                              table: String = "simhash_blocks",
+                              maxHamming: Int = 3,
+                              numBuckets: Int = 32): DataFrame = {
+    val sigs = simhashSigs(shingleHashes(newDocs)).persist()
+    val blocks = simhashBlocks(sigs)
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("blk", "v"), numBuckets))
+      .persist()
+    val touched = blocks.select("part_bucket").distinct().collect().map(_.getInt(0))
+    val store = sink.read(spark, table)
+      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    val cross = store.as("c")
+      .join(blocks.as("n"),
+        col("c.blk") === col("n.blk") && col("c.v") === col("n.v") &&
+          col("c.doc_id") =!= col("n.doc_id"))
+      .select(least(col("c.doc_id"), col("n.doc_id")).as("doc_a"),
+        greatest(col("c.doc_id"), col("n.doc_id")).as("doc_b"),
+        bit_count(col("c.sig").bitwiseXOR(col("n.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val withinBlocks = blocks.drop("part_bucket")
+    val within = withinBlocks.as("x")
+      .join(withinBlocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val result = graft.Exec.materialize(
+      cross.unionByName(within).dropDuplicates("doc_a", "doc_b"))
+    blocks.unpersist()
+    sigs.unpersist()
+    result
+  }
+
+  /** Driver query (rows-only; LlmOpsSpec proves equality with the full
+    * [[dedupSimhash]] restricted to new-doc pairs). */
+  def dedupIncrementalSimhashQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sink = new graft.sinks.WarehouseSink(
+      java.nio.file.Files.createTempDirectory("graft_shstore_").toString)
+    buildSimhashStore(docs.filter(pmod(col("doc_id"), lit(10)) < 6), sink)
+    dedupIncrementalSimhash(docs.filter(pmod(col("doc_id"), lit(10)) >= 6),
+      spark, sink)
   }
 
   /** Collapse near-dup PAIRS into a deduplicated corpus: connected

@@ -154,6 +154,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(again === expected)
   }
 
+  test("incremental simhash equals the full run restricted to new-doc pairs") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("sh_store_"))
+    Dedup.buildSimhashStore(d.filter(pmod(col("doc_id"), lit(10)) < 6), sink)
+    val inc = Dedup.dedupIncrementalSimhash(
+      d.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, sink)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val isNew = (id: Long) => id % 10 >= 6
+    val expected = Dedup.dedupSimhash(d)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      .filter(p => isNew(p._1) || isNew(p._2))
+    assert(inc === expected)
+  }
+
   test("incremental embed dedup equals the full run restricted to new-vector pairs") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
