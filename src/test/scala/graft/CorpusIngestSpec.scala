@@ -35,6 +35,32 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     assert(sink.read(spark, "corpus").count() === 3)
   }
 
+  test("restarted stream resumes from the checkpoint and processes only new files") {
+    val base = tmpDir("ingest_restart_")
+    val sink = new WarehouseSink(s"$base/wh")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    val inputDir = tmpDir("ingest_restart_in_")
+    docs((1L, "first doc", "web")).coalesce(1).write.parquet(s"$inputDir/f0")
+    val schema = spark.read.parquet(s"$inputDir/f0").schema
+    def drain(): Unit = {
+      val q = CorpusIngest.start(spark, s"$inputDir/f*", schema, sink, offsets,
+        s"$base/ckpt", maxFilesPerTrigger = 1)
+      q.awaitTermination()
+    }
+    drain()
+    assert(sink.read(spark, "corpus").count() === 1)
+    // a second run with nothing new ingests nothing (checkpoint resume,
+    // not store-side dedup: the batch never reaches ingestBatch at all)
+    drain()
+    assert(sink.read(spark, "corpus").count() === 1)
+    // new file after restart → only it is processed
+    docs((2L, "second doc", "web")).coalesce(1).write.parquet(s"$inputDir/f1")
+    drain()
+    import spark.implicits._
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 2L))
+  }
+
   test("replaying a batch converges: full replay no-ops, half-committed replay upserts") {
     val sink = new WarehouseSink(tmpDir("ingest_replay_"))
     val b = docs((1L, "replay me", "web"), (2L, "and me", "web"))
