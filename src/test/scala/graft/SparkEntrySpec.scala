@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkEntrySpec extends AnyFunSuite with SparkFixture {
+
+  test("entry (the driver's smoke check) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("driver contract is internally consistent") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle SQL without a query entry: ${o -- q}")
+    // every oracle-checked op exists; rows-only entries are the known set
+    val rowsOnly = q -- o
+    assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "dedup_minhash",
+      "dedup_simhash", "dedup_embed", "multimodal",
+      "dedup_incremental_minhash", "dedup_embed_incremental",
+      "dedup_incremental_simhash"),
+      s"unexpected rows-only entries: $rowsOnly")
+  }
+}
