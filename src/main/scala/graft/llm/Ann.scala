@@ -402,8 +402,14 @@ object Ann {
         graft.sinks.WarehouseSink.bucketPartition(Seq("tbl", "bucket"), numBuckets))
       .persist()
     val touched = bands.select("part_bucket").distinct().collect().map(_.getInt(0))
-    val store = sink.read(spark, table)
-      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    // an absent store (first ingest of a fresh corpus) reads as empty
+    val store =
+      if (!sink.tableExists(table))
+        spark.range(0).select(col("id").as("vec_id"),
+          array().cast("array<double>").as("v"), lit(0.0).as("nrm"),
+          lit(0).as("tbl"), lit(0).as("bucket"))
+      else sink.read(spark, table)
+        .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
     val cross = store.as("c")
       .join(bands.as("n"),
         col("c.tbl") === col("n.tbl") && col("c.bucket") === col("n.bucket") &&

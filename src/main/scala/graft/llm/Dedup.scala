@@ -403,13 +403,6 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("sig"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤3).
-    *
-    * Pigeonhole banding: split the 64-bit signature into 4 blocks of 16
-    * bits; any pair within hamming 3 shares at least one block verbatim, so
-    * bucketing by (block_idx, block_value) finds ALL such pairs while only
-    * shuffling (block, doc_id). Exact hamming (bit_count of xor) verifies
-    * candidates. */
   /** Pigeonhole block rows (doc_id, sig, blk, v) for a simhash signature
     * frame — the 4×16-bit banding both the self-join and the incremental
     * store key on. */
@@ -421,8 +414,9 @@ object Dedup {
         |    'v', shiftright(sig, j * 16) & 65535))""".stripMargin)).as("b"))
     .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.v").as("v"))
 
-  def dedupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blocks = simhashBlocks(simhashSigs(shingleHashes(docs)).persist())
+  /** Banded + verified pairs within one block frame — the lazy core of
+    * [[dedupSimhash]], also what PlanSpec's shuffle guard inspects. */
+  private[graft] def simhashPairs(blocks: DataFrame, maxHamming: Int): DataFrame =
     blocks.as("x")
       .join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
@@ -431,6 +425,26 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
+    *
+    * Pigeonhole banding: split the 64-bit signature into 4 blocks of 16
+    * bits; any pair within hamming 3 shares at least one block verbatim, so
+    * bucketing by (block_idx, block_value) finds ALL such pairs while only
+    * shuffling (block, doc_id). Exact hamming (bit_count of xor) verifies
+    * candidates. The completeness argument is exactly 4 blocks vs ≤ 3
+    * differing bits — `maxHamming > 3` is REJECTED rather than silently
+    * incomplete. */
+  def dedupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole banding is complete only for hamming <= 3, got $maxHamming")
+    // persist: the self-join references the signature pipeline twice;
+    // materialize + unpersist so the cache does not outlive the call
+    val sigs = simhashSigs(shingleHashes(docs)).persist()
+    val result = graft.Exec.materialize(
+      simhashPairs(simhashBlocks(sigs), maxHamming))
+    sigs.unpersist()
+    result
   }
 
   /** Build (or extend) the SimHash block store — the cheapest of the
@@ -461,14 +475,23 @@ object Dedup {
                               table: String = "simhash_blocks",
                               maxHamming: Int = 3,
                               numBuckets: Int = 32): DataFrame = {
-    val sigs = simhashSigs(shingleHashes(newDocs)).persist()
-    val blocks = simhashBlocks(sigs)
+    require(maxHamming <= 3,
+      s"4-block pigeonhole banding is complete only for hamming <= 3, got $maxHamming")
+    // blocks is the only frame referenced more than once (cross + within
+    // arms); sigs feeds it exactly once, so persisting blocks suffices
+    val blocks = simhashBlocks(simhashSigs(shingleHashes(newDocs)))
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("blk", "v"), numBuckets))
       .persist()
     val touched = blocks.select("part_bucket").distinct().collect().map(_.getInt(0))
-    val store = sink.read(spark, table)
-      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    // an absent store (first ingest of a fresh corpus) reads as empty
+    val store =
+      if (!sink.tableExists(table))
+        spark.range(0).select(col("id").as("doc_id"), lit(0L).as("sig"),
+          lit(0).as("blk"), lit(0L).as("v"))
+      else sink.read(spark, table)
+        .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+        .select("doc_id", "sig", "blk", "v")
     val cross = store.as("c")
       .join(blocks.as("n"),
         col("c.blk") === col("n.blk") && col("c.v") === col("n.v") &&
@@ -478,19 +501,10 @@ object Dedup {
         bit_count(col("c.sig").bitwiseXOR(col("n.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    val withinBlocks = blocks.drop("part_bucket")
-    val within = withinBlocks.as("x")
-      .join(withinBlocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val within = simhashPairs(blocks.drop("part_bucket"), maxHamming)
     val result = graft.Exec.materialize(
       cross.unionByName(within).dropDuplicates("doc_a", "doc_b"))
     blocks.unpersist()
-    sigs.unpersist()
     result
   }
 
@@ -773,8 +787,13 @@ object Dedup {
         graft.sinks.WarehouseSink.bucketPartition(Seq("band", "bh"), numBuckets))
       .persist()
     val touched = bands.select("part_bucket").distinct().collect().map(_.getInt(0))
-    val store = sink.read(spark, table)
-      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    // an absent store (first ingest of a fresh corpus) reads as empty
+    val store =
+      if (!sink.tableExists(table))
+        spark.range(0).select(col("id").as("doc_id"), lit(0).as("band"),
+          lit(0L).as("bh"), lit(Array.emptyByteArray).as("sigb"))
+      else sink.read(spark, table)
+        .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
     // corpus×new candidates: band-hash equijoin, then one aggregation
     // dedups band collisions AND carries both (packed) signatures to the
     // verify — blobs, not lists, ride the shuffle

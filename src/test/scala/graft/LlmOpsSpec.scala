@@ -167,6 +167,13 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
       .filter(p => isNew(p._1) || isNew(p._2))
     assert(inc === expected)
+    // an absent store reads as empty: within-batch pairs only, no throw
+    val fresh = new graft.sinks.WarehouseSink(tmpDir("sh_fresh_"))
+    val onlyWithin = Dedup.dedupIncrementalSimhash(
+      d.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, fresh)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(onlyWithin === expected.map(p => (p._1, p._2))
+      .filter(p => isNew(p._1) && isNew(p._2)))
   }
 
   test("incremental embed dedup equals the full run restricted to new-vector pairs") {

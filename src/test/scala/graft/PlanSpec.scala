@@ -82,7 +82,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // dedupMinhash also materializes eagerly now — guard its lazy core
       graft.llm.Dedup.minhashPairs(
         graft.llm.Dedup.minhashSigs(graft.llm.Dedup.shingleHashes(docs)), 0.5),
-      graft.llm.Dedup.dedupSimhash(docs),
+      graft.llm.Dedup.simhashPairs(graft.llm.Dedup.simhashBlocks(
+        graft.llm.Dedup.simhashSigs(graft.llm.Dedup.shingleHashes(docs))), 3),
       graft.llm.TextOps.textRarity(docs)).map(planString)
     plans.foreach { p =>
       // every exchange key must be doc_id / sh_h / th / band-hash — a raw
