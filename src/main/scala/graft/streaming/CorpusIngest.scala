@@ -53,36 +53,74 @@ object CorpusIngest {
   }
 
   /** One ingestion step, shared by the stream loop and batch backfills:
-    * dedup `batch` against the store, UPSERT survivors (docs whose
-    * `dup_of == -1`) into the doc_id-bucketed `corpusTable`, extend the
-    * fingerprint store with the survivors' hashes. Returns the accepted
-    * row count.
+    * dedup `batch` against the exact-fingerprint store — and, when
+    * `nearDupMinEstSim` is set, against the MinHash band store too —
+    * UPSERT survivors into the doc_id-bucketed `corpusTable`, and roll
+    * both stores forward with the survivors. Returns the accepted count.
+    *
+    * Near-dup rejection is GREEDY keep-first: a batch doc is rejected if
+    * it pairs (est_sim ≥ the threshold) with any corpus doc or any
+    * smaller-id batch doc — the smaller doc wins even if it is itself
+    * rejected by the corpus, the standard streaming-dedup approximation
+    * (exact transitive treatment needs the offline
+    * [[Dedup.dedupedCorpus]] pass).
     *
     * Replay safety (foreachBatch re-runs a batch after any crash): the
-    * corpus write is a keyed UPSERT — replaying it converges — and it
-    * commits BEFORE the store append. Crash between the two → replay
-    * still sees the survivors as new (store unchanged), re-upserts them
-    * (no duplicates) and completes the store append. Crash after both →
-    * replay finds every survivor's hash in the store (each is its own
-    * keeper), accepts nothing, and rewrites nothing. */
+    * corpus write is a keyed UPSERT — replaying it converges — and the
+    * EXACT store (whose hashes decide acceptance) commits LAST, so a
+    * replay after any partial crash still sees the survivors as new and
+    * re-runs every earlier write idempotently. The minhash append sits
+    * between: its replay can duplicate band rows, which the probe's
+    * pair-level dedup makes harmless (benign store growth, compactable
+    * by a rebuild). Crash after everything → replay accepts nothing and
+    * rewrites nothing. */
   def ingestBatch(spark: SparkSession, sink: WarehouseSink, batch: DataFrame,
                   corpusTable: String = "corpus",
                   fpTable: String = "fingerprints",
-                  numBuckets: Int = 32): Long = {
+                  numBuckets: Int = 32,
+                  nearDupMinEstSim: Option[Double] = None,
+                  mhTable: String = "minhash_bands"): Long = {
     val cached = batch.persist()
     val accepted = Dedup.dedupIncremental(cached, spark, sink, fpTable, numBuckets)
       .filter(col("dup_of") === -1L)
       .select("doc_id")
+    val exactSurvivors = cached.join(accepted, "doc_id").persist()
     // dedupIncremental's result is materialized (Exec.materialize), so
-    // the store append below cannot observe this batch's own writes
-    val survivors = cached.join(accepted, "doc_id").persist()
+    // the store appends below cannot observe this batch's own writes
+    val survivors = nearDupMinEstSim match {
+      case Some(tau) =>
+        val pairs = Dedup.dedupIncrementalMinhash(exactSurvivors, spark, sink,
+          mhTable, tau, numBuckets)
+        val batchIds = exactSurvivors.select(col("doc_id")).persist()
+        // a doc loses to any corpus partner, or to a smaller batch id
+        val rejected = pairs
+          .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+          .unionByName(pairs
+            .select(col("doc_b").as("doc_id"), col("doc_a").as("partner")))
+          .join(batchIds, "doc_id")
+          .join(batchIds.select(col("doc_id").as("partner"))
+              .withColumn("partner_in_batch", lit(true)),
+            Seq("partner"), "left")
+          .filter(col("partner_in_batch").isNull || col("partner") < col("doc_id"))
+          .select("doc_id").distinct()
+        val s = exactSurvivors.join(rejected, Seq("doc_id"), "left_anti").persist()
+        s.count() // materialize before unpersisting parents
+        batchIds.unpersist()
+        s
+      case None => exactSurvivors
+    }
     val n = survivors.count()
     if (n > 0) {
       upsertDocs(spark, sink, corpusTable, survivors, numBuckets)
+      nearDupMinEstSim.foreach { _ =>
+        Dedup.buildMinhashStore(survivors, sink, mhTable, numBuckets,
+          append = true)
+      }
       Dedup.buildFingerprintStore(survivors, sink, fpTable, numBuckets,
         append = true)
     }
-    survivors.unpersist()
+    if (survivors ne exactSurvivors) survivors.unpersist()
+    exactSurvivors.unpersist()
     cached.unpersist()
     n
   }
@@ -97,7 +135,8 @@ object CorpusIngest {
             fpTable: String = "fingerprints",
             availableNow: Boolean = true,
             maxFilesPerTrigger: Int = 1,
-            triggerMs: Long = 1000L): StreamingQuery = {
+            triggerMs: Long = 1000L,
+            nearDupMinEstSim: Option[Double] = None): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -105,7 +144,8 @@ object CorpusIngest {
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, sink, batch, corpusTable, fpTable)
+        ingestBatch(spark, sink, batch, corpusTable, fpTable,
+          nearDupMinEstSim = nearDupMinEstSim)
         offsets.put(Map(s"ingest/$corpusTable" -> batchId.toString))
         ()
       }

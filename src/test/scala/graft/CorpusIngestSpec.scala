@@ -35,6 +35,36 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     assert(sink.read(spark, "corpus").count() === 3)
   }
 
+  test("near-dup ingestion rejects paraphrases against the corpus and within batches") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("ingest_nd_"))
+    val base = (1 to 20).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 20).map(i => if (i == 20) "changed" else s"token$i").mkString(" ")
+    val distinct = (100 to 119).map(i => s"other$i").mkString(" ")
+    // batch 1 seeds the corpus with the base doc
+    assert(CorpusIngest.ingestBatch(spark, sink, docs((1L, base, "web")),
+      nearDupMinEstSim = Some(0.5)) === 1L)
+    // batch 2: exact-new but NEAR-dup of the corpus doc → rejected;
+    // a genuinely different doc → kept
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((10L, nearDup, "web"), (11L, distinct, "web")),
+      nearDupMinEstSim = Some(0.5)) === 1L)
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 11L))
+    // within one batch: smaller id wins among near-dups
+    val v1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val v2 = (1 to 20).map(i => if (i == 1) "x" else s"w$i").mkString(" ")
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((20L, v1, "web"), (21L, v2, "web")),
+      nearDupMinEstSim = Some(0.5)) === 1L)
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 11L, 20L))
+    // without the near-dup gate the same paraphrase would have landed
+    val sink2 = new WarehouseSink(tmpDir("ingest_nd_off_"))
+    assert(CorpusIngest.ingestBatch(spark, sink2, docs((1L, base, "web"))) === 1L)
+    assert(CorpusIngest.ingestBatch(spark, sink2, docs((10L, nearDup, "web"))) === 1L)
+  }
+
   test("restarted stream resumes from the checkpoint and processes only new files") {
     val base = tmpDir("ingest_restart_")
     val sink = new WarehouseSink(s"$base/wh")
