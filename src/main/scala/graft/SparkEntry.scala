@@ -378,10 +378,15 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    // fuzzy-exact: same keep-first over C4-style normalized text
+    // fuzzy-exact: keep-first over C4-style normalized text; docs whose
+    // normalization is empty (no ASCII alphanumerics) fall back to a
+    // prefixed raw-text hash instead of collapsing into one class
     "dedup_fuzzy" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-        |    AS norm_hash,
+      """SELECT CASE
+        |    WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+        |    THEN md5('raw:' || text)
+        |    ELSE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |  END AS norm_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     // PII scrub: DuckDB regexp_replace needs the 'g' flag to match

@@ -49,6 +49,7 @@ object Ann {
     * (#queries × #partitions × k) survivors produces the global ranks. */
   def annTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
     val queries = broadcast(
@@ -144,6 +145,10 @@ object Ann {
                  numBands: Int = NumBands,
                  bitsPerBand: Int = BitsPerBand,
                  collapseThreshold: Double = 0.95): DataFrame = {
+    // self-register (idempotent): lsh_buckets/vec_dot resolve through the
+    // function registry, so a direct call on a fresh session must not
+    // depend on the Q-wrappers or GraftExtensions having run (ADVICE r5).
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
     val gate = vecs.agg(count(lit(1)).as("n"),
@@ -238,6 +243,7 @@ object Ann {
     * corpus-side work is one bucket shuffle regardless of query count. */
   def annLshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -285,6 +291,7 @@ object Ann {
                  nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
                  trainPerCell: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v")).persist()
     val corpusN = vecs.count()
@@ -363,6 +370,7 @@ object Ann {
                       numBands: Int = NumBands, bitsPerBand: Int = BitsPerBand,
                       numBuckets: Int = 32,
                       append: Boolean = false): Unit = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val rows = embeddings
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))

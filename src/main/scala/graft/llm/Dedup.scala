@@ -79,10 +79,22 @@ object Dedup {
   /** Fuzzy-exact dedup keep-first: [[dedupExact]] over the NORMALIZED
     * text, so casing/punctuation/whitespace variants of the same content
     * collapse ("Hello, World!" == "hello world"). Same single
-    * hash-shuffle plan — normalization stays map-side in the scan. */
-  def dedupFuzzy(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(normalizeText(col("text"))).as("norm_hash"))
+    * hash-shuffle plan — normalization stays map-side in the scan.
+    *
+    * Non-ASCII guard (ADVICE r5): [[normalizeText]]'s `[^a-z0-9]` scope
+    * maps any doc with no ASCII alphanumerics (CJK/Cyrillic/Arabic,
+    * emoji-only) to the EMPTY string — naively those would all collapse
+    * into one class and a non-Latin corpus would be silently discarded.
+    * Such docs fall back to their exact raw-text hash (prefixed, so a
+    * fallback key can never collide with a normalized key), i.e. they
+    * dedup exactly instead of fuzzily. */
+  def dedupFuzzy(docs: DataFrame): DataFrame = {
+    val norm = normalizeText(col("text"))
+    val key = when(norm === "", md5(concat(lit("raw:"), col("text"))))
+      .otherwise(md5(norm))
+    docs.groupBy(key.as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** Exact n-gram Jaccard pairs at threshold `tau`.
     *

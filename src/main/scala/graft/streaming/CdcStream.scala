@@ -69,11 +69,12 @@ object CdcStream {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // size probe is its own scan of the micro-batch file(s) — cheap
-        // next to the merge, and skipped entirely on the no-op default;
-        // mergeBatch persists the batch internally
-        val observed =
-          if (throttle eq NoBatchSizeWait) 0L else batch.count()
+        // size probe is its own scan of the micro-batch file(s) — only
+        // strategies that actually consume the size pay for it (ADVICE
+        // r5: MaxBatchSizeWait polls its queue suppliers and ignores the
+        // observed size, so the scan was pure waste there); mergeBatch
+        // persists the batch internally
+        val observed = if (throttle.needsBatchSize) batch.count() else 0L
         MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
           keepDeletes, numBuckets)
         offsets.put(Map(s"stream/$table" -> batchId.toString))
@@ -135,12 +136,20 @@ object CdcStream {
 trait BatchSizeWait {
   /** Block per strategy; returns total milliseconds waited. */
   def waitMs(observedBatchSize: Long): Long
+
+  /** Whether the strategy consumes `observedBatchSize` — lets the loop
+    * skip the per-batch size scan for strategies that ignore it
+    * (NoBatchSizeWait returns immediately; MaxBatchSizeWait watches its
+    * queue suppliers, mirroring the reference's, which ignores
+    * `numRecordsProcessed` too). */
+  def needsBatchSize: Boolean = true
 }
 
 /** Pass-through throttle — the reference's default
   * (batchsizewait/NoBatchSizeWait.java: `waitMs` returns immediately). */
 object NoBatchSizeWait extends BatchSizeWait {
   def waitMs(observedBatchSize: Long): Long = 0L
+  override def needsBatchSize: Boolean = false
 }
 
 /** Fill-or-timeout throttle — the reference's MaxBatchSizeWait
@@ -165,6 +174,8 @@ class MaxBatchSizeWait(val maxBatchSize: Int, val maxWaitMs: Long,
     * strategy (the reference's MaxBatchSizeWait ignores
     * `numRecordsProcessed` too) — it watches the queue suppliers. */
   def waitMs(observedBatchSize: Long): Long = waitMs(queuedSize, snapshotRunning)
+
+  override def needsBatchSize: Boolean = false
 
   /** Supplier-explicit variant (reference semantics, used by tests). */
   def waitMs(queued: () => Long,

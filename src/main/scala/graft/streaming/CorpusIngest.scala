@@ -59,11 +59,14 @@ object CorpusIngest {
     * both stores forward with the survivors. Returns the accepted count.
     *
     * Near-dup rejection is GREEDY keep-first: a batch doc is rejected if
-    * it pairs (est_sim ≥ the threshold) with any corpus doc or any
-    * smaller-id batch doc — the smaller doc wins even if it is itself
-    * rejected by the corpus, the standard streaming-dedup approximation
-    * (exact transitive treatment needs the offline
-    * [[Dedup.dedupedCorpus]] pass).
+    * it pairs (est_sim ≥ the threshold) with any corpus doc, or with a
+    * smaller-id batch doc that the corpus itself keeps — a batch partner
+    * rejected by the corpus cannot act as a doc's surviving
+    * representative (ADVICE r5: otherwise content vanished with no
+    * keeper on either side). Within-batch CHAINS (A<B<C, A~B, B~C, B
+    * corpus-clean) remain the streaming approximation: C defers to B
+    * even though B defers to A — exact transitive treatment needs the
+    * offline [[Dedup.dedupedCorpus]] pass.
     *
     * Replay safety (foreachBatch re-runs a batch after any crash): the
     * corpus write is a keyed UPSERT — replaying it converges — and the
@@ -92,8 +95,7 @@ object CorpusIngest {
         val pairs = Dedup.dedupIncrementalMinhash(exactSurvivors, spark, sink,
           mhTable, tau, numBuckets)
         val batchIds = exactSurvivors.select(col("doc_id")).persist()
-        // a doc loses to any corpus partner, or to a smaller batch id
-        val rejected = pairs
+        val dirPairs = pairs
           .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
           .unionByName(pairs
             .select(col("doc_b").as("doc_id"), col("doc_a").as("partner")))
@@ -101,10 +103,23 @@ object CorpusIngest {
           .join(batchIds.select(col("doc_id").as("partner"))
               .withColumn("partner_in_batch", lit(true)),
             Seq("partner"), "left")
-          .filter(col("partner_in_batch").isNull || col("partner") < col("doc_id"))
+          .persist()
+        // a doc with a corpus partner is rejected outright — the corpus
+        // side already holds a representative
+        val corpusRejected = dirPairs.filter(col("partner_in_batch").isNull)
           .select("doc_id").distinct()
+        // a smaller batch id rejects a doc only if that partner is itself
+        // corpus-clean (ADVICE r5: a corpus-rejected partner cannot be
+        // the doc's surviving representative)
+        val batchRejected = dirPairs
+          .filter(col("partner_in_batch").isNotNull && col("partner") < col("doc_id"))
+          .join(corpusRejected.select(col("doc_id").as("partner")),
+            Seq("partner"), "left_anti")
+          .select("doc_id").distinct()
+        val rejected = corpusRejected.unionByName(batchRejected).distinct()
         val s = exactSurvivors.join(rejected, Seq("doc_id"), "left_anti").persist()
         s.count() // materialize before unpersisting parents
+        dirPairs.unpersist()
         batchIds.unpersist()
         s
       case None => exactSurvivors
