@@ -128,15 +128,19 @@ object Ann {
     * EXACT duplicates collapse BEFORE the LSH stage — ADAPTIVELY:
     * byte-identical vectors land in identical buckets at any banding, so
     * duplicate groups cannot be split by finer buckets and their
-    * bucket-join work is quadratic in duplicate mass (measured: a
-    * 10×-replicated corpus was ~40× slower un-collapsed). But on a
-    * mostly-unique corpus — the common case after exact dedup — the rep
-    * indirection and expansion joins cost more than they save (r3 bench:
-    * unconditional collapse was the round's slowest entry), so one cheap
-    * aggregation job (corpus count + HLL distinct-content-hash estimate,
-    * map-side sketches only) picks the path. The ±2% HLL error can only
-    * flip the choice near the threshold; both paths produce the identical
-    * pair set (identical vectors share all buckets and all cosines).
+    * bucket-join work is quadratic in duplicate mass (measured twice: a
+    * 10×-replicated corpus was ~40× slower un-collapsed in r3, and a
+    * r6 experiment that dropped the gate put the same smoke at 215 s vs
+    * 4 s). But on a mostly-unique corpus — the common case after exact
+    * dedup — the rep indirection and expansion joins cost more than
+    * they save (r3 bench: unconditional collapse was the round's
+    * slowest entry), so the path is picked by a count + HLL
+    * distinct-content estimate. r6 folds that gate INTO the
+    * persist-filling first job over the shared signature frame — r5 ran
+    * it as its own corpus scan, a pure 0.4 s fixed cost at sf0.1
+    * (DedupProfile). The ±2% HLL error can only flip the choice near
+    * the threshold; both paths produce the identical pair set
+    * (identical vectors share all buckets and all cosines).
     *
     * @param collapseThreshold classes/docs ratio at or above which the
     *        direct path runs; 0.0 forces direct, anything > 1 forces
@@ -151,21 +155,35 @@ object Ann {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
-    val gate = vecs.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(col("v")), 0.02).as("nc")).head()
-    val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
-    if (nClasses >= nDocs * collapseThreshold) {
-      // DIRECT: LSH over every vector, no rep indirection. sigs is
-      // referenced three times (bucket derivation + both verify sides) —
-      // persisted, or each reference re-scans and re-norms the corpus
-      // (exchange reuse does not fire across aliased join sides, ADVICE
-      // r4).
-      val sigs = vecs.withColumn("nrm", norm(col("v"))).persist()
+    // the signature frame both paths build on; the gate aggregation runs
+    // over it so the path decision doubles as the cache-fill job
+    val sigs = vecs.withColumn("nrm", norm(col("v"))).persist()
+    val direct = collapseThreshold <= 0.0 || {
+      val gate = sigs.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("v")), 0.02).as("nc")).head()
+      gate.getLong(1) >= gate.getLong(0) * collapseThreshold
+    }
+    if (direct) {
+      // DIRECT: SLIM candidate generation — the bucket self-join
+      // shuffles only (tbl, bucket, id) triples, a pair colliding in
+      // several bands is distinct-ed once, and verification joins the
+      // persisted signature frame onto the DISTINCT pair set (Catalyst
+      // broadcasts it when it fits). Measured r6 against the
+      // payload-on-band-rows alternative (vectors riding both join
+      // sides, τ filtered inside the join stage): that form halved
+      // sf0.1 wall time (1.0 → 0.5 s) but TRIPLED the 10× smoke
+      // (4.0 → 12.7 s) — at this banding collisions are
+      // near-quadratic, and materializing two 512-byte vectors per
+      // collision row dwarfs the slim candidate shuffle. Payload-
+      // carrying joins pay only where the probe side is pruned and
+      // selective ([[dedupEmbedIncremental]]); a full self-join keeps
+      // slim rows. sigs is referenced three times (bucket derivation +
+      // both verify sides) — persisted above, or each reference
+      // re-scans and re-norms the corpus (exchange reuse does not fire
+      // across aliased join sides, ADVICE r4).
       val buckets = sigs.select(col("vec_id"),
         posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
           .as(Seq("tbl", "bucket")))
-      // distinct FIRST: a pair colliding in several bands is verified
-      // once; the bucket self-join shuffles only (tbl, bucket, id) triples
       val cand = buckets.as("x")
         .join(buckets.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -187,8 +205,9 @@ object Ann {
     // proportional to corpus × dim) and an 8+8-byte shuffle key.
     val vkey = struct(xxhash64(lit(0), col("v")).as("h0"),
       xxhash64(lit(1), col("v")).as("h1"))
-    val members = vecs
-      .withColumn("nrm", norm(col("v")))
+    // members derive from the already-cached signature frame (norms
+    // computed once, shared with the gate job)
+    val members = sigs
       .withColumn("vkey", vkey)
       .persist()
     // one representative per exact-duplicate class (min id: deterministic)
@@ -234,6 +253,7 @@ object Ann {
     val result = graft.Exec.materialize(cross.unionByName(within))
     members.unpersist()
     reps.unpersist()
+    sigs.unpersist()
     result
   }
 
@@ -398,11 +418,12 @@ object Ann {
                             bitsPerBand: Int = BitsPerBand,
                             numBuckets: Int = 32): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val sigs = newEmbeddings
+    // the one persisted frame: band rows with vector+norm riding along —
+    // referenced by the touched-bucket probe, the store cross-join and
+    // the within-batch self-join (both sides)
+    val bands = newEmbeddings
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .persist()
-    val bands = sigs
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
           .as(Seq("tbl", "bucket")))
@@ -418,35 +439,41 @@ object Ann {
           lit(0).as("tbl"), lit(0).as("bucket"))
       else sink.read(spark, table)
         .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    // verification happens ON the collision rows (vectors ride both
+    // sides), τ filters inside the join stage, and only survivors —
+    // already the output set — reach the final pair-level dedup; the
+    // candidate set never shuffles (the r6 dedupEmbed shape)
     val cross = store.as("c")
       .join(bands.as("n"),
         col("c.tbl") === col("n.tbl") && col("c.bucket") === col("n.bucket") &&
           col("c.vec_id") =!= col("n.vec_id"))
-      .groupBy(col("c.vec_id").as("cid"), col("n.vec_id").as("nid"))
-      .agg(first(col("c.v")).as("cv"), first(col("c.nrm")).as("cn"),
-        first(col("n.v")).as("nv"), first(col("n.nrm")).as("nn"))
-      .select(least(col("cid"), col("nid")).as("vec_a"),
-        greatest(col("cid"), col("nid")).as("vec_b"),
-        (dot(col("cv"), col("nv")) / (col("cn") * col("nn"))).as("cos"))
+      .select(least(col("c.vec_id"), col("n.vec_id")).as("vec_a"),
+        greatest(col("c.vec_id"), col("n.vec_id")).as("vec_b"),
+        (dot(col("c.v"), col("n.v")) / (col("c.nrm") * col("n.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
-    // within-batch pairs: the direct dedupEmbed shape over the new sigs
-    val nb = bands.drop("v", "nrm", "part_bucket")
-    val cand = nb.as("x")
-      .join(nb.as("y"),
+    // within-batch arm, SLIM (the dedupEmbed r6 rationale: a full
+    // self-join carrying vectors on both sides materializes two 512-byte
+    // payloads per collision row — candidates from (tbl, bucket, id)
+    // triples instead, verified against the cached table-0 band rows,
+    // one per vector)
+    val batchSigs = bands.filter(col("tbl") === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val slim = bands.select("vec_id", "tbl", "bucket")
+    val cand = slim.as("x")
+      .join(slim.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     val within = cand
-      .join(sigs.as("ma"), col("vec_a") === col("ma.vec_id"))
-      .join(sigs.as("mb"), col("vec_b") === col("mb.vec_id"))
+      .join(batchSigs.as("ma"), col("vec_a") === col("ma.vec_id"))
+      .join(batchSigs.as("mb"), col("vec_b") === col("mb.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
     val result = graft.Exec.materialize(
       cross.unionByName(within).dropDuplicates("vec_a", "vec_b"))
     bands.unpersist()
-    sigs.unpersist()
     result
   }
 

@@ -375,7 +375,15 @@ object Dedup {
 
   /** Banded candidate pairs within one signature frame, verified at
     * `minEstSim` (the core of [[dedupMinhash]]; `sigs` should be
-    * persisted — referenced three times). */
+    * persisted — referenced three times).
+    *
+    * SLIM shape, measured r6: band rows shuffle as (band, bh, doc_id)
+    * triples and the signatures join back onto the DISTINCT pair set —
+    * the alternative (packed signatures riding every band row, est_sim
+    * filtered inside the self-join) re-shuffles the 512-byte signature
+    * 16× per doc on BOTH join sides, and the 10× smoke regressed 10.0 →
+    * 13.5 s. Payload-on-band-rows pays only where the probe side is a
+    * pruned store read ([[dedupIncrementalMinhash]]'s cross arm). */
   private[graft] def minhashPairs(sigs: DataFrame, minEstSim: Double): DataFrame = {
     graft.functions.VectorFunctions.register(sigs.sparkSession)
     val bands = bandRows(sigs).drop("sig")
@@ -435,8 +443,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: only verified pairs shuffle into the
+      // pair-level dedup, not the full candidate set (r6)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
     *
@@ -511,8 +521,8 @@ object Dedup {
       .select(least(col("c.doc_id"), col("n.doc_id")).as("doc_a"),
         greatest(col("c.doc_id"), col("n.doc_id")).as("doc_b"),
         bit_count(col("c.sig").bitwiseXOR(col("n.sig"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     val within = simhashPairs(blocks.drop("part_bucket"), maxHamming)
     val result = graft.Exec.materialize(
       cross.unionByName(within).dropDuplicates("doc_a", "doc_b"))
@@ -547,16 +557,21 @@ object Dedup {
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame,
                     maxDriverPairs: Long = 5000000L): DataFrame = {
     val edgesDf = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .persist()
-    if (edgesDf.count() > maxDriverPairs) {
-      val labels = connectedComponentsDistributed(edgesDf)
-      edgesDf.unpersist()
+    // ONE probe sizes the edge set AND, in the common small case, IS the
+    // collect — r5 paid three jobs here (persist fill + count + collect)
+    // on a pair frame the dedup operators had already materialized.
+    // take() scans partitions incrementally off that materialized frame;
+    // callers passing a LAZY expensive pair frame should persist it first.
+    val cap = math.min(maxDriverPairs, Int.MaxValue - 2L).toInt
+    val probe = edgesDf.take(cap + 1)
+    if (probe.length > cap) {
+      val cached = edgesDf.persist()
+      val labels = connectedComponentsDistributed(cached)
+      cached.unpersist()
       val drops = labels.filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
       return docs.join(drops, Seq("doc_id"), "left_anti")
     }
-    val edges = edgesDf
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    edgesDf.unpersist()
+    val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -791,8 +806,10 @@ object Dedup {
                               minEstSim: Double = 0.5,
                               numBuckets: Int = 32): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val sigs = minhashSigs(shingleHashes(newDocs)).persist()
-    val bands = bandRows(sigs)
+    // the one persisted frame: packed band rows, referenced by the
+    // touched-bucket probe, the store cross-join and both within-batch
+    // self-join sides
+    val bands = bandRows(minhashSigs(shingleHashes(newDocs)))
       .withColumn("sigb", graft.functions.VectorFunctions.packLongs(col("sig")))
       .drop("sig")
       .withColumn("part_bucket",
@@ -806,27 +823,45 @@ object Dedup {
           lit(0L).as("bh"), lit(Array.emptyByteArray).as("sigb"))
       else sink.read(spark, table)
         .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
-    // corpus×new candidates: band-hash equijoin, then one aggregation
-    // dedups band collisions AND carries both (packed) signatures to the
-    // verify — blobs, not lists, ride the shuffle
+    // corpus×new collisions carry both packed signatures; est_sim is
+    // computed per collision row and filtered inside the join stage, so
+    // only verified pairs reach the final dedup (r6 — the r5 form pushed
+    // ALL candidates through a groupBy first)
     val estBin = graft.functions.VectorFunctions
-      .sigMatchCountBin(col("sa"), col("sb")).cast("double") / NumHashes
+      .sigMatchCountBin(col("c.sigb"), col("n.sigb")).cast("double") / NumHashes
     val cross = store.as("c")
       .join(bands.as("n"),
         col("c.band") === col("n.band") && col("c.bh") === col("n.bh") &&
           col("c.doc_id") =!= col("n.doc_id"))
-      .groupBy(col("c.doc_id").as("cid"), col("n.doc_id").as("nid"))
-      .agg(first(col("c.sigb")).as("sa"), first(col("n.sigb")).as("sb"))
-      .select(least(col("cid"), col("nid")).as("doc_a"),
-        greatest(col("cid"), col("nid")).as("doc_b"), estBin.as("est_sim"))
+      .select(least(col("c.doc_id"), col("n.doc_id")).as("doc_a"),
+        greatest(col("c.doc_id"), col("n.doc_id")).as("doc_b"),
+        estBin.as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
-    val within = minhashPairs(sigs, minEstSim)
+    // within-batch arm, SLIM (the minhashPairs r6 rationale): candidates
+    // from (band, bh, id) triples, verified against the packed
+    // signatures carried by the cached band-0 rows — one per doc, read
+    // straight off the persisted bands frame
+    val batchSigs = bands.filter(col("band") === 0)
+      .select(col("doc_id"), col("sigb"))
+    val slim = bands.select("doc_id", "band", "bh")
+    val candW = slim.as("x")
+      .join(slim.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val estW = graft.functions.VectorFunctions
+      .sigMatchCountBin(col("pa.sigb"), col("pb.sigb")).cast("double") / NumHashes
+    val within = candW
+      .join(batchSigs.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(batchSigs.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), estW.as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
     // a batch doc already in the store (re-probe, or a batch overlapping
     // the corpus) would surface a pair via both arms — one row per pair
     val result = graft.Exec.materialize(
       cross.unionByName(within).dropDuplicates("doc_a", "doc_b"))
     bands.unpersist()
-    sigs.unpersist()
     result
   }
 
