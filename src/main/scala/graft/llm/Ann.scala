@@ -291,8 +291,10 @@ object Ann {
     *
     * Scale shape: Lloyd iterations keep the CORPUS distributed — only the
     * (nlist × dim) centroid table ever reaches the driver, and assignment
-    * is a map-side argmax against broadcast centroid literals (VecDot
-    * codegen). The final search shuffles candidates by cell, so corpus
+    * is a map-side argmax via the native
+    * [[graft.functions.CentroidArgmax]] (centroid matrix as one plan
+    * reference object, constant plan size at any nlist). The final
+    * search shuffles candidates by cell, so corpus
     * work per query is ~nprobe/nlist of a full scan — the IVF contract.
     * Deterministic: seeded by vec_id order, fixed iteration count,
     * lexicographic (score, cell) tie-breaks.
@@ -321,22 +323,29 @@ object Ann {
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
 
-    def centroidScore(c: Array[Double]): Column = {
-      val c2 = c.map(x => x * x).sum
-      dot(col("v"), typedLit(c.toSeq)) - lit(c2 / 2.0) // argmax == min L2 dist
-    }
+    // nearest-centroid assignment (argmax of v·c_j − |c_j|²/2 == min L2)
+    // via the native codegen'd CentroidArgmax: the whole centroid matrix
+    // rides as ONE reference object, so the plan stays constant-size at
+    // any nlist — the composed per-centroid-literal form built a
+    // multi-hundred-MB expression tree at realistic quantizer sizes
+    // (nlist 4k–64k) and broke codegen/plan serialization before data
+    // became the problem (VERDICT r5)
     def assignCol(cents: Seq[Array[Double]]): Column =
-      array_max(array(cents.zipWithIndex.map { case (c, j) =>
-        struct(centroidScore(c).as("s"), lit(j).as("cid"))
-      }: _*)).getField("cid")
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), cents.flatten.toIndexedSeq, cents.size)
 
     // init: first nlist sampled vectors by id (deterministic); Lloyd
     // updates see only the training sample
     var centroids: Seq[Array[Double]] = train.orderBy("vec_id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
-      val means = train.select(assignCol(centroids).as("cid"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+      // cid is computed in its OWN projection before the explode: an
+      // expression sharing a select with a generator lands in the
+      // post-Generate projection and re-evaluates once per EXPLODED row
+      // — dim × the corpus, measured 16× slower at nlist=1024
+      // (IvfProfile2: 15.8 s vs 0.9 s for this job)
+      val means = train.select(col("v"), assignCol(centroids).as("cid"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .collect().groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, j) =>

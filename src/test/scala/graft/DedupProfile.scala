@@ -152,3 +152,85 @@ object ShProfile {
     spark.stop()
   }
 }
+
+/** Phase profiler for IVF at a realistic nlist. */
+object IvfProfile {
+  import DedupProfile.t
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.1"
+    val emb10 = (0 until 10).map(i =>
+      Tables.embeddings(spark, dir)
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val nlist = 1024
+    val vecs = emb10.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).persist()
+    t("corpus count")(vecs.count())
+    val cents0 = t("init collect") {
+      vecs.orderBy("vec_id").limit(nlist)
+        .collect().map(_.getSeq[Double](1).toArray).toSeq
+    }
+    def assignCol(cents: Seq[Array[Double]]) =
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), cents.flatten.toIndexedSeq, cents.size)
+    t("assign pass (count)") {
+      vecs.withColumn("cid", assignCol(cents0)).groupBy("cid").count().count()
+    }
+    t("lloyd means job") {
+      vecs.select(assignCol(cents0).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+    }
+    t("full annIvfTopK nlist=1024") {
+      graft.llm.Ann.annIvfTopK(emb10, nlist = nlist, nprobe = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
+
+/** A/B: assignment before vs inside the explode projection. */
+object IvfProfile2 {
+  import DedupProfile.t
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.1"
+    val emb10 = (0 until 10).map(i =>
+      Tables.embeddings(spark, dir)
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val vecs = emb10.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).persist()
+    vecs.count()
+    val cents0 = vecs.orderBy("vec_id").limit(1024)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    def assignCol(cents: Seq[Array[Double]]) =
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), cents.flatten.toIndexedSeq, cents.size)
+    (1 to 2).foreach { _ =>
+      t("means, assign inside explode select") {
+        vecs.select(assignCol(cents0).as("cid"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m")).collect()
+      }
+      t("means, assign in prior select") {
+        vecs.select(col("v"), assignCol(cents0).as("cid"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m")).collect()
+      }
+    }
+    spark.stop()
+  }
+}

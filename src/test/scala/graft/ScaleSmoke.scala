@@ -45,6 +45,12 @@ object ScaleSmoke {
     t("dedup_embed 20k vecs")(Ann.dedupEmbed(emb10)
       .write.format("noop").mode("overwrite").save())
     t("ann_ivf 20k vecs")(Ann.annIvfTopK(emb10).write.format("noop").mode("overwrite").save())
+    // realistic coarse-quantizer size: the point is the PLAN — with the
+    // centroid matrix as one reference object, plan build + codegen must
+    // stay sane at nlist ≥ 1024 (the per-centroid-literal form built a
+    // multi-hundred-MB expression tree here)
+    t("ann_ivf 20k vecs nlist=1024")(Ann.annIvfTopK(emb10, nlist = 1024, nprobe = 64)
+      .write.format("noop").mode("overwrite").save())
     t("dedup_latest 1M events")(Cdc.dedupLatestEvents(ev10).write.format("noop").mode("overwrite").save())
     val sink = new WarehouseSink(java.nio.file.Files.createTempDirectory("scale_wh_").toString)
     t("bucket merge 1M events")(MergePipeline.mergeBatch(spark, sink, "s", Cdc.flatten(ev10), Seq("user_id")))

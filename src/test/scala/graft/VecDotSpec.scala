@@ -94,6 +94,36 @@ class VecDotSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches === 0)
   }
 
+  test("centroid_argmax matches a driver-side argmax, ties to highest cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cents = Seq.fill(16)(Array.fill(8)(rnd.nextGaussian()))
+    val flat = cents.flatten.toIndexedSeq
+    val vecs = Seq.fill(200)(Array.fill(8)(rnd.nextGaussian()))
+    val expected = vecs.map { v =>
+      // same score + same >= tie-break (highest cell id wins) as the
+      // composed array_max(struct(...)) form the expression replaced
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        (v.zip(c).map { case (a, b) => a * b }.sum -
+          c.map(x => x * x).sum / 2.0, j)
+      }
+      scored.maxBy { case (s, j) => (s, j) }._2
+    }
+    val got = vecs.zipWithIndex.toDF("v", "i")
+      .select(col("i"), VectorFunctions.centroidArgmax(col("v"), flat, 16).as("cid"))
+      .orderBy("i").collect().map(_.getInt(1)).toSeq
+    assert(got === expected)
+    // identical centroids: the highest cell id must win (struct-max tie)
+    val twin = Seq(Array(1.0, 0.0)).toDF("v")
+      .select(VectorFunctions.centroidArgmax(col("v"),
+        IndexedSeq(1.0, 0.0, 1.0, 0.0, 0.5, 0.5), 3))
+    assert(twin.head().getInt(0) === 1)
+    // null vector → null assignment
+    val nul = Seq(Option.empty[Array[Double]]).toDF("v")
+      .select(VectorFunctions.centroidArgmax(col("v"), IndexedSeq(1.0), 1))
+    assert(nul.head().isNullAt(0))
+  }
+
   test("vec_dot is null-safe and rejects wrong types") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
