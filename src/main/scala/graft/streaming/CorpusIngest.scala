@@ -54,9 +54,17 @@ object CorpusIngest {
 
   /** One ingestion step, shared by the stream loop and batch backfills:
     * dedup `batch` against the exact-fingerprint store — and, when
-    * `nearDupMinEstSim` is set, against the MinHash band store too —
-    * UPSERT survivors into the doc_id-bucketed `corpusTable`, and roll
-    * both stores forward with the survivors. Returns the accepted count.
+    * `nearDupMinEstSim` / `embedTau` are set, against the MinHash band
+    * store and/or the vector LSH store too (the full incremental-store
+    * trilogy) — UPSERT survivors into the doc_id-bucketed `corpusTable`,
+    * and roll every enabled store forward with the survivors. Returns
+    * the accepted count.
+    *
+    * With `embedTau` set, the batch must carry `embedCol`
+    * (array&lt;float&gt;/&lt;double&gt;); it probes
+    * [[graft.llm.Ann.dedupEmbedIncremental]] keyed by doc_id. Pairs from
+    * every enabled near-dup source pool into ONE rejection pass, so a
+    * doc similar to the corpus under either measure is rejected once.
     *
     * Near-dup rejection is GREEDY keep-first: a batch doc is rejected if
     * it pairs (est_sim ≥ the threshold) with any corpus doc, or with a
@@ -72,17 +80,20 @@ object CorpusIngest {
     * corpus write is a keyed UPSERT — replaying it converges — and the
     * EXACT store (whose hashes decide acceptance) commits LAST, so a
     * replay after any partial crash still sees the survivors as new and
-    * re-runs every earlier write idempotently. The minhash append sits
-    * between: its replay can duplicate band rows, which the probe's
-    * pair-level dedup makes harmless (benign store growth, compactable
-    * by a rebuild). Crash after everything → replay accepts nothing and
-    * rewrites nothing. */
+    * re-runs every earlier write idempotently. The minhash and embed
+    * appends sit between: their replay can duplicate band rows, which
+    * the probes' pair-level dedup makes harmless (benign store growth,
+    * compactable by a rebuild). Crash after everything → replay accepts
+    * nothing and rewrites nothing. */
   def ingestBatch(spark: SparkSession, sink: WarehouseSink, batch: DataFrame,
                   corpusTable: String = "corpus",
                   fpTable: String = "fingerprints",
                   numBuckets: Int = 32,
                   nearDupMinEstSim: Option[Double] = None,
-                  mhTable: String = "minhash_bands"): Long = {
+                  mhTable: String = "minhash_bands",
+                  embedTau: Option[Double] = None,
+                  embedTable: String = "embed_lsh",
+                  embedCol: String = "embedding"): Long = {
     val cached = batch.persist()
     val accepted = Dedup.dedupIncremental(cached, spark, sink, fpTable, numBuckets)
       .filter(col("dup_of") === -1L)
@@ -90,10 +101,21 @@ object CorpusIngest {
     val exactSurvivors = cached.join(accepted, "doc_id").persist()
     // dedupIncremental's result is materialized (Exec.materialize), so
     // the store appends below cannot observe this batch's own writes
-    val survivors = nearDupMinEstSim match {
-      case Some(tau) =>
-        val pairs = Dedup.dedupIncrementalMinhash(exactSurvivors, spark, sink,
-          mhTable, tau, numBuckets)
+    val nearPairSources = Seq(
+      nearDupMinEstSim.map { tau =>
+        Dedup.dedupIncrementalMinhash(exactSurvivors, spark, sink,
+          mhTable, tau, numBuckets).select(col("doc_a"), col("doc_b"))
+      },
+      embedTau.map { tau =>
+        graft.llm.Ann.dedupEmbedIncremental(
+          exactSurvivors.select(col("doc_id").as("vec_id"), col(embedCol)),
+          spark, sink, embedTable, tau, numBuckets = numBuckets)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      }).flatten
+    val survivors = nearPairSources match {
+      case Nil => exactSurvivors
+      case srcs =>
+        val pairs = srcs.reduce(_ unionByName _)
         val batchIds = exactSurvivors.select(col("doc_id")).persist()
         val dirPairs = pairs
           .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
@@ -122,7 +144,6 @@ object CorpusIngest {
         dirPairs.unpersist()
         batchIds.unpersist()
         s
-      case None => exactSurvivors
     }
     val n = survivors.count()
     if (n > 0) {
@@ -130,6 +151,11 @@ object CorpusIngest {
       nearDupMinEstSim.foreach { _ =>
         Dedup.buildMinhashStore(survivors, sink, mhTable, numBuckets,
           append = true)
+      }
+      embedTau.foreach { _ =>
+        graft.llm.Ann.buildEmbedStore(
+          survivors.select(col("doc_id").as("vec_id"), col(embedCol)),
+          sink, embedTable, numBuckets = numBuckets, append = true)
       }
       Dedup.buildFingerprintStore(survivors, sink, fpTable, numBuckets,
         append = true)
@@ -151,7 +177,9 @@ object CorpusIngest {
             availableNow: Boolean = true,
             maxFilesPerTrigger: Int = 1,
             triggerMs: Long = 1000L,
-            nearDupMinEstSim: Option[Double] = None): StreamingQuery = {
+            nearDupMinEstSim: Option[Double] = None,
+            embedTau: Option[Double] = None,
+            embedCol: String = "embedding"): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -160,7 +188,8 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(spark, sink, batch, corpusTable, fpTable,
-          nearDupMinEstSim = nearDupMinEstSim)
+          nearDupMinEstSim = nearDupMinEstSim,
+          embedTau = embedTau, embedCol = embedCol)
         offsets.put(Map(s"ingest/$corpusTable" -> batchId.toString))
         ()
       }

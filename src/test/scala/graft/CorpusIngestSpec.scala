@@ -65,6 +65,56 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     assert(CorpusIngest.ingestBatch(spark, sink2, docs((10L, nearDup, "web"))) === 1L)
   }
 
+  test("embed-aware ingestion rejects cosine-similar docs via the vector store") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("ingest_emb_"))
+    def edocs(rows: (Long, String, Array[Double])*) =
+      rows.toDF("doc_id", "text", "embedding")
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    // near-identical direction to e1 (cosine ≈ 0.9998)
+    val e1near = Array(1.0, 0.02, 0.0, 0.0)
+    // batch 1 seeds corpus + all three stores
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      edocs((1L, "the quick brown fox", e1)),
+      embedTau = Some(0.95)) === 1L)
+    // batch 2: doc 10 has different TEXT (passes the exact store) but a
+    // near-identical EMBEDDING → rejected via the vector store; doc 11
+    // is orthogonal → kept
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      edocs((10L, "totally different words here", e1near),
+        (11L, "and another new document", e2)),
+      embedTau = Some(0.95)) === 1L)
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 11L))
+    // replay of batch 2 (crash before the offset write): the exact store
+    // knows doc 11 → nothing accepted, corpus unchanged, embed store
+    // growth from the replayed probe stays harmless
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      edocs((10L, "totally different words here", e1near),
+        (11L, "and another new document", e2)),
+      embedTau = Some(0.95)) === 0L)
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 11L))
+    // within one batch: the smaller id wins among embed near-dups
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      edocs((20L, "first of a similar pair", Array(0.0, 0.0, 1.0, 0.0)),
+        (21L, "second of a similar pair", Array(0.0, 0.02, 1.0, 0.0))),
+      embedTau = Some(0.95)) === 1L)
+    assert(sink.read(spark, "corpus").select("doc_id").as[Long]
+      .collect().sorted === Array(1L, 11L, 20L))
+    // combined gates: a doc can be rejected by EITHER store — minhash
+    // near-dup text with a fresh embedding still loses
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 20).map(i => if (i == 20) "x" else s"tok$i").mkString(" ")
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      edocs((30L, base, Array(0.0, 0.0, 0.0, 1.0))),
+      nearDupMinEstSim = Some(0.5), embedTau = Some(0.95)) === 1L)
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      edocs((31L, near, Array(0.5, 0.5, 0.5, 0.5))),
+      nearDupMinEstSim = Some(0.5), embedTau = Some(0.95)) === 0L)
+  }
+
   test("restarted stream resumes from the checkpoint and processes only new files") {
     val base = tmpDir("ingest_restart_")
     val sink = new WarehouseSink(s"$base/wh")
