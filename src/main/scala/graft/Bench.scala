@@ -68,11 +68,14 @@ object Bench {
     // The stdout line must stay SHORT: the driver keeps only a ~2000-char
     // tail of sbt stdout and parses the JSON line out of it. r4's line
     // (full-precision min+median maps, ~4.4k chars) overflowed the window
-    // and BENCH_r04 recorded parsed=null. So: 3-decimal per-query mins,
-    // medians collapsed to one scalar (~1.3k chars at 45 queries); the
-    // full-precision min+median maps go to bench_result.json instead.
+    // and BENCH_r04 recorded parsed=null. So: 2-decimal per-query mins
+    // (3 decimals overflowed the guard once round 6 hit 69 queries),
+    // medians collapsed to one scalar; the full-precision min+median
+    // maps go to bench_result.json instead.
+    def r2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonObj(_._1, r3)},"total_median":${r3(totalMedian)},"sf":$sf}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonObj(_._1, r2)},"total_median":${r3(totalMedian)},"sf":$sf}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonObj(_._1, _.toString)},"queries_median":${jsonObj(_._2, _.toString)},"total_median":$totalMedian,"sf":$sf}"""
     Files.writeString(Paths.get("bench_result.json"), detail + "\n")

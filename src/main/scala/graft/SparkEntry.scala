@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
-import graft.llm.{Ann, Dedup, Multimodal, TextOps}
-import graft.queries.Analytics
+import graft.llm.{Ann, Dedup, Multimodal, Sketches, SpanDedup, TextOps}
+import graft.queries.{Analytics, Analytics2}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -43,6 +43,19 @@ object SparkEntry {
     "q10_returns" -> (Analytics.q10Returns _),
     "q21_sole_blame" -> (Analytics.q21SoleBlame _),
     "q16_supplier_diversity" -> (Analytics.q16SupplierDiversity _),
+    "q2_min_cost_supplier" -> (Analytics2.q2MinCostSupplier _),
+    "q6_forecast_revenue" -> (Analytics2.q6ForecastRevenue _),
+    "q8_market_share" -> (Analytics2.q8MarketShare _),
+    "q9_product_profit" -> (Analytics2.q9ProductProfit _),
+    "q11_important_parts" -> (Analytics2.q11ImportantParts _),
+    "q13_order_distribution" -> (Analytics2.q13OrderDistribution _),
+    "q15_top_supplier" -> (Analytics2.q15TopSupplier _),
+    "q17_small_quantity" -> (Analytics2.q17SmallQuantity _),
+    "q19_disjunctive" -> (Analytics2.q19Disjunctive _),
+    "q20_excess_suppliers" -> (Analytics2.q20ExcessSuppliers _),
+    "q22_dormant_customers" -> (Analytics2.q22DormantCustomers _),
+    "q_funnel" -> (Analytics2.qFunnel _),
+    "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
@@ -73,6 +86,8 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
     "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
+    "dedup_spans" -> (SpanDedup.dedupChunksQ _),
+    "sketch_distinct" -> (Sketches.sketchDistinctQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
@@ -264,6 +279,163 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                        WHERE s_acctbal < 0)
         |GROUP BY 1, 2""".stripMargin,
+    // scan-side conjunctive filter → scalar agg
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // per-group argmin with ties over a filtered join, deterministic top-100
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (
+        |  SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM part p JOIN ps ON p.p_partkey = ps.l_partkey
+        |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_size <= 15 AND p.p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey FROM (
+        |  SELECT *, min(s_acctbal) OVER (PARTITION BY p_partkey) AS mn FROM cand) t
+        |WHERE s_acctbal = mn
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+    // conditional share-of-total; share divides as DOUBLE on both sides
+    "q8_market_share" ->
+      s"""SELECT yr,
+         |  CAST(sum(CASE WHEN nat = 'NATION_2' THEN vol
+         |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |    / CAST(sum(vol) AS DOUBLE) AS mkt_share
+         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, $discPriceSql AS vol,
+         |        n2.n_name AS nat
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'PROMO') a
+         |GROUP BY yr""".stripMargin,
+    // profit arithmetic over 5-way join (cost adapted: 5% of retail price)
+    "q9_product_profit" ->
+      s"""SELECT nat, yr, CAST(sum(amount) AS DOUBLE) AS sum_profit FROM (
+         |  SELECT n_name AS nat, CAST(year(o_orderdate) AS INT) AS yr,
+         |    $discPriceSql - CAST(p_retailprice AS DECIMAL(12,2))
+         |      * CAST(0.05 AS DECIMAL(3,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE '%red%') a GROUP BY nat, yr""".stripMargin,
+    // aggregate filtered by a scalar aggregate of itself
+    "q11_important_parts" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey, sum($discPriceSql) AS val
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_regionkey = 2 GROUP BY l_partkey)
+         |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value FROM v
+         |WHERE CAST(val AS DOUBLE) >
+         |  (SELECT CAST(sum(val) AS DOUBLE) FROM v) * 0.001""".stripMargin,
+    // LEFT OUTER with ON-clause filter → distribution agg
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t GROUP BY c_count""".stripMargin,
+    // argmax by scalar subquery over a derived agg, exact DECIMAL ties
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum($discPriceSql) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    // correlated per-group AVG (integral doubles: deterministic both sides)
+    "q17_small_quantity" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |           / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size <= 10
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // disjunction of conjunctive predicate groups
+    "q19_disjunctive" ->
+      s"""SELECT CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // HAVING aggregate feeding a semi-join chain
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 1 AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50)""".stripMargin,
+    // scalar-subquery threshold + NOT EXISTS anti join
+    "q22_dormant_customers" ->
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey < 10
+        |  AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                     / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0 AND c_nationkey < 10)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
+    // ordered funnel: staged keyed aggregates chained by strict ts order
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT count(t1) AS n_signup, count(t2) AS n_click_after_signup,
+        |  count(t3) AS n_purchase_after_click
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    // interval containment: purchases inside 15-min incident windows.
+    // epoch_us on both operands pins the compare to Spark's microsecond
+    // domain (events.ts is parquet NANOS; Tables.events floors to micros).
+    "events_interval_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS incident_id
+        |FROM events p, events e
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |  AND epoch_us(p.ts) >= epoch_us(e.ts)
+        |  AND epoch_us(p.ts) < epoch_us(e.ts) + 900000000""".stripMargin,
+    // span dedup: first occurrence of each 10-token chunk wins, docs
+    // reassemble from surviving chunks (fully-duplicated docs vanish)
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, u.i AS chunk_ord,
+        |         array_to_string(l[(u.i*10+1):(u.i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range(0, CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+        |keep AS (
+        |  SELECT doc_id, chunk_ord, chunk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY chunk
+        |               ORDER BY doc_id, chunk_ord) AS rn
+        |    FROM chunks) t WHERE rn = 1)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_ord) AS text
+        |FROM keep GROUP BY doc_id""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,

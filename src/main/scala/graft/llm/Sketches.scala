@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable distinct-count sketches for corpus dashboards.
+  *
+  * At 100 TB an exact `countDistinct` per reporting dimension re-shuffles
+  * the corpus for every rollup level. The warehouse answer is a SKETCH
+  * TABLE: aggregate once at the finest grain (lang × source) into HLL
+  * sketches, persist those few-KB binaries, and serve every coarser
+  * rollup (per-lang, global, ad-hoc source groupings) by UNIONING
+  * sketches — never touching the corpus again. Spark 4's DataSketches
+  * HLL functions (`hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate`) are deterministic: the same input multiset
+  * yields the same sketch bytes, so union-then-estimate is EXACTLY equal
+  * to estimating a direct coarse-grain sketch — pinned by
+  * SketchesSpec, alongside a ±5% accuracy bound vs exact distinct.
+  */
+object Sketches {
+
+  /** Finest-grain sketch table: one row per (lang, source) holding the
+    * HLL sketch of distinct normalized-content fingerprints plus exact
+    * row counts. This is the frame a pipeline would persist. */
+  def sketchTable(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        xxhash64(col("text")).as("fp"))
+      .groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("fp"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_docs"))
+
+  /** Roll the sketch table up to per-lang distinct-content estimates by
+    * sketch union — the corpus is not re-read. */
+  def rollupByLang(sketchTbl: DataFrame): DataFrame =
+    sketchTbl
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"),
+        sum(col("n_docs")).as("n_docs"))
+
+  /** One-pass per-lang sketch straight off the corpus (no intermediate
+    * table) — the equality partner for the rollup in SketchesSpec. */
+  def directByLang(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs
+      .select(col("lang"), xxhash64(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("fp"), lit(lgK))).as("est_distinct"),
+        count(lit(1)).as("n_docs"))
+
+  /** Driver entry (rows-only: estimates have no DuckDB twin): per-lang
+    * distinct-content estimate computed THROUGH the mergeable sketch
+    * table, the way a 100 TB dashboard would. */
+  def sketchDistinctQ(spark: SparkSession, dir: String): DataFrame =
+    rollupByLang(sketchTable(Tables.documents(spark, dir)))
+}

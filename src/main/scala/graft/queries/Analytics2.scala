@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-6 widening of the BQ-style analytics surface: the remaining
+  * TPC-H shapes, adapted to the synthetic star schema (no partsupp /
+  * comment / shipmode columns — see TESTDATA.md). What matters is the
+  * SHAPE coverage, each one a plan family a 100 TB warehouse runs daily:
+  *
+  *  - q2:  per-group argmin with ties (window over a filtered join)
+  *  - q6:  pure scan-side conjunctive filter → scalar agg (no shuffle)
+  *  - q8:  conditional share-of-total over a 7-table star join
+  *  - q9:  profit arithmetic over 5-way join, grouped two ways
+  *  - q11: aggregate filtered by a scalar aggregate of itself
+  *  - q13: LEFT OUTER join with ON-clause filter → distribution agg
+  *  - q15: argmax-by-scalar-subquery (max total over a derived agg)
+  *  - q17: correlated per-group average as a self-agg join
+  *  - q19: disjunction of conjunctive predicate groups (OR pushdown)
+  *  - q20: nested semi-join chain through a HAVING aggregate
+  *  - q22: scalar-subquery threshold + NOT EXISTS anti join
+  *
+  * Scale notes follow Analytics.scala: dims broadcast explicitly, facts
+  * shuffle once on their join key, money math accumulates in DECIMAL
+  * (exact, order-independent) and lands as DOUBLE (driver hash parity).
+  */
+object Analytics2 {
+
+  private def dec(c: Column) = c.cast("decimal(12,2)")
+  private def asDouble(c: Column) = c.cast("double")
+  private def discPrice =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+
+  /** TPC-H Q6-style forecast revenue: every predicate reaches the parquet
+    * scan (PushedFilters), one partial+final agg, zero shuffle of data
+    * rows — the cheapest possible plan at any scale. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
+
+  /** TPC-H Q2-style min-cost supplier (adapted: supply relation comes from
+    * observed lineitem pairs, "cost" is s_acctbal): per qualifying part,
+    * the supplier(s) with minimal account balance in EUROPE, ties kept.
+    *
+    * The supply pairs distinct is the only fact shuffle; parts and the
+    * 100-row supplier⋈nation⋈region dim both broadcast, so the window
+    * (per-part min) runs over an already-small candidate set. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val pt = broadcast(Tables.part(spark, dir)
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      .select("p_partkey"))
+    val eurSupp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    import org.apache.spark.sql.expressions.Window
+    val cand = ps
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+    cand
+      .withColumn("mn", min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("s_acctbal") === col("mn"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8-style market share: NATION_2's share of PROMO-part revenue
+    * sold into ASIA, per order year. Numerator and denominator accumulate
+    * in DECIMAL (exact), the share divides as DOUBLE on both engine and
+    * oracle — bit-identical. Customer-side and supplier-side dims are
+    * broadcast; lineitem⋈orders is the one fact-fact shuffle. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaCust = broadcast(
+      Tables.customer(spark, dir)
+        .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey"))
+    val suppNat = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nat")))
+    val promoPart = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey"))
+    val ord = Tables.orders(spark, dir)
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .join(promoPart, col("l_partkey") === col("p_partkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("o_orderdate")).as("yr"), discPrice.as("vol"), col("nat"))
+      .groupBy(col("yr"))
+      .agg((asDouble(sum(when(col("nat") === "NATION_2", col("vol"))
+          .otherwise(lit(0).cast("decimal(12,2)")))) /
+        asDouble(sum(col("vol")))).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-style product profit (adapted: supply cost ≈ 5% of
+    * p_retailprice) by supplier nation × order year, over parts whose
+    * name contains "red". All three dims broadcast; the single shuffle
+    * is lineitem⋈orders on orderkey, then one hash agg. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redPart = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice"))
+    val suppNat = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nat")))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .join(redPart, col("l_partkey") === col("p_partkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("nat"), year(col("o_orderdate")).as("yr"),
+        (discPrice - dec(col("p_retailprice")) * lit(0.05).cast("decimal(3,2)") *
+          dec(col("l_quantity"))).as("amount"))
+      .groupBy(col("nat"), col("yr"))
+      .agg(asDouble(sum(col("amount"))).as("sum_profit"))
+  }
+
+  /** TPC-H Q11-style important parts (adapted: part value = discounted
+    * revenue from ASIA-region suppliers): parts whose value exceeds
+    * 0.1% of the total. The per-part aggregate is computed ONCE and
+    * reused for both the rows and the scalar total — the total is a
+    * 1-row frame cross-joined in (Catalyst broadcasts it), not a
+    * recompute and not a collect. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSupp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir).filter(col("n_regionkey") === 2),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+    val v = Tables.lineitem(spark, dir)
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice).as("val"))
+    val total = v.agg((asDouble(sum(col("val"))) * lit(0.001)).as("threshold"))
+    v.crossJoin(broadcast(total))
+      .filter(asDouble(col("val")) > col("threshold"))
+      .select(col("l_partkey").as("p_partkey"), asDouble(col("val")).as("part_value"))
+  }
+
+  /** TPC-H Q13-style order-count distribution: LEFT OUTER join with the
+    * priority filter INSIDE the join condition (kept customers with zero
+    * matching orders count 0), then the distribution re-aggregate. Both
+    * sides are facts at scale, so they shuffle on custkey once; the
+    * first agg rides that same partitioning (no second exchange) and the
+    * distribution agg runs on ≤ #customers rows. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
+    * the max (ties kept via exact DECIMAL equality, no rank). The revenue
+    * frame is computed once; its 1-row max cross-joins back in as a
+    * broadcast — same reuse pattern as q11. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), asDouble(col("total_rev")).as("total_revenue"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems below 20% of their
+    * part's average quantity, for one brand's small parts. The correlated
+    * AVG becomes a per-part aggregate joined back (broadcast — bounded by
+    * #qualifying parts). l_quantity is integral, so the double AVG is
+    * sum-exact/count — deterministic on both engines. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val pt = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+      .select("p_partkey"))
+    val base = Tables.lineitem(spark, dir)
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQ = base.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    base
+      .join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-style disjunctive revenue: three brand/size/quantity
+    * predicate groups OR'd over the part⋈lineitem join. Part broadcasts;
+    * the disjunction stays a single codegen'd filter after the join (no
+    * union-of-three-scans blowup). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val pt = broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"))
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(asDouble(sum(discPrice)).as("revenue"))
+  }
+
+  /** TPC-H Q20-style excess suppliers (adapted): suppliers in region 1
+    * that moved > 50 units of some "red" part in 1996 — a HAVING
+    * aggregate feeding a semi-join chain. The aggregate runs on the
+    * part-filtered fact slice; the supplier probe is a broadcast
+    * LEFT SEMI (suppliers are tiny). */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val redPart = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red")).select("p_partkey"))
+    val movers = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(redPart, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 50)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_regionkey") === 1)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(movers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+  }
+
+  /** Ordered conversion funnel over the event stream: users who signed
+    * up, then clicked strictly after their first signup, then purchased
+    * strictly after that first qualifying click. Each stage is a keyed
+    * aggregate joined to the previous stage's timestamps; all three
+    * shuffles hash on user_id, so the exchange partitioning is computed
+    * once and reused down the chain. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .agg(count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_after_signup"),
+        count(col("t3")).as("n_purchase_after_click"))
+  }
+
+  /** TPC-H Q22-style dormant high-balance customers (adapted: "no orders"
+    * → "no orders since 2000"): customers above the positive-balance
+    * average with no recent orders, rolled up by nation. The scalar
+    * threshold is a 1-row broadcast cross join (exact DECIMAL sum ÷
+    * count, divided as DOUBLE — deterministic on both engines); the NOT
+    * EXISTS is a LEFT ANTI against the recent-orders key set. */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_nationkey") < 10)
+    val threshold = cust.filter(col("c_acctbal") > 0.0)
+      .agg((asDouble(sum(dec(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        asDouble(sum(dec(col("c_acctbal")))).as("totacctbal"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IntervalJoin
+
+class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
+
+  private def purchases = Tables.events(spark, sfDir)
+    .filter(col("event_type") === "purchase")
+    .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+
+  private def incidents = Tables.events(spark, sfDir)
+    .filter(col("event_type") === "error")
+    .select(col("event_id").as("incident_id"), col("ts").as("i_start"),
+      (col("ts") + expr("INTERVAL 15 MINUTES")).as("i_end"))
+
+  /** Ground truth: the plan Spark would pick unaided — a nested-loop
+    * range join. Only viable at test scale, which is the point. */
+  private def naive(endInclusive: Boolean) = {
+    val upper =
+      if (endInclusive) col("p_ts") <= col("i_end")
+      else col("p_ts") < col("i_end")
+    purchases.crossJoin(incidents)
+      .filter(col("p_ts") >= col("i_start") && upper)
+      .select("purchase_id", "incident_id")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("purchase_id", "incident_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bin-overlap join == naive range join (exclusive end)") {
+    val got = pairs(IntervalJoin.join(purchases, "p_ts",
+      incidents, "i_start", "i_end"))
+    assert(got.nonEmpty, "test data produced no overlapping pairs")
+    assert(got === pairs(naive(endInclusive = false)))
+  }
+
+  test("inclusive-end semantics match the naive join") {
+    val got = pairs(IntervalJoin.join(purchases, "p_ts",
+      incidents, "i_start", "i_end", endInclusive = true))
+    assert(got === pairs(naive(endInclusive = true)))
+  }
+
+  test("result is bin-width invariant (intervals spanning many bins)") {
+    val expected = pairs(naive(endInclusive = false))
+    // 1-minute bins: every 15-min interval explodes to ~16 bins
+    assert(pairs(IntervalJoin.join(purchases, "p_ts", incidents,
+      "i_start", "i_end", binMicros = 60L * 1000 * 1000)) === expected)
+    // 6-hour bins: many intervals share one bin
+    assert(pairs(IntervalJoin.join(purchases, "p_ts", incidents,
+      "i_start", "i_end", binMicros = 6L * 3600 * 1000 * 1000)) === expected)
+  }
+
+  test("empty intervals are dropped, not walked backward") {
+    import spark.implicits._
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("lid", "t")
+    val r = Seq(
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), // empty [s, s)
+      (11L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))  // inverted
+    ).toDF("rid", "s", "e")
+    assert(IntervalJoin.join(l, "t", r, "s", "e").count() === 0)
+    // inclusive: [s, s] contains s
+    assert(IntervalJoin.join(l, "t", r, "s", "e", endInclusive = true)
+      .select("rid").collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
+
+  test("the plan is an equi-join on the bin, never a nested loop") {
+    val p = IntervalJoin.join(purchases, "p_ts", incidents, "i_start", "i_end")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash/merge equi-join found:\n$p")
+  }
+
+  test("overlapping column names are rejected up front") {
+    val ev = Tables.events(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      IntervalJoin.join(ev, "ts", ev, "ts", "ts")
+    }
+  }
+}

@@ -71,6 +71,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q16's exclusion list and part dim must broadcast")
   }
 
+  test("round-6 analytics: no cartesian products; scalar subqueries are " +
+    "the only nested-loop broadcasts") {
+    import graft.queries.Analytics2
+    // pure join/agg shapes: no loop joins of any kind
+    Seq(
+      Analytics2.q2MinCostSupplier(spark, sfDir),
+      Analytics2.q6ForecastRevenue(spark, sfDir),
+      Analytics2.q8MarketShare(spark, sfDir),
+      Analytics2.q9ProductProfit(spark, sfDir),
+      Analytics2.q13OrderDistribution(spark, sfDir),
+      Analytics2.q17SmallQuantity(spark, sfDir),
+      Analytics2.q19Disjunctive(spark, sfDir),
+      Analytics2.q20ExcessSuppliers(spark, sfDir),
+      Analytics2.qFunnel(spark, sfDir)).foreach { df =>
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    }
+    // scalar-threshold shapes: the 1-row broadcast cross join is the
+    // intended plan (same thing Catalyst emits for a scalar subquery);
+    // anything beyond that single broadcast loop is a regression
+    Seq(
+      Analytics2.q11ImportantParts(spark, sfDir),
+      Analytics2.q15TopSupplier(spark, sfDir),
+      Analytics2.q22DormantCustomers(spark, sfDir)).foreach { df =>
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"more than the one scalar broadcast loop:\n$p")
+    }
+  }
+
   test("shingle/token pipelines shuffle hashed longs, never the strings") {
     val docs = Tables.documents(spark, sfDir)
     val plans = Seq(

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.SpanDedup
+
+class SpanDedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def out(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // 3-token chunks keep the handcrafted cases readable
+  private val chunk3 = 3
+
+  test("first occurrence wins; later aligned copies of a span are cut") {
+    val d = docs(
+      1L -> "a b c d e f",       // chunks: [a b c] [d e f]
+      2L -> "a b c x y z",       // [a b c] duplicates doc 1's first chunk
+      3L -> "x y z a b c",       // both chunks seen before → vanishes
+      4L -> "q a b c r s")       // contains "a b c" UNALIGNED → all new
+    val r = out(SpanDedup.dedupChunks(d, chunk3))
+    assert(r.get(1L) === Some("a b c d e f"))
+    assert(r.get(2L) === Some("x y z"))
+    assert(r.get(3L) === None)
+    assert(r.get(4L) === Some("q a b c r s"))
+  }
+
+  test("an exact-duplicate doc vanishes entirely (span ⊇ doc dedup)") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f")
+    val r = out(SpanDedup.dedupChunks(d, chunk3))
+    assert(r === Map(1L -> "a b c d e f"))
+  }
+
+  test("within-doc repeated spans also collapse to the first") {
+    val d = docs(1L -> "a b c a b c d")
+    // chunks: [a b c] [a b c] [d] — second is a repeat
+    assert(out(SpanDedup.dedupChunks(d, chunk3)) === Map(1L -> "a b c d"))
+  }
+
+  test("reassembly preserves chunk order past 10 chunks (numeric sort)") {
+    val text = (0 until 36).map(i => s"w$i").mkString(" ") // 12 chunks of 3
+    val r = out(SpanDedup.dedupChunks(docs(1L -> text), chunk3))
+    assert(r(1L) === text)
+  }
+
+  test("on the corpus: injected exact copies disappear, originals intact") {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // re-key 20 docs as exact copies with higher ids — the non-keeper
+    // side of an exact-dup class, which span dedup must erase entirely
+    val copies = base.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val kept = SpanDedup.dedupChunks(base.unionByName(copies))
+    assert(kept.filter(col("doc_id") >= 1000000).count() === 0,
+      "an exact copy survived span dedup")
+    // and the originals reassemble byte-identically to a copy-free run
+    val alone = SpanDedup.dedupChunks(base)
+    assert(kept.exceptAll(alone).isEmpty && alone.exceptAll(kept).isEmpty,
+      "injecting exact copies changed the surviving corpus")
+  }
+}
