@@ -87,9 +87,11 @@ object SparkEntry {
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
     "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
     "dedup_spans" -> (SpanDedup.dedupChunksQ _),
+    "dedup_spans_incremental" -> (SpanDedup.dedupChunksIncrementalQ _),
     "sketch_distinct" -> (Sketches.sketchDistinctQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
+    "ann_range" -> (Ann.annRangeQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
@@ -436,6 +438,23 @@ object SparkEntry {
         |    FROM chunks) t WHERE rn = 1)
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_ord) AS text
         |FROM keep GROUP BY doc_id""".stripMargin,
+    // incremental span dedup == the FULL span dedup restricted to the
+    // batch slice (ids are ordered corpus-before-batch, so first-occurrence
+    // semantics agree) — a strictly stronger oracle than the rows-only
+    // checks the rest of the store family gets
+    "dedup_spans_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, u.i AS chunk_ord,
+        |         array_to_string(l[(u.i*10+1):(u.i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range(0, CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+        |keep AS (
+        |  SELECT doc_id, chunk_ord, chunk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY chunk
+        |               ORDER BY doc_id, chunk_ord) AS rn
+        |    FROM chunks) t WHERE rn = 1)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_ord) AS text
+        |FROM keep WHERE doc_id >= 300 GROUP BY doc_id""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,
@@ -768,7 +787,27 @@ object SparkEntry {
         |  SELECT query_id, vec_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM s)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+    // radius search: same cosine pipeline, threshold instead of top-k.
+    // Closest sim to the 0.3 cut is 1.2e-3 away (measured at sf0.01) —
+    // far beyond cross-engine double noise, so the boundary is stable.
+    "ann_range" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+        |  FROM embeddings q, embeddings c,
+        |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id GROUP BY 1, 2)
+        |SELECT query_id, d.vec_id
+        |FROM dots d
+        |JOIN norms nq ON d.query_id = nq.vec_id
+        |JOIN norms nc ON d.vec_id = nc.vec_id
+        |WHERE dt / (nq.nrm * nc.nrm) >= 0.3""".stripMargin
   )
 
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is

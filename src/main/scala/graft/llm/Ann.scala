@@ -69,6 +69,32 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  /** Cosine radius (range) search: every corpus vector within cosine ≥
+    * `tau` of each query vector, self excluded — the "find everything
+    * similar enough" companion to [[annTopK]]'s "find the k best".
+    * Output is the bare (query_id, vec_id) pair set: similarity floats
+    * stay out of the result so the driver's hash compare never sees
+    * engine-specific double rendering.
+    *
+    * Scale: identical shape to [[annTopK]] — queries broadcast, corpus
+    * streamed map-side through the codegen'd [[dot]], no shuffle at all
+    * (the filter replaces top-k's window). For radius search over the
+    * WHOLE corpus (query set = corpus), this brute force is quadratic —
+    * that regime is exactly [[dedupEmbed]], whose hyperplane-LSH bucket
+    * join prunes the pair space first. */
+  def annRange(embeddings: DataFrame, nQueries: Int = 10,
+               tau: Double = 0.3): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("q")))
+    corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .filter(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))) >= tau)
+      .select(col("query_id"), col("vec_id"))
+  }
+
   // --- Random-hyperplane LSH ---
 
   /** Banded OR-structure: 8 bands × 4 hyperplane sign bits. A pair is a
@@ -503,6 +529,10 @@ object Ann {
   def annTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annTopK(Tables.embeddings(spark, dir))
+  }
+  def annRangeQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annRange(Tables.embeddings(spark, dir))
   }
   def annLshTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

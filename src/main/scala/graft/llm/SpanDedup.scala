@@ -35,16 +35,7 @@ object SpanDedup {
     *                    of chunk-level vs suffix-array substring dedup. */
   def dedupChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), col("l"),
-        explode(sequence(lit(0L),
-          ceil(size(col("l")) / lit(chunkTokens.toDouble)).cast("long") - 1))
-          .as("chunk_ord"))
-      .select(col("doc_id"), col("chunk_ord"),
-        array_join(slice(col("l"),
-          (col("chunk_ord") * chunkTokens + 1).cast("int"), lit(chunkTokens)), " ")
-          .as("chunk"))
+    val chunks = chunkRows(docs, chunkTokens)
     val byChunk = Window
       .partitionBy(xxhash64(col("chunk")), xxhash64(col("chunk"), lit(1)))
       .orderBy(col("doc_id"), col("chunk_ord"))
@@ -60,4 +51,98 @@ object SpanDedup {
   /** Driver entry: 10-token span dedup over `documents`. */
   def dedupChunksQ(spark: SparkSession, dir: String): DataFrame =
     dedupChunks(Tables.documents(spark, dir))
+
+  // --- Incremental span dedup against a persisted chunk-hash store ---
+  // Fifth member of the store family (exact / minhash / simhash / embed /
+  // spans). The store holds only the DISTINCT chunk-hash pairs the corpus
+  // has ever contained — 16 bytes per unique span, no text, no keeper ids
+  // (span dedup needs existence, not attribution) — bucket-partitioned by
+  // hash so a batch probe reads only its touched buckets.
+
+  /** Chunk rows of a doc frame: (doc_id, chunk_ord, chunk). */
+  private[llm] def chunkRows(docs: DataFrame, chunkTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0L),
+          ceil(size(col("l")) / lit(chunkTokens.toDouble)).cast("long") - 1))
+          .as("chunk_ord"))
+      .select(col("doc_id"), col("chunk_ord"),
+        array_join(slice(col("l"),
+          (col("chunk_ord") * chunkTokens + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk"))
+
+  private def hashed(chunks: DataFrame): DataFrame =
+    chunks.select(col("doc_id"), col("chunk_ord"), col("chunk"),
+      xxhash64(col("chunk")).as("h1"),
+      xxhash64(col("chunk"), lit(1)).as("h2"))
+
+  /** Build (or grow) the span store from a corpus: distinct chunk-hash
+    * pairs, bucketed on the pair. */
+  def buildSpanStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
+                     table: String = "spans", chunkTokens: Int = 10,
+                     numBuckets: Int = 32,
+                     append: Boolean = false): Unit = {
+    val idx = hashed(chunkRows(docs, chunkTokens))
+      .select("h1", "h2").distinct()
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("h1", "h2"), numBuckets))
+    sink.write(idx, table, "part_bucket", Seq("h1", "h2"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
+  }
+
+  /** Span-dedup a NEW batch against the store WITHOUT re-reading corpus
+    * text: a batch chunk survives iff its span was never in the corpus
+    * (pruned anti-join on the 16-byte hash pair) and no earlier batch
+    * position holds the same span (the same first-occurrence window as
+    * [[dedupChunks]], restricted to the batch). Provided every batch
+    * doc_id exceeds every corpus doc_id — the natural append-only id
+    * discipline — the result is EXACTLY [[dedupChunks]] of corpus∪batch
+    * restricted to batch docs (SpanDedupSpec pins it; the driver oracle
+    * checks it in SQL). O(batch) work; appending the survivors' distinct
+    * hashes rolls the store forward for the next batch. */
+  def dedupChunksIncremental(newDocs: DataFrame, spark: SparkSession,
+                             sink: graft.sinks.WarehouseSink,
+                             table: String = "spans", chunkTokens: Int = 10,
+                             numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = hashed(chunkRows(newDocs, chunkTokens))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("h1", "h2"), numBuckets))
+      .persist()
+    val touched = b.select("part_bucket").distinct().collect().map(_.getInt(0))
+    val store =
+      if (!sink.tableExists(table)) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("h1", "h2")
+      } else sink.read(spark, table)
+        .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+        .select(col("h1"), col("h2"))
+    val byChunk = Window.partitionBy(col("h1"), col("h2"))
+      .orderBy(col("doc_id"), col("chunk_ord"))
+    val result = graft.Exec.materialize(
+      b.withColumn("rn", row_number().over(byChunk))
+        .filter(col("rn") === 1)
+        .join(store, Seq("h1", "h2"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk_ord"), col("chunk")))),
+            x => x.getField("chunk"))).as("text")))
+    b.unpersist()
+    result
+  }
+
+  /** Driver query: span-store the `doc_id < 300` corpus slice, then
+    * span-dedup the later docs against it. Oracle-checkable in plain SQL:
+    * with ids ordered corpus-before-batch, this equals the FULL
+    * [[dedupChunks]] restricted to `doc_id >= 300`. */
+  def dedupChunksIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sink = new graft.sinks.WarehouseSink(
+      java.nio.file.Files.createTempDirectory("graft_spanstore_").toString)
+    buildSpanStore(docs.filter(col("doc_id") < 300), sink)
+    dedupChunksIncremental(docs.filter(col("doc_id") >= 300), spark, sink)
+  }
 }

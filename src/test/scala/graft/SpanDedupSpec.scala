@@ -49,6 +49,36 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
     assert(r(1L) === text)
   }
 
+  test("incremental span dedup == full span dedup restricted to the batch") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val split = 30L // sf0.001 ids are 0..49
+    val sink = new graft.sinks.WarehouseSink(tmpDir("span_store_"))
+    SpanDedup.buildSpanStore(d.filter(col("doc_id") < split), sink)
+    val inc = SpanDedup.dedupChunksIncremental(
+      d.filter(col("doc_id") >= split), spark, sink)
+    val full = SpanDedup.dedupChunks(d).filter(col("doc_id") >= split)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental result diverges from the full run's batch slice")
+    // and with handcrafted spans: corpus span cut, batch-first wins in-batch
+    val sink2 = new graft.sinks.WarehouseSink(tmpDir("span_store2_"))
+    SpanDedup.buildSpanStore(docs(1L -> "a b c"), sink2, chunkTokens = 3)
+    val r = out(SpanDedup.dedupChunksIncremental(
+      docs(10L -> "a b c x y z", 11L -> "x y z w"), spark, sink2,
+      chunkTokens = 3))
+    assert(r === Map(10L -> "x y z", 11L -> "w"))
+  }
+
+  test("incremental span store read is partition-pruned") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val sink = new graft.sinks.WarehouseSink(tmpDir("span_prune_"))
+    SpanDedup.buildSpanStore(d, sink)
+    val store = sink.read(spark, "spans")
+      .filter(col("part_bucket").isin(0, 1))
+    assert(store.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [part_bucket"),
+      "span store read not partition-pruned")
+  }
+
   test("on the corpus: injected exact copies disappear, originals intact") {
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
     // re-key 20 docs as exact copies with higher ids — the non-keeper
