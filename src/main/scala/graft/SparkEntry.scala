@@ -48,6 +48,7 @@ object SparkEntry {
     "q8_market_share" -> (Analytics2.q8MarketShare _),
     "q9_product_profit" -> (Analytics2.q9ProductProfit _),
     "q11_important_parts" -> (Analytics2.q11ImportantParts _),
+    "q12_priority_lines" -> (Analytics2.q12PriorityLines _),
     "q13_order_distribution" -> (Analytics2.q13OrderDistribution _),
     "q15_top_supplier" -> (Analytics2.q15TopSupplier _),
     "q17_small_quantity" -> (Analytics2.q17SmallQuantity _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
+    "corpus_diff" -> (TextOps.corpusDiffQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
@@ -342,6 +344,17 @@ object SparkEntry {
          |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value FROM v
          |WHERE CAST(val AS DOUBLE) >
          |  (SELECT CAST(sum(val) AS DOUBLE) FROM v) * 0.001""".stripMargin,
+    // fact-fact join + conditional CASE counts
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
     // LEFT OUTER with ON-clause filter → distribution agg
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
@@ -455,6 +468,21 @@ object SparkEntry {
         |    FROM chunks) t WHERE rn = 1)
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_ord) AS text
         |FROM keep WHERE doc_id >= 300 GROUP BY doc_id""".stripMargin,
+    // snapshot diff: map-side content hashes, one full-outer key join
+    "corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id < 10)
+        |SELECT coalesce(prev.doc_id, nxt.doc_id) AS doc_id,
+        |  CASE WHEN prev.h IS NULL THEN 'added'
+        |       WHEN nxt.h IS NULL THEN 'removed'
+        |       WHEN prev.h <> nxt.h THEN 'changed' END AS status
+        |FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id
+        |WHERE prev.h IS NULL OR nxt.h IS NULL OR prev.h <> nxt.h""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,

@@ -422,4 +422,40 @@ object TextOps {
 
   def corpusRefineQ(spark: SparkSession, dir: String): DataFrame =
     corpusRefine(Tables.documents(spark, dir))
+
+  /** Corpus snapshot diff: content-level changes between two versions of
+    * a keyed corpus — `added` (key only in new), `removed` (key only in
+    * old), `changed` (key in both, content hash differs). The audit every
+    * dataset release pipeline runs before publishing a refresh.
+    *
+    * Scale shape: both sides reduce map-side to (key, md5) — 40 bytes/doc
+    * on the shuffle wire regardless of doc size — then ONE co-partitioned
+    * full-outer join on the key. Unchanged rows (the overwhelming
+    * majority of a daily refresh) are filtered immediately after the
+    * join, so nothing downstream sees them. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(newDocs.select(col("doc_id"), md5(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+
+  /** Driver query: a synthetic "next release" derived deterministically
+    * from `documents` — every 7th doc dropped, every 5th doc's text
+    * edited, 10 re-keyed copies appended — diffed against the original. */
+  def corpusDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val next = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    corpusDiff(docs, next)
+  }
 }

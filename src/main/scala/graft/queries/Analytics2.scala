@@ -250,6 +250,25 @@ object Analytics2 {
       .select("s_suppkey", "s_name")
   }
 
+  /** TPC-H Q12-style priority line counts (adapted: group by returnflag
+    * instead of the absent shipmode): fact-fact join on orderkey with
+    * conditional counts — the classic "join then CASE-aggregate" shape.
+    * The shipdate filter lands in the lineitem scan, so only the 1996
+    * slice shuffles. */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
   /** Ordered conversion funnel over the event stream: users who signed
     * up, then clicked strictly after their first signup, then purchased
     * strictly after that first qualifying click. Each stage is a keyed

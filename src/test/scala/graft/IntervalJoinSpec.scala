@@ -79,6 +79,41 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
       || p.contains("BroadcastHashJoin"), s"no hash/merge equi-join found:\n$p")
   }
 
+  test("a STREAMING point side joins static intervals unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val inputDir = tmpDir("ivj_in_")
+    def write(f: String, rows: (Long, String)*): Unit =
+      rows.toDF("pid", "p_ts")
+        .withColumn("p_ts", col("p_ts").cast("timestamp"))
+        .coalesce(1).write.parquet(s"$inputDir/$f")
+    write("f0", (1L, "2024-01-01 10:05:00"), (2L, "2024-01-01 11:00:00"))
+    write("f1", (3L, "2024-01-01 10:14:59"), (4L, "2024-01-01 10:15:00"))
+    val incidents = Seq((100L, "2024-01-01 10:00:00", "2024-01-01 10:15:00"))
+      .toDF("incident_id", "i_s", "i_e")
+      .select(col("incident_id"), col("i_s").cast("timestamp").as("i_s"),
+        col("i_e").cast("timestamp").as("i_e"))
+    val schema = spark.read.parquet(s"$inputDir/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    // the same operator, applied verbatim to a streaming left side —
+    // the bin column is a stateless projection and the equi-join is a
+    // supported stream-static inner join, so the CDC-style continuous
+    // pipeline gets interval enrichment for free
+    val q = IntervalJoin.join(stream, "p_ts", incidents, "i_s", "i_e")
+      .select("pid", "incident_id")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ivj_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ivj").as[(Long, Long)].collect().toSet
+    // 1 and 3 are inside [10:00, 10:15); 2 is far out; 4 sits on the
+    // exclusive end
+    assert(got === Set((1L, 100L), (3L, 100L)))
+  }
+
   test("overlapping column names are rejected up front") {
     val ev = Tables.events(spark, sfDir)
     intercept[IllegalArgumentException] {
