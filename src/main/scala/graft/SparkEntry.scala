@@ -78,6 +78,7 @@ object SparkEntry {
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
+    "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
@@ -656,6 +657,17 @@ object SparkEntry {
          |       >> ${TextOps.SampleShift}) % 1000 <
          |  CASE lang $cases ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin
     },
+    // mixture rebalancing toward the smallest stratum: integer-only rate
+    // derivation + the same Knuth bucket hash — no float boundary anywhere
+    "corpus_rebalance" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |rates AS (SELECT lang,
+         |  least(1000, (1000 * (SELECT min(n) FROM counts)) // n) AS permille
+         |  FROM counts)
+         |SELECT doc_id, d.lang, source
+         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
+         |       >> ${TextOps.SampleShift}) % 1000 < permille""".stripMargin,
     // rarity profile: integer counts and int/int divisions only — a float
     // log-prob mean would be partial-sum-order-dependent across engines
     "text_rarity" ->

@@ -192,12 +192,15 @@ object TextOps {
     val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
       case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    val bucket = pmod(
-      shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * SampleMultiplier,
-        SampleShift),
-      lit(1000L))
-    bucket < rate
+    sampleBucket < rate
   }
+
+  /** The Knuth-mix permille bucket of `doc_id` — the shared consistent
+    * hash behind [[corpusSample]] and [[corpusRebalance]]. */
+  def sampleBucket: Column = pmod(
+    shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * SampleMultiplier,
+      SampleShift),
+    lit(1000L))
 
   /** Corpus-frequency rarity profile per document — the integer-exact core
     * of a CCNet-style LM quality filter: documents dominated by tokens the
@@ -422,6 +425,34 @@ object TextOps {
 
   def corpusRefineQ(spark: SparkSession, dir: String): DataFrame =
     corpusRefine(Tables.documents(spark, dir))
+
+  /** Mixture rebalancing: downsample every language stratum toward the
+    * SMALLEST one — keep rate `min(1000, (1000·min_n) div n_lang)` ‰ —
+    * the "flatten the mixture" resampling step of multilingual training
+    * runs ([[corpusSample]]'s fixed-rate sampler with rates DERIVED from
+    * corpus statistics instead of configured).
+    *
+    * All arithmetic is integer (counts, integer division, the Knuth
+    * bucket hash), so engine and oracle agree bit-for-bit — no float
+    * rate ever decides a boundary doc.
+    *
+    * Scale shape: one hash agg to a #languages-sized frame, its 1-row
+    * min cross-joined back (broadcast), then the keep filter runs
+    * MAP-SIDE on the corpus scan via a broadcast join — the corpus
+    * itself never shuffles, same discipline as [[corpusSample]]. */
+  def corpusRebalance(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val mn = counts.agg(min(col("n")).as("mn"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .select(col("lang"),
+        least(lit(1000L), expr("(1000 * mn) div n")).as("permille"))
+    docs.join(broadcast(rates), "lang")
+      .filter(sampleBucket < col("permille"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  def corpusRebalanceQ(spark: SparkSession, dir: String): DataFrame =
+    corpusRebalance(Tables.documents(spark, dir))
 
   /** Corpus snapshot diff: content-level changes between two versions of
     * a keyed corpus — `added` (key only in new), `removed` (key only in
