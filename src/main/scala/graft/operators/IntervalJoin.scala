@@ -37,6 +37,8 @@ object IntervalJoin {
 
   private val LBin = "__graft_lbin"
   private val RBin = "__graft_rbin"
+  private val LSalt = "__graft_lsalt"
+  private val RSalt = "__graft_rsalt"
 
   /** @param lTimeCol    event-time column of `left` (timestamp)
     * @param rStartCol   interval start column of `right` (timestamp)
@@ -68,6 +70,46 @@ object IntervalJoin {
       else lt >= rs && lt < re
     l.join(r, col(LBin) === col(RBin) && rangeOk)
       .drop(LBin, RBin)
+  }
+
+  /** Skew-hardened variant: a "hot bin" (an incident storm, a busy hour)
+    * concentrates one shuffle partition the same way a hot join key does.
+    * The standard salting trade applies cleanly here because the interval
+    * side is ALREADY replicated per bin: left rows scatter across
+    * `salts` sub-keys of their bin (by a high-cardinality hash — pass
+    * `saltOn` when left timestamps themselves repeat heavily), and the
+    * interval side's bin rows replicate `salts`× more. Join work and
+    * results are identical; the hot bin's probe rows now spread over
+    * `salts` partitions. Proven equal to [[join]] at several salt counts
+    * (IntervalJoinSpec). */
+  def joinSalted(left: DataFrame, lTimeCol: String,
+                 right: DataFrame, rStartCol: String, rEndCol: String,
+                 binMicros: Long = 15L * 60 * 1000 * 1000,
+                 endInclusive: Boolean = false,
+                 salts: Int = 8,
+                 saltOn: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty, s"alias overlapping columns first: $overlap")
+    require(salts > 0, "salts must be positive")
+
+    val lt = unix_micros(col(lTimeCol))
+    val rs = unix_micros(col(rStartCol))
+    val re = unix_micros(col(rEndCol))
+    val lSalt = pmod(saltOn.getOrElse(xxhash64(col(lTimeCol))), lit(salts.toLong))
+
+    val l = left.withColumn(LBin, floor(lt / binMicros))
+      .withColumn(LSalt, lSalt)
+    val lastBin = floor((if (endInclusive) re else re - 1) / binMicros)
+    val r = right
+      .filter(if (endInclusive) re >= rs else re > rs)
+      .withColumn(RBin, explode(sequence(floor(rs / binMicros), lastBin)))
+      .withColumn(RSalt, explode(sequence(lit(0L), lit(salts - 1L))))
+
+    val rangeOk =
+      if (endInclusive) lt >= rs && lt <= re
+      else lt >= rs && lt < re
+    l.join(r, col(LBin) === col(RBin) && col(LSalt) === col(RSalt) && rangeOk)
+      .drop(LBin, RBin, LSalt, RSalt)
   }
 
   /** Driver entry: purchases inside 15-minute incident windows opened by

@@ -79,6 +79,19 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
       || p.contains("BroadcastHashJoin"), s"no hash/merge equi-join found:\n$p")
   }
 
+  test("salted join == unsalted at several salt counts") {
+    val expected = pairs(IntervalJoin.join(purchases, "p_ts",
+      incidents, "i_start", "i_end"))
+    Seq(1, 3, 8).foreach { s =>
+      assert(pairs(IntervalJoin.joinSalted(purchases, "p_ts", incidents,
+        "i_start", "i_end", salts = s)) === expected, s"salts=$s diverged")
+    }
+    // inclusive-end flows through the salted path too
+    assert(pairs(IntervalJoin.joinSalted(purchases, "p_ts", incidents,
+      "i_start", "i_end", endInclusive = true, salts = 4)) ===
+      pairs(naive(endInclusive = true)))
+  }
+
   test("a STREAMING point side joins static intervals unchanged") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
