@@ -275,8 +275,11 @@ object Analytics2 {
     * aggregate joined to the previous stage's timestamps; all three
     * shuffles hash on user_id, so the exchange partitioning is computed
     * once and reused down the chain. */
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir))
+
+  def funnel(events: DataFrame): DataFrame = {
+    val ev = events.select("user_id", "event_type", "ts")
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     val s2 = ev.filter(col("event_type") === "click")

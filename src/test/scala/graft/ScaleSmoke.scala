@@ -69,6 +69,29 @@ object ScaleSmoke {
     t("incremental minhash probe 20k docs")(Dedup.dedupIncrementalMinhash(
       docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, mhSink)
       .write.format("noop").mode("overwrite").save())
+    // round-6 operators at 10×
+    t("dedup_spans 50k docs")(graft.llm.SpanDedup.dedupChunks(docs10)
+      .write.format("noop").mode("overwrite").save())
+    val spSink = new WarehouseSink(
+      java.nio.file.Files.createTempDirectory("scale_sp_").toString)
+    t("span store build 30k docs")(graft.llm.SpanDedup.buildSpanStore(
+      docs10.filter(pmod(col("doc_id"), lit(10)) < 6), spSink))
+    t("span store probe 20k docs")(graft.llm.SpanDedup.dedupChunksIncremental(
+      docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, spSink)
+      .write.format("noop").mode("overwrite").save())
+    // 200k points × 200k 15-min windows (~70 concurrently open) ≈ 14M
+    // pairs — the bin join must stream through it, no loop join
+    t("interval join 1M events") {
+      val p = ev10.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val w = ev10.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("ts").as("i_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("i_end"))
+      graft.operators.IntervalJoin.join(p, "p_ts", w, "i_start", "i_end")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("funnel 1M events")(graft.queries.Analytics2.funnel(ev10)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
