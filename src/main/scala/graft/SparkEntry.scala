@@ -829,8 +829,10 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 10""".stripMargin,
     // radius search: same cosine pipeline, threshold instead of top-k.
-    // Closest sim to the 0.3 cut is 1.2e-3 away (measured at sf0.01) —
-    // far beyond cross-engine double noise, so the boundary is stable.
+    // Closest sim to the 0.3 cut measured at EVERY test scale: 4.5e-4
+    // (sf0.001), 1.2e-3 (sf0.01), 5.0e-4 (sf0.1) — all ≥11 orders of
+    // magnitude above cross-engine double-summation noise, so the
+    // boundary is stable at any SF the harness runs.
     "ann_range" ->
       """WITH norms AS (
         |  SELECT vec_id,

@@ -50,14 +50,19 @@ object Ann {
   def annTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    // norms are computed ONCE per side before the join: inside the
+    // quadratic pair loop only the single q·v fold runs — norm(q)*norm(v)
+    // there would triple the vector math on the hot path
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
     val queries = broadcast(
       corpus.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("q")))
+        .select(col("vec_id").as("query_id"), col("v").as("q"),
+          col("nv").as("nq")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v")))).as("sim"),
+        (dot(col("q"), col("v")) / (col("nq") * col("nv"))).as("sim"),
         spark_partition_id().as("pid"))
     val localW = Window.partitionBy(col("query_id"), col("pid"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -85,13 +90,16 @@ object Ann {
   def annRange(embeddings: DataFrame, nQueries: Int = 10,
                tau: Double = 0.3): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    // per-side norms precomputed, same reasoning as [[annTopK]]
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
     val queries = broadcast(
       corpus.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("q")))
+        .select(col("vec_id").as("query_id"), col("v").as("q"),
+          col("nv").as("nq")))
     corpus.join(queries, col("vec_id") =!= col("query_id"))
-      .filter(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))) >= tau)
+      .filter(dot(col("q"), col("v")) / (col("nq") * col("nv")) >= tau)
       .select(col("query_id"), col("vec_id"))
   }
 

@@ -35,17 +35,7 @@ object SpanDedup {
     *                    of chunk-level vs suffix-array substring dedup. */
   def dedupChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val chunks = chunkRows(docs, chunkTokens)
-    val byChunk = Window
-      .partitionBy(xxhash64(col("chunk")), xxhash64(col("chunk"), lit(1)))
-      .orderBy(col("doc_id"), col("chunk_ord"))
-    chunks
-      .withColumn("rn", row_number().over(byChunk))
-      .filter(col("rn") === 1)
-      .groupBy(col("doc_id"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("chunk_ord"), col("chunk")))),
-          x => x.getField("chunk"))).as("text"))
+    reassemble(keepFirst(hashed(chunkRows(docs, chunkTokens))))
   }
 
   /** Driver entry: 10-token span dedup over `documents`. */
@@ -72,10 +62,33 @@ object SpanDedup {
           (col("chunk_ord") * chunkTokens + 1).cast("int"), lit(chunkTokens)), " ")
           .as("chunk"))
 
+  /** The 128-bit chunk key. h2 hashes the literal FIRST so the chunk is
+    * consumed under a different running seed than h1's: Spark's multi-arg
+    * xxhash64 folds arguments sequentially with the accumulated hash as
+    * the next seed, so the reversed form `xxhash64(chunk, lit(1))` would
+    * be a pure function of h1 (any h1 collision ⇒ h2 collision — 64-bit
+    * resistance dressed as 128). */
   private def hashed(chunks: DataFrame): DataFrame =
     chunks.select(col("doc_id"), col("chunk_ord"), col("chunk"),
       xxhash64(col("chunk")).as("h1"),
-      xxhash64(col("chunk"), lit(1)).as("h2"))
+      xxhash64(lit(1), col("chunk")).as("h2"))
+
+  /** Global first occurrence per chunk key: one shuffle on (h1, h2),
+    * in-group sort bounded by duplicate multiplicity. */
+  private def keepFirst(hashedChunks: DataFrame): DataFrame = {
+    val byChunk = Window.partitionBy(col("h1"), col("h2"))
+      .orderBy(col("doc_id"), col("chunk_ord"))
+    hashedChunks
+      .withColumn("rn", row_number().over(byChunk))
+      .filter(col("rn") === 1)
+  }
+
+  /** Surviving chunks → (doc_id, text); docs with no survivors vanish. */
+  private def reassemble(kept: DataFrame): DataFrame =
+    kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("chunk_ord"), col("chunk")))),
+          x => x.getField("chunk"))).as("text"))
 
   /** Build (or grow) the span store from a corpus: distinct chunk-hash
     * pairs, bucketed on the pair. */
@@ -107,7 +120,6 @@ object SpanDedup {
                              sink: graft.sinks.WarehouseSink,
                              table: String = "spans", chunkTokens: Int = 10,
                              numBuckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val b = hashed(chunkRows(newDocs, chunkTokens))
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("h1", "h2"), numBuckets))
@@ -120,16 +132,8 @@ object SpanDedup {
       } else sink.read(spark, table)
         .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
         .select(col("h1"), col("h2"))
-    val byChunk = Window.partitionBy(col("h1"), col("h2"))
-      .orderBy(col("doc_id"), col("chunk_ord"))
     val result = graft.Exec.materialize(
-      b.withColumn("rn", row_number().over(byChunk))
-        .filter(col("rn") === 1)
-        .join(store, Seq("h1", "h2"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("chunk_ord"), col("chunk")))),
-            x => x.getField("chunk"))).as("text")))
+      reassemble(keepFirst(b).join(store, Seq("h1", "h2"), "left_anti")))
     b.unpersist()
     result
   }

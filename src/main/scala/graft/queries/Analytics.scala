@@ -19,14 +19,8 @@ import graft.Tables
   */
 object Analytics {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
-
-  /** Aggregates accumulate in DECIMAL (exact, order-independent) but the
-    * FINAL output column is cast to DOUBLE: the driver's comparator hashes
-    * the rendered value, and Decimal "137431.00" vs float64 "137431.0"
-    * hash-mismatch even though the values are identical (VERDICT r1). All
-    * values here are ≤13 significant digits, so the double is exact. */
-  private def asDouble(c: org.apache.spark.sql.Column) = c.cast("double")
+  // decimal-accumulate / double-land conventions — see [[Money]]
+  import Money.{asDouble, dec}
 
   /** TPC-H Q1-style pricing summary: single scan, hash aggregate. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame =

@@ -28,10 +28,7 @@ import graft.Tables
   */
 object Analytics2 {
 
-  private def dec(c: Column) = c.cast("decimal(12,2)")
-  private def asDouble(c: Column) = c.cast("double")
-  private def discPrice =
-    dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+  import Money.{asDouble, dec, discPrice}
 
   /** TPC-H Q6-style forecast revenue: every predicate reaches the parquet
     * scan (PushedFilters), one partial+final agg, zero shuffle of data

@@ -80,6 +80,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       Analytics2.q6ForecastRevenue(spark, sfDir),
       Analytics2.q8MarketShare(spark, sfDir),
       Analytics2.q9ProductProfit(spark, sfDir),
+      Analytics2.q12PriorityLines(spark, sfDir),
       Analytics2.q13OrderDistribution(spark, sfDir),
       Analytics2.q17SmallQuantity(spark, sfDir),
       Analytics2.q19Disjunctive(spark, sfDir),
