@@ -66,6 +66,56 @@ object CdcStream {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
+    mergeLoop(spark, src, sink, table, keyCols, checkpointDir, offsets,
+      availableNow, triggerMs, keepDeletes, throttle, numBuckets)
+  }
+
+  /** Wire-format variant of [[start]]: the input directory holds
+    * JSON-LINES files — one Debezium change event payload per line, the
+    * format the reference's consumers receive from `event.value()` —
+    * with the Connect schema document supplied once per stream, exactly
+    * the `(valueSchema, payload)` pair `BaseRecordConverter` works from.
+    * Each micro-batch is converted through [[TypeMap.convert]] (schema
+    * parsed ONCE on the driver; per-row work is one codegen'd
+    * `from_json` + semantic casts) and feeds the same MERGE loop.
+    *
+    * A reference user's migration path is therefore: point this at the
+    * directory their Debezium file sink writes, hand over the connector's
+    * value schema, keep the table/key config — no format conversion
+    * step. */
+  def startJson(spark: SparkSession,
+                inputDir: String,
+                schemaJson: String,
+                sink: WarehouseSink,
+                table: String,
+                keyCols: Seq[String],
+                checkpointDir: String,
+                offsets: OffsetStore,
+                availableNow: Boolean = true,
+                maxFilesPerTrigger: Int = 1,
+                triggerMs: Long = 1000L,
+                keepDeletes: Boolean = false,
+                throttle: BatchSizeWait = NoBatchSizeWait,
+                numBuckets: Int = MergePipeline.DefaultNumBuckets,
+                nestedAsJson: Boolean = false): StreamingQuery = {
+    val src = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inputDir)
+    val converted = graft.cdc.TypeMap.convert(src, schemaJson,
+      valueCol = "value", nestedAsJson = nestedAsJson)
+    mergeLoop(spark, converted, sink, table, keyCols, checkpointDir, offsets,
+      availableNow, triggerMs, keepDeletes, throttle, numBuckets)
+  }
+
+  /** The shared consume→MERGE→offset→throttle loop behind [[start]] and
+    * [[startJson]]. */
+  private def mergeLoop(spark: SparkSession, src: DataFrame,
+                        sink: WarehouseSink, table: String,
+                        keyCols: Seq[String], checkpointDir: String,
+                        offsets: OffsetStore, availableNow: Boolean,
+                        triggerMs: Long, keepDeletes: Boolean,
+                        throttle: BatchSizeWait,
+                        numBuckets: Int): StreamingQuery = {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -50,6 +50,51 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("JSON wire-format stream: Debezium payload lines MERGE through TypeMap") {
+    val inputDir = tmpDir("json_in_")
+    val base = tmpDir("json_state_")
+    val sink = new WarehouseSink(s"$base/warehouse")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"user_id","type":"int64"},
+        |{"field":"event_id","type":"int64"},
+        |{"field":"amount","type":"float64"},
+        |{"field":"__op","type":"string"},
+        |{"field":"__source_ts_ms","type":"int64","name":"io.debezium.time.Timestamp"},
+        |{"field":"__deleted","type":"string"}]}""".stripMargin
+    def write(f: String, mtimeMs: Long, lines: String*): Unit = {
+      val dir = new java.io.File(s"$inputDir")
+      dir.mkdirs()
+      val p = java.nio.file.Paths.get(s"$inputDir/$f.txt")
+      java.nio.file.Files.writeString(p, lines.mkString("\n"))
+      // the file source orders micro-batches by modification time; two
+      // sub-millisecond writes tie and replay in arbitrary order, so pin
+      // distinct mtimes (the reference's file queue is ordered the same
+      // way — by arrival)
+      p.toFile.setLastModified(mtimeMs)
+    }
+    write("b0", 1700000000000L,
+      """{"user_id":1,"event_id":10,"amount":1.0,"__op":"c","__source_ts_ms":1000,"__deleted":"false"}""",
+      """{"user_id":2,"event_id":11,"amount":5.0,"__op":"c","__source_ts_ms":1000,"__deleted":"false"}""")
+    write("b1", 1700000060000L,
+      """{"user_id":1,"event_id":12,"amount":2.0,"__op":"u","__source_ts_ms":2000,"__deleted":"false"}""",
+      """{"user_id":2,"event_id":13,"amount":0.0,"__op":"d","__source_ts_ms":2000,"__deleted":"true"}""")
+    val q = CdcStream.startJson(spark, inputDir, schemaJson, sink,
+      "json_snapshot", Seq("user_id"), s"$base/checkpoint", offsets,
+      availableNow = true, maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val got = sink.read(spark, "json_snapshot")
+      .select("user_id", "event_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1 upserted to the later version; user 2 hard-deleted
+    assert(got === Set((1L, 12L, 2.0)))
+    // the semantic Timestamp really converted (int64 ms → timestamp type)
+    assert(sink.read(spark, "json_snapshot").schema("__source_ts_ms")
+      .dataType.typeName === "timestamp")
+    assert(offsets.load().contains("stream/json_snapshot"))
+  }
+
   test("routed stream merges each destination into its own table") {
     import spark.implicits._
     val inputDir = tmpDir("routed_in_")
