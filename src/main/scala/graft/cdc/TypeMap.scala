@@ -168,6 +168,44 @@ object TypeMap {
       .select(flds.map(f => semanticCol(f, col(s"__r.${f.name}"), nestedAsJson)): _*)
   }
 
+  /** [[convert]] with dead-letter detection instead of silent nulls: the
+    * output carries the typed columns PLUS `__raw` (the original line),
+    * `__reject_reason` (null for good rows, else `malformed_json` /
+    * `null_required:<col>`) and `__rejected`. A change event that does
+    * not parse, or parses without its primary key, must not silently
+    * upsert a null-keyed row — it must land in a dead-letter table with
+    * enough context to replay (the production discipline for an
+    * at-least-once CDC loop; the reference surfaces these as consumer
+    * failures). Pure projection — same single `from_json` pass as
+    * [[convert]], no extra scan. */
+  def convertWithRejects(records: DataFrame, schemaJson: String,
+                         requiredCols: Seq[String],
+                         valueCol: String = "value",
+                         nestedAsJson: Boolean = false): DataFrame = {
+    val schemaNode = mapper.readTree(schemaJson)
+    val flds = fieldsOf(schemaNode)
+    // PERMISSIVE from_json does NOT return a null struct for garbage — it
+    // returns a struct of nulls, indistinguishable from a legitimately
+    // all-null event. The corrupt-record column is the reliable signal:
+    // the parser deposits the raw text there iff the line failed to parse.
+    val corrupt = "__corrupt"
+    val wire = StructType(
+      flds.map(f => StructField(f.name, wireType(f, nestedAsJson))) :+
+        StructField(corrupt, org.apache.spark.sql.types.StringType))
+    val parsed = records
+      .select(col(valueCol).as("__raw"),
+        from_json(col(valueCol), wire,
+          Map("columnNameOfCorruptRecord" -> corrupt)).as("__r"))
+    val reason = requiredCols.foldLeft(
+      when(col("__r").isNull || col(s"__r.$corrupt").isNotNull, "malformed_json")) {
+      case (acc, c) => acc.when(col(s"__r.$c").isNull, s"null_required:$c")
+    }
+    parsed.select(
+      flds.map(f => semanticCol(f, col(s"__r.${f.name}"), nestedAsJson)) ++
+        Seq(col("__raw"), reason.as("__reject_reason"),
+          reason.isNotNull.as("__rejected")): _*)
+  }
+
   /** Connect schema document exercising every mapped type (driver-contract
     * query below). */
   val ComplexSchemaJson: String =

@@ -97,40 +97,85 @@ object CdcStream {
                 keepDeletes: Boolean = false,
                 throttle: BatchSizeWait = NoBatchSizeWait,
                 numBuckets: Int = MergePipeline.DefaultNumBuckets,
-                nestedAsJson: Boolean = false): StreamingQuery = {
+                nestedAsJson: Boolean = false,
+                deadLetterTable: Option[String] = None,
+                metricsTable: Option[String] = None): StreamingQuery = {
     val src = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
-    val converted = graft.cdc.TypeMap.convert(src, schemaJson,
-      valueCol = "value", nestedAsJson = nestedAsJson)
+    val converted = deadLetterTable match {
+      case Some(_) => graft.cdc.TypeMap.convertWithRejects(src, schemaJson,
+        requiredCols = keyCols, valueCol = "value", nestedAsJson = nestedAsJson)
+      case None => graft.cdc.TypeMap.convert(src, schemaJson,
+        valueCol = "value", nestedAsJson = nestedAsJson)
+    }
     mergeLoop(spark, converted, sink, table, keyCols, checkpointDir, offsets,
-      availableNow, triggerMs, keepDeletes, throttle, numBuckets)
+      availableNow, triggerMs, keepDeletes, throttle, numBuckets,
+      deadLetterTable, metricsTable)
   }
 
   /** The shared consume→MERGE→offset→throttle loop behind [[start]] and
-    * [[startJson]]. */
+    * [[startJson]]. With `deadLetterTable`, rows flagged `__rejected`
+    * (unparseable / key-less events) are appended there with their raw
+    * line + reason + batch id instead of reaching the MERGE; with
+    * `metricsTable`, every batch appends one (batch_id, n_rows,
+    * n_rejected, wait_ms, wall_ms) row — the per-upload stats the
+    * reference logs, queryable instead of greppable. Metrics force a
+    * per-batch count (documented cost; the rejected count rides the same
+    * cached pass). */
   private def mergeLoop(spark: SparkSession, src: DataFrame,
                         sink: WarehouseSink, table: String,
                         keyCols: Seq[String], checkpointDir: String,
                         offsets: OffsetStore, availableNow: Boolean,
                         triggerMs: Long, keepDeletes: Boolean,
                         throttle: BatchSizeWait,
-                        numBuckets: Int): StreamingQuery = {
+                        numBuckets: Int,
+                        deadLetterTable: Option[String] = None,
+                        metricsTable: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        val split = deadLetterTable.isDefined
+        val persisted = split || metricsTable.isDefined
+        val cached = if (persisted) batch0.persist() else batch0
+        val rejected = deadLetterTable.map { dl =>
+          val bad = cached.filter(col("__rejected"))
+            .select(col("__raw").as("raw"),
+              col("__reject_reason").as("reason"),
+              lit(batchId).as("batch_id"))
+          val n = bad.count()
+          if (n > 0) sink.write(bad, dl, "batch_id", Nil)
+          n
+        }.getOrElse(0L)
+        val batch =
+          if (split)
+            cached.filter(!col("__rejected"))
+              .drop("__raw", "__reject_reason", "__rejected")
+          else cached
         // size probe is its own scan of the micro-batch file(s) — only
         // strategies that actually consume the size pay for it (ADVICE
         // r5: MaxBatchSizeWait polls its queue suppliers and ignores the
         // observed size, so the scan was pure waste there); mergeBatch
         // persists the batch internally
-        val observed = if (throttle.needsBatchSize) batch.count() else 0L
+        val needCount = throttle.needsBatchSize || metricsTable.isDefined
+        val observed = if (needCount) batch.count() else 0L
         MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
           keepDeletes, numBuckets)
         offsets.put(Map(s"stream/$table" -> batchId.toString))
         // reference loop position: throttle AFTER the upload, before the
         // next poll (blocking foreachBatch delays the next trigger)
-        throttle.waitMs(observed)
+        val waited = throttle.waitMs(observed)
+        metricsTable.foreach { mt =>
+          import spark.implicits._
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          sink.write(
+            Seq((batchId, observed, rejected, waited, wallMs))
+              .toDF("batch_id", "n_rows", "n_rejected", "wait_ms", "wall_ms"),
+            mt, "batch_id", Nil)
+        }
+        if (persisted) cached.unpersist()
         ()
       }
     val triggered =

@@ -95,6 +95,55 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(offsets.load().contains("stream/json_snapshot"))
   }
 
+  test("dead-letter + metrics: bad events quarantined with reasons, stats per batch") {
+    val inputDir = tmpDir("dlq_in_")
+    val base = tmpDir("dlq_state_")
+    val sink = new WarehouseSink(s"$base/warehouse")
+    val offsets = new OffsetStore(s"$base/offsets", spark)
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"user_id","type":"int64"},
+        |{"field":"event_id","type":"int64"},
+        |{"field":"__op","type":"string"},
+        |{"field":"__source_ts_ms","type":"int64","name":"io.debezium.time.Timestamp"}]}""".stripMargin
+    def write(f: String, mtimeMs: Long, lines: String*): Unit = {
+      new java.io.File(inputDir).mkdirs()
+      val p = java.nio.file.Paths.get(s"$inputDir/$f.txt")
+      java.nio.file.Files.writeString(p, lines.mkString("\n"))
+      p.toFile.setLastModified(mtimeMs)
+    }
+    write("b0", 1700000000000L,
+      """{"user_id":1,"event_id":10,"__op":"c","__source_ts_ms":1000}""",
+      """this is not json at all""",
+      """{"event_id":11,"__op":"c","__source_ts_ms":1000}""") // key-less
+    write("b1", 1700000060000L,
+      """{"user_id":2,"event_id":12,"__op":"c","__source_ts_ms":2000}""")
+    val q = CdcStream.startJson(spark, inputDir, schemaJson, sink,
+      "dlq_snapshot", Seq("user_id"), s"$base/checkpoint", offsets,
+      availableNow = true, maxFilesPerTrigger = 1,
+      deadLetterTable = Some("dlq_rejects"),
+      metricsTable = Some("dlq_metrics"))
+    q.awaitTermination(120000)
+    // only the two well-formed keyed events upserted
+    assert(sink.read(spark, "dlq_snapshot").select("user_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // both bad rows quarantined with their raw payloads and reasons
+    val rejects = sink.read(spark, "dlq_rejects")
+      .select("raw", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rejects === Set(
+      ("this is not json at all", "malformed_json"),
+      ("""{"event_id":11,"__op":"c","__source_ts_ms":1000}""",
+        "null_required:user_id")))
+    // one metrics row per micro-batch, with good/rejected counts
+    // batch_id comes back from the partition directory, inferred as int
+    val metrics = sink.read(spark, "dlq_metrics")
+      .selectExpr("CAST(batch_id AS BIGINT) AS batch_id", "n_rows", "n_rejected")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(metrics === Set((0L, 1L, 2L), (1L, 1L, 0L)))
+  }
+
   test("routed stream merges each destination into its own table") {
     import spark.implicits._
     val inputDir = tmpDir("routed_in_")
