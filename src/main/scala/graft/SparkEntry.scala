@@ -56,6 +56,8 @@ object SparkEntry {
     "q20_excess_suppliers" -> (Analytics2.q20ExcessSuppliers _),
     "q22_dormant_customers" -> (Analytics2.q22DormantCustomers _),
     "q_funnel" -> (Analytics2.qFunnel _),
+    "q_rollup_revenue" -> (Analytics2.qRollupRevenue _),
+    "q_running_total" -> (Analytics2.qRunningTotal _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -414,6 +416,22 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    // ROLLUP hierarchy in one aggregate pass; null slots → 'ALL' both sides
+    "q_rollup_revenue" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // ROWS UNBOUNDED PRECEDING running total, DECIMAL-exact per prefix
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
     // ordered funnel: staged keyed aggregates chained by strict ts order
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

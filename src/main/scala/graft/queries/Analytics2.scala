@@ -292,6 +292,36 @@ object Analytics2 {
         count(col("t3")).as("n_purchase_after_click"))
   }
 
+  /** ROLLUP aggregation hierarchy (the BQ `GROUP BY ROLLUP` surface):
+    * revenue at (returnflag, linestatus), per-flag subtotals, and the
+    * grand total in ONE pass — Spark expands the grouping sets inside a
+    * single hash aggregate, not three scans. NULL grouping slots are
+    * coalesced to 'ALL' on both engines so the comparator never sees
+    * engine-specific null rendering. */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(asDouble(sum(discPrice)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("revenue"), col("n_lines"))
+
+  /** Ordered running total per customer (cumulative spend by order
+    * date): the canonical ROWS UNBOUNDED PRECEDING window. DECIMAL
+    * accumulation keeps every prefix sum exact, so each output row is
+    * engine-identical, not just the final one. One shuffle on custkey;
+    * the per-customer sort is bounded by that customer's order count. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+  }
+
   /** TPC-H Q22-style dormant high-balance customers (adapted: "no orders"
     * → "no orders since 2000"): customers above the positive-balance
     * average with no recent orders, rolled up by nation. The scalar
