@@ -57,6 +57,7 @@ object SparkEntry {
     "q22_dormant_customers" -> (Analytics2.q22DormantCustomers _),
     "q_funnel" -> (Analytics2.qFunnel _),
     "q_rollup_revenue" -> (Analytics2.qRollupRevenue _),
+    "q_median_order" -> (Analytics2.qMedianOrder _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
@@ -424,6 +425,16 @@ object SparkEntry {
          |  count(*) AS n_lines
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // exact lower median by rank construction — a selected ROW, never an
+    // interpolated float (percentile_cont interpolation is engine-specific)
+    "q_median_order" ->
+      """SELECT o_orderpriority, o_totalprice AS median_price FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders) t
+        |WHERE rn = (n + 1) // 2""".stripMargin,
     // ROWS UNBOUNDED PRECEDING running total, DECIMAL-exact per prefix
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey,

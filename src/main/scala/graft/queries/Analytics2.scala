@@ -322,6 +322,26 @@ object Analytics2 {
         asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
   }
 
+  /** Exact per-group median (lower/`percentile_disc` form) by rank
+    * construction: row_number + count over the same window partition,
+    * keep rank == (n+1) div 2. Everything is integer arithmetic over a
+    * total order (price, then orderkey), so the selected ROW — not an
+    * interpolated float — is engine-identical; `percentile_cont`-style
+    * interpolation differs in evaluation across engines and is exactly
+    * what this construction avoids. Both window functions share one
+    * shuffle + sort. */
+  def qMedianOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val w = byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
+  }
+
   /** TPC-H Q22-style dormant high-balance customers (adapted: "no orders"
     * → "no orders since 2000"): customers above the positive-balance
     * average with no recent orders, rolled up by nation. The scalar

@@ -179,7 +179,8 @@ object CorpusIngest {
             triggerMs: Long = 1000L,
             nearDupMinEstSim: Option[Double] = None,
             embedTau: Option[Double] = None,
-            embedCol: String = "embedding"): StreamingQuery = {
+            embedCol: String = "embedding",
+            metricsTable: Option[String] = None): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -187,10 +188,22 @@ object CorpusIngest {
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, sink, batch, corpusTable, fpTable,
+        // metrics pay one extra count of the micro-batch file(s) — the
+        // same documented cost as CdcStream's metrics path
+        val t0 = System.nanoTime()
+        val nIn = if (metricsTable.isDefined) batch.count() else 0L
+        val nAccepted = ingestBatch(spark, sink, batch, corpusTable, fpTable,
           nearDupMinEstSim = nearDupMinEstSim,
           embedTau = embedTau, embedCol = embedCol)
         offsets.put(Map(s"ingest/$corpusTable" -> batchId.toString))
+        metricsTable.foreach { mt =>
+          import spark.implicits._
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          sink.write(
+            Seq((batchId, nIn, nAccepted, wallMs))
+              .toDF("batch_id", "n_in", "n_accepted", "wall_ms"),
+            mt, "batch_id", Nil)
+        }
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()

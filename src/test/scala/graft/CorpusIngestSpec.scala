@@ -124,7 +124,8 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     val schema = spark.read.parquet(s"$inputDir/f0").schema
     def drain(): Unit = {
       val q = CorpusIngest.start(spark, s"$inputDir/f*", schema, sink, offsets,
-        s"$base/ckpt", maxFilesPerTrigger = 1)
+        s"$base/ckpt", maxFilesPerTrigger = 1,
+        metricsTable = Some("ingest_metrics"))
       q.awaitTermination()
     }
     drain()
@@ -139,6 +140,10 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     assert(sink.read(spark, "corpus").select("doc_id").as[Long]
       .collect().sorted === Array(1L, 2L))
+    // one metrics row per processed micro-batch, none for the idle drain
+    assert(sink.read(spark, "ingest_metrics")
+      .select("n_in", "n_accepted").as[(Long, Long)]
+      .collect().sorted === Array((1L, 1L), (1L, 1L)))
   }
 
   test("replaying a batch converges: full replay no-ops, half-committed replay upserts") {
