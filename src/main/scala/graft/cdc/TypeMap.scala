@@ -96,7 +96,8 @@ object TypeMap {
   }
 
   /** Semantic conversion of one wire column to its engine type. */
-  private def semanticCol(f: ConnectField, c: Column, nestedAsJson: Boolean): Column = {
+  private def semanticCol(f: ConnectField, c: Column, nestedAsJson: Boolean,
+                          lenient: Boolean = false): Column = {
     val converted = f.tpe match {
       case "int8" | "int16" | "int32" | "int64" =>
         if (TsMsFields.contains(f.name)) timestamp_millis(c)
@@ -111,20 +112,30 @@ object TypeMap {
           case _ => c
         }
       case "string" =>
-        if (BooleanFields.contains(f.name)) c.cast("boolean")
+        if (BooleanFields.contains(f.name))
+          (if (lenient) when(lower(c).isin("true", "false"), c.cast("boolean"))
+           else c.cast("boolean"))
         else f.semantic match {
           // reference strips the trailing Z and hands the rest to BQ
           // (removeTemporalValueTrailingZ); Spark's to_timestamp parses
           // the zone directly into a UTC instant — same point in time.
-          case "io.debezium.time.ZonedTimestamp" => to_timestamp(c)
-          case "io.debezium.time.IsoDate" => to_date(c)
-          case "io.debezium.time.IsoTimestamp" => to_timestamp_ntz(c)
+          case "io.debezium.time.ZonedTimestamp" =>
+            if (lenient) try_to_timestamp(c) else to_timestamp(c)
+          case "io.debezium.time.IsoDate" =>
+            if (lenient) try_to_timestamp(c).cast("date") else to_date(c)
+          case "io.debezium.time.IsoTimestamp" =>
+            // guard, then convert: try_to_timestamp has no NTZ twin, but a
+            // string it parses is safe for to_timestamp_ntz too
+            if (lenient) when(try_to_timestamp(c).isNotNull, to_timestamp_ntz(c))
+            else to_timestamp_ntz(c)
           // Spark has no TIME type: ISO time-of-day strings pass through
           case "io.debezium.time.IsoTime" | "io.debezium.time.ZonedTime" => c
           case "io.debezium.data.Json" => c // JSON stays queryable text
           case _ => c
         }
-      case "bytes" => unbase64(c)
+      case "bytes" =>
+        if (lenient) when(c.rlike("^[A-Za-z0-9+/=\\s]*$"), unbase64(c))
+        else unbase64(c)
       case "array" =>
         val items = f.node.get("items")
         if (items == null) c
@@ -132,7 +143,7 @@ object TypeMap {
           val ef = ConnectField(f.name + "_element",
             items.get("type").textValue(),
             if (items.has("name")) items.get("name").textValue() else "", items)
-          transform(c, x => semanticCol(ef, x, nestedAsJson))
+          transform(c, x => semanticCol(ef, x, nestedAsJson, lenient))
         }
       case "map" =>
         val values = f.node.get("values")
@@ -141,7 +152,7 @@ object TypeMap {
           val vf = ConnectField(f.name + "_value",
             values.get("type").textValue(),
             if (values.has("name")) values.get("name").textValue() else "", values)
-          transform_values(c, (_, v) => semanticCol(vf, v, nestedAsJson))
+          transform_values(c, (_, v) => semanticCol(vf, v, nestedAsJson, lenient))
         }
       case "struct" if f.semantic == GeometryTypeName =>
         // {srid INT, wkb base64} → STRUCT<srid LONG, wkb BINARY>
@@ -150,7 +161,7 @@ object TypeMap {
       case "struct" =>
         if (nestedAsJson) to_json(c)
         else struct(fieldsOf(f.node).map(sf =>
-          semanticCol(sf, c.getField(sf.name), nestedAsJson).as(sf.name)): _*)
+          semanticCol(sf, c.getField(sf.name), nestedAsJson, lenient).as(sf.name)): _*)
       case _ => c
     }
     converted.as(f.name)
@@ -188,7 +199,10 @@ object TypeMap {
     // returns a struct of nulls, indistinguishable from a legitimately
     // all-null event. The corrupt-record column is the reliable signal:
     // the parser deposits the raw text there iff the line failed to parse.
-    val corrupt = "__corrupt"
+    // The slot name must not collide with a genuine schema field (a
+    // payload field named like it would masquerade as the parse signal).
+    val corrupt = Iterator.from(0).map(i => s"__corrupt$i")
+      .find(n => !flds.exists(_.name == n)).get
     val wire = StructType(
       flds.map(f => StructField(f.name, wireType(f, nestedAsJson))) :+
         StructField(corrupt, org.apache.spark.sql.types.StringType))
@@ -196,12 +210,22 @@ object TypeMap {
       .select(col(valueCol).as("__raw"),
         from_json(col(valueCol), wire,
           Map("columnNameOfCorruptRecord" -> corrupt)).as("__r"))
+    // LENIENT semantic casts (try_-style): a value the cast cannot parse
+    // becomes NULL instead of an ANSI exception that would kill the whole
+    // stream for one bad event. The required-column check then runs on
+    // the SEMANTIC output, so "key present on the wire but unparseable"
+    // still quarantines instead of merging a null-keyed row.
+    def sem(f: ConnectField) =
+      semanticCol(f, col(s"__r.${f.name}"), nestedAsJson, lenient = true)
+    val byName = flds.map(f => f.name -> f).toMap
     val reason = requiredCols.foldLeft(
       when(col("__r").isNull || col(s"__r.$corrupt").isNotNull, "malformed_json")) {
-      case (acc, c) => acc.when(col(s"__r.$c").isNull, s"null_required:$c")
+      case (acc, c) => acc.when(
+        byName.get(c).map(f => sem(f).isNull).getOrElse(col(s"__r.$c").isNull),
+        s"null_required:$c")
     }
     parsed.select(
-      flds.map(f => semanticCol(f, col(s"__r.${f.name}"), nestedAsJson)) ++
+      flds.map(sem) ++
         Seq(col("__raw"), reason.as("__reject_reason"),
           reason.isNotNull.as("__rejected")): _*)
   }

@@ -140,42 +140,51 @@ object CdcStream {
         val split = deadLetterTable.isDefined
         val persisted = split || metricsTable.isDefined
         val cached = if (persisted) batch0.persist() else batch0
-        val rejected = deadLetterTable.map { dl =>
-          val bad = cached.filter(col("__rejected"))
-            .select(col("__raw").as("raw"),
-              col("__reject_reason").as("reason"),
-              lit(batchId).as("batch_id"))
-          val n = bad.count()
-          if (n > 0) sink.write(bad, dl, "batch_id", Nil)
-          n
-        }.getOrElse(0L)
-        val batch =
-          if (split)
-            cached.filter(!col("__rejected"))
-              .drop("__raw", "__reject_reason", "__rejected")
-          else cached
-        // size probe is its own scan of the micro-batch file(s) — only
-        // strategies that actually consume the size pay for it (ADVICE
-        // r5: MaxBatchSizeWait polls its queue suppliers and ignores the
-        // observed size, so the scan was pure waste there); mergeBatch
-        // persists the batch internally
-        val needCount = throttle.needsBatchSize || metricsTable.isDefined
-        val observed = if (needCount) batch.count() else 0L
-        MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
-          keepDeletes, numBuckets)
-        offsets.put(Map(s"stream/$table" -> batchId.toString))
-        // reference loop position: throttle AFTER the upload, before the
-        // next poll (blocking foreachBatch delays the next trigger)
-        val waited = throttle.waitMs(observed)
-        metricsTable.foreach { mt =>
-          import spark.implicits._
-          val wallMs = (System.nanoTime() - t0) / 1000000L
-          sink.write(
-            Seq((batchId, observed, rejected, waited, wallMs))
-              .toDF("batch_id", "n_rows", "n_rejected", "wait_ms", "wall_ms"),
-            mt, "batch_id", Nil)
+        try {
+          val rejected = deadLetterTable.map { dl =>
+            val bad = cached.filter(col("__rejected"))
+              .select(col("__raw").as("raw"),
+                col("__reject_reason").as("reason"),
+                lit(batchId).as("batch_id"))
+            val n = bad.count()
+            // dynamic overwrite of THIS batch's partition: a replayed
+            // batch (crash between these writes and the checkpoint
+            // commit) rewrites its own rows instead of appending
+            // duplicates — the same replay-idempotence the MERGE gives
+            // the main table
+            if (n > 0) sink.write(bad, dl, "batch_id", Nil,
+              dynamicOverwrite = true)
+            n
+          }.getOrElse(0L)
+          val batch =
+            if (split)
+              cached.filter(!col("__rejected"))
+                .drop("__raw", "__reject_reason", "__rejected")
+            else cached
+          // size probe is its own scan of the micro-batch file(s) — only
+          // strategies that actually consume the size pay for it (ADVICE
+          // r5: MaxBatchSizeWait polls its queue suppliers and ignores the
+          // observed size, so the scan was pure waste there); mergeBatch
+          // persists the batch internally
+          val needCount = throttle.needsBatchSize || metricsTable.isDefined
+          val observed = if (needCount) batch.count() else 0L
+          MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
+            keepDeletes, numBuckets)
+          offsets.put(Map(s"stream/$table" -> batchId.toString))
+          // reference loop position: throttle AFTER the upload, before the
+          // next poll (blocking foreachBatch delays the next trigger)
+          val waited = throttle.waitMs(observed)
+          metricsTable.foreach { mt =>
+            import spark.implicits._
+            val wallMs = (System.nanoTime() - t0) / 1000000L
+            sink.write(
+              Seq((batchId, observed, rejected, waited, wallMs))
+                .toDF("batch_id", "n_rows", "n_rejected", "wait_ms", "wall_ms"),
+              mt, "batch_id", Nil, dynamicOverwrite = true)
+          }
+        } finally {
+          if (persisted) cached.unpersist()
         }
-        if (persisted) cached.unpersist()
         ()
       }
     val triggered =

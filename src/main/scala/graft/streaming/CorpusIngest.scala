@@ -199,10 +199,12 @@ object CorpusIngest {
         metricsTable.foreach { mt =>
           import spark.implicits._
           val wallMs = (System.nanoTime() - t0) / 1000000L
+          // overwrite this batch's own partition so a replayed batch
+          // (crash before the checkpoint commit) cannot double-count
           sink.write(
             Seq((batchId, nIn, nAccepted, wallMs))
               .toDF("batch_id", "n_in", "n_accepted", "wall_ms"),
-            mt, "batch_id", Nil)
+            mt, "batch_id", Nil, dynamicOverwrite = true)
         }
         ()
       }

@@ -28,6 +28,26 @@ class GroupTopKSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the engine bounds the shuffle map-side (WindowGroupLimit Partial)") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "event_id", "value")
+    val plan = GroupTopK.topK(ev, Seq("event_type"),
+        Seq(col("value").desc, col("event_id").asc), 5)
+      .queryExecution.executedPlan.toString
+    // the whole reason topK is a plain window: InferWindowGroupLimit must
+    // have inserted the pre-exchange partial limit. If this disappears
+    // (engine upgrade, pattern change), the operator needs the manual
+    // two-phase construction back.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"map-side group limit missing from plan:\n$plan")
+    // a collision-prone input column is preserved, not clobbered
+    val withCol = ev.withColumn("__gtk0", lit(7))
+    val out = GroupTopK.topK(withCol, Seq("event_type"),
+      Seq(col("value").desc, col("event_id").asc), 3)
+    assert(out.columns.contains("__gtk0"))
+    assert(out.select("__gtk0").distinct().collect().map(_.getInt(0)).toSeq === Seq(7))
+  }
+
   test("randomized cross-check vs plain-Scala sort") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

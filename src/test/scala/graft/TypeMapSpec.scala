@@ -113,4 +113,45 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
     assert(ddl.exists(_.startsWith("CREATE TABLE t")))
     assert(ddl.exists(_.contains("ADD COLUMN score")))
   }
+
+  test("convertWithRejects: unparseable SEMANTIC values quarantine, never throw") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"k","type":"string","name":"io.debezium.time.ZonedTimestamp"},
+        |{"field":"id","type":"int64"},
+        |{"field":"note","type":"string","name":"io.debezium.time.IsoDate"}]}""".stripMargin
+    val rows = Seq(
+      """{"k":"2024-01-01T00:00:00Z","id":1,"note":"2024-05-05"}""",
+      // k parses as a wire STRING but not as a timestamp: the required
+      // check must run on the SEMANTIC value (pre-fix this merged a
+      // null-keyed row, or threw under ANSI and killed the stream)
+      """{"k":"not a timestamp","id":2,"note":"2024-05-05"}""",
+      // garbage in a NON-required semantic field nulls out, row survives
+      """{"k":"2024-02-02T00:00:00Z","id":3,"note":"not a date"}"""
+    ).toDF("value")
+    val out = graft.cdc.TypeMap
+      .convertWithRejects(rows, schemaJson, requiredCols = Seq("k"))
+      .select("id", "__rejected", "__reject_reason", "note")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)), Option(r.getDate(3)).map(_.toString)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, false, None, Some("2024-05-05"))))
+    assert(out(1) === ((2L, true, Some("null_required:k"), Some("2024-05-05"))))
+    assert(out(2) === ((3L, false, None, None)))
+  }
+
+  test("convertWithRejects: a schema field named __corrupt0 is data, not the parse signal") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"__corrupt0","type":"string"},
+        |{"field":"id","type":"int64"}]}""".stripMargin
+    val out = graft.cdc.TypeMap.convertWithRejects(
+        Seq("""{"__corrupt0":"legit data","id":9}""").toDF("value"),
+        schemaJson, requiredCols = Seq("id"))
+      .select("id", "__corrupt0", "__rejected").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+      === Seq((9L, "legit data", false)))
+  }
 }
