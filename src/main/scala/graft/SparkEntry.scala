@@ -58,6 +58,7 @@ object SparkEntry {
     "q_funnel" -> (Analytics2.qFunnel _),
     "q_rollup_revenue" -> (Analytics2.qRollupRevenue _),
     "q_median_order" -> (Analytics2.qMedianOrder _),
+    "events_next_within" -> (Analytics2.qNextPurchase _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
@@ -425,6 +426,28 @@ object SparkEntry {
          |  count(*) AS n_lines
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // forward as-of: nearest FOLLOWING purchase via a DESC-scan window —
+    // equal timestamps sort purchases after clicks (strictly-after), the
+    // horizon compares in integer microseconds
+    "events_next_within" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'purchase' THEN
+        |      struct_pack(p_us := epoch_us(ts), p_id := event_id) END AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT *, last_value(p IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, side ASC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nxt
+        |  FROM tagged
+        |)
+        |SELECT event_id, user_id,
+        |  coalesce(CASE WHEN nxt.p_us - epoch_us(ts) <= 600000000
+        |           THEN nxt.p_id END, -1) AS next_purchase_id,
+        |  coalesce(CASE WHEN nxt.p_us - epoch_us(ts) <= 600000000
+        |           THEN nxt.p_us - epoch_us(ts) END, -1) AS gap_us
+        |FROM w WHERE side = 1""".stripMargin,
     // exact lower median by rank construction — a selected ROW, never an
     // interpolated float (percentile_cont interpolation is engine-specific)
     "q_median_order" ->

@@ -48,11 +48,16 @@ object Analytics2 {
     * 100-row supplier⋈nation⋈region dim both broadcast, so the window
     * (per-part min) runs over an already-small candidate set. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.lineitem(spark, dir)
-      .select("l_partkey", "l_suppkey").distinct()
     val pt = broadcast(Tables.part(spark, dir)
       .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
       .select("p_partkey"))
+    // broadcast-filter BEFORE the distinct: only qualifying parts' supply
+    // pairs enter the shuffle (the filter-before-exchange discipline —
+    // distinct-then-filter shuffled the whole fact's pair space)
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(pt, col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
     val eurSupp = broadcast(
       Tables.supplier(spark, dir)
         .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
@@ -320,6 +325,39 @@ object Analytics2 {
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+  }
+
+  /** Forward as-of enrichment: for each click, the FIRST purchase of the
+    * same user STRICTLY after it, within a 10-minute horizon (else -1) —
+    * the time-reversed twin of `events_asof`, same union-tag + one-window
+    * plan (ONE shuffle, no join operator): scanning in DESCENDING time
+    * order, "the last purchase seen before this row" IS the nearest
+    * following purchase. Equal timestamps sort purchases after clicks in
+    * the scan, which excludes them — "strictly after" exactly. The gap
+    * compares in integer microseconds (engine-exact). */
+  def qNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase", 2).otherwise(1).as("side"),
+        when(col("event_type") === "purchase",
+          struct(unix_micros(col("ts")).as("p_us"), col("event_id").as("p_id")))
+          .as("p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("side").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("nxt", last(col("p"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        coalesce(
+          when(col("nxt.p_us") - unix_micros(col("ts")) <= 600000000L,
+            col("nxt.p_id")),
+          lit(-1L)).as("next_purchase_id"),
+        coalesce(
+          when(col("nxt.p_us") - unix_micros(col("ts")) <= 600000000L,
+            col("nxt.p_us") - unix_micros(col("ts"))),
+          lit(-1L)).as("gap_us"))
   }
 
   /** Exact per-group median (lower/`percentile_disc` form) by rank
