@@ -83,6 +83,7 @@ object SparkEntry {
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
+    "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
@@ -720,6 +721,14 @@ object SparkEntry {
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
          |       >> ${TextOps.SampleShift}) % 1000 < permille""".stripMargin,
+    // shard manifest: consistent-hash shard assignment (same Knuth mix
+    // as corpus_sample, then mod nShards) + per-shard doc/token totals
+    "corpus_shards" -> {
+      val bucket = s"(((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}) >> ${TextOps.SampleShift}) % 1000"
+      s"""SELECT ($bucket) % 8 AS shard, count(*) AS n_docs,
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1""".stripMargin
+    },
     // rarity profile: integer counts and int/int divisions only — a float
     // log-prob mean would be partial-sum-order-dependent across engines
     "text_rarity" ->
