@@ -14,10 +14,11 @@ import graft.Tables
   *    across runs/engines, independent of partition layout, and
   *    re-export of the same corpus lands every doc in the same shard
   *    (resumable distributed export).
-  *  - One shuffle: repartition BY the shard column, so each shard is
-  *    written by exactly one task as one parquet directory
-  *    (`shard=K/`), rows sorted by doc_id within the shard for
-  *    reproducible files.
+  *  - One shuffle: repartition BY the shard column, so ALL of a shard's
+  *    rows land in one task (a task may own several shards when their
+  *    hashes collide, but no shard is ever split across tasks) and each
+  *    `shard=K/` directory is written by exactly one writer, rows sorted
+  *    by doc_id for reproducible files.
   *  - The manifest rides the SAME pass (per-shard doc/token counts and
   *    an order-independent content checksum — bit_xor of the doc
   *    content hashes, so any changed/missing/extra doc flips it).
