@@ -92,6 +92,11 @@ object ScaleSmoke {
     }
     t("funnel 1M events")(graft.queries.Analytics2.funnel(ev10)
       .write.format("noop").mode("overwrite").save())
+    t("shard export 50k docs") {
+      graft.llm.Export.exportShards(docs10,
+        java.nio.file.Files.createTempDirectory("scale_shards_").toString,
+        nShards = 16).write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
