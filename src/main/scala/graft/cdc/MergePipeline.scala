@@ -47,8 +47,21 @@ object MergePipeline {
     * rewrite into a fresh table directory with the new count. */
   val DefaultNumBuckets = 32
 
-  private def ordering: Seq[Column] =
+  /** Default latest-wins ordering: (source ts, op priority, tie-break id) —
+    * the reference's `compareByTsThenOp` over its default columns
+    * (StreamBigqueryChangeConsumer.java:238-256). */
+  def defaultOrdering: Seq[Column] =
     Seq(col("__source_ts_ms"), Cdc.opPriorityCol(col("__op")), col("event_id"))
+
+  /** Ordering from the reference's config surface
+    * (StreamConsumerConfig.java:75-80): `upsert-dedup-column` names the
+    * timestamp column compared first, `upsert-op-column` (default `__op`)
+    * the column whose c/r/u/d priority breaks ts ties. `tieBreak` columns
+    * (graft addition) make the winner deterministic when both agree —
+    * the reference leaves that to sort stability. */
+  def configOrdering(dedupColumn: String, opColumn: String = "__op",
+                     tieBreak: Seq[String] = Nil): Seq[Column] =
+    Seq(col(dedupColumn), Cdc.opPriorityCol(col(opColumn))) ++ tieBreak.map(col)
 
   /** MERGE one flattened batch into `table`, keyed by `keyCols`,
     * latest-wins by (source ts, op priority, tie-break id). Rows cluster
@@ -62,11 +75,17 @@ object MergePipeline {
     *                    keeps winning the dedup); false drops it (hard
     *                    delete, reference default).
     * @param numBuckets  per-table bucket count (see [[DefaultNumBuckets]]
-    *                    for sizing; constant per table). */
+    *                    for sizing; constant per table).
+    * @param ordering    latest-wins ordering (the reference's
+    *                    `upsert-dedup-column`/`upsert-op-column`,
+    *                    StreamConsumerConfig.java:75-80 — build one with
+    *                    [[configOrdering]]); defaults to
+    *                    [[defaultOrdering]]. */
   def mergeBatch(spark: SparkSession, sink: WarehouseSink, table: String,
                  batch: DataFrame, keyCols: Seq[String],
                  keepDeletes: Boolean = false,
-                 numBuckets: Int = DefaultNumBuckets): Unit = {
+                 numBuckets: Int = DefaultNumBuckets,
+                 ordering: Seq[Column] = defaultOrdering): Unit = {
     val dropDeleted: DataFrame => DataFrame =
       df => if (keepDeletes) df else df.filter(col("__op") =!= "d")
     val bucket = WarehouseSink.bucketPartition(keyCols, numBuckets)

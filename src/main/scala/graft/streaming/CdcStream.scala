@@ -47,6 +47,11 @@ object CdcStream {
     *                     default strategy.
     * @param numBuckets   snapshot-table bucket count (see
     *                     [[MergePipeline.DefaultNumBuckets]]).
+    * @param ordering     latest-wins dedup ordering — the reference's
+    *                     `upsert-dedup-column` / `upsert-op-column`
+    *                     (StreamConsumerConfig.java:75-80); build one with
+    *                     [[MergePipeline.configOrdering]]. Defaults to
+    *                     [[MergePipeline.defaultOrdering]].
     */
   def start(spark: SparkSession,
             inputDir: String,
@@ -61,13 +66,16 @@ object CdcStream {
             triggerMs: Long = 1000L,
             keepDeletes: Boolean = false,
             throttle: BatchSizeWait = NoBatchSizeWait,
-            numBuckets: Int = MergePipeline.DefaultNumBuckets): StreamingQuery = {
+            numBuckets: Int = MergePipeline.DefaultNumBuckets,
+            ordering: Seq[org.apache.spark.sql.Column] =
+              MergePipeline.defaultOrdering): StreamingQuery = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
     mergeLoop(spark, src, sink, table, keyCols, checkpointDir, offsets,
-      availableNow, triggerMs, keepDeletes, throttle, numBuckets)
+      availableNow, triggerMs, keepDeletes, throttle, numBuckets,
+      ordering = ordering)
   }
 
   /** Wire-format variant of [[start]]: the input directory holds
@@ -99,7 +107,9 @@ object CdcStream {
                 numBuckets: Int = MergePipeline.DefaultNumBuckets,
                 nestedAsJson: Boolean = false,
                 deadLetterTable: Option[String] = None,
-                metricsTable: Option[String] = None): StreamingQuery = {
+                metricsTable: Option[String] = None,
+                ordering: Seq[org.apache.spark.sql.Column] =
+                  MergePipeline.defaultOrdering): StreamingQuery = {
     val src = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
@@ -111,7 +121,7 @@ object CdcStream {
     }
     mergeLoop(spark, converted, sink, table, keyCols, checkpointDir, offsets,
       availableNow, triggerMs, keepDeletes, throttle, numBuckets,
-      deadLetterTable, metricsTable)
+      deadLetterTable, metricsTable, ordering)
   }
 
   /** The shared consume→MERGE→offset→throttle loop behind [[start]] and
@@ -131,7 +141,9 @@ object CdcStream {
                         throttle: BatchSizeWait,
                         numBuckets: Int,
                         deadLetterTable: Option[String] = None,
-                        metricsTable: Option[String] = None): StreamingQuery = {
+                        metricsTable: Option[String] = None,
+                        ordering: Seq[org.apache.spark.sql.Column] =
+                          MergePipeline.defaultOrdering): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, lit}
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -169,7 +181,7 @@ object CdcStream {
           val needCount = throttle.needsBatchSize || metricsTable.isDefined
           val observed = if (needCount) batch.count() else 0L
           MergePipeline.mergeBatch(spark, sink, table, batch, keyCols,
-            keepDeletes, numBuckets)
+            keepDeletes, numBuckets, ordering)
           offsets.put(Map(s"stream/$table" -> batchId.toString))
           // reference loop position: throttle AFTER the upload, before the
           // next poll (blocking foreachBatch delays the next trigger)

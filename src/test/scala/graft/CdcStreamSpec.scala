@@ -200,6 +200,43 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     assert(sink.read(spark, "t").count() === 1) // upserts still landed
   }
 
+  test("upsert-dedup-column override: custom ordering decides the MERGE winner") {
+    import spark.implicits._
+    import graft.cdc.MergePipeline
+    val inputDir = tmpDir("dedupcol_in_")
+    val base = tmpDir("dedupcol_state_")
+    def mk(f: String, rows: Seq[(Long, Long, String, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "__op", "__source_ts_ms", "__source_ts_ns")
+        .coalesce(1).write.parquet(s"$inputDir/$f")
+    // user 1: the ms wall clock says event 10 is latest; the source's
+    // ns-precision counter says event 11 is — the disagreement the
+    // reference's `upsert-dedup-column=__source_ts_ns` config exists to
+    // resolve (StreamBigqueryChangeConsumerMysqlUpsertTest.java:177).
+    // user 2 agrees under both orderings (control).
+    mk("f0", Seq((1L, 10L, "c", 2000L, 1000L), (2L, 20L, "c", 1000L, 1000L)))
+    mk("f1", Seq((1L, 11L, "u", 1000L, 2000L), (2L, 21L, "u", 2000L, 2000L)))
+    val schema = spark.read.parquet(s"$inputDir/f0").schema
+    def run(ordering: Seq[org.apache.spark.sql.Column],
+            suffix: String): Map[Long, Long] = {
+      val sink = new WarehouseSink(s"$base/$suffix/warehouse")
+      val offsets = new OffsetStore(s"$base/$suffix/offsets", spark)
+      // maxFilesPerTrigger=1 → f1 arrives as a SECOND micro-batch, so the
+      // override must survive the snapshot-union MERGE, not just in-batch
+      // dedup
+      val q = CdcStream.start(spark, s"$inputDir/f*", schema, sink, "snap",
+        Seq("user_id"), s"$base/$suffix/ckpt", offsets, availableNow = true,
+        maxFilesPerTrigger = 1, ordering = ordering)
+      q.awaitTermination()
+      sink.read(spark, "snap").select("user_id", "event_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(run(MergePipeline.defaultOrdering, "default")
+      === Map(1L -> 10L, 2L -> 21L))
+    assert(run(MergePipeline.configOrdering("__source_ts_ns",
+        tieBreak = Seq("event_id")), "ns")
+      === Map(1L -> 11L, 2L -> 21L))
+  }
+
   test("max batch-size wait fills or times out, and skips during snapshots") {
     import graft.streaming.MaxBatchSizeWait
     var slept = 0L
