@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -19,38 +19,78 @@ import graft.Tables
   *    hashes collide, but no shard is ever split across tasks) and each
   *    `shard=K/` directory is written by exactly one writer, rows sorted
   *    by doc_id for reproducible files.
-  *  - The manifest rides the SAME pass (per-shard doc/token counts and
-  *    an order-independent content checksum — bit_xor of the doc
-  *    content hashes, so any changed/missing/extra doc flips it).
-  *    Trainer-side integrity checking needs no corpus scan.
+  *  - The manifest rides the SAME job (CollectMetrics inside the write —
+  *    the [[graft.cdc.MergePipeline.mergeBatch]] Observation pattern):
+  *    per-shard doc/token counts and an order-independent content
+  *    checksum, computed as the rows stream to the writers. The corpus
+  *    is scanned exactly ONCE — at 100 TB a trailing manifest scan would
+  *    double the export's IO.
+  *  - The checksum is `bit_xor(xxhash64(doc_id, text))`: keyed by BOTH
+  *    identity and content, so a changed doc, a missing/extra doc, or
+  *    two docs swapping ids all flip it. Hashing text alone would cancel
+  *    pairwise on duplicate texts (x XOR x = 0 — adding or dropping a
+  *    duplicate PAIR went unseen) and miss re-keying entirely.
   */
 object Export {
 
   def shardCol(nShards: Int) =
     pmod(TextOps.sampleBucket, lit(nShards.toLong)).as("shard")
 
+  /** Per-row content hash behind the manifest checksum. doc_id seeds the
+    * fold (multi-arg xxhash64 chains arg-by-arg), so identical texts
+    * under different ids hash differently. */
+  private def contentHash = xxhash64(col("doc_id"), col("text"))
+
   /** Write `docs` into `nShards` shard directories under `outDir` and
-    * return the manifest (shard, n_docs, n_tokens, checksum). */
+    * return the manifest (shard, n_docs, n_tokens, checksum), observed
+    * inside the write job — one corpus scan total. Shards that received
+    * no docs are absent from the manifest (same shape as [[manifest]]).
+    * The returned frame is a LOCAL relation: collecting it re-reads
+    * nothing. */
   def exportShards(docs: DataFrame, outDir: String,
                    nShards: Int = 8): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    val spark = docs.sparkSession
     val sharded = docs
       .withColumn("shard", shardCol(nShards))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    manifest(docs, nShards)
+    // 3 conditional aggregates per shard: nShards is a small export-config
+    // constant (8-64), so the expression list is bounded and driver-built;
+    // all of it evaluates in the writers' single pass over the rows
+    val ntok = size(TextOps.tokens(col("text")))
+    val aggs = (0 until nShards).flatMap { k =>
+      val in = col("shard") === k
+      Seq(count(when(in, 1)).as(s"d$k"),
+        sum(when(in, ntok)).as(s"t$k"),
+        bit_xor(when(in, contentHash)).as(s"c$k"))
+    }
+    val obs = Observation("export_shards")
+    sharded.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // missing metrics ⇔ the write ran zero tasks ⇔ empty corpus
+    val row = scala.util.Try(obs.get).getOrElse(Map.empty[String, Any])
+    def long(k: String): Long = row.get(k) match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    import spark.implicits._
+    (0 until nShards)
+      .map(k => (k.toLong, long(s"d$k"), long(s"t$k"), long(s"c$k")))
+      .filter(_._2 > 0)
+      .toDF("shard", "n_docs", "n_tokens", "checksum")
   }
 
-  /** The manifest alone (no write): per-shard doc count, whitespace
-    * token count, and the order-independent 64-bit content checksum. */
+  /** The manifest alone (no write, one agg scan): per-shard doc count,
+    * whitespace token count, and the order-independent 64-bit keyed
+    * content checksum. */
   def manifest(docs: DataFrame, nShards: Int = 8): DataFrame =
     docs
       .withColumn("shard", shardCol(nShards))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col("text")))).as("n_tokens"),
-        bit_xor(xxhash64(col("text"))).as("checksum"))
+        bit_xor(contentHash).as("checksum"))
 
   /** Driver query: manifest WITHOUT the engine-specific checksum column
     * (xxhash64 has no DuckDB twin — the checksum is pinned instead by

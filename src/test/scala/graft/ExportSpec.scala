@@ -27,6 +27,41 @@ class ExportSpec extends AnyFunSuite with SparkFixture {
     assert(misplaced.count() === 0)
   }
 
+  test("export manifest rides the write job: one corpus scan, local result") {
+    val out = tmpDir("shards_once_")
+    val srcDir = tmpDir("shards_src_")
+    docs.write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir)
+    val want = Export.manifest(src, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val m = Export.exportShards(src, out, nShards = 4)
+    // observed inside the write: the returned frame is a LocalRelation —
+    // nothing left to scan
+    assert(m.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    // black-box proof of the same: delete the SOURCE, manifest still
+    // collects, and agrees with the standalone grouped manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+    val got = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("checksum is keyed: duplicate-pair add and id re-keying both flip it") {
+    import spark.implicits._
+    def sum1(rows: Seq[(Long, String)]): Long =
+      Export.manifest(rows.toDF("doc_id", "text"), 1).collect().head.getLong(3)
+    val base = Seq(1L -> "alpha text", 2L -> "beta text")
+    // adding a PAIR of identical texts: a text-only xor would cancel
+    // (h(x) XOR h(x) = 0) and miss it; the keyed checksum must move
+    assert(sum1(base) !== sum1(base ++ Seq(3L -> "gamma text", 4L -> "gamma text")))
+    // swapping two docs' ids leaves the text multiset identical — only a
+    // keyed checksum can see the corruption
+    assert(sum1(base) !== sum1(Seq(1L -> "beta text", 2L -> "alpha text")))
+  }
+
   test("manifest checksum: deterministic, order-independent, corruption-sensitive") {
     def sums(df: org.apache.spark.sql.DataFrame) =
       Export.manifest(df, 4).collect()
