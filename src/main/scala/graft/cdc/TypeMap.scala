@@ -113,7 +113,12 @@ object TypeMap {
         }
       case "string" =>
         if (BooleanFields.contains(f.name))
-          (if (lenient) when(lower(c).isin("true", "false"), c.cast("boolean"))
+          // the lenient guard must accept exactly what the strict cast
+          // does — Spark's boolean cast takes t/f/y/n/yes/no/1/0 (trimmed,
+          // any case), so a narrower allowlist would quarantine legal
+          // spellings that convert() handles fine (VERDICT r6)
+          (if (lenient) when(lower(trim(c)).isin("true", "false", "t", "f",
+            "y", "n", "yes", "no", "1", "0"), c.cast("boolean"))
            else c.cast("boolean"))
         else f.semantic match {
           // reference strips the trailing Z and hands the rest to BQ

@@ -141,6 +141,44 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) === ((3L, false, None, None)))
   }
 
+  test("lenient boolean accepts every spelling the strict cast does") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"id","type":"int64"},
+        |{"field":"__deleted","type":"string"}]}""".stripMargin
+    // every legal Spark boolean spelling (strict cast under ANSI would
+    // THROW on anything else, so legality == survives convert())
+    val legal = Seq(
+      """{"id":1,"__deleted":"1"}""",
+      """{"id":2,"__deleted":"yes"}""",
+      """{"id":3,"__deleted":"t"}""",
+      """{"id":4,"__deleted":"FALSE"}""",
+      """{"id":5,"__deleted":" no "}""").toDF("value")
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "__deleted").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val strict = collected(graft.cdc.TypeMap.convert(legal, schemaJson))
+    val lenientOut = graft.cdc.TypeMap
+      .convertWithRejects(legal, schemaJson, requiredCols = Seq("id"))
+    // no legal spelling quarantines or diverges from the strict cast
+    // (pre-fix: "1"/"yes"/"t" nulled out in lenient mode)
+    assert(lenientOut.filter(col("__rejected")).count() === 0)
+    assert(collected(lenientOut) === strict)
+    assert(strict === Map(1L -> Some(true), 2L -> Some(true), 3L -> Some(true),
+      4L -> Some(false), 5L -> Some(false)))
+    // genuine garbage: strict mode dies (ANSI cast), lenient nulls the
+    // non-required field and keeps the row
+    val bad = Seq("""{"id":6,"__deleted":"maybe"}""").toDF("value")
+    intercept[Exception] {
+      graft.cdc.TypeMap.convert(bad, schemaJson).collect()
+    }
+    val badOut = graft.cdc.TypeMap
+      .convertWithRejects(bad, schemaJson, requiredCols = Seq("id"))
+    assert(badOut.filter(col("__rejected")).count() === 0)
+    assert(collected(badOut) === Map(6L -> None))
+  }
+
   test("convertWithRejects: a schema field named __corrupt0 is data, not the parse signal") {
     import spark.implicits._
     val schemaJson =
