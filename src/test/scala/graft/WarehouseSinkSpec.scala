@@ -137,4 +137,41 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkFixture {
     // every key deleted → no data files left → table reads as absent
     assert(!sink.tableExists("s"))
   }
+
+  test("field relaxation: REQUIRED column takes nulls across appends") {
+    // the reference's allow-field-relaxation (BatchConsumerConfig.java:55-57,
+    // default true): a later append may carry a previously-REQUIRED column
+    // as nullable. In the parquet warehouse relaxation is INHERENT and
+    // always on — Spark file sources read every column as nullable, so an
+    // append with nulls in a column the seed wrote as required succeeds and
+    // the merged read reports the column nullable. (Divergence from the
+    // reference, documented: relaxation cannot be switched OFF here —
+    // there is no flag that makes the warehouse reject the null append.
+    // Enforcement, if wanted, is an upstream quality gate, e.g.
+    // TypeMap.convertWithRejects requiredCols.)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sink = new WarehouseSink(tmpDir("wh_relax_"))
+    val required = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    val seed = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a")), required)
+      .withColumn("p", lit(0))
+    assert(!seed.schema("name").nullable)
+    sink.evolveAndAppend(spark, seed, "t_relax", "p", Nil)
+    // append the SAME column, now nullable and actually null
+    val relaxed = spark.createDataFrame(
+      java.util.List.of(Row(2L, null)),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))))
+      .withColumn("p", lit(0))
+    sink.evolveAndAppend(spark, relaxed, "t_relax", "p", Nil)
+    val back = sink.read(spark, "t_relax")
+    assert(back.schema("name").nullable)
+    val rows = back.select("id", "name").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(1L -> Some("a"), 2L -> None))
+  }
 }
