@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,10 +32,16 @@ object SpanDedup {
   /** @param chunkTokens tokens per chunk; chunk boundaries are fixed
     *                    offsets (i*chunkTokens), so a duplicated span is
     *                    only caught when aligned — the standard tradeoff
-    *                    of chunk-level vs suffix-array substring dedup. */
-  def dedupChunks(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    *                    of chunk-level vs suffix-array substring dedup.
+    * @param tokenize    text → token array. Default whitespace split; a
+    *                    paragraph chunker (split on newlines, drop empty
+    *                    paragraphs) is the documented swap — note such a
+    *                    chunker CAN yield an empty array, which
+    *                    [[chunkRows]] maps to one empty chunk. */
+  def dedupChunks(docs: DataFrame, chunkTokens: Int = 10,
+                  tokenize: Column => Column = split(_, " ")): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    reassemble(keepFirst(hashed(chunkRows(docs, chunkTokens))))
+    reassemble(keepFirst(hashed(chunkRows(docs, chunkTokens, tokenize))))
   }
 
   /** Driver entry: 10-token span dedup over `documents`. */
@@ -50,12 +56,20 @@ object SpanDedup {
   // hash so a batch probe reads only its touched buckets.
 
   /** Chunk rows of a doc frame: (doc_id, chunk_ord, chunk). */
-  private[llm] def chunkRows(docs: DataFrame, chunkTokens: Int): DataFrame =
+  private[llm] def chunkRows(docs: DataFrame, chunkTokens: Int,
+                             tokenize: Column => Column = split(_, " ")): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), tokenize(col("text")).as("l"))
       .select(col("doc_id"), col("l"),
+        // greatest(0, …): an EMPTY token array (legal under a chunker that
+        // drops empty paragraphs; unreachable with the whitespace default,
+        // where split("") = [""]) would bound the sequence at -1, which
+        // Spark walks DOWNWARD — a phantom (0, -1) ord pair whose -1 row
+        // feeds slice() a start index of 0 and throws. Guarded, an empty
+        // doc produces exactly one empty chunk.
         explode(sequence(lit(0L),
-          ceil(size(col("l")) / lit(chunkTokens.toDouble)).cast("long") - 1))
+          greatest(lit(0L),
+            ceil(size(col("l")) / lit(chunkTokens.toDouble)).cast("long") - 1)))
           .as("chunk_ord"))
       .select(col("doc_id"), col("chunk_ord"),
         array_join(slice(col("l"),

@@ -93,4 +93,23 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept.exceptAll(alone).isEmpty && alone.exceptAll(kept).isEmpty,
       "injecting exact copies changed the surviving corpus")
   }
+
+  test("newline chunker: an empty paragraph list is one empty chunk, not a crash") {
+    import spark.implicits._
+    // paragraph chunker: split on newlines, DROP empty paragraphs — the
+    // documented swap that can hand chunkRows an empty token array
+    // (pre-guard: sequence(0, -1) walked downward and the -1 ord fed
+    // slice() a start index of 0, which throws)
+    val paras: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => filter(split(c, "\n"), p => p =!= lit(""))
+    val docs = Seq(
+      (1L, "alpha\nbeta"),
+      (2L, ""), // empty doc → EMPTY token array under this chunker
+      (3L, "alpha\nbeta")) // exact dup of doc 1
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dedupChunks(docs, chunkTokens = 1, tokenize = paras)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // dup fully erased; the empty doc survives as a single empty chunk
+    assert(out === Map(1L -> "alpha beta", 2L -> ""))
+  }
 }
