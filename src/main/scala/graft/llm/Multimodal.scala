@@ -12,20 +12,128 @@ case class MediaMeta(format: String, width: Int, height: Int)
   * never interprets it except inside the decode stage. */
 case class MediaRecord(doc_id: Long, media: Array[Byte], meta: MediaMeta)
 
-/** Decoded features produced by the (stubbed) decode stage. */
+/** Decoded features produced by the decode stage. */
 case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
                          mean_byte: Double, grid: Array[Double])
+
+/** Minimal REAL image codec: binary Netpbm — P6 (RGB) and P5 (grayscale).
+  * The header is ASCII tokens (magic, width, height, maxval) separated by
+  * whitespace with `#` comments, followed by the raw 8-bit raster —
+  * trivially small, but a genuine on-disk format: the decoder below reads
+  * images written by any netpbm tool, and rejects malformed input instead
+  * of hallucinating features from garbage. */
+object Netpbm {
+
+  /** A decoded 8-bit image; `channels` is 3 (P6) or 1 (P5). */
+  case class Image(format: String, width: Int, height: Int,
+                   channels: Int, raster: Array[Byte])
+
+  def encodeP6(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "raster size != w*h*3")
+    s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ rgb
+  }
+
+  def encodeP5(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "raster size != w*h")
+    s"P5\n$width $height\n255\n".getBytes("US-ASCII") ++ gray
+  }
+
+  /** Parse a binary PPM/PGM; None on anything malformed (bad magic,
+    * missing/overflowing dims, maxval != 8-bit, truncated raster). */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    var pos = 0
+    def skipSpaceAndComments(): Unit = {
+      var going = true
+      while (going && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+        else going = false
+      }
+    }
+    def token(): Option[String] = {
+      skipSpaceAndComments()
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      if (pos > start) Some(new String(bytes, start, pos - start, "US-ASCII"))
+      else None
+    }
+    // 4096 cap keeps w*h*channels far from Int overflow (and bounds the
+    // copy a hostile header could request)
+    def posInt(s: String): Option[Int] =
+      scala.util.Try(s.toInt).toOption.filter(n => n > 0 && n <= 4096)
+    for {
+      magic <- token()
+      (format, channels) <- magic match {
+        case "P6" => Some(("ppm", 3))
+        case "P5" => Some(("pgm", 1))
+        case _ => None
+      }
+      w <- token().flatMap(posInt)
+      h <- token().flatMap(posInt)
+      maxval <- token().flatMap(posInt) if maxval == 255
+      // exactly ONE whitespace byte separates maxval from the raster
+      raster <- {
+        pos += 1
+        val need = w * h * channels
+        if (pos >= 0 && bytes.length - pos >= need)
+          Some(java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+        else None
+      }
+    } yield Image(format, w, h, channels, raster)
+  }
+
+  /** Real feature extraction from DECODED PIXELS: mean luminance
+    * (BT.601 weights for RGB) and a true 4×4 average-pool downsample —
+    * the resize step — as a 16-cell row-major grid. */
+  def features(img: Image): (Double, Array[Double]) = {
+    def lum(x: Int, y: Int): Double = {
+      val i = (y * img.width + x) * img.channels
+      if (img.channels == 3)
+        0.299 * (img.raster(i) & 0xff) + 0.587 * (img.raster(i + 1) & 0xff) +
+          0.114 * (img.raster(i + 2) & 0xff)
+      else (img.raster(i) & 0xff).toDouble
+    }
+    var total = 0.0
+    val grid = Array.fill(16)(0.0)
+    val counts = Array.fill(16)(0L)
+    var y = 0
+    while (y < img.height) {
+      val gy = y * 4 / img.height
+      var x = 0
+      while (x < img.width) {
+        val l = lum(x, y)
+        total += l
+        val cell = gy * 4 + x * 4 / img.width
+        grid(cell) += l
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var c = 0
+    while (c < 16) {
+      if (counts(c) > 0) grid(c) /= counts(c)
+      c += 1
+    }
+    (total / (img.width.toLong * img.height), grid)
+  }
+}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed by a batched per-partition
   * pipeline — the Spark-native shape of a decode → feature-extract →
   * resize stage.
   *
-  * The DECODE step is a deliberate, clearly-marked STUB (this container has
-  * no image/audio codecs): it derives bytes deterministically from the
-  * document content, so every downstream stage — schema, Dataset encoders,
-  * partition-local batching, feature extraction, aggregation — is real and
-  * testable, and swapping in a real JPEG/PCM decoder changes one function.
+  * The decode step is a REAL codec ([[Netpbm]]): payloads are genuine
+  * binary PPM/PGM images, parsed header-and-raster inside the partition
+  * iterator, features computed from decoded pixels (mean luminance + a
+  * true 4×4 average-pool resize). Swapping in JPEG/PCM is one function —
+  * the plumbing (schema, Dataset encoders, fixed-size batching, no
+  * shuffle, no driver involvement) is format-agnostic. Only the payload
+  * SYNTHESIS in [[Multimodal.withMediaColumn]] remains synthetic: the
+  * test corpus has no real image column, so each doc gets a
+  * deterministic image rendered from its text bytes.
   *
   * Scale notes: the pipeline is `mapPartitions` over a typed Dataset —
   * one JVM pass per partition, records processed in fixed-size batches
@@ -37,26 +145,35 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** Attach a synthetic media column to `documents`: payload bytes from the
-    * text (deterministic stand-in for real image bytes), metadata struct
+  /** Attach a synthetic media column to `documents`: the payload is a
+    * REAL encoded PPM (even ids) or PGM (odd ids) image whose pixels are
+    * rendered deterministically from the text bytes; metadata struct
     * typed as it would be for a real corpus. */
   def withMediaColumn(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id"),
-      // binary payload column — opaque to the engine from here on
-      encode(col("text"), "UTF-8").as("media"),
-      struct(
-        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
-        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height")
-      ).as("meta")
-    ).as[MediaRecord]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val w = (id % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        val tb = text.getBytes("UTF-8")
+        val fmt = if (id % 2 == 0) "ppm" else "pgm"
+        val channels = if (fmt == "ppm") 3 else 1
+        val raster = Array.tabulate(w * h * channels) { i =>
+          if (tb.isEmpty) ((i * 31 + id) & 0xff).toByte
+          else ((tb(i % tb.length) & 0xff) + i / tb.length).toByte
+        }
+        val payload =
+          if (fmt == "ppm") Netpbm.encodeP6(w, h, raster)
+          else Netpbm.encodeP5(w, h, raster)
+        MediaRecord(id, payload, MediaMeta(fmt, w, h))
+    }
   }
 
-  /** Batched decode + feature extraction. Real Spark plumbing (typed
-    * mapPartitions, fixed batch shape, per-record features); stubbed codec
-    * (features come from raw payload bytes, not decoded pixels). */
+  /** Batched decode + feature extraction: parse each payload with the
+    * [[Netpbm]] codec, features from decoded pixels. Undecodable
+    * payloads yield a flagged `format="invalid"` row (zero features)
+    * rather than an exception — corrupt media must not kill a 100 TB
+    * pass. */
   def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -64,20 +181,14 @@ object Multimodal {
         // batch boundary = where a real decoder would process a
         // vectorized chunk (the mapInPandas batch shape)
         batch.iterator.map { r =>
-          val bytes = r.media
-          val n = bytes.length
-          val mean =
-            if (n == 0) 0.0
-            else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / n
-          // "resize" stub: 16-cell grid of per-slice byte means
-          val grid = Array.tabulate(16) { g =>
-            val lo = g * n / 16
-            val hi = (g + 1) * n / 16
-            if (hi <= lo) 0.0
-            else (lo until hi).foldLeft(0L)((acc, i) => acc + (bytes(i) & 0xff))
-              .toDouble / (hi - lo)
+          Netpbm.decode(r.media) match {
+            case Some(img) =>
+              val (mean, grid) = Netpbm.features(img)
+              MediaFeatures(r.doc_id, img.format, r.media.length, mean, grid)
+            case None =>
+              MediaFeatures(r.doc_id, "invalid", r.media.length, 0.0,
+                Array.fill(16)(0.0))
           }
-          MediaFeatures(r.doc_id, r.meta.format, n, mean, grid)
         }
       }
     }
