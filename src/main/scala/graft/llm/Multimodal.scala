@@ -20,8 +20,8 @@ case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
   * The header is ASCII tokens (magic, width, height, maxval) separated by
   * whitespace with `#` comments, followed by the raw 8-bit raster —
   * trivially small, but a genuine on-disk format: the decoder below reads
-  * images written by any netpbm tool, and rejects malformed input instead
-  * of hallucinating features from garbage. */
+  * 8-bit (maxval=255) binary PPM/PGM files, and rejects malformed input
+  * instead of hallucinating features from garbage. */
 object Netpbm {
 
   /** A decoded 8-bit image; `channels` is 3 (P6) or 1 (P5). */

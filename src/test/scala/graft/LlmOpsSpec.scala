@@ -512,18 +512,43 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(packIds.toSeq === (packIds.head to packIds.last))
   }
 
-  test("multimodal pipeline: deterministic features, schema intact") {
+  test("multimodal pipeline: real codec features, deterministic, schema intact") {
     implicit val s = spark
     val media = Multimodal.withMediaColumn(docs((1L, "abcd"), (2L, "zzzz")))
+    val records = media.collect().sortBy(_.doc_id)
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L))
     val f1 = feats.head
-    assert(f1.n_bytes === 4)
-    // mean of 'a','b','c','d' = (97+98+99+100)/4
-    assert(f1.mean_byte === 98.5)
+    // doc 1 (odd id) is a 17x17 PGM: "P5\n17 17\n255\n" header (13 bytes)
+    // + 289-byte raster — n_bytes counts the ENCODED payload
+    assert(f1.format === "pgm")
+    assert(f1.n_bytes === records.head.media.length)
+    assert(f1.n_bytes === 13 + 17 * 17)
+    // expected mean luminance recomputed from the generator formula:
+    // raster(i) = (text(i % 4) + i / 4).toByte over "abcd", grayscale
+    val tb = "abcd".getBytes("UTF-8")
+    val want = (0 until 289).map(i => ((tb(i % 4) & 0xff) + i / 4) & 0xff).sum / 289.0
+    assert(math.abs(f1.mean_byte - want) < 1e-9)
     assert(f1.grid.length === 16)
+    // doc 2 (even id) is RGB P6
+    assert(feats(1).format === "ppm")
+    assert(feats(1).n_bytes === records(1).media.length)
     // determinism: a second run produces identical features
     val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     assert(again.map(_.mean_byte).toSeq === feats.map(_.mean_byte).toSeq)
+    assert(again.map(_.grid.toSeq).toSeq === feats.map(_.grid.toSeq).toSeq)
+  }
+
+  test("multimodal pipeline flags an undecodable payload instead of failing") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.llm.{MediaMeta, MediaRecord}
+    val bad = spark.createDataset(Seq(
+      MediaRecord(1L, "not an image".getBytes("US-ASCII"), MediaMeta("ppm", 4, 4))))
+    val out = Multimodal.extractFeatures(bad).collect()
+    assert(out.length === 1)
+    assert(out.head.format === "invalid")
+    assert(out.head.n_bytes === 12)
+    assert(out.head.grid.forall(_ === 0.0))
   }
 }
