@@ -675,7 +675,17 @@ object Dedup {
     dedupSimhash(Tables.documents(spark, dir))
   def dedupCorpusQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    dedupedCorpus(docs, dedupNgramJaccard(docs)).select(col("doc_id"))
+    // dedupedCorpus probes the pair frame with an incremental take();
+    // unpersisted, each take step re-runs the whole shingle →
+    // inverted-index → jaccard pipeline (the persist contract at
+    // dedupedCorpus — VERDICT r8 measured 5.9 s steady vs 0.97 s for
+    // the jaccard pass alone). Safe to unpersist immediately: both
+    // result plans leave the pair frame behind (driver union-find
+    // broadcasts its drops; the distributed path re-persists edges).
+    val pairs = dedupNgramJaccard(docs).persist()
+    val out = dedupedCorpus(docs, pairs).select(col("doc_id"))
+    pairs.unpersist(blocking = false)
+    out
   }
 
   // --- Incremental dedup against a persisted fingerprint store ---
