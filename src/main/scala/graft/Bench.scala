@@ -42,6 +42,15 @@ object Bench {
     // min ~= steady state on a long-lived cluster; the median shows
     // whether that min is reproducible or a lucky outlier.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query untimed warm-up: the first execution pays one-time
+      // costs NO iteration should time — Janino codegen, and for the
+      // store-backed queries the once-per-session store build
+      // (SessionStores), which otherwise lands in the first timed
+      // iteration and drags the median ~3x off the steady-state min
+      // (BENCH_r08 dedup_incremental_minhash 1.79 min / 5.52 median
+      // vs a quiet-box 1.05-1.11x spread on identical code)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
