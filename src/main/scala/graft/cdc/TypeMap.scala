@@ -193,11 +193,22 @@ object TypeMap {
     * enough context to replay (the production discipline for an
     * at-least-once CDC loop; the reference surfaces these as consumer
     * failures). Pure projection — same single `from_json` pass as
-    * [[convert]], no extra scan. */
+    * [[convert]], no extra scan.
+    *
+    * `ignoreUnknownFields` mirrors the reference's `ignore-unknown-fields`
+    * writer setting (StreamConsumerConfig.java:32, consumed at
+    * StreamBigqueryChangeConsumer.java:152): `true` (the default, and the
+    * only behavior [[convert]] has — `from_json` parses by the declared
+    * schema and drops extra keys) tolerates payload fields absent from
+    * the schema; `false` quarantines such records with reason
+    * `unknown_field:<names>`. The check covers TOP-LEVEL payload keys —
+    * the envelope level where the reference's writer rejects — via
+    * `json_object_keys` on the raw line, no second parse of the body. */
   def convertWithRejects(records: DataFrame, schemaJson: String,
                          requiredCols: Seq[String],
                          valueCol: String = "value",
-                         nestedAsJson: Boolean = false): DataFrame = {
+                         nestedAsJson: Boolean = false,
+                         ignoreUnknownFields: Boolean = true): DataFrame = {
     val schemaNode = mapper.readTree(schemaJson)
     val flds = fieldsOf(schemaNode)
     // PERMISSIVE from_json does NOT return a null struct for garbage — it
@@ -223,8 +234,20 @@ object TypeMap {
     def sem(f: ConnectField) =
       semanticCol(f, col(s"__r.${f.name}"), nestedAsJson, lenient = true)
     val byName = flds.map(f => f.name -> f).toMap
-    val reason = requiredCols.foldLeft(
-      when(col("__r").isNull || col(s"__r.$corrupt").isNotNull, "malformed_json")) {
+    val malformed =
+      when(col("__r").isNull || col(s"__r.$corrupt").isNotNull, "malformed_json")
+    val strictBase =
+      if (ignoreUnknownFields) malformed
+      else {
+        // json_object_keys returns NULL for a non-object / unparseable
+        // line, so this branch only fires on well-formed objects — the
+        // malformed branch above already owns the garbage
+        val unknown = array_except(json_object_keys(col("__raw")),
+          array(flds.map(f => lit(f.name)): _*))
+        malformed.when(size(unknown) > 0,
+          concat(lit("unknown_field:"), array_join(unknown, ",")))
+      }
+    val reason = requiredCols.foldLeft(strictBase) {
       case (acc, c) => acc.when(
         byName.get(c).map(f => sem(f).isNull).getOrElse(col(s"__r.$c").isNull),
         s"null_required:$c")

@@ -108,6 +108,7 @@ object CdcStream {
                 nestedAsJson: Boolean = false,
                 deadLetterTable: Option[String] = None,
                 metricsTable: Option[String] = None,
+                ignoreUnknownFields: Boolean = true,
                 ordering: Seq[org.apache.spark.sql.Column] =
                   MergePipeline.defaultOrdering): StreamingQuery = {
     val src = spark.readStream
@@ -115,7 +116,8 @@ object CdcStream {
       .text(inputDir)
     val converted = deadLetterTable match {
       case Some(_) => graft.cdc.TypeMap.convertWithRejects(src, schemaJson,
-        requiredCols = keyCols, valueCol = "value", nestedAsJson = nestedAsJson)
+        requiredCols = keyCols, valueCol = "value", nestedAsJson = nestedAsJson,
+        ignoreUnknownFields = ignoreUnknownFields)
       case None => graft.cdc.TypeMap.convert(src, schemaJson,
         valueCol = "value", nestedAsJson = nestedAsJson)
     }

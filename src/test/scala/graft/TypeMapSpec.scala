@@ -192,4 +192,35 @@ class TypeMapSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
       === Seq((9L, "legit data", false)))
   }
+
+  test("ignoreUnknownFields=false quarantines extra payload keys; default drops them") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"id","type":"int64"},
+        |{"field":"name","type":"string"}]}""".stripMargin
+    val rows = Seq(
+      """{"id":1,"name":"ok"}""",
+      """{"id":2,"name":"extra","surprise":42,"another":"x"}""",
+      """not json at all""").toDF("value")
+    // default mode: extra keys silently dropped (the reference's
+    // ignore-unknown-fields=true), only the garbage line rejects
+    val lenient = graft.cdc.TypeMap
+      .convertWithRejects(rows, schemaJson, requiredCols = Seq("id"))
+      .select("__rejected", "__reject_reason").collect()
+      .map(r => (r.getBoolean(0), Option(r.getString(1))))
+    assert(lenient.count(_._1) === 1)
+    assert(lenient.flatMap(_._2).toSeq === Seq("malformed_json"))
+    // strict mode: the extra-field record lands in the dead letter with
+    // the offending key names; the clean record still passes
+    val strict = graft.cdc.TypeMap
+      .convertWithRejects(rows, schemaJson, requiredCols = Seq("id"),
+        ignoreUnknownFields = false)
+      .select("id", "__rejected", "__reject_reason").collect()
+      .map(r => (Option(r.get(0)), r.getBoolean(1), Option(r.getString(2))))
+    assert(strict.toSet === Set(
+      (Some(1L), false, None),
+      (Some(2L), true, Some("unknown_field:surprise,another")),
+      (None, true, Some("malformed_json"))))
+  }
 }
