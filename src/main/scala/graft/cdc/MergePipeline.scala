@@ -58,7 +58,15 @@ object MergePipeline {
     * timestamp column compared first, `upsert-op-column` (default `__op`)
     * the column whose c/r/u/d priority breaks ts ties. `tieBreak` columns
     * (graft addition) make the winner deterministic when both agree —
-    * the reference leaves that to sort stability. */
+    * the reference leaves that to sort stability.
+    *
+    * Scope: `opColumn` renames the column used for ORDERING only.
+    * [[mergeBatch]]'s delete filter (`keepDeletes=false` dropping
+    * `__op='d'` rows) always reads the literal `__op` — the same
+    * hard-coding the reference has (StreamRecordConverter.java:84 writes
+    * `__op` unconditionally; `upsert-op-column` there also only feeds the
+    * dedup ORDER BY). A stream whose op column is genuinely renamed must
+    * keep `keepDeletes=true` or carry an `__op` alias. */
   def configOrdering(dedupColumn: String, opColumn: String = "__op",
                      tieBreak: Seq[String] = Nil): Seq[Column] =
     Seq(col(dedupColumn), Cdc.opPriorityCol(col(opColumn))) ++ tieBreak.map(col)

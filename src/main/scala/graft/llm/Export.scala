@@ -50,6 +50,14 @@ object Export {
   def exportShards(docs: DataFrame, outDir: String,
                    nShards: Int = 8): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // 3 observe aggregates per shard are driver-built expressions: fine
+    // for the export-config range (8-64, even a few hundred), but an
+    // unbounded nShards would blow up planning/codegen with tens of
+    // thousands of aggregates. Shard counts beyond this belong to a
+    // groupBy manifest ([[manifest]]) + join, not per-shard observe slots.
+    require(nShards <= 1024,
+      s"nShards=$nShards too large for observe-based manifest; " +
+        "use manifest() + a second scan beyond 1024 shards")
     val spark = docs.sparkSession
     val sharded = docs
       .withColumn("shard", shardCol(nShards))

@@ -29,7 +29,14 @@ object SessionStores {
 
   /** The per-JVM store for (kind, dir): built on first use, reused after.
     * `build` runs at most once per key; the temp dir is deleted when the
-    * JVM exits (shutdown hook — plain file IO, safe after Spark stops). */
+    * JVM exits (shutdown hook — plain file IO, safe after Spark stops).
+    *
+    * ASSUMPTION: the data under `dir` is immutable for the life of the
+    * JVM — the cache key is the path, not the content, so regenerating
+    * the input mid-session would leave probes running against a stale
+    * store. That holds for every current caller (the driver's testdata
+    * dirs are written once per round); a session that does regenerate
+    * inputs must call [[reset]] first. */
   def warehouse(kind: String, dir: String)(build: WarehouseSink => Unit): WarehouseSink = {
     val path = built.computeIfAbsent(s"$kind|$dir", _ => {
       val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_")
@@ -39,6 +46,11 @@ object SessionStores {
     })
     new WarehouseSink(path)
   }
+
+  /** Forget every cached store (the dirs themselves are reclaimed by the
+    * exit hooks). For tests and for sessions that regenerate input data:
+    * the next [[warehouse]] call per key rebuilds from current inputs. */
+  def reset(): Unit = built.clear()
 
   private def deleteOnExit(root: java.io.File): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))

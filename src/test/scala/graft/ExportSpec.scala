@@ -27,6 +27,17 @@ class ExportSpec extends AnyFunSuite with SparkFixture {
     assert(misplaced.count() === 0)
   }
 
+  test("exportShards rejects shard counts past the observe-aggregate bound") {
+    // 3 driver-built observe aggregates per shard: unbounded nShards
+    // would blow up planning/codegen (ADVICE r8)
+    intercept[IllegalArgumentException] {
+      Export.exportShards(docs, tmpDir("shards_"), nShards = 1025)
+    }
+    intercept[IllegalArgumentException] {
+      Export.exportShards(docs, tmpDir("shards_"), nShards = 0)
+    }
+  }
+
   test("export manifest rides the write job: one corpus scan, local result") {
     val out = tmpDir("shards_once_")
     val srcDir = tmpDir("shards_src_")

@@ -16,6 +16,11 @@ class SessionStoresSpec extends AnyFunSuite with SparkFixture {
     val c = SessionStores.warehouse("spec_kind", "/spec/other")(_ => builds += 1)
     assert(builds === 2)
     assert(c.warehousePath !== a.warehousePath)
+    // reset forgets the cache: the next call rebuilds (the escape hatch
+    // for sessions that regenerate data under a cached input dir)
+    SessionStores.reset()
+    SessionStores.warehouse("spec_kind", "/spec/dir")(_ => builds += 1)
+    assert(builds === 3)
   }
 
   test("repeat invocations of the store-backed driver queries are stable") {
