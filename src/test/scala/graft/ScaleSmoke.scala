@@ -97,6 +97,22 @@ object ScaleSmoke {
         java.nio.file.Files.createTempDirectory("scale_shards_").toString,
         nShards = 16).write.format("noop").mode("overwrite").save()
     }
+    // media codecs at 100x: 500k REAL encoded payloads (PGM/PPM images,
+    // WAV clips) synthesized, decoded, and feature-extracted in one
+    // mapPartitions pass — no shuffle, so cost must track payload volume
+    locally {
+      implicit val s = spark
+      val docs100 = times10(docs10, "doc_id", 100000000L)
+        .repartition(spark.sparkContext.defaultParallelism)
+      t("netpbm decode 500k images")(
+        graft.llm.Multimodal.extractFeatures(
+          graft.llm.Multimodal.withMediaColumn(docs100))
+          .write.format("noop").mode("overwrite").save())
+      t("wav decode 500k clips")(
+        graft.llm.Audio.extractFeatures(
+          graft.llm.Audio.withAudioColumn(docs100))
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }
