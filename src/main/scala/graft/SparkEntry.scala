@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
-import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps}
+import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, Video}
 import graft.queries.{Analytics, Analytics2}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
@@ -106,7 +106,8 @@ object SparkEntry {
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)
     "multimodal" -> (Multimodal.multimodalQ _),
-    "media_audio" -> (Audio.mediaAudioQ _)
+    "media_audio" -> (Audio.mediaAudioQ _),
+    "media_video" -> (Video.mediaVideoQ _)
   )
 
   /** DuckDB-flavored flatten of the `events` changelog, shared by the CDC

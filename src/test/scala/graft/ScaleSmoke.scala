@@ -112,6 +112,10 @@ object ScaleSmoke {
         graft.llm.Audio.extractFeatures(
           graft.llm.Audio.withAudioColumn(docs100))
           .write.format("noop").mode("overwrite").save())
+      t("y4m decode 500k videos")(
+        graft.llm.Video.extractFeatures(
+          graft.llm.Video.withVideoColumn(docs100))
+          .write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }
