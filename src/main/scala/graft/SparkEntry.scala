@@ -78,6 +78,8 @@ object SparkEntry {
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
+    "text_perplexity" -> (TextOps.textPerplexityQ _),
+    "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
@@ -88,6 +90,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
+    "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
@@ -744,6 +747,27 @@ object SparkEntry {
          |  CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_freq
          |FROM tok JOIN freq USING (t)
          |GROUP BY doc_id""".stripMargin,
+    // unigram cross-entropy: the one float-math oracle — both sides
+    // ROUND to 4 decimals, absorbing summation-order / libm log2 ulps
+    "text_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(log2((SELECT n FROM tot)) - avg(log2(c)), 4)
+         |    AS bits_per_token
+         |FROM tok JOIN freq USING (t)
+         |GROUP BY doc_id""".stripMargin,
+    // disjoint train/val/test split: same integer Knuth-mix arithmetic,
+    // under the split's own decorrelated multiplier
+    "corpus_split" -> {
+      val bkt = s"(((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SplitMultiplier}) >> ${TextOps.SampleShift}) % 1000"
+      s"""SELECT doc_id, lang, source,
+         |  CASE WHEN ($bkt) < ${TextOps.SplitTrainPermille} THEN 'train'
+         |       WHEN ($bkt) < ${TextOps.SplitValPermille} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
     // mixture report: integer totals + shares of integer totals
     "corpus_mix_report" ->
       s"""WITH g AS (
@@ -797,6 +821,24 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // containment = inter / min(|A|,|B|): exact ints into one double
+    // division, the jaccard oracle with a different denominator
+    "dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+         |FROM pairs
+         |JOIN counts ca ON doc_a = ca.doc_id
+         |JOIN counts cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.9""".stripMargin,
     // connected-component dedup: keep the smallest doc_id per near-dup
     // component (recursive CTE computes the transitive closure)
     "dedup_corpus" ->

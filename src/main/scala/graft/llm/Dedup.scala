@@ -222,6 +222,41 @@ object Dedup {
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
 
+  /** Shingle-CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ τ — the
+    * doc-inside-doc detector. Jaccard normalizes by the UNION, so a short
+    * doc fully quoted inside a long one scores |A|/|B| ≈ 0 and slips every
+    * usable Jaccard threshold; containment normalizes by the smaller
+    * shingle set and scores that same pair 1.0. The standard companion
+    * metric for quote/boilerplate/wrapper detection in training-corpus
+    * curation.
+    *
+    * Same inverted-index shape and cost as [[dedupNgramJaccard]]'s direct
+    * path (shingles hashed to longs, ONE self-join on the hash, counts per
+    * pair): only the final normalization differs, a single division of
+    * exact ints — engine-stable. The same ultra-frequent-shingle skew
+    * caveat applies, and worse: every doc CONTAINING a viral boilerplate
+    * doc pairs with it, so at 100 TB run this after boilerplate removal
+    * (or cap per-shingle fan-out) rather than instead of it. */
+  def dedupContainment(docs: DataFrame, tau: Double = 0.9,
+                       n: Int = 3): DataFrame = {
+    // persist before the aliased self-join — exchange reuse does not fire
+    // across the join sides under AQE (the dedupNgramJaccard measurement)
+    val shW = withShingleCount(shingleHashes(docs, n)).persist()
+    val result = graft.Exec.materialize(
+      shW.as("a")
+        .join(shW.as("b"),
+          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"),
+          min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            least(col("na"), col("nb"))).as("containment"))
+        .filter(col("containment") >= tau))
+    shW.unpersist()
+    result
+  }
+
   // --- MinHash + LSH ---
 
   /** Signature width and banding: 64 hashes in 16 bands of 4 rows.
@@ -669,6 +704,8 @@ object Dedup {
     dedupFuzzy(Tables.documents(spark, dir))
   def dedupNgramJaccardQ(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccard(Tables.documents(spark, dir))
+  def dedupContainmentQ(spark: SparkSession, dir: String): DataFrame =
+    dedupContainment(Tables.documents(spark, dir))
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     dedupMinhash(Tables.documents(spark, dir))
   def dedupSimhashQ(spark: SparkSession, dir: String): DataFrame =

@@ -234,6 +234,80 @@ object TextOps {
         (sum(col("c")).cast("double") / count(lit(1))).as("mean_tok_freq"))
   }
 
+  /** Unigram-LM cross-entropy per document, in bits per token — the
+    * CCNet-style perplexity quality filter reduced to its self-trained
+    * unigram core: H(d) = log₂N − mean(log₂ c_t) over d's token
+    * OCCURRENCES, where c_t is the token's corpus count and N the corpus
+    * total. High bits/token = the doc is dominated by tokens the corpus
+    * rarely produces (noise, OOV soup, or rare gold — the filter's
+    * signal either way); low = boilerplate the corpus has memorized.
+    * Complements [[textRarity]]: rarity counts rare tokens, this WEIGHS
+    * every token by its improbability.
+    *
+    * Same two-pass shape as [[textRarity]] (corpus frequencies, then an
+    * occurrence⋈frequency re-join aggregated per doc); the corpus total
+    * rides as a 1-row broadcast. Floats are unavoidable here (logs), so
+    * the result is ROUNDED to 4 decimals: the pre-round value differs
+    * across engines only in the last ulps (summation order, libm log2),
+    * which rounding absorbs — the ~1e-12 absolute wobble flips a 1e-4
+    * boundary with vanishing probability. */
+  def textPerplexity(docs: DataFrame): DataFrame = {
+    // tokens → longs map-side, the textRarity trick: joins and aggs
+    // shuffle 8-byte hashes, never token strings
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("th"))
+    val freq = tok.groupBy("th").agg(count(lit(1)).as("c"))
+    val total = broadcast(tok.agg(count(lit(1)).cast("double").as("n_total")))
+    tok.join(freq, "th").crossJoin(total)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(log2(max(col("n_total"))) - avg(log2(col("c"))), 4)
+          .as("bits_per_token"))
+  }
+
+  /** Split-boundary permilles for [[corpusSplit]]: bucket < 900 → train,
+    * < 950 → val, else test — a 90/5/5 split. */
+  val SplitTrainPermille = 900
+  val SplitValPermille = 950
+  /** [[corpusSplit]]'s OWN odd mixing constant (xxhash32's second prime).
+    * It must differ from [[SampleMultiplier]]: the sampler keeps LOW
+    * buckets, so a split keyed on the same bucket would send every
+    * sampled doc to `train` and leave val/test empty the moment the two
+    * compose. A different multiplier gives an independent-looking
+    * permutation of the id space (spec-verified: split shares hold
+    * inside the sampled subset). */
+  val SplitMultiplier = 2246822519L
+
+  /** Deterministic disjoint train/val/test assignment — the hold-out
+    * companion to [[corpusSample]]: every doc lands in EXACTLY one split
+    * (sampling decides membership; splitting decides destination), via
+    * the same Knuth multiplicative mix shape as [[sampleBucket]] but
+    * under [[SplitMultiplier]], so the two hashes decorrelate and
+    * sample∘split composes. A doc's split never changes as the corpus
+    * grows (no count-based boundaries), the assignment reproduces on any
+    * engine (integer-only arithmetic), and the whole operator is a pure
+    * map-side projection: no shuffle, no randomness, pushed to the
+    * scan. */
+  def corpusSplit(docs: DataFrame,
+                  trainPermille: Int = SplitTrainPermille,
+                  valPermille: Int = SplitValPermille): DataFrame = {
+    require(0 < trainPermille && trainPermille < valPermille &&
+      valPermille <= 1000,
+      s"need 0 < train < val <= 1000, got ($trainPermille, $valPermille)")
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      when(splitBucket < trainPermille, "train")
+        .when(splitBucket < valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** The permille bucket behind [[corpusSplit]] — [[sampleBucket]]'s
+    * arithmetic under the decorrelated [[SplitMultiplier]]. */
+  def splitBucket: Column = pmod(
+    shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * SplitMultiplier,
+      SampleShift),
+    lit(1000L))
+
   /** Sequence packing: lay the corpus out as one concatenated token stream
     * (doc_id order) chunked into fixed `packTokens` training sequences —
     * each doc gets the pack it STARTS in and its token offset within it.
@@ -369,6 +443,10 @@ object TextOps {
     corpusPack(Tables.documents(spark, dir))
   def textRarityQ(spark: SparkSession, dir: String): DataFrame =
     textRarity(Tables.documents(spark, dir))
+  def textPerplexityQ(spark: SparkSession, dir: String): DataFrame =
+    textPerplexity(Tables.documents(spark, dir))
+  def corpusSplitQ(spark: SparkSession, dir: String): DataFrame =
+    corpusSplit(Tables.documents(spark, dir))
   def corpusMixReportQ(spark: SparkSession, dir: String): DataFrame =
     corpusMixReport(Tables.documents(spark, dir))
   def textNgramTopKQ(spark: SparkSession, dir: String): DataFrame =

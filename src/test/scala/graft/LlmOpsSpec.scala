@@ -463,6 +463,67 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ids1 === ids2)
   }
 
+  test("corpus_split: disjoint 90/5/5 assignment that composes with the sampler") {
+    import spark.implicits._
+    val d = (0L until 10000L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "zh", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val split = TextOps.corpusSplit(d)
+    // exhaustive and disjoint: one row per doc, one split per row
+    assert(split.count() === 10000)
+    val shares = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(shares.keySet === Set("train", "val", "test"))
+    // 90/5/5 within multiplicative-hash wobble
+    assert(shares("train") > 8700 && shares("train") < 9300, shares)
+    assert(shares("val") > 300 && shares("val") < 700, shares)
+    assert(shares("test") > 300 && shares("test") < 700, shares)
+    // deterministic: same assignment on re-evaluation
+    val a1 = split.select("doc_id", "split").as[(Long, String)].collect().sortBy(_._1)
+    val a2 = TextOps.corpusSplit(d).select("doc_id", "split")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(a1 === a2)
+    // THE composition property the decorrelated multiplier buys: the
+    // sampler keeps LOW sample-buckets, so a split keyed on the same
+    // bucket would put the entire zh sample (rate 250) in `train`;
+    // under SplitMultiplier the sampled subset still splits ~90/5/5
+    val sampled = TextOps.corpusSplit(TextOps.corpusSample(d)
+      .join(d.select("doc_id", "text"), "doc_id"))
+    val zs = sampled.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = zs.values.sum.toDouble
+    assert(zs.keySet === Set("train", "val", "test"), zs)
+    assert(zs("train") / n > 0.85 && zs("train") / n < 0.95, zs)
+  }
+
+  test("text_perplexity: hand-computed unigram cross-entropy, repetition scores low") {
+    import spark.implicits._
+    // corpus counts: a→3, b→1, N=4
+    val d = docs((1L, "a a"), (2L, "a b"))
+    val out = TextOps.textPerplexity(d)
+      .select("doc_id", "n_tokens", "bits_per_token")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc1: log2(4) − mean(log2 3, log2 3) = 2 − 1.58496… → 0.4150
+    // doc2: 2 − mean(log2 3, log2 1) = 2 − 0.79248… → 1.2075
+    assert(out === Array((1L, 2L, 0.415), (2L, 2L, 1.2075)))
+    // the memorized doc carries fewer bits/token than the rare-token doc
+    assert(out(0)._3 < out(1)._3)
+  }
+
+  test("containment catches a doc quoted inside a longer one that jaccard misses") {
+    import spark.implicits._
+    val words = (1 to 50).map(i => s"w$i")
+    val long = words.mkString(" ")
+    val quote = words.slice(9, 20).mkString(" ") // 11 tokens ⊂ long
+    val d = docs((1L, long), (2L, quote), (3L, "x y z q r s t u v"))
+    val pairs = Dedup.dedupContainment(d)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    // every shingle of the quote appears in the long doc → containment 1.0
+    assert(pairs === Array((1L, 2L, 1.0)))
+    // jaccard at the same pair: 9 shared / (48+9−9) ≈ 0.19 — invisible
+    assert(Dedup.dedupNgramJaccard(d).count() === 0)
+  }
+
   test("corpus mix report: dimension-sized totals and shares that sum to 1") {
     import spark.implicits._
     val d = Seq(
