@@ -105,6 +105,7 @@ object SparkEntry {
     "ann_range" -> (Ann.annRangeQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
+    "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)

@@ -418,6 +418,135 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  // --- PQ (product-quantization) ANN ---
+
+  /** PQ top-k: vectors compress to `m` sub-codebook codes (one byte-ish
+    * int per subspace), queries scan the CODES via an ADC lookup table,
+    * and only the survivors are re-ranked by exact cosine — the third
+    * ANN scale path, orthogonal to LSH/IVF: those prune HOW MANY vectors
+    * each query touches; PQ shrinks HOW MUCH each touched vector costs.
+    * With dim=64 doubles (512 B) down to m=8 ints, the approx scan reads
+    * ~32× fewer bytes — at 100 TB of embeddings that is the difference
+    * between scanning the corpus and scanning a 3 TB code table, with
+    * parquet column pruning keeping the full vectors out of the scan
+    * entirely until the (bounded) refine join.
+    *
+    * Everything runs on UNIT-normalized vectors, so inner product = cosine
+    * and quantizer, LUT and refine share one geometry. Per subspace j the
+    * codebook is `ksub` centroids from Lloyd on a capped deterministic
+    * sample (the [[annIvfTopK]] trainCap rationale); ALL m subspaces
+    * train in ONE job per iteration — codes project before the explode
+    * (the post-Generate re-evaluation trap, measured 16× on IVF), then
+    * positions group by (subspace, code, offset). Assignment and encoding
+    * are map-side [[graft.functions.CentroidArgmax]] over sliced vectors;
+    * the ADC score is a static m-term fold of `element_at` into the
+    * query's broadcast LUT (m·ksub doubles/query) — no UDF anywhere.
+    * Deterministic: seeded init by vec_id order, fixed iterations,
+    * (score, vec_id) tie-breaks.
+    *
+    * @param refineFactor each partition forwards k·refineFactor ADC
+    *        survivors per query to the exact re-rank — recall knob. */
+  def annPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                refineFactor: Int = 4, trainCap: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val raw = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v0"))
+    val dim = raw.select(size(col("v0"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val vecs = raw
+      .withColumn("nrm", norm(col("v0")))
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("v"))
+      .persist()
+    val corpusN = vecs.count()
+    val train =
+      if (corpusN <= trainCap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
+
+    def subCol(j: Int): Column = slice(col("v"), j * dsub + 1, dsub)
+    def codesCol(cents: Array[Array[Array[Double]]]): Column = array(
+      (0 until m).map { j =>
+        graft.functions.VectorFunctions.centroidArgmax(
+          subCol(j), cents(j).flatten.toIndexedSeq, ksub)
+      }: _*)
+
+    // init: subspace slices of the first ksub sampled vectors — ONE
+    // collect seeds all m codebooks
+    val init = train.orderBy("vec_id").limit(ksub)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      init.map(full => full.slice(j * dsub, (j + 1) * dsub))
+    }
+    for (_ <- 1 to iters) {
+      // one job updates every subspace: explode positions, recover
+      // (subspace, offset) from the position, group on (j, code, offset)
+      val assigned = train.select(col("v"), codesCol(cents).as("codes"))
+      val means = assigned
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select((col("pos") / dsub).cast("int").as("j"),
+          (col("pos") % dsub).as("p"), col("codes"), col("x"))
+        .select(col("j"), element_at(col("codes"), col("j") + 1).as("c"),
+          col("p"), col("x"))
+        .groupBy("j", "c", "p").agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cents = next // clusters with no members keep their old centroid
+    }
+
+    // encode: the corpus reduces to (vec_id, codes) — the narrow table a
+    // persisted deployment would store and the ADC scan would read
+    val encoded = vecs.select(col("vec_id"), codesCol(cents).as("codes"))
+
+    // driver-side query LUTs: lut[j*ksub + c] = q_subj · cent_{j,c}
+    val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = queryVecs.map { case (qid, qv) =>
+      (qid, (0 until m).flatMap { j =>
+        val qs = qv.slice(j * dsub, (j + 1) * dsub)
+        cents(j).map(c => qs.zip(c).map { case (a, b) => a * b }.sum)
+      }.toArray)
+    }.toSeq
+    import embeddings.sparkSession.implicits._
+    val lutDf = broadcast(luts.toDF("query_id", "lut"))
+    val qvDf = broadcast(queryVecs.toSeq.toDF("query_id", "q"))
+
+    // ADC: approx cosine = Σ_j lut[j*ksub + codes[j]] — a static m-term
+    // sum of element_ats, codegen-friendly, reading only the code column
+    val ascore = (0 until m).map { j =>
+      element_at(col("lut"),
+        lit(j * ksub) + element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val localW = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val candidates = encoded
+      .join(lutDf, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), ascore.as("ascore"),
+        spark_partition_id().as("pid"))
+      .withColumn("lrn", row_number().over(localW))
+      .filter(col("lrn") <= k * refineFactor)
+      .select(col("query_id"), col("vec_id"))
+
+    // refine: exact cosine on the bounded candidate set only
+    val globalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val result = candidates
+      .join(vecs, "vec_id")
+      .join(qvDf, "query_id")
+      .select(col("query_id"), col("vec_id"), dot(col("q"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+    val out = graft.Exec.materialize(result)
+    vecs.unpersist()
+    out
+  }
+
   // --- Incremental embedding dedup against a persisted LSH store ---
 
   /** Build (or, with `append = true`, extend) the vector LSH store: one
@@ -553,5 +682,9 @@ object Ann {
   def annIvfTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annIvfTopK(Tables.embeddings(spark, dir))
+  }
+  def annPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annPqTopK(Tables.embeddings(spark, dir))
   }
 }

@@ -392,6 +392,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ivf.exceptAll(again).isEmpty && again.exceptAll(ivf).isEmpty)
   }
 
+  test("PQ ANN recalls a good share of the brute-force top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
+    val pq = Ann.annPqTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "vec_id")
+    val recall = pq.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.4, s"PQ recall $recall too low")
+    // determinism: same params -> identical result set
+    val again = Ann.annPqTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "vec_id")
+    assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+    // a perfect codebook is exact: with ONE subspace of corpus-sized
+    // codebook capacity the ADC score IS the true cosine, so PQ@k for a
+    // tiny corpus slice must equal brute force exactly
+    val tiny = emb.filter(col("vec_id") < 40)
+    val exact = Ann.annPqTopK(tiny, nQueries = 3, k = 3, m = 1, ksub = 40,
+      refineFactor = 14).select("query_id", "vec_id")
+    val bruteTiny = Ann.annTopK(tiny, nQueries = 3, k = 3)
+      .select("query_id", "vec_id")
+    assert(exact.exceptAll(bruteTiny).isEmpty && bruteTiny.exceptAll(exact).isEmpty)
+  }
+
   test("text tokens: bpe token count splits finer than whitespace") {
     import spark.implicits._
     val d = docs((1L, "hello, world! x2"))
