@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_spans" -> (SpanDedup.dedupChunksQ _),
     "dedup_spans_incremental" -> (SpanDedup.dedupChunksIncrementalQ _),
     "sketch_distinct" -> (Sketches.sketchDistinctQ _),
+    "sketch_quantiles" -> (Sketches.sketchQuantilesQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),

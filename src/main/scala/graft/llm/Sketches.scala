@@ -54,4 +54,64 @@ object Sketches {
     * table, the way a 100 TB dashboard would. */
   def sketchDistinctQ(spark: SparkSession, dir: String): DataFrame =
     rollupByLang(sketchTable(Tables.documents(spark, dir)))
+
+  // --- KLL quantile sketches ---
+
+  /** Mergeable QUANTILE sketch table — the KLL twin of the HLL distinct
+    * table, for distribution dashboards (doc-length percentiles per
+    * stratum are the standard curation report): per (lang, source), a
+    * KLL sketch of per-doc whitespace token counts plus exact row
+    * counts. Same warehouse pattern: persist the few-KB sketch rows,
+    * serve every coarser rollup by MERGING sketches, never re-reading
+    * the corpus. Spark 4's DataSketches KLL functions
+    * (`kll_sketch_agg_bigint` / `kll_merge_agg_bigint` /
+    * `kll_sketch_get_quantile_bigint`) ride the hash agg like any
+    * native aggregate. Unlike HLL, a KLL sketch's bytes depend on merge
+    * order (compaction is structural), so rollup-vs-direct equality is
+    * WITHIN rank error, not bit-exact — SketchesSpec pins both paths to
+    * the ±2% normalized-rank bound the default k=200 guarantees. */
+  def quantileSketchTable(docs: DataFrame, k: Int = 200): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(call_function("kll_sketch_agg_bigint", col("n_tok"), lit(k))
+        .as("sketch"),
+        count(lit(1)).as("n_docs"))
+
+  /** Per-lang token-count percentiles by sketch MERGE — the corpus is
+    * not re-read. Output (lang, n_docs, p50, p90, p99). */
+  def quantileRollupByLang(sketchTbl: DataFrame,
+                           qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val merged = sketchTbl
+      .groupBy(col("lang"))
+      .agg(call_function("kll_merge_agg_bigint", col("sketch")).as("sk"),
+        sum(col("n_docs")).as("n_docs"))
+    merged.select(col("lang") +: col("n_docs") +: qs.map { q =>
+      call_function("kll_sketch_get_quantile_bigint", col("sk"), lit(q))
+        .as(s"p${math.round(q * 100)}")
+    }: _*)
+  }
+
+  /** One-pass per-lang quantile sketch straight off the corpus — the
+    * tolerance partner for the rollup in SketchesSpec. */
+  def quantileDirectByLang(docs: DataFrame, k: Int = 200,
+                           qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val agg = docs
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(call_function("kll_sketch_agg_bigint", col("n_tok"), lit(k))
+        .as("sk"),
+        count(lit(1)).as("n_docs"))
+    agg.select(col("lang") +: col("n_docs") +: qs.map { q =>
+      call_function("kll_sketch_get_quantile_bigint", col("sk"), lit(q))
+        .as(s"p${math.round(q * 100)}")
+    }: _*)
+  }
+
+  /** Driver entry (rows-only: estimates have no DuckDB twin): per-lang
+    * token-count percentiles through the mergeable KLL table. */
+  def sketchQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    quantileRollupByLang(quantileSketchTable(Tables.documents(spark, dir)))
 }

@@ -28,6 +28,53 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(merged === ests(Sketches.directByLang(d)))
   }
 
+  // --- KLL quantile table ---
+
+  /** Normalized rank of estimate `v` within a lang's exact token counts
+    * (mid-rank of the value's position). */
+  private def rankErrOk(d: org.apache.spark.sql.DataFrame,
+                        quantiles: Map[String, Seq[(Double, Long)]],
+                        tol: Double): Unit = {
+    val exact = d.select(col("lang"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, a) => l -> a.map(_._2).sorted }
+    quantiles.foreach { case (lang, qs) =>
+      val sorted = exact(lang)
+      qs.foreach { case (q, est) =>
+        val below = sorted.count(_ < est)
+        val atOrBelow = sorted.count(_ <= est)
+        val rank = (below + atOrBelow) / 2.0 / sorted.length
+        assert(math.abs(rank - q) <= tol,
+          s"lang=$lang q=$q est=$est lands at rank $rank (tol $tol)")
+      }
+    }
+  }
+
+  private def kllQs(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Double, Long)]] =
+    df.collect().map { r =>
+      r.getString(0) -> Seq(0.5 -> r.getLong(2), 0.9 -> r.getLong(3),
+        0.99 -> r.getLong(4))
+    }.toMap
+
+  test("KLL rollup and direct quantiles both land within rank tolerance") {
+    val d = Tables.documents(spark, sfDir)
+    val viaTable = kllQs(
+      Sketches.quantileRollupByLang(Sketches.quantileSketchTable(d)))
+    val direct = kllQs(Sketches.quantileDirectByLang(d))
+    rankErrOk(d, viaTable, 0.03)
+    rankErrOk(d, direct, 0.03)
+  }
+
+  test("incrementally-built KLL tables merge within rank tolerance") {
+    val d = Tables.documents(spark, sfDir)
+    val day1 = Sketches.quantileSketchTable(d.filter(col("doc_id") % 2 === 0))
+    val day2 = Sketches.quantileSketchTable(d.filter(col("doc_id") % 2 === 1))
+    val merged = kllQs(
+      Sketches.quantileRollupByLang(day1.unionByName(day2)))
+    rankErrOk(d, merged, 0.03)
+  }
+
   test("estimates land within 5% of exact distinct counts") {
     val d = Tables.documents(spark, sfDir)
     val exact = d.groupBy(col("lang"))
