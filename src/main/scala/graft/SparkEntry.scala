@@ -86,6 +86,7 @@ object SparkEntry {
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
+    "corpus_split_shards" -> (graft.llm.Export.corpusSplitShardsQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
@@ -735,6 +736,19 @@ object SparkEntry {
       s"""SELECT ($bucket) % 8 AS shard, count(*) AS n_docs,
          |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1""".stripMargin
+    },
+    // split-aware shard manifest: split CASE under SplitMultiplier,
+    // shard hash under SampleMultiplier, integer totals
+    "corpus_split_shards" -> {
+      val sb = s"(((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SplitMultiplier}) >> ${TextOps.SampleShift}) % 1000"
+      val shard = s"((((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}) >> ${TextOps.SampleShift}) % 1000) % 8"
+      s"""SELECT
+         |  CASE WHEN ($sb) < ${TextOps.SplitTrainPermille} THEN 'train'
+         |       WHEN ($sb) < ${TextOps.SplitValPermille} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  ($shard) AS shard, count(*) AS n_docs,
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1, 2""".stripMargin
     },
     // rarity profile: integer counts and int/int divisions only — a float
     // log-prob mean would be partial-sum-order-dependent across engines

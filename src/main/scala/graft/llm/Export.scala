@@ -89,6 +89,70 @@ object Export {
       .toDF("shard", "n_docs", "n_tokens", "checksum")
   }
 
+  /** Split-aware export — the complete trainer hand-off: the corpus
+    * lands as a `split=train|val|test / shard=K` directory tree and the
+    * trainer mounts each split's shard set directly. Destination comes
+    * from [[TextOps.splitCol]], placement within the split from the
+    * shared Knuth shard hash — DIFFERENT multipliers (the corpusSplit
+    * decorrelation), so each split's shards fill evenly instead of
+    * inheriting the split boundary's bucket ranges. Same contracts as
+    * [[exportShards]]: ONE shuffle (by split, shard), one writer per
+    * leaf directory, rows sorted for reproducible files, and the
+    * per-(split, shard) manifest (docs, tokens, keyed checksum) observed
+    * inside the write job — one corpus scan total. */
+  def exportSplitShards(docs: DataFrame, outDir: String,
+                        nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    // 3 splits × nShards × 3 observe slots — same planning bound as
+    // exportShards, a third the shard headroom
+    require(nShards <= 256,
+      s"nShards=$nShards too large for observe-based split manifest; " +
+        "use splitManifest() + a second scan beyond 256 shards")
+    val spark = docs.sparkSession
+    val splits = Seq("train", "val", "test")
+    val sharded = docs
+      .withColumn("split", TextOps.splitCol())
+      .withColumn("shard", shardCol(nShards))
+      .repartition(splits.size * nShards, col("split"), col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"), col("doc_id"))
+    val ntok = size(TextOps.tokens(col("text")))
+    val aggs = for {
+      (s, si) <- splits.zipWithIndex
+      k <- 0 until nShards
+      a <- {
+        val in = col("split") === s && col("shard") === k
+        Seq(count(when(in, 1)).as(s"d${si}_$k"),
+          sum(when(in, ntok)).as(s"t${si}_$k"),
+          bit_xor(when(in, contentHash)).as(s"c${si}_$k"))
+      }
+    } yield a
+    val obs = Observation("export_split_shards")
+    sharded.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").partitionBy("split", "shard").parquet(outDir)
+    val row = scala.util.Try(obs.get).getOrElse(Map.empty[String, Any])
+    def long(k: String): Long = row.get(k) match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    import spark.implicits._
+    (for { (s, si) <- splits.zipWithIndex; k <- 0 until nShards }
+      yield (s, k.toLong,
+        long(s"d${si}_$k"), long(s"t${si}_$k"), long(s"c${si}_$k")))
+      .filter(_._3 > 0)
+      .toDF("split", "shard", "n_docs", "n_tokens", "checksum")
+  }
+
+  /** The split manifest alone (no write, one agg scan) — the recount
+    * partner of [[exportSplitShards]]. */
+  def splitManifest(docs: DataFrame, nShards: Int = 8): DataFrame =
+    docs
+      .withColumn("split", TextOps.splitCol())
+      .withColumn("shard", shardCol(nShards))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text")))).as("n_tokens"),
+        bit_xor(contentHash).as("checksum"))
+
   /** The manifest alone (no write, one agg scan): per-shard doc count,
     * whitespace token count, and the order-independent 64-bit keyed
     * content checksum. */
@@ -105,4 +169,8 @@ object Export {
     * ExportSpec's determinism and corruption-detection tests). */
   def corpusShardsQ(spark: SparkSession, dir: String): DataFrame =
     manifest(Tables.documents(spark, dir)).drop("checksum")
+
+  /** Driver query: split manifest sans the engine-specific checksum. */
+  def corpusSplitShardsQ(spark: SparkSession, dir: String): DataFrame =
+    splitManifest(Tables.documents(spark, dir)).drop("checksum")
 }

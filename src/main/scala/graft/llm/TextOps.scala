@@ -296,10 +296,17 @@ object TextOps {
       valPermille <= 1000,
       s"need 0 < train < val <= 1000, got ($trainPermille, $valPermille)")
     docs.select(col("doc_id"), col("lang"), col("source"),
-      when(splitBucket < trainPermille, "train")
-        .when(splitBucket < valPermille, "val")
-        .otherwise("test").as("split"))
+      splitCol(trainPermille, valPermille).as("split"))
   }
+
+  /** The split-label expression behind [[corpusSplit]], reusable by any
+    * stage that needs the assignment without the projection (e.g.
+    * [[graft.llm.Export.exportSplitShards]]). */
+  def splitCol(trainPermille: Int = SplitTrainPermille,
+               valPermille: Int = SplitValPermille): Column =
+    when(splitBucket < trainPermille, "train")
+      .when(splitBucket < valPermille, "val")
+      .otherwise("test")
 
   /** The permille bucket behind [[corpusSplit]] — [[sampleBucket]]'s
     * arithmetic under the decorrelated [[SplitMultiplier]]. */

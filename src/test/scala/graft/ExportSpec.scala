@@ -60,6 +60,41 @@ class ExportSpec extends AnyFunSuite with SparkFixture {
     assert(got === want)
   }
 
+  test("split export: tree reassembles, placement verified, manifest agrees") {
+    val out = tmpDir("split_shards_")
+    val m = Export.exportSplitShards(docs, out, nShards = 4)
+    // manifest rides the write: local relation, nothing left to scan
+    assert(m.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    val got = m.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // totals cover the corpus; all three splits materialized
+    assert(got.values.map(_._1).sum === docs.count())
+    assert(got.keySet.map(_._1) === Set("train", "val", "test"))
+    // read-back equals the corpus exactly
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id", "text").exceptAll(docs).isEmpty &&
+      docs.exceptAll(back.select("doc_id", "text")).isEmpty)
+    // every doc sits where split + shard hashes say — re-exports and
+    // other engines find it in the same leaf
+    val misplaced = back
+      .withColumn("wantSplit", graft.llm.TextOps.splitCol())
+      .withColumn("wantShard", Export.shardCol(4))
+      .filter(col("split") =!= col("wantSplit") ||
+        col("shard") =!= col("wantShard"))
+    assert(misplaced.count() === 0)
+    // standalone recount agrees with the observed manifest
+    val want = Export.splitManifest(docs, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === want)
+    // each split's shards fill evenly-ish: the decorrelated multipliers
+    // mean no split inherits a contiguous bucket range's shard skew
+    val trainShards = got.keys.filter(_._1 == "train").map(_._2).toSet
+    assert(trainShards === (0L until 4L).toSet, s"train shards: $trainShards")
+  }
+
   test("checksum is keyed: duplicate-pair add and id re-keying both flip it") {
     import spark.implicits._
     def sum1(rows: Seq[(Long, String)]): Long =
