@@ -110,35 +110,47 @@ object Dedup {
     *        0.0 forces direct, anything > 1 forces collapse — exposed so
     *        tests can prove both paths produce the same pairs. */
   def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3,
-                        collapseThreshold: Double = 0.95): DataFrame = {
-    // EXACT-duplicate collapse first, ADAPTIVELY (same rationale as
-    // dedupEmbed): identical texts have identical shingle sets, so their
-    // inverted-index work is quadratic in duplicate mass and their
-    // pairwise relations are fully determined by one representative.
-    // The direct path finds duplicate pairs too (identical docs share all
-    // shingles); collapse exists purely to kill the quadratic bucket work
-    // of LARGE duplicate mass. Under 5% duplicates the rep indirection
-    // and expansion joins cost more than they save (the common case for
-    // an already-exact-deduped pipeline stage), so run direct.
-    //
-    // The gate is ONE aggregation job — corpus count + an HLL estimate of
-    // distinct content hashes, map-side sketches only (r3 paid a full
-    // md5-class shuffle plus two count jobs before any real work, a 1.5×
-    // bench regression). The ±2% HLL error can only flip the path choice
-    // near the threshold; both paths produce identical pair sets
-    // (LlmOpsSpec "collapse and direct paths").
+                        collapseThreshold: Double = 0.95): DataFrame =
+    adaptiveShinglePairs(docs, n, collapseThreshold, "jaccard")(
+      shW => jaccardPairs(shW, tau))
+
+  /** The adaptive exact-duplicate collapse shared by every shingle-pair
+    * metric ([[dedupNgramJaccard]], [[dedupContainment]]): identical
+    * texts have identical shingle sets, so their inverted-index work is
+    * quadratic in duplicate mass while their pairwise relations are
+    * fully determined by one representative — rep-pair scores transfer
+    * to every cross pair and within-class pairs score exactly 1.0, for
+    * ANY shingle-set metric. The direct path finds duplicate pairs too;
+    * collapse exists purely to kill the quadratic bucket work of LARGE
+    * duplicate mass (measured on containment: 98 s direct vs jaccard's
+    * 7.5 s collapsed on the 90%-duplicate 10× smoke corpus). Under 5%
+    * duplicates the rep indirection and expansion joins cost more than
+    * they save, so run direct.
+    *
+    * `pairsOf` maps shingle rows (doc_id, sh_h, n_sh) to scored pairs
+    * (ka, kb, `scoreName`), already thresholded.
+    *
+    * The gate is ONE aggregation job — corpus count + an HLL estimate of
+    * distinct content hashes, map-side sketches only (r3 paid a full
+    * md5-class shuffle plus two count jobs before any real work, a 1.5×
+    * bench regression). The ±2% HLL error can only flip the path choice
+    * near the threshold; both paths produce identical pair sets
+    * (LlmOpsSpec "collapse and direct paths"). */
+  private def adaptiveShinglePairs(docs: DataFrame, n: Int,
+      collapseThreshold: Double, scoreName: String)(
+      pairsOf: DataFrame => DataFrame): DataFrame = {
     val gate = docs.agg(count(lit(1)).as("n"),
       approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
     val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
     if (nClasses >= nDocs * collapseThreshold) {
-      // DIRECT: persist the shingle rows before jaccardPairs' self-join —
+      // DIRECT: persist the shingle rows before the metric's self-join —
       // exchange reuse does NOT fire across the aliased join sides under
       // AQE (measured, see the collapse path's shW), so un-cached the
       // tokenize→window→distinct pipeline would run twice.
       val shW = withShingleCount(shingleHashes(docs, n)).persist()
       val result = graft.Exec.materialize(
-        jaccardPairs(shW, tau)
-          .select(col("ka").as("doc_a"), col("kb").as("doc_b"), col("jaccard")))
+        pairsOf(shW)
+          .select(col("ka").as("doc_a"), col("kb").as("doc_b"), col(scoreName)))
       shW.unpersist()
       return result
     }
@@ -166,16 +178,17 @@ object Dedup {
           .select(col("rep_id")), col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("sh_h")))
       .persist()
-    val repPairs = jaccardPairs(shW, tau)
+    val repPairs = pairsOf(shW)
     val cross = repPairs
       .join(members.as("ma"), col("ka") === col("ma.rep_id"))
       .join(members.as("mb"), col("kb") === col("mb.rep_id"))
       .select(
         least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
-        col("jaccard"))
+        col(scoreName))
     // within-class pairs exist only for classes that produce shingles
-    // (docs under n tokens generate no inverted-index rows — and no pairs)
+    // (docs under n tokens generate no inverted-index rows — and no
+    // pairs); identical shingle sets score 1.0 under any set metric
     val shingled = shW.select(col("doc_id").as("shingled_rep")).distinct()
     val within = members.as("ma")
       .join(members.as("mb"),
@@ -183,7 +196,7 @@ object Dedup {
           col("ma.doc_id") < col("mb.doc_id"))
       .join(shingled, col("ma.rep_id") === col("shingled_rep"))
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
+        lit(1.0).as(scoreName))
     // materialize before unpersisting the cached frames — the collapse
     // path only runs on duplicate-heavy corpora, where the pair set is
     // the operator's output anyway.
@@ -230,32 +243,32 @@ object Dedup {
     * metric for quote/boilerplate/wrapper detection in training-corpus
     * curation.
     *
-    * Same inverted-index shape and cost as [[dedupNgramJaccard]]'s direct
-    * path (shingles hashed to longs, ONE self-join on the hash, counts per
-    * pair): only the final normalization differs, a single division of
-    * exact ints — engine-stable. The same ultra-frequent-shingle skew
-    * caveat applies, and worse: every doc CONTAINING a viral boilerplate
-    * doc pairs with it, so at 100 TB run this after boilerplate removal
-    * (or cap per-shingle fan-out) rather than instead of it. */
-  def dedupContainment(docs: DataFrame, tau: Double = 0.9,
-                       n: Int = 3): DataFrame = {
-    // persist before the aliased self-join — exchange reuse does not fire
-    // across the join sides under AQE (the dedupNgramJaccard measurement)
-    val shW = withShingleCount(shingleHashes(docs, n)).persist()
-    val result = graft.Exec.materialize(
-      shW.as("a")
-        .join(shW.as("b"),
-          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"),
-          min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            least(col("na"), col("nb"))).as("containment"))
-        .filter(col("containment") >= tau))
-    shW.unpersist()
-    result
-  }
+    * Same inverted-index shape as [[dedupNgramJaccard]], INCLUDING the
+    * adaptive exact-duplicate collapse ([[adaptiveShinglePairs]] —
+    * without it the 90%-duplicate 10× smoke corpus took 98 s vs 7.5 s):
+    * only the final normalization differs, a single division of exact
+    * ints — engine-stable. The same ultra-frequent-shingle skew caveat
+    * applies, and worse: every doc CONTAINING a viral boilerplate doc
+    * pairs with it, so at 100 TB run this after boilerplate removal (or
+    * cap per-shingle fan-out) rather than instead of it. */
+  def dedupContainment(docs: DataFrame, tau: Double = 0.9, n: Int = 3,
+                       collapseThreshold: Double = 0.95): DataFrame =
+    adaptiveShinglePairs(docs, n, collapseThreshold, "containment")(
+      shW => containmentPairs(shW, tau))
+
+  /** The containment metric over shingle rows — [[jaccardPairs]] with a
+    * min-cardinality denominator. */
+  private[graft] def containmentPairs(shW: DataFrame, tau: Double): DataFrame =
+    shW.as("a")
+      .join(shW.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ka"), col("b.doc_id").as("kb"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+      .select(col("ka"), col("kb"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= tau)
 
   // --- MinHash + LSH ---
 

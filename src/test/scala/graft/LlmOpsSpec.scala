@@ -256,6 +256,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(collapsed.count() >= 18)
   }
 
+  test("containment collapse and direct paths produce identical pair sets") {
+    import spark.implicits._
+    // duplicate-heavy corpus plus a doc-in-doc case crossing class lines
+    val words = (1 to 40).map(i => s"v$i")
+    val long = words.mkString(" ")
+    val quote = words.slice(4, 15).mkString(" ")
+    val d = ((0 until 3).map(r => (r.toLong, long)) ++ // 3 copies of long
+      (0 until 2).map(r => (10L + r, quote)) ++        // 2 copies of the quote
+      Seq((100L, "unique words appear here once and never again"))
+      ).toDF("doc_id", "text")
+    val direct = Dedup.dedupContainment(d, collapseThreshold = 0.0)
+      .select("doc_a", "doc_b", "containment")
+    val collapsed = Dedup.dedupContainment(d, collapseThreshold = 2.0)
+      .select("doc_a", "doc_b", "containment")
+    assert(direct.exceptAll(collapsed).isEmpty &&
+      collapsed.exceptAll(direct).isEmpty)
+    // 3 within-long + 1 within-quote + 6 cross long×quote pairs, all 1.0
+    assert(collapsed.count() === 10)
+  }
+
   test("minhash collapse and direct paths produce identical pair sets") {
     import spark.implicits._
     val bases = Seq(
@@ -515,6 +535,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val n = zs.values.sum.toDouble
     assert(zs.keySet === Set("train", "val", "test"), zs)
     assert(zs("train") / n > 0.85 && zs("train") / n < 0.95, zs)
+  }
+
+  test("corpus_split plan: no exchange, text column pruned from the scan") {
+    val split = TextOps.corpusSplit(Tables.documents(spark, sfDir))
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+    // the split never reads text: column pruning must reach the parquet
+    // scan, or a 100 TB corpus pays its full text bytes for a 3-column op
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("text"), scan)
   }
 
   test("text_perplexity: hand-computed unigram cross-entropy, repetition scores low") {

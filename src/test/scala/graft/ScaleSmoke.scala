@@ -39,6 +39,20 @@ object ScaleSmoke {
     t("ngram_topk 50k docs")(graft.llm.TextOps.textNgramTopK(docs10).write.format("noop").mode("overwrite").save())
     t("corpus_pack 50k docs")(graft.llm.TextOps.corpusPack(docs10).write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
+    t("ann_pq 20k vecs")(Ann.annPqTopK(emb10).write.format("noop").mode("overwrite").save())
+    t("dedup_containment 50k docs")(Dedup.dedupContainment(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("text_perplexity 50k docs")(graft.llm.TextOps.textPerplexity(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("sketch tables 50k docs") {
+      graft.llm.Sketches.rollupByLang(graft.llm.Sketches.sketchTable(docs10))
+        .write.format("noop").mode("overwrite").save()
+      graft.llm.Sketches.quantileRollupByLang(
+        graft.llm.Sketches.quantileSketchTable(docs10))
+        .write.format("noop").mode("overwrite").save()
+    }
     // the 10×-replicated corpus is 90% exact duplicates — the regime the
     // exact-collapse stage inside dedupEmbed exists for (uncollapsed this
     // took 435 s: duplicate groups share every bucket at any banding)
