@@ -425,11 +425,14 @@ object Ann {
     * and only the survivors are re-ranked by exact cosine — the third
     * ANN scale path, orthogonal to LSH/IVF: those prune HOW MANY vectors
     * each query touches; PQ shrinks HOW MUCH each touched vector costs.
-    * With dim=64 doubles (512 B) down to m=8 ints, the approx scan reads
-    * ~32× fewer bytes — at 100 TB of embeddings that is the difference
-    * between scanning the corpus and scanning a 3 TB code table, with
-    * parquet column pruning keeping the full vectors out of the scan
-    * entirely until the (bounded) refine join.
+    * With dim=64 doubles (512 B) down to m=16 sub-codes (byte-packable
+    * to 16 B), the approx scan reads ~32× fewer bytes — at 100 TB of
+    * embeddings that is the difference between scanning the corpus and
+    * scanning a ~3 TB code table, with parquet column pruning keeping
+    * the full vectors out of the scan entirely until the (bounded)
+    * refine join. Defaults picked by measured sweep (PqProfile, sf0.01):
+    * m=16 ksub=16 refineFactor=8 → recall@10 0.96 vs brute force, vs
+    * 0.65 at the paper-classic m=8/rf=4.
     *
     * Everything runs on UNIT-normalized vectors, so inner product = cosine
     * and quantizer, LUT and refine share one geometry. Per subspace j the
@@ -447,8 +450,8 @@ object Ann {
     * @param refineFactor each partition forwards k·refineFactor ADC
     *        survivors per query to the exact re-rank — recall knob. */
   def annPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
-                m: Int = 8, ksub: Int = 16, iters: Int = 2,
-                refineFactor: Int = 4, trainCap: Long = 4096L): DataFrame = {
+                m: Int = 16, ksub: Int = 16, iters: Int = 2,
+                refineFactor: Int = 8, trainCap: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val raw = embeddings.select(col("vec_id"),

@@ -418,7 +418,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val pq = Ann.annPqTopK(emb, nQueries = 5, k = 5)
       .select("query_id", "vec_id")
     val recall = pq.intersect(brute).count().toDouble / brute.count()
-    assert(recall >= 0.4, s"PQ recall $recall too low")
+    assert(recall >= 0.6, s"PQ recall $recall too low")
     // determinism: same params -> identical result set
     val again = Ann.annPqTopK(emb, nQueries = 5, k = 5)
       .select("query_id", "vec_id")
