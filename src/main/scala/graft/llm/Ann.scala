@@ -471,16 +471,23 @@ object Ann {
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
 
     def subCol(j: Int): Column = slice(col("v"), j * dsub + 1, dsub)
+    // nlist comes from the codebook's ACTUAL row count, not ksub: a
+    // corpus smaller than ksub seeds fewer centroids, and a hardcoded
+    // ksub would misalign every centroid row inside CentroidArgmax
+    // (dim = cents.length / nlist) and emit codes past the LUT
     def codesCol(cents: Array[Array[Array[Double]]]): Column = array(
       (0 until m).map { j =>
         graft.functions.VectorFunctions.centroidArgmax(
-          subCol(j), cents(j).flatten.toIndexedSeq, ksub)
+          subCol(j), cents(j).flatten.toIndexedSeq, cents(j).length)
       }: _*)
 
-    // init: subspace slices of the first ksub sampled vectors — ONE
+    // init: subspace slices of the first ≤ksub sampled vectors — ONE
     // collect seeds all m codebooks
     val init = train.orderBy("vec_id").limit(ksub)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(init.nonEmpty, "annPqTopK needs a non-empty corpus")
+    // effective codebook size, and the LUT stride below
+    val kEff = init.length
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       init.map(full => full.slice(j * dsub, (j + 1) * dsub))
     }
@@ -520,11 +527,11 @@ object Ann {
     val lutDf = broadcast(luts.toDF("query_id", "lut"))
     val qvDf = broadcast(queryVecs.toSeq.toDF("query_id", "q"))
 
-    // ADC: approx cosine = Σ_j lut[j*ksub + codes[j]] — a static m-term
+    // ADC: approx cosine = Σ_j lut[j*kEff + codes[j]] — a static m-term
     // sum of element_ats, codegen-friendly, reading only the code column
     val ascore = (0 until m).map { j =>
       element_at(col("lut"),
-        lit(j * ksub) + element_at(col("codes"), j + 1) + 1)
+        lit(j * kEff) + element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     val localW = Window.partitionBy(col("query_id"), col("pid"))
       .orderBy(col("ascore").desc, col("vec_id"))

@@ -69,7 +69,11 @@ object Wav {
     while (out.isEmpty && pos + 8 <= bytes.length) {
       val id = str4(pos)
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // Long arithmetic: a hostile size near Int.MaxValue would wrap
+      // `pos + 8 + size` negative and sail past this guard straight into
+      // a ~2 GB allocation — the exact task-killing crash the
+      // decode-to-None contract exists to prevent
+      if (size < 0 || pos + 8 + size.toLong > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

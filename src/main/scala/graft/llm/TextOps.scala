@@ -256,14 +256,22 @@ object TextOps {
     // shuffle 8-byte hashes, never token strings
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("th"))
-    val freq = tok.groupBy("th").agg(count(lit(1)).as("c"))
-    val total = broadcast(tok.agg(count(lit(1)).cast("double").as("n_total")))
-    tok.join(freq, "th").crossJoin(total)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        round(log2(max(col("n_total"))) - avg(log2(col("c"))), 4)
-          .as("bits_per_token"))
+    // freq is PERSISTED (vocab-sized): it feeds both the corpus total
+    // and the occurrence join, and without the cache each reference
+    // re-runs the whole tokenize/explode/agg pipeline — measured as a
+    // third full corpus scan in the plan (exchange reuse does not fire
+    // across these branches, the dedupNgramJaccard lesson)
+    val freq = tok.groupBy("th").agg(count(lit(1)).as("c")).persist()
+    val total = broadcast(freq.agg(sum(col("c")).cast("double").as("n_total")))
+    val result = graft.Exec.materialize(
+      tok.join(freq, "th").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(log2(max(col("n_total"))) - avg(log2(col("c"))), 4)
+            .as("bits_per_token")))
+    freq.unpersist()
+    result
   }
 
   /** Split-boundary permilles for [[corpusSplit]]: bucket < 900 → train,

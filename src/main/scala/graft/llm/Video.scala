@@ -81,15 +81,18 @@ object Y4m {
     val header = new String(bytes, 0, eol, "US-ASCII")
     val tokens = header.split(" ").filter(_.nonEmpty)
     if (tokens.isEmpty || tokens.head != Magic) return None
-    def posInt(s: String): Option[Int] =
-      scala.util.Try(s.toInt).toOption.filter(n => n > 0 && n <= 4096)
+    // the 4096 cap bounds per-frame ALLOCATION, so it applies to W/H
+    // only — the framerate ratio never sizes a buffer, and real encoders
+    // emit F30000:1001 (NTSC 29.97), which a blanket cap would reject
+    def posInt(s: String, max: Int = Int.MaxValue): Option[Int] =
+      scala.util.Try(s.toInt).toOption.filter(n => n > 0 && n <= max)
     var w, h = -1
     var fn = 25
     var fd = 1
     var mono = false
     for (t <- tokens.tail) t.head match {
-      case 'W' => w = posInt(t.tail).getOrElse(return None)
-      case 'H' => h = posInt(t.tail).getOrElse(return None)
+      case 'W' => w = posInt(t.tail, max = 4096).getOrElse(return None)
+      case 'H' => h = posInt(t.tail, max = 4096).getOrElse(return None)
       case 'F' => t.tail.split(":") match {
         case Array(n, d) =>
           fn = posInt(n).getOrElse(return None)

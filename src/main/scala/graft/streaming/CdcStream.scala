@@ -111,6 +111,12 @@ object CdcStream {
                 ignoreUnknownFields: Boolean = true,
                 ordering: Seq[org.apache.spark.sql.Column] =
                   MergePipeline.defaultOrdering): StreamingQuery = {
+    // strict mode's whole contract is QUARANTINE: without a dead-letter
+    // table the unknown-field records would be silently dropped into the
+    // lenient path — fail loudly instead of ignoring the caller's ask
+    require(ignoreUnknownFields || deadLetterTable.isDefined,
+      "ignoreUnknownFields=false requires a deadLetterTable to route " +
+        "the rejected records")
     val src = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)

@@ -80,6 +80,14 @@ class CdcStreamSpec extends AnyFunSuite with SparkFixture {
     write("b1", 1700000060000L,
       """{"user_id":1,"event_id":12,"amount":2.0,"__op":"u","__source_ts_ms":2000,"__deleted":"false"}""",
       """{"user_id":2,"event_id":13,"amount":0.0,"__op":"d","__source_ts_ms":2000,"__deleted":"true"}""")
+    // strict unknown-fields mode is quarantine-by-contract: asking for
+    // it without a dead-letter table must fail loudly, not silently run
+    // the lenient path
+    intercept[IllegalArgumentException] {
+      CdcStream.startJson(spark, inputDir, schemaJson, sink,
+        "json_snapshot", Seq("user_id"), s"$base/checkpoint", offsets,
+        ignoreUnknownFields = false)
+    }
     val q = CdcStream.startJson(spark, inputDir, schemaJson, sink,
       "json_snapshot", Seq("user_id"), s"$base/checkpoint", offsets,
       availableNow = true, maxFilesPerTrigger = 1)

@@ -432,6 +432,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val bruteTiny = Ann.annTopK(tiny, nQueries = 3, k = 3)
       .select("query_id", "vec_id")
     assert(exact.exceptAll(bruteTiny).isEmpty && bruteTiny.exceptAll(exact).isEmpty)
+    // corpus SMALLER than ksub: the codebook seeds fewer than ksub
+    // centroids and nlist/LUT-stride must follow the actual size — a
+    // hardcoded ksub misaligned every centroid row (crash or garbage)
+    val micro = emb.filter(col("vec_id") < 10)
+    val microPq = Ann.annPqTopK(micro, nQueries = 2, k = 3)
+      .select("query_id", "vec_id")
+    val microBrute = Ann.annTopK(micro, nQueries = 2, k = 3)
+      .select("query_id", "vec_id")
+    assert(microPq.exceptAll(microBrute).isEmpty &&
+      microBrute.exceptAll(microPq).isEmpty)
   }
 
   test("text tokens: bpe token count splits finer than whitespace") {

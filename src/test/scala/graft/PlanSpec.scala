@@ -117,11 +117,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         graft.llm.Dedup.minhashSigs(graft.llm.Dedup.shingleHashes(docs)), 0.5),
       graft.llm.Dedup.simhashPairs(graft.llm.Dedup.simhashBlocks(
         graft.llm.Dedup.simhashSigs(graft.llm.Dedup.shingleHashes(docs))), 3),
-      // containment rides the same inverted index; perplexity the same
-      // token-hash re-join as rarity — neither may shuffle strings
+      // containment rides the same inverted index and must not shuffle
+      // strings either (textPerplexity materializes eagerly like
+      // dedupNgramJaccard — its token-hash shape is textRarity's, which
+      // stays lazy and guards it here)
       graft.llm.Dedup.containmentPairs(
         graft.llm.Dedup.withShingleCount(graft.llm.Dedup.shingleHashes(docs)), 0.9),
-      graft.llm.TextOps.textPerplexity(docs),
       graft.llm.TextOps.textRarity(docs)).map(planString)
     plans.foreach { p =>
       // every exchange key must be doc_id / sh_h / th / band-hash — a raw

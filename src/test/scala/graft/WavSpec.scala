@@ -58,6 +58,14 @@ class WavSpec extends AnyFunSuite with SparkFixture {
     assert(Wav.decode(noFmt.array()) === None)
     // header only, no data chunk at all
     assert(Wav.decode(ok.take(36)) === None)
+    // hostile chunk size near Int.MaxValue: `pos + 8 + size` in Int
+    // wrapped negative and sailed past the bound check into a ~2 GB
+    // allocation — the guard must compare in Long and decode to None
+    val hostile = ok.clone()
+    val bb = java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue - 4) // the data chunk's declared size
+    assert(Wav.decode(hostile) === None)
   }
 
   test("non-PCM-16 formats are rejected by design") {

@@ -67,6 +67,14 @@ class Y4mSpec extends AnyFunSuite with SparkFixture {
     assert(Y4m.decode("YUV4MPEG2 W4 H4\n".getBytes("US-ASCII")) === None)
   }
 
+  test("NTSC framerate F30000:1001 decodes: the dim cap is W/H-only") {
+    // ffmpeg emits exactly this for 29.97 fps material; the 4096
+    // allocation cap must not apply to the framerate ratio
+    val v = Y4m.decode(Y4m.encode(4, 4, 30000, 1001,
+      Seq(frame(4, 4, mono = false)(identity)))).get
+    assert(v.fpsNum === 30000 && v.fpsDen === 1001)
+  }
+
   test("features: sampling picks every k-th frame; luma and motion exact") {
     // 4 mono 2x2 frames with constant planes 10, 20, 30, 40
     val fs = (0 until 4).map(f => frame(2, 2, mono = true)(_ => (f + 1) * 10))
