@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
+    "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)

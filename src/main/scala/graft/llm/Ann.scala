@@ -470,31 +470,64 @@ object Ann {
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
 
-    def subCol(j: Int): Column = slice(col("v"), j * dsub + 1, dsub)
-    // nlist comes from the codebook's ACTUAL row count, not ksub: a
-    // corpus smaller than ksub seeds fewer centroids, and a hardcoded
-    // ksub would misalign every centroid row inside CentroidArgmax
-    // (dim = cents.length / nlist) and emit codes past the LUT
-    def codesCol(cents: Array[Array[Array[Double]]]): Column = array(
-      (0 until m).map { j =>
-        graft.functions.VectorFunctions.centroidArgmax(
-          subCol(j), cents(j).flatten.toIndexedSeq, cents(j).length)
-      }: _*)
+    val cents = trainSubCodebooks(train, m, dsub, ksub, iters)
+    val kEff = cents(0).length
 
-    // init: subspace slices of the first ≤ksub sampled vectors — ONE
-    // collect seeds all m codebooks
+    // encode: the corpus reduces to (vec_id, codes) — the narrow table a
+    // persisted deployment would store and the ADC scan would read
+    val encoded = vecs.select(col("vec_id"), pqCodesCol(cents, dsub).as("codes"))
+
+    // driver-side query LUTs: lut[j*kEff + c] = q_subj · cent_{j,c}
+    val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = queryVecs.map { case (qid, qv) => (qid, pqLut(qv, cents, dsub)) }.toSeq
+    import embeddings.sparkSession.implicits._
+    val lutDf = broadcast(luts.toDF("query_id", "lut"))
+    val qvDf = broadcast(queryVecs.toSeq.toDF("query_id", "q"))
+
+    val ascore = pqAdcScore(m, kEff)
+    val localW = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val candidates = encoded
+      .join(lutDf, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), ascore.as("ascore"),
+        spark_partition_id().as("pid"))
+      .withColumn("lrn", row_number().over(localW))
+      .filter(col("lrn") <= k * refineFactor)
+      .select(col("query_id"), col("vec_id"))
+
+    // refine: exact cosine on the bounded candidate set only
+    val globalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val result = candidates
+      .join(vecs, "vec_id")
+      .join(qvDf, "query_id")
+      .select(col("query_id"), col("vec_id"), dot(col("q"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+    val out = graft.Exec.materialize(result)
+    vecs.unpersist()
+    out
+  }
+
+  /** Per-subspace Lloyd over `train`'s `v` column — ONE job per
+    * iteration updates ALL m codebooks (codes project before the
+    * explode to dodge the post-Generate re-evaluation trap; positions
+    * regroup by (subspace, code, offset)). Seeded by the first ≤ksub
+    * rows in vec_id order — every codebook gets the ACTUAL seed count
+    * as its size (the hardcoded-ksub misalignment fix). Shared by
+    * [[annPqTopK]] and [[annIvfPqTopK]] (which trains on residuals). */
+  private def trainSubCodebooks(train: DataFrame, m: Int, dsub: Int,
+      ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val vIdx = train.schema.fieldIndex("v")
     val init = train.orderBy("vec_id").limit(ksub)
-      .collect().map(_.getSeq[Double](1).toArray)
-    require(init.nonEmpty, "annPqTopK needs a non-empty corpus")
-    // effective codebook size, and the LUT stride below
-    val kEff = init.length
+      .collect().map(_.getSeq[Double](vIdx).toArray)
+    require(init.nonEmpty, "PQ training needs a non-empty corpus")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       init.map(full => full.slice(j * dsub, (j + 1) * dsub))
     }
     for (_ <- 1 to iters) {
-      // one job updates every subspace: explode positions, recover
-      // (subspace, offset) from the position, group on (j, code, offset)
-      val assigned = train.select(col("v"), codesCol(cents).as("codes"))
+      val assigned = train.select(col("v"), pqCodesCol(cents, dsub).as("codes"))
       val means = assigned
         .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
         .select((col("pos") / dsub).cast("int").as("j"),
@@ -509,41 +542,144 @@ object Ann {
       }
       cents = next // clusters with no members keep their old centroid
     }
+    cents
+  }
 
-    // encode: the corpus reduces to (vec_id, codes) — the narrow table a
-    // persisted deployment would store and the ADC scan would read
-    val encoded = vecs.select(col("vec_id"), codesCol(cents).as("codes"))
+  /** Map-side PQ encode of the `v` column: array of m sub-codes, each a
+    * native CentroidArgmax over the subspace slice. nlist follows each
+    * codebook's actual row count. */
+  private def pqCodesCol(cents: Array[Array[Array[Double]]], dsub: Int): Column =
+    array(cents.indices.map { j =>
+      graft.functions.VectorFunctions.centroidArgmax(
+        slice(col("v"), j * dsub + 1, dsub),
+        cents(j).flatten.toIndexedSeq, cents(j).length)
+    }: _*)
 
-    // driver-side query LUTs: lut[j*ksub + c] = q_subj · cent_{j,c}
-    val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = queryVecs.map { case (qid, qv) =>
-      (qid, (0 until m).flatMap { j =>
-        val qs = qv.slice(j * dsub, (j + 1) * dsub)
-        cents(j).map(c => qs.zip(c).map { case (a, b) => a * b }.sum)
-      }.toArray)
-    }.toSeq
-    import embeddings.sparkSession.implicits._
-    val lutDf = broadcast(luts.toDF("query_id", "lut"))
-    val qvDf = broadcast(queryVecs.toSeq.toDF("query_id", "q"))
+  /** Driver-side ADC lookup table for one query: lut[j*kEff + c] =
+    * q_subj · cent_{j,c}. */
+  private def pqLut(qv: Array[Double], cents: Array[Array[Array[Double]]],
+                    dsub: Int): Array[Double] =
+    cents.indices.flatMap { j =>
+      val qs = qv.slice(j * dsub, (j + 1) * dsub)
+      cents(j).map(c => qs.zip(c).map { case (a, b) => a * b }.sum)
+    }.toArray
 
-    // ADC: approx cosine = Σ_j lut[j*kEff + codes[j]] — a static m-term
-    // sum of element_ats, codegen-friendly, reading only the code column
-    val ascore = (0 until m).map { j =>
+  /** The ADC score: Σ_j lut[j*kEff + codes[j]] — a static m-term sum of
+    * element_ats over the broadcast `lut` and the row's `codes`,
+    * codegen-friendly. */
+  private def pqAdcScore(m: Int, kEff: Int): Column =
+    (0 until m).map { j =>
       element_at(col("lut"),
         lit(j * kEff) + element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
+
+  /** IVF-PQ top-k — the billion-scale composition (the FAISS
+    * `IVFx,PQy` standard): an IVF coarse quantizer prunes WHICH vectors
+    * a query touches (nprobe/nlist of the corpus) while PQ codes over
+    * the RESIDUAL v − c_cell shrink what each touched vector costs
+    * (~32× fewer bytes). Residual encoding matters: residuals are
+    * centered near zero with far less variance than raw vectors, so the
+    * same codebook budget quantizes them much more accurately.
+    *
+    * Per-query score of a row in cell `cid`:
+    * q·v ≈ q·c_cid + Σ_j lut[code_j], the first term a per-(query,
+    * probe) constant riding the broadcast probe row, the second the
+    * shared-codebook ADC fold of [[annPqTopK]]. Exact re-rank on the
+    * bounded survivor set. All [[annIvfTopK]] determinism rules hold. */
+  def annIvfPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                   nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
+                   ksub: Int = 16, iters: Int = 2, refineFactor: Int = 8,
+                   trainCap: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val raw = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v0"))
+    val dim = raw.select(size(col("v0"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val vecs = raw
+      .withColumn("nrm", norm(col("v0")))
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("v"))
+      .persist()
+    val corpusN = vecs.count()
+    val train =
+      if (corpusN <= trainCap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
+
+    // coarse quantizer: the annIvfTopK Lloyd on the training sample —
+    // only (nlist × dim) centroids ever reach the driver
+    def coarseAssign(cs: Seq[Array[Double]]): Column =
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), cs.flatten.toIndexedSeq, cs.size)
+    var coarse: Seq[Array[Double]] = train.orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val means = train.select(col("v"), coarseAssign(coarse).as("cid"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      coarse = coarse.zipWithIndex.map { case (old, j) =>
+        means.get(j).map { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(old)
+      }
+    }
+
+    // residuals v − c_cid (the coarse table rides as ONE literal; the
+    // interpreted zip_with runs once, in the encode pass)
+    val coarseLit = typedlit(coarse.map(_.toSeq))
+    val resid = vecs
+      .withColumn("cid", coarseAssign(coarse))
+      .withColumn("cv", element_at(coarseLit, col("cid") + 1))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+
+    // sub-codebooks trained on the SAMPLE's residuals
+    val cents = trainSubCodebooks(
+      resid.join(train.select("vec_id"), "vec_id"), m, dsub, ksub, iters)
+    val kEff = cents(0).length
+    // the persisted-deployment table: (vec_id, cid, codes) — cell id plus
+    // m sub-codes per vector
+    val encoded = resid.select(col("vec_id"), col("cid"),
+      pqCodesCol(cents, dsub).as("codes"))
+
+    // driver-side probe rows: per (query, probed cell), the constant
+    // q·c_cid rides the row; the residual LUT is cell-independent
+    val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      coarse.zipWithIndex
+        .map { case (c, j) =>
+          (j, qv.zip(c).map { case (a, b) => a * b }.sum,
+            qv.zip(c).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2) }
+        .sortBy { case (j, _, s) => (-s, j) }.take(nprobe)
+        .map { case (j, qdotc, _) => (qid, j, qdotc) }
+    }.toSeq
+    val luts = queryVecs.map { case (qid, qv) => (qid, pqLut(qv, cents, dsub)) }.toSeq
+    import embeddings.sparkSession.implicits._
+    val probeDf = broadcast(probes.toDF("query_id", "cid", "qdotc"))
+    val lutDf = broadcast(luts.toDF("query_id", "lut"))
+    val qvDf = broadcast(queryVecs.toSeq.toDF("query_id", "q"))
+
+    // candidates come ONLY from probed cells (the cid join), scored by
+    // the constant-plus-ADC approximation
+    val ascore = col("qdotc") + pqAdcScore(m, kEff)
     val localW = Window.partitionBy(col("query_id"), col("pid"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val candidates = encoded
-      .join(lutDf, col("vec_id") =!= col("query_id"))
+      .join(probeDf, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(lutDf, "query_id")
       .select(col("query_id"), col("vec_id"), ascore.as("ascore"),
         spark_partition_id().as("pid"))
       .withColumn("lrn", row_number().over(localW))
       .filter(col("lrn") <= k * refineFactor)
       .select(col("query_id"), col("vec_id"))
 
-    // refine: exact cosine on the bounded candidate set only
     val globalW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     val result = candidates
@@ -696,5 +832,9 @@ object Ann {
   def annPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annPqTopK(Tables.embeddings(spark, dir))
+  }
+  def annIvfPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annIvfPqTopK(Tables.embeddings(spark, dir))
   }
 }

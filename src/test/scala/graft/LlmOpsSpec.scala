@@ -444,6 +444,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       microBrute.exceptAll(microPq).isEmpty)
   }
 
+  test("IVF-PQ ANN recalls a good share of the brute-force top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
+    val ivfpq = Ann.annIvfPqTopK(emb, nQueries = 5, k = 5,
+      nlist = 8, nprobe = 3).select("query_id", "vec_id")
+    val recall = ivfpq.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.4, s"IVF-PQ recall $recall too low")
+    // determinism: same params -> identical result set
+    val again = Ann.annIvfPqTopK(emb, nQueries = 5, k = 5,
+      nlist = 8, nprobe = 3).select("query_id", "vec_id")
+    assert(ivfpq.exceptAll(again).isEmpty && again.exceptAll(ivfpq).isEmpty)
+    // probing EVERY cell removes the IVF pruning loss: recall must then
+    // be at least the plain-PQ regime's (residual codes approximate
+    // better than raw-vector codes at the same budget)
+    val full = Ann.annIvfPqTopK(emb, nQueries = 5, k = 5,
+      nlist = 8, nprobe = 8).select("query_id", "vec_id")
+    val fullRecall = full.intersect(brute).count().toDouble / brute.count()
+    assert(fullRecall >= recall, s"full-probe $fullRecall < pruned $recall")
+  }
+
   test("text tokens: bpe token count splits finer than whitespace") {
     import spark.implicits._
     val d = docs((1L, "hello, world! x2"))

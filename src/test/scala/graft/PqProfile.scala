@@ -24,6 +24,16 @@ object PqProfile {
       println(f"=== m=$m ksub=$ksub rf=$rf iters=$iters " +
         f"recall=${(pq & brute).size.toDouble / brute.size}%.2f time=$dt%.1f s")
     }
+    for ((nlist, nprobe) <- Seq((16, 4), (16, 8), (32, 8))) {
+      val t0 = System.nanoTime()
+      val r = Ann.annIvfPqTopK(emb, nQueries = 10, k = 10,
+        nlist = nlist, nprobe = nprobe)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"=== ivfpq nlist=$nlist nprobe=$nprobe " +
+        f"recall=${(r & brute).size.toDouble / brute.size}%.2f time=$dt%.1f s")
+    }
     spark.stop()
   }
 }

@@ -14,7 +14,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert((o -- q).isEmpty, s"oracle SQL without a query entry: ${o -- q}")
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
-    assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "dedup_minhash",
+    assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+      "ann_ivfpq_topk", "dedup_minhash",
       "dedup_simhash", "dedup_embed", "multimodal", "media_audio", "media_video",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles"),
