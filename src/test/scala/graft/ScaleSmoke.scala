@@ -40,6 +40,7 @@ object ScaleSmoke {
     t("corpus_pack 50k docs")(graft.llm.TextOps.corpusPack(docs10).write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_pq 20k vecs")(Ann.annPqTopK(emb10).write.format("noop").mode("overwrite").save())
+    t("ann_ivfpq 20k vecs")(Ann.annIvfPqTopK(emb10).write.format("noop").mode("overwrite").save())
     t("dedup_containment 50k docs")(Dedup.dedupContainment(docs10)
       .write.format("noop").mode("overwrite").save())
     t("text_perplexity 50k docs")(graft.llm.TextOps.textPerplexity(docs10)
@@ -109,6 +110,11 @@ object ScaleSmoke {
     t("shard export 50k docs") {
       graft.llm.Export.exportShards(docs10,
         java.nio.file.Files.createTempDirectory("scale_shards_").toString,
+        nShards = 16).write.format("noop").mode("overwrite").save()
+    }
+    t("split shard export 50k docs") {
+      graft.llm.Export.exportSplitShards(docs10,
+        java.nio.file.Files.createTempDirectory("scale_split_").toString,
         nShards = 16).write.format("noop").mode("overwrite").save()
     }
     // media codecs at 100x: 500k REAL encoded payloads (PGM/PPM images,
