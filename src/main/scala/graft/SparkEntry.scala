@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
     "dedup_spans" -> (SpanDedup.dedupChunksQ _),
     "dedup_spans_incremental" -> (SpanDedup.dedupChunksIncrementalQ _),
+    "text_boilerplate" -> (SpanDedup.removeBoilerplateQ _),
     "sketch_distinct" -> (Sketches.sketchDistinctQ _),
     "sketch_quantiles" -> (Sketches.sketchQuantilesQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
@@ -514,6 +515,21 @@ object SparkEntry {
         |    FROM chunks) t WHERE rn = 1)
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_ord) AS text
         |FROM keep GROUP BY doc_id""".stripMargin,
+    // boilerplate removal: chunks appearing in >= 3 DISTINCT docs are
+    // dropped from every doc (vs dedup_spans, where the first survives)
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, u.i AS chunk_ord,
+        |         array_to_string(l[(u.i*10+1):(u.i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range(0, CAST(ceil(len(l)/10.0) AS BIGINT))) AS u(i)),
+        |freq AS (SELECT chunk, count(DISTINCT doc_id) AS df
+        |         FROM chunks GROUP BY 1),
+        |kept AS (SELECT c.doc_id, c.chunk_ord, c.chunk
+        |         FROM chunks c JOIN freq f ON c.chunk = f.chunk
+        |         WHERE f.df < 3)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_ord) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
     // incremental span dedup == the FULL span dedup restricted to the
     // batch slice (ids are ordered corpus-before-batch, so first-occurrence
     // semantics agree) — a strictly stronger oracle than the rows-only

@@ -48,6 +48,51 @@ object SpanDedup {
   def dedupChunksQ(spark: SparkSession, dir: String): DataFrame =
     dedupChunks(Tables.documents(spark, dir))
 
+  /** Corpus-level boilerplate removal — the C4 "line occurring in ≥3
+    * documents" filter generalized to the same fixed-token spans as
+    * [[dedupChunks]]: compute each distinct chunk's document frequency
+    * and drop EVERY occurrence of chunks reaching `minDf` distinct docs.
+    * The semantic difference from span dedup is deliberate: in dedup the
+    * first occurrence survives; a cookie banner or nav header is noise
+    * in every document INCLUDING the first, so boilerplate is removed
+    * wholesale. Docs reassemble from surviving chunks; a doc that was
+    * pure boilerplate vanishes (same contract as [[dedupChunks]]).
+    *
+    * Scale design: document frequency aggregates on the 128-bit
+    * chunk-hash pair (16 bytes of longs on the shuffle wire, never the
+    * chunk text; the count-distinct's partial phase collapses within-doc
+    * repeats map-side), so the heavy chunk frame pays one shuffle for
+    * the df count and one for reassembly. The flagged frame
+    * (df ≥ minDf) comes back as a LEFT ANTI join on (h1, h2) with NO
+    * broadcast hint: a true boilerplate vocabulary is dimension-sized
+    * and AQE broadcasts it, while a pathological corpus (most content
+    * repeated across minDf+ docs) grows the flagged set past the
+    * threshold and degrades to a co-partitioned shuffle anti-join
+    * instead of OOMing the driver. Chunking runs twice (df pass + keep
+    * pass) by design — at corpus scale re-deriving chunks from the
+    * column-pruned scan is cheaper than caching an exploded chunk frame.
+    *
+    * @param minDf distinct-document threshold; chunks in ≥ minDf docs
+    *              are boilerplate. Must be ≥ 2 (minDf ≤ 1 flags every
+    *              chunk and empties the corpus). */
+  def removeBoilerplate(docs: DataFrame, chunkTokens: Int = 10,
+                        minDf: Long = 3,
+                        tokenize: Column => Column = split(_, " ")): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf)")
+    val chunks = hashed(chunkRows(docs, chunkTokens, tokenize))
+    val boiler = chunks
+      .groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h1"), col("h2"))
+    reassemble(chunks.join(boiler, Seq("h1", "h2"), "left_anti"))
+  }
+
+  /** Driver entry: df≥3 boilerplate removal over `documents`. */
+  def removeBoilerplateQ(spark: SparkSession, dir: String): DataFrame =
+    removeBoilerplate(Tables.documents(spark, dir))
+
   // --- Incremental span dedup against a persisted chunk-hash store ---
   // Fifth member of the store family (exact / minhash / simhash / embed /
   // spans). The store holds only the DISTINCT chunk-hash pairs the corpus

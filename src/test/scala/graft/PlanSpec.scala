@@ -136,6 +136,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text_boilerplate: anti join on the hash pair, partial-agg df, no loops") {
+    val p = planString(
+      graft.llm.SpanDedup.removeBoilerplate(Tables.documents(spark, sfDir)))
+    assert(p.contains("LeftAnti"),
+      "boilerplate flag-back must plan as an anti join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), "loop join in plan")
+    // the df count-distinct must collapse within-doc repeats map-side
+    // before its exchange (partial aggregation on (h1, h2, doc_id))
+    assert(p.contains("partial_count"),
+      "df count must partial-aggregate before the shuffle")
+    // join and shuffle keys are the 16-byte hash pair, never chunk text
+    val keys = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(keys.nonEmpty && !keys.exists(_.startsWith("chunk#")),
+      s"chunk text on the shuffle wire: $keys")
+  }
+
   test("merge snapshot read prunes partitions by bucket") {
     val sink = new graft.sinks.WarehouseSink(tmpDir("plan_merge_"))
     val flat = graft.cdc.Cdc.flatten(Tables.events(spark, sfDir))

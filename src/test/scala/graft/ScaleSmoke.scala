@@ -43,6 +43,8 @@ object ScaleSmoke {
     t("ann_ivfpq 20k vecs")(Ann.annIvfPqTopK(emb10).write.format("noop").mode("overwrite").save())
     t("dedup_containment 50k docs")(Dedup.dedupContainment(docs10)
       .write.format("noop").mode("overwrite").save())
+    t("text_boilerplate 50k docs")(graft.llm.SpanDedup.removeBoilerplate(docs10)
+      .write.format("noop").mode("overwrite").save())
     t("text_perplexity 50k docs")(graft.llm.TextOps.textPerplexity(docs10)
       .write.format("noop").mode("overwrite").save())
     t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)

@@ -94,6 +94,56 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
       "injecting exact copies changed the surviving corpus")
   }
 
+  test("boilerplate: a span in >= minDf docs is cut EVERYWHERE, first included") {
+    val d = docs(
+      1L -> "a b c d e f",       // [a b c] in docs 1,2,3 → df=3 → boilerplate
+      2L -> "a b c x y z",
+      3L -> "a b c p q r",
+      4L -> "x y z u v w")       // [x y z] df=2 → survives in both docs
+    val r = out(SpanDedup.removeBoilerplate(d, chunk3, minDf = 3))
+    assert(r.get(1L) === Some("d e f"), "first occurrence must be cut too")
+    assert(r.get(2L) === Some("x y z"))
+    assert(r.get(3L) === Some("p q r"))
+    assert(r.get(4L) === Some("x y z u v w"))
+  }
+
+  test("boilerplate: df counts DISTINCT docs, not occurrences") {
+    // [a b c] occurs 3 times but in only 2 docs → df=2 < 3 → kept
+    val d = docs(1L -> "a b c a b c", 2L -> "a b c z z z")
+    val r = out(SpanDedup.removeBoilerplate(d, chunk3, minDf = 3))
+    assert(r === Map(1L -> "a b c a b c", 2L -> "a b c z z z"))
+  }
+
+  test("boilerplate: a pure-boilerplate doc vanishes; minDf < 2 rejected") {
+    val d = docs(
+      1L -> "a b c", 2L -> "a b c", 3L -> "a b c", // the whole doc is the span
+      4L -> "a b c d e f")
+    val r = out(SpanDedup.removeBoilerplate(d, chunk3, minDf = 3))
+    assert(r === Map(4L -> "d e f"))
+    intercept[IllegalArgumentException] {
+      SpanDedup.removeBoilerplate(d, chunk3, minDf = 1)
+    }
+  }
+
+  test("boilerplate on the corpus: deterministic, and a df=3 injection is erased") {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val r1 = SpanDedup.removeBoilerplate(base)
+    val r2 = SpanDedup.removeBoilerplate(base)
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty,
+      "boilerplate removal is not deterministic")
+    // inject one 10-token banner into 3 re-keyed docs → df=3; the banner
+    // must vanish from all three while their payload chunks survive
+    val banner = (0 until 10).map(i => s"bp$i").mkString(" ")
+    val carriers = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+      .withColumn("text", concat(lit(banner + " "), col("text")))
+    val out2 = SpanDedup.removeBoilerplate(base.unionByName(carriers))
+    val carried = out2.filter(col("doc_id") >= 2000000)
+      .collect().map(_.getString(1))
+    assert(carried.length === 3, "banner carriers must survive minus the banner")
+    assert(carried.forall(!_.contains("bp0")), "injected banner not removed")
+  }
+
   test("newline chunker: an empty paragraph list is one empty chunk, not a crash") {
     import spark.implicits._
     // paragraph chunker: split on newlines, DROP empty paragraphs — the
