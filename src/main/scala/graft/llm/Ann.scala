@@ -368,28 +368,7 @@ object Ann {
       graft.functions.VectorFunctions.centroidArgmax(
         col("v"), cents.flatten.toIndexedSeq, cents.size)
 
-    // init: first nlist sampled vectors by id (deterministic); Lloyd
-    // updates see only the training sample
-    var centroids: Seq[Array[Double]] = train.orderBy("vec_id").limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray).toSeq
-    for (_ <- 1 to iters) {
-      // cid is computed in its OWN projection before the explode: an
-      // expression sharing a select with a generator lands in the
-      // post-Generate projection and re-evaluates once per EXPLODED row
-      // — dim × the corpus, measured 16× slower at nlist=1024
-      // (IvfProfile2: 15.8 s vs 0.9 s for this job)
-      val means = train.select(col("v"), assignCol(centroids).as("cid"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
-      centroids = centroids.zipWithIndex.map { case (old, j) =>
-        means.get(j).map { rows =>
-          val arr = old.clone()
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
-        }.getOrElse(old)
-      }
-    }
+    val centroids = trainCoarse(train, nlist, iters)
 
     val assigned = vecs.withColumn("cid", assignCol(centroids))
       .withColumn("nrm", norm(col("v")))
@@ -608,26 +587,12 @@ object Ann {
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
 
-    // coarse quantizer: the annIvfTopK Lloyd on the training sample —
-    // only (nlist × dim) centroids ever reach the driver
+    // coarse quantizer: the shared Lloyd on the training sample — only
+    // (nlist × dim) centroids ever reach the driver
     def coarseAssign(cs: Seq[Array[Double]]): Column =
       graft.functions.VectorFunctions.centroidArgmax(
         col("v"), cs.flatten.toIndexedSeq, cs.size)
-    var coarse: Seq[Array[Double]] = train.orderBy("vec_id").limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray).toSeq
-    for (_ <- 1 to iters) {
-      val means = train.select(col("v"), coarseAssign(coarse).as("cid"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
-      coarse = coarse.zipWithIndex.map { case (old, j) =>
-        means.get(j).map { rows =>
-          val arr = old.clone()
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
-        }.getOrElse(old)
-      }
-    }
+    val coarse = trainCoarse(train, nlist, iters)
 
     // residuals v − c_cid (the coarse table rides as ONE literal; the
     // interpreted zip_with runs once, in the encode pass)
@@ -692,6 +657,105 @@ object Ann {
     vecs.unpersist()
     out
   }
+
+  /** Shared coarse-quantizer trainer (the Lloyd loop of [[annIvfTopK]],
+    * [[annIvfPqTopK]] and [[dedupSemantic]]): k-means on `train`
+    * (columns `vec_id`, `v`), deterministic init from the first `nlist`
+    * training vectors by id. Per iteration only (nlist × dim) centroid
+    * means reach the driver; an empty cell keeps its previous centroid.
+    *
+    * The cid projects in its OWN select before the posexplode: an
+    * expression sharing a select with a generator lands in the
+    * post-Generate projection and re-evaluates once per EXPLODED row —
+    * dim × the sample, measured 16× slower at nlist=1024 (IvfProfile2:
+    * 15.8 s vs 0.9 s for this job). */
+  private[llm] def trainCoarse(train: DataFrame, nlist: Int,
+                               iters: Int): Seq[Array[Double]] = {
+    def assign(cs: Seq[Array[Double]]): Column =
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), cs.flatten.toIndexedSeq, cs.size)
+    var coarse: Seq[Array[Double]] = train.orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val means = train.select(col("v"), assign(coarse).as("cid"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      coarse = coarse.zipWithIndex.map { case (old, j) =>
+        means.get(j).map { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(old)
+      }
+    }
+    coarse
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the embedding space into
+    * `nlist` learned cells and near-duplicate pairs are searched ONLY
+    * within cells — the learned-cluster counterpart of [[dedupEmbed]]'s
+    * random-hyperplane LSH (data-adapted cells catch duplicate clusters
+    * that straddle fixed hyperplanes; the trade is a training pass).
+    * Emits (vec_a, vec_b, cos) pairs with cos ≥ τ, same contract as
+    * [[dedupEmbed]]; [[graft.llm.Dedup.dedupedCorpus]] turns pairs into
+    * the kept corpus.
+    *
+    * Scale design: the corpus pays one map-side assignment pass
+    * (native [[graft.functions.CentroidArgmax]] — the whole centroid
+    * matrix is ONE reference object) and one shuffle on cid; within-cell
+    * search is all-pairs by construction, which is exactly the paper's
+    * regime — nlist grows WITH the corpus (they run k=50k on 600M) so
+    * |cell| ≈ N/nlist stays bounded and Σ|cell|² is linear in N.
+    * Unlike [[dedupEmbed]]'s slim-candidate form, the unit vectors ride
+    * BOTH sides of the cell join: each pair arises in exactly ONE cell
+    * (no band multiplicity, nothing to distinct), so scoring inside the
+    * join beats re-joining the corpus twice for payload.
+    *
+    * Deterministic: seeded init by vec_id order, fixed iterations,
+    * within-cell pairs ordered (vec_a < vec_b). Vectors are
+    * unit-normalized up front, so the join-side dot IS the cosine. */
+  def dedupSemantic(embeddings: DataFrame, tau: Double = 0.4,
+                    nlist: Int = 16, iters: Int = 2,
+                    trainPerCell: Int = 256): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("v"))
+      .persist()
+    val corpusN = vecs.count()
+    val trainCap = nlist.toLong * trainPerCell
+    val train =
+      if (corpusN <= trainCap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
+    val coarse = trainCoarse(train, nlist, iters)
+    val assigned = vecs.withColumn("cid",
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), coarse.flatten.toIndexedSeq, coarse.size))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    val out = graft.Exec.materialize(
+      a.join(b, Seq("cid"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          dot(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= tau))
+    vecs.unpersist()
+    out
+  }
+
+  /** Driver entry: semantic near-dup pairs over `embeddings` (rows-only:
+    * the k-means cell structure is not expressible in the oracle;
+    * LlmOpsSpec pins nlist=1 == brute force and cell-restricted
+    * exactness instead). */
+  def dedupSemanticQ(spark: SparkSession, dir: String): DataFrame =
+    dedupSemantic(Tables.embeddings(spark, dir))
 
   // --- Incremental embedding dedup against a persisted LSH store ---
 

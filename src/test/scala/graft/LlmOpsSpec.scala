@@ -333,6 +333,46 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(brute.exceptAll(banded).isEmpty, "banded missed true pairs")
   }
 
+  test("dedup_semantic with one cell equals brute-force cosine pairs") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Ann.norm(col("v")))
+    val brute = vecs.as("a")
+      .join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Ann.dot(col("a.v"), col("b.v"))
+        / (col("a.nrm") * col("b.nrm")) >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val sem = Ann.dedupSemantic(emb, tau = 0.4, nlist = 1)
+      .select("vec_a", "vec_b")
+    assert(sem.exceptAll(brute).isEmpty, "semantic produced false pairs")
+    assert(brute.exceptAll(sem).isEmpty, "one-cell semantic missed pairs")
+    // multi-cell: never a false pair (scores are exact; cells only prune)
+    val sem8 = Ann.dedupSemantic(emb, tau = 0.4, nlist = 8)
+      .select("vec_a", "vec_b")
+    assert(sem8.exceptAll(brute).isEmpty, "multi-cell produced false pairs")
+  }
+
+  test("dedup_semantic always finds exact-duplicate vectors; deterministic") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // identical vectors share an argmax cell at ANY clustering, so exact
+    // dups are structurally unmissable — the SemDeDup safety floor
+    val dup = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+    val emb = Tables.embeddings(spark, sfDir).unionByName(dup)
+    val pairs = Ann.dedupSemantic(emb, tau = 0.99, nlist = 8)
+    val found = pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach { i =>
+      assert(found.contains((i, i + 1000000)),
+        s"exact duplicate pair ($i, ${i + 1000000}) missed")
+    }
+    val again = Ann.dedupSemantic(emb, tau = 0.99, nlist = 8)
+    assert(pairs.exceptAll(again).isEmpty && again.exceptAll(pairs).isEmpty,
+      "dedup_semantic is not deterministic")
+  }
+
   test("dedup_embed collapse and direct paths produce identical pair sets") {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)

@@ -41,6 +41,10 @@ object ScaleSmoke {
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_pq 20k vecs")(Ann.annPqTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_ivfpq 20k vecs")(Ann.annIvfPqTopK(emb10).write.format("noop").mode("overwrite").save())
+    // nlist scales with the corpus in the SemDeDup regime: 10x vectors,
+    // 10x cells keeps |cell| and the within-cell quadratic constant
+    t("dedup_semantic 20k vecs")(Ann.dedupSemantic(emb10, nlist = 160)
+      .write.format("noop").mode("overwrite").save())
     t("dedup_containment 50k docs")(Dedup.dedupContainment(docs10)
       .write.format("noop").mode("overwrite").save())
     t("text_boilerplate 50k docs")(graft.llm.SpanDedup.removeBoilerplate(docs10)

@@ -16,7 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     val rowsOnly = q -- o
     assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk", "dedup_minhash",
-      "dedup_simhash", "dedup_embed", "multimodal", "media_audio", "media_video",
+      "dedup_simhash", "dedup_embed", "dedup_semantic",
+      "multimodal", "media_audio", "media_video",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles"),
       s"unexpected rows-only entries: $rowsOnly")
