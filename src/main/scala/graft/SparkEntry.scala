@@ -112,6 +112,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
+    "dedup_semantic_incremental" -> (Ann.dedupSemanticIncrementalQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)
     "multimodal" -> (Multimodal.multimodalQ _),

@@ -720,35 +720,76 @@ object Ann {
                     nlist: Int = 16, iters: Int = 2,
                     trainPerCell: Int = 256): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
-    val vecs = embeddings
+    val vecs = unitVecs(embeddings).persist()
+    val coarse = trainOnUnit(vecs, nlist, iters, trainPerCell)
+    val out = pairsOnUnit(vecs, coarse, tau)
+    vecs.unpersist()
+    out
+  }
+
+  /** Unit-normalized (vec_id, v) frame — the geometry every semantic
+    * operation shares (dot == cosine). */
+  private def unitVecs(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), vecAsDouble(col("embedding")).as("v0"))
       .withColumn("nrm", norm(col("v0")))
       .select(col("vec_id"),
         transform(col("v0"), x => x / col("nrm")).as("v"))
-      .persist()
+
+  private def trainOnUnit(vecs: DataFrame, nlist: Int, iters: Int,
+                          trainPerCell: Int): Seq[Array[Double]] = {
     val corpusN = vecs.count()
     val trainCap = nlist.toLong * trainPerCell
     val train =
       if (corpusN <= trainCap) vecs
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
-    val coarse = trainCoarse(train, nlist, iters)
-    val assigned = vecs.withColumn("cid",
-      graft.functions.VectorFunctions.centroidArgmax(
-        col("v"), coarse.flatten.toIndexedSeq, coarse.size))
+    trainCoarse(train, nlist, iters)
+  }
+
+  /** Train the semantic quantizer on a raw embeddings frame: capped
+    * deterministic sample + shared Lloyd. Public so a frozen quantizer
+    * can be trained once and reused ([[dedupSemanticWith]],
+    * [[buildSemanticStore]] stores one). */
+  def trainSemanticCentroids(embeddings: DataFrame, nlist: Int = 16,
+                             iters: Int = 2,
+                             trainPerCell: Int = 256): Seq[Array[Double]] = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    trainOnUnit(unitVecs(embeddings), nlist, iters, trainPerCell)
+  }
+
+  /** [[dedupSemantic]] under a FIXED quantizer: assign the raw
+    * embeddings to `centroids` cells map-side, emit within-cell cosine
+    * ≥ τ pairs. The production form once a quantizer is frozen — and
+    * the equality arm of the incremental-store spec. */
+  def dedupSemanticWith(embeddings: DataFrame,
+                        centroids: Seq[Array[Double]],
+                        tau: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    pairsOnUnit(unitVecs(embeddings), centroids, tau)
+  }
+
+  private def pairsOnUnit(vecs: DataFrame, centroids: Seq[Array[Double]],
+                          tau: Double): DataFrame = {
+    val assigned = assignCells(vecs, centroids)
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
       col("v").as("vb"))
-    val out = graft.Exec.materialize(
+    graft.Exec.materialize(
       a.join(b, Seq("cid"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           dot(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= tau))
-    vecs.unpersist()
-    out
   }
+
+  /** Map-side nearest-centroid assignment of unit (vec_id, v) rows. */
+  private def assignCells(vecs: DataFrame,
+                          centroids: Seq[Array[Double]]): DataFrame =
+    vecs.withColumn("cid",
+      graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), centroids.flatten.toIndexedSeq, centroids.size))
 
   /** Driver entry: semantic near-dup pairs over `embeddings` (rows-only:
     * the k-means cell structure is not expressible in the oracle;
@@ -756,6 +797,112 @@ object Ann {
     * exactness instead). */
   def dedupSemanticQ(spark: SparkSession, dir: String): DataFrame =
     dedupSemantic(Tables.embeddings(spark, dir))
+
+  // --- Incremental semantic dedup against a persisted cell store ---
+  // Sixth member of the store family (exact / minhash / simhash / embed /
+  // spans / semantic). Two tables: `<table>_centroids` freezes the
+  // quantizer (nlist × dim doubles — KBs at any realistic nlist), and
+  // `<table>` holds one (vec_id, cid, v) row per corpus vector,
+  // bucket-partitioned by hash(cid) so a batch probe reads ONLY the cells
+  // the batch lands in. The frozen quantizer is the point: a daily batch
+  // neither re-trains nor re-reads the corpus — O(batch + touched cells).
+
+  /** Build (or, with `append = true`, extend) the semantic cell store.
+    * On append the EXISTING frozen quantizer must keep assigning, so
+    * centroids are only written on the initial build. */
+  def buildSemanticStore(embeddings: DataFrame,
+                         sink: graft.sinks.WarehouseSink,
+                         table: String = "semantic",
+                         nlist: Int = 16, iters: Int = 2,
+                         trainPerCell: Int = 256,
+                         numBuckets: Int = 32,
+                         append: Boolean = false): Unit = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val vecs = unitVecs(embeddings).persist()
+    val coarse =
+      if (append && sink.tableExists(s"${table}_centroids"))
+        readCentroids(embeddings.sparkSession, sink, table)
+      else {
+        val c = trainOnUnit(vecs, nlist, iters, trainPerCell)
+        import embeddings.sparkSession.implicits._
+        sink.write(
+          c.zipWithIndex.map { case (v, j) => (j, v.toSeq) }
+            .toDF("cid", "v").withColumn("part_bucket", lit(0)),
+          s"${table}_centroids", "part_bucket", Seq("cid"),
+          writeDisposition = graft.sinks.WriteDisposition.WriteTruncate)
+        c
+      }
+    val rows = assignCells(vecs, coarse)
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("cid"), numBuckets))
+    sink.write(rows, table, "part_bucket", Seq("cid"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
+    vecs.unpersist()
+  }
+
+  private def readCentroids(spark: SparkSession,
+                            sink: graft.sinks.WarehouseSink,
+                            table: String): Seq[Array[Double]] =
+    sink.read(spark, s"${table}_centroids")
+      .select("cid", "v").orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  /** Semantic near-dup pairs of a NEW vector batch: against the stored
+    * corpus (cell probe, bucket-pruned) and within the batch — corpus
+    * cells the batch never lands in are never read, and the quantizer is
+    * the STORED one (no retraining; assignment is one map-side pass with
+    * the collected centroids, KBs on the driver). Returns (vec_a, vec_b,
+    * cos) like [[dedupSemantic]], restricted to pairs involving a new
+    * vector; proven == [[dedupSemanticWith]] of corpus∪batch under the
+    * stored quantizer restricted to those pairs (LlmOpsSpec). The two
+    * arms are disjoint by construction (store×batch vs batch×batch), so
+    * nothing needs a distinct — each pair arises in exactly one cell. */
+  def dedupSemanticIncremental(newEmbeddings: DataFrame, spark: SparkSession,
+                               sink: graft.sinks.WarehouseSink,
+                               table: String = "semantic",
+                               tau: Double = 0.4,
+                               numBuckets: Int = 32): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val coarse = readCentroids(spark, sink, table)
+    val batch = assignCells(unitVecs(newEmbeddings), coarse)
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("cid"), numBuckets))
+      .persist()
+    val touched = batch.select("part_bucket").distinct().collect().map(_.getInt(0))
+    val store = sink.read(spark, table)
+      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    val cross = store.as("c")
+      .join(batch.as("n"),
+        col("c.cid") === col("n.cid") && col("c.vec_id") =!= col("n.vec_id"))
+      .select(least(col("c.vec_id"), col("n.vec_id")).as("vec_a"),
+        greatest(col("c.vec_id"), col("n.vec_id")).as("vec_b"),
+        dot(col("c.v"), col("n.v")).as("cos"))
+      .filter(col("cos") >= tau)
+    val within = batch.as("x")
+      .join(batch.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        dot(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= tau)
+    val result = graft.Exec.materialize(cross.unionByName(within))
+    batch.unpersist()
+    result
+  }
+
+  /** Driver query (rows-only; LlmOpsSpec proves equality with the full
+    * fixed-quantizer run restricted to new-vector pairs): cell-store the
+    * `vec_id % 10 < 6` split, probe with the rest. */
+  def dedupSemanticIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    // session-cached store: probe-only on repeat invocations
+    val sink = graft.state.SessionStores.warehouse("semstore", dir)(s =>
+      buildSemanticStore(emb.filter(pmod(col("vec_id"), lit(10)) < 6), s))
+    dedupSemanticIncremental(emb.filter(pmod(col("vec_id"), lit(10)) >= 6),
+      spark, sink)
+  }
 
   // --- Incremental embedding dedup against a persisted LSH store ---
 

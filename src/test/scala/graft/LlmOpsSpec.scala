@@ -373,6 +373,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       "dedup_semantic is not deterministic")
   }
 
+  test("incremental semantic dedup == fixed-quantizer full run on new pairs") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 6)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) >= 6)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("sem_store_"))
+    Ann.buildSemanticStore(corpus, sink)
+    val inc = Ann.dedupSemanticIncremental(batch, spark, sink)
+    // the full run under the SAME frozen quantizer (training is
+    // deterministic, so retraining on the corpus slice reproduces the
+    // stored centroids), restricted to pairs touching a batch vector
+    val cents = Ann.trainSemanticCentroids(corpus)
+    val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) >= 6
+    val expected = Ann.dedupSemanticWith(emb, cents, tau = 0.4)
+      .filter(isNew(col("vec_a")) || isNew(col("vec_b")))
+    assert(inc.exceptAll(expected).isEmpty, "incremental produced extra pairs")
+    assert(expected.exceptAll(inc).isEmpty, "incremental missed pairs")
+    // growing the store keeps the ORIGINAL quantizer frozen
+    Ann.buildSemanticStore(batch, sink, append = true)
+    val c2 = sink.read(spark, "semantic_centroids").count()
+    assert(c2 === 16L, "append must not retrain or duplicate centroids")
+  }
+
+  test("semantic store probe reads only touched cell buckets") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("sem_prune_"))
+    Ann.buildSemanticStore(emb, sink)
+    val store = sink.read(spark, "semantic")
+      .filter(col("part_bucket").isin(0, 1))
+    assert(store.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [part_bucket"),
+      "semantic store read not partition-pruned")
+  }
+
   test("dedup_embed collapse and direct paths produce identical pair sets") {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)

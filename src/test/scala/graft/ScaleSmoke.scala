@@ -90,6 +90,14 @@ object ScaleSmoke {
     t("incremental minhash probe 20k docs")(Dedup.dedupIncrementalMinhash(
       docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, mhSink)
       .write.format("noop").mode("overwrite").save())
+    // semantic cell store at 10×: nlist scaled with the corpus (160)
+    val semSink = new WarehouseSink(
+      java.nio.file.Files.createTempDirectory("scale_sem_").toString)
+    t("semantic store build 12k vecs")(Ann.buildSemanticStore(
+      emb10.filter(pmod(col("vec_id"), lit(10)) < 6), semSink, nlist = 160))
+    t("incremental semantic probe 8k vecs")(Ann.dedupSemanticIncremental(
+      emb10.filter(pmod(col("vec_id"), lit(10)) >= 6), spark, semSink)
+      .write.format("noop").mode("overwrite").save())
     // round-6 operators at 10×
     t("dedup_spans 50k docs")(graft.llm.SpanDedup.dedupChunks(docs10)
       .write.format("noop").mode("overwrite").save())

@@ -17,6 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk", "dedup_minhash",
       "dedup_simhash", "dedup_embed", "dedup_semantic",
+      "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles"),
