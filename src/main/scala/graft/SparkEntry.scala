@@ -70,6 +70,7 @@ object SparkEntry {
     // LLM-data-pipeline: text analysis (SURVEY §2C)
     "text_tokens" -> (TextOps.textTokensQ _),
     "text_quality" -> (TextOps.textQualityQ _),
+    "text_gopher" -> (TextOps.textGopherQ _),
     "text_langid" -> (TextOps.textLangidQ _),
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
@@ -649,6 +650,50 @@ object SparkEntry {
          |  nc / nt AS mean_token_len,
          |  least(nt / 64.0, 1.0) * (1.0 - np / nc) AS quality_score
          |FROM m""".stripMargin,
+    // minWords=8 / maxWords=100000 / n_stop >= 1 mirror textGopherQ's args
+    "text_gopher" -> {
+      val stops = TextOps.GopherStopwords
+        .map(s => s"(CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, $tokSql AS toks,
+         |    list_filter(str_split(text, chr(10)),
+         |      l -> len(trim(l)) > 0) AS ls,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+         |      AS n_sym
+         |  FROM documents),
+         |m2 AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+         |      AS sum_len,
+         |    greatest(CAST(len(ls) AS DOUBLE), 1.0) AS n_lines,
+         |    CAST(len(list_filter(ls,
+         |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS n_bullet,
+         |    CAST(len(list_filter(ls,
+         |      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+         |      AS n_ell,
+         |    n_sym,
+         |    CAST(len(list_filter(toks,
+         |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) AS n_alpha,
+         |    CAST($stops AS BIGINT) AS n_stop
+         |  FROM m)
+         |SELECT doc_id, n_words,
+         |  sum_len / n_words AS mean_word_len,
+         |  n_sym / n_words AS symbol_ratio,
+         |  n_bullet / n_lines AS bullet_ratio,
+         |  n_ell / n_lines AS ellipsis_ratio,
+         |  n_alpha / n_words AS alpha_word_ratio,
+         |  n_stop AS n_stop_present,
+         |  (n_words BETWEEN 8 AND 100000
+         |   AND sum_len / n_words BETWEEN 3.0 AND 10.0
+         |   AND n_sym / n_words < 0.1
+         |   AND n_bullet / n_lines < 0.9
+         |   AND n_ell / n_lines < 0.3
+         |   AND n_alpha / n_words > 0.8
+         |   AND n_stop >= 1) AS gopher_pass
+         |FROM m2""".stripMargin
+    },
     "text_langid" -> {
       val scores = TextOps.LangMarkers.map { case (lang, markers) =>
         val set = markers.map(m => s"'$m'").mkString(", ")

@@ -769,4 +769,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.n_bytes === 12)
     assert(out.head.grid.forall(_ === 0.0))
   }
+
+  test("text_gopher: each rule fires alone on its crafted violator, clean doc passes") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over that lazy dog again today " * 5).trim
+    // every violator is built to break EXACTLY one rule: the other six
+    // metrics stay inside their thresholds, so pass=false pins the rule
+    val d = docs(
+      (1L, clean),                                      // passes every rule
+      (2L, "the of tiny"),                              // word count 3 < 5
+      (3L, ("the of " + "a b c d e f " * 10).trim),     // mean word len ~1
+      (4L, "hash# tags# the of more# words# here#"),    // 5 '#' / 7 words
+      (5L, ("•item one two the of\n" * 9) + "plain line tail the of"),
+      (6L, ("one two the of soon...\n" * 4) + ("three four the of now\n" * 6).trim),
+      (7L, ("the of " + "1234 5678 9012 3456 " * 10).trim), // numeric soup
+      (8L, ("xyzzy plugh quux corge grault " * 10).trim))   // no stopwords
+    val out = TextOps.textGopher(d, minWords = 5, maxWords = 1000, minStop = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def pass(id: Long) = out(id).getBoolean(8)
+    assert(pass(1L) && out(1L).getLong(7) === 2L) // stop set = {the, that}
+    assert(!pass(2L) && out(2L).getLong(1) === 3L)
+    assert(!pass(3L) && out(3L).getDouble(2) < 3.0)
+    assert(!pass(4L) && out(4L).getDouble(3) >= 0.1)
+    assert(!pass(5L) && out(5L).getDouble(4) === 0.9) // 9/10 bullet lines
+    assert(!pass(6L) && out(6L).getDouble(5) === 0.4) // 4/10 ellipsis ends
+    assert(!pass(7L) && out(7L).getDouble(6) <= 0.8)
+    assert(!pass(8L) && out(8L).getLong(7) === 0L)
+    // isolation: every violator satisfies the six rules it does not target
+    assert(out(5L).getDouble(6) > 0.8 && out(5L).getLong(7) === 2L)
+    assert(out(6L).getDouble(3) < 0.1 && out(6L).getDouble(2) >= 3.0)
+    assert(out(7L).getLong(1) === 42L && out(7L).getDouble(2) >= 3.0)
+    // blank-only lines never count toward line ratios
+    val blanky = docs((9L, "the text of it\n\n   \nreal line"))
+    val r9 = TextOps.textGopher(blanky, minWords = 1).collect().head
+    assert(r9.getDouble(4) === 0.0 && r9.getDouble(5) === 0.0)
+  }
 }
