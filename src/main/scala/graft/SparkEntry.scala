@@ -111,6 +111,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
+    "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
     "dedup_semantic_incremental" -> (Ann.dedupSemanticIncrementalQ _),
@@ -1034,7 +1035,27 @@ object SparkEntry {
         |FROM dots d
         |JOIN norms nq ON d.query_id = nq.vec_id
         |JOIN norms nc ON d.vec_id = nc.vec_id
-        |WHERE dt / (nq.nrm * nc.nrm) >= 0.3""".stripMargin
+        |WHERE dt / (nq.nrm * nc.nrm) >= 0.3""".stripMargin,
+    // distances and z-scores rounded to 4 decimals on BOTH engines before
+    // any comparison/threshold (the textPerplexity float rule); the flag
+    // thresholds the rounded z at 2.0 like Ann.embedOutliers
+    "embed_outliers" ->
+      """WITH d AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, i, avg(x) AS cx FROM d GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT d.vec_id, d.label,
+        |    round(sqrt(sum((d.x - c.cx) * (d.x - c.cx))), 4) AS dist
+        |  FROM d JOIN c ON d.label = c.label AND d.i = c.i
+        |  GROUP BY 1, 2),
+        |st AS (SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sd
+        |  FROM dist GROUP BY 1)
+        |SELECT dist.vec_id, dist.label, dist.dist,
+        |  round((dist.dist - st.mu) / st.sd, 4) AS z,
+        |  round((dist.dist - st.mu) / st.sd, 4) >= 2.0 AS is_outlier
+        |FROM dist JOIN st ON dist.label = st.label""".stripMargin
   )
 
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is

@@ -103,6 +103,49 @@ object Ann {
       .select(col("query_id"), col("vec_id"))
   }
 
+  /** Embedding-space outlier report per label: Euclidean distance to the
+    * label's centroid, its within-label z-score, and an outlier flag —
+    * the standard mislabeled/noisy-example screen over a labeled
+    * embedding table (far-from-own-centroid vectors are label noise or
+    * novel content; either way the review queue).
+    *
+    * Scale shape, three small aggregations and zero wide shuffles:
+    *  1. centroids — ONE hash agg of `dim` per-label `avg`s (map-side
+    *     combined; the shuffle carries |labels|·dim partials, not
+    *     vectors), broadcast back;
+    *  2. distances — a map-side `zip_with`/`aggregate` fold against the
+    *     broadcast centroid, no shuffle of the corpus;
+    *  3. per-label distance stats (avg, stddev_pop) — a |labels|-row agg,
+    *     broadcast back onto the distance frame.
+    * The distance frame is materialized before step 3 so the corpus scan
+    * and fold run ONCE, not once per downstream branch.
+    *
+    * Distances and z-scores are ROUNDED to 4 decimals before comparison
+    * or thresholding (the [[graft.llm.TextOps.textPerplexity]] rule):
+    * float centroid/stat sums are summation-order-dependent in the last
+    * ulps across engines, and rounding absorbs that; the outlier flag is
+    * decided on the ROUNDED z so both engines threshold identical
+    * inputs. */
+  def embedOutliers(embeddings: DataFrame, dim: Int = 64,
+                    zThresh: Double = 2.0): DataFrame = {
+    val x = embeddings.select(col("vec_id"), col("label"),
+      vecAsDouble(col("embedding")).as("v"))
+    val centroids = x.groupBy("label")
+      .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("c"))
+    val dists = graft.Exec.materialize(
+      x.join(broadcast(centroids), "label")
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(
+            zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, e) => acc + e)), 4).as("dist")))
+    val stats = dists.groupBy("label")
+      .agg(avg("dist").as("mu"), stddev_pop(col("dist")).as("sd"))
+    val z = round((col("dist") - col("mu")) / col("sd"), 4)
+    dists.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("dist"),
+        z.as("z"), (z >= zThresh).as("is_outlier"))
+  }
+
   // --- Random-hyperplane LSH ---
 
   /** Banded OR-structure: 8 bands × 4 hyperplane sign bits. A pair is a
@@ -1048,4 +1091,6 @@ object Ann {
     graft.functions.VectorFunctions.register(spark)
     annIvfPqTopK(Tables.embeddings(spark, dir))
   }
+  def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    embedOutliers(Tables.embeddings(spark, dir))
 }

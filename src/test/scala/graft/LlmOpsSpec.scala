@@ -804,4 +804,38 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val r9 = TextOps.textGopher(blanky, minWords = 1).collect().head
     assert(r9.getDouble(4) === 0.0 && r9.getDouble(5) === 0.0)
   }
+
+  test("embed_outliers flags the planted far vector, z-math checks out") {
+    import spark.implicits._
+    // label 0: eight unit-ish vectors + one planted far point; label 1:
+    // a clean cluster with no outlier. 4-dim keeps the arithmetic visible.
+    val near = (0L until 8L).map(i =>
+      (i, 0, Array(1.0f + 0.01f * i, 0.1f, 0.0f, 0.0f)))
+    val far = Seq((8L, 0, Array(9.0f, 9.0f, 9.0f, 9.0f)))
+    val other = (10L until 16L).map(i =>
+      (i, 1, Array(0.0f, 1.0f + 0.02f * (i - 10), 0.2f, 0.0f)))
+    val emb = (near ++ far ++ other).toDF("vec_id", "label", "embedding")
+    val out = Ann.embedOutliers(emb, dim = 4, zThresh = 2.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 15)
+    assert(out(8L).getBoolean(4), "planted far vector must be flagged")
+    assert((0L until 8L).forall(i => !out(i).getBoolean(4)))
+    assert((10L until 16L).forall(i => !out(i).getBoolean(4)))
+    // the far point dominates its label's spread: its z is the max and
+    // its distance is far beyond every inlier's
+    val d8 = out(8L).getDouble(2)
+    assert((0L until 8L).forall(i => out(i).getDouble(2) < d8 / 5))
+    // z is (dist - mu) / sd within the label, on ROUNDED distances
+    val dists0 = (0L to 8L).map(i => out(i).getDouble(2))
+    val mu = dists0.sum / dists0.size
+    val sd = math.sqrt(dists0.map(d => (d - mu) * (d - mu)).sum / dists0.size)
+    assert(math.abs(out(8L).getDouble(3) -
+      BigDecimal((d8 - mu) / sd).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // determinism: a second run reproduces every rounded value
+    val again = Ann.embedOutliers(emb, dim = 4, zThresh = 2.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((0L until 16L).filter(_ != 9L).forall(i =>
+      again(i).getDouble(3) === out(i).getDouble(3)))
+  }
 }
