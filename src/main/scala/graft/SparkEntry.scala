@@ -104,6 +104,7 @@ object SparkEntry {
     "text_boilerplate" -> (SpanDedup.removeBoilerplateQ _),
     "sketch_distinct" -> (Sketches.sketchDistinctQ _),
     "sketch_quantiles" -> (Sketches.sketchQuantilesQ _),
+    "sketch_topk" -> (Sketches.sketchTopkQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),

@@ -114,4 +114,59 @@ object Sketches {
     * token-count percentiles through the mergeable KLL table. */
   def sketchQuantilesQ(spark: SparkSession, dir: String): DataFrame =
     quantileRollupByLang(quantileSketchTable(Tables.documents(spark, dir)))
+
+  // --- Frequent-items (heavy hitters) sketches ---
+
+  /** Mergeable HEAVY-HITTERS sketch table — the frequent-items member of
+    * the trio (HLL distinct, KLL quantiles, and this): per (lang,
+    * source), a DataSketches frequent-items sketch of whitespace tokens
+    * plus exact token counts. The dashboard it serves is the
+    * vocabulary/boilerplate report ("which tokens dominate this
+    * stratum") that drives stopword and template detection. Same
+    * warehouse shape: the corpus aggregates ONCE at the finest grain;
+    * every coarser rollup merges few-KB sketch rows. `maxItems` bounds
+    * sketch memory; items with true count ≥ N/maxItems are guaranteed
+    * tracked (the Misra-Gries bound), and when a stratum's distinct
+    * count stays under maxItems the counts are EXACT — SketchesSpec pins
+    * that regime against a plain groupBy count. */
+  def topkSketchTable(docs: DataFrame, maxItems: Int = 1024): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(call_function("approx_top_k_accumulate", col("tok"), lit(maxItems))
+        .as("sketch"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Per-lang top-k tokens by sketch MERGE (corpus not re-read), exploded
+    * to (lang, token, est_count, n_tokens) rows. */
+  def topkRollupByLang(sketchTbl: DataFrame, k: Int = 20): DataFrame =
+    sketchTbl
+      .groupBy(col("lang"))
+      .agg(call_function("approx_top_k_combine", col("sketch")).as("sk"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_tokens"),
+        explode(call_function("approx_top_k_estimate", col("sk"), lit(k)))
+          .as("e"))
+      .select(col("lang"), col("e.item").as("token"),
+        col("e.count").as("est_count"), col("n_tokens"))
+
+  /** One-pass per-lang top-k straight off the corpus — the equality
+    * partner for the rollup in SketchesSpec. */
+  def topkDirectByLang(docs: DataFrame, k: Int = 20,
+                       maxItems: Int = 1024): DataFrame =
+    docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(call_function("approx_top_k", col("tok"), lit(k), lit(maxItems))
+        .as("top"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("lang"), col("n_tokens"), explode(col("top")).as("e"))
+      .select(col("lang"), col("e.item").as("token"),
+        col("e.count").as("est_count"), col("n_tokens"))
+
+  /** Driver entry (rows-only: estimates have no DuckDB twin): per-lang
+    * heavy-hitter tokens through the mergeable sketch table. */
+  def sketchTopkQ(spark: SparkSession, dir: String): DataFrame =
+    topkRollupByLang(topkSketchTable(Tables.documents(spark, dir)))
 }

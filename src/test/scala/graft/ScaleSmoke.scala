@@ -51,6 +51,10 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save())
     t("text_perplexity 50k docs")(graft.llm.TextOps.textPerplexity(docs10)
       .write.format("noop").mode("overwrite").save())
+    t("text_gopher 50k docs")(graft.llm.TextOps.textGopher(docs10, minWords = 8, minStop = 1)
+      .write.format("noop").mode("overwrite").save())
+    t("embed_outliers 20k vecs")(Ann.embedOutliers(emb10)
+      .write.format("noop").mode("overwrite").save())
     t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)
       .write.format("noop").mode("overwrite").save())
     t("sketch tables 50k docs") {

@@ -75,6 +75,36 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     rankErrOk(d, merged, 0.03)
   }
 
+  // --- frequent-items (heavy hitters) table ---
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("top-k rollup == direct == exact counts when vocab fits the sketch") {
+    val d = Tables.documents(spark, sfDir)
+    // k beyond the synthetic vocabulary (~40 words): every token returns,
+    // no tie-at-boundary ambiguity, and under maxItems the frequent-items
+    // counts are EXACT — all three paths must agree precisely
+    val k = 64
+    val viaTable = topk(Sketches.topkRollupByLang(Sketches.topkSketchTable(d), k))
+    val direct = topk(Sketches.topkDirectByLang(d, k))
+    assert(viaTable === direct,
+      "combine-of-fine-sketches must equal the direct coarse sketch")
+    val exact = d.select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("lang", "tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaTable === exact, "under-maxItems sketch counts must be exact")
+  }
+
+  test("incrementally-built top-k tables merge to the same rollup") {
+    val d = Tables.documents(spark, sfDir)
+    val day1 = Sketches.topkSketchTable(d.filter(col("doc_id") % 2 === 0))
+    val day2 = Sketches.topkSketchTable(d.filter(col("doc_id") % 2 === 1))
+    val merged = topk(Sketches.topkRollupByLang(day1.unionByName(day2), 64))
+    assert(merged === topk(Sketches.topkDirectByLang(d, 64)))
+  }
+
   test("estimates land within 5% of exact distinct counts") {
     val d = Tables.documents(spark, sfDir)
     val exact = d.groupBy(col("lang"))

@@ -20,7 +20,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video",
       "dedup_incremental_minhash", "dedup_embed_incremental",
-      "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles"),
+      "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
+      "sketch_topk"),
       s"unexpected rows-only entries: $rowsOnly")
   }
 }
