@@ -154,6 +154,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"chunk text on the shuffle wire: $keys")
   }
 
+  test("text_gopher is one shuffle-free codegen'd projection of the scan") {
+    val p = planString(
+      graft.llm.TextOps.textGopher(Tables.documents(spark, sfDir)))
+    // (the HOF-heavy projection is a plain Project — array filter/
+    // aggregate lambdas are CodegenFallback — but it stays one map-side
+    // pass; the scale properties are no-shuffle and pruning)
+    assert(!p.contains("Exchange"), "gopher rules must not shuffle")
+    // column pruning: only (doc_id, text) may be read
+    val readSchemas = "ReadSchema: struct<([^>]*)>?".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(_.split(",").length <= 2),
+      s"gopher scan reads more than (doc_id, text): $readSchemas")
+  }
+
+  test("embed_outliers: both stat frames broadcast back, no wide shuffle of vectors") {
+    val p = planString(
+      graft.llm.Ann.embedOutliers(Tables.embeddings(spark, sfDir)))
+    // the only exchanges allowed are the two small aggs' (centroids,
+    // per-label stats); the corpus-side joins must be broadcasts
+    assert(p.contains("BroadcastHashJoin"), "stats must join back as broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "vector frame shuffled into a sort-merge join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), "loop join in plan")
+  }
+
   test("merge snapshot read prunes partitions by bucket") {
     val sink = new graft.sinks.WarehouseSink(tmpDir("plan_merge_"))
     val flat = graft.cdc.Cdc.flatten(Tables.events(spark, sfDir))
