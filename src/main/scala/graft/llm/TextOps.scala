@@ -80,9 +80,11 @@ object TextOps {
     * of the family this is a pure per-row projection of codegen'd
     * built-ins — no UDFs, no shuffle; at 100 TB it fuses into the parquet
     * scan reading only (doc_id, text). */
-  def textGopher(docs: DataFrame,
-                 minWords: Long = 50, maxWords: Long = 100000,
-                 minStop: Int = 2): DataFrame = {
+  private final case class GopherCols(nWords: Column, meanLen: Column,
+    symbolRatio: Column, bulletRatio: Column, ellipsisRatio: Column,
+    alphaRatio: Column, nStop: Column)
+
+  private def gopherCols: GopherCols = {
     val toks = tokens(col("text"))
     val nWords = size(toks).cast("bigint")
     val sumLen = aggregate(transform(toks, t => length(t)), lit(0),
@@ -99,27 +101,45 @@ object TextOps {
     val nStop = GopherStopwords
       .map(s => when(array_contains(toks, s), 1).otherwise(0))
       .reduce(_ + _).cast("bigint")
-    val meanLen = sumLen / nWords.cast("double")
-    val symbolRatio = nSymbols / nWords.cast("double")
-    val bulletRatio = nBullet / greatest(nLines, lit(1.0))
-    val ellipsisRatio = nEllipsis / greatest(nLines, lit(1.0))
-    val alphaRatio = nAlpha / nWords.cast("double")
+    GopherCols(
+      nWords,
+      sumLen / nWords.cast("double"),
+      nSymbols / nWords.cast("double"),
+      nBullet / greatest(nLines, lit(1.0)),
+      nEllipsis / greatest(nLines, lit(1.0)),
+      nAlpha / nWords.cast("double"),
+      nStop)
+  }
+
+  /** The hard pass/fail predicate behind [[textGopher]], reusable by any
+    * pipeline stage that only needs the gate (e.g. the streaming quality
+    * monitor) — same reusable-Column pattern as [[sampleKeep]]. */
+  def gopherPassCol(minWords: Long = 50, maxWords: Long = 100000,
+                    minStop: Int = 2): Column = {
+    val g = gopherCols
+    g.nWords.between(minWords, maxWords) &&
+      g.meanLen.between(3.0, 10.0) &&
+      g.symbolRatio < 0.1 &&
+      g.bulletRatio < 0.9 &&
+      g.ellipsisRatio < 0.3 &&
+      g.alphaRatio > 0.8 &&
+      g.nStop >= minStop
+  }
+
+  def textGopher(docs: DataFrame,
+                 minWords: Long = 50, maxWords: Long = 100000,
+                 minStop: Int = 2): DataFrame = {
+    val g = gopherCols
     docs.select(
       col("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      bulletRatio.as("bullet_ratio"),
-      ellipsisRatio.as("ellipsis_ratio"),
-      alphaRatio.as("alpha_word_ratio"),
-      nStop.as("n_stop_present"),
-      (nWords.between(minWords, maxWords) &&
-        meanLen.between(3.0, 10.0) &&
-        symbolRatio < 0.1 &&
-        bulletRatio < 0.9 &&
-        ellipsisRatio < 0.3 &&
-        alphaRatio > 0.8 &&
-        nStop >= minStop).as("gopher_pass"))
+      g.nWords.as("n_words"),
+      g.meanLen.as("mean_word_len"),
+      g.symbolRatio.as("symbol_ratio"),
+      g.bulletRatio.as("bullet_ratio"),
+      g.ellipsisRatio.as("ellipsis_ratio"),
+      g.alphaRatio.as("alpha_word_ratio"),
+      g.nStop.as("n_stop_present"),
+      gopherPassCol(minWords, maxWords, minStop).as("gopher_pass"))
   }
 
   /** Marker-token sets per language for the n-gram/stopword language-ID

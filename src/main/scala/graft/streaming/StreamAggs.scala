@@ -49,6 +49,36 @@ object StreamAggs {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
+  /** Windowed corpus-quality monitor: per (window, source) document
+    * counts, Gopher-gate pass counts and the pass RATE over a streaming
+    * document feed — the live health dashboard of an ingest pipeline
+    * (a sudden pass-rate drop on one source is the first symptom of a
+    * scraper regression or an upstream format change).
+    *
+    * The gate is [[graft.llm.TextOps.gopherPassCol]] evaluated map-side
+    * on each micro-batch; the only stateful operator is the canonical
+    * watermarked windowed aggregation (state keyed by (window, source),
+    * bounded by the watermark). Works identically on batch frames —
+    * same plan minus the watermark — which is what the equality spec
+    * pins. */
+  def qualityMonitor(docs: DataFrame, tsCol: String = "ingest_ts",
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours",
+                     minWords: Long = 50, maxWords: Long = 100000,
+                     minStop: Int = 2): DataFrame = {
+    val passed = when(
+      graft.llm.TextOps.gopherPassCol(minWords, maxWords, minStop), 1L)
+      .otherwise(0L)
+    val src = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+              else docs
+    src
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(passed).as("n_pass"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

@@ -34,6 +34,39 @@ class StreamAggsSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming quality monitor equals the batch monitor and textGopher") {
+    // documents with a synthetic deterministic ingest timestamp spread
+    // over 6 hours, split into two micro-batch files at the 3h mark
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ingest_ts",
+        (lit(1704067200L) + col("doc_id") % 21600).cast("timestamp"))
+      .select("doc_id", "text", "source", "ingest_ts")
+    val inputDir = tmpDir("qmon_in_")
+    docs.filter(col("doc_id") % 21600 < 10800).coalesce(1)
+      .write.parquet(s"$inputDir/f0")
+    docs.filter(col("doc_id") % 21600 >= 10800).coalesce(1)
+      .write.parquet(s"$inputDir/f1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = StreamAggs.qualityMonitor(stream, minWords = 8, minStop = 1)
+      .writeStream.format("memory").queryName("qmon")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("qmon_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("qmon")
+    val want = StreamAggs.qualityMonitor(docs, minWords = 8, minStop = 1)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the monitor's totals agree with the batch textGopher gate
+    val passTotal = graft.llm.TextOps
+      .textGopher(docs, minWords = 8, minStop = 1)
+      .filter(col("gopher_pass")).count()
+    import spark.implicits._
+    assert(got.agg(sum("n_pass")).as[Long].head() === passTotal)
+  }
+
   test("batch sessionization matches the window-based session counts") {
     import spark.implicits._
     implicit val s = spark
