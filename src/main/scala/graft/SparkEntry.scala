@@ -83,6 +83,7 @@ object SparkEntry {
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
+    "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
@@ -870,6 +871,23 @@ object SparkEntry {
          |SELECT sh, count(*) AS n_occurrences
          |FROM sh GROUP BY 1
          |ORDER BY n_occurrences DESC, sh ASC
+         |LIMIT 100""".stripMargin,
+    // BPE pair stats: pairs explode from the VOCAB CTE, mirroring the
+    // Spark plan; sum(freq) casts back to BIGINT (DuckDB sums to HUGEINT,
+    // which pandas would render as float and break the hash compare)
+    "corpus_bpe_pairs" ->
+      s"""WITH vocab AS (
+         |  SELECT tok AS w, count(*) AS freq
+         |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT p.pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+         |  FROM vocab, unnest(list_transform(range(1, len(w)),
+         |    i -> substr(w, i, 2))) AS p(pair)
+         |  WHERE len(w) >= 2
+         |  GROUP BY 1)
+         |SELECT pair, n_occurrences FROM pairs
+         |ORDER BY n_occurrences DESC, pair ASC
          |LIMIT 100""".stripMargin,
     // sequence packing: the oracle computes the SAME concatenated-stream
     // layout with one global window cumsum (fine at sf0.01; the Spark side

@@ -526,6 +526,37 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("sh").asc)
       .limit(k)
 
+  /** First-iteration BPE merge-pair statistics: corpus-wide counts of
+    * adjacent character pairs WITHIN words, ranked — the pair-counting
+    * step a tokenizer-training run executes over the whole corpus before
+    * its first merge (Sennrich et al. 2016). Pairs are intra-word only
+    * (the classic word-boundary-respecting formulation).
+    *
+    * Scale shape — the decisive trick is that pairs explode from the
+    * VOCABULARY, not the corpus: one map-side-combined hash agg reduces
+    * the corpus to (word, freq) — vocab-sized, millions of rows at
+    * 100 TB — and the quadratic-ish pair generation then runs over that
+    * small frame with each pair weighted by its word's frequency.
+    * Exploding pairs per token OCCURRENCE would shuffle ~|corpus tokens|
+    * rows; this shuffles |vocab| + |pair vocab|. Top-k is a TakeOrdered
+    * (per-partition heaps) with the deterministic (count desc, pair asc)
+    * order, like [[textNgramTopK]]. */
+  def corpusBpePairs(docs: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  def corpusBpePairsQ(spark: SparkSession, dir: String): DataFrame =
+    corpusBpePairs(Tables.documents(spark, dir))
+
   // --- SparkEntry wiring ---
   def textTokensQ(spark: SparkSession, dir: String): DataFrame =
     textTokens(Tables.documents(spark, dir))

@@ -805,6 +805,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r9.getDouble(4) === 0.0 && r9.getDouble(5) === 0.0)
   }
 
+  test("corpus_bpe_pairs: vocab-weighted intra-word pair counts, ranked") {
+    import spark.implicits._
+    // vocab: ab×3 (pairs: ab×3), abc×1 (ab, bc), aaa×1 (aa, aa), x×2 (none)
+    val d = docs((1L, "ab ab x"), (2L, "ab abc x"), (3L, "aaa"))
+    val out = TextOps.corpusBpePairs(d)
+      .as[(String, Long)].collect()
+    // expected: ab=4 (3 from 'ab' + 1 from 'abc'), aa=2 (both from 'aaa'),
+    // bc=1; single-char words contribute nothing; rank by count then pair
+    assert(out === Array(("ab", 4L), ("aa", 2L), ("bc", 1L)))
+    // the k cutoff keeps the most frequent pairs
+    assert(TextOps.corpusBpePairs(d, k = 1).as[(String, Long)].collect()
+      === Array(("ab", 4L)))
+  }
+
   test("embed_outliers flags the planted far vector, z-math checks out") {
     import spark.implicits._
     // label 0: eight unit-ish vectors + one planted far point; label 1:
