@@ -113,6 +113,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
+    "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),

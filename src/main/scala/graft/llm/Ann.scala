@@ -947,6 +947,169 @@ object Ann {
       spark, sink)
   }
 
+  // --- Persisted IVF-PQ index: the ANN serve path ---
+  // Seventh member of the store family, and the one that models a vector
+  // database's SERVING side: [[annIvfPqTopK]] trains and searches in one
+  // job, which is the benchmark/bootstrap shape — a deployment trains
+  // ONCE, persists the index, and answers every later query batch from
+  // it. Three tables: `<table>_coarse` (nlist × dim doubles) and
+  // `<table>_codebooks` (m × ksub × dsub doubles) freeze the quantizers;
+  // `<table>` holds one (vec_id, cid, codes) row per corpus vector —
+  // ~m bytes of codes plus the id, the PQ compression that makes a
+  // 100 TB corpus's index fit a warehouse table — bucket-partitioned by
+  // hash(cid) so a probe reads ONLY the nprobe cells it lands in.
+
+  /** Build (or, with `append = true`, extend) the persisted IVF-PQ
+    * index. On append the stored quantizers keep encoding — a daily
+    * vector batch neither retrains nor re-reads the corpus. */
+  def buildIvfPqIndex(embeddings: DataFrame,
+                      sink: graft.sinks.WarehouseSink,
+                      table: String = "ivfpq",
+                      nlist: Int = 16, m: Int = 16, ksub: Int = 16,
+                      iters: Int = 2, trainCap: Long = 4096L,
+                      numBuckets: Int = 32,
+                      append: Boolean = false): Unit = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = unitVecs(embeddings).persist()
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    import spark.implicits._
+    val (coarse, cents) =
+      if (append && sink.tableExists(s"${table}_coarse")) {
+        (readCoarse(spark, sink, table), readCodebooks(spark, sink, table))
+      } else {
+        val corpusN = vecs.count()
+        val train =
+          if (corpusN <= trainCap) vecs
+          else vecs.filter(pmod(xxhash64(col("vec_id")),
+            lit(math.max(1L, corpusN / trainCap))) === 0)
+        val co = trainCoarse(train, nlist, iters)
+        val ce = trainSubCodebooks(
+          residuals(vecs, co).join(train.select("vec_id"), "vec_id"),
+          m, dsub, ksub, iters)
+        sink.write(
+          co.zipWithIndex.map { case (v, j) => (j, v.toSeq) }
+            .toDF("cid", "v").withColumn("part_bucket", lit(0)),
+          s"${table}_coarse", "part_bucket", Seq("cid"),
+          writeDisposition = graft.sinks.WriteDisposition.WriteTruncate)
+        sink.write(
+          ce.zipWithIndex.flatMap { case (cb, j) =>
+            cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+          }.toSeq.toDF("j", "c", "v").withColumn("part_bucket", lit(0)),
+          s"${table}_codebooks", "part_bucket", Seq("j"),
+          writeDisposition = graft.sinks.WriteDisposition.WriteTruncate)
+        (co, ce)
+      }
+    val encoded = residuals(vecs, coarse)
+      .select(col("vec_id"), col("cid"), pqCodesCol(cents, dsub).as("codes"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("cid"), numBuckets))
+    sink.write(encoded, table, "part_bucket", Seq("cid"),
+      writeDisposition =
+        if (append) graft.sinks.WriteDisposition.WriteAppend
+        else graft.sinks.WriteDisposition.WriteTruncate)
+    vecs.unpersist()
+  }
+
+  /** Residual frame (vec_id, cid, v − c_cid) under a fixed coarse
+    * quantizer — the encode-side geometry [[annIvfPqTopK]] and the
+    * persisted index share. */
+  private def residuals(vecs: DataFrame,
+                        coarse: Seq[Array[Double]]): DataFrame = {
+    val coarseLit = typedlit(coarse.map(_.toSeq))
+    vecs
+      .withColumn("cid", graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), coarse.flatten.toIndexedSeq, coarse.size))
+      .withColumn("cv", element_at(coarseLit, col("cid") + 1))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+  }
+
+  private def readCoarse(spark: SparkSession, sink: graft.sinks.WarehouseSink,
+                         table: String): Seq[Array[Double]] =
+    sink.read(spark, s"${table}_coarse")
+      .select("cid", "v").orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  private def readCodebooks(spark: SparkSession,
+                            sink: graft.sinks.WarehouseSink,
+                            table: String): Array[Array[Array[Double]]] =
+    sink.read(spark, s"${table}_codebooks")
+      .select("j", "c", "v").orderBy("j", "c").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+      .toArray
+
+  /** Top-k ANN for a QUERY batch against the persisted index: stored
+    * quantizers collect to the driver (KBs), per-query probe rows and
+    * residual LUTs broadcast, and the code table is read ONLY in the
+    * buckets of probed cells (PartitionFilters — the point of the
+    * layout). Scores are `q·c_cid + Σ_j lut[code_j]`, the ADC
+    * approximation; ranking is ADC-only because codes are ALL the index
+    * stores — the compression-for-recall trade a code-only deployment
+    * makes (raise nprobe to buy recall; PqProfile measures the curve).
+    * Deterministic: (ascore desc, vec_id) global order per query. */
+  def annIvfPqIndexTopK(queries: DataFrame, spark: SparkSession,
+                        sink: graft.sinks.WarehouseSink,
+                        table: String = "ivfpq",
+                        k: Int = 10, nprobe: Int = 4,
+                        numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val coarse = readCoarse(spark, sink, table)
+    val cents = readCodebooks(spark, sink, table)
+    val m = cents.length
+    val kEff = cents(0).length
+    val dsub = cents(0)(0).length
+    val queryVecs = unitVecs(queries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      coarse.zipWithIndex
+        .map { case (c, j) =>
+          val qdotc = qv.zip(c).map { case (a, b) => a * b }.sum
+          (j, qdotc, qdotc - c.map(x => x * x).sum / 2)
+        }
+        .sortBy { case (j, _, s) => (-s, j) }.take(nprobe)
+        .map { case (j, qdotc, _) => (qid, j, qdotc) }
+    }.toSeq
+    val luts = queryVecs.map { case (qid, qv) =>
+      (qid, pqLut(qv, cents, dsub))
+    }.toSeq
+    import spark.implicits._
+    // bucket pruning: probed cids → their partitions, driver-side
+    val touched = probes.map(_._2).distinct.toDF("cid")
+      .withColumn("pb",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("cid"), numBuckets))
+      .select("pb").distinct().collect().map(_.getInt(0))
+    val store = sink.read(spark, table)
+      .filter(col("part_bucket").isin(touched.toIndexedSeq.map(t => lit(t)): _*))
+    val probeDf = broadcast(probes.toDF("query_id", "cid", "qdotc"))
+    val lutDf = broadcast(luts.toDF("query_id", "lut"))
+    val ascore = col("qdotc") + pqAdcScore(m, kEff)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    store
+      .join(probeDf, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(lutDf, "query_id")
+      .select(col("query_id"), col("vec_id"), ascore.as("ascore"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  /** Driver query (rows-only; LlmOpsSpec pins recall vs brute force,
+    * determinism, and the pruned read): index the corpus once per
+    * session, probe with the first 10 vectors. */
+  def annIvfPqIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val sink = graft.state.SessionStores.warehouse("ivfpqindex", dir)(s =>
+      buildIvfPqIndex(emb, s))
+    annIvfPqIndexTopK(emb.filter(col("vec_id") < 10), spark, sink)
+  }
+
   // --- Incremental embedding dedup against a persisted LSH store ---
 
   /** Build (or, with `append = true`, extend) the vector LSH store: one

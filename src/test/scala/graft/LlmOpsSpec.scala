@@ -539,6 +539,44 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(fullRecall >= recall, s"full-probe $fullRecall < pruned $recall")
   }
 
+  test("persisted IVF-PQ index: probe recall, determinism, pruned read, append") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("ivfpq_idx_"))
+    Ann.buildIvfPqIndex(emb, sink, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
+    val probe = Ann.annIvfPqIndexTopK(queries, spark, sink, k = 5, nprobe = 3)
+    val recall = probe.select("query_id", "vec_id")
+      .intersect(brute).count().toDouble / brute.count()
+    // ADC-only ranking (no exact refine — codes are all the index holds),
+    // so the bound sits under the refined annIvfPqTopK's
+    assert(recall >= 0.4, s"index probe recall $recall too low")
+    // determinism: probing the same store twice is identical
+    val again = Ann.annIvfPqIndexTopK(queries, spark, sink, k = 5, nprobe = 3)
+    assert(probe.exceptAll(again).isEmpty && again.exceptAll(probe).isEmpty)
+    // the code-table read is partition-pruned to probed cells' buckets
+    val plan = Ann.annIvfPqIndexTopK(queries, spark, sink, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [part_bucket"),
+      "code-table read not partition-pruned")
+    // probing every cell removes the pruning loss
+    val full = Ann.annIvfPqIndexTopK(queries, spark, sink, k = 5, nprobe = 8)
+      .select("query_id", "vec_id")
+    val fullRecall = full.intersect(brute).count().toDouble / brute.count()
+    assert(fullRecall >= recall, s"full-probe $fullRecall < pruned $recall")
+    // append: the initial build's quantizers keep encoding, so a probe of
+    // the two-step store sees the whole corpus including appended rows
+    val sink2 = new graft.sinks.WarehouseSink(tmpDir("ivfpq_idx2_"))
+    Ann.buildIvfPqIndex(emb.filter(pmod(col("vec_id"), lit(10)) < 6),
+      sink2, nlist = 8)
+    Ann.buildIvfPqIndex(emb.filter(pmod(col("vec_id"), lit(10)) >= 6),
+      sink2, nlist = 8, append = true)
+    val probe2 = Ann.annIvfPqIndexTopK(queries, spark, sink2, k = 5, nprobe = 8)
+    assert(probe2.select(countDistinct(col("query_id"))).head().getLong(0) === 5)
+    assert(probe2.filter(pmod(col("vec_id"), lit(10)) >= 6).count() > 0,
+      "appended vectors never surfaced in the probe")
+  }
+
   test("text tokens: bpe token count splits finer than whitespace") {
     import spark.implicits._
     val d = docs((1L, "hello, world! x2"))

@@ -53,6 +53,8 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save())
     t("text_gopher 50k docs")(graft.llm.TextOps.textGopher(docs10, minWords = 8, minStop = 1)
       .write.format("noop").mode("overwrite").save())
+    t("corpus_bpe_pairs 50k docs")(graft.llm.TextOps.corpusBpePairs(docs10)
+      .write.format("noop").mode("overwrite").save())
     t("embed_outliers 20k vecs")(Ann.embedOutliers(emb10)
       .write.format("noop").mode("overwrite").save())
     t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)

@@ -15,7 +15,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
     assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-      "ann_ivfpq_topk", "dedup_minhash",
+      "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
       "dedup_simhash", "dedup_embed", "dedup_semantic",
       "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video",
