@@ -96,6 +96,13 @@ object ScaleSmoke {
     t("incremental minhash probe 20k docs")(Dedup.dedupIncrementalMinhash(
       docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, mhSink)
       .write.format("noop").mode("overwrite").save())
+    // persisted IVF-PQ index at 10×: build once, probe-only serve path
+    val pqSink = new WarehouseSink(
+      java.nio.file.Files.createTempDirectory("scale_ivfpq_").toString)
+    t("ivfpq index build 20k vecs")(Ann.buildIvfPqIndex(emb10, pqSink))
+    t("ivfpq index probe 10 queries")(Ann.annIvfPqIndexTopK(
+      emb10.filter(col("vec_id") < 10), spark, pqSink)
+      .write.format("noop").mode("overwrite").save())
     // semantic cell store at 10×: nlist scaled with the corpus (160)
     val semSink = new WarehouseSink(
       java.nio.file.Files.createTempDirectory("scale_sem_").toString)
