@@ -114,6 +114,7 @@ object SparkEntry {
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
     "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),
+    "embed_project" -> (Ann.embedProjectQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
@@ -1056,6 +1057,23 @@ object SparkEntry {
         |JOIN norms nq ON d.query_id = nq.vec_id
         |JOIN norms nc ON d.vec_id = nc.vec_id
         |WHERE dt / (nq.nrm * nc.nrm) >= 0.3""".stripMargin,
+    // the projection's ±1 sign constants come from the SAME Scala function
+    // the Spark plan uses (Ann.projectSign), and each output coordinate is
+    // an EXPLICIT left-associated 64-term chain in ascending i — identical
+    // summation order on both engines, so the doubles are bit-equal and
+    // need no rounding
+    "embed_project" -> {
+      val dim = 64; val outDim = 16
+      val scale = 1.0 / math.sqrt(outDim.toDouble)
+      val rows = (0 until outDim).map { j =>
+        val chain = (0 until dim).map { i =>
+          val s = if (Ann.projectSign(j * dim + i) > 0) "+" else "-"
+          s"$s CAST(embedding[${i + 1}] AS DOUBLE)"
+        }.mkString(" ").stripPrefix("+ ")
+        s"SELECT vec_id, ${j + 1} AS j, ($chain) * $scale AS value FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      rows
+    },
     // distances and z-scores rounded to 4 decimals on BOTH engines before
     // any comparison/threshold (the textPerplexity float rule); the flag
     // thresholds the rounded z at 2.0 like Ann.embedOutliers

@@ -103,6 +103,47 @@ object Ann {
       .select(col("query_id"), col("vec_id"))
   }
 
+  /** Sign of term (j, i) of [[embedProject]]'s projection matrix: the
+    * Knuth-mix parity of the flat index — deterministic, engine-free
+    * integer arithmetic (the [[graft.llm.TextOps.sampleBucket]] trick),
+    * so the SparkEntry oracle can interpolate the SAME constants into
+    * its SQL. */
+  def projectSign(flat: Int): Double =
+    if ((((flat.toLong * 2654435761L) >> 16) & 1L) == 1L) 1.0 else -1.0
+
+  /** Deterministic sparse random projection (Achlioptas 2003 — the
+    * database-friendly Johnson-Lindenstrauss transform): each output
+    * coordinate is `(1/√outDim) Σ_i sign(j,i)·v_i` with ±1 signs from
+    * [[projectSign]]. The standard dimensionality step BEFORE banding /
+    * bucketing at 100 TB: distances are preserved within the JL bound
+    * while LSH/ANN costs drop with the dimension.
+    *
+    * Scale shape: the signs are PLAN-TIME literals, so the whole
+    * projection is one codegen'd per-row fold — no matrix broadcast, no
+    * shuffle, fused into the scan. Output rows (vec_id, j, value) with
+    * a FIXED ascending-i summation order, so the oracle's identical
+    * chain is bit-equal, not approximately equal. */
+  def embedProject(embeddings: DataFrame, dim: Int = 64,
+                   outDim: Int = 16): DataFrame = {
+    val v = vecAsDouble(col("embedding"))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val proj = array((0 until outDim).map { j =>
+      (0 until dim)
+        .map(i => element_at(v, i + 1) * lit(projectSign(j * dim + i)))
+        .reduce(_ + _) * lit(scale)
+    }: _*)
+    // the projection computes in its OWN select: an expression sharing a
+    // select with a generator re-evaluates once per exploded row (the
+    // post-Generate trap, measured 16x on IVF — trainCoarse scaladoc)
+    embeddings
+      .select(col("vec_id"), proj.as("pv"))
+      .select(col("vec_id"), posexplode(col("pv")).as(Seq("p", "value")))
+      .select(col("vec_id"), (col("p") + 1).as("j"), col("value"))
+  }
+
+  def embedProjectQ(spark: SparkSession, dir: String): DataFrame =
+    embedProject(Tables.embeddings(spark, dir))
+
   /** Embedding-space outlier report per label: Euclidean distance to the
     * label's centroid, its within-label z-score, and an outlier flag —
     * the standard mislabeled/noisy-example screen over a labeled

@@ -539,6 +539,46 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(fullRecall >= recall, s"full-probe $fullRecall < pruned $recall")
   }
 
+  test("embed_project: exact per-term math, determinism, JL distance preservation") {
+    import spark.implicits._
+    // exact: hand-fold a 4-dim vector through the same sign function and
+    // the same left-associated order — bit-equality, not tolerance
+    val vec = Array(1.0f, 2.0f, -3.0f, 0.5f)
+    val one = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val got = Ann.embedProject(one, dim = 4, outDim = 2)
+      .orderBy("j").collect().map(_.getDouble(2))
+    val want = (0 until 2).map { j =>
+      (0 until 4).map(i => vec(i).toDouble * Ann.projectSign(j * 4 + i))
+        .reduce(_ + _) * (1.0 / math.sqrt(2.0))
+    }
+    assert(got.toSeq === want)
+    // JL on the real embeddings: projected pairwise distances stay within
+    // a loose band of the originals (k=16 is a coarse sketch; the point
+    // is order-of-magnitude preservation for downstream LSH banding)
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 20)
+    val orig = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = Ann.embedProject(emb).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- orig.keys.toSeq; k <- orig.keys.toSeq if i < k
+    } yield d2(proj(i).toArray, proj(k).toArray) / d2(orig(i), orig(k))
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.5 && median < 2.0, s"JL median ratio $median off")
+    // k=16 makes the JL ε bound loose (ε ≈ √(8·ln n/k) > 1), so the tail
+    // is only sanity-checked: ratios are positive/finite and the bulk
+    // concentrates (observed min ~0.05 on the near-duplicate pairs whose
+    // small distances distort proportionally most)
+    assert(ratios.forall(r => r > 0.0 && !r.isInfinite),
+      "degenerate JL ratio")
+    val inBand = ratios.count(r => r > 0.25 && r < 4.0).toDouble / ratios.size
+    assert(inBand >= 0.6, s"only ${inBand * 100}%% of JL ratios in [0.25, 4]")
+  }
+
   test("persisted IVF-PQ index: probe recall, determinism, pruned read, append") {
     val emb = Tables.embeddings(spark, sfDir)
     val sink = new graft.sinks.WarehouseSink(tmpDir("ivfpq_idx_"))
