@@ -57,6 +57,8 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save())
     t("embed_outliers 20k vecs")(Ann.embedOutliers(emb10)
       .write.format("noop").mode("overwrite").save())
+    t("embed_project 20k vecs")(Ann.embedProject(emb10)
+      .write.format("noop").mode("overwrite").save())
     t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)
       .write.format("noop").mode("overwrite").save())
     t("sketch tables 50k docs") {
