@@ -1091,8 +1091,11 @@ object SparkEntry {
         |st AS (SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sd
         |  FROM dist GROUP BY 1)
         |SELECT dist.vec_id, dist.label, dist.dist,
-        |  round((dist.dist - st.mu) / st.sd, 4) AS z,
-        |  round((dist.dist - st.mu) / st.sd, 4) >= 2.0 AS is_outlier
+        |  CASE WHEN st.sd = 0 THEN 0.0
+        |       ELSE round((dist.dist - st.mu) / st.sd, 4) END AS z,
+        |  CASE WHEN st.sd = 0 THEN 0.0
+        |       ELSE round((dist.dist - st.mu) / st.sd, 4) END >= 2.0
+        |    AS is_outlier
         |FROM dist JOIN st ON dist.label = st.label""".stripMargin
   )
 

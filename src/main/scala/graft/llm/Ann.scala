@@ -181,7 +181,13 @@ object Ann {
             lit(0.0), (acc, e) => acc + e)), 4).as("dist")))
     val stats = dists.groupBy("label")
       .agg(avg("dist").as("mu"), stddev_pop(col("dist")).as("sd"))
-    val z = round((col("dist") - col("mu")) / col("sd"), 4)
+    // sd = 0 (singleton labels, 2-vector labels whose symmetric distances
+    // are bit-identical, all-duplicate labels) would make z = 0/0 = NaN —
+    // and Spark orders NaN LARGEST, so `NaN >= zThresh` is TRUE and every
+    // member of a degenerate label would flood the review queue; a label
+    // with no spread has no outliers by definition, so z pins to 0 there
+    val z = when(col("sd") === 0.0, lit(0.0))
+      .otherwise(round((col("dist") - col("mu")) / col("sd"), 4))
     dists.join(broadcast(stats), "label")
       .select(col("vec_id"), col("label"), col("dist"),
         z.as("z"), (z >= zThresh).as("is_outlier"))
@@ -673,23 +679,16 @@ object Ann {
 
     // coarse quantizer: the shared Lloyd on the training sample — only
     // (nlist × dim) centroids ever reach the driver
-    def coarseAssign(cs: Seq[Array[Double]]): Column =
-      graft.functions.VectorFunctions.centroidArgmax(
-        col("v"), cs.flatten.toIndexedSeq, cs.size)
     val coarse = trainCoarse(train, nlist, iters)
 
-    // residuals v − c_cid (the coarse table rides as ONE literal; the
-    // interpreted zip_with runs once, in the encode pass)
-    val coarseLit = typedlit(coarse.map(_.toSeq))
-    val resid = vecs
-      .withColumn("cid", coarseAssign(coarse))
-      .withColumn("cv", element_at(coarseLit, col("cid") + 1))
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    // full-corpus residuals v − c_cid for the encode pass
+    val resid = residuals(vecs, coarse)
 
-    // sub-codebooks trained on the SAMPLE's residuals
-    val cents = trainSubCodebooks(
-      resid.join(train.select("vec_id"), "vec_id"), m, dsub, ksub, iters)
+    // sub-codebooks trained on the SAMPLE's residuals — computed from
+    // the filtered train frame directly, not the full-corpus resid
+    // joined back down: each Lloyd action re-executes its input, and
+    // the joined form re-ran the corpus-wide argmax iters+1 times
+    val cents = trainSubCodebooks(residuals(train, coarse), m, dsub, ksub, iters)
     val kEff = cents(0).length
     // the persisted-deployment table: (vec_id, cid, codes) — cell id plus
     // m sub-codes per vector
@@ -1001,8 +1000,14 @@ object Ann {
   // hash(cid) so a probe reads ONLY the nprobe cells it lands in.
 
   /** Build (or, with `append = true`, extend) the persisted IVF-PQ
-    * index. On append the stored quantizers keep encoding — a daily
-    * vector batch neither retrains nor re-reads the corpus. */
+    * index. On append the STORED quantizers define the geometry — the
+    * caller's nlist/m/ksub/numBuckets are ignored (a mismatched m would
+    * slice subvectors against wrong-width centroids; a different bucket
+    * modulus would land new rows where the probe's pruning never reads) —
+    * so a daily vector batch neither retrains nor re-reads the corpus.
+    * Append contract: batches are id-disjoint (the append-only id
+    * discipline of the span store) — a replayed batch would duplicate
+    * vec_id rows and surface twice in one query's top-k. */
   def buildIvfPqIndex(embeddings: DataFrame,
                       sink: graft.sinks.WarehouseSink,
                       table: String = "ivfpq",
@@ -1014,25 +1019,30 @@ object Ann {
     graft.functions.VectorFunctions.register(spark)
     val vecs = unitVecs(embeddings).persist()
     val dim = vecs.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val dsub = dim / m
     import spark.implicits._
-    val (coarse, cents) =
-      if (append && sink.tableExists(s"${table}_coarse")) {
-        (readCoarse(spark, sink, table), readCodebooks(spark, sink, table))
+    val appending = append && sink.tableExists(s"${table}_coarse")
+    val (coarse, cents, nb) =
+      if (appending) {
+        (readCoarse(spark, sink, table), readCodebooks(spark, sink, table),
+          readIndexBuckets(spark, sink, table))
       } else {
+        require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+        val dsub = dim / m
         val corpusN = vecs.count()
         val train =
           if (corpusN <= trainCap) vecs
           else vecs.filter(pmod(xxhash64(col("vec_id")),
             lit(math.max(1L, corpusN / trainCap))) === 0)
         val co = trainCoarse(train, nlist, iters)
-        val ce = trainSubCodebooks(
-          residuals(vecs, co).join(train.select("vec_id"), "vec_id"),
-          m, dsub, ksub, iters)
+        // sub-codebooks train on the SAMPLE's residuals: residuals of the
+        // already-filtered train frame, not a full-corpus residual pass
+        // joined back down (each Lloyd action re-executes its input —
+        // over the corpus that wasted iters+1 full argmax passes)
+        val ce = trainSubCodebooks(residuals(train, co), m, dsub, ksub, iters)
         sink.write(
           co.zipWithIndex.map { case (v, j) => (j, v.toSeq) }
-            .toDF("cid", "v").withColumn("part_bucket", lit(0)),
+            .toDF("cid", "v").withColumn("nb", lit(numBuckets))
+            .withColumn("part_bucket", lit(0)),
           s"${table}_coarse", "part_bucket", Seq("cid"),
           writeDisposition = graft.sinks.WriteDisposition.WriteTruncate)
         sink.write(
@@ -1041,15 +1051,18 @@ object Ann {
           }.toSeq.toDF("j", "c", "v").withColumn("part_bucket", lit(0)),
           s"${table}_codebooks", "part_bucket", Seq("j"),
           writeDisposition = graft.sinks.WriteDisposition.WriteTruncate)
-        (co, ce)
+        (co, ce, numBuckets)
       }
+    val dsubEff = cents(0)(0).length
+    require(dim == cents.length * dsubEff,
+      s"dim $dim does not match stored codebooks ${cents.length}×$dsubEff")
     val encoded = residuals(vecs, coarse)
-      .select(col("vec_id"), col("cid"), pqCodesCol(cents, dsub).as("codes"))
+      .select(col("vec_id"), col("cid"), pqCodesCol(cents, dsubEff).as("codes"))
       .withColumn("part_bucket",
-        graft.sinks.WarehouseSink.bucketPartition(Seq("cid"), numBuckets))
+        graft.sinks.WarehouseSink.bucketPartition(Seq("cid"), nb))
     sink.write(encoded, table, "part_bucket", Seq("cid"),
       writeDisposition =
-        if (append) graft.sinks.WriteDisposition.WriteAppend
+        if (appending) graft.sinks.WriteDisposition.WriteAppend
         else graft.sinks.WriteDisposition.WriteTruncate)
     vecs.unpersist()
   }
@@ -1074,6 +1087,13 @@ object Ann {
       .select("cid", "v").orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray).toSeq
 
+  /** The bucket modulus the index was BUILT with — probes and appends
+    * must use it, not their own default, or pruning misses rows. */
+  private def readIndexBuckets(spark: SparkSession,
+                               sink: graft.sinks.WarehouseSink,
+                               table: String): Int =
+    sink.read(spark, s"${table}_coarse").select("nb").head().getInt(0)
+
   private def readCodebooks(spark: SparkSession,
                             sink: graft.sinks.WarehouseSink,
                             table: String): Array[Array[Array[Double]]] =
@@ -1095,12 +1115,12 @@ object Ann {
   def annIvfPqIndexTopK(queries: DataFrame, spark: SparkSession,
                         sink: graft.sinks.WarehouseSink,
                         table: String = "ivfpq",
-                        k: Int = 10, nprobe: Int = 4,
-                        numBuckets: Int = 32): DataFrame = {
+                        k: Int = 10, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
     val coarse = readCoarse(spark, sink, table)
     val cents = readCodebooks(spark, sink, table)
+    val numBuckets = readIndexBuckets(spark, sink, table)
     val m = cents.length
     val kEff = cents(0).length
     val dsub = cents(0)(0).length

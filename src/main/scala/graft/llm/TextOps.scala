@@ -111,12 +111,14 @@ object TextOps {
       nStop)
   }
 
-  /** The hard pass/fail predicate behind [[textGopher]], reusable by any
-    * pipeline stage that only needs the gate (e.g. the streaming quality
-    * monitor) — same reusable-Column pattern as [[sampleKeep]]. */
-  def gopherPassCol(minWords: Long = 50, maxWords: Long = 100000,
-                    minStop: Int = 2): Column = {
-    val g = gopherCols
+  /** The pass predicate over an already-built [[GopherCols]] — shared so
+    * [[textGopher]]'s projection holds ONE copy of each metric
+    * expression: the HOF lambdas (filter/transform/aggregate) carry
+    * LambdaVariables, which Spark's subexpression elimination skips, so
+    * a second structural copy of the metrics inside the predicate would
+    * genuinely tokenize and regex-scan every row twice. */
+  private def gopherPass(g: GopherCols, minWords: Long, maxWords: Long,
+                         minStop: Int): Column =
     g.nWords.between(minWords, maxWords) &&
       g.meanLen.between(3.0, 10.0) &&
       g.symbolRatio < 0.1 &&
@@ -124,12 +126,24 @@ object TextOps {
       g.ellipsisRatio < 0.3 &&
       g.alphaRatio > 0.8 &&
       g.nStop >= minStop
-  }
+
+  /** The hard pass/fail predicate behind [[textGopher]], reusable by any
+    * pipeline stage that only needs the gate (e.g. the streaming quality
+    * monitor) — same reusable-Column pattern as [[sampleKeep]]. */
+  def gopherPassCol(minWords: Long = 50, maxWords: Long = 100000,
+                    minStop: Int = 2): Column =
+    gopherPass(gopherCols, minWords, maxWords, minStop)
 
   def textGopher(docs: DataFrame,
                  minWords: Long = 50, maxWords: Long = 100000,
                  minStop: Int = 2): DataFrame = {
     val g = gopherCols
+    // metrics project ONCE; the flag then reads the NAMED columns in a
+    // second select. Re-passing the same Column trees into the predicate
+    // would plant a second structural copy of each lambda-bearing metric
+    // (no subexpression elimination, see [[gopherPass]]) — and Catalyst's
+    // CollapseProject refuses to re-inline duplicated non-cheap aliases,
+    // so the two-step form keeps exactly one evaluation per metric.
     docs.select(
       col("doc_id"),
       g.nWords.as("n_words"),
@@ -138,8 +152,12 @@ object TextOps {
       g.bulletRatio.as("bullet_ratio"),
       g.ellipsisRatio.as("ellipsis_ratio"),
       g.alphaRatio.as("alpha_word_ratio"),
-      g.nStop.as("n_stop_present"),
-      gopherPassCol(minWords, maxWords, minStop).as("gopher_pass"))
+      g.nStop.as("n_stop_present"))
+      .withColumn("gopher_pass", gopherPass(
+        GopherCols(col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+          col("alpha_word_ratio"), col("n_stop_present")),
+        minWords, maxWords, minStop))
   }
 
   /** Marker-token sets per language for the n-gram/stopword language-ID

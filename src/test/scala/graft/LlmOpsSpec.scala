@@ -929,5 +929,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert((0L until 16L).filter(_ != 9L).forall(i =>
       again(i).getDouble(3) === out(i).getDouble(3)))
+    // a 2-vector label has ZERO distance spread (the centroid is the
+    // midpoint; both distances are bit-identical), so sd = 0 and z would
+    // be 0/0 = NaN — which Spark orders LARGEST, silently flagging both
+    // ordinary vectors. z must pin to 0 and nothing gets flagged.
+    val tiny = Seq(
+      (20L, 5, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (21L, 5, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (22L, 6, Array(0.5f, 0.5f, 0.0f, 0.0f))) // singleton label
+      .toDF("vec_id", "label", "embedding")
+    val touts = Ann.embedOutliers(tiny, dim = 4).collect()
+    assert(touts.length === 3)
+    assert(touts.forall(r => !r.getBoolean(4) && r.getDouble(3) === 0.0),
+      "zero-spread labels must not flag outliers")
   }
 }
