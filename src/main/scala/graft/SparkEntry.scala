@@ -71,6 +71,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokensQ _),
     "text_quality" -> (TextOps.textQualityQ _),
     "text_gopher" -> (TextOps.textGopherQ _),
+    "corpus_quality_monitor" -> (graft.streaming.StreamAggs.corpusQualityMonitorQ _),
     "text_langid" -> (TextOps.textLangidQ _),
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
@@ -656,49 +657,25 @@ object SparkEntry {
          |  least(nt / 64.0, 1.0) * (1.0 - np / nc) AS quality_score
          |FROM m""".stripMargin,
     // minWords=8 / maxWords=100000 / n_stop >= 1 mirror textGopherQ's args
-    "text_gopher" -> {
-      val stops = TextOps.GopherStopwords
-        .map(s => s"(CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH m AS (
-         |  SELECT doc_id, $tokSql AS toks,
-         |    list_filter(str_split(text, chr(10)),
-         |      l -> len(trim(l)) > 0) AS ls,
-         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
-         |      AS n_sym
-         |  FROM documents),
-         |m2 AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-         |      AS sum_len,
-         |    greatest(CAST(len(ls) AS DOUBLE), 1.0) AS n_lines,
-         |    CAST(len(list_filter(ls,
-         |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS n_bullet,
-         |    CAST(len(list_filter(ls,
-         |      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
-         |      AS n_ell,
-         |    n_sym,
-         |    CAST(len(list_filter(toks,
-         |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) AS n_alpha,
-         |    CAST($stops AS BIGINT) AS n_stop
-         |  FROM m)
-         |SELECT doc_id, n_words,
-         |  sum_len / n_words AS mean_word_len,
-         |  n_sym / n_words AS symbol_ratio,
-         |  n_bullet / n_lines AS bullet_ratio,
-         |  n_ell / n_lines AS ellipsis_ratio,
-         |  n_alpha / n_words AS alpha_word_ratio,
-         |  n_stop AS n_stop_present,
-         |  (n_words BETWEEN 8 AND 100000
-         |   AND sum_len / n_words BETWEEN 3.0 AND 10.0
-         |   AND n_sym / n_words < 0.1
-         |   AND n_bullet / n_lines < 0.9
-         |   AND n_ell / n_lines < 0.3
-         |   AND n_alpha / n_words > 0.8
-         |   AND n_stop >= 1) AS gopher_pass
-         |FROM m2""".stripMargin
-    },
+    "text_gopher" -> gopherOracleSql,
+    // the monitor's batch form: the SAME gopher gate (embedded as a
+    // subquery — DuckDB allows WITH inside parens) rolled up per
+    // (hour window, source) over the deterministic synthetic ingest_ts
+    // the Q wrapper derives from doc_id; epoch-aligned tumbling windows
+    // == date_trunc('hour')
+    "corpus_quality_monitor" ->
+      s"""SELECT
+         |  date_trunc('hour',
+         |    make_timestamp((1704067200 + d.doc_id % 21600) * 1000000))
+         |    AS window_start,
+         |  d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS pass_rate
+         |FROM documents d JOIN ($gopherOracleSql) g ON d.doc_id = g.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "text_langid" -> {
       val scores = TextOps.LangMarkers.map { case (lang, markers) =>
         val set = markers.map(m => s"'$m'").mkString(", ")
@@ -1106,6 +1083,52 @@ object SparkEntry {
     "regexp_split_to_array(trim(lower(" + c + ")), '" + """\s""" + "+')"
   private val tokSql: String = tokSqlOf("text")
   private val punctClass: String = """[^a-zA-Z0-9\s]"""
+  /** DuckDB twin of TextOps.textGopher at the driver's minWords=8 /
+    * maxWords=100000 / minStop=1 — shared by the `text_gopher` oracle and
+    * (as a parenthesized subquery) the `corpus_quality_monitor` rollup. */
+  private def gopherOracleSql: String = {
+    val stops = TextOps.GopherStopwords
+      .map(s => s"(CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id, $tokSql AS toks,
+       |    list_filter(str_split(text, chr(10)),
+       |      l -> len(trim(l)) > 0) AS ls,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+       |      AS n_sym
+       |  FROM documents),
+       |m2 AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+       |      AS sum_len,
+       |    greatest(CAST(len(ls) AS DOUBLE), 1.0) AS n_lines,
+       |    CAST(len(list_filter(ls,
+       |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS n_bullet,
+       |    CAST(len(list_filter(ls,
+       |      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+       |      AS n_ell,
+       |    n_sym,
+       |    CAST(len(list_filter(toks,
+       |      t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) AS n_alpha,
+       |    CAST($stops AS BIGINT) AS n_stop
+       |  FROM m)
+       |SELECT doc_id, n_words,
+       |  sum_len / n_words AS mean_word_len,
+       |  n_sym / n_words AS symbol_ratio,
+       |  n_bullet / n_lines AS bullet_ratio,
+       |  n_ell / n_lines AS ellipsis_ratio,
+       |  n_alpha / n_words AS alpha_word_ratio,
+       |  n_stop AS n_stop_present,
+       |  (n_words BETWEEN 8 AND 100000
+       |   AND sum_len / n_words BETWEEN 3.0 AND 10.0
+       |   AND n_sym / n_words < 0.1
+       |   AND n_bullet / n_lines < 0.9
+       |   AND n_ell / n_lines < 0.3
+       |   AND n_alpha / n_words > 0.8
+       |   AND n_stop >= 1) AS gopher_pass
+       |FROM m2""".stripMargin
+  }
   private def stopwordsSql: String =
     TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   /** DuckDB equivalent of TextOps.scrubPii (the 'g' flag matches Spark's

@@ -79,6 +79,18 @@ object StreamAggs {
         (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
   }
 
+  /** Driver query: the BATCH form of [[qualityMonitor]] over a
+    * deterministic synthetic ingest timestamp (a 6-hour spread derived
+    * from doc_id — documents carry no event time of their own). The
+    * oracle replays the same gopher gate + hourly rollup in DuckDB;
+    * streaming == batch is StreamAggsSpec's equality. */
+  def corpusQualityMonitorQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("ingest_ts",
+        (lit(1704067200L) + col("doc_id") % 21600).cast("timestamp"))
+    qualityMonitor(docs, minWords = 8, minStop = 1)
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
