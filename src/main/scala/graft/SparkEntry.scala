@@ -1042,14 +1042,14 @@ object SparkEntry {
     "embed_project" -> {
       val dim = 64; val outDim = 16
       val scale = 1.0 / math.sqrt(outDim.toDouble)
-      val rows = (0 until outDim).map { j =>
+      val cols = (0 until outDim).map { j =>
         val chain = (0 until dim).map { i =>
           val s = if (Ann.projectSign(j * dim + i) > 0) "+" else "-"
           s"$s CAST(embedding[${i + 1}] AS DOUBLE)"
         }.mkString(" ").stripPrefix("+ ")
-        s"SELECT vec_id, ${j + 1} AS j, ($chain) * $scale AS value FROM embeddings"
-      }.mkString("\nUNION ALL\n")
-      rows
+        s"  ($chain) * $scale AS p$j"
+      }.mkString(",\n")
+      s"SELECT vec_id,\n$cols\nFROM embeddings"
     },
     // distances and z-scores rounded to 4 decimals on BOTH engines before
     // any comparison/threshold (the textPerplexity float rule); the flag

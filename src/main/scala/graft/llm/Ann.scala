@@ -119,26 +119,27 @@ object Ann {
     * while LSH/ANN costs drop with the dimension.
     *
     * Scale shape: the signs are PLAN-TIME literals, so the whole
-    * projection is one codegen'd per-row fold — no matrix broadcast, no
-    * shuffle, fused into the scan. Output rows (vec_id, j, value) with
-    * a FIXED ascending-i summation order, so the oracle's identical
-    * chain is bit-equal, not approximately equal. */
+    * projection is one codegen'd per-row pass — no matrix broadcast, no
+    * shuffle, fused into the scan. Output is WIDE — (vec_id, p0..p15),
+    * the natural shape of a projection table — not exploded rows: a
+    * posexplode of the 16-element array collapsed the 1024-term
+    * projection INTO the Generate, whose evaluation of the giant child
+    * is not codegen-fused (measured 2.3 s vs 0.37 s for the flat form at
+    * sf0.1 — ProjProfile). Each term casts ITS OWN float element to
+    * double (a whole-array cast re-materialized per term, the original
+    * 3.7 s). The per-coordinate sum has a FIXED ascending-i order, so
+    * the oracle's identical chain is bit-equal, not approximately. */
   def embedProject(embeddings: DataFrame, dim: Int = 64,
                    outDim: Int = 16): DataFrame = {
-    val v = vecAsDouble(col("embedding"))
+    def el(i: Int): Column =
+      element_at(col("embedding"), i + 1).cast("double")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val proj = array((0 until outDim).map { j =>
-      (0 until dim)
-        .map(i => element_at(v, i + 1) * lit(projectSign(j * dim + i)))
-        .reduce(_ + _) * lit(scale)
-    }: _*)
-    // the projection computes in its OWN select: an expression sharing a
-    // select with a generator re-evaluates once per exploded row (the
-    // post-Generate trap, measured 16x on IVF — trainCoarse scaladoc)
-    embeddings
-      .select(col("vec_id"), proj.as("pv"))
-      .select(col("vec_id"), posexplode(col("pv")).as(Seq("p", "value")))
-      .select(col("vec_id"), (col("p") + 1).as("j"), col("value"))
+    val cols = (0 until outDim).map { j =>
+      ((0 until dim)
+        .map(i => el(i) * lit(projectSign(j * dim + i)))
+        .reduce(_ + _) * lit(scale)).as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: cols: _*)
   }
 
   def embedProjectQ(spark: SparkSession, dir: String): DataFrame =

@@ -545,13 +545,13 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     // the same left-associated order — bit-equality, not tolerance
     val vec = Array(1.0f, 2.0f, -3.0f, 0.5f)
     val one = Seq((0L, vec)).toDF("vec_id", "embedding")
-    val got = Ann.embedProject(one, dim = 4, outDim = 2)
-      .orderBy("j").collect().map(_.getDouble(2))
+    val row = Ann.embedProject(one, dim = 4, outDim = 2).collect().head
+    val got = (1 to 2).map(row.getDouble)
     val want = (0 until 2).map { j =>
       (0 until 4).map(i => vec(i).toDouble * Ann.projectSign(j * 4 + i))
         .reduce(_ + _) * (1.0 / math.sqrt(2.0))
     }
-    assert(got.toSeq === want)
+    assert(got === want)
     // JL on the real embeddings: projected pairwise distances stay within
     // a loose band of the originals (k=16 is a coarse sketch; the point
     // is order-of-magnitude preservation for downstream LSH banding)
@@ -559,8 +559,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val orig = emb.collect().map(r => r.getLong(0) ->
       r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val proj = Ann.embedProject(emb).collect()
-      .groupBy(_.getLong(0)).view
-      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
     def d2(a: Array[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val ratios = for {
