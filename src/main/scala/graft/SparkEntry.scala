@@ -73,6 +73,7 @@ object SparkEntry {
     "text_gopher" -> (TextOps.textGopherQ _),
     "corpus_quality_monitor" -> (graft.streaming.StreamAggs.corpusQualityMonitorQ _),
     "text_langid" -> (TextOps.textLangidQ _),
+    "text_lang_confusion" -> (TextOps.textLangConfusionQ _),
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
@@ -695,6 +696,32 @@ object SparkEntry {
          |  CASE $caseChain ELSE '${langs.last}' END AS pred_lang,
          |  $greatestSql AS score
          |FROM s""".stripMargin
+    },
+    // same generated vote chain with the declared lang carried through,
+    // filtered to disagreements — mirrors TextOps.textLangConfusion's
+    // single-scan shape
+    "text_lang_confusion" -> {
+      val scores = TextOps.LangMarkers.map { case (lang, markers) =>
+        val set = markers.map(m => s"'$m'").mkString(", ")
+        s"    len(list_filter($tokSql, t -> t IN ($set))) AS score_$lang"
+      }.mkString(",\n")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val caseChain = langs.init.map { lang =>
+        val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$lang'"
+      }.mkString(" ")
+      val greatestSql = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |$scores
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang AS declared_lang,
+         |    CASE $caseChain ELSE '${langs.last}' END AS pred_lang,
+         |    $greatestSql AS score
+         |  FROM s)
+         |SELECT doc_id, declared_lang, pred_lang, score
+         |FROM p WHERE pred_lang <> declared_lang""".stripMargin
     },
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -173,11 +173,17 @@ object TextOps {
 
   /** Language ID: per-language marker-token hit count, argmax with a fixed
     * priority order (en > es > de > fr > zh) on ties — deterministic. */
-  def textLangid(docs: DataFrame): DataFrame = {
+  def textLangid(docs: DataFrame): DataFrame =
+    langidWith(docs, Nil)
+
+  /** [[textLangid]] with extra pass-through columns carried on the SAME
+    * scan (no self-join back onto the corpus). */
+  private def langidWith(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
     val scored = docs.select(
-      (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
-        size(filter(toks, t => t.isin(markers: _*))).as(s"score_$lang")
+      ((col("doc_id") +: carry.map(col)) ++ LangMarkers.map {
+        case (lang, markers) =>
+          size(filter(toks, t => t.isin(markers: _*))).as(s"score_$lang")
       }): _*
     )
     // argmax by CASE chain: first language (in declaration order) whose
@@ -190,11 +196,28 @@ object TextOps {
       when(ge, lit(lang)).otherwise(rest)
     }
     scored.select(
-      col("doc_id"),
-      pred.as("pred_lang"),
-      greatest(langs.map(l => col(s"score_$l")): _*).as("score")
+      ((col("doc_id") +: carry.map(col)) :+
+        pred.as("pred_lang") :+
+        greatest(langs.map(l => col(s"score_$l")): _*).as("score")): _*
     )
   }
+
+  /** Declared-vs-predicted language disagreement report — the text-label
+    * twin of [[graft.llm.Ann.embedOutliers]]: documents whose `lang`
+    * column disagrees with the marker-vote prediction are mislabeled,
+    * code-switched, or junk — either way the label-audit review queue of
+    * a multilingual corpus.
+    *
+    * One scan: the declared lang rides THROUGH the langid projection
+    * (`langidWith`) rather than self-joining the prediction frame back
+    * onto the corpus — at 100 TB a doc_id self-join would shuffle the
+    * corpus twice for a column it already had in hand. Pure map-side
+    * projection + filter, no shuffle at all. */
+  def textLangConfusion(docs: DataFrame): DataFrame =
+    langidWith(docs, Seq("lang"))
+      .filter(col("pred_lang") =!= col("lang"))
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        col("pred_lang"), col("score"))
 
   /** Document fingerprinting: (a) content fingerprint = md5 over the
     * sorted distinct token set (order-insensitive exact-set identity);
@@ -588,6 +611,8 @@ object TextOps {
     textGopher(Tables.documents(spark, dir), minWords = 8, minStop = 1)
   def textLangidQ(spark: SparkSession, dir: String): DataFrame =
     textLangid(Tables.documents(spark, dir))
+  def textLangConfusionQ(spark: SparkSession, dir: String): DataFrame =
+    textLangConfusion(Tables.documents(spark, dir))
   def textFingerprintQ(spark: SparkSession, dir: String): DataFrame =
     textFingerprint(Tables.documents(spark, dir))
   def textScrubQ(spark: SparkSession, dir: String): DataFrame =

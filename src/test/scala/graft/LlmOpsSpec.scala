@@ -632,6 +632,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, "es"), (2L, "en")))
   }
 
+  test("lang confusion flags only declared/predicted disagreements, one scan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the and of is a thing", "en"), // vote agrees with the label
+      (2L, "the and of is a thing", "es"), // declared es, votes en
+      (3L, "el la de y es algo", "es"))    // agrees
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.textLangConfusion(d).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 2L && out.head.getString(1) === "es" &&
+      out.head.getString(2) === "en")
+    // the declared lang rides the langid scan: no self-join, no shuffle
+    val plan = TextOps.textLangConfusion(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(400))
+  }
+
   test("PII scrub redacts emails, IPs and phone runs with audit counts") {
     import spark.implicits._
     val d = docs((1L,
