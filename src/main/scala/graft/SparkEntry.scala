@@ -678,9 +678,12 @@ object SparkEntry {
          |FROM documents d JOIN ($gopherOracleSql) g ON d.doc_id = g.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "text_langid" -> {
+      // coalesce mirrors langidWith's null-text guard (size(null) = -1
+      // on the Spark side vs NULL CASE fallthrough here)
+      val tok = tokSqlOf("coalesce(text, '')")
       val scores = TextOps.LangMarkers.map { case (lang, markers) =>
         val set = markers.map(m => s"'$m'").mkString(", ")
-        s"    len(list_filter($tokSql, t -> t IN ($set))) AS score_$lang"
+        s"    len(list_filter($tok, t -> t IN ($set))) AS score_$lang"
       }.mkString(",\n")
       val langs = TextOps.LangMarkers.map(_._1)
       val caseChain = langs.init.map { lang =>
@@ -701,9 +704,10 @@ object SparkEntry {
     // filtered to disagreements — mirrors TextOps.textLangConfusion's
     // single-scan shape
     "text_lang_confusion" -> {
+      val tok = tokSqlOf("coalesce(text, '')")
       val scores = TextOps.LangMarkers.map { case (lang, markers) =>
         val set = markers.map(m => s"'$m'").mkString(", ")
-        s"    len(list_filter($tokSql, t -> t IN ($set))) AS score_$lang"
+        s"    len(list_filter($tok, t -> t IN ($set))) AS score_$lang"
       }.mkString(",\n")
       val langs = TextOps.LangMarkers.map(_._1)
       val caseChain = langs.init.map { lang =>

@@ -131,6 +131,12 @@ object Ann {
     * the oracle's identical chain is bit-equal, not approximately. */
   def embedProject(embeddings: DataFrame, dim: Int = 64,
                    outDim: Int = 16): DataFrame = {
+    // a silent dim mismatch would make element_at return NULL past the
+    // array end and NULL-poison every coordinate — fail loudly instead,
+    // like the other entry points that measure dim from the data
+    val actual = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(actual == dim,
+      s"embedding dim $actual does not match the projection's dim=$dim")
     def el(i: Int): Column =
       element_at(col("embedding"), i + 1).cast("double")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
@@ -1024,8 +1030,8 @@ object Ann {
     val appending = append && sink.tableExists(s"${table}_coarse")
     val (coarse, cents, nb) =
       if (appending) {
-        (readCoarse(spark, sink, table), readCodebooks(spark, sink, table),
-          readIndexBuckets(spark, sink, table))
+        val (co, storedNb) = readCoarse(spark, sink, table)
+        (co, readCodebooks(spark, sink, table), storedNb)
       } else {
         require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
         val dsub = dim / m
@@ -1082,18 +1088,23 @@ object Ann {
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
   }
 
+  /** One read of `<table>_coarse` yields BOTH the centroids and the
+    * bucket modulus the index was built with — probes and appends must
+    * use the stored modulus, not their own default, or pruning misses
+    * rows. Indexes persisted before the `nb` column existed fall back to
+    * the 32 they were in fact built with. */
   private def readCoarse(spark: SparkSession, sink: graft.sinks.WarehouseSink,
-                         table: String): Seq[Array[Double]] =
-    sink.read(spark, s"${table}_coarse")
-      .select("cid", "v").orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray).toSeq
-
-  /** The bucket modulus the index was BUILT with — probes and appends
-    * must use it, not their own default, or pruning misses rows. */
-  private def readIndexBuckets(spark: SparkSession,
-                               sink: graft.sinks.WarehouseSink,
-                               table: String): Int =
-    sink.read(spark, s"${table}_coarse").select("nb").head().getInt(0)
+                         table: String): (Seq[Array[Double]], Int) = {
+    val df = sink.read(spark, s"${table}_coarse")
+    val hasNb = df.columns.contains("nb")
+    val rows = df
+      .select(col("cid") +: col("v") +:
+        (if (hasNb) Seq(col("nb")) else Seq.empty): _*)
+      .orderBy("cid").collect()
+    val cents = rows.map(_.getSeq[Double](1).toArray).toSeq
+    val nb = if (hasNb) rows.head.getInt(2) else 32
+    (cents, nb)
+  }
 
   private def readCodebooks(spark: SparkSession,
                             sink: graft.sinks.WarehouseSink,
@@ -1119,9 +1130,8 @@ object Ann {
                         k: Int = 10, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
-    val coarse = readCoarse(spark, sink, table)
+    val (coarse, numBuckets) = readCoarse(spark, sink, table)
     val cents = readCodebooks(spark, sink, table)
-    val numBuckets = readIndexBuckets(spark, sink, table)
     val m = cents.length
     val kEff = cents(0).length
     val dsub = cents(0)(0).length

@@ -177,9 +177,13 @@ object TextOps {
     langidWith(docs, Nil)
 
   /** [[textLangid]] with extra pass-through columns carried on the SAME
-    * scan (no self-join back onto the corpus). */
+    * scan (no self-join back onto the corpus). NULL text coalesces to ''
+    * BEFORE tokenizing: Spark's legacy `size(null) = -1` would otherwise
+    * score every language -1 and vote the first one, while the oracle's
+    * NULL comparisons would fall through its CASE to the LAST — a silent
+    * cross-engine divergence on any corpus with null docs. */
   private def langidWith(docs: DataFrame, carry: Seq[String]): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = tokens(coalesce(col("text"), lit("")))
     val scored = docs.select(
       ((col("doc_id") +: carry.map(col)) ++ LangMarkers.map {
         case (lang, markers) =>
