@@ -71,6 +71,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokensQ _),
     "text_quality" -> (TextOps.textQualityQ _),
     "text_gopher" -> (TextOps.textGopherQ _),
+    "text_blocklist" -> (TextOps.textBlocklistQ _),
     "corpus_quality_monitor" -> (graft.streaming.StreamAggs.corpusQualityMonitorQ _),
     "text_langid" -> (TextOps.textLangidQ _),
     "text_lang_confusion" -> (TextOps.textLangConfusionQ _),
@@ -659,6 +660,13 @@ object SparkEntry {
          |FROM m""".stripMargin,
     // minWords=8 / maxWords=100000 / n_stop >= 1 mirror textGopherQ's args
     "text_gopher" -> gopherOracleSql,
+    "text_blocklist" -> {
+      val set = TextOps.DemoBlocklist.map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id,
+         |  len(list_filter($tokSql, t -> t IN ($set))) AS n_blocked,
+         |  len(list_filter($tokSql, t -> t IN ($set))) > 0 AS blocked
+         |FROM documents""".stripMargin
+    },
     // the monitor's batch form: the SAME gopher gate (embedded as a
     // subquery — DuckDB allows WITH inside parens) rolled up per
     // (hour window, source) over the deterministic synthetic ingest_ts

@@ -160,6 +160,31 @@ object TextOps {
         minWords, maxWords, minStop))
   }
 
+  /** Demo blocklist for the driver query ONLY — two terms drawn from the
+    * synthetic vocabulary so the flag varies at every SF. A deployment
+    * supplies its own vetted wordlist (the C4 pipeline used the public
+    * "dirty/naughty" list); the operator is list-agnostic. */
+  val DemoBlocklist: Seq[String] = Seq("slow", "big")
+
+  /** Blocklist screen — the C4-style wordlist filter every web-scale
+    * pipeline runs before training: per-doc count of blocklisted terms
+    * and the hard drop flag (C4 dropped a page on ANY hit). Token-level
+    * matching on the shared lower-cased tokenizer, so "class" never
+    * matches a blocked "ass" (the classic substring false positive).
+    * Pure map-side projection, no shuffle, fused into the scan; the
+    * term list lives in the plan as literals — at realistic list sizes
+    * (hundreds of terms) prefer this over a broadcast join, which would
+    * explode tokens and re-aggregate the corpus. */
+  def textBlocklist(docs: DataFrame,
+                    terms: Seq[String] = DemoBlocklist): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val n = size(filter(tokens(col("text")), t => t.isin(terms: _*)))
+    docs.select(col("doc_id"), n.as("n_blocked"), (n > 0).as("blocked"))
+  }
+
+  def textBlocklistQ(spark: SparkSession, dir: String): DataFrame =
+    textBlocklist(Tables.documents(spark, dir))
+
   /** Marker-token sets per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: langid at corpus scale is a cheap vote
     * over high-frequency function words. */

@@ -632,6 +632,19 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, "es"), (2L, "en")))
   }
 
+  test("blocklist counts token-level hits only — no substring false positives") {
+    import spark.implicits._
+    val d = docs(
+      (1L, "the slow query"),
+      (2L, "slowest bigger"),   // substrings of blocked terms stay clean
+      (3L, "big slow Big"))     // case-insensitive, counts every hit
+    val out = TextOps.textBlocklist(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1, true)))
+    assert(out(2L) === ((0, false)))
+    assert(out(3L) === ((3, true)))
+  }
+
   test("lang confusion flags only declared/predicted disagreements, one scan") {
     import spark.implicits._
     val d = Seq(
