@@ -55,8 +55,22 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save())
     t("corpus_bpe_pairs 50k docs")(graft.llm.TextOps.corpusBpePairs(docs10)
       .write.format("noop").mode("overwrite").save())
+    t("text_blocklist 50k docs")(graft.llm.TextOps.textBlocklist(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("text_lang_confusion 50k docs")(graft.llm.TextOps.textLangConfusion(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("quality monitor 50k docs")(graft.streaming.StreamAggs.qualityMonitor(
+      docs10.withColumn("ingest_ts",
+        (lit(1704067200L) + col("doc_id") % 21600).cast("timestamp")),
+      minWords = 8, minStop = 1)
+      .write.format("noop").mode("overwrite").save())
     t("embed_outliers 20k vecs")(Ann.embedOutliers(emb10)
       .write.format("noop").mode("overwrite").save())
+    // NOTE: this harness's 10-way union amplifies PLAN-time cost for
+    // expression-heavy projections (10 branches × 1024 terms ≈ 700k
+    // optimizer nodes → ~7 s here, vs 0.5 s on the bench's single-scan
+    // plan at sf0.1) — a shape artifact of the replicated-input test, not
+    // a data-scale property: a real corpus is one scan branch
     t("embed_project 20k vecs")(Ann.embedProject(emb10)
       .write.format("noop").mode("overwrite").save())
     t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)
