@@ -65,10 +65,21 @@ object StreamAggs {
                      windowLen: String = "1 hour",
                      watermark: String = "2 hours",
                      minWords: Long = 50, maxWords: Long = 100000,
-                     minStop: Int = 2): DataFrame = {
-    val passed = when(
-      graft.llm.TextOps.gopherPassCol(minWords, maxWords, minStop), 1L)
-      .otherwise(0L)
+                     minStop: Int = 2): DataFrame =
+    gateMonitor(docs,
+      graft.llm.TextOps.gopherPassCol(minWords, maxWords, minStop),
+      tsCol, windowLen, watermark)
+
+  /** [[qualityMonitor]] generalized to ANY per-row gate predicate —
+    * e.g. `!TextOps.textBlocklist` semantics via its blocked column, a
+    * langid-confidence gate, or a composed one. The gate evaluates
+    * map-side per micro-batch; the only stateful operator stays the
+    * watermarked windowed aggregation. */
+  def gateMonitor(docs: DataFrame, gate: org.apache.spark.sql.Column,
+                  tsCol: String = "ingest_ts",
+                  windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    val passed = when(gate, 1L).otherwise(0L)
     val src = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
               else docs
     src

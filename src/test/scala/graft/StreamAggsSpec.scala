@@ -67,6 +67,22 @@ class StreamAggsSpec extends AnyFunSuite with SparkFixture {
     assert(got.agg(sum("n_pass")).as[Long].head() === passTotal)
   }
 
+  test("gateMonitor composes: a blocklist gate's totals match textBlocklist") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ingest_ts",
+        (lit(1704067200L) + col("doc_id") % 21600).cast("timestamp"))
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val cleanGate = size(org.apache.spark.sql.functions.filter(toks,
+      t => t.isin(graft.llm.TextOps.DemoBlocklist: _*))) === 0
+    val got = graft.streaming.StreamAggs.gateMonitor(docs, cleanGate)
+    val wantClean = graft.llm.TextOps.textBlocklist(docs)
+      .filter(!col("blocked")).count()
+    assert(got.agg(sum("n_pass")).as[Long].head() === wantClean)
+    assert(got.agg(sum("n_docs")).as[Long].head() === docs.count())
+  }
+
   test("batch sessionization matches the window-based session counts") {
     import spark.implicits._
     implicit val s = spark
