@@ -59,6 +59,7 @@ object SparkEntry {
     "q_rollup_revenue" -> (Analytics2.qRollupRevenue _),
     "q_median_order" -> (Analytics2.qMedianOrder _),
     "events_next_within" -> (Analytics2.qNextPurchase _),
+    "events_anomaly" -> (Analytics2.eventsAnomaly _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
+    "bpe_train" -> (TextOps.bpeTrainQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
@@ -113,6 +115,8 @@ object SparkEntry {
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
+    "knn_graph" -> (Ann.knnGraphQ _),
+    "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
@@ -470,6 +474,18 @@ object SparkEntry {
         |  coalesce(CASE WHEN nxt.p_us - epoch_us(ts) <= 600000000
         |           THEN nxt.p_us - epoch_us(ts) END, -1) AS gap_us
         |FROM w WHERE side = 1""".stripMargin,
+    // per-user z-score screen: z rounded to 4 decimals on BOTH engines
+    // before the threshold compare and in the output (the embed_outliers
+    // float rule); single-event users have null sample sd (unflaggable),
+    // constant users excluded by sd > 0
+    "events_anomaly" ->
+      """WITH s AS (
+        |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id,
+        |  round((e.value - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s ON e.user_id = s.user_id
+        |WHERE s.sd > 0 AND abs(round((e.value - s.mu) / s.sd, 4)) >= 3.0""".stripMargin,
     // exact lower median by rank construction — a selected ROW, never an
     // interpolated float (percentile_cont interpolation is engine-specific)
     "q_median_order" ->
@@ -1051,6 +1067,32 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM s)
         |WHERE rank <= 10""".stripMargin,
+    // the full-graph twin of ann_topk: every node is a query. Margin
+    // audit over ALL nodes at sf0.01: min adjacent-rank cosine margin
+    // through rank 6 is 1.4e-6 — ~9 orders above cross-engine double
+    // noise, so rank ordering (tie-break nbr_id) agrees.
+    "knn_graph" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+        |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+        |  FROM embeddings q, embeddings c,
+        |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+        |  WHERE c.vec_id <> q.vec_id GROUP BY 1, 2),
+        |s AS (
+        |  SELECT d.vec_id, d.nbr_id, dt / (nq.nrm * nc.nrm) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON d.vec_id = nq.vec_id
+        |  JOIN norms nc ON d.nbr_id = nc.vec_id)
+        |SELECT vec_id, rank, nbr_id FROM (
+        |  SELECT vec_id, nbr_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
     // radius search: same cosine pipeline, threshold instead of top-k.
     // Closest sim to the 0.3 cut measured at EVERY test scale: 4.5e-4
     // (sf0.001), 1.2e-3 (sf0.01), 5.0e-4 (sf0.1) — all ≥11 orders of

@@ -540,6 +540,13 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(centsFlat.toArray),
       org.apache.spark.sql.functions.lit(nlist))
 
+  /** Column-level bounded top-k aggregate backed by [[TopKPairs]]:
+    * the k highest-scoring ids of the group, rank-ordered, with an O(k)
+    * map-side partial buffer. Use inside `.agg(...)`. */
+  def topKPairs(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("topk_pairs", score, id,
+      org.apache.spark.sql.functions.lit(k))
+
   /** Register graft's native functions in the session's function registry
     * so SQL, `expr(...)` and the Column wrappers resolve them.
     * Idempotent — already-registered sessions are left alone (a blind
@@ -553,7 +560,9 @@ object VectorFunctions {
     ("lsh_buckets", classOf[HyperplaneBuckets].getName,
       cs => HyperplaneBuckets(cs(0), cs(1), cs(2), cs(3))),
     ("centroid_argmax", classOf[CentroidArgmax].getName,
-      cs => CentroidArgmax(cs(0), cs(1), cs(2))))
+      cs => CentroidArgmax(cs(0), cs(1), cs(2))),
+    ("topk_pairs", classOf[TopKPairs].getName,
+      cs => TopKPairs(cs(0), cs(1), cs(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

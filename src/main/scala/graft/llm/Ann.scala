@@ -414,6 +414,100 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  /** Exact k-NN GRAPH: for EVERY corpus vector, its k nearest neighbors
+    * by cosine (self excluded). Output (vec_id, rank, nbr_id), ranks
+    * deterministic (sim desc, tie-break nbr_id) — the standard
+    * curation primitive behind graph-based dedup clustering, label
+    * propagation, and kNN-classifier quality scoring.
+    *
+    * Scale shape: the exact graph is quadratic BY PROBLEM STATEMENT —
+    * every (node, candidate) pair needs a dot product. What must NOT be
+    * quadratic is the data movement after scoring, and that is what
+    * [[graft.functions.TopKPairs]] buys: the pair stream aggregates
+    * map-side through a bounded O(k) buffer per node, so the one
+    * exchange carries ≤ k ids per (node, partition) — n·k rows — where
+    * the `row_number` window form would shuffle and sort ALL n² scored
+    * pairs. (Measured at sf0.1, 5k nodes / 25M pairs: window form
+    * 2.49 s, bounded-aggregate form 1.42 s — KnnProfile. The constant
+    * looks modest locally because 25M slim rows still fit one box's
+    * shuffle; the window's exchange grows with n² while this one grows
+    * with n·k, which is the difference between a job and an outage at
+    * cluster scale.) The neighbor side broadcasts here (a corpus of
+    * vectors is MBs at test scale); at 100 TB the same plan runs
+    * block-wise — Spark's cartesian pairs left×right partition blocks
+    * per task — with the aggregate bound unchanged. */
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val nbrs = broadcast(corpus.select(col("vec_id").as("nbr_id"),
+      col("v").as("w"), col("nrm").as("nw")))
+    val scored = corpus.join(nbrs, col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (dot(col("v"), col("w")) / (col("nrm") * col("nw"))).as("sim"))
+    scored.groupBy(col("vec_id"))
+      .agg(graft.functions.VectorFunctions
+        .topKPairs(col("sim"), col("nbr_id"), k).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("r", "nbr_id")))
+      .select(col("vec_id"), (col("r") + 1).cast("int").as("rank"),
+        col("nbr_id"))
+  }
+
+  /** LSH-pruned k-NN graph: candidates for each node are the corpus
+    * vectors sharing any (band, bucket) with it; exact cosine ranks the
+    * candidates through the same bounded top-k aggregate as
+    * [[knnGraph]]. Approximate — a node's true neighbor can hash into
+    * disjoint buckets (recall ≥0.9 at the default 16-band × 3-bit
+    * banding, TopKAggSpec) and a node with fewer than k bucket-mates
+    * emits fewer than k edges.
+    *
+    * Honest tradeoff, measured (KnnProfile, sf0.1): at 5k NEAR-UNIFORM
+    * synthetic vectors this is SLOWER than the exact graph (3.74 s vs
+    * 1.42 s) — recall-0.9 banding on weakly-clustered embeddings
+    * yields Σ n_b² ≈ n² · bands/2^bits ≈ 2n² candidate slots, i.e. the
+    * pruning prunes nothing. LSH wins when the corpus CLUSTERS (real
+    * embedding corpora: most of each node's bucket-mates are genuine
+    * near neighbors) and when `bitsPerBand` scales with log(n) to hold
+    * bucket sizes flat; both knobs are exposed for exactly that
+    * reason. What stays right at any scale: the candidate join is the
+    * [[dedupEmbed]] slim form (only (tbl, bucket, id) triples
+    * shuffle; the distinct-ed pair set joins vectors back for ONE
+    * exact cosine per pair), the aggregate bound is n·k, and no
+    * corpus-sized broadcast exists anywhere. */
+  def knnGraphLsh(embeddings: DataFrame, k: Int = 5,
+                  numBands: Int = 16, bitsPerBand: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val sigs = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    val buckets = sigs.select(col("vec_id"),
+      posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+        .as(Seq("tbl", "bucket")))
+    // DIRECTED candidate pairs (each node ranks its own neighbors), so
+    // unlike dedupEmbed's undirected x<y form both directions survive
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .distinct()
+    val result = graft.Exec.materialize(cand
+      .join(sigs.as("ma"), col("src") === col("ma.vec_id"))
+      .join(sigs.as("mb"), col("dst") === col("mb.vec_id"))
+      .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
+        (dot(col("ma.v"), col("mb.v")) / (col("ma.nrm") * col("mb.nrm"))).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.VectorFunctions
+        .topKPairs(col("sim"), col("nbr_id"), k).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("r", "nbr_id")))
+      .select(col("vec_id"), (col("r") + 1).cast("int").as("rank"),
+        col("nbr_id")))
+    sigs.unpersist()
+    result
+  }
+
   // --- IVF (inverted-file) ANN ---
 
   /** IVF top-k: a k-means coarse quantizer partitions the corpus into
@@ -1309,6 +1403,14 @@ object Ann {
   def annLshTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annLshTopK(Tables.embeddings(spark, dir))
+  }
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnGraph(Tables.embeddings(spark, dir))
+  }
+  def knnGraphLshQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnGraphLsh(Tables.embeddings(spark, dir))
   }
   def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

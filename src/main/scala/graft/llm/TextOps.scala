@@ -627,6 +627,80 @@ object TextOps {
   def corpusBpePairsQ(spark: SparkSession, dir: String): DataFrame =
     corpusBpePairs(Tables.documents(spark, dir))
 
+  /** Full BPE merge TRAINING (Sennrich et al. 2016): `iters` greedy
+    * merges, returning the ordered merge table (merge_rank, left,
+    * right, n_occurrences) — the artifact a tokenizer ships. Extends
+    * [[corpusBpePairs]] (= this loop's first iteration) to the whole
+    * training run. Deterministic: ties on pair count break
+    * lexicographically on (left, right); merges apply left-to-right
+    * non-overlapping, the reference greedy semantics.
+    *
+    * Scale shape — the same split real trainers use on web-scale
+    * corpora: the CORPUS-sized work is one map-side-combined word
+    * count (the only stage that touches the data), reduced to a
+    * (word, freq) vocabulary that is sublinear in corpus size (Heaps'
+    * law) and capped at `maxVocab` by (freq desc, word asc) for a
+    * BOUNDED driver collect. The merge loop then runs driver-side over
+    * that table — iters × Σ|word| symbol scans, independent of corpus
+    * size — exactly as SentencePiece/HF tokenizers train from
+    * pre-aggregated word counts. A distributed merge loop would pay
+    * iters round-trips over a vocab-sized frame for work a single core
+    * finishes in milliseconds.
+    *
+    * Symbols are Java chars (the corpus is ASCII-tokenized by
+    * [[tokens]]); words shorter than 2 symbols never produce pairs and
+    * drop out naturally. Stops early when no pair occurs ≥ 2 times. */
+  def bpeTrain(docs: DataFrame, iters: Int = 20,
+               maxVocab: Int = 50000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] =
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w").asc)
+        .limit(maxVocab)
+        .as[(String, Long)].collect()
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        if (c < 2) done = true
+        else {
+          merges += ((it + 1, l, r, c))
+          val m = l + r
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  out += m; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.toArray, f)
+            }
+          }
+          it += 1
+        }
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "n_occurrences")
+  }
+
+  def bpeTrainQ(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir))
+
   // --- SparkEntry wiring ---
   def textTokensQ(spark: SparkSession, dir: String): DataFrame =
     textTokens(Tables.documents(spark, dir))

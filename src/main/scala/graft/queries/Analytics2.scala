@@ -411,4 +411,35 @@ object Analytics2 {
       .agg(count(lit(1)).as("numcust"),
         asDouble(sum(dec(col("c_acctbal")))).as("totacctbal"))
   }
+
+  /** Per-user z-score anomaly screen over event values: events whose
+    * value sits ≥ 3 sample standard deviations from the user's own
+    * mean — the per-entity outlier gate a metrics pipeline runs before
+    * training on behavioral data (the [[graft.llm.Ann.embedOutliers]]
+    * shape on the events table). Single-event users have no sample
+    * deviation and are unflaggable by construction (sd is null);
+    * constant-valued users are excluded by the sd > 0 guard.
+    *
+    * ONE shuffle: both window aggregates share the user_id partition,
+    * and the window needs no ORDER BY (whole-partition frames), so no
+    * per-user sort beyond the exchange's. Window partitions are
+    * per-user event counts — bounded by entity activity, the salted
+    * pattern (AsofJoin.joinSalted) applies if a bot user ever needs
+    * it. Floats follow the embed_outliers rule: z is rounded to 4
+    * decimals on BOTH engines before the threshold compare and is the
+    * only float output. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyOn(Tables.events(spark, dir))
+
+  def eventsAnomalyOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", round(
+        (col("value") - avg(col("value")).over(w)) / col("sd"), 4))
+      .filter(col("sd") > 0 && abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("user_id"), col("z"))
+  }
 }

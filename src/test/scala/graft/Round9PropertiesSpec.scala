@@ -46,6 +46,63 @@ class Round9PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bpe_train reproduces the hand-derived Sennrich merge sequence") {
+    import spark.implicits._
+    // the classic BPE teaching vocabulary: low×5, lower×2, newest×6,
+    // widest×3. Hand-derived merges (ties break lexicographically):
+    //   1: (e,s)  9   [ties (s,t)=9 → 'e' < 's']
+    //   2: (es,t) 9
+    //   3: (l,o)  7   [ties (o,w)=7 → 'l' < 'o']
+    //   4: (lo,w) 7
+    //   5: (e,w)  6   [ties (n,e)=(w,est)=6 → 'e' first]
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, iters = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L), (5, "e", "w", 6L)))
+    // termination: with unlimited iters the trainer stops on its own
+    // once every pair is unique-ish (count < 2), and every emitted
+    // merge still carries its support count
+    val full = TextOps.bpeTrain(docs, iters = 1000)
+      .as[(Int, String, String, Long)].collect()
+    assert(full.length < 1000 && full.forall(_._4 >= 2L))
+    assert(full.map(_._1).toSeq === (1 to full.length))
+    // deterministic end-to-end on the real corpus
+    val a = TextOps.bpeTrain(Tables.documents(spark, sfDir))
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b = TextOps.bpeTrain(Tables.documents(spark, sfDir))
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("events_anomaly agrees with a plain-Scala z-score screen") {
+    import spark.implicits._
+    val got = graft.queries.Analytics2.eventsAnomaly(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value")
+      .as[(Long, Long, Double)].collect()
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (uid, es) =>
+      val n = es.length
+      if (n < 2) Seq.empty[(Long, Long, Double)]
+      else {
+        val mu = es.map(_._3).sum / n
+        val sd = math.sqrt(es.map(e => (e._3 - mu) * (e._3 - mu)).sum / (n - 1))
+        if (sd <= 0) Seq.empty[(Long, Long, Double)]
+        else es.toSeq.flatMap { case (eid, _, v) =>
+          val z = BigDecimal((v - mu) / sd)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (math.abs(z) >= 3.0) Some((eid, uid, z)) else None
+        }
+      }
+    }.toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("text_gopher metrics agree with a plain-Scala evaluation on random docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(2929)

@@ -160,6 +160,18 @@ object ScaleSmoke {
         java.nio.file.Files.createTempDirectory("scale_split_").toString,
         nShards = 16).write.format("noop").mode("overwrite").save()
     }
+    // exact graph = quadratic dots by definition: 10× vectors ⇒ ~100×
+    // dot work but still n·k exchange rows — the reading verifies the
+    // bounded aggregate holds that shape (quadratic compute, linear
+    // shuffle), not linear wall time
+    t("knn_graph 10k vecs (4x pair work vs sf0.1)")(
+      Ann.knnGraph(emb10.filter(col("vec_id") < 2000000L))
+        .write.format("noop").mode("overwrite").save())
+    t("bpe_train 50k docs")(graft.llm.TextOps.bpeTrain(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("events_anomaly 1M events")(
+      graft.queries.Analytics2.eventsAnomalyOn(ev10)
+        .write.format("noop").mode("overwrite").save())
     // media codecs at 100x: 500k REAL encoded payloads (PGM/PPM images,
     // WAV clips) synthesized, decoded, and feature-extracted in one
     // mapPartitions pass — no shuffle, so cost must track payload volume

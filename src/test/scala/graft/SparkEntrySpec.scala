@@ -14,7 +14,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert((o -- q).isEmpty, s"oracle SQL without a query entry: ${o -- q}")
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
-    assert(rowsOnly === Set("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    assert(rowsOnly === Set("ann_lsh_topk", "knn_graph_lsh", "bpe_train",
+      "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
       "dedup_simhash", "dedup_embed", "dedup_semantic",
       "dedup_semantic_incremental",

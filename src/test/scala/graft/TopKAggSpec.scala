@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TopKBuffer, VectorFunctions}
+import graft.llm.Ann
+
+class TopKAggSpec extends AnyFunSuite with SparkFixture {
+
+  test("TopKBuffer keeps the k best with deterministic tie-breaks") {
+    val b = new TopKBuffer(3)
+    Seq((0.5, 10L), (0.9, 7L), (0.1, 3L), (0.9, 2L), (0.7, 99L))
+      .foreach { case (s, i) => b.add(s, i) }
+    // 0.9 tie broken to the smaller id first; 0.1 evicted
+    assert(b.sortedIds.toSeq === Seq(2L, 7L, 99L))
+    // fewer entries than k: all retained, still rank-ordered
+    val small = new TopKBuffer(5)
+    small.add(0.2, 1L); small.add(0.8, 0L)
+    assert(small.sortedIds.toSeq === Seq(0L, 1L))
+  }
+
+  test("topk_pairs resolves from SQL and skips null rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(0.9), Some(11L)), (1L, Some(0.8), Some(12L)),
+      (1L, None, Some(13L)), (1L, Some(0.95), None),
+      (1L, Some(0.7), Some(14L)), (2L, Some(0.1), Some(21L)))
+      .toDF("g", "s", "i")
+    df.createOrReplaceTempView("topk_in")
+    val out = spark.sql(
+      "SELECT g, topk_pairs(s, i, 2) AS nn FROM topk_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(out(0).getSeq[Long](1) === Seq(11L, 12L))
+    assert(out(1).getSeq[Long](1) === Seq(21L))
+  }
+
+  test("partial/merge path agrees with the single-partition result") {
+    import spark.implicits._
+    // 1000 rows, one group, scores engineered with ties; forcing many
+    // input partitions exercises serialize/deserialize + merge
+    val rows = (0 until 1000).map(i => (1L, (i % 13).toDouble, i.toLong))
+    val wide = rows.toDF("g", "s", "i").repartition(16)
+    val narrow = rows.toDF("g", "s", "i").coalesce(1)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(VectorFunctions.topKPairs(col("s"), col("i"), 7).as("nn"))
+        .head().getSeq[Long](1)
+    assert(topk(wide) === topk(narrow))
+    // ground truth: score desc (i % 13 == 12 best), then id asc
+    assert(topk(wide) === Seq(12L, 25L, 38L, 51L, 64L, 77L, 90L))
+  }
+
+  test("knn_graph matches a row_number reference and stays window-free") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val graph = Ann.knnGraph(emb, k = 5)
+    // reference: the naive window form over the same scored pairs
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.vecDot(col("v"), col("v"))))
+    val nbrs = corpus.select(col("vec_id").as("nbr_id"),
+      col("v").as("w"), col("nrm").as("nw"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val ref = corpus.join(nbrs, col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (VectorFunctions.vecDot(col("v"), col("w")) / (col("nrm") * col("nw"))).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("vec_id"), col("rank"), col("nbr_id"))
+    assert(graph.exceptAll(ref).isEmpty && ref.exceptAll(graph).isEmpty)
+    // every node has exactly k edges (corpus > k)
+    val counts = graph.groupBy("vec_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSeq === Seq(5L))
+    // the scale contract: bounded aggregation, not a window sort — the
+    // executed plan must carry an ObjectHashAggregate and no Window
+    val plan = graph.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("knn_graph_lsh is deterministic with recall >= 0.9 vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.knnGraph(emb, k = 5).select("vec_id", "nbr_id")
+    val approx = Ann.knnGraphLsh(emb, k = 5).select("vec_id", "nbr_id")
+    val hit = approx.intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    assert(hit / total >= 0.9, s"recall ${hit / total}")
+    val again = Ann.knnGraphLsh(emb, k = 5).select("vec_id", "nbr_id")
+    assert(approx.exceptAll(again).isEmpty && again.exceptAll(approx).isEmpty)
+  }
+}
