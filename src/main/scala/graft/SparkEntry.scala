@@ -117,6 +117,8 @@ object SparkEntry {
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
+    "knn_cluster" -> (Ann.knnClusterQ _),
+    "knn_hubness" -> (Ann.knnHubnessQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
@@ -132,6 +134,33 @@ object SparkEntry {
     "media_audio" -> (Audio.mediaAudioQ _),
     "media_video" -> (Video.mediaVideoQ _)
   )
+
+  /** Shared k-NN CTE chain (norms → all-pairs dots → cosine → top-5
+    * ranks), the base of the knn_graph / knn_cluster / knn_hubness
+    * oracles. Ends with the `nn` CTE: (vec_id, rank, nbr_id). */
+  private val knnNnSql: String =
+    """norms AS (
+      |  SELECT vec_id,
+      |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      |  GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+      |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+      |  FROM embeddings q, embeddings c,
+      |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+      |  WHERE c.vec_id <> q.vec_id GROUP BY 1, 2),
+      |s AS (
+      |  SELECT d.vec_id, d.nbr_id, dt / (nq.nrm * nc.nrm) AS sim
+      |  FROM dots d
+      |  JOIN norms nq ON d.vec_id = nq.vec_id
+      |  JOIN norms nc ON d.nbr_id = nc.vec_id),
+      |nn AS (
+      |  SELECT vec_id, rank, nbr_id FROM (
+      |    SELECT vec_id, nbr_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+      |    FROM s)
+      |  WHERE rank <= 5)""".stripMargin
 
   /** DuckDB-flavored flatten of the `events` changelog, shared by the CDC
     * oracles. Matches graft.cdc.Cdc.flatten exactly. */
@@ -1072,27 +1101,30 @@ object SparkEntry {
     // through rank 6 is 1.4e-6 — ~9 orders above cross-engine double
     // noise, so rank ordering (tie-break nbr_id) agrees.
     "knn_graph" ->
-      """WITH norms AS (
-        |  SELECT vec_id,
-        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
-        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
-        |  GROUP BY vec_id),
-        |dots AS (
-        |  SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
-        |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
-        |  FROM embeddings q, embeddings c,
-        |    unnest(generate_series(1, len(q.embedding))) AS g(i)
-        |  WHERE c.vec_id <> q.vec_id GROUP BY 1, 2),
-        |s AS (
-        |  SELECT d.vec_id, d.nbr_id, dt / (nq.nrm * nc.nrm) AS sim
-        |  FROM dots d
-        |  JOIN norms nq ON d.vec_id = nq.vec_id
-        |  JOIN norms nc ON d.nbr_id = nc.vec_id)
-        |SELECT vec_id, rank, nbr_id FROM (
-        |  SELECT vec_id, nbr_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
-        |  FROM s)
-        |WHERE rank <= 5""".stripMargin,
+      s"""WITH $knnNnSql
+        |SELECT vec_id, rank, nbr_id FROM nn""".stripMargin,
+    // mutual edges + recursive-CTE reachability (the dedup_corpus
+    // pattern): cluster = min id reachable over mutual-kNN edges
+    "knn_cluster" ->
+      s"""WITH RECURSIVE $knnNnSql,
+        |mutual AS (
+        |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+        |reach(a, b) AS (SELECT a, b FROM mutual
+        |                UNION
+        |                SELECT r.a, m.b FROM reach r
+        |                JOIN mutual m ON r.b = m.a WHERE m.b <> r.a),
+        |minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+        |SELECT e.vec_id,
+        |  least(coalesce(m.mb, e.vec_id), e.vec_id) AS cluster
+        |FROM embeddings e LEFT JOIN minr m ON e.vec_id = m.a""".stripMargin,
+    // reverse-degree over the same graph; hub flag at in_degree >= 2k
+    "knn_hubness" ->
+      s"""WITH $knnNnSql,
+        |deg AS (SELECT nbr_id, count(*) AS d FROM nn GROUP BY nbr_id)
+        |SELECT e.vec_id, coalesce(d.d, 0) AS in_degree,
+        |  coalesce(d.d, 0) >= 10 AS is_hub
+        |FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.nbr_id""".stripMargin,
     // radius search: same cosine pipeline, threshold instead of top-k.
     // Closest sim to the 0.3 cut measured at EVERY test scale: 4.5e-4
     // (sf0.001), 1.2e-3 (sf0.01), 5.0e-4 (sf0.1) — all ≥11 orders of

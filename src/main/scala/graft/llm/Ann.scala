@@ -508,6 +508,67 @@ object Ann {
     result
   }
 
+  /** Mutual-kNN clustering: vertices are corpus vectors, edges are
+    * MUTUAL k-NN pairs (each endpoint ranks the other in its own top
+    * k — the standard symmetrization that kills hub-induced chaining),
+    * clusters are connected components. Output (vec_id, cluster) for
+    * EVERY vector, cluster = the component's minimum vec_id; isolated
+    * vectors are their own singleton cluster. The embedding-clustering
+    * step of curation pipelines: dedup families, topic cells, batch
+    * grouping.
+    *
+    * Scale shape: the graph build is [[knnGraph]] (n·k-bounded
+    * exchange); mutuality is an `intersect` of the edge list with its
+    * own transpose — Spark plans that as a partial-aggregated
+    * shuffle on the (src, dst) pair, k·n slim rows, NOT a join
+    * explosion; components come from the shared adaptive
+    * [[Dedup.componentLabels]] (driver union-find below 5M edges,
+    * pointer-doubling min-label propagation above). The final label
+    * assignment joins labels (≤ edge-touched nodes) back to the
+    * corpus — broadcastable whenever the mutual-edge set is sparse,
+    * which mutuality enforces. */
+  def knnCluster(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist() // both intersect sides — unpersisted after the probe
+    val mutual = g.intersect(
+        g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+    // componentLabels' take() probe executes the mutual frame here (its
+    // persist contract is satisfied by g's persist above: the probe's
+    // incremental re-scans re-run only the cheap intersect, not the
+    // quadratic graph build)
+    val labels = Dedup.componentLabels(mutual)
+    val out = embeddings.select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+    val res = graft.Exec.materialize(out)
+    g.unpersist()
+    res
+  }
+
+  /** k-NN hubness report: each vector's REVERSE-neighbor count (how
+    * many other vectors rank it in their top k) with the hub flag at
+    * in_degree ≥ 2k — the classic high-dimensional pathology check
+    * (Radovanović et al. 2010): hubs distort kNN-based dedup,
+    * clustering, and retrieval, and a heavy-tailed in-degree
+    * distribution is the first sign an embedding space needs whitening
+    * or re-projection ([[embedProject]]).
+    *
+    * Pure integer arithmetic after [[knnGraph]]: one count per nbr_id
+    * (map-side combined, n·k slim input rows) right-joined to the
+    * corpus so zero-degree anti-hubs appear explicitly. */
+  def knnHubness(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val deg = knnGraph(embeddings, k)
+      .groupBy(col("nbr_id")).agg(count(lit(1)).as("d"))
+    embeddings.select(col("vec_id"))
+      .join(deg.withColumnRenamed("nbr_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("d"), lit(0L)).as("in_degree"),
+        (coalesce(col("d"), lit(0L)) >= 2L * k).as("is_hub"))
+  }
+
   // --- IVF (inverted-file) ANN ---
 
   /** IVF top-k: a k-means coarse quantizer partitions the corpus into
@@ -1411,6 +1472,14 @@ object Ann {
   def knnGraphLshQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     knnGraphLsh(Tables.embeddings(spark, dir))
+  }
+  def knnClusterQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnCluster(Tables.embeddings(spark, dir))
+  }
+  def knnHubnessQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnHubness(Tables.embeddings(spark, dir))
   }
   def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

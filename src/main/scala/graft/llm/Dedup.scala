@@ -604,20 +604,43 @@ object Dedup {
     * components. */
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame,
                     maxDriverPairs: Long = 5000000L): DataFrame = {
+    val drops = componentLabels(pairs, maxDriverPairs)
+      .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+    // the small path yields a LocalRelation whose exact size Catalyst
+    // knows — the anti join broadcasts it without a hint
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Connected-component labels (id, label) for every EDGE-TOUCHED
+    * vertex of an undirected (doc_a, doc_b) pair graph; label = the
+    * component's minimum vertex id. Isolated vertices don't appear —
+    * callers wanting total coverage left-join and coalesce(label, id).
+    *
+    * ADAPTIVE by pair count, shared by [[dedupedCorpus]] and
+    * [[graft.llm.Ann.knnCluster]]: below `maxDriverPairs` a driver-side
+    * union-find (exact, one collect, no iteration) — the common case,
+    * near-dup pairs ≪ corpus on healthy data. A duplicate-heavy corpus
+    * can produce pair sets far LARGER than the corpus (every m-clique
+    * contributes m²/2 pairs; measured ~20× corpus on a 90%-duplicate
+    * smoke), where a driver collect dies — there
+    * [[connectedComponentsDistributed]] runs min-label propagation in
+    * Spark instead. Both paths produce identical labels.
+    *
+    * The ONE probe sizes the edge set AND, in the small case, IS the
+    * collect (r5 paid three jobs here). `take()` scans partitions
+    * incrementally off the pair frame: callers passing a LAZY expensive
+    * pair frame should persist it first (VERDICT r8 measured the
+    * re-execution at 5.9 s vs 0.97 s on dedup_corpus). */
+  def componentLabels(pairs: DataFrame,
+                      maxDriverPairs: Long = 5000000L): DataFrame = {
     val edgesDf = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-    // ONE probe sizes the edge set AND, in the common small case, IS the
-    // collect — r5 paid three jobs here (persist fill + count + collect)
-    // on a pair frame the dedup operators had already materialized.
-    // take() scans partitions incrementally off that materialized frame;
-    // callers passing a LAZY expensive pair frame should persist it first.
     val cap = math.min(maxDriverPairs, Int.MaxValue - 2L).toInt
     val probe = edgesDf.take(cap + 1)
     if (probe.length > cap) {
       val cached = edgesDf.persist()
       val labels = connectedComponentsDistributed(cached)
       cached.unpersist()
-      val drops = labels.filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
-      return docs.join(drops, Seq("doc_id"), "left_anti")
+      return labels
     }
     val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -628,15 +651,14 @@ object Dedup {
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
-      // union by MIN id so every component root is its keeper
+      // union by MIN id so every component root is its own label
       if (ra != rb) {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val drops = parent.keys.filter(x => find(x) != x).toSeq
-    val spark = docs.sparkSession
+    val spark = pairs.sparkSession
     import spark.implicits._
-    docs.join(broadcast(drops.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    parent.keys.toSeq.map(x => (x, find(x))).toDF("id", "label")
   }
 
   /** Distributed connected components over an undirected edge list:
