@@ -22,12 +22,24 @@ object Tables {
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** `events.ts` has shipped in TWO parquet encodings across driver data
+    * refreshes: INT64 TIMESTAMP(NANOS) (read as a raw long under
+    * `nanosAsLong` and floor-divided to micros — integer `div`, a double
+    * division would lose precision on ~1.7e18 nanosecond values > 2^53)
+    * and, since the r10 refresh, plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ, cast to TIMESTAMP
+    * under the UTC session zone — same instants, and the same value
+    * DuckDB's reader hands the oracle). Dispatch on the actual file
+    * schema so either vintage reads identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      // `div` = integer division; a double division would lose precision on
-      // ~1.7e18 nanosecond values (> 2^53).
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
