@@ -33,11 +33,21 @@ final class TopKBuffer(val k: Int) {
 
   /** Final ranking order: higher score wins, ties to the SMALLER id —
     * the deterministic tie-break every ranked operator in this repo
-    * uses. */
-  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+    * uses. TOTAL order via [[java.lang.Double.compare]]: NaN ranks
+    * LARGEST, the convention Spark's sort, the row_number reference,
+    * and DuckDB's ORDER BY all share — primitive `>`/`==` return false
+    * both ways for NaN, so a NaN admitted while the heap fills could
+    * otherwise sit at the root and silently discard every later
+    * genuinely-better row (and sortWith's comparator contract breaks). */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
-  def add(s: Double, id: Long): Unit = {
+  def add(s0: Double, id: Long): Unit = {
+    // normalize -0.0 to 0.0: Double.compare separates the zeros but the
+    // engines' value comparisons (and the oracle hash) do not
+    val s = if (s0 == 0.0d) 0.0d else s0
     if (size < k) {
       // sift up from the next free slot
       var i = size
@@ -80,7 +90,9 @@ final class TopKBuffer(val k: Int) {
 /** `topk_pairs(score, id, k)` — aggregate returning the ids of the k
   * highest-scoring rows of the group as array<bigint> in rank order
   * (score desc, ties to smaller id). Null score or id rows are skipped
-  * (built-in aggregate convention).
+  * (built-in aggregate convention); NaN scores rank LARGEST, matching
+  * Spark's sort order and DuckDB's ORDER BY (so a row_number reference
+  * and the oracle agree on corpora with 0/0 degenerate scores).
   *
   * A [[TypedImperativeAggregate]] over [[TopKBuffer]]: partial
   * aggregation runs map-side with an O(k) buffer per group, so the hot

@@ -432,11 +432,42 @@ object Ann {
     * looks modest locally because 25M slim rows still fit one box's
     * shuffle; the window's exchange grows with n² while this one grows
     * with n·k, which is the difference between a job and an outage at
-    * cluster scale.) The neighbor side broadcasts here (a corpus of
-    * vectors is MBs at test scale); at 100 TB the same plan runs
-    * block-wise — Spark's cartesian pairs left×right partition blocks
-    * per task — with the aggregate bound unchanged. */
-  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    * cluster scale.)
+    *
+    * Pair generation is BLOCK-WISE, no corpus-sized broadcast anywhere
+    * (the r9 form broadcast the whole neighbor side — fine at test
+    * scale, an executor OOM at cluster scale): the corpus is hashed
+    * into `blocks` blocks on vec_id and the neighbor side is replicated
+    * once per block, so the equi-join on the block id gives each task
+    * one corpus block (its shuffle-hash BUILD side — per-task memory is
+    * n/blocks vectors, bounded by the knob) streamed against its
+    * replica slice. Costs that scale with `blocks`: neighbor shuffle
+    * traffic is n·blocks slim vector rows (the unavoidable replication
+    * cost of 1-D blocking — size `blocks` to the cluster's parallelism,
+    * not above it); the post-join aggregate exchange does NOT inflate —
+    * each task's partial agg covers only its own block's vec_ids, so
+    * the exchange stays n·k regardless of `blocks`. */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, blocks: Int = 32): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val blocked = corpus.withColumn("blk",
+      pmod(xxhash64(col("vec_id")), lit(blocks.toLong)).cast("int"))
+    val nbrs = corpus.select(col("vec_id").as("nbr_id"),
+        col("v").as("w"), col("nrm").as("nw"))
+      .withColumn("blk", explode(typedLit((0 until blocks).toList)))
+    val scored = blocked.hint("shuffle_hash")
+      .join(nbrs, blocked("blk") === nbrs("blk") && col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (dot(col("v"), col("w")) / (col("nrm") * col("nw"))).as("sim"))
+    rankedGraph(scored, k)
+  }
+
+  /** The r9 broadcast form of [[knnGraph]], kept as the equality
+    * reference for the block-wise path (TopKAggSpec): identical output,
+    * but the whole neighbor side rides a broadcast — test-scale only. */
+  private[graft] def knnGraphBroadcast(embeddings: DataFrame, k: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
@@ -446,13 +477,18 @@ object Ann {
     val scored = corpus.join(nbrs, col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         (dot(col("v"), col("w")) / (col("nrm") * col("nw"))).as("sim"))
+    rankedGraph(scored, k)
+  }
+
+  /** Shared tail of the graph builders: bounded top-k aggregate over a
+    * scored (vec_id, nbr_id, sim) pair stream → (vec_id, rank, nbr_id). */
+  private def rankedGraph(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("vec_id"))
       .agg(graft.functions.VectorFunctions
         .topKPairs(col("sim"), col("nbr_id"), k).as("nn"))
       .select(col("vec_id"), posexplode(col("nn")).as(Seq("r", "nbr_id")))
       .select(col("vec_id"), (col("r") + 1).cast("int").as("rank"),
         col("nbr_id"))
-  }
 
   /** LSH-pruned k-NN graph: candidates for each node are the corpus
     * vectors sharing any (band, bucket) with it; exact cosine ranks the

@@ -20,6 +20,26 @@ class TopKAggSpec extends AnyFunSuite with SparkFixture {
     assert(small.sortedIds.toSeq === Seq(0L, 1L))
   }
 
+  test("TopKBuffer is a total order under NaN and signed zero") {
+    // NaN admitted while the heap FILLS must not poison later inserts:
+    // under the old primitive-comparison beats() the NaN at the root
+    // made every subsequent add() a no-op
+    val b = new TopKBuffer(2)
+    b.add(Double.NaN, 50L); b.add(0.1, 1L); b.add(0.9, 2L); b.add(0.8, 3L)
+    // NaN ranks LARGEST (Spark sort / DuckDB ORDER BY convention), and
+    // the genuinely-better 0.9 displaced 0.1 — not silently discarded
+    assert(b.sortedIds.toSeq === Seq(50L, 2L))
+    // multiple NaNs tie-break by id like any equal score
+    val n = new TopKBuffer(3)
+    n.add(Double.NaN, 9L); n.add(Double.NaN, 4L); n.add(1.0, 1L); n.add(2.0, 2L)
+    assert(n.sortedIds.toSeq === Seq(4L, 9L, 2L))
+    // -0.0 and 0.0 are the SAME score: tie-break goes to the smaller id
+    // (Double.compare alone would rank 0.0 above -0.0)
+    val z = new TopKBuffer(2)
+    z.add(-0.0, 7L); z.add(0.0, 3L); z.add(-1.0, 1L)
+    assert(z.sortedIds.toSeq === Seq(3L, 7L))
+  }
+
   test("topk_pairs resolves from SQL and skips null rows") {
     import spark.implicits._
     val df = Seq(
@@ -76,6 +96,21 @@ class TopKAggSpec extends AnyFunSuite with SparkFixture {
     val plan = graph.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
+    // r10 scale contract: pair generation is block-wise — a shuffled
+    // hash join on the block id, NO corpus-sized broadcast anywhere
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+
+  test("block-wise knn_graph equals the broadcast form at any block count") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bcast = Ann.knnGraphBroadcast(emb, k = 5)
+    for (blocks <- Seq(1, 7, 32)) {
+      val blk = Ann.knnGraph(emb, k = 5, blocks = blocks)
+      assert(blk.exceptAll(bcast).isEmpty && bcast.exceptAll(blk).isEmpty,
+        s"blocks=$blocks diverged from broadcast form")
+    }
   }
 
   test("knn_graph_lsh is deterministic with recall >= 0.9 vs exact") {
