@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Ann
+
+/** Pins the semantics of the mutual-kNN cluster / hubness pair
+  * (`Ann.knnCluster`, `Ann.knnHubness`) on a hand-verifiable fixture:
+  *
+  * Five 2-d unit-ish vectors, k=1. Cosine table (worked by hand; every
+  * decisive margin ≥ 0.01, far above float noise):
+  *
+  *   A=0:(1,0)  H=1:(.8,.6)  C=2:(.79,.61)  D=3:(-1,0)  E=4:(0,1)
+  *
+  *   top-1 edges: A→H (.8 > .7915), H→C (.9999), C→H (.9999),
+  *                D→E (0 > -.7915), E→C (.6112 > .6)
+  *
+  * so H is a HUB CHAIN target: A ranks H but H does not rank A back,
+  * and the only MUTUAL pair in the whole graph is H↔C. */
+class KnnClusterSpec extends AnyFunSuite with SparkFixture {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.00f, 0.00f)),  // A
+      (1L, Array(0.80f, 0.60f)),  // H — ranked by A and C
+      (2L, Array(0.79f, 0.61f)),  // C — ranked by H and E
+      (3L, Array(-1.00f, 0.00f)), // D — far; ranked by nobody
+      (4L, Array(0.00f, 1.00f))   // E — ranked only by D
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("knn_cluster: mutuality excludes asymmetric hub edges; singletons label themselves") {
+    val out = Ann.knnCluster(fixture, k = 1)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    // A→H is asymmetric (H's own top-1 is C), so A must NOT join H's
+    // cluster — mutuality kills the hub-induced chain
+    assert(out(0L) === 0L)
+    // the one mutual pair H↔C forms the one non-trivial cluster,
+    // labeled by its minimum vec_id
+    assert(out(1L) === 1L && out(2L) === 1L)
+    // D→E and E→C are both asymmetric: singleton clusters = own vec_id
+    assert(out(3L) === 3L && out(4L) === 4L)
+    assert(out.size === 5)
+  }
+
+  test("knn_hubness: zero-degree rows present, is_hub exactly at in_degree >= 2k") {
+    val out = Ann.knnHubness(fixture, k = 1)
+      .as[(Long, Long, Boolean)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Boolean)])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // H and C each collect two reverse neighbors = 2k at k=1 → hubs
+    assert(out(1L) === ((2L, true)))
+    assert(out(2L) === ((2L, true)))
+    // E sits at degree 1, one below the threshold → NOT a hub
+    assert(out(4L) === ((1L, false)))
+    // A and D are ranked by nobody: the zero-degree anti-hub rows must
+    // appear explicitly (right-join semantics), not vanish
+    assert(out(0L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)))
+    assert(out.size === 5)
+  }
+
+  test("knn_cluster/hubness invariants hold on the real embeddings table") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val k = 3
+    val clusters = Ann.knnCluster(emb, k)
+    assert(clusters.count() === n) // one row per corpus vector, always
+    // every cluster label is the minimum vec_id OF ITS OWN cluster —
+    // so the label row itself is a member (labels are real vectors)
+    val bad = clusters.groupBy(col("cluster"))
+      .agg(min(col("vec_id")).as("lo"))
+      .filter(col("cluster") =!= col("lo"))
+    assert(bad.isEmpty)
+    val hub = Ann.knnHubness(emb, k)
+    assert(hub.count() === n)
+    // the exact graph emits exactly k edges per node (n > k here), so
+    // reverse degrees must sum to n·k and the flag must match 2k
+    val agg = hub.agg(sum(col("in_degree")),
+      sum(when(col("is_hub") =!= (col("in_degree") >= 2 * k), 1)
+        .otherwise(0))).head()
+    assert(agg.getLong(0) === n * k)
+    assert(agg.getLong(1) === 0L)
+  }
+}
