@@ -89,6 +89,9 @@ object SparkEntry {
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "bpe_train" -> (TextOps.bpeTrainQ _),
+    "bpe_encode" -> (TextOps.bpeEncodeQ _),
+    "corpus_chunk" -> (TextOps.corpusChunkQ _),
+    "quality_classifier" -> (graft.llm.Classifier.qualityClassifierQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
@@ -114,6 +117,7 @@ object SparkEntry {
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),
+    "embed_decontaminate" -> (Ann.embedDecontaminateQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
@@ -952,6 +956,17 @@ object SparkEntry {
          |SELECT pair, n_occurrences FROM pairs
          |ORDER BY n_occurrences DESC, pair ASC
          |LIMIT 100""".stripMargin,
+    // sliding windows: DuckDB's 1-based inclusive list slice ws[a:b]
+    // clamps past the end exactly like Spark's slice(ws, a, n)
+    "corpus_chunk" ->
+      s"""WITH w AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |c AS (SELECT doc_id, CAST(g.st // 24 AS INTEGER) AS chunk_id,
+         |        ws[g.st + 1 : g.st + 32] AS chunk
+         |      FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 24))
+         |        AS g(st))
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_words,
+         |  array_to_string(chunk, ' ') AS chunk_text
+         |FROM c""".stripMargin,
     // sequence packing: the oracle computes the SAME concatenated-stream
     // layout with one global window cumsum (fine at sf0.01; the Spark side
     // is the distributed prefix-sum that scales)
@@ -1147,6 +1162,32 @@ object SparkEntry {
         |JOIN norms nq ON d.query_id = nq.vec_id
         |JOIN norms nc ON d.vec_id = nc.vec_id
         |WHERE dt / (nq.nrm * nc.nrm) >= 0.3""".stripMargin,
+    // same norms/dots frame as ann_range with the sides recast as
+    // bench (< 10) vs corpus (>= 10); integer outputs only, so the τ
+    // comparison's doubles never reach the hash compare
+    "embed_decontaminate" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+        |    sum(CAST(c.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dt
+        |  FROM embeddings c, embeddings b,
+        |    unnest(generate_series(1, len(c.embedding))) AS g(i)
+        |  WHERE c.vec_id >= 10 AND b.vec_id < 10 GROUP BY 1, 2),
+        |h AS (
+        |  SELECT d.vec_id, count(*) AS n_hits
+        |  FROM dots d
+        |  JOIN norms nc ON d.vec_id = nc.vec_id
+        |  JOIN norms nb ON d.bench_id = nb.vec_id
+        |  WHERE dt / (nb.nrm * nc.nrm) >= 0.3
+        |  GROUP BY 1)
+        |SELECT c.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10) c
+        |LEFT JOIN h ON c.vec_id = h.vec_id""".stripMargin,
     // the projection's ±1 sign constants come from the SAME Scala function
     // the Spark plan uses (Ann.projectSign), and each output coordinate is
     // an EXPLICIT left-associated 64-term chain in ascending i — identical

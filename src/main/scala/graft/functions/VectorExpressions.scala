@@ -562,7 +562,9 @@ object VectorFunctions {
     ("centroid_argmax", classOf[CentroidArgmax].getName,
       cs => CentroidArgmax(cs(0), cs(1), cs(2))),
     ("topk_pairs", classOf[TopKPairs].getName,
-      cs => TopKPairs(cs(0), cs(1), cs(2))))
+      cs => TopKPairs(cs(0), cs(1), cs(2))),
+    ("bpe_apply", classOf[BpeApply].getName,
+      cs => BpeApply(cs(0), cs(1), cs(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -103,6 +103,51 @@ object Ann {
       .select(col("query_id"), col("vec_id"))
   }
 
+  /** Embedding-space benchmark decontamination: per CORPUS vector, how
+    * many BENCHMARK vectors sit within cosine ≥ `tau`, plus the verdict
+    * flag — the semantic-leakage twin of
+    * [[graft.llm.TextOps.textDecontaminate]] (that one catches verbatim
+    * n-gram overlap; paraphrased eval questions only show up in
+    * embedding space). EVERY corpus vector gets a row (`n_hits` = 0,
+    * `contaminated` = false for the clean ones): the output is a
+    * corpus-aligned audit column set, joinable straight back onto the
+    * training table, not a bare hit list.
+    *
+    * Scale shape — the decisive asymmetry is that benchmark suites are
+    * TINY (10³-10⁵ vectors = KBs-MBs) while the corpus is the 100 TB
+    * side, so this is exact brute force done right, not an ANN problem:
+    * the bench side broadcasts into a LEFT OUTER nested-loop join (the
+    * outer keeps clean vectors alive with a null bench_id, so ONE scan
+    * produces every verdict — no second corpus pass, no rejoin), the
+    * corpus streams map-side through the codegen'd [[dot]] fold, and
+    * `count(bench_id)` partial-aggregates to ≤ one row per vec_id per
+    * task before the only exchange — which therefore carries n slim
+    * (id, count) rows, never a vector. Integer outputs only: the τ
+    * comparison happens inside both engines in double precision, but
+    * nothing float-rendered reaches the hash compare. */
+  def embedDecontaminate(corpus: DataFrame, bench: DataFrame,
+                         tau: Double = 0.3): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val b = broadcast(bench
+      .select(col("vec_id").as("bench_id"), vecAsDouble(col("embedding")).as("q"))
+      .withColumn("nq", norm(col("q"))))
+    c.join(b, dot(col("q"), col("v")) / (col("nq") * col("nv")) >= tau,
+        "left_outer")
+      .groupBy(col("vec_id")).agg(count(col("bench_id")).as("n_hits"))
+      .select(col("vec_id"), col("n_hits"),
+        (col("n_hits") > 0L).as("contaminated"))
+  }
+
+  /** Driver-contract split: vectors 0..9 play the benchmark, the rest
+    * the training corpus. */
+  def embedDecontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    embedDecontaminate(emb.filter(col("vec_id") >= 10),
+      emb.filter(col("vec_id") < 10))
+  }
+
   /** Sign of term (j, i) of [[embedProject]]'s projection matrix: the
     * Knuth-mix parity of the flat index — deterministic, engine-free
     * integer arithmetic (the [[graft.llm.TextOps.sampleBucket]] trick),

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** A TRAINED quality classifier over the cheap text statistics — the
+  * fasttext-classifier step of CCNet/LLaMA-style curation, reduced to
+  * its engine shape: learn a linear model from a labeled sample, then
+  * score the whole corpus as one map-side expression. The labels
+  * distill the Gopher rule set ([[TextOps.textGopher]]) into a SMOOTH
+  * score over the rules' own seven metrics — the standard trick for
+  * turning a hard rule cascade into a rankable quality signal (rules
+  * give a binary verdict; a distilled score lets the pipeline keep the
+  * best N tokens instead). A rule cascade is an AND of half-spaces, so
+  * one linear boundary can't reproduce it exactly — the distillation
+  * bar is agreement ≥ 0.9 (spec-pinned), not identity.
+  *
+  * Division of labor (the [[TextOps.bpeTrain]] split): the
+  * corpus-touching work is ONE map-side metric projection (shared with
+  * textGopher); training runs driver-side over a BOUNDED deterministic
+  * sample (`trainCap` rows of 8 doubles — logistic regression on 10k
+  * points is milliseconds, and a distributed GD would pay `iters`
+  * cluster round-trips for it, with partial-sum float ordering making
+  * the trajectory nondeterministic besides). Scoring interpolates the
+  * trained weights as PLAN LITERALS (the [[Ann.embedProject]]
+  * convention), so the whole serve path fuses into the scan: no model
+  * object, no broadcast, no UDF.
+  */
+object Classifier {
+
+  /** Feature vector = the seven Gopher metrics, in this order — the
+    * weight-vector order everywhere. All int-derived ratios (the
+    * repo's engine-stable float rule). */
+  private val featureNames = Seq("n_words", "mean_word_len",
+    "symbol_ratio", "bullet_ratio", "ellipsis_ratio", "alpha_word_ratio",
+    "n_stop_present")
+  private val nFeatures = featureNames.size
+
+  /** Deterministic training sample: metrics + Gopher label for the
+    * `trainCap` lowest (sampleBucket, doc_id) docs. */
+  private def trainSample(docs: DataFrame, minWords: Int, minStop: Int,
+                          trainCap: Int): Array[(Array[Double], Double)] =
+    TextOps.textGopher(docs, minWords = minWords, minStop = minStop)
+      .orderBy(TextOps.sampleBucket, col("doc_id"))
+      .limit(trainCap)
+      .select(array(featureNames.map(n => col(n).cast("double")): _*).as("x"),
+        col("gopher_pass").cast("double").as("y"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+
+  /** Trained model: per-feature standardization constants + weights +
+    * bias. Pure driver arithmetic after the one sample collect —
+    * sequential, so bit-deterministic for a given sample. */
+  final case class Model(mu: Array[Double], sd: Array[Double],
+                         w: Array[Double], b: Double)
+
+  /** Full-batch gradient descent on standardized features. Fixed
+    * iteration count and learning rate — no early stopping, no
+    * randomness, so retraining on the same corpus reproduces the model
+    * exactly (spec-pinned). */
+  def train(docs: DataFrame, minWords: Int = 8, minStop: Int = 1,
+            trainCap: Int = 10000, iters: Int = 300,
+            lr: Double = 0.5): Model = {
+    val s = trainSample(docs, minWords, minStop, trainCap)
+    require(s.nonEmpty, "empty training sample")
+    val n = s.length
+    val mu = Array.tabulate(nFeatures)(j => s.map(_._1(j)).sum / n)
+    val sd = Array.tabulate(nFeatures) { j =>
+      val v = s.map { case (x, _) => val d = x(j) - mu(j); d * d }.sum / n
+      val r = math.sqrt(v)
+      if (r == 0.0) 1.0 else r // constant feature: standardizes to 0
+    }
+    val xs = s.map { case (x, _) =>
+      Array.tabulate(nFeatures)(j => (x(j) - mu(j)) / sd(j)) }
+    val ys = s.map(_._2)
+    val w = new Array[Double](nFeatures)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](nFeatures)
+      var gb = 0.0
+      var i = 0
+      while (i < n) {
+        var z = b
+        var j = 0
+        while (j < nFeatures) { z += w(j) * xs(i)(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val e = p - ys(i)
+        j = 0
+        while (j < nFeatures) { gw(j) += e * xs(i)(j); j += 1 }
+        gb += e
+        i += 1
+      }
+      var j = 0
+      while (j < nFeatures) { w(j) -= lr * gw(j) / n; j += 1 }
+      b -= lr * gb / n
+      it += 1
+    }
+    Model(mu, sd, w, b)
+  }
+
+  /** Score the corpus under a trained model: quality_score =
+    * σ(w·x̂ + b) rounded to 4 decimals (the [[TextOps.textPerplexity]]
+    * float rule — the threshold compares ROUNDED values on any engine),
+    * plus the binary keep verdict at 0.5. One map-side projection over
+    * the shared Gopher metric columns — model constants are plan
+    * literals. */
+  def score(docs: DataFrame, m: Model, minWords: Int = 8,
+            minStop: Int = 1): DataFrame = {
+    val metrics = TextOps.textGopher(docs, minWords = minWords,
+      minStop = minStop)
+    val z = (0 until nFeatures).map { j =>
+      (col(featureNames(j)).cast("double") - lit(m.mu(j))) / lit(m.sd(j)) *
+        lit(m.w(j))
+    }.reduce(_ + _) + lit(m.b)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    metrics.select(col("doc_id"), p.as("quality_score"),
+      (p >= 0.5).as("keep"))
+  }
+
+  /** Train-then-score in one call (the driver-contract query). */
+  def qualityClassifier(docs: DataFrame, minWords: Int = 8,
+                        minStop: Int = 1): DataFrame =
+    score(docs, train(docs, minWords, minStop), minWords, minStop)
+
+  def qualityClassifierQ(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifier(Tables.documents(spark, dir))
+}

@@ -850,4 +850,83 @@ object TextOps {
         .withColumn("doc_id", col("doc_id") + 1000000))
     corpusDiff(docs, next)
   }
+
+  /** Sliding-window chunking: each doc split into `chunkWords`-word
+    * windows every `stride` words (overlap = chunkWords − stride) — the
+    * retrieval/context-window prep step (RAG indexing, long-doc
+    * training splits) that turns a document table into a chunk table.
+    * Output (doc_id, chunk_id, n_words, chunk_text); chunk_id counts
+    * windows within the doc, the final window may be shorter, and every
+    * doc yields at least one chunk (short docs = one window of
+    * themselves).
+    *
+    * Scale shape: pure per-row generate — split once, one `sequence`
+    * explode of ⌈words/stride⌉ start offsets, `slice` + `array_join`
+    * per start — fused into the scan, no shuffle, no UDF; output rows
+    * ~(1 + overlap/stride)× input words, the unavoidable cost of
+    * overlapped windows. */
+  def corpusChunk(docs: DataFrame, chunkWords: Int = 32,
+                  stride: Int = 24): DataFrame = {
+    require(chunkWords > 0 && stride > 0, "chunkWords and stride must be > 0")
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), explode(
+        sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)),
+          lit(stride))).as("st"))
+      .select(col("doc_id"),
+        expr(s"st div $stride").cast("int").as("chunk_id"),
+        size(slice(col("ws"), col("st") + 1, lit(chunkWords))).as("n_words"),
+        array_join(slice(col("ws"), col("st") + 1, lit(chunkWords)), " ")
+          .as("chunk_text"))
+  }
+
+  def corpusChunkQ(spark: SparkSession, dir: String): DataFrame =
+    corpusChunk(Tables.documents(spark, dir))
+
+  /** Apply a TRAINED BPE merge table to the corpus: per-doc whitespace
+    * word count and encoded-token count under the learned vocabulary —
+    * the "how many tokens is my corpus, under MY tokenizer" question
+    * every training-data budget starts from (whitespace counts are off
+    * 1.3-2× from any real subword vocab). Completes the tokenizer
+    * story: [[bpeTrain]] produces the merge table, this consumes it.
+    *
+    * Scale shape — the memoized split real tokenizer pipelines use:
+    * the corpus-sized stages are all codegen'd built-ins (tokenize +
+    * one map-side-combined groupBy to (doc_id, word, n)); the actual
+    * merge-loop segmentation ([[graft.functions.BpeApply]], eval-only
+    * by design) runs once per DISTINCT word — Heaps-law sublinear, the
+    * same memoization HF's fast tokenizers keep in their word cache —
+    * and joins back by word (vocab side is the small one;
+    * AQE/autoBroadcast picks the broadcast at any realistic vocab
+    * size). Zipf makes the savings real: the top 100 words alone are
+    * typically ~half the corpus' word occurrences.
+    *
+    * `merges` is bounded by [[bpeTrain]]'s `iters` (its driver-side
+    * collect is capped by construction), so plan-literal transport is
+    * KBs. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val docWords = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val vocab = docWords.select(col("w")).distinct()
+      .withColumn("n_sym",
+        size(graft.functions.BpeFunctions.bpeApply(col("w"), merges))
+          .cast("long"))
+    docWords.join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** Driver query: train 20 merges on the corpus ([[bpeTrain]]'s exact
+    * driver-side loop), then encode the same corpus under them — the
+    * full train→apply tokenizer round trip in one plan. */
+  def bpeEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs).orderBy(col("merge_rank"))
+      .select(col("left"), col("right"))
+      .as[(String, String)].collect().toSeq
+    bpeEncode(docs, merges)
+  }
 }

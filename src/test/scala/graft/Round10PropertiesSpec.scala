@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Ann, TextOps}
+
+class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
+
+  test("corpus_chunk windows a hand-built doc exactly") {
+    import spark.implicits._
+    val words = (0 until 50).map(i => s"w$i")
+    val docs = Seq((7L, words.mkString(" ")), (8L, "just three words"))
+      .toDF("doc_id", "text")
+    val out = TextOps.corpusChunk(docs, chunkWords = 32, stride = 24)
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 50 words, stride 24 → starts 0, 24, 48
+    val d7 = out(7L)
+    assert(d7.map(c => (c._2, c._3)).toSeq === Seq((0, 32), (1, 26), (2, 2)))
+    assert(d7(0)._4 === words.slice(0, 32).mkString(" "))
+    assert(d7(1)._4 === words.slice(24, 50).mkString(" "))
+    assert(d7(2)._4 === words.slice(48, 50).mkString(" "))
+    // consecutive windows overlap by chunkWords − stride = 8 words
+    assert(d7(0)._4.split(" ").takeRight(8).toSeq ===
+      d7(1)._4.split(" ").take(8).toSeq)
+    // a short doc yields exactly one window of itself
+    assert(out(8L).toSeq === Seq((8L, 0, 3, "just three words")))
+  }
+
+  test("corpus_chunk covers every word of every real doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = TextOps.corpusChunk(docs)
+    // every doc chunked; chunk_ids contiguous from 0; every window
+    // within size; total coverage = stride·(n_chunks−1) + last size
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"), max(col("chunk_id")).as("mx"),
+        min(col("chunk_id")).as("mn"), max(col("n_words")).as("mw"),
+        sum(when(col("n_words") > 32, 1).otherwise(0)).as("oversize"))
+    assert(perDoc.count() === docs.count())
+    assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("nc") - 1)
+      .isEmpty)
+    assert(perDoc.filter(col("oversize") > 0).isEmpty)
+    val words = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("nw"))
+    val last = chunks.join(words, "doc_id")
+      .filter(col("chunk_id") === floor((col("nw") - 1) / 24))
+      .filter(col("n_words") =!= col("nw") - col("chunk_id") * 24)
+    assert(last.isEmpty)
+  }
+
+  test("embed_decontaminate counts hits exactly on a hand fixture") {
+    import spark.implicits._
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // exact copy of bench 0 → 1 hit
+      (11L, Array(0.7f, 0.7f, 0.0f)),   // close to BOTH (cos ≈ .71) → 2
+      (12L, Array(0.0f, 0.0f, 1.0f))    // orthogonal to both → clean
+    ).toDF("vec_id", "embedding")
+    val out = Ann.embedDecontaminate(corpus, bench, tau = 0.5)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(10L) === ((1L, true)))
+    assert(out(11L) === ((2L, true)))
+    assert(out(12L) === ((0L, false)))
+    assert(out.size === 3)
+  }
+
+  test("embed_decontaminate hit counts equal ann_range pair counts") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // ann_range: (query_id < 10) → corpus pairs at the SAME tau; its
+    // pairs with vec_id ≥ 10 are exactly this operator's hits
+    val expected = Ann.annRange(emb, nQueries = 10, tau = 0.3)
+      .filter(col("vec_id") >= 10)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits_exp"))
+    val got = Ann.embedDecontaminate(emb.filter(col("vec_id") >= 10),
+      emb.filter(col("vec_id") < 10), tau = 0.3)
+    assert(got.count() === emb.filter(col("vec_id") >= 10).count())
+    val joined = got.join(expected, Seq("vec_id"), "left")
+      .filter(coalesce(col("n_hits_exp"), lit(0L)) =!= col("n_hits"))
+    assert(joined.isEmpty)
+  }
+
+  test("embed_decontaminate never shuffles the corpus vectors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = Ann.embedDecontaminate(emb.filter(col("vec_id") >= 10),
+      emb.filter(col("vec_id") < 10)).queryExecution.executedPlan.toString
+    // bench side broadcasts; the only exchange carries (vec_id, count)
+    // partials — assert no SortMergeJoin / no shuffle of array data
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+}
