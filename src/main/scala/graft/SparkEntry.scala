@@ -83,6 +83,7 @@ object SparkEntry {
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
+    "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
@@ -956,6 +957,25 @@ object SparkEntry {
          |SELECT pair, n_occurrences FROM pairs
          |ORDER BY n_occurrences DESC, pair ASC
          |LIMIT 100""".stripMargin,
+    // smooth-idf TF-IDF; scores rounded to 4 decimals BEFORE ranking on
+    // both engines (ln may differ in the last ulp), term as tiebreak
+    "text_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (
+         |  SELECT t.doc_id, t.term,
+         |    round(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 4) AS tfidf
+         |  FROM t JOIN d ON t.term = d.term, n)
+         |SELECT doc_id, rank, term, tfidf FROM (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin,
     // sliding windows: DuckDB's 1-based inclusive list slice ws[a:b]
     // clamps past the end exactly like Spark's slice(ws, a, n)
     "corpus_chunk" ->

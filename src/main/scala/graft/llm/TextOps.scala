@@ -929,4 +929,59 @@ object TextOps {
       .as[(String, String)].collect().toSeq
     bpeEncode(docs, merges)
   }
+
+  /** Per-doc top-k TF-IDF terms — the classic keyword/topic-signal
+    * primitive (smooth idf: tf · (ln((N+1)/(df+1)) + 1), the
+    * scikit-learn formula). Scores are ROUNDED to 4 decimals BEFORE
+    * ranking (the [[textPerplexity]] float rule — ln is the one
+    * non-integer ingredient and the two engines' ln may differ in the
+    * last ulp), with the term as the total-order tiebreak, so the kept
+    * row set is engine-stable.
+    *
+    * Scale shape: term counts reduce map-side to (doc, term, tf); the
+    * df table is ONE more aggregation of that frame (vocab-sized,
+    * Heaps-sublinear) joined back by term — AQE broadcasts it at any
+    * realistic vocab size; N rides a 1-row broadcast crossJoin (the
+    * scalar-subquery convention); the final per-doc top-k is
+    * [[graft.operators.GroupTopK]], whose `WindowGroupLimit Partial`
+    * bounds the rank exchange to k rows per doc per partition. The
+    * (doc, term, tf) frame is persisted across its two consumers so
+    * the corpus tokenization runs once. */
+  def textTfidf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val t = tfidfTermCounts(docs).persist()
+    val out = graft.Exec.materialize(tfidfRanked(t, docs, k))
+    t.unpersist()
+    out
+  }
+
+  /** The un-persisted/un-checkpointed [[textTfidf]] plan — what the spec
+    * pins (`Exec.materialize` would hide the window under a checkpoint
+    * scan). */
+  private[graft] def textTfidfPlan(docs: DataFrame, k: Int = 5): DataFrame =
+    tfidfRanked(tfidfTermCounts(docs), docs, k)
+
+  private def tfidfTermCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  private def tfidfRanked(t: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+    val dfc = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = t.join(dfc, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)), 4).as("tfidf"))
+    // the GroupTopK shape inlined WITH the rank kept: row_number ≤ k
+    // still triggers InferWindowGroupLimit's map-side partial bound
+    // (plan-pinned in the spec), and the rank column is part of the
+    // contract here
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
+  def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
+    textTfidf(Tables.documents(spark, dir))
 }

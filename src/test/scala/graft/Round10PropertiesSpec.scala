@@ -83,6 +83,29 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(joined.isEmpty)
   }
 
+  test("text_tfidf ranks a hand-computed fixture and bounds the rank shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana banana cherry"),
+      (3L, "banana date")).toDF("doc_id", "text")
+    // df: apple 1, banana 3, cherry 1, date 1; N=3
+    // idf: rare terms ln(4/2)+1 = 1.693147, banana ln(4/4)+1 = 1.0
+    val out = TextOps.textTfidf(docs, k = 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((1, "apple", 3.3863), (2, "banana", 1.0)))
+    assert(out(2L).map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((1, "banana", 2.0), (2, "cherry", 1.6931)))
+    assert(out(3L).map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((1, "date", 1.6931), (2, "banana", 1.0)))
+    // the rank window must carry the map-side partial bound
+    val plan = TextOps.textTfidfPlan(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("embed_decontaminate never shuffles the corpus vectors") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = Ann.embedDecontaminate(emb.filter(col("vec_id") >= 10),
