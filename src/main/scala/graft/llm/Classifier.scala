@@ -120,6 +120,36 @@ object Classifier {
       (p >= 0.5).as("keep"))
   }
 
+  /** COLUMN-level score under a trained model — the serve-path
+    * primitive: a stateless per-row expression over raw `text`, usable
+    * on a STREAMING frame unchanged (no stateful operator anywhere) or
+    * as a [[graft.streaming.StreamAggs.gateMonitor]] gate. Same
+    * arithmetic as [[score]] (spec-pinned equal); each Gopher metric
+    * tree appears once in the composed expression. */
+  def scoreCol(m: Model): Column = {
+    val fs = TextOps.gopherMetricColsSeq
+    val z = (0 until nFeatures).map { j =>
+      (fs(j).cast("double") - lit(m.mu(j))) / lit(m.sd(j)) * lit(m.w(j))
+    }.reduce(_ + _) + lit(m.b)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+
+  /** The binary keep gate at 0.5 over [[scoreCol]]. */
+  def keepCol(m: Model): Column = scoreCol(m) >= 0.5
+
+  /** Windowed pass-rate monitor under a TRAINED model — the live serve
+    * composition: train offline ([[train]]), freeze the weights into
+    * the plan, gate the ingest stream map-side, roll pass rates up in
+    * the canonical watermarked window ([[graft.streaming.StreamAggs
+    * .gateMonitor]] — the only stateful operator). Streaming == batch
+    * spec-pinned like the quality monitor. */
+  def classifierMonitor(docs: DataFrame, m: Model,
+                        tsCol: String = "ingest_ts",
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    graft.streaming.StreamAggs.gateMonitor(docs, keepCol(m), tsCol,
+      windowLen, watermark)
+
   /** Train-then-score in one call (the driver-contract query). */
   def qualityClassifier(docs: DataFrame, minWords: Int = 8,
                         minStop: Int = 1): DataFrame =

@@ -134,6 +134,17 @@ object TextOps {
                     minStop: Int = 2): Column =
     gopherPass(gopherCols, minWords, maxWords, minStop)
 
+  /** The seven Gopher metric columns in [[textGopher]]'s column order —
+    * the Column-level surface model-based gates compose with
+    * ([[graft.llm.Classifier.scoreCol]]). Each metric tree appears ONCE
+    * in the composed expression, so the textGopher duplication caveat
+    * does not apply. */
+  private[llm] def gopherMetricColsSeq: Seq[Column] = {
+    val g = gopherCols
+    Seq(g.nWords, g.meanLen, g.symbolRatio, g.bulletRatio,
+      g.ellipsisRatio, g.alphaRatio, g.nStop)
+  }
+
   def textGopher(docs: DataFrame,
                  minWords: Long = 50, maxWords: Long = 100000,
                  minStop: Int = 2): DataFrame = {

@@ -37,6 +37,52 @@ class ClassifierSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(!col("gopher_pass")).count() === 40L)
   }
 
+  test("scoreCol serve path: streaming scores equal the batch scores") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+    val m = Classifier.train(Tables.documents(spark, sfDir))
+    // Column form == DataFrame form on batch (same arithmetic)
+    val viaCol = docs.select(col("doc_id"),
+      Classifier.scoreCol(m).as("quality_score"),
+      Classifier.keepCol(m).as("keep"))
+    val viaDf = Classifier.score(Tables.documents(spark, sfDir), m)
+    assert(viaCol.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaCol).isEmpty)
+    // the same expression scores a FILE STREAM unchanged (stateless)
+    val inputDir = tmpDir("clf_in_")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$inputDir/f0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$inputDir/f1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = stream.select(col("doc_id"),
+        Classifier.scoreCol(m).as("quality_score"),
+        Classifier.keepCol(m).as("keep"))
+      .writeStream.format("memory").queryName("clf_scores")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("clf_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("clf_scores")
+    assert(got.count() === docs.count())
+    assert(got.exceptAll(viaDf).isEmpty && viaDf.exceptAll(got).isEmpty)
+  }
+
+  test("classifierMonitor pass totals equal the batch keep count") {
+    import spark.implicits._
+    val m = Classifier.train(Tables.documents(spark, sfDir))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ingest_ts",
+        (lit(1704067200L) + col("doc_id") % 21600).cast("timestamp"))
+    val got = Classifier.classifierMonitor(docs, m)
+    val wantKeep = Classifier.score(Tables.documents(spark, sfDir), m)
+      .filter(col("keep")).count()
+    assert(got.agg(sum("n_pass")).as[Long].head() === wantKeep)
+    assert(got.agg(sum("n_docs")).as[Long].head() === docs.count())
+  }
+
   test("distilled scores agree with the gopher rules on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val out = Classifier.qualityClassifier(docs)
