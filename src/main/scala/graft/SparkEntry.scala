@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_pack" -> (TextOps.corpusPackQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
+    "text_entropy" -> (TextOps.textEntropyQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
@@ -957,6 +958,18 @@ object SparkEntry {
          |SELECT pair, n_occurrences FROM pairs
          |ORDER BY n_occurrences DESC, pair ASC
          |LIMIT 100""".stripMargin,
+    // char-distribution entropy in the 2-aggregate algebraic form
+    // ln(T) - sum(n ln n)/T, rounded 4dp before the flag on both engines
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, g.c AS c
+        |  FROM documents, unnest(regexp_extract_all(text, '[\s\S]')) AS g(c)),
+        |k AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) < 2.0
+        |    AS is_low_entropy
+        |FROM k GROUP BY doc_id""".stripMargin,
     // smooth-idf TF-IDF; scores rounded to 4 decimals BEFORE ranking on
     // both engines (ln may differ in the last ulp), term as tiebreak
     "text_tfidf" ->

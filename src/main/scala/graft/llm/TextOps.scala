@@ -995,4 +995,35 @@ object TextOps {
 
   def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
     textTfidf(Tables.documents(spark, dir))
+
+  /** Per-doc character-distribution Shannon entropy (nats) — the
+    * randomness screen complementing [[textRepetition]] from the other
+    * side: repeated-char/boilerplate garbage scores LOW (the
+    * `is_low_entropy` flag), while base64/hex/encoded blobs pin near
+    * the alphabet ceiling ln(|alphabet|), so both tails of the
+    * distribution are review queues. Entropy is computed as
+    * ln(T) − Σ n·ln(n)/T over per-char counts (the algebraic form that
+    * needs only two aggregates), rounded to 4 decimals before the flag
+    * (the [[textPerplexity]] float rule).
+    *
+    * Scale shape: one `[\s\S]` char explode → (doc, char) counts
+    * (map-side combined — ≤ |alphabet| rows per doc per partition on
+    * the wire) → one per-doc agg, also map-side combined. No joins, no
+    * windows. Empty docs have no char rows and drop out on both
+    * engines identically. */
+  def textEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)))
+          .as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_chars"),
+        sum(col("n") * log(col("n"))).as("nlogn"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log(col("n_chars")) - col("nlogn") / col("n_chars"), 4)
+          .as("entropy"))
+      .withColumn("is_low_entropy", col("entropy") < 2.0)
+
+  def textEntropyQ(spark: SparkSession, dir: String): DataFrame =
+    textEntropy(Tables.documents(spark, dir))
 }

@@ -49,6 +49,33 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(last.isEmpty)
   }
 
+  test("text_entropy matches closed forms on uniform alphabets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),           // one symbol: entropy 0
+      (2L, "abababab"),       // two equiprobable: ln 2
+      (3L, "abcd"),           // four equiprobable: ln 4
+      (4L, "aaab")            // 3/4, 1/4: ln4 - (3 ln 3)/4
+    ).toDF("doc_id", "text")
+    val out = TextOps.textEntropy(docs)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((4L, 0.0, true)))
+    assert(out(2L) === ((8L, BigDecimal(math.log(2)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, true)))
+    assert(out(3L) === ((4L, BigDecimal(math.log(4)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, true)))
+    val h4 = math.log(4) - 3.0 * math.log(3) / 4.0
+    assert(out(4L)._2 === BigDecimal(h4).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // real corpus: every non-empty doc scored, entropies inside [0, ln 256]
+    val docsR = Tables.documents(spark, sfDir)
+    val ent = TextOps.textEntropy(docsR)
+    assert(ent.count() === docsR.filter(length(col("text")) > 0).count())
+    assert(ent.filter(col("entropy") < 0 ||
+      col("entropy") > math.log(256)).isEmpty)
+  }
+
   test("embed_decontaminate counts hits exactly on a hand fixture") {
     import spark.implicits._
     val bench = Seq(

@@ -75,6 +75,26 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save())
     t("corpus_split 50k docs")(graft.llm.TextOps.corpusSplit(docs10)
       .write.format("noop").mode("overwrite").save())
+    t("corpus_chunk 50k docs")(graft.llm.TextOps.corpusChunk(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("text_tfidf 50k docs")(graft.llm.TextOps.textTfidf(docs10)
+      .write.format("noop").mode("overwrite").save())
+    t("bpe_encode 50k docs (20 trained merges)") {
+      import spark.implicits._
+      val merges = graft.llm.TextOps.bpeTrain(docs10)
+        .orderBy(col("merge_rank")).select(col("left"), col("right"))
+        .as[(String, String)].collect().toSeq
+      graft.llm.TextOps.bpeEncode(docs10, merges)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("quality_classifier 50k docs (train + score)")(
+      graft.llm.Classifier.qualityClassifier(docs10)
+        .write.format("noop").mode("overwrite").save())
+    t("embed_decontaminate 20k vecs x 100 bench") {
+      Ann.embedDecontaminate(emb10.filter(col("vec_id") >= 100),
+        emb10.filter(col("vec_id") < 100))
+        .write.format("noop").mode("overwrite").save()
+    }
     t("sketch tables 50k docs") {
       graft.llm.Sketches.rollupByLang(graft.llm.Sketches.sketchTable(docs10))
         .write.format("noop").mode("overwrite").save()
