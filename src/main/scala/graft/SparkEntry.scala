@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
+    "corpus_families" -> (Dedup.corpusFamiliesQ _),
     "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
     "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
@@ -1053,28 +1054,25 @@ object SparkEntry {
     // connected-component dedup: keep the smallest doc_id per near-dup
     // component (recursive CTE computes the transitive closure)
     "dedup_corpus" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tokSql AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
-         |       WHERE len(t) >= 3),
-         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |             count(*) AS inter
-         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
-         |fpairs AS (SELECT doc_a, doc_b FROM jpairs
-         |           JOIN counts ca ON doc_a = ca.doc_id
-         |           JOIN counts cb ON doc_b = cb.doc_id
-         |           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
-         |          UNION SELECT doc_b, doc_a FROM fpairs),
-         |reach(a, b) AS (SELECT a, b FROM edges
-         |                UNION
-         |                SELECT r.a, e.b FROM reach r
-         |                JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+      s"""WITH RECURSIVE $jaccardCcSql,
          |drops AS (SELECT DISTINCT a FROM reach WHERE b < a)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT a FROM drops)""".stripMargin,
+    // the same jaccard CC chain aggregated per component: family = min
+    // doc_id (the kept representative), sizes + chars removed — all ints
+    "corpus_families" ->
+      s"""WITH RECURSIVE $jaccardCcSql,
+         |minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+         |fam AS (SELECT d.doc_id,
+         |          least(coalesce(m.mb, d.doc_id), d.doc_id) AS family,
+         |          d.n_chars
+         |        FROM documents d LEFT JOIN minr m ON d.doc_id = m.a)
+         |SELECT family, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN doc_id <> family THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS chars_dropped
+         |FROM fam GROUP BY family
+         |HAVING count(*) >= 2""".stripMargin,
     // composed refinery: scrub → quality gate on clean text → exact
     // content dedup keep-first → consistent-hash stratified sample. All
     // float terms are single divisions/multiplies of exact integers —
@@ -1262,6 +1260,31 @@ object SparkEntry {
         |    AS is_outlier
         |FROM dist JOIN st ON dist.label = st.label""".stripMargin
   )
+
+  /** Shared CTE chain of the `dedup_corpus` / `corpus_families` oracles:
+    * word-3-gram shingles → inverted-index jaccard ≥ 0.8 pairs →
+    * undirected edges → RECURSIVE reachability (reach). Interpolate
+    * after a `WITH RECURSIVE`. */
+  private lazy val jaccardCcSql: String =
+    s"""toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+       |       WHERE len(t) >= 3),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             count(*) AS inter
+       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |fpairs AS (SELECT doc_a, doc_b FROM jpairs
+       |           JOIN counts ca ON doc_a = ca.doc_id
+       |           JOIN counts cb ON doc_b = cb.doc_id
+       |           WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+       |          UNION SELECT doc_b, doc_a FROM fpairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r
+       |                JOIN edges e ON r.b = e.a WHERE e.b <> r.a)""".stripMargin
 
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is
     * a plain (non-interpolated concatenation of) string so the SQL carries

@@ -617,6 +617,42 @@ object Dedup {
     docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Duplicate-FAMILY report over a near-dup pair set: one row per
+    * connected component of size ≥ 2 — (family = min doc_id = the kept
+    * representative, n_docs, n_dropped, chars_dropped) — the dedup
+    * savings audit a curation run publishes next to its deduped corpus
+    * ("what did dedup actually remove, and how much"). Integer outputs
+    * only.
+    *
+    * Scale shape: the same adaptive [[componentLabels]] as
+    * [[dedupedCorpus]] (driver union-find below the cap, distributed
+    * min-label propagation above), a left join of labels onto the slim
+    * (doc_id, n_chars) projection, one map-side-combined agg on the
+    * family key. Same persist contract on `pairs` as dedupedCorpus. */
+  def corpusFamilies(docs: DataFrame, pairs: DataFrame,
+                     maxDriverPairs: Long = 5000000L): DataFrame = {
+    val labels = componentLabels(pairs, maxDriverPairs)
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("family"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("family"), col("n_chars"))
+          .otherwise(0L)).as("chars_dropped"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  def corpusFamiliesQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // same persist contract as [[dedupCorpusQ]]
+    val pairs = dedupNgramJaccard(docs).persist()
+    val out = graft.Exec.materialize(corpusFamilies(docs, pairs))
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Connected-component labels (id, label) for every EDGE-TOUCHED
     * vertex of an undirected (doc_a, doc_b) pair graph; label = the
     * component's minimum vertex id. Isolated vertices don't appear —

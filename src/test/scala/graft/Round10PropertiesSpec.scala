@@ -76,6 +76,18 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
       col("entropy") > math.log(256)).isEmpty)
   }
 
+  test("corpus_families aggregates hand-built components") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = (1L to 7L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.corpusFamilies(docs, pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // chain {1,2,3} kept at 1 (chars of 2 and 3 dropped), pair {5,6}
+    // kept at 5; singletons 4 and 7 never appear in the report
+    assert(out === Seq((1L, 3L, 2L, 50L), (5L, 2L, 1L, 60L)))
+  }
+
   test("embed_decontaminate counts hits exactly on a hand fixture") {
     import spark.implicits._
     val bench = Seq(
