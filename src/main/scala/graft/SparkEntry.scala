@@ -94,6 +94,7 @@ object SparkEntry {
     "bpe_encode" -> (TextOps.bpeEncodeQ _),
     "corpus_chunk" -> (TextOps.corpusChunkQ _),
     "quality_classifier" -> (graft.llm.Classifier.qualityClassifierQ _),
+    "corpus_sample_quality" -> (graft.llm.Classifier.corpusSampleQualityQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),

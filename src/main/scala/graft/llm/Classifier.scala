@@ -150,6 +150,29 @@ object Classifier {
     graft.streaming.StreamAggs.gateMonitor(docs, keepCol(m), tsCol,
       windowLen, watermark)
 
+  /** Quality-WEIGHTED sampling — soft filtering (the DCLM/CCNet move):
+    * instead of the hard 0.5 keep/drop, each doc survives with
+    * probability equal to its classifier score, so borderline docs are
+    * thinned rather than purged and the kept corpus' quality mass
+    * shifts up without a cliff. Deterministic and replayable: the
+    * consistent permille hash bucket of doc_id
+    * ([[TextOps.sampleBucket]], the corpusSample convention) is
+    * compared against the score expressed in permille (score is
+    * already rounded to 4 decimals; `round(·1000)` makes the permille
+    * an exact integer) — same doc, same model ⇒ same verdict on every
+    * run and every engine. Map-side only: gate and hash both fuse into
+    * the scan, the corpus never shuffles. */
+  def sampleByQuality(docs: DataFrame, m: Model): DataFrame =
+    docs.select(col("doc_id"), scoreCol(m).as("quality_score"),
+        TextOps.sampleBucket.as("__b"))
+      .filter(col("__b") < round(col("quality_score") * 1000).cast("long"))
+      .select(col("doc_id"), col("quality_score"))
+
+  def corpusSampleQualityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    sampleByQuality(docs, train(docs))
+  }
+
   /** Train-then-score in one call (the driver-contract query). */
   def qualityClassifier(docs: DataFrame, minWords: Int = 8,
                         minStop: Int = 1): DataFrame =

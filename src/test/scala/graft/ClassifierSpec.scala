@@ -83,6 +83,31 @@ class ClassifierSpec extends AnyFunSuite with SparkFixture {
     assert(got.agg(sum("n_docs")).as[Long].head() === docs.count())
   }
 
+  test("sampleByQuality is deterministic, bucket-exact and quality-shifting") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val m = Classifier.train(docs)
+    val a = Classifier.sampleByQuality(docs, m)
+    val b = Classifier.sampleByQuality(docs, m)
+    assert(a.collect().toSeq.sortBy(_.getLong(0)) ===
+      b.collect().toSeq.sortBy(_.getLong(0)))
+    // membership is exactly bucket < permille(score) — recomputed
+    // independently from the scored frame
+    val scored = Classifier.score(docs, m)
+      .join(docs.select(col("doc_id"), TextOps.sampleBucket.as("bk")),
+        "doc_id")
+    val want = scored
+      .filter(col("bk") < round(col("quality_score") * 1000).cast("long"))
+      .select(col("doc_id"), col("quality_score"))
+    assert(a.exceptAll(want).isEmpty && want.exceptAll(a).isEmpty)
+    // soft filtering shifts quality mass UP: mean kept score strictly
+    // above mean corpus score (true unless scores are constant)
+    val meanAll = scored.agg(avg("quality_score")).as[Double].head()
+    val meanKept = a.agg(avg("quality_score")).as[Double].head()
+    assert(meanKept > meanAll,
+      s"kept mean $meanKept not above corpus mean $meanAll")
+  }
+
   test("distilled scores agree with the gopher rules on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val out = Classifier.qualityClassifier(docs)
