@@ -139,6 +139,7 @@ object SparkEntry {
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)
     "multimodal" -> (Multimodal.multimodalQ _),
+    "media_resize" -> (Multimodal.mediaResizeQ _),
     "media_audio" -> (Audio.mediaAudioQ _),
     "media_video" -> (Video.mediaVideoQ _)
   )

@@ -83,6 +83,36 @@ object Netpbm {
     } yield Image(format, w, h, channels, raster)
   }
 
+  /** Nearest-neighbor resample to (tw × th), channels and format
+    * preserved — the standard cheap image-pipeline resize (source pixel
+    * = floor(target · src/dst), the exact mapping every NN resizer
+    * uses, integer arithmetic only so the output raster is
+    * bit-deterministic). Identity when the size is unchanged. */
+  def resize(img: Image, tw: Int, th: Int): Image = {
+    require(tw > 0 && th > 0, "resize dims must be positive")
+    val out = new Array[Byte](tw * th * img.channels)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.width / tw).toInt
+        val si = (sy * img.width + sx) * img.channels
+        val di = (y * tw + x) * img.channels
+        var c = 0
+        while (c < img.channels) { out(di + c) = img.raster(si + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Image(img.format, tw, th, img.channels, out)
+  }
+
+  /** Re-encode a decoded image in its own format. */
+  def encode(img: Image): Array[Byte] =
+    if (img.channels == 3) encodeP6(img.width, img.height, img.raster)
+    else encodeP5(img.width, img.height, img.raster)
+
   /** Real feature extraction from DECODED PIXELS: mean luminance
     * (BT.601 weights for RGB) and a true 4×4 average-pool downsample —
     * the resize step — as a 16-cell row-major grid. */
@@ -192,6 +222,42 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Batched media TRANSFORM: decode → nearest-neighbor resize to
+    * (tw × th) → re-encode in the source format, inside the same one
+    * `mapPartitions` codec boundary as [[extractFeatures]] (decode and
+    * transform share the batch; a second boundary would re-decode).
+    * Undecodable payloads are DROPPED — a transform stage emits only
+    * valid media; the decode-gate accounting lives in
+    * [[extractFeatures]]'s `invalid` rows. */
+  def resizeMedia(media: Dataset[MediaRecord], tw: Int, th: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Netpbm.decode(r.media).map { img =>
+            val small = Netpbm.resize(img, tw, th)
+            MediaRecord(r.doc_id, Netpbm.encode(small),
+              MediaMeta(small.format, tw, th))
+          }
+        }
+      }
+    }
+  }
+
+  /** Driver query: resize the synthetic media corpus to 16×16 and
+    * fingerprint the re-encoded payloads (scalar columns only — the
+    * driver comparator sorts in pandas). */
+  def mediaResizeQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = withMediaColumn(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+    resizeMedia(media, 16, 16).toDF()
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("media")).as("n_bytes"), md5(col("media")).as("media_fp"))
   }
 
   /** End-to-end multimodal pipeline over `documents`: attach media column,

@@ -88,6 +88,33 @@ class NetpbmSpec extends AnyFunSuite {
     assert(grid.toSeq === (0 until 16).map(_.toDouble))
   }
 
+  test("resize: nearest-neighbor picks floor(target*src/dst) sources exactly") {
+    // 4x4 grayscale with pixel value = index: downsample to 2x2 must
+    // sample sources (0,0) (2,0) (0,2) (2,2) -> bytes 0, 2, 8, 10
+    val g4 = Array.tabulate(16)(_.toByte)
+    val img = Netpbm.decode(Netpbm.encodeP5(4, 4, g4)).get
+    val small = Netpbm.resize(img, 2, 2)
+    assert(small.raster.toSeq === Seq[Byte](0, 2, 8, 10))
+    assert((small.width, small.height, small.channels) === ((2, 2, 1)))
+    // identity at the same size
+    val same = Netpbm.resize(img, 4, 4)
+    assert(same.raster.toSeq === img.raster.toSeq)
+    // upscale 2x2 -> 4x4 replicates each source into a 2x2 block
+    val up = Netpbm.resize(small, 4, 4)
+    assert(up.raster.toSeq === Seq[Byte](0, 0, 2, 2, 0, 0, 2, 2,
+      8, 8, 10, 10, 8, 8, 10, 10))
+    // round trip: the re-encoded payload decodes back to the same image
+    val back = Netpbm.decode(Netpbm.encode(small)).get
+    assert(back.raster.toSeq === small.raster.toSeq &&
+      back.width === 2 && back.height === 2 && back.channels === 1)
+    // RGB channels move together
+    val rgb = Array[Int](255, 0, 0, 0, 255, 0,
+      0, 0, 255, 255, 255, 255).map(_.toByte)
+    val c = Netpbm.decode(Netpbm.encodeP6(2, 2, rgb)).get
+    val one = Netpbm.resize(c, 1, 1)
+    assert(one.raster.toSeq === Seq[Byte](255.toByte, 0, 0))
+  }
+
   test("features: RGB luminance uses BT.601 weights") {
     // one red, one green, one blue, one white pixel (2x2 P6)
     val rgb = Array[Int](

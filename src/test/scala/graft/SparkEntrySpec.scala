@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
       "dedup_simhash", "dedup_embed", "dedup_semantic",
       "dedup_semantic_incremental",
-      "multimodal", "media_audio", "media_video",
+      "multimodal", "media_audio", "media_video", "media_resize",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
       "sketch_topk"),
