@@ -54,6 +54,32 @@ object Wav {
     bb.array()
   }
 
+  /** Integer-factor DECIMATION resample: keep every `factor`-th frame
+    * (all channels of it), sample rate divides by `factor` — the audio
+    * twin of [[Netpbm.resize]]'s nearest-neighbor mapping, and like it
+    * bit-deterministic pure integer indexing (a real pipeline inserts a
+    * low-pass first; decimation is the standard cheap path when the
+    * content is speech-band and the factor small). Identity at
+    * factor=1. Frame count becomes ⌈frames/factor⌉ (frame 0 always
+    * kept). */
+  def decimate(a: Audio, factor: Int): Audio = {
+    require(factor >= 1, "factor must be >= 1")
+    if (factor == 1) a
+    else {
+      val frames = a.samples.length / a.channels
+      val outFrames = (frames + factor - 1) / factor
+      val out = new Array[Short](outFrames * a.channels)
+      var f = 0
+      while (f < outFrames) {
+        val src = f * factor * a.channels
+        var c = 0
+        while (c < a.channels) { out(f * a.channels + c) = a.samples(src + c); c += 1 }
+        f += 1
+      }
+      Audio(a.sampleRate / factor, a.channels, out)
+    }
+  }
+
   /** Parse a RIFF/WAVE 16-bit PCM payload; None on anything malformed.
     * Allocation is bounded by the payload length itself (a declared data
     * size larger than the remaining bytes is rejected as truncated), so
@@ -193,6 +219,39 @@ object Audio {
         }
       }
     }
+  }
+
+  /** Batched audio TRANSFORM: decode → integer-factor decimation →
+    * re-encode, inside the one codec boundary ([[Multimodal
+    * .resizeMedia]]'s audio twin). Undecodable payloads dropped — a
+    * transform emits only valid media. */
+  def resampleAudio(media: Dataset[AudioRecord], factor: Int)(
+      implicit spark: SparkSession): Dataset[AudioRecord] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Wav.decode(r.media).map { a =>
+            val d = Wav.decimate(a, factor)
+            AudioRecord(r.doc_id, Wav.encode(d.sampleRate, d.channels,
+              d.samples), AudioMeta("wav", d.sampleRate,
+              d.samples.length / d.channels))
+          }
+        }
+      }
+    }
+  }
+
+  /** Driver query: decimate the synthetic audio corpus 2× and
+    * fingerprint the re-encoded payloads (scalar columns only). */
+  def mediaResampleQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = withAudioColumn(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+    resampleAudio(media, 2).toDF()
+      .select(col("doc_id"), col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").as("n_frames"),
+        length(col("media")).as("n_bytes"), md5(col("media")).as("media_fp"))
   }
 
   /** Driver entry: attach audio column, decode, flat scalar feature frame

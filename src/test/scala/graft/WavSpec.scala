@@ -81,6 +81,24 @@ class WavSpec extends AnyFunSuite with SparkFixture {
     assert(Wav.decode(patched(22, 100)) === None) // implausible channels
   }
 
+  test("decimate keeps every factor-th frame with all its channels") {
+    // 6 stereo frames, sample value = 10*frame + channel
+    val stereo = Array.tabulate[Short](12)(i => (10 * (i / 2) + i % 2).toShort)
+    val a = Wav.Audio(48000, 2, stereo)
+    val half = Wav.decimate(a, 2)
+    assert(half.sampleRate === 24000 && half.channels === 2)
+    assert(half.samples.toSeq === Seq[Short](0, 1, 20, 21, 40, 41))
+    // factor 1 is the identity
+    assert(Wav.decimate(a, 1).samples.toSeq === a.samples.toSeq)
+    // frame count rounds UP (frame 0 always kept): 5 mono frames / 2 -> 3
+    val mono = Wav.Audio(16000, 1, Array.tabulate[Short](5)(_.toShort))
+    assert(Wav.decimate(mono, 2).samples.toSeq === Seq[Short](0, 2, 4))
+    // the decimated audio re-encodes and decodes back identically
+    val rt = Wav.decode(Wav.encode(half.sampleRate, half.channels,
+      half.samples)).get
+    assert(rt.sampleRate === 24000 && rt.samples.toSeq === half.samples.toSeq)
+  }
+
   test("features: duration, RMS, peak, and bins from known samples") {
     // 16 frames at 8000 Hz, constant half-scale amplitude
     val half = (16384).toShort
