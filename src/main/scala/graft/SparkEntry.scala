@@ -142,7 +142,8 @@ object SparkEntry {
     "media_resize" -> (Multimodal.mediaResizeQ _),
     "media_audio" -> (Audio.mediaAudioQ _),
     "media_resample" -> (Audio.mediaResampleQ _),
-    "media_video" -> (Video.mediaVideoQ _)
+    "media_video" -> (Video.mediaVideoQ _),
+    "media_frames" -> (Video.mediaFramesQ _)
   )
 
   /** Shared k-NN CTE chain (norms → all-pairs dots → cosine → top-5

@@ -241,6 +241,45 @@ object Video {
   /** Driver entry: attach video column, decode + frame-sample, flat
     * scalar feature frame (grid → md5 fingerprint, same comparator
     * constraint as [[Multimodal.multimodalQ]]). */
+  /** Batched video TRANSFORM: decode → keep every `every`-th frame
+    * (frame 0 always; the fps numerator divides so wall duration is
+    * preserved) → re-encode — [[Multimodal.resizeMedia]]'s video twin,
+    * completing the transform trio across all three codecs. Streams
+    * whose fps numerator does not divide by `every` keep their frame
+    * subset with the original fps (duration shrinks — the honest
+    * fallback for a ratio that can't stay integral); undecodable
+    * payloads are dropped. */
+  def sampleFrames(media: Dataset[VideoRecord], every: Int)(
+      implicit spark: SparkSession): Dataset[VideoRecord] = {
+    require(every >= 1, "every must be >= 1")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Y4m.decode(r.media).map { v =>
+            val kept = v.frames.indices.by(every).map(v.frames)
+            val num = if (v.fpsNum % every == 0) v.fpsNum / every else v.fpsNum
+            VideoRecord(r.doc_id,
+              Y4m.encode(v.width, v.height, num, v.fpsDen, kept, v.mono),
+              VideoMeta("y4m", v.width, v.height, kept.length))
+          }
+        }
+      }
+    }
+  }
+
+  /** Driver query: 2× frame-sample the synthetic video corpus and
+    * fingerprint the re-encoded payloads (scalar columns only). */
+  def mediaFramesQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = withVideoColumn(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+    sampleFrames(media, 2).toDF()
+      .select(col("doc_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
+        length(col("media")).as("n_bytes"), md5(col("media")).as("media_fp"))
+  }
+
   def mediaVideoQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withVideoColumn(Tables.documents(spark, dir)

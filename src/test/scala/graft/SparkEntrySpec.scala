@@ -21,7 +21,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "dedup_simhash", "dedup_embed", "dedup_semantic",
       "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video", "media_resize",
-      "media_resample",
+      "media_resample", "media_frames",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
       "sketch_topk"),

@@ -97,6 +97,31 @@ class Y4mSpec extends AnyFunSuite with SparkFixture {
     assert((n4, motion4) === ((1, 0.0)))
   }
 
+  test("sampleFrames keeps every k-th frame, halves fps, drops corrupt rows") {
+    implicit val s = spark
+    import s.implicits._
+    // 5 distinct mono frames at 30 fps, sampled 2x -> frames 0,2,4 at 15
+    val fs = (0 until 5).map(f => frame(4, 2, mono = true)(i => i + 50 * f))
+    val payload = Y4m.encode(4, 2, 30, 1, fs, mono = true)
+    val rows = spark.createDataset(Seq(
+      VideoRecord(1L, payload, VideoMeta("y4m", 4, 2, 5)),
+      VideoRecord(2L, "garbage".getBytes("US-ASCII"), VideoMeta("y4m", 0, 0, 0))))
+    val out = Video.sampleFrames(rows, 2).collect()
+    assert(out.length === 1 && out.head.doc_id === 1L) // corrupt row dropped
+    val v = Y4m.decode(out.head.media).get
+    assert(v.frames.size === 3 && (v.fpsNum, v.fpsDen) === ((15, 1)))
+    assert(v.frames(0).toSeq === fs(0).toSeq)
+    assert(v.frames(1).toSeq === fs(2).toSeq)
+    assert(v.frames(2).toSeq === fs(4).toSeq)
+    assert(out.head.meta.n_frames === 3)
+    // NTSC 30000:1001 by 7: numerator does not divide -> fps kept as-is
+    val ntsc = spark.createDataset(Seq(VideoRecord(3L,
+      Y4m.encode(4, 2, 30000, 1001, fs, mono = true),
+      VideoMeta("y4m", 4, 2, 5))))
+    val n = Y4m.decode(Video.sampleFrames(ntsc, 7).collect().head.media).get
+    assert((n.fpsNum, n.fpsDen) === ((30000, 1001)) && n.frames.size === 1)
+  }
+
   test("video pipeline: real codec features, deterministic, invalid flagged") {
     implicit val s = spark
     import spark.implicits._
