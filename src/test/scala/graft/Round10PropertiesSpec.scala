@@ -76,6 +76,89 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
       col("entropy") > math.log(256)).isEmpty)
   }
 
+  test("corpus_chunk equals a plain-Scala sliding window on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1007)
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rng.nextInt(80)
+      (id, (0 until n).map(i => s"t${rng.nextInt(30)}x$i").mkString(" "))
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+")
+      (0 until ws.length by 24).zipWithIndex.map { case (st, ci) =>
+        val w = ws.slice(st, st + 32)
+        (id, ci, w.length, w.mkString(" "))
+      }
+    }.sorted
+    val got = TextOps.corpusChunk(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    assert(got === expected)
+  }
+
+  test("text_entropy equals a driver-side histogram on random strings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1013)
+    val alphabet = "ab cX#\n09" // mixed case, digits, whitespace, newline
+    val docs = (0L until 40L).map { id =>
+      (id, (0 until (1 + rng.nextInt(200)))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val expected = docs.map { case (id, text) =>
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val t = counts.sum.toDouble
+      val h = math.log(t) - counts.map(n => n * math.log(n.toDouble)).sum / t
+      (id, counts.sum,
+        BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sorted
+    val got = TextOps.textEntropy(docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("n_chars"), col("entropy"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === expected)
+  }
+
+  test("bpe_apply equals the index-skipping reference merge loop on random words") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rng = new scala.util.Random(1019)
+    // reference = bpeTrain's OWN loop shape (index skip), deliberately a
+    // different implementation than the expression's output-top fold
+    def refEncode(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Array[String] = w.map(_.toString).toArray
+      for ((l, r) <- merges if syms.length >= 2) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms.toSeq
+    }
+    for (trial <- 1 to 10) {
+      val words = (0 until 30).map(_ =>
+        (0 until (1 + rng.nextInt(10)))
+          .map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      // random merges over the tiny alphabet and its early compounds —
+      // including repeat-prone pairs like (a,a)
+      var symbols = Seq("a", "b", "c")
+      val merges = (0 until 6).map { _ =>
+        val l = symbols(rng.nextInt(symbols.size))
+        val r = symbols(rng.nextInt(symbols.size))
+        symbols = symbols :+ (l + r)
+        (l, r)
+      }
+      val got = words.toDF("w")
+        .select(col("w"),
+          graft.functions.BpeFunctions.bpeApply(col("w"), merges).as("s"))
+        .as[(String, Seq[String])].collect().toMap
+      for (w <- words)
+        assert(got(w) === refEncode(w, merges),
+          s"trial $trial word '$w' merges $merges")
+    }
+  }
+
   test("corpus_families aggregates hand-built components") {
     import spark.implicits._
     import graft.llm.Dedup
