@@ -96,6 +96,7 @@ object SparkEntry {
     "quality_classifier" -> (graft.llm.Classifier.qualityClassifierQ _),
     "corpus_sample_quality" -> (graft.llm.Classifier.corpusSampleQualityQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
+    "corpus_refine_learned" -> (TextOps.corpusRefineLearnedQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),

@@ -798,6 +798,49 @@ object TextOps {
   def corpusRefineQ(spark: SparkSession, dir: String): DataFrame =
     corpusRefine(Tables.documents(spark, dir))
 
+  /** [[corpusRefine]] with the LEARNED gate: the same scrub → gate →
+    * exact-dedup-keep-first → stratified-sample composition, but the
+    * quality decision is the trained classifier's σ(w·x̂+b) ≥ 0.5
+    * ([[Classifier.scoreCol]] over the SCRUBBED text) instead of the
+    * hand-set heuristic threshold — the production shape once a
+    * pipeline graduates from rules to a learned filter.
+    *
+    * The gate stays a map-side projection (weights are plan
+    * LITERALS), so the composition keeps corpusRefine's defining
+    * property: exactly ONE exchange — the dedup window's content-hash
+    * shuffle — with scrub, the seven metric trees, the sigmoid, and
+    * the sampler all fused into the scan (plan-pinned, same spec shape
+    * as corpusRefine). */
+  def corpusRefineLearned(docs: DataFrame, m: Classifier.Model,
+                          minTokens: Long = 8,
+                          ratesPermille: Seq[(String, Int)] = SampleRatesPermille,
+                          defaultPermille: Int = SampleDefaultPermille): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // scrubbed content takes over the `text` name so the classifier's
+    // metric columns read the cleaned bytes, as corpusRefine's gate does
+    val scrubbed = docs.select(col("doc_id"), col("lang"), col("source"),
+      scrubPii(col("text")).as("text"))
+    val gated = scrubbed
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+      .withColumn("quality_score", Classifier.scoreCol(m))
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= 0.5)
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    gated
+      .withColumn("keeper", keeper)
+      .filter(col("doc_id") === col("keeper") &&
+        sampleKeep(ratesPermille, defaultPermille))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"))
+  }
+
+  /** Driver query: train on the raw corpus, refine under the learned
+    * gate. */
+  def corpusRefineLearnedQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    corpusRefineLearned(docs, Classifier.train(docs))
+  }
+
   /** Mixture rebalancing: downsample every language stratum toward the
     * SMALLEST one — keep rate `min(1000, (1000·min_n) div n_lang)` ‰ —
     * the "flatten the mixture" resampling step of multilingual training

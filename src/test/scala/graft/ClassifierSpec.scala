@@ -108,6 +108,39 @@ class ClassifierSpec extends AnyFunSuite with SparkFixture {
       s"kept mean $meanKept not above corpus mean $meanAll")
   }
 
+  test("corpus_refine_learned keeps one exchange and gates like the model") {
+    import spark.implicits._
+    // real-ish prose: the learned gate distills gopher, so the good doc
+    // needs stopwords and alpha words, not just length
+    val good = (1 to 12)
+      .map(i => s"the quick brown fox number$i jumps over the lazy dog and")
+      .mkString(" ")
+    val d = Seq(
+      (1L, good, "en", "web"),
+      (2L, good, "en", "web"),              // exact dup of 1 → dropped
+      (3L, "x", "en", "web"),               // under the token floor
+      (4L, ("!! ?? ;; ,, ## $$ %% ^^ && **" + " !?") * 4, "en", "web"),
+      // 5/6 differ ONLY by email — identical after scrub → dedup as one
+      (5L, good + " contact a@b.com", "en", "web"),
+      (6L, good + " contact z@w.org", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    // train on the REAL corpus (the fixture is too tiny to learn from)
+    val m = Classifier.train(Tables.documents(spark, sfDir))
+    val out = graft.llm.TextOps.corpusRefineLearned(d, m,
+        ratesPermille = Seq("en" -> 1000))
+      .select("doc_id").as[Long].collect().sorted
+    // prose survives the learned gate, punct soup and the short doc
+    // don't, and the scrub-then-dedup collapse keeps first ids
+    assert(out === Array(1L, 5L))
+    // the defining plan property survives the learned gate: exactly ONE
+    // exchange (the dedup window's content-hash shuffle) — metrics,
+    // sigmoid, and sampler all fused map-side
+    val plan = graft.llm.TextOps.corpusRefineLearned(d, m)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(500))
+  }
+
   test("distilled scores agree with the gopher rules on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val out = Classifier.qualityClassifier(docs)
