@@ -85,6 +85,7 @@ object SparkEntry {
     "text_rarity" -> (TextOps.textRarityQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
+    "text_collocations" -> (TextOps.textCollocationsQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
@@ -964,6 +965,27 @@ object SparkEntry {
          |SELECT pair, n_occurrences FROM pairs
          |ORDER BY n_occurrences DESC, pair ASC
          |LIMIT 100""".stripMargin,
+    // windowed co-occurrence pairs via correlated lateral unnest (1-based
+    // j <= i+window mirrors Spark's 0-based bound exactly); PMI rounded
+    // 4dp BEFORE the (pmi desc, a, b) rank so the kept top-k agrees
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT t[gi.i] AS a, t[gj.j] AS b
+         |  FROM toks,
+         |    unnest(generate_series(1, len(t) - 1)) AS gi(i),
+         |    unnest(generate_series(gi.i + 1, least(gi.i + 3, len(t)))) AS gj(j)
+         |  WHERE len(t) >= 2),
+         |pc AS (SELECT a, b, count(*) AS c_ab FROM pairs
+         |       GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT tok AS w, count(*) AS c
+         |        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         |n AS (SELECT count(*) AS nt
+         |      FROM (SELECT unnest(t) AS tok FROM toks))
+         |SELECT a, b, c_ab,
+         |  round(ln(CAST(c_ab AS DOUBLE) * n.nt / (ca.c * cb.c)), 4) AS pmi
+         |FROM pc JOIN uni ca ON pc.a = ca.w JOIN uni cb ON pc.b = cb.w, n
+         |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin,
     // char-distribution entropy in the 2-aggregate algebraic form
     // ln(T) - sum(n ln n)/T, rounded 4dp before the flag on both engines
     "text_entropy" ->

@@ -1039,6 +1039,53 @@ object TextOps {
   def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
     textTfidf(Tables.documents(spark, dir))
 
+  /** Top-k collocations: ordered token pairs co-occurring within
+    * `window` positions, scored by a PMI-style association
+    * ln(c_ab · N_tok / (c_a · c_b)) — the classic collocation /
+    * distributional-statistics primitive (the word2vec-era
+    * co-occurrence table, reduced to its high-signal head). `minCount`
+    * suppresses the unstable low-frequency tail before scoring (PMI's
+    * known pathology); scores round to 4 decimals BEFORE the global
+    * (pmi desc, a, b) rank so the kept set is engine-stable.
+    *
+    * Scale shape: pair generation is a pure map-side nested-`transform`
+    * generate fused into the scan (each position pairs with its next
+    * ≤ window successors — output ~window·N_tok rows, no join, no
+    * shuffle to BUILD pairs); then ONE map-side-combined pair count,
+    * a vocab-sized unigram table joined back on both endpoints (AQE
+    * broadcasts it), the 1-row token total as a broadcast crossJoin,
+    * and a global TakeOrderedAndProject for the top k. */
+  def textCollocations(docs: DataFrame, window: Int = 3,
+                       minCount: Long = 5, k: Int = 100): DataFrame = {
+    require(window >= 1 && k > 0, "window and k must be positive")
+    val t = docs.select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val n = size(col("t"))
+    val pairsArr = flatten(transform(sequence(lit(0), n - 2),
+      i => transform(sequence(i + 1, least(i + lit(window), n - 1)),
+        j => struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), j + 1).as("b")))))
+    val pc = t.select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nt = docs.select(explode(tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("nt"))
+    pc.join(uni.select(col("w").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nt))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("nt") /
+          (col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
+  def textCollocationsQ(spark: SparkSession, dir: String): DataFrame =
+    textCollocations(Tables.documents(spark, dir))
+
   /** Per-doc character-distribution Shannon entropy (nats) — the
     * randomness screen complementing [[textRepetition]] from the other
     * side: repeated-char/boilerplate garbage scores LOW (the

@@ -159,6 +159,34 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text_collocations equals a plain-Scala PMI count on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1021)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0L until 50L).map { id =>
+      (id, (0 until (2 + rng.nextInt(40)))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val window = 3
+    val toks = docs.map { case (_, text) =>
+      text.trim.toLowerCase.split("\\s+").toSeq }
+    val nt = toks.map(_.size).sum.toDouble
+    val cUni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val cPair = scala.collection.mutable.Map[(String, String), Long]()
+    for (ws <- toks; i <- 0 until ws.size - 1;
+         j <- (i + 1) to math.min(i + window, ws.size - 1))
+      cPair((ws(i), ws(j))) = cPair.getOrElse((ws(i), ws(j)), 0L) + 1
+    val expected = cPair.toSeq.filter(_._2 >= 2L).map { case ((a, b), c) =>
+      val pmi = BigDecimal(math.log(c * nt / (cUni(a).toDouble * cUni(b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, pmi)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(40)
+    val got = TextOps.textCollocations(docs.toDF("doc_id", "text"),
+        window = window, minCount = 2, k = 40)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("corpus_families aggregates hand-built components") {
     import spark.implicits._
     import graft.llm.Dedup
