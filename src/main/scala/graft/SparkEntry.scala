@@ -82,6 +82,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
+    "corpus_pack_bins" -> (TextOps.corpusPackBinsQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
@@ -1042,6 +1043,28 @@ object SparkEntry {
          |  CAST(tok_start // 512 AS BIGINT) AS pack_id,
          |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+    // whole-doc histogram packing: the CASE ladder interpolates the SAME
+    // power-of-two classes the Spark side folds over; one row_number per
+    // class reproduces the (bucket, doc_id) window order
+    "corpus_pack_bins" -> {
+      val ladder = graft.llm.TextOps.packClasses(512)
+      val caseChain = ladder.init
+        .map(c => s"WHEN n_tok <= $c THEN $c").mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |        least(CAST(len($tokSql) AS BIGINT), 512) AS n_tok
+         |      FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        CASE $caseChain ELSE ${ladder.last} END AS len_class
+         |      FROM t),
+         |r AS (SELECT doc_id, n_tok, len_class,
+         |        row_number() OVER (PARTITION BY len_class
+         |          ORDER BY doc_id) - 1 AS idx
+         |      FROM c)
+         |SELECT doc_id, n_tok, len_class,
+         |  CAST(idx // (512 // len_class) AS BIGINT) AS pack_id,
+         |  CAST(idx % (512 // len_class) AS BIGINT) AS slot
+         |FROM r""".stripMargin
+    },
     // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
     // integer arithmetic into one double division — engine-stable.
     "dedup_ngram_jaccard" ->

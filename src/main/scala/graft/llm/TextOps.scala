@@ -530,6 +530,72 @@ object TextOps {
         pmod(col("tok_start"), lit(packTokens.toLong)).as("pack_offset"))
   }
 
+  /** The power-of-two length ladder of [[corpusPackBins]] up to
+    * `packTokens` (1, 2, 4, …, packTokens) — shared with the oracle's
+    * CASE chain so both engines classify identically with integer
+    * comparisons only (log2 on doubles would wobble at exact powers). */
+  private[graft] def packClasses(packTokens: Int): Seq[Long] =
+    Iterator.iterate(1L)(_ * 2).takeWhile(_ < packTokens).toSeq :+
+      packTokens.toLong
+
+  /** WHOLE-DOC histogram packing — the "no cross-doc attention"
+    * alternative to [[corpusPack]]'s concatenated stream: each doc is
+    * rounded up to its power-of-two length class (over-budget docs
+    * truncate to one full pack) and packs hold `packTokens/class` docs
+    * of one class, so no document ever splits across sequences and the
+    * padding waste is bounded by the class rounding (< 2× per doc,
+    * far less in aggregate on Zipf-ish length mixes) — the histogram
+    * flavor of Packed-BERT-style packing, deterministic by
+    * construction. Output (doc_id, n_tok, len_class, pack_id, slot);
+    * (len_class, pack_id) is the composite sequence key and every
+    * pack except each class's last is exactly full.
+    *
+    * Scale shape — [[corpusPack]]'s distributed prefix-sum, keyed per
+    * class: per-(class, doc-bucket) COUNTS (bounded collect: ~10
+    * classes × corpus/bucketWidth buckets) prefix-summed driver-side
+    * within each class, broadcast back, per-(class, bucket) local
+    * row_number + offset. No class ever funnels through one task, no
+    * global sort; the doc-id ordering within a class equals the
+    * (bucket, doc_id) window order, which is what the oracle's single
+    * row_number reproduces. */
+  def corpusPackBins(docs: DataFrame, packTokens: Int = 512,
+                     bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val classes = packClasses(packTokens)
+    // smallest class >= n_tok: smallest condition OUTERMOST
+    val clsCol = classes.reverse.tail.foldLeft(
+      lit(classes.last): Column) { (acc, c) =>
+      when(col("n_tok") <= c, lit(c)).otherwise(acc)
+    }
+    val toks = docs.select(col("doc_id"),
+        least(size(tokens(col("text"))).cast("long"),
+          lit(packTokens.toLong)).as("n_tok"),
+        call_function("div", col("doc_id"), lit(bucketWidth)).as("bkt"))
+      .withColumn("cls", clsCol)
+    val counts = toks.groupBy("cls", "bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = counts.groupBy(_._1._1).toSeq.flatMap { case (cls, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      sorted.zip(sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+        .map { case (((c, bkt), _), prefix) => (c, bkt, prefix) }
+    }
+    val offsetDf = broadcast(offsets.toDF("cls", "bkt", "off"))
+    val w = Window.partitionBy("cls", "bkt").orderBy("doc_id")
+    val cap = call_function("div", lit(packTokens.toLong), col("cls"))
+    toks.join(offsetDf, Seq("cls", "bkt"))
+      .withColumn("idx",
+        col("off") + row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("n_tok"), col("cls").as("len_class"),
+        call_function("div", col("idx"), cap).as("pack_id"),
+        pmod(col("idx"), cap).as("slot"))
+  }
+
+  def corpusPackBinsQ(spark: SparkSession, dir: String): DataFrame =
+    corpusPackBins(Tables.documents(spark, dir))
+
   /** Within-doc repetition metrics (Gopher-style quality signals): how
     * much of a document is itself repeated. High values flag boilerplate,
     * template spam and degenerate generations.

@@ -159,6 +159,41 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("corpus_pack_bins: full packs, one slot per doc, bounded waste") {
+    import spark.implicits._
+    // hand ladder: n_tok 1,2,3,5,30 + a truncated long doc
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d e"),
+      (5L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (6L, (1 to 600).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.corpusPackBins(docs, packTokens = 512)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 0L, 0L)))   // class 1
+    assert(out(2L) === ((2L, 2L, 2L, 0L, 0L)))   // class 2
+    assert(out(3L) === ((3L, 3L, 4L, 0L, 0L)))   // rounds to class 4
+    assert(out(4L) === ((4L, 5L, 8L, 0L, 0L)))   // rounds to class 8
+    assert(out(5L) === ((5L, 30L, 32L, 0L, 0L))) // class 32
+    assert(out(6L) === ((6L, 512L, 512L, 0L, 0L))) // truncated to a full pack
+    // real corpus invariants: one row per doc; within every (class,
+    // pack): <= capacity docs, all of the class, every pack but the
+    // class's last exactly full
+    val docsR = Tables.documents(spark, sfDir)
+    val packed = TextOps.corpusPackBins(docsR)
+    assert(packed.count() === docsR.count())
+    val byPack = packed.groupBy(col("len_class"), col("pack_id"))
+      .agg(count(lit(1)).as("n"), max(col("slot")).as("mx"),
+        max(col("n_tok")).as("mt"))
+    // slots are dense 0..n-1 and sizes never exceed the class
+    assert(byPack.filter(col("mx") =!= col("n") - 1).isEmpty)
+    assert(byPack.filter(col("mt") > col("len_class")).isEmpty)
+    val lastPack = packed.groupBy(col("len_class"))
+      .agg(max(col("pack_id")).as("last"))
+    val notFull = byPack.join(lastPack, "len_class")
+      .filter(col("pack_id") =!= col("last") &&
+        col("n") * col("len_class") =!= 512)
+    assert(notFull.isEmpty)
+  }
+
   test("text_collocations equals a plain-Scala PMI count on random corpora") {
     import spark.implicits._
     val rng = new scala.util.Random(1021)
