@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> (SpanDedup.dedupChunksIncrementalQ _),
     "text_boilerplate" -> (SpanDedup.removeBoilerplateQ _),
     "sketch_distinct" -> (Sketches.sketchDistinctQ _),
+    "sketch_events_users" -> (Sketches.sketchEventsUsersQ _),
     "sketch_quantiles" -> (Sketches.sketchQuantilesQ _),
     "sketch_topk" -> (Sketches.sketchTopkQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)

@@ -55,6 +55,45 @@ object Sketches {
   def sketchDistinctQ(spark: SparkSession, dir: String): DataFrame =
     rollupByLang(sketchTable(Tables.documents(spark, dir)))
 
+  /** EVENTS-side HLL: per (hour, event_type) distinct-active-user
+    * sketches — the ops-dashboard twin of [[sketchTable]] on the CDC
+    * event stream (distinct actives is THE metric every such dashboard
+    * serves, and the one a COUNT(DISTINCT) recompute per grain can't
+    * afford at 100 TB). Same warehouse pattern: persist the few-KB
+    * sketch rows at the finest grain, serve every coarser grain
+    * (daily, per-type, global) by sketch UNION without re-reading the
+    * stream; hourly sketches also make the table INCREMENTAL — a new
+    * hour appends without touching history. */
+  def eventsUserSketchTable(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Roll the hourly user sketches up to per-type totals by union —
+    * the stream is not re-read. */
+  def eventsUserRollup(sketchTbl: DataFrame): DataFrame =
+    sketchTbl
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("est_users"),
+        sum(col("n_events")).as("n_events"))
+
+  /** One-pass per-type sketch straight off the stream — the equality
+    * partner for the rollup in SketchesSpec. */
+  def eventsUserDirect(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+          .as("est_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Driver entry (rows-only: estimates have no DuckDB twin). */
+  def sketchEventsUsersQ(spark: SparkSession, dir: String): DataFrame =
+    eventsUserRollup(eventsUserSketchTable(Tables.events(spark, dir)))
+
   // --- KLL quantile sketches ---
 
   /** Mergeable QUANTILE sketch table — the KLL twin of the HLL distinct

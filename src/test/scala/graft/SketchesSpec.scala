@@ -28,6 +28,35 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(merged === ests(Sketches.directByLang(d)))
   }
 
+  test("events user sketches: rollup == direct, and within 5% of exact") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val viaTable = Sketches.eventsUserRollup(
+        Sketches.eventsUserSketchTable(ev))
+      .orderBy("event_type").collect().toSeq
+    val direct = Sketches.eventsUserDirect(ev)
+      .orderBy("event_type").collect().toSeq
+    assert(viaTable === direct,
+      "hourly-sketch union must equal the direct per-type sketch")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact"))
+      .as[(String, Long)].collect().toMap
+    for (r <- viaTable) {
+      val est = r.getLong(1).toDouble
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"${r.getString(0)}: est $est vs exact $ex")
+    }
+    // hourly grain appends: two daily halves sketched independently
+    // union to the same rollup (the incremental-table contract)
+    val h1 = Sketches.eventsUserSketchTable(ev.filter(col("event_id") % 2 === 0))
+    val h2 = Sketches.eventsUserSketchTable(ev.filter(col("event_id") % 2 === 1))
+    val merged = Sketches.eventsUserRollup(h1.unionByName(h2))
+      .select("event_type", "est_users").orderBy("event_type").collect().toSeq
+    assert(merged === direct.map(r => org.apache.spark.sql.Row(
+      r.getString(0), r.getLong(1))))
+  }
+
   // --- KLL quantile table ---
 
   /** Normalized rank of estimate `v` within a lang's exact token counts

@@ -25,6 +25,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "media_resample", "media_frames",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
+      "sketch_events_users",
       "sketch_topk"),
       s"unexpected rows-only entries: $rowsOnly")
   }
