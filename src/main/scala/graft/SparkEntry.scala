@@ -79,6 +79,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
+    "dsir_score" -> (TextOps.dsirScoreQ _),
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "text_entropy" -> (TextOps.textEntropyQ _),
     "text_collocations" -> (TextOps.textCollocationsQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
+    "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "sketch_topk" -> (Sketches.sketchTopkQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
+    "ann_filtered_topk" -> (Ann.annFilteredTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),
     "embed_decontaminate" -> (Ann.embedDecontaminateQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
@@ -131,11 +134,14 @@ object SparkEntry {
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
+    "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
     "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),
     "embed_project" -> (Ann.embedProjectQ _),
+    "embed_whiten" -> (Ann.embedWhitenQ _),
+    "embed_pca" -> (Ann.embedPcaQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
@@ -919,6 +925,57 @@ object SparkEntry {
          |    AS bits_per_token
          |FROM tok JOIN freq USING (t)
          |GROUP BY doc_id""".stripMargin,
+    // DSIR importance weights: add-α unigram LMs over a shared vocab on
+    // both engines; token strings in the oracle where Spark hashes to
+    // longs (collision odds ~|vocab|²/2⁶⁴ — the textRarity convention);
+    // 4-decimal float rule
+    "dsir_score" -> {
+      val a = TextOps.DsirAlpha
+      s"""WITH ctok AS (
+         |  SELECT doc_id, unnest($tokSql) AS t FROM documents
+         |  WHERE doc_id >= 20),
+         |ttok AS (
+         |  SELECT unnest($tokSql) AS t FROM documents WHERE doc_id < 20),
+         |raw AS (SELECT t, count(*) AS cr FROM ctok GROUP BY 1),
+         |tgt AS (SELECT t, count(*) AS ctn FROM ttok GROUP BY 1),
+         |sc AS (SELECT
+         |  (SELECT CAST(count(DISTINCT t) AS DOUBLE) FROM
+         |    (SELECT t FROM ctok UNION ALL SELECT t FROM ttok)) AS v,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM ctok) AS n_raw,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM ttok) AS n_tgt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(
+         |    log2((coalesce(tgt.ctn, 0) + $a) / (sc.n_tgt + $a * sc.v)) -
+         |    log2((raw.cr + $a) / (sc.n_raw + $a * sc.v))), 4)
+         |    AS dsir_score
+         |FROM ctok JOIN raw USING (t) LEFT JOIN tgt USING (t)
+         |  CROSS JOIN sc
+         |GROUP BY doc_id""".stripMargin
+    },
+    // interpolated bigram cross-entropy: same 4-decimal float rule; the
+    // oracle pairs adjacent positions by ordinality self-join where Spark
+    // generates pairs map-side — identical (a, b) multisets either way
+    "text_perplexity_bigram" ->
+      s"""WITH dt AS (SELECT doc_id, $tokSql AS ts FROM documents),
+         |tok AS (
+         |  SELECT doc_id, g.i AS pos, ts[g.i] AS t
+         |  FROM dt, unnest(generate_series(1, len(ts))) AS g(i)),
+         |big AS (
+         |  SELECT p.doc_id, p.t AS a, c.t AS b
+         |  FROM tok p JOIN tok c
+         |    ON c.doc_id = p.doc_id AND c.pos = p.pos + 1),
+         |uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
+         |ctx AS (SELECT a, count(*) AS ca FROM big GROUP BY 1),
+         |bgc AS (SELECT a, b, count(*) AS cab FROM big GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-avg(log2(
+         |    ${TextOps.BigramLambda} * cab / ca +
+         |    ${1.0 - TextOps.BigramLambda} * cu / (SELECT n FROM tot))), 4)
+         |    AS bits_per_transition
+         |FROM big JOIN bgc USING (a, b) JOIN ctx USING (a)
+         |  JOIN uni ON big.b = uni.t
+         |GROUP BY doc_id""".stripMargin,
     // disjoint train/val/test split: same integer Knuth-mix arithmetic,
     // under the split's own decorrelated multiplier
     "corpus_split" -> {
@@ -1193,6 +1250,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM s)
         |WHERE rank <= 10""".stripMargin,
+    // filtered retrieval: the same brute-force pipeline with the label
+    // equality applied BEFORE scoring (pre-filter semantics) — ranks are
+    // dense within the filtered candidate set on both engines
+    "ann_filtered_topk" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+        |  FROM embeddings q, embeddings c,
+        |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |    AND c.label = q.label
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT query_id, d.vec_id, dt / (nq.nrm * nc.nrm) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON d.query_id = nq.vec_id
+        |  JOIN norms nc ON d.vec_id = nc.vec_id)
+        |SELECT query_id, rank, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 10""".stripMargin,
     // the full-graph twin of ann_topk: every node is a query. Margin
     // audit over ALL nodes at sf0.01: min adjacent-rank cosine margin
     // through rank 6 is 1.4e-6 — ~9 orders above cross-engine double
@@ -1222,6 +1306,34 @@ object SparkEntry {
         |SELECT e.vec_id, coalesce(d.d, 0) AS in_degree,
         |  coalesce(d.d, 0) >= 10 AS is_hub
         |FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.nbr_id""".stripMargin,
+    // label propagation: the same mutual graph, three UNROLLED
+    // synchronous iterations (vote = majority label among labeled mutual
+    // neighbors, ties to the smallest label, seeds immutable); -1 = never
+    // reached, on both engines
+    "knn_label_prop" -> {
+      val iterCtes = (1 to 3).map { r =>
+        s"""v$r AS (
+           |  SELECT e.a AS vec_id, l.label, count(*) AS c
+           |  FROM mutual e JOIN l${r - 1} l ON e.b = l.vec_id
+           |  WHERE e.a NOT IN (SELECT vec_id FROM l${r - 1})
+           |  GROUP BY 1, 2),
+           |n$r AS (
+           |  SELECT vec_id, label FROM (
+           |    SELECT vec_id, label, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY c DESC, label) AS rn
+           |    FROM v$r) WHERE rn = 1),
+           |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnNnSql,
+         |mutual AS (
+         |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+         |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+         |l0 AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 = 0),
+         |$iterCtes
+         |SELECT e.vec_id, coalesce(l.label, -1) AS label,
+         |  e.vec_id % 10 = 0 AS is_seed
+         |FROM embeddings e LEFT JOIN l3 l USING (vec_id)""".stripMargin
+    },
     // radius search: same cosine pipeline, threshold instead of top-k.
     // Closest sim to the 0.3 cut measured at EVERY test scale: 4.5e-4
     // (sf0.001), 1.2e-3 (sf0.01), 5.0e-4 (sf0.1) — all ≥11 orders of
@@ -1286,6 +1398,26 @@ object SparkEntry {
         s"  ($chain) * $scale AS p$j"
       }.mkString(",\n")
       s"SELECT vec_id,\n$cols\nFROM embeddings"
+    },
+    // whitened coordinates rounded to 4 decimals on both engines (mean /
+    // stddev sums are summation-order-dependent in the last ulps); the
+    // oracle only needs stats for the 8 projected dims — w_i depends on
+    // dim i alone
+    "embed_whiten" -> {
+      val cols = (0 until 8).map { i =>
+        s"""  round((CAST(embedding[${i + 1}] AS DOUBLE)
+           |    - (SELECT mu FROM st WHERE i = ${i + 1}))
+           |    / (SELECT sd FROM st WHERE i = ${i + 1}), 4) AS w$i""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st AS (
+         |  SELECT g.i AS i,
+         |    avg(CAST(embedding[g.i] AS DOUBLE)) AS mu,
+         |    stddev_pop(CAST(embedding[g.i] AS DOUBLE)) AS sd
+         |  FROM embeddings, unnest(generate_series(1, 8)) AS g(i)
+         |  GROUP BY 1)
+         |SELECT vec_id,
+         |$cols
+         |FROM embeddings""".stripMargin
     },
     // distances and z-scores rounded to 4 decimals on BOTH engines before
     // any comparison/threshold (the textPerplexity float rule); the flag

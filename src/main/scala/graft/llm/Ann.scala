@@ -74,6 +74,50 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  /** Metadata-FILTERED top-k: each query retrieves its k nearest
+    * neighbors among corpus vectors sharing the query's `label` — the
+    * language/tenant/shard-restricted retrieval every production vector
+    * deployment needs. PRE-filtering (the predicate constrains the pair
+    * space BEFORE scoring) is the exact semantics: the tempting
+    * post-filter — rank globally, then drop mismatches — silently
+    * under-returns whenever fewer than k of the global top-k share the
+    * label, which at selective predicates is almost always.
+    *
+    * Scale shape = [[annTopK]] with the predicate fused into the
+    * broadcast-join condition: the equality lands in the join's
+    * evaluation before any dot product runs, so selectivity s cuts the
+    * scored pairs to s·n per query (at an equi-predicate like this the
+    * planner can even hash on it). Same per-partition → global two-phase
+    * top-k; ranks are dense within the FILTERED candidate set. */
+  def annFilteredTopK(embeddings: DataFrame, nQueries: Int = 10,
+                      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id"), col("label"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("q"), col("nv").as("nq")))
+    val scored = corpus.join(queries,
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q"), col("v")) / (col("nq") * col("nv"))).as("sim"),
+        spark_partition_id().as("pid"))
+    val localW = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val globalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  def annFilteredTopKQ(spark: SparkSession, dir: String): DataFrame =
+    annFilteredTopK(Tables.embeddings(spark, dir))
+
   /** Cosine radius (range) search: every corpus vector within cosine ≥
     * `tau` of each query vector, self excluded — the "find everything
     * similar enough" companion to [[annTopK]]'s "find the k best".
@@ -196,6 +240,129 @@ object Ann {
   def embedProjectQ(spark: SparkSession, dir: String): DataFrame =
     embedProject(Tables.embeddings(spark, dir))
 
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
+    * matrix (row-major `dim`×`dim`): returns (eigenvalues DESC,
+    * eigenvectors as rows, matching order). Fixed (p, q) sweep order and
+    * a fixed convergence threshold make the result a pure function of
+    * the input; the sign convention (largest-|coordinate| entry made
+    * positive, first such index on ties) removes the ±v ambiguity. Runs
+    * on the DRIVER over a dim²-sized array — at dim 64 this is
+    * microseconds, and no corpus data is involved. */
+  def jacobiEigen(a0: Array[Double], dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val a = a0.clone()
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def off: Double = {
+      var s = 0.0; var p = 0
+      while (p < dim) { var q = p + 1; while (q < dim) { s += a(p * dim + q) * a(p * dim + q); q += 1 }; p += 1 }
+      s
+    }
+    var sweep = 0
+    while (off > 1e-20 && sweep < 64) {
+      var p = 0
+      while (p < dim) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p * dim + q)
+          if (math.abs(apq) > 1e-15) {
+            val app = a(p * dim + p); val aqq = a(q * dim + q)
+            val theta = 0.5 * math.atan2(2.0 * apq, aqq - app)
+            val c = math.cos(theta); val s = math.sin(theta)
+            var k = 0
+            while (k < dim) {
+              val akp = a(k * dim + p); val akq = a(k * dim + q)
+              a(k * dim + p) = c * akp - s * akq
+              a(k * dim + q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < dim) {
+              val apk = a(p * dim + k); val aqk = a(q * dim + k)
+              a(p * dim + k) = c * apk - s * aqk
+              a(q * dim + k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // eigenpairs sorted by eigenvalue DESC (index ASC on exact ties),
+    // each vector sign-fixed on its largest-|coordinate| entry
+    val pairs = (0 until dim).map { j =>
+      val vec = Array.tabulate(dim)(i => v(i)(j))
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      val fixed = if (vec(m) < 0) vec.map(-_) else vec
+      (a(j * dim + j), fixed)
+    }.sortBy { case (l, _) => -l }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** PCA projection of the embedding table onto its top `outDim`
+    * principal components — the data-ADAPTIVE member of the
+    * dimensionality family ([[embedProject]] is data-agnostic JL,
+    * [[embedWhiten]] diagonal-only): the step that actually
+    * concentrates variance before banding/quantization, and the full
+    * fix for [[knnHubness]]'s scale pathology where whitening's
+    * per-dim σ is not enough (correlated dims).
+    *
+    * Scale split, the [[bpeTrain]] division of labor: the CORPUS pass
+    * is ONE map-side-combined moment aggregation — count, the `dim`
+    * coordinate sums, and the dim(dim+1)/2 upper-triangle product sums
+    * as plain codegen'd `sum` expressions (the shuffle carries one
+    * ~dim²/2-double partial per partition, never a vector); the
+    * covariance assembly + [[jacobiEigen]] run driver-side over that
+    * single collected row (64×64 → microseconds, corpus-size-free); the
+    * projection serves eigenvector weights as PLAN LITERALS fused into
+    * a second scan (the embedProject convention — no matrix broadcast,
+    * WIDE output, fixed ascending-i sum order). Two corpus scans total,
+    * zero corpus shuffles.
+    *
+    * Deterministic for a fixed partition layout (per-partition float
+    * sum order is row order); coordinates are ROUNDED to 4 decimals on
+    * output (the shared float rule). Rows-only gate: eigenvectors have
+    * no closed-form cross-engine oracle — the spec pins a hand-solved
+    * 2×2 fixture, orthonormality, the eigen equation residual, planted
+    * dominant-axis recovery, and per-component variance ordering. */
+  def embedPca(embeddings: DataFrame, dim: Int = 64,
+               outDim: Int = 16): DataFrame = {
+    val x = embeddings.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    def el(i: Int): Column = col("v").getItem(i)
+    val upper = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val momentCols =
+      count(lit(1)).cast("double").as("n") +:
+        (0 until dim).map(i => sum(el(i)).as(s"s$i")) ++:
+        upper.map { case (i, j) => sum(el(i) * el(j)).as(s"g${i}_$j") }
+    val row = x.agg(momentCols.head, momentCols.tail: _*).head()
+    val n = row.getDouble(0)
+    require(n > 1, s"PCA needs more than one vector, got $n")
+    val mu = Array.tabulate(dim)(i => row.getDouble(1 + i))
+    val cov = Array.ofDim[Double](dim * dim)
+    upper.zipWithIndex.foreach { case ((i, j), k) =>
+      val c = row.getDouble(1 + dim + k) / n - (mu(i) / n) * (mu(j) / n)
+      cov(i * dim + j) = c; cov(j * dim + i) = c
+    }
+    val (_, vecs) = jacobiEigen(cov, dim)
+    // p_j = Σ_i (v_i − μ_i/n)·e_ji = (Σ_i v_i·e_ji) − const_j: the
+    // centering folds into one plan-literal constant per component
+    def elf(i: Int): Column =
+      element_at(col("embedding"), i + 1).cast("double")
+    val cols = (0 until outDim).map { j =>
+      val e = vecs(j)
+      val shift = (0 until dim).map(i => (mu(i) / n) * e(i)).sum
+      round((0 until dim).map(i => elf(i) * lit(e(i))).reduce(_ + _)
+        - lit(shift), 4).as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: cols: _*)
+  }
+
+  def embedPcaQ(spark: SparkSession, dir: String): DataFrame =
+    embedPca(Tables.embeddings(spark, dir), outDim = 8)
+
   /** Embedding-space outlier report per label: Euclidean distance to the
     * label's centroid, its within-label z-score, and an outlier flag —
     * the standard mislabeled/noisy-example screen over a labeled
@@ -243,6 +410,41 @@ object Ann {
     dists.join(broadcast(stats), "label")
       .select(col("vec_id"), col("label"), col("dist"),
         z.as("z"), (z >= zThresh).as("is_outlier"))
+  }
+
+  /** Per-dimension whitening (standardization) of the embedding table:
+    * w_i = (v_i − μ_i) / σ_i with corpus-wide per-dim mean and population
+    * stddev — the cheapest hubness mitigation ([[knnHubness]]'s
+    * Radovanović pathology: a heavy-tailed in-degree usually means a few
+    * dominant, badly-scaled dimensions, and standardizing them is the
+    * first fix before anything as heavy as PCA). Downstream consumers
+    * (LSH banding, k-means, kNN) take the whitened column in place of
+    * the raw one.
+    *
+    * Scale shape, the [[embedOutliers]] centroid pattern without the
+    * label key: ONE hash agg produces the dim-wide mean and stddev
+    * arrays (map-side combined — the shuffle carries `dim` partials per
+    * partition, not vectors), broadcast back as a 1-row cross join; the
+    * whitening itself is a map-side `zip_with` chain fused into the
+    * scan — the corpus never shuffles. Dims with σ = 0 (constant
+    * columns) carry no information and pin to 0 rather than 0/0 = NaN. */
+  def embedWhiten(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val x = embeddings.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    val stats = broadcast(x.agg(
+      array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("mu"),
+      array((0 until dim).map(i => stddev_pop(col("v").getItem(i))): _*).as("sd")))
+    x.crossJoin(stats).select(col("vec_id"),
+      zip_with(zip_with(col("v"), col("mu"), (a, b) => a - b), col("sd"),
+        (c, s) => when(s === 0.0, lit(0.0)).otherwise(c / s)).as("w"))
+  }
+
+  /** Driver entry: the first 8 whitened dims as wide rounded columns —
+    * an array<double> column would hash-compare on float rendering, so
+    * the entry projects scalars under the shared 4-decimal rule. */
+  def embedWhitenQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = embedWhiten(Tables.embeddings(spark, dir))
+    w.select(col("vec_id") +:
+      (0 until 8).map(i => round(col("w").getItem(i), 4).as(s"w$i")): _*)
   }
 
   // --- Random-hyperplane LSH ---
@@ -648,6 +850,72 @@ object Ann {
       .select(col("vec_id"),
         coalesce(col("d"), lit(0L)).as("in_degree"),
         (coalesce(col("d"), lit(0L)) >= 2L * k).as("is_hub"))
+  }
+
+  /** Semi-supervised label propagation over the mutual-kNN graph: seed
+    * vectors (vec_id ≡ 0 mod `seedMod` — the "we hand-labeled 10% of
+    * the corpus" simulation) keep their `label`; every other vector
+    * takes, per synchronous iteration, the MAJORITY label among its
+    * already-labeled mutual neighbors (ties → smallest label), and newly
+    * labeled vectors vote in later iterations. Vectors the propagation
+    * never reaches stay NULL. The classic transductive trick for
+    * stretching a small human-labeled set over a web-scale corpus
+    * (quality/domain/topic labels) at the cost of a few slim joins.
+    *
+    * Scale shape: edges are [[knnGraph]]'s n·k bound intersected with
+    * its own transpose (the [[knnCluster]] mutuality that kills
+    * hub-induced chaining) and persisted across iterations; each of the
+    * fixed `iters` rounds is two co-partitioned joins on vec_id-shaped
+    * keys (labels ⋈ edges, then a left-anti against the labeled set) and
+    * one map-side-combined vote count — nothing ever materializes more
+    * than n·k rows, and the label frame is checkpoint-materialized per
+    * round to keep lineage flat. Synchronous update semantics (all round
+    * r+1 votes read the round-r label set) make the result independent
+    * of execution order, and the (count DESC, label ASC) argmax is a
+    * total order — deterministic across engines, so the oracle replays
+    * the same fixed-point prefix as unrolled SQL iterations. */
+  def knnLabelProp(embeddings: DataFrame, k: Int = 5, iters: Int = 3,
+                   seedMod: Int = 10): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist()
+    // mutual edges, BOTH directions (propagation is symmetric but each
+    // directed row is one vote delivery: nbr → vec)
+    val edges = g.intersect(
+      g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .persist()
+    var labels = graft.Exec.materialize(
+      embeddings.filter(col("vec_id") % seedMod === 0)
+        .select(col("vec_id"), col("label")))
+    for (_ <- 1 to iters) {
+      val asNbr = labels
+        .select(col("vec_id").as("nbr_id"), col("label").as("nl"))
+      val votes = edges
+        .join(asNbr, "nbr_id")
+        .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .groupBy(col("vec_id"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC): max_by on (c, -label) —
+      // lexicographic struct order, total, deterministic
+      val newly = votes.groupBy("vec_id")
+        .agg(max_by(col("nl"), struct(col("c"), -col("nl"))).as("label"))
+      labels = graft.Exec.materialize(labels.union(newly))
+    }
+    // unreached vectors carry the -1 sentinel, not NULL: a nullable int
+    // column crosses the two comparator readers as float64-with-NaN on
+    // one side and object-None on the other (the check.py asymmetry),
+    // and -1 is outside the label domain anyway
+    val out = embeddings.select(col("vec_id"))
+      .join(labels.withColumnRenamed("label", "l"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("l"), lit(-1)).as("label"),
+        (col("vec_id") % seedMod === 0).as("is_seed"))
+    val res = graft.Exec.materialize(out)
+    g.unpersist(); edges.unpersist()
+    res
+  }
+
+  def knnLabelPropQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnLabelProp(Tables.embeddings(spark, dir))
   }
 
   // --- IVF (inverted-file) ANN ---

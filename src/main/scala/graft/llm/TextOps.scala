@@ -312,6 +312,67 @@ object TextOps {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Add-α smoothing constant of [[dsirScore]]'s two unigram LMs. */
+  val DsirAlpha = 0.5
+
+  /** DSIR-style importance score per corpus document (Xie et al. 2023,
+    * "Data Selection via Importance Resampling"): the mean over the
+    * doc's token occurrences of log₂ p_target(t) − log₂ p_raw(t), where
+    * p_target is an add-α unigram LM over a small TARGET set (the
+    * domain/benchmark sample you wish the corpus looked like) and p_raw
+    * the same over the corpus itself. Docs whose language is more
+    * probable under the target than under the raw pool score high —
+    * the principled replacement for hand-tuned quality thresholds when
+    * curating toward a domain (the paper hashes n-grams into buckets;
+    * the unigram form keeps the oracle exact, and the bucketed variant
+    * is the same pipeline with `th % B` as the key). Both LMs share one
+    * vocabulary V = distinct tokens of target ∪ corpus, so the smoothed
+    * denominators agree.
+    *
+    * Scale shape, the [[textPerplexity]] family: tokens hash to longs
+    * map-side; the TARGET count table is tiny by definition and the RAW
+    * table vocab-sized (AQE broadcasts both while small); corpus token
+    * occurrences LEFT-join the target counts (absent → 0, smoothing
+    * keeps the log finite) and inner-join the raw counts, then ONE
+    * map-side-combined per-doc aggregate. The three scalars (N_target,
+    * N_raw, |V|) ride as a 1-row broadcast. Rounded to 4 decimals (the
+    * shared cross-engine float rule). */
+  def dsirScore(docs: DataFrame, target: DataFrame,
+                alpha: Double = DsirAlpha): DataFrame = {
+    def occ(d: DataFrame) =
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("th"))
+    val corpusTok = occ(docs).persist()
+    val targetTok = occ(target).persist()
+    val rawCnt = corpusTok.groupBy("th").agg(count(lit(1)).as("cr"))
+    val tgtCnt = targetTok.groupBy("th").agg(count(lit(1)).as("ct"))
+    val scalars = broadcast(
+      corpusTok.select(col("th")).unionAll(targetTok.select(col("th")))
+        .agg(countDistinct(col("th")).cast("double").as("v"))
+        .crossJoin(broadcast(corpusTok.agg(
+          count(lit(1)).cast("double").as("n_raw"))))
+        .crossJoin(broadcast(targetTok.agg(
+          count(lit(1)).cast("double").as("n_tgt")))))
+    val pT = (coalesce(col("ct"), lit(0L)).cast("double") + alpha) /
+      (col("n_tgt") + lit(alpha) * col("v"))
+    val pR = (col("cr") + alpha) / (col("n_raw") + lit(alpha) * col("v"))
+    val result = graft.Exec.materialize(
+      corpusTok.join(rawCnt, "th").join(tgtCnt, Seq("th"), "left")
+        .crossJoin(scalars)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log2(pT) - log2(pR)), 4).as("dsir_score")))
+    corpusTok.unpersist(); targetTok.unpersist()
+    result
+  }
+
+  /** Driver entry: the decontaminate split — doc_id < 20 plays the
+    * target set, the rest the raw corpus. */
+  def dsirScoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    dsirScore(d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+  }
+
   /** Per-language mixture rates in per-mille for [[corpusSample]] — a
     * typical keep-English / downsample-others training mixture. */
   val SampleRatesPermille: Seq[(String, Int)] = Seq(
@@ -439,6 +500,72 @@ object TextOps {
     freq.unpersist()
     result
   }
+
+  /** Interpolation weight on the bigram term of
+    * [[textPerplexityBigram]]'s LM: p = λ·p_bigram + (1−λ)·p_unigram. */
+  val BigramLambda = 0.7
+
+  /** Bigram-LM cross-entropy per document, in bits per transition — the
+    * context-aware upgrade of [[textPerplexity]]'s unigram core (the
+    * actual CCNet/KenLM regime is an n-gram LM; a unigram model scores
+    * shuffled text identically to prose, a bigram model is the cheapest
+    * one that does not). The model is Jelinek-Mercer interpolated,
+    * p(b|a) = λ·c(ab)/c(a·) + (1−λ)·c(b)/N, with c(a·) the count of `a`
+    * as a bigram PREFIX (so the conditional sums to 1 over observed
+    * continuations) and N the corpus token total; λ = [[BigramLambda]].
+    * The unigram floor means unseen-in-context transitions are scored,
+    * never −∞. H(d) = −mean log₂ p over d's transitions; docs with < 2
+    * tokens have no transitions and drop out (both engines).
+    *
+    * Scale shape, the [[textPerplexity]] two-pass design extended one
+    * order: bigram occurrences are generated MAP-SIDE from each doc's
+    * token array (a `sequence`/`transform` explode fused into the scan —
+    * no self-join on position), hashed to an (a, b) pair of xxhash64
+    * longs so every downstream agg/join shuffles 16-byte keys, never
+    * token strings. The occurrence frame is persisted once and feeds
+    * three vocab-sized count tables (bigram, prefix-context, unigram) —
+    * AQE broadcasts them back while small, shuffles at web scale — plus
+    * a 1-row broadcast total. Rounded to 4 decimals (the shared float
+    * rule: summation order and libm log2 differ across engines in the
+    * last ulps; rounding absorbs that). */
+  def textPerplexityBigram(docs: DataFrame,
+                           lambda: Double = BigramLambda): DataFrame = {
+    // (doc_id, a, b) bigram occurrences: adjacent token-hash pairs,
+    // generated map-side from the token array (positions 0..n-2)
+    val ts = tokens(col("text"))
+    val big = docs
+      .select(col("doc_id"), ts.as("ts"))
+      // <2-token docs have no transitions — and `sequence(0, -1)` would
+      // DESCEND (Spark's step defaults to sign(stop-start)), not empty
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => struct(xxhash64(element_at(col("ts"), i + 1)).as("a"),
+          xxhash64(element_at(col("ts"), i + 2)).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .persist()
+    // unigram counts come from token OCCURRENCES (textPerplexity's
+    // table), not from bigram endpoints — last tokens of docs count too
+    val tok = docs.select(explode(ts).as("t"))
+      .select(xxhash64(col("t")).as("th")).persist()
+    val uni = tok.groupBy("th").agg(count(lit(1)).as("cu"))
+    val ctx = big.groupBy("a").agg(count(lit(1)).as("ca"))
+    val bgc = big.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val total = broadcast(tok.agg(count(lit(1)).cast("double").as("n_total")))
+    val p = lit(lambda) * col("cab") / col("ca") +
+      lit(1.0 - lambda) * col("cu") / col("n_total")
+    val result = graft.Exec.materialize(
+      big.join(bgc, Seq("a", "b")).join(ctx, Seq("a"))
+        .join(uni, col("b") === col("th")).crossJoin(total)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log2(p)), 4).as("bits_per_transition")))
+    big.unpersist(); tok.unpersist()
+    result
+  }
+
+  def textPerplexityBigramQ(spark: SparkSession, dir: String): DataFrame =
+    textPerplexityBigram(Tables.documents(spark, dir))
 
   /** Split-boundary permilles for [[corpusSplit]]: bucket < 900 → train,
     * < 950 → val, else test — a 90/5/5 split. */

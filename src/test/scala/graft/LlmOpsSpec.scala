@@ -223,6 +223,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_._3).toSet === Set(5L, 1L, 4L))
   }
 
+  test("filtered ANN pre-filters: only same-label neighbors, where post-filter under-returns") {
+    import spark.implicits._
+    // query 0 (label 1) has ONE same-label neighbor (5) that global
+    // top-2 misses behind the closer cross-label vectors 1 and 4 —
+    // post-filtering a global top-2 would return nothing
+    val vecs = Seq(
+      (0L, 1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 2, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (4L, 2, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (5L, 1, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (6L, 2, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val filtered = Ann.annFilteredTopK(vecs, nQueries = 1, k = 2)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(filtered === Array((0L, 1, 5L)))
+    val postFiltered = Ann.annTopK(vecs, nQueries = 1, k = 2)
+      .join(vecs.filter($"label" === 1).select("vec_id"), "vec_id")
+    assert(postFiltered.count() === 0)
+    // real table: every returned neighbor shares its query's label
+    val emb = Tables.embeddings(spark, sfDir)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val bad = Ann.annFilteredTopK(emb, nQueries = 5, k = 5)
+      .join(lab.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), "query_id")
+      .join(lab, "vec_id")
+      .filter(col("label") =!= col("ql"))
+    assert(bad.isEmpty)
+  }
+
   test("LSH ANN recalls most of the brute-force top-k on the test corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
@@ -772,6 +801,62 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(0)._3 < out(1)._3)
   }
 
+  test("bigram perplexity: interpolated LM on a hand-computed fixture; <2-token docs drop") {
+    import spark.implicits._
+    // corpus: tok N=6 (doc3's lone token counts in the unigram table
+    // even though it yields no transition), uni a=3 b=2 solo=1; bigrams
+    // (a,a) (a,b) (b,a); prefix counts a·=2 b·=1; λ=0.7
+    //   doc1: −mean(log2(.7/2+.3·3/6), log2(.7/2+.3·2/6)) = 1.0760
+    //   doc2: −log2(.7/1+.3·3/6) = 0.2345
+    val d = docs((1L, "a a b"), (2L, "b a"), (3L, "solo"))
+    val out = TextOps.textPerplexityBigram(d)
+      .select("doc_id", "n_bigrams", "bits_per_transition")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc3 has one token → zero transitions → absent, like the oracle
+    assert(out === Array((1L, 2L, 1.076), (2L, 1L, 0.2345)))
+  }
+
+  test("dsir_score: hand-computed add-α log ratios rank target-like docs first") {
+    import spark.implicits._
+    // target "x y"; corpus: d1 target-like, d2 disjoint, d3 mixed.
+    // α=0.5, V=4, N_tgt=2 (denom 4), N_raw=6 (denom 8):
+    //   d1 = mean(log2(.375/.3125), log2(.375/.1875)) =  0.6315
+    //   d2 = mean(log2(.125/.3125), log2(.125/.1875)) = −0.9534
+    //   d3 = mean(log2(.375/.3125), log2(.125/.3125)) = −0.5294
+    val corpus = docs((1L, "x y"), (2L, "p q"), (3L, "x p"))
+    val target = docs((100L, "x y"))
+    val out = TextOps.dsirScore(corpus, target)
+      .select("doc_id", "n_tokens", "dsir_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L, 0.6315), (2L, 2L, -0.9534), (3L, 2L, -0.5294)))
+    // the doc sharing the target's vocabulary outranks mixed outranks
+    // disjoint — the selection order DSIR exists to produce
+    assert(out(0)._3 > out(2)._3 && out(2)._3 > out(1)._3)
+    // determinism: a second run reproduces every rounded score
+    val again = TextOps.dsirScore(corpus, target)
+      .select("doc_id", "n_tokens", "dsir_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(again === out)
+  }
+
+  test("bigram perplexity separates token orders the unigram model cannot") {
+    import spark.implicits._
+    // same token multiset, different order: unigram bits identical by
+    // construction, bigram bits differ — the whole point of the context
+    val d = docs((1L, "c d c d c d"), (2L, "c c c d d d"))
+    val uni = TextOps.textPerplexity(d)
+      .select("doc_id", "bits_per_token").as[(Long, Double)]
+      .collect().toMap
+    assert(uni(1L) === uni(2L))
+    val bi = TextOps.textPerplexityBigram(d)
+      .select("doc_id", "bits_per_transition").as[(Long, Double)]
+      .collect().toMap
+    // doc1 is pure (c,d)/(d,c) alternation — the corpus' dominant
+    // transitions — while doc2 spends two transitions on the rarer
+    // (c,c)/(d,d) repeats; the alternating doc must score fewer bits
+    assert(bi(1L) < bi(2L))
+  }
+
   test("containment catches a doc quoted inside a longer one that jaccard misses") {
     import spark.implicits._
     val words = (1 to 50).map(i => s"w$i")
@@ -923,6 +1008,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     // the k cutoff keeps the most frequent pairs
     assert(TextOps.corpusBpePairs(d, k = 1).as[(String, Long)].collect()
       === Array(("ab", 4L)))
+  }
+
+  test("embed_whiten standardizes each dim; constant dims pin to 0, not NaN") {
+    import spark.implicits._
+    // dim 0: values 0,2,4 → μ=2, σ=sqrt(8/3); dim 1: constant → σ=0
+    val emb = Seq(
+      (0L, Array(0.0f, 5.0f)),
+      (1L, Array(2.0f, 5.0f)),
+      (2L, Array(4.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Ann.embedWhiten(emb, dim = 2)
+      .select($"vec_id", $"w".getItem(0).as("w0"), $"w".getItem(1).as("w1"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val sd0 = math.sqrt(8.0 / 3.0)
+    out.zip(Seq(-2.0, 0.0, 2.0)).foreach { case ((_, w0, w1), exp) =>
+      assert(math.abs(w0 - exp / sd0) < 1e-12)
+      assert(w1 === 0.0) // σ=0 dim: defined 0, never 0/0 = NaN
+    }
+    // whitened output is itself standardized: mean 0, population sd 1
+    val w0s = out.map(_._2)
+    assert(math.abs(w0s.sum / 3) < 1e-12)
+    assert(math.abs(math.sqrt(w0s.map(x => x * x).sum / 3) - 1.0) < 1e-12)
   }
 
   test("embed_outliers flags the planted far vector, z-math checks out") {

@@ -15,6 +15,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
     assert(rowsOnly === Set("ann_lsh_topk", "knn_graph_lsh", "bpe_train",
+      "embed_pca",
       "bpe_encode", "quality_classifier", "corpus_sample_quality",
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_pq_topk",
