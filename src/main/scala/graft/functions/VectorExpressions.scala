@@ -547,6 +547,13 @@ object VectorFunctions {
     org.apache.spark.sql.functions.call_function("topk_pairs", score, id,
       org.apache.spark.sql.functions.lit(k))
 
+  /** Column-level packed moment aggregate backed by [[VecMoments]]:
+    * [n, Σv_i…, upper-tri Σv_i·v_j…] of a group of dim-vectors in one
+    * pass, one plan node at any dim. Use inside `.agg(...)`. */
+  def vecMoments(v: Column, dim: Int): Column =
+    org.apache.spark.sql.functions.call_function("vec_moments", v,
+      org.apache.spark.sql.functions.lit(dim))
+
   /** Register graft's native functions in the session's function registry
     * so SQL, `expr(...)` and the Column wrappers resolve them.
     * Idempotent — already-registered sessions are left alone (a blind
@@ -563,6 +570,8 @@ object VectorFunctions {
       cs => CentroidArgmax(cs(0), cs(1), cs(2))),
     ("topk_pairs", classOf[TopKPairs].getName,
       cs => TopKPairs(cs(0), cs(1), cs(2))),
+    ("vec_moments", classOf[VecMoments].getName,
+      cs => VecMoments(cs(0), cs(1))),
     ("bpe_apply", classOf[BpeApply].getName,
       cs => BpeApply(cs(0), cs(1), cs(2))))
 

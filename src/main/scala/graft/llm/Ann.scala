@@ -311,10 +311,13 @@ object Ann {
     * per-dim σ is not enough (correlated dims).
     *
     * Scale split, the [[bpeTrain]] division of labor: the CORPUS pass
-    * is ONE map-side-combined moment aggregation — count, the `dim`
-    * coordinate sums, and the dim(dim+1)/2 upper-triangle product sums
-    * as plain codegen'd `sum` expressions (the shuffle carries one
-    * ~dim²/2-double partial per partition, never a vector); the
+    * is ONE map-side-combined moment aggregation via the native
+    * [[graft.functions.VecMoments]] — count, the `dim` coordinate sums,
+    * and the dim(dim+1)/2 upper-triangle product sums packed into a
+    * single array buffer (the shuffle carries one ~dim²/2-double
+    * partial per partition, never a vector; the declarative 2 145-`sum`
+    * form had the same distributed shape but paid seconds of driver
+    * analysis/codegen per execution — pure plan-size cost); the
     * covariance assembly + [[jacobiEigen]] run driver-side over that
     * single collected row (64×64 → microseconds, corpus-size-free); the
     * projection serves eigenvector weights as PLAN LITERALS fused into
@@ -330,30 +333,28 @@ object Ann {
     * dominant-axis recovery, and per-component variance ordering. */
   def embedPca(embeddings: DataFrame, dim: Int = 64,
                outDim: Int = 16): DataFrame = {
-    val x = embeddings.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
-    def el(i: Int): Column = col("v").getItem(i)
-    val upper = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-    val momentCols =
-      count(lit(1)).cast("double").as("n") +:
-        (0 until dim).map(i => sum(el(i)).as(s"s$i")) ++:
-        upper.map { case (i, j) => sum(el(i) * el(j)).as(s"g${i}_$j") }
-    val row = x.agg(momentCols.head, momentCols.tail: _*).head()
-    val n = row.getDouble(0)
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val x = embeddings.select(vecAsDouble(col("embedding")).as("v"))
+    val m = x.agg(graft.functions.VectorFunctions
+        .vecMoments(col("v"), dim).as("m"))
+      .head().getSeq[Double](0)
+    val n = m(0)
     require(n > 1, s"PCA needs more than one vector, got $n")
-    val mu = Array.tabulate(dim)(i => row.getDouble(1 + i))
+    val mean = Array.tabulate(dim)(i => m(1 + i) / n)
     val cov = Array.ofDim[Double](dim * dim)
-    upper.zipWithIndex.foreach { case ((i, j), k) =>
-      val c = row.getDouble(1 + dim + k) / n - (mu(i) / n) * (mu(j) / n)
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = m(graft.functions.VecMoments.gramIndex(dim, i, j)) / n -
+        mean(i) * mean(j)
       cov(i * dim + j) = c; cov(j * dim + i) = c
     }
     val (_, vecs) = jacobiEigen(cov, dim)
-    // p_j = Σ_i (v_i − μ_i/n)·e_ji = (Σ_i v_i·e_ji) − const_j: the
+    // p_j = Σ_i (v_i − μ_i)·e_ji = (Σ_i v_i·e_ji) − const_j: the
     // centering folds into one plan-literal constant per component
     def elf(i: Int): Column =
       element_at(col("embedding"), i + 1).cast("double")
     val cols = (0 until outDim).map { j =>
       val e = vecs(j)
-      val shift = (0 until dim).map(i => (mu(i) / n) * e(i)).sum
+      val shift = (0 until dim).map(i => mean(i) * e(i)).sum
       round((0 until dim).map(i => elf(i) * lit(e(i))).reduce(_ + _)
         - lit(shift), 4).as(s"p$j")
     }

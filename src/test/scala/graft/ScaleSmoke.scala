@@ -38,6 +38,9 @@ object ScaleSmoke {
     t("text_rarity 50k docs")(graft.llm.TextOps.textRarity(docs10).write.format("noop").mode("overwrite").save())
     t("ngram_topk 50k docs")(graft.llm.TextOps.textNgramTopK(docs10).write.format("noop").mode("overwrite").save())
     t("corpus_pack 50k docs")(graft.llm.TextOps.corpusPack(docs10).write.format("noop").mode("overwrite").save())
+    t("corpus_budget_select 50k docs")(
+      graft.llm.TextOps.corpusBudgetSelect(docs10)
+        .write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_pq 20k vecs")(Ann.annPqTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_ivfpq 20k vecs")(Ann.annIvfPqTopK(emb10).write.format("noop").mode("overwrite").save())
@@ -79,6 +82,25 @@ object ScaleSmoke {
       .write.format("noop").mode("overwrite").save())
     t("text_tfidf 50k docs")(graft.llm.TextOps.textTfidf(docs10)
       .write.format("noop").mode("overwrite").save())
+    t("text_perplexity_bigram 50k docs")(
+      graft.llm.TextOps.textPerplexityBigram(docs10)
+        .write.format("noop").mode("overwrite").save())
+    t("dsir_score 50k docs x 20-doc target")(
+      graft.llm.TextOps.dsirScore(docs10.filter(col("doc_id") >= 20),
+        docs10.filter(col("doc_id") < 20))
+        .write.format("noop").mode("overwrite").save())
+    t("embed_whiten 20k vecs")(Ann.embedWhiten(emb10)
+      .write.format("noop").mode("overwrite").save())
+    // like embed_project above, the 10-branch union amplifies PLAN-time
+    // cost for the 2 145-expression moment aggregate — shape artifact
+    t("embed_pca 20k vecs")(Ann.embedPca(emb10)
+      .write.format("noop").mode("overwrite").save())
+    t("ann_filtered_topk 20k vecs")(Ann.annFilteredTopK(emb10)
+      .write.format("noop").mode("overwrite").save())
+    t("knn_label_prop 10k vecs (4x pair work vs sf0.1)")(
+      Ann.knnLabelProp(emb10.filter(col("vec_id") < 2000000L),
+        k = 3, iters = 2)
+        .write.format("noop").mode("overwrite").save())
     t("bpe_encode 50k docs (20 trained merges)") {
       import spark.implicits._
       val merges = graft.llm.TextOps.bpeTrain(docs10)

@@ -123,4 +123,32 @@ class TopKAggSpec extends AnyFunSuite with SparkFixture {
     val again = Ann.knnGraphLsh(emb, k = 5).select("vec_id", "nbr_id")
     assert(approx.exceptAll(again).isEmpty && again.exceptAll(approx).isEmpty)
   }
+
+  test("vec_moments equals the declarative sum bank, exactly on one partition") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val dim = 3
+    val rows = Seq(
+      Array(1.0, 2.0, -1.0), Array(0.5, 0.0, 4.0), Array(-2.0, 1.0, 0.25))
+    // ONE partition: identical addition order on both forms → bit-equal
+    val df = rows.toDF("v").coalesce(1)
+    val m = df.agg(VectorFunctions.vecMoments(col("v"), dim).as("m"))
+      .head().getSeq[Double](0)
+    def el(i: Int) = col("v").getItem(i)
+    val upper = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val decl = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      (0 until dim).map(i => sum(el(i))) ++
+        upper.map { case (i, j) => sum(el(i) * el(j)) }: _*).head()
+    assert(m(0) === decl.getDouble(0))
+    (0 until dim).foreach(i => assert(m(1 + i) === decl.getDouble(1 + i)))
+    upper.zipWithIndex.foreach { case ((i, j), k) =>
+      assert(m(graft.functions.VecMoments.gramIndex(dim, i, j))
+        === decl.getDouble(1 + dim + k),
+        s"gram ($i,$j) diverges")
+    }
+    // the packed layout covers the buffer exactly: last index is (d-1,d-1)
+    assert(graft.functions.VecMoments.gramIndex(dim, dim - 1, dim - 1)
+      === m.length - 1)
+  }
 }
