@@ -83,6 +83,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
+    "corpus_budget_select" -> (TextOps.corpusBudgetSelectQ _),
     "corpus_pack_bins" -> (TextOps.corpusPackBinsQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "bpe_train" -> (TextOps.bpeTrainQ _),
     "bpe_encode" -> (TextOps.bpeEncodeQ _),
+    "bpe_fertility" -> (TextOps.bpeFertilityQ _),
     "corpus_chunk" -> (TextOps.corpusChunkQ _),
     "quality_classifier" -> (graft.llm.Classifier.qualityClassifierQ _),
     "corpus_sample_quality" -> (graft.llm.Classifier.corpusSampleQualityQ _),
@@ -1100,6 +1102,28 @@ object SparkEntry {
          |SELECT doc_id, n_tok,
          |  CAST(tok_start // 512 AS BIGINT) AS pack_id,
          |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
+    // budget selection: the oracle's single global window reproduces the
+    // Spark side's bucket-offset + within-bucket cumsum exactly (both
+    // order by (quality ten-thousandths DESC, doc_id)); the score grid
+    // is the text_quality expression, int-derived and bit-identical
+    "corpus_budget_select" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(text) AS DOUBLE) AS nc,
+         |    CAST(len($tokSql) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '$punctClass')) AS DOUBLE) AS np
+         |  FROM documents),
+         |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |    CAST(round(least(nt / 64.0, 1.0) * (1.0 - np / nc) * 10000)
+         |      AS BIGINT) AS qk
+         |  FROM m),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY qk DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  cum_tokens <= 8000 AS selected
          |FROM c""".stripMargin,
     // whole-doc histogram packing: the CASE ladder interpolates the SAME
     // power-of-two classes the Spark side folds over; one row_number per

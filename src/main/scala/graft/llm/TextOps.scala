@@ -657,6 +657,50 @@ object TextOps {
         pmod(col("tok_start"), lit(packTokens.toLong)).as("pack_offset"))
   }
 
+  /** Token-budget selection — the data-constrained-scaling move: keep
+    * the PREFIX of the quality ranking whose cumulative token count
+    * stays within `budgetTokens` ("train on the best B tokens we
+    * have"). The ranking key is [[textQuality]]'s composite score in
+    * exact ten-thousandths (int-derived double arithmetic → identical
+    * on every engine, the corpus_sample_quality permille convention),
+    * ties broken by doc_id; selection is strictly prefix-based — after
+    * the first overflowing doc nothing else enters, so the kept set is
+    * a deterministic function of the corpus, not a knapsack heuristic.
+    * Output keeps EVERY doc with its running total and verdict (the
+    * audit frame; filter `selected` for the training cut).
+    *
+    * Scale shape = [[corpusPack]]'s distributed prefix-sum with the
+    * quality key as the bucket: per-score-value totals (≤ 10 001 rows —
+    * the score lives on a fixed 1e-4 grid) collect to the driver,
+    * prefix-sum in rank order, broadcast back as offsets; each doc's
+    * global running total is its bucket offset + a within-bucket
+    * window cumsum ordered by doc_id. No global sort, no single-task
+    * funnel — the window partitions by score value. */
+  def corpusBudgetSelect(docs: DataFrame,
+                         budgetTokens: Long = 8000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = textQuality(docs).select(col("doc_id"), col("n_tokens"),
+      round(col("quality_score") * 10000).cast("long").as("qk"))
+    val totals = q.groupBy("qk").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (qk, _) => -qk }
+    val offsets = totals
+      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot })
+      .map { case ((qk, _), prefix) => (qk, prefix) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("qk", "qk_offset"))
+    val w = Window.partitionBy("qk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = (col("qk_offset") + sum(col("n_tokens")).over(w)).as("cum_tokens")
+    q.join(offsetDf, "qk")
+      .select(col("doc_id"), col("n_tokens"), cum)
+      .withColumn("selected", col("cum_tokens") <= budgetTokens)
+  }
+
+  def corpusBudgetSelectQ(spark: SparkSession, dir: String): DataFrame =
+    corpusBudgetSelect(Tables.documents(spark, dir))
+
   /** The power-of-two length ladder of [[corpusPackBins]] up to
     * `packTokens` (1, 2, 4, …, packTokens) — shared with the oracle's
     * CASE chain so both engines classify identically with integer
@@ -1175,6 +1219,37 @@ object TextOps {
       .select(col("left"), col("right"))
       .as[(String, String)].collect().toSeq
     bpeEncode(docs, merges)
+  }
+
+  /** Tokenizer FERTILITY report per language: mean BPE tokens per word
+    * under a trained merge table — the standard multilingual tokenizer
+    * health metric (a tokenizer trained on one language's data segments
+    * other languages into near-character soup; fertility ≫ 1 on a
+    * language means its docs cost that many times the compute per word
+    * and the merge table needs rebalancing). Completes the
+    * train → encode → EVALUATE tokenizer loop.
+    *
+    * One co-partitioned doc_id join of [[bpeEncode]]'s per-doc counts
+    * onto the (doc_id, lang) projection, then a map-side-combined agg
+    * to a |langs|-row frame. Fertility is the ratio of two exact
+    * integer sums, rounded 4dp only at output. */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")), 4).as("fertility"))
+
+  def bpeFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(docs).orderBy(col("merge_rank"))
+      .select(col("left"), col("right"))
+      .as[(String, String)].collect().toSeq
+    bpeFertility(docs, merges)
   }
 
   /** Per-doc top-k TF-IDF terms — the classic keyword/topic-signal

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Sketches
+import graft.sinks.WarehouseSink
+
+/** Continuous maintenance of the events-side distinct-user HLL sketch
+  * table ([[Sketches.eventsUserSketchTable]]) from a LIVE event stream —
+  * the production shape of the sketch-warehouse pattern: the stream is
+  * read ONCE as it arrives, each micro-batch contributes its few-KB
+  * finest-grain sketch rows, and every dashboard grain is served by
+  * sketch UNION off the persisted table, never from the stream's
+  * history.
+  *
+  * Why this composes exactly: DataSketches HLL union is deterministic
+  * and exact over multiset partitions — the union of per-batch sketches
+  * of disjoint slices IS the sketch of the whole slice (SketchesSpec
+  * pins this for incremental halves; StreamSketchesSpec pins it across
+  * real micro-batch boundaries). So the streaming-built table serves
+  * THE SAME estimates as a batch rebuild over all history, at
+  * per-micro-batch cost.
+  *
+  * Replay idempotence, the [[CdcStream]] dead-letter convention: batch
+  * rows land partitioned by `batch_id` with dynamic overwrite of that
+  * one partition — a replayed micro-batch (crash between the write and
+  * the checkpoint commit) rewrites its own rows instead of
+  * double-counting. n_events stays an exact per-batch count, so summing
+  * it at serve time is exact too. */
+object StreamSketches {
+
+  /** Per-micro-batch worker: the batch's (hour, event_type) sketch rows
+    * tagged with `batch_id`, idempotently written. Public so tests (and
+    * backfills) can drive it without a streaming query. */
+  def writeBatch(batch: DataFrame, batchId: Long, sink: WarehouseSink,
+                 table: String, lgK: Int = 12): Unit = {
+    val rows = Sketches.eventsUserSketchTable(batch, lgK)
+      .withColumn("batch_id", lit(batchId))
+    sink.write(rows, table, "batch_id", Seq("hour", "event_type"),
+      dynamicOverwrite = true)
+  }
+
+  /** Start the maintenance loop over a streaming events frame.
+    * `trigger` defaults to the continuous micro-batch trigger; tests and
+    * backfills pass `Trigger.AvailableNow()`. */
+  def eventsUsersStream(stream: DataFrame, sink: WarehouseSink,
+                        table: String = "events_users_sketch",
+                        checkpoint: String,
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                        lgK: Int = 12): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, sink, table, lgK)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Serve the finest grain off the persisted table: batch shards of
+    * each (hour, event_type) cell union into one sketch — the exact
+    * equivalent of [[Sketches.eventsUserSketchTable]] over all history,
+    * without re-reading the stream. Feed to
+    * [[Sketches.eventsUserRollup]] for coarser grains. */
+  def servedSketchTable(spark: SparkSession, sink: WarehouseSink,
+                        table: String = "events_users_sketch"): DataFrame =
+    sink.read(spark, table)
+      .groupBy(col("hour"), col("event_type"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("n_events")).as("n_events"))
+}

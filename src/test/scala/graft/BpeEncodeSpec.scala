@@ -84,4 +84,18 @@ class BpeEncodeSpec extends AnyFunSuite with SparkFixture {
       assert(nb >= nw, s"doc $id has fewer tokens than words")
     }
   }
+
+  test("bpe_fertility: fully-merged language at 1.0, unmerged at chars-per-word") {
+    import spark.implicits._
+    // merges cover lang aa's only word ("ab" → one symbol); lang bb's
+    // "xyz" never merges → 3 chars/word. Integer sums, exact ratios.
+    val d = Seq(
+      (1L, "ab ab ab", "aa"), (2L, "ab ab", "aa"), (3L, "xyz xyz", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.bpeFertility(d, Seq(("a", "b")))
+      .select("lang", "n_docs", "n_words", "n_bpe_tokens", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("aa", 2L, 5L, 5L, 1.0), ("bb", 1L, 2L, 6L, 3.0)))
+  }
 }

@@ -900,6 +900,44 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.drop(1).map(_._1).toSeq === out.drop(1).map(_._1).sorted.toSeq)
   }
 
+  test("corpus_budget_select keeps the quality-ranked prefix within budget") {
+    import spark.implicits._
+    // no punctuation → score = n_tokens/64, so ranking = length desc,
+    // ties by doc_id. Budget 24: 16 + 8 fit, the tied second 8 and the
+    // 4 do not (prefix semantics — nothing after the first overflow)
+    val d = docs(
+      (1L, Seq.fill(16)("w").mkString(" ")),
+      (2L, Seq.fill(8)("w").mkString(" ")),
+      (3L, Seq.fill(8)("w").mkString(" ")),
+      (4L, Seq.fill(4)("w").mkString(" ")))
+    val out = TextOps.corpusBudgetSelect(d, budgetTokens = 24L)
+      .select("doc_id", "n_tokens", "cum_tokens", "selected")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 16L, 16L, true), (2L, 8L, 24L, true),
+      (3L, 8L, 32L, false), (4L, 4L, 36L, false)))
+  }
+
+  test("corpus_budget_select prefix-sum equals a single global cumsum on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val got = TextOps.corpusBudgetSelect(d)
+    // naive reference: ONE global window over the same ordering
+    val q = TextOps.textQuality(d).select(col("doc_id"), col("n_tokens"),
+      round(col("quality_score") * 10000).cast("long").as("qk"))
+    val w = Window.orderBy(col("qk").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = q.select(col("doc_id"), col("n_tokens"),
+      sum(col("n_tokens")).over(w).as("cum_tokens"))
+      .withColumn("selected", col("cum_tokens") <= 8000L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the kept set is a clean prefix: every selected cum < every
+    // unselected cum
+    val maxSel = got.filter(col("selected")).agg(max("cum_tokens")).head().getLong(0)
+    val minUnsel = got.filter(!col("selected")).agg(min("cum_tokens")).head().getLong(0)
+    assert(maxSel <= 8000L && minUnsel > 8000L && maxSel < minUnsel)
+  }
+
   test("corpus_pack distributed prefix-sum equals a single global cumsum") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

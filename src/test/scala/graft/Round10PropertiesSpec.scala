@@ -301,4 +301,72 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
       plan.contains("BroadcastExchange"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("text_perplexity_bigram equals a plain-Scala interpolated LM on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1031)
+    val vocab = (0 until 10).map(i => s"w$i")
+    // lengths 1..30: single-token docs must DROP, not crash
+    val docs = (0L until 40L).map { id =>
+      (id, (0 until (1 + rng.nextInt(30)))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks = docs.map { case (id, text) =>
+      id -> text.trim.toLowerCase.split("\\s+").toSeq }
+    val n = toks.map(_._2.size).sum.toDouble
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val bigs = toks.map { case (id, ws) => id -> ws.zip(ws.drop(1)) }
+    val ctx = bigs.flatMap(_._2).groupBy(_._1).map { case (a, xs) => a -> xs.size }
+    val bgc = bigs.flatMap(_._2).groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val ln2 = math.log(2.0)
+    val lambda = TextOps.BigramLambda
+    val expected = bigs.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val h = -bs.map { case (a, b) =>
+        math.log(lambda * bgc((a, b)) / ctx(a).toDouble +
+          (1.0 - lambda) * uni(b) / n) / ln2
+      }.sum / bs.size
+      (id, bs.size.toLong,
+        BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sorted
+    val got = TextOps.textPerplexityBigram(docs.toDF("doc_id", "text"))
+      .select("doc_id", "n_bigrams", "bits_per_transition")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === expected)
+  }
+
+  test("dsir_score equals a plain-Scala add-alpha log ratio on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1033)
+    val vocab = (0 until 14).map(i => s"w$i")
+    def mk(ids: Range, lo: Int, hi: Int) = ids.map { id =>
+      (id.toLong, (0 until (1 + rng.nextInt(20)))
+        .map(_ => vocab(lo + rng.nextInt(hi - lo))).mkString(" "))
+    }
+    // target draws from the low half of the vocab, corpus from all of
+    // it — overlapping but shifted distributions, the DSIR regime
+    val target = mk(0 until 6, 0, 7)
+    val corpus = mk(100 until 140, 0, 14)
+    def words(d: Seq[(Long, String)]) =
+      d.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+    val rawW = words(corpus); val tgtW = words(target)
+    val raw = rawW.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val tgt = tgtW.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val v = (rawW ++ tgtW).distinct.size.toDouble
+    val a = TextOps.DsirAlpha
+    val ln2 = math.log(2.0)
+    val expected = corpus.map { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      val s = ws.map { w =>
+        math.log((tgt.getOrElse(w, 0) + a) / (tgtW.size + a * v)) / ln2 -
+          math.log((raw(w) + a) / (rawW.size + a * v)) / ln2
+      }.sum / ws.size
+      (id, ws.size.toLong,
+        BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sorted
+    val got = TextOps.dsirScore(
+        corpus.toDF("doc_id", "text"), target.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "dsir_score")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === expected)
+  }
 }

@@ -16,7 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     val rowsOnly = q -- o
     assert(rowsOnly === Set("ann_lsh_topk", "knn_graph_lsh", "bpe_train",
       "embed_pca",
-      "bpe_encode", "quality_classifier", "corpus_sample_quality",
+      "bpe_encode", "bpe_fertility", "quality_classifier",
+      "corpus_sample_quality",
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
