@@ -180,6 +180,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       && !p.contains("BroadcastNestedLoopJoin"), "loop join in plan")
   }
 
+  test("embed_whiten: one stats exchange, corpus never shuffles or loops") {
+    val p = planString(
+      graft.llm.Ann.embedWhiten(Tables.embeddings(spark, sfDir)))
+    // the 1-row stats frame comes back as a broadcast cross join; the
+    // corpus branch is scan → zip_with projection, exchange-free
+    assert(p.contains("BroadcastExchange"), "stats must broadcast back")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled into a join")
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning|Exchange SinglePartition".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"more exchanges than the stats agg needs:\n$p")
+  }
+
+  test("ann_filtered_topk: the label predicate turns the scoring join into a hash join") {
+    val p = planString(graft.llm.Ann.annFilteredTopK(
+      Tables.embeddings(spark, sfDir)))
+    // annTopK's inequality-only join is a BroadcastNestedLoopJoin by
+    // necessity; the filtered variant's label EQUALITY must give the
+    // planner a hash key — pre-filtering at join time, not post-scoring
+    assert(p.contains("BroadcastHashJoin"),
+      "label equality not planned as a hash join:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "filtered search fell back to the loop join")
+  }
+
   test("merge snapshot read prunes partitions by bucket") {
     val sink = new graft.sinks.WarehouseSink(tmpDir("plan_merge_"))
     val flat = graft.cdc.Cdc.flatten(Tables.events(spark, sfDir))
