@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
     "corpus_budget_select" -> (TextOps.corpusBudgetSelectQ _),
+    "corpus_interleave" -> (TextOps.corpusInterleaveQ _),
     "corpus_pack_bins" -> (TextOps.corpusPackBinsQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "ann_range" -> (Ann.annRangeQ _),
     "embed_decontaminate" -> (Ann.embedDecontaminateQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
+    "ann_recall_report" -> (Ann.annRecallReportQ _),
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
@@ -1125,6 +1127,21 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, cum_tokens,
          |  cum_tokens <= 8000 AS selected
          |FROM c""".stripMargin,
+    // proportional interleave: both engines compute the stride key with
+    // identical IEEE ops on identical integers, so the two plain windows
+    // here replay Spark's bucketed prefix-sum order exactly
+    "corpus_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS src_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+        |  CAST(row_number() OVER (
+        |    ORDER BY (src_rank - 0.5) / n_s, source, doc_id)
+        |    AS BIGINT) AS train_order
+        |FROM r""".stripMargin,
     // whole-doc histogram packing: the CASE ladder interpolates the SAME
     // power-of-two classes the Spark side folds over; one row_number per
     // class reproduces the (bucket, doc_id) window order

@@ -118,6 +118,40 @@ object Ann {
   def annFilteredTopKQ(spark: SparkSession, dir: String): DataFrame =
     annFilteredTopK(Tables.embeddings(spark, dir))
 
+  /** Index-health recall report: per-query recall@k of an approximate
+    * retrieval result against the exact one — the eval a vector
+    * deployment runs on a sampled query set after every index rebuild
+    * or corpus drift ("is the LSH/IVF banding still good for TODAY's
+    * data"), turned into an operator instead of a one-off test.
+    * Takes the two (query_id, vec_id) result frames so any pair of
+    * paths from the ANN ladder composes; both frames are tiny
+    * (n_queries·k rows), so the join is broadcast-sized by
+    * construction — the expensive part is producing the inputs, and
+    * those are the operators being audited.
+    *
+    * recall = |approx ∩ truth| / |truth| per query, rounded 4dp; a
+    * query with an empty truth set cannot appear (truth defines the
+    * row set). */
+  def annRecallReport(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = approx.select(col("query_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    truth.select(col("query_id"), col("vec_id"))
+      .join(hits, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        round(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)), 4).as("recall_at_k"))
+  }
+
+  /** Driver entry: LSH top-k audited against brute force — the pairing
+    * a deployment on the LSH path would actually monitor. */
+  def annRecallReportQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    annRecallReport(annTopK(emb), annLshTopK(emb))
+  }
+
   /** Cosine radius (range) search: every corpus vector within cosine ≥
     * `tau` of each query vector, self excluded — the "find everything
     * similar enough" companion to [[annTopK]]'s "find the k best".

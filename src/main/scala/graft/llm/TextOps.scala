@@ -701,6 +701,70 @@ object TextOps {
   def corpusBudgetSelectQ(spark: SparkSession, dir: String): DataFrame =
     corpusBudgetSelect(Tables.documents(spark, dir))
 
+  /** Deterministic proportional source interleaving — the training-order
+    * scheduler: doc r of a source with n docs gets the stride key
+    * (r − ½)/n (its fraction through its own source), and the global
+    * order sorts by that key — so every prefix of the training stream
+    * carries each source in proportion to its size (within one doc; the
+    * spec pins the bound), instead of front-loading whichever source
+    * sorts first. The deterministic, replayable version of the sampled
+    * source-mixing T5/Pile-style loaders do at read time; ties on the
+    * key (exact fraction collisions) break by (source, doc_id).
+    *
+    * Scale shape — NO global sort and no per-source single-task window:
+    * both ranks come from [[corpusPack]]'s distributed prefix-sum.
+    * `src_rank` = per-(source, id-bucket) counts (bounded collect)
+    * prefix-summed per source on the driver + a within-bucket
+    * row_number; `train_order` = the same trick keyed on the stride
+    * key's integer millesimal bucket — floor of bit-identical doubles,
+    * so bucketing is engine-exact and monotone in the key. Both
+    * engines compute the key with the same IEEE ops on the same
+    * integers, so the sort order (ties included) is identical — the
+    * oracle's two plain windows replay it. */
+  def corpusInterleave(docs: DataFrame, bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs.select(col("doc_id"), col("source"),
+      call_function("div", col("doc_id"), lit(bucketWidth)).as("bkt"))
+    // per-(source, bucket) counts: one bounded collect feeds BOTH the
+    // per-source rank offsets and the source totals
+    val counts = t.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val srcOffsets = counts.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.scanLeft(0L) { case (acc, (_, _, c)) => acc + c })
+        .map { case ((_, bkt, _), prefix) => (src, bkt, prefix) }
+    }
+    val totals = counts.groupBy(_._1).map { case (s, rows) =>
+      (s, rows.map(_._3).sum) }.toSeq
+    val offsetDf = broadcast(srcOffsets.toDF("source", "bkt", "rank_offset"))
+    val totalsDf = broadcast(totals.toDF("source", "n_s"))
+    val wb = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    val ranked = t.join(offsetDf, Seq("source", "bkt"))
+      .join(totalsDf, "source")
+      .select(col("doc_id"), col("source"),
+        (col("rank_offset") + row_number().over(wb)).as("src_rank"),
+        col("n_s"))
+      .withColumn("k", (col("src_rank") - lit(0.5)) / col("n_s"))
+      .withColumn("kb", floor(col("k") * 1000).cast("long"))
+    val ranked2 = graft.Exec.materialize(ranked)
+    val kbCounts = ranked2.groupBy("kb").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val kbOffsets = kbCounts
+      .zip(kbCounts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
+      .map { case ((kb, _), prefix) => (kb, prefix) }.toSeq
+    val kbDf = broadcast(kbOffsets.toDF("kb", "kb_offset"))
+    val wk = Window.partitionBy("kb")
+      .orderBy(col("k"), col("source"), col("doc_id"))
+    ranked2.join(kbDf, "kb")
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("kb_offset") + row_number().over(wk)).as("train_order"))
+  }
+
+  def corpusInterleaveQ(spark: SparkSession, dir: String): DataFrame =
+    corpusInterleave(Tables.documents(spark, dir))
+
   /** The power-of-two length ladder of [[corpusPackBins]] up to
     * `packTokens` (1, 2, 4, …, packTokens) — shared with the oracle's
     * CASE chain so both engines classify identically with integer

@@ -252,6 +252,36 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(bad.isEmpty)
   }
 
+  test("ann_recall_report: self-recall 1.0, disjoint 0.0, LSH audited on the real corpus") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Ann.annTopK(emb, nQueries = 5, k = 5)
+    // truth vs itself: every query at exactly 1.0
+    val self = Ann.annRecallReport(brute, brute)
+      .select("query_id", "n_true", "n_hit", "recall_at_k")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.length === 5)
+    assert(self.forall { case (_, t, h, r) => t === 5L && h === 5L && r === 1.0 })
+    // truth vs a disjoint result set: 0.0, and n_true still counts
+    val shifted = brute.withColumn("vec_id", col("vec_id") + 1000000L)
+    val zero = Ann.annRecallReport(brute, shifted)
+      .select("recall_at_k").as[Double].collect()
+    assert(zero.forall(_ === 0.0))
+    // the real audit pairing: LSH against brute force — the report's
+    // aggregate must EQUAL the independently-computed intersect recall
+    // (the report audits correctly), and clear the same floor the
+    // direct LSH spec uses at this banding/scale
+    val lsh = Ann.annLshTopK(emb, nQueries = 5, k = 5)
+    val audit = Ann.annRecallReport(brute, lsh)
+    val sums = audit.agg(sum("n_hit"), sum("n_true")).head()
+    val overall = sums.getLong(0).toDouble / sums.getLong(1)
+    val want = lsh.select("query_id", "vec_id")
+      .intersect(brute.select("query_id", "vec_id")).count().toDouble /
+      brute.count()
+    assert(overall === want)
+    assert(overall >= 0.4, s"LSH overall recall $overall")
+  }
+
   test("LSH ANN recalls most of the brute-force top-k on the test corpus") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Ann.annTopK(emb, nQueries = 5, k = 5).select("query_id", "vec_id")
@@ -936,6 +966,51 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val maxSel = got.filter(col("selected")).agg(max("cum_tokens")).head().getLong(0)
     val minUnsel = got.filter(!col("selected")).agg(min("cum_tokens")).head().getLong(0)
     assert(maxSel <= 8000L && minUnsel > 8000L && maxSel < minUnsel)
+  }
+
+  test("corpus_interleave: exact stride fixture, then proportional prefixes on the real corpus") {
+    import spark.implicits._
+    // a has 4 docs (keys .125 .375 .625 .875), b has 2 (.25 .75) →
+    // global order a1 b1 a2 a3 b2 a4, worked by hand
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b")).toDF("doc_id", "source")
+    val out = TextOps.corpusInterleave(d)
+      .select("doc_id", "source", "src_rank", "train_order")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4)
+    assert(out === Array(
+      (1L, "a", 1L, 1L), (5L, "b", 1L, 2L), (2L, "a", 2L, 3L),
+      (3L, "a", 3L, 4L), (6L, "b", 2L, 5L), (4L, "a", 4L, 6L)))
+
+    // real corpus: equality to ONE global window over the same key, and
+    // the defining property — every prefix carries each source within
+    // ~a doc of its proportional share
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.corpusInterleave(docs)
+    val r = docs.select(col("doc_id"), col("source"))
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+          .cast("long"))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy("source")))
+    val want = r.select(col("doc_id"), col("source"), col("src_rank"),
+      row_number().over(Window.orderBy(
+          (col("src_rank") - 0.5) / col("n_s"), col("source"), col("doc_id")))
+        .cast("long").as("train_order"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val n = docs.count().toDouble
+    val shares = docs.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> (x.getLong(1) / n)).toMap
+    val rows = got.select("source", "train_order")
+      .as[(String, Long)].collect()
+    for (l <- Seq(10, 50, 100, 250, (n / 2).toInt)) {
+      val prefix = rows.filter(_._2 <= l)
+      shares.foreach { case (src, share) =>
+        val cnt = prefix.count(_._1 == src)
+        assert(math.abs(cnt - l * share) <= 2.0,
+          s"prefix $l: source $src carries $cnt vs proportional ${l * share}")
+      }
+    }
   }
 
   test("corpus_pack distributed prefix-sum equals a single global cumsum") {

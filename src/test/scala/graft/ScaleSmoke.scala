@@ -41,6 +41,9 @@ object ScaleSmoke {
     t("corpus_budget_select 50k docs")(
       graft.llm.TextOps.corpusBudgetSelect(docs10)
         .write.format("noop").mode("overwrite").save())
+    t("corpus_interleave 50k docs")(
+      graft.llm.TextOps.corpusInterleave(docs10)
+        .write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_pq 20k vecs")(Ann.annPqTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_ivfpq 20k vecs")(Ann.annIvfPqTopK(emb10).write.format("noop").mode("overwrite").save())
