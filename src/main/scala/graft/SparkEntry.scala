@@ -28,6 +28,7 @@ object SparkEntry {
     "cdc_soft_delete" -> (Cdc.softDeleteQ _),
     "cdc_append" -> (Cdc.appendQ _),
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
+    "cdc_op_mix" -> (Cdc.opMixQ _),
     "cdc_typemap" -> (Cdc.typeMapQ _),
     "cdc_typemap_complex" -> (TypeMap.typeMapComplexQ _),
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
+    "decontaminate_report" -> (TextOps.decontaminateReportQ _),
     "dsir_score" -> (TextOps.dsirScoreQ _),
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
@@ -114,6 +116,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
+    "minhash_tuning_report" -> (Dedup.minhashTuningReportQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
     "corpus_families" -> (Dedup.corpusFamiliesQ _),
@@ -121,6 +124,7 @@ object SparkEntry {
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
     "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
     "dedup_spans" -> (SpanDedup.dedupChunksQ _),
+    "dedup_substrings" -> (SpanDedup.dedupSubstringsQ _),
     "dedup_spans_incremental" -> (SpanDedup.dedupChunksIncrementalQ _),
     "text_boilerplate" -> (SpanDedup.removeBoilerplateQ _),
     "sketch_distinct" -> (Sketches.sketchDistinctQ _),
@@ -227,6 +231,20 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    // op-mix dashboard: integer counts; share = exact ratio of two
+    // integer counts (deterministic double division on both engines)
+    "cdc_op_mix" ->
+      s"""WITH f AS ($flattenSql),
+         |c AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         |    __op,
+         |    count(*) AS n_events,
+         |    sum(CASE WHEN __deleted THEN 1 ELSE 0 END) AS n_deleted
+         |  FROM f GROUP BY 1, 2)
+         |SELECT hour, __op, n_events, CAST(n_deleted AS BIGINT) AS n_deleted,
+         |  CAST(n_events AS DOUBLE) /
+         |    sum(n_events) OVER (PARTITION BY hour) AS op_share
+         |FROM c""".stripMargin,
     "cdc_typemap" ->
       """SELECT event_id,
         |  CAST(epoch_ms(ts) // 86400000 AS INT) AS epoch_day,
@@ -581,6 +599,33 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
         |  AND epoch_us(p.ts) >= epoch_us(e.ts)
         |  AND epoch_us(p.ts) < epoch_us(e.ts) + 900000000""".stripMargin,
+    // stride-1 repeated-substring stats: the oracle groups window STRINGS
+    // where Spark hashes the token slice (space-free tokens → identical
+    // grouping, the jaccard-oracle convention); coverage is the same
+    // lead-window interval merge on both engines
+    "dedup_substrings" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS ts FROM documents),
+         |w AS (
+         |  SELECT doc_id, g.i AS pos,
+         |    array_to_string(ts[g.i:g.i+14], ' ') AS s
+         |  FROM t, unnest(generate_series(1, len(ts) - 14)) AS g(i)
+         |  WHERE len(ts) >= 15),
+         |c AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+         |f AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (s)),
+         |cv AS (
+         |  SELECT doc_id, pos,
+         |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM f),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(least(15, coalesce(nxt - pos, 15))) AS BIGINT) AS nd
+         |  FROM cv GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |  coalesce(a.nd, 0) AS n_dup_tokens,
+         |  round(CAST(coalesce(a.nd, 0) AS DOUBLE) / len($tokSql), 4)
+         |    AS dup_frac
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // span dedup: first occurrence of each 10-token chunk wins, docs
     // reassemble from surviving chunks (fully-duplicated docs vanish)
     "dedup_spans" ->
@@ -929,6 +974,24 @@ object SparkEntry {
          |    AS bits_per_token
          |FROM tok JOIN freq USING (t)
          |GROUP BY doc_id""".stripMargin,
+    // benchmark-side transpose of decontaminate: clean items appear at 0
+    // via the LEFT JOIN (count DISTINCT over NULL is 0 on both engines)
+    "decontaminate_report" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |hits AS (
+         |  SELECT b.doc_id AS bench_id, tr.doc_id AS hit_doc, tr.s
+         |  FROM sh tr JOIN (SELECT doc_id, s FROM sh WHERE doc_id < 20) b
+         |    ON tr.s = b.s
+         |  WHERE tr.doc_id >= 20)
+         |SELECT bb.bench_id,
+         |  count(DISTINCT h.hit_doc) AS n_hit_docs,
+         |  count(DISTINCT h.s) AS n_leaked_ngrams
+         |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id < 20) bb
+         |LEFT JOIN hits h ON bb.bench_id = h.bench_id
+         |GROUP BY 1""".stripMargin,
     // DSIR importance weights: add-α unigram LMs over a shared vocab on
     // both engines; token strings in the oracle where Spark hashes to
     // longs (collision odds ~|vocab|²/2⁶⁴ — the textRarity convention);

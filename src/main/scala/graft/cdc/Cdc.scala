@@ -206,6 +206,30 @@ object Cdc {
     softDeleteSnapshot(Tables.events(spark, dir))
   def appendQ(spark: SparkSession, dir: String): DataFrame =
     append(Tables.events(spark, dir))
+  /** Per-(hour, op) change-mix report over the flattened stream — the
+    * CDC health dashboard every operator of a consumer like the
+    * reference watches: a delete-rate spike is an upstream purge (or a
+    * bug) about to propagate into the warehouse MERGE, a flood of `r`
+    * rows is a snapshot re-run, and the hourly grain makes the table
+    * incremental. Shares are exact ratios of two integer counts.
+    *
+    * ONE map-side-combined hash agg to an (hours × 4)-row frame; the
+    * per-hour total for the share rides a window over that tiny frame,
+    * never over the stream. */
+  def opMix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = flatten(events)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("__op"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__deleted"), 1L).otherwise(0L)).as("n_deleted"))
+    counts.withColumn("op_share",
+      col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.partitionBy("hour")))
+  }
+
+  def opMixQ(spark: SparkSession, dir: String): DataFrame =
+    opMix(Tables.events(spark, dir))
+
   def partitionMonthQ(spark: SparkSession, dir: String): DataFrame =
     partitionMonth(Tables.events(spark, dir))
   def typeMapQ(spark: SparkSession, dir: String): DataFrame =

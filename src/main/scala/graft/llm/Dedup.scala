@@ -316,6 +316,60 @@ object Dedup {
         array(MinhashSeeds.indices.map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Banding tuning report: for each candidate banding of the 64-hash
+    * signature (`bandCounts` bands of 64/b rows), the ANALYTIC recall
+    * curve 1−(1−s^r)^b at reference similarities and the MEASURED
+    * candidate-pair volume Σ_buckets C(occ, 2) on THIS corpus — the two
+    * numbers that decide a banding (recall you need vs pairwise verify
+    * work you pay), computed together so retuning after corpus drift is
+    * one operator run instead of a notebook. Wider bands (fewer rows)
+    * recall more and cost more; the report makes the trade explicit.
+    *
+    * Scale shape: signatures are computed ONCE ([[minhashSigs]],
+    * persisted) and each config explodes only its b band keys per doc
+    * (Σb rows/doc, map-side xxhash64 of the sig slice); per-config
+    * occupancy is a map-side-combined count on (band, key) and the
+    * candidate estimate one tiny agg over it — the corpus text is read
+    * once for the whole sweep, and no pair ever materializes (the
+    * estimate needs occupancies, not pairs). Analytic recalls are
+    * driver-computed literals. */
+  def minhashTuningReport(docs: DataFrame,
+                          bandCounts: Seq[Int] = Seq(8, 16, 32),
+                          refSims: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    require(bandCounts.forall(b => b > 0 && NumHashes % b == 0),
+      s"band counts must divide $NumHashes")
+    val sigs = minhashSigs(shingleHashes(docs)).persist()
+    val perCfg = bandCounts.map { b =>
+      val r = NumHashes / b
+      val bandRows = sigs.select(posexplode(transform(
+        sequence(lit(0), lit(b - 1)),
+        j => xxhash64(slice(col("sig"), j * lit(r) + 1, lit(r)))))
+        .as(Seq("band", "key")))
+      val occ = bandRows.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("c"))
+      val base = occ
+        .agg((sum(col("c") * (col("c") - 1)) / 2).cast("long")
+          .as("est_candidate_pairs"))
+        .withColumn("num_bands", lit(b))
+        .withColumn("rows_per_band", lit(r))
+      refSims.foldLeft(base) { (df, s) =>
+        val rec = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        df.withColumn(s"recall_s${(s * 100).round}",
+          lit(BigDecimal(rec).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.reduce(_ unionByName _)
+    val outCols = Seq(col("num_bands"), col("rows_per_band")) ++
+      refSims.map(s => col(s"recall_s${(s * 100).round}")) :+
+      col("est_candidate_pairs")
+    val result = graft.Exec.materialize(perCfg.select(outCols: _*))
+    sigs.unpersist()
+    result
+  }
+
+  def minhashTuningReportQ(spark: SparkSession, dir: String): DataFrame =
+    minhashTuningReport(graft.Tables.documents(spark, dir))
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * similarity ≥ `minEstSim`.
     *

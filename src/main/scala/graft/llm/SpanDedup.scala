@@ -197,6 +197,60 @@ object SpanDedup {
     result
   }
 
+  /** Arbitrary-alignment repeated-substring statistics (the Lee et al.
+    * 2021 "Deduplicating Training Data" regime): every `n`-token window
+    * at EVERY stride-1 position is hashed, windows occurring ≥ 2 times
+    * anywhere in the corpus (cross-doc or within-doc) are flagged, and
+    * each document reports how many of its token positions fall inside
+    * some flagged window — `dup_frac` is the fraction of the doc that is
+    * verbatim-repeated text. This is the measurement [[dedupChunks]]'s
+    * fixed-offset chunker cannot make (its own scaladoc names the
+    * tradeoff): a copied paragraph shifted by one token misses every
+    * chunk boundary but hits every stride-1 window. Docs shorter than
+    * `n` tokens have no windows and report 0.
+    *
+    * Scale shape: windows explode to ~n_tok rows/doc (linear, the price
+    * of stride 1 — ~10× [[dedupChunks]]'s chunk rows at n=10), hashed
+    * map-side to one long each; the frequency pass is a
+    * map-side-combined count on the hash (the textRarity shape) and the
+    * coverage union is a per-doc `lead` window over ONLY the flagged
+    * positions — sorted interval merge as sum(min(n, next−pos)), no
+    * quadratic interval logic. The flagged join is hash-keyed; window
+    * text never rides the wire. */
+  def dedupSubstrings(docs: DataFrame, n: Int = 15): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val wins = docs
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - n),
+        i => struct(i.as("pos"),
+          xxhash64(slice(col("ts"), i + 1, lit(n))).as("wh")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+      .persist()
+    val repeated = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("wh")
+    val flagged = wins.join(repeated, "wh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = flagged
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(sum(least(lit(n.toLong),
+        coalesce(col("nxt") - col("pos"), lit(n.toLong)))).as("nd"))
+    val result = graft.Exec.materialize(
+      docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_tokens"),
+          round(coalesce(col("nd"), lit(0L)).cast("double") /
+            col("n_tokens"), 4).as("dup_frac")))
+    wins.unpersist()
+    result
+  }
+
+  def dedupSubstringsQ(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstrings(Tables.documents(spark, dir))
+
   /** Driver query: span-store the `doc_id < 300` corpus slice, then
     * span-dedup the later docs against it. Oracle-checkable in plain SQL:
     * with ids ordered corpus-before-batch, this equals the FULL

@@ -373,6 +373,42 @@ object TextOps {
     dsirScore(d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
   }
 
+  /** Benchmark-side contamination report — the TRANSPOSE of
+    * [[decontaminate]]: per BENCHMARK item, how many corpus documents
+    * share at least one n-gram with it and how many of its distinct
+    * n-grams leak anywhere — the eval-integrity view ("which of MY eval
+    * questions are burned, and how badly") that decides whether a
+    * benchmark stays usable, where decontaminate's corpus-side view
+    * decides which training docs to drop. Clean benchmark items appear
+    * explicitly at 0 (the audit must show what is safe, not only what
+    * is not).
+    *
+    * Scale shape: the corpus side is [[decontaminate]]'s — shingles
+    * hashed map-side, benchmark shingles broadcast (eval sets are small
+    * by definition); the ONE aggregation is keyed by bench_id, so the
+    * two distinct-counts shuffle only (bench_id, hit) pairs — bounded
+    * by actual contamination volume, never corpus size. */
+  def decontaminateReport(docs: DataFrame, benchmark: DataFrame,
+                          n: Int = 3): DataFrame = {
+    val corpusSh = Dedup.shingleHashes(docs, n)
+    val benchSh = broadcast(Dedup.shingleHashes(benchmark, n)
+      .withColumnRenamed("doc_id", "bench_id"))
+    val hits = corpusSh.join(benchSh, "sh_h")
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("h_docs"),
+        countDistinct(col("sh_h")).as("h_ngrams"))
+    benchmark.select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("h_docs"), lit(0L)).as("n_hit_docs"),
+        coalesce(col("h_ngrams"), lit(0L)).as("n_leaked_ngrams"))
+  }
+
+  def decontaminateReportQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    decontaminateReport(d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+  }
+
   /** Per-language mixture rates in per-mille for [[corpusSample]] — a
     * typical keep-English / downsample-others training mixture. */
   val SampleRatesPermille: Seq[(String, Int)] = Seq(

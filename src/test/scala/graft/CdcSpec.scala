@@ -58,4 +58,22 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(soft.count() === hard.count() + deleted)
     assert(hard.filter(col("__op") === "d").count() === 0)
   }
+
+  test("op mix: per-hour shares sum to 1, deletes counted only under op d") {
+    import spark.implicits._
+    val mix = Cdc.opMix(Tables.events(spark, sfDir))
+    // shares within each hour form a distribution
+    val badShare = mix.groupBy("hour")
+      .agg(sum("op_share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9)
+    assert(badShare.isEmpty)
+    // the __deleted flag tracks the d op exactly (error events)
+    val badDel = mix.filter(
+      (col("__op") === "d" && col("n_deleted") =!= col("n_events")) ||
+        (col("__op") =!= "d" && col("n_deleted") =!= 0L))
+    assert(badDel.isEmpty)
+    // totals reconcile with the raw stream
+    val total = mix.agg(sum("n_events")).as[Long].head()
+    assert(total === Tables.events(spark, sfDir).count())
+  }
 }

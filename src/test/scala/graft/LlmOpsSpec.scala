@@ -129,6 +129,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(truth.exceptAll(mh).isEmpty, "minhash missed true near-dup pairs")
   }
 
+  test("minhash_tuning_report: closed-form recalls, wider bands cost more candidates") {
+    import spark.implicits._
+    // duplicate-heavy corpus: identical docs share every band at every
+    // banding, so each config's estimate counts the planted pair
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "an entirely different document about something else whatever"),
+      (4L, "yet another unrelated piece of text with its own words"))
+    val out = Dedup.minhashTuningReport(d)
+      .select("num_bands", "rows_per_band", "recall_s50", "recall_s90",
+        "est_candidate_pairs")
+      .as[(Int, Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(x => (x._1, x._2)) === Array((8, 8), (16, 4), (32, 2)))
+    // analytic recalls match the closed form 1-(1-s^r)^b exactly
+    out.foreach { case (b, r, r50, r90, _) =>
+      def f(s: Double) = BigDecimal(1.0 - math.pow(1.0 - math.pow(s, r), b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r50 === f(0.5) && r90 === f(0.9))
+    }
+    // every config sees the exact-duplicate pair in all its bands:
+    // b bands x C(2,2) pairs at minimum
+    out.foreach { case (b, _, _, _, est) => assert(est >= b.toLong) }
+    // narrower bands (more rows) prune candidates; recall moves with it
+    assert(out(0)._5 <= out(1)._5 && out(1)._5 <= out(2)._5)
+    assert(out(0)._3 <= out(1)._3 && out(1)._3 <= out(2)._3)
+  }
+
   test("incremental minhash equals the full run restricted to new-doc pairs") {
     import spark.implicits._
     // real corpus split 60/40 by id — near-dup pairs exist on both sides
@@ -844,6 +872,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     // doc3 has one token → zero transitions → absent, like the oracle
     assert(out === Array((1L, 2L, 1.076), (2L, 1L, 0.2345)))
+  }
+
+  test("decontaminate_report: per-benchmark leak counts, clean items present at 0") {
+    import spark.implicits._
+    // b1's two 3-grams each leak (one into c10, one into c11); b2 is
+    // clean and must still appear, at zero
+    val bench = docs((1L, "q1 q2 q3 q4"), (2L, "z1 z2 z3"))
+    val corpus = docs(
+      (10L, "q1 q2 q3"),
+      (11L, "x q2 q3 q4 y"),
+      (12L, "totally unrelated text here"))
+    val out = TextOps.decontaminateReport(corpus, bench)
+      .select("bench_id", "n_hit_docs", "n_leaked_ngrams")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L, 2L), (2L, 0L, 0L)))
+    // transpose consistency: the distinct corpus docs the report sees
+    // are exactly the docs decontaminate flags
+    val flagged = TextOps.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(10L, 11L))
   }
 
   test("dsir_score: hand-computed add-α log ratios rank target-like docs first") {

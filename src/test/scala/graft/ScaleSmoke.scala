@@ -44,6 +44,13 @@ object ScaleSmoke {
     t("corpus_interleave 50k docs")(
       graft.llm.TextOps.corpusInterleave(docs10)
         .write.format("noop").mode("overwrite").save())
+    t("minhash_tuning_report 50k docs x 3 bandings")(
+      Dedup.minhashTuningReport(docs10)
+        .write.format("noop").mode("overwrite").save())
+    t("decontaminate_report 50k docs x 20 bench")(
+      graft.llm.TextOps.decontaminateReport(
+        docs10.filter(col("doc_id") >= 20), docs10.filter(col("doc_id") < 20))
+        .write.format("noop").mode("overwrite").save())
     t("ann_topk 20k vecs")(Ann.annTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_pq 20k vecs")(Ann.annPqTopK(emb10).write.format("noop").mode("overwrite").save())
     t("ann_ivfpq 20k vecs")(Ann.annIvfPqTopK(emb10).write.format("noop").mode("overwrite").save())
@@ -173,6 +180,9 @@ object ScaleSmoke {
       emb10.filter(pmod(col("vec_id"), lit(10)) >= 6), spark, semSink)
       .write.format("noop").mode("overwrite").save())
     // round-6 operators at 10×
+    t("dedup_substrings 50k docs (stride-1 windows)")(
+      graft.llm.SpanDedup.dedupSubstrings(docs10)
+        .write.format("noop").mode("overwrite").save())
     t("dedup_spans 50k docs")(graft.llm.SpanDedup.dedupChunks(docs10)
       .write.format("noop").mode("overwrite").save())
     val spSink = new WarehouseSink(

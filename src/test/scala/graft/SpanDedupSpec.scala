@@ -162,4 +162,33 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
     // dup fully erased; the empty doc survives as a single empty chunk
     assert(out === Map(1L -> "alpha beta", 2L -> ""))
   }
+
+  test("dedup_substrings catches the shifted copy chunk dedup misses; within-doc repeats count") {
+    import org.apache.spark.sql.functions._
+    // d2 embeds d1's tokens a3..a17 (a 15-token run) at a DIFFERENT
+    // offset — invisible to fixed 10-token chunk boundaries, caught by
+    // every stride-1 window; d3 is unique; d4 repeats a 15-run within
+    // itself (coverage closes the whole doc)
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 15).map(i => s"b$i")
+    val d = docs(
+      (1L, a.mkString(" ")),
+      (2L, ("x1 x2 " + a.slice(2, 17).mkString(" ") + " y1 y2")),
+      (3L, (1 to 18).map(i => s"u$i").mkString(" ")),
+      (4L, (b ++ b).mkString(" ")))
+    val out = SpanDedup.dedupSubstrings(d, n = 15)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // exactly one shared window (the run itself) per side → 15 covered
+    assert(out(1L) === ((20L, 15L, 0.75)))
+    assert(out(2L) === ((19L, 15L, 0.7895)))
+    assert(out(3L) === ((18L, 0L, 0.0)))
+    // within-doc repeat: flagged starts {0, 15} merge to full coverage
+    assert(out(4L) === ((30L, 30L, 1.0)))
+    // the contrast that motivates the operator: chunk dedup at its
+    // default alignment sees NO duplicate chunk between d1 and d2
+    val chunked = SpanDedup.dedupChunks(d.filter(col("doc_id") <= 2), chunkTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunked(2L).split(" ").length === 19) // d2 intact
+  }
 }

@@ -21,6 +21,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
+      "minhash_tuning_report",
       "dedup_simhash", "dedup_embed", "dedup_semantic",
       "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video", "media_resize",
