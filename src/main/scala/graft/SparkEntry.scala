@@ -29,6 +29,7 @@ object SparkEntry {
     "cdc_append" -> (Cdc.appendQ _),
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
     "cdc_op_mix" -> (Cdc.opMixQ _),
+    "cdc_key_churn" -> (Cdc.keyChurnQ _),
     "cdc_typemap" -> (Cdc.typeMapQ _),
     "cdc_typemap_complex" -> (TypeMap.typeMapComplexQ _),
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q_events_hourly" -> (Analytics.qEventsHourly _),
     "q_retention" -> (Analytics.qRetention _),
+    "q_retention_matrix" -> (Analytics.qRetentionMatrix _),
     "q_user_sessions" -> (Analytics.qUserSessions _),
     "events_asof" -> (graft.operators.AsofJoin.eventsAsofQ _),
     // LLM-data-pipeline: text analysis (SURVEY §2C)
@@ -150,6 +152,7 @@ object SparkEntry {
     "embed_project" -> (Ann.embedProjectQ _),
     "embed_whiten" -> (Ann.embedWhitenQ _),
     "embed_pca" -> (Ann.embedPcaQ _),
+    "embed_centroid_shift" -> (Ann.embedCentroidShiftQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
@@ -245,6 +248,24 @@ object SparkEntry {
          |  CAST(n_events AS DOUBLE) /
          |    sum(n_events) OVER (PARTITION BY hour) AS op_share
          |FROM c""".stripMargin,
+    // hot-key churn: integer counts per PK; the mean is the q11-style
+    // 1-row scalar, and the flag compares exact ints against 3x that
+    // double on both engines
+    "cdc_key_churn" ->
+      s"""WITH f AS ($flattenSql),
+         |per AS (
+         |  SELECT user_id, count(*) AS n_changes,
+         |    CAST(sum(CASE WHEN __op = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_updates,
+         |    CAST(sum(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_deletes,
+         |    min(ts) AS first_ts, max(ts) AS last_ts
+         |  FROM f GROUP BY 1),
+         |m AS (SELECT avg(n_changes) AS mean_changes FROM per)
+         |SELECT user_id, n_changes, n_updates, n_deletes,
+         |  first_ts, last_ts,
+         |  n_changes >= 3.0 * (SELECT mean_changes FROM m) AS is_hot
+         |FROM per""".stripMargin,
     "cdc_typemap" ->
       """SELECT event_id,
         |  CAST(epoch_ms(ts) // 86400000 AS INT) AS epoch_day,
@@ -715,6 +736,26 @@ object SparkEntry {
         |FROM m a JOIN m b
         |  ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
         |GROUP BY 1""".stripMargin,
+    // cohort triangle: week boundaries align (both engines truncate to
+    // ISO Monday), so datediff is an exact multiple of 7; rate = ratio
+    // of two exact distinct counts, rounded 4dp
+    "q_retention_matrix" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |             FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY 1),
+        |m AS (
+        |  SELECT c.cw AS cohort_week,
+        |    CAST(datediff('day', CAST(c.cw AS DATE), CAST(a.wk AS DATE)) // 7
+        |      AS INT) AS week_n,
+        |    count(DISTINCT a.user_id) AS n_users
+        |  FROM act a JOIN coh c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_n, n_users,
+        |  round(CAST(n_users AS DOUBLE) /
+        |    max(CASE WHEN week_n = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort_week), 4) AS retention_rate
+        |FROM m""".stripMargin,
     "q_user_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions
@@ -1523,6 +1564,30 @@ object SparkEntry {
          |$cols
          |FROM embeddings""".stripMargin
     },
+    // centroid drift between the even/odd snapshot split: per-dim avgs
+    // via the embed_outliers unnest pattern, shift rounded 4dp; only
+    // labels present on BOTH sides (inner join on both engines)
+    "embed_centroid_shift" ->
+      """WITH d AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |ca AS (SELECT label, i, avg(x) AS cx FROM d
+        |       WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |cb AS (SELECT label, i, avg(x) AS cx FROM d
+        |       WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |na AS (SELECT label, count(*) AS n_a FROM embeddings
+        |       WHERE vec_id % 2 = 0 GROUP BY 1),
+        |nb AS (SELECT label, count(*) AS n_b FROM embeddings
+        |       WHERE vec_id % 2 = 1 GROUP BY 1),
+        |sh AS (
+        |  SELECT ca.label,
+        |    round(sqrt(sum((ca.cx - cb.cx) * (ca.cx - cb.cx))), 4) AS s
+        |  FROM ca JOIN cb ON ca.label = cb.label AND ca.i = cb.i
+        |  GROUP BY 1)
+        |SELECT sh.label, na.n_a, nb.n_b, sh.s AS centroid_shift
+        |FROM sh JOIN na ON sh.label = na.label
+        |JOIN nb ON sh.label = nb.label""".stripMargin,
     // distances and z-scores rounded to 4 decimals on BOTH engines before
     // any comparison/threshold (the textPerplexity float rule); the flag
     // thresholds the rounded z at 2.0 like Ann.embedOutliers

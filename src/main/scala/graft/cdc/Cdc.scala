@@ -230,6 +230,32 @@ object Cdc {
   def opMixQ(spark: SparkSession, dir: String): DataFrame =
     opMix(Tables.events(spark, dir))
 
+  /** Per-key churn report over the changelog — the hot-key audit that
+    * decides whether a MERGE needs salting before it falls over: change
+    * / update / delete counts and the active span per key, with
+    * `is_hot` flagging keys at ≥ 3× the mean change count (the skew
+    * that concentrates a co-partitioned MERGE's work into few tasks).
+    *
+    * ONE map-side-combined agg keyed by the PK; the mean rides back as
+    * a 1-row broadcast cross join (the q11 scalar-threshold
+    * convention — computed once, never per comparison). */
+  def keyChurn(events: DataFrame): DataFrame = {
+    val per = flatten(events).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_changes"),
+      sum(when(col("__op") === "u", 1L).otherwise(0L)).as("n_updates"),
+      sum(when(col("__op") === "d", 1L).otherwise(0L)).as("n_deletes"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"))
+    val mean = broadcast(per.agg(avg(col("n_changes")).as("mean_changes")))
+    per.crossJoin(mean)
+      .select(col("user_id"), col("n_changes"), col("n_updates"),
+        col("n_deletes"), col("first_ts"), col("last_ts"),
+        (col("n_changes") >= lit(3.0) * col("mean_changes")).as("is_hot"))
+  }
+
+  def keyChurnQ(spark: SparkSession, dir: String): DataFrame =
+    keyChurn(Tables.events(spark, dir))
+
   def partitionMonthQ(spark: SparkSession, dir: String): DataFrame =
     partitionMonth(Tables.events(spark, dir))
   def typeMapQ(spark: SparkSession, dir: String): DataFrame =

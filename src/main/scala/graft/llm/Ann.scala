@@ -482,6 +482,43 @@ object Ann {
       (0 until 8).map(i => round(col("w").getItem(i), 4).as(s"w$i")): _*)
   }
 
+  /** Embedding-space drift report between two snapshots: per shared
+    * label, both snapshots' member counts and the Euclidean distance
+    * between their centroids — the "did the embedding space move"
+    * audit run after every encoder retrain or data refresh (a large
+    * shift on one label means its stored vectors, LSH buckets, and
+    * frozen quantizers no longer describe it; rebuild before
+    * incremental dedup quietly degrades). Labels present in only one
+    * snapshot are reported with the other side's count at 0 and a NULL
+    * shift would cross the comparator readers badly, so those rows are
+    * EXCLUDED — appearing/disappearing labels are [[corpus_diff]]'s
+    * job, this operator measures movement of what persists.
+    *
+    * Scale shape, twice the [[embedOutliers]] centroid pattern: each
+    * side is ONE map-side-combined agg to a |labels|×dim frame; the
+    * join and the zip_with distance fold run over dimension-sized
+    * frames — the corpora never shuffle. Rounded 4dp (float rule). */
+  def embedCentroidShift(a: DataFrame, b: DataFrame,
+                         dim: Int = 64): DataFrame = {
+    def cents(df: DataFrame, nCol: String, cCol: String) = df
+      .select(col("label"), vecAsDouble(col("embedding")).as("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as(nCol),
+        array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as(cCol))
+    cents(a, "n_a", "ca").join(cents(b, "n_b", "cb"), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)), 4).as("centroid_shift"))
+  }
+
+  /** Driver entry: even vs odd vec_ids stand in for two snapshots. */
+  def embedCentroidShiftQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    embedCentroidShift(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+  }
+
   // --- Random-hyperplane LSH ---
 
   /** Banded OR-structure: 8 bands × 4 hyperplane sign bits. A pair is a

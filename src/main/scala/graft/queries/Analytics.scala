@@ -249,6 +249,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_retained"))
   }
 
+  /** Full cohort retention MATRIX — the (cohort week × weeks-since)
+    * triangle behind every retention dashboard, generalizing
+    * [[qRetention]]'s single week-over-week diagonal: users cohort at
+    * their first active week; cell (c, n) counts the cohort's distinct
+    * users active in week c+n, with the rate normalized by the
+    * cohort's own size (the week_n = 0 cell).
+    *
+    * Scale shape: ONE distinct over (user, week), then cohorts =
+    * min(week) per user and the matrix join/agg both reuse the same
+    * user_id partitioning (no second wide shuffle); the rate divides
+    * by the week-0 cell via a window over the MATRIX frame — cohorts ×
+    * weeks rows, dimension-sized — never over events. Rate is rounded
+    * 4dp (ratio of two exact distinct counts). */
+  def qRetentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_week"))
+    val m = activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk").cast("date"), col("cohort_week").cast("date")) / 7)
+          .cast("int").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val size0 = max(when(col("week_n") === 0, col("n_users")))
+      .over(Window.partitionBy("cohort_week"))
+    m.withColumn("retention_rate",
+      round(col("n_users").cast("double") / size0, 4))
+  }
+
   /** Sessionization: per-user ordered gap detection (30-min timeout).
     * The one legitimate window use — sessionization is inherently
     * sequential per key; partitioned by user so each key sorts locally. */

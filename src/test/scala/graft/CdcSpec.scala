@@ -76,4 +76,34 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     val total = mix.agg(sum("n_events")).as[Long].head()
     assert(total === Tables.events(spark, sfDir).count())
   }
+
+  test("key churn: totals reconcile, subsets bounded, hot flag matches the mean") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val churn = Cdc.keyChurn(events)
+    assert(churn.agg(sum("n_changes")).as[Long].head() === events.count())
+    // updates + deletes never exceed changes; span is ordered
+    assert(churn.filter(col("n_updates") + col("n_deletes") > col("n_changes")
+      || col("first_ts") > col("last_ts")).isEmpty)
+    // the flag is exactly the >= 3x-mean predicate
+    val mean = churn.agg(avg("n_changes")).head().getDouble(0)
+    val bad = churn.filter(
+      col("is_hot") =!= (col("n_changes") >= 3.0 * mean))
+    assert(bad.isEmpty)
+  }
+
+  test("retention matrix: week-0 rate is 1.0 and no cell exceeds its cohort") {
+    import spark.implicits._
+    val m = graft.queries.Analytics.qRetentionMatrix(spark, sfDir)
+    val wk0 = m.filter(col("week_n") === 0)
+    assert(wk0.count() > 0)
+    assert(wk0.filter(col("retention_rate") =!= 1.0).isEmpty)
+    val over = m.as("x").join(wk0.select(col("cohort_week"),
+        col("n_users").as("size0")), "cohort_week")
+      .filter(col("n_users") > col("size0"))
+    assert(over.isEmpty)
+    // cohorts partition the user base: week-0 sizes sum to all users
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(wk0.agg(sum("n_users")).as[Long].head() === users)
+  }
 }

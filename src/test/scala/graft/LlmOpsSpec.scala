@@ -1192,6 +1192,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(math.sqrt(w0s.map(x => x * x).sum / 3) - 1.0) < 1e-12)
   }
 
+  test("embed_centroid_shift: zero on identical snapshots, exact on a moved label") {
+    import spark.implicits._
+    val a = Seq(
+      (0L, 1, Array(1.0f, 0.0f)), (2L, 1, Array(3.0f, 0.0f)),
+      (4L, 2, Array(0.0f, 5.0f))).toDF("vec_id", "label", "embedding")
+    // identical snapshots: every shared label at exactly 0.0
+    val same = Ann.embedCentroidShift(a, a, dim = 2)
+      .select("label", "centroid_shift").as[(Int, Double)].collect().toMap
+    assert(same === Map(1 -> 0.0, 2 -> 0.0))
+    // label 1's centroid moves from (2,0) to (2,1) → shift exactly 1;
+    // label 3 exists only in b and must NOT appear (movement of what
+    // persists — appearing labels are corpus_diff's job)
+    val b = Seq(
+      (1L, 1, Array(1.0f, 1.0f)), (3L, 1, Array(3.0f, 1.0f)),
+      (5L, 2, Array(0.0f, 5.0f)), (7L, 3, Array(9.0f, 9.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.embedCentroidShift(a, b, dim = 2)
+      .select("label", "n_a", "n_b", "centroid_shift")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array((1, 2L, 2L, 1.0), (2, 1L, 1L, 0.0)))
+  }
+
   test("embed_outliers flags the planted far vector, z-math checks out") {
     import spark.implicits._
     // label 0: eight unit-ish vectors + one planted far point; label 1:

@@ -146,6 +146,12 @@ object ScaleSmoke {
     // multi-hundred-MB expression tree here)
     t("ann_ivf 20k vecs nlist=1024")(Ann.annIvfTopK(emb10, nlist = 1024, nprobe = 64)
       .write.format("noop").mode("overwrite").save())
+    t("cdc_key_churn 1M events")(Cdc.keyChurn(ev10)
+      .write.format("noop").mode("overwrite").save())
+    t("embed_centroid_shift 2x10k vecs")(
+      Ann.embedCentroidShift(emb10.filter(col("vec_id") % 2 === 0),
+        emb10.filter(col("vec_id") % 2 === 1))
+        .write.format("noop").mode("overwrite").save())
     t("dedup_latest 1M events")(Cdc.dedupLatestEvents(ev10).write.format("noop").mode("overwrite").save())
     val sink = new WarehouseSink(java.nio.file.Files.createTempDirectory("scale_wh_").toString)
     t("bucket merge 1M events")(MergePipeline.mergeBatch(spark, sink, "s", Cdc.flatten(ev10), Seq("user_id")))
