@@ -59,10 +59,13 @@ object SparkEntry {
     "q22_dormant_customers" -> (Analytics2.q22DormantCustomers _),
     "q_funnel" -> (Analytics2.qFunnel _),
     "q_rollup_revenue" -> (Analytics2.qRollupRevenue _),
+    "q_pivot_revenue" -> (Analytics2.qPivotRevenue _),
     "q_median_order" -> (Analytics2.qMedianOrder _),
     "events_next_within" -> (Analytics2.qNextPurchase _),
     "events_anomaly" -> (Analytics2.eventsAnomaly _),
+    "events_transitions" -> (Analytics2.eventsTransitions _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
+    "q_rolling_revenue" -> (Analytics2.qRollingRevenue _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -70,6 +73,8 @@ object SparkEntry {
     "q_retention" -> (Analytics.qRetention _),
     "q_retention_matrix" -> (Analytics.qRetentionMatrix _),
     "q_user_sessions" -> (Analytics.qUserSessions _),
+    "events_sessions" -> (graft.streaming.StreamAggs.eventsSessionsQ _),
+    "skew_profile" -> (graft.operators.SkewProfile.skewProfileQ _),
     "events_asof" -> (graft.operators.AsofJoin.eventsAsofQ _),
     // LLM-data-pipeline: text analysis (SURVEY §2C)
     "text_tokens" -> (TextOps.textTokensQ _),
@@ -91,6 +96,7 @@ object SparkEntry {
     "corpus_interleave" -> (TextOps.corpusInterleaveQ _),
     "corpus_pack_bins" -> (TextOps.corpusPackBinsQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
+    "vocab_coverage" -> (TextOps.vocabCoverageQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
     "text_collocations" -> (TextOps.textCollocationsQ _),
@@ -151,6 +157,8 @@ object SparkEntry {
     "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),
     "embed_project" -> (Ann.embedProjectQ _),
     "embed_whiten" -> (Ann.embedWhitenQ _),
+    "embed_quantize" -> (Ann.embedQuantizeQ _),
+    "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
     "embed_pca" -> (Ann.embedPcaQ _),
     "embed_centroid_shift" -> (Ann.embedCentroidShiftQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
@@ -545,6 +553,18 @@ object SparkEntry {
          |  count(*) AS n_lines
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // wide-format pivot = conditional sums over the long-format grain;
+    // empty cells coalesce to 0.0 on both engines
+    "q_pivot_revenue" ->
+      s"""SELECT year(l_shipdate) AS ship_year,
+         |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+         |    THEN $discPriceSql END), 0) AS DOUBLE) AS rev_a,
+         |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+         |    THEN $discPriceSql END), 0) AS DOUBLE) AS rev_n,
+         |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+         |    THEN $discPriceSql END), 0) AS DOUBLE) AS rev_r
+         |FROM lineitem
+         |GROUP BY 1""".stripMargin,
     // forward as-of: nearest FOLLOWING purchase via a DESC-scan window —
     // equal timestamps sort purchases after clicks (strictly-after), the
     // horizon compares in integer microseconds
@@ -769,6 +789,64 @@ object SparkEntry {
         |    FROM events
         |  ) w
         |) g GROUP BY user_id""".stripMargin,
+    // first-order transition matrix: lag window then a tiny normalize
+    // window over the |types|² frame; p = exact count ratio 4dp
+    "events_transitions" ->
+      """WITH t AS (
+        |  SELECT prev_type, event_type AS next_type FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_type
+        |    FROM events) w
+        |  WHERE prev_type IS NOT NULL),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+        |    AS p
+        |FROM c""".stripMargin,
+    // RANGE-framed trailing week over the daily frame: calendar gaps
+    // contribute nothing (the frame is value-based, not row-based);
+    // decimal accumulation, double at the boundary
+    "q_rolling_revenue" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderdate, CAST(rev_dec AS DOUBLE) AS day_rev,
+        |  CAST(sum(rev_dec) OVER (
+        |    ORDER BY date_diff('day', DATE '1990-01-01',
+        |                       CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        |FROM d""".stripMargin,
+    // session-grain table: the gap flag becomes a session id via a
+    // cumulative sum; ties at one ms share a RANGE-framed window value,
+    // matching the sessionizer (same-instant events co-session)
+    "events_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ms
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ms,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms) AS sid
+        |  FROM w)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // top-20 heavy keys with exact counts; share/x_mean are ratios of
+    // exact longs rounded 4dp; ceil() is DOUBLE in DuckDB, BIGINT in Spark
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS nk FROM c),
+        |top AS (SELECT k, n FROM c ORDER BY n DESC, k ASC LIMIT 20)
+        |SELECT top.k AS user_id, top.n AS n_rows,
+        |  round(top.n / st.tot, 4) AS share,
+        |  round(top.n * st.nk / st.tot, 4) AS x_mean,
+        |  CAST(ceil(top.n * st.nk / st.tot) AS BIGINT) AS salt_buckets
+        |FROM top, st""".stripMargin,
     // as-of join: purchases pick the latest STRICTLY earlier click per
     // user. The window mirrors graft.operators.AsofJoin exactly: union
     // both sides, clicks sort AFTER purchases at equal ts (side 2 vs 1 =
@@ -1003,6 +1081,19 @@ object SparkEntry {
          |    AS rarity_ratio,
          |  CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_freq
          |FROM tok JOIN freq USING (t)
+         |GROUP BY doc_id""".stripMargin,
+    // closed-vocabulary OOV rates: top-V cut ordered (count DESC, token
+    // ASC) — binary UTF-8 compare on both engines; rate = exact ratio 4dp
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |v AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY 1)
+         |      ORDER BY c DESC, t ASC LIMIT 256)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS oov_rate
+         |FROM tok LEFT JOIN v ON tok.t = v.t
          |GROUP BY doc_id""".stripMargin,
     // unigram cross-entropy: the one float-math oracle — both sides
     // ROUND to 4 decimals, absorbing summation-order / libm log2 ulps
@@ -1563,6 +1654,31 @@ object SparkEntry {
          |SELECT vec_id,
          |$cols
          |FROM embeddings""".stripMargin
+    },
+    // int8 codes are exact integers (round is half-away on both engines
+    // and float ties are measure-zero); the one float output is the
+    // relative reconstruction error, rounded 6dp — the summands are
+    // identical IEEE terms, only summation order can wobble (last-ulp)
+    "embed_quantize" -> {
+      val qCols = (0 until 8).map { i =>
+        s"  CAST(max(CASE WHEN i = ${i + 1} THEN qv END) AS BIGINT) AS q$i"
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |sc AS (SELECT i, max(abs(x)) / 127 AS s FROM d GROUP BY 1),
+         |q AS (SELECT d.vec_id, d.i, d.x, sc.s,
+         |        CASE WHEN sc.s = 0 THEN 0 ELSE round(d.x / sc.s, 0) END AS qv
+         |      FROM d JOIN sc ON d.i = sc.i)
+         |SELECT vec_id,
+         |$qCols,
+         |  CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sat,
+         |  round(CASE WHEN sum(x * x) = 0 THEN 0
+         |        ELSE sqrt(sum((x - qv * s) * (x - qv * s)) / sum(x * x))
+         |        END, 6) AS recon_err
+         |FROM q GROUP BY vec_id""".stripMargin
     },
     // centroid drift between the even/odd snapshot split: per-dim avgs
     // via the embed_outliers unnest pattern, shift rounded 4dp; only

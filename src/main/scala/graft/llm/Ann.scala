@@ -482,6 +482,55 @@ object Ann {
       (0 until 8).map(i => round(col("w").getItem(i), 4).as(s"w$i")): _*)
   }
 
+  /** Symmetric per-dimension int8 scalar quantization — the STORAGE
+    * member of the compression family ([[annPqTopK]] quantizes for
+    * distance computation inside an index; this quantizes the vectors
+    * THEMSELVES, the 4→1-byte-per-dim rewrite a 100 TB embedding store
+    * applies before anything else, cutting the parquet footprint and
+    * every downstream scan by ~4×). scale_i = max|v_i|/127 per
+    * dimension, q_i = round(v_i/scale_i) ∈ [-127, 127]; a σ=0
+    * (constant-zero) dimension quantizes to 0, never 0/0.
+    *
+    * Scale shape, the [[embedWhiten]] contract: scales are ONE
+    * map-side-combined agg to a dim-wide array (per-partition partials
+    * on the wire, never vectors), broadcast back as a 1-row cross
+    * join; the quantization is a `zip_with` fused into the scan — the
+    * corpus never shuffles and the pass is map-side end to end.
+    *
+    * Returns (vec_id, q: array<long>, v, s) — q exact integers, v/s
+    * kept so callers (the driver entry's reconstruction audit) can
+    * compute error without a second scan. */
+  def embedQuantize(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val x = embeddings.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    val scales = broadcast(x.agg(
+      array((0 until dim).map(i => max(abs(col("v").getItem(i))) / 127.0): _*).as("s")))
+    x.crossJoin(scales).select(
+      col("vec_id"),
+      zip_with(col("v"), col("s"), (a, sc) =>
+        when(sc === 0.0, lit(0L)).otherwise(round(a / sc, 0).cast("long"))).as("q"),
+      col("v"), col("s"))
+  }
+
+  /** Driver entry: the first 8 quantized codes as exact integer
+    * columns plus the reconstruction audit — `n_sat` (dims pinned at
+    * the ±127 rail: saturation means one outlier dim is stealing the
+    * whole code range) and `recon_err` = ‖v − q·s‖/‖v‖, the relative
+    * error the 4× compression actually cost. Codes and counts are
+    * exact ints; the error is the one float, rounded 6dp (a ratio of
+    * identically-computed IEEE terms — cross-engine wobble is last-ulp
+    * summation order, orders below the rounding grain). */
+  def embedQuantizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = embedQuantize(Tables.embeddings(spark, dir))
+    val errSq = zip_with(col("v"), zip_with(col("q"), col("s"), (a, b) => a * b),
+      (x0, d) => (x0 - d) * (x0 - d))
+    val sse = aggregate(errSq, lit(0.0), (acc, e) => acc + e)
+    val n2 = aggregate(col("v"), lit(0.0), (acc, e) => acc + e * e)
+    q.select(col("vec_id") +:
+      (0 until 8).map(i => col("q").getItem(i).as(s"q$i")) :+
+      size(filter(col("q"), e => abs(e) === 127L)).cast("long").as("n_sat") :+
+      round(when(n2 === 0.0, 0.0).otherwise(sqrt(sse / n2)), 6).as("recon_err"): _*)
+  }
+
   /** Embedding-space drift report between two snapshots: per shared
     * label, both snapshots' member counts and the Euclidean distance
     * between their centroids — the "did the embedding space move"
@@ -1456,6 +1505,61 @@ object Ann {
     vecs.withColumn("cid",
       graft.functions.VectorFunctions.centroidArgmax(
         col("v"), centroids.flatten.toIndexedSeq, centroids.size))
+
+  /** Public cell-membership view under a trained quantizer: (vec_id,
+    * cid), one map-side assignment pass — the frame every cell-level
+    * report ([[cellTopicTerms]], a cell-size histogram, a per-cell
+    * drill-down) joins against. */
+  def semanticCells(embeddings: DataFrame,
+                    centroids: Seq[Array[Double]]): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    assignCells(unitVecs(embeddings), centroids)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Topic labeling of semantic cells: per k-means cell, the top-K most
+    * DISTINCTIVE terms of its member documents by cell-level TF-IDF
+    * (cells play the document role: tf = term count inside the cell,
+    * df = number of cells containing the term) — the answer to "what
+    * IS cluster 7" that turns [[dedupSemantic]]'s anonymous cell ids
+    * into a browsable corpus map, and the audit that shows when two
+    * cells should merge (same top terms = over-split quantizer).
+    *
+    * Scale shape: docs ⋈ cells is a co-partitioned id join; term
+    * counts are ONE map-side-combined agg to a |cells|×|vocab| frame;
+    * df aggregates THAT frame (never the corpus); the final rank runs
+    * [[graft.operators.GroupTopK]] over it — map-side WindowGroupLimit
+    * bounded, nothing corpus-sized past the first agg. Docs without an
+    * embedding (and vice versa) drop out of the inner join: the report
+    * describes the embedded subset.
+    *
+    * Determinism: score = tf · ln((C+1)/(df+1)) rounded 6dp before
+    * ranking, ties break by term ascending — a total order. */
+  def cellTopicTerms(docs: DataFrame, cells: DataFrame,
+                     topK: Int = 5): DataFrame = {
+    val nCells = cells.agg(countDistinct(col("cid"))).collect()(0).getLong(0)
+    val tf = docs.join(cells, docs("doc_id") === cells("vec_id"))
+      .select(col("cid"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("cid"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "t")
+      .withColumn("score",
+        round(col("tf") * log(lit(nCells + 1.0) / (col("df") + 1.0)), 6))
+    graft.operators.GroupTopK.topK(scored, Seq("cid"),
+      Seq(col("score").desc, col("t").asc), topK)
+      .select(col("cid"), col("t").as("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Driver entry: label the shared 16-cell semantic quantizer's cells
+    * over the real corpus (rows-only: the k-means structure is not
+    * SQL-expressible; AuditOpsSpec pins planted-vocabulary recovery on
+    * a separable fixture instead). */
+  def corpusTopicTermsQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cells = semanticCells(emb, trainSemanticCentroids(emb))
+    cellTopicTerms(Tables.documents(spark, dir), cells)
+  }
 
   /** Driver entry: semantic near-dup pairs over `embeddings` (rows-only:
     * the k-means cell structure is not expressible in the oracle;

@@ -497,6 +497,42 @@ object TextOps {
         (sum(col("c")).cast("double") / count(lit(1))).as("mean_tok_freq"))
   }
 
+  /** Vocabulary-coverage (OOV-rate) report: per document, how many of its
+    * token occurrences fall outside the corpus's own top-`vocabSize`
+    * vocabulary — the question a fixed-vocabulary consumer (a fasttext
+    * classifier, a hash-embedding model, a legacy tokenizer) asks of a
+    * new corpus before trusting its outputs on it. High OOV = the model
+    * sees `<unk>` soup; the per-doc grain localizes WHICH documents.
+    * Complements [[textRarity]] (rare by corpus count, vocabulary-free)
+    * and [[bpeEncode]] (subword fertility under a trained merge table) —
+    * this is the whole-word closed-vocabulary view.
+    *
+    * Scale shape: corpus frequencies are ONE map-side-combined agg
+    * (vocab-sized after combine); the top-V cut is a global
+    * TakeOrderedAndProject over that frame — V rows, broadcast back —
+    * and the coverage join is a broadcast hash join fused into the
+    * token stream with a map-side-combined per-doc agg behind it. The
+    * corpus is scanned twice and never shuffled; the only exchange
+    * carries (token, partial-count) pairs.
+    *
+    * Determinism: the vocabulary cut orders by (count DESC, token ASC) —
+    * a total order, both engines binary-compare UTF-8 — and the rate is
+    * a ratio of exact longs rounded 4dp at output. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vocab = broadcast(
+      tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+        .select(col("t"), lit(1).as("in_vocab")))
+    val oov = sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+    tok.join(vocab, Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        oov.as("n_oov"),
+        round(oov.cast("double") / count(lit(1)), 4).as("oov_rate"))
+  }
+
   /** Unigram-LM cross-entropy per document, in bits per token — the
     * CCNet-style perplexity quality filter reduced to its self-trained
     * unigram core: H(d) = log₂N − mean(log₂ c_t) over d's token
@@ -1072,6 +1108,8 @@ object TextOps {
     corpusSample(Tables.documents(spark, dir))
   def corpusPackQ(spark: SparkSession, dir: String): DataFrame =
     corpusPack(Tables.documents(spark, dir))
+  def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir))
   def textRarityQ(spark: SparkSession, dir: String): DataFrame =
     textRarity(Tables.documents(spark, dir))
   def textPerplexityQ(spark: SparkSession, dir: String): DataFrame =

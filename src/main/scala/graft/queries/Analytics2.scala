@@ -442,4 +442,87 @@ object Analytics2 {
       .filter(col("sd") > 0 && abs(col("z")) >= 3.0)
       .select(col("event_id"), col("user_id"), col("z"))
   }
+
+  /** Event-type transition matrix: counts and conditional probabilities
+    * of consecutive (prev → next) event types per user — the first-order
+    * Markov view of behavioral flow (where does a `view` lead; what
+    * fraction of `cart`s convert). [[qFunnel]] asks about one fixed
+    * path; this is every one-step path at once.
+    *
+    * ONE wide shuffle: the lag window partitions by user_id (the same
+    * exchange q_user_sessions rides), then transitions collapse to a
+    * |types|²-row frame via a map-side-combined agg; the probability
+    * normalizes over THAT frame with a tiny window — the event stream
+    * is never shuffled twice. Probability = exact count ratio, 4dp. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    trans.withColumn("p", round(col("n") / sum(col("n")).over(byPrev), 4))
+  }
+
+  /** Rolling 7-day revenue: per order date, that day's revenue and the
+    * trailing-week sum — the RANGE-framed window (`rangeBetween` over a
+    * day index) none of the ROWS-framed queries exercise; a gap in the
+    * calendar must contribute nothing, which a ROWS frame gets wrong
+    * and a RANGE frame gets right (the spec plants exactly that gap).
+    *
+    * The window is global-ordered BUT runs over the DAILY frame —
+    * |dates| rows after one map-side-combined agg, dimension-sized —
+    * so the single-partition sort every unpartitioned window implies
+    * costs nothing at any corpus scale. Money per [[Money]]: daily
+    * sums accumulate exact DECIMAL, the rolling sum adds ≤ 7 exact
+    * decimals, and both land DOUBLE at the boundary. */
+  def qRollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Money._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      .withColumn("day_n", datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date")))
+    val w7 = Window.orderBy(col("day_n")).rangeBetween(-6, 0)
+    daily.select(
+      col("o_orderdate"),
+      asDouble(col("rev_dec")).as("day_rev"),
+      asDouble(sum(col("rev_dec")).over(w7)).as("rev_7d"))
+  }
+
+  /** Revenue pivot: ship-year rows × return-flag columns — the
+    * wide-format report every BI layer asks of a long-format fact
+    * table, exercising `RelationalGroupedDataset.pivot` (the one
+    * reshaping API the rest of the analytics surface doesn't touch;
+    * `q_retention_matrix` keeps its matrix long, `q_rollup_revenue`
+    * adds grains, this TRANSPOSES a dimension into the schema).
+    *
+    * The pivot values are EXPLICIT — with an inferred value list Spark
+    * first runs a separate distinct-collect job over the fact table to
+    * discover the columns, an extra full scan that also makes the
+    * output schema data-dependent (a new flag value would silently
+    * widen the table). Pinned values make the pivot a pure single-pass
+    * hash aggregate: internally one partial agg on (year, flag) with
+    * map-side combine, then the transpose over the years×flags frame —
+    * dimension-sized, never the fact table.
+    *
+    * Money follows [[Money]]: DECIMAL accumulation (exact,
+    * order-independent), DOUBLE at the output boundary; empty cells
+    * land 0.0 via coalesce so the frame is total. */
+  def qPivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import Money._
+    val flags = Seq("A", "N", "R")
+    val pivoted = Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .pivot("l_returnflag", flags)
+      .agg(sum(discPrice))
+    flags.foldLeft(pivoted) { (df, f) =>
+      df.withColumn(s"rev_${f.toLowerCase}",
+        asDouble(coalesce(col(f), lit(0).cast("decimal(12,2)"))))
+    }.select(col("ship_year"), col("rev_a"), col("rev_n"), col("rev_r"))
+  }
 }

@@ -136,9 +136,99 @@ class WarehouseSink(val warehousePath: String) {
       write(completed, table, partitionCol, clusterCols)
     }
   }
+
+  /** Driver-side partition/file inventory — the raw material of the
+    * small-file audit. Bounded: one row per partition directory, never
+    * touches file contents. */
+  private def partitionFiles(table: String, targetBytes: Long)
+      : Seq[WarehouseSink.PartitionFiles] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath(table))
+    if (!Files.exists(root)) return Seq.empty
+    val dirs = Files.list(root)
+    try {
+      dirs.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .map { p =>
+          val s = Files.list(p)
+          val files = try {
+            s.iterator().asScala.filter { f =>
+              val n = f.getFileName.toString
+              !n.startsWith("_") && !n.startsWith(".")
+            }.map(Files.size).toSeq
+          } finally s.close()
+          val bytes = files.sum
+          val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          WarehouseSink.PartitionFiles(p.getFileName.toString,
+            files.size.toLong, bytes, target, files.size > target)
+        }.toSeq.sortBy(_.partition)
+    } finally dirs.close()
+  }
+
+  /** Small-file compaction audit: per partition directory, its file
+    * count, total bytes, the file count a `targetBytes` layout wants
+    * (ceil(bytes/target), ≥ 1), and whether it needs rewriting — the
+    * table-health report every incremental sink eventually owes its
+    * operators. Every micro-batch append and every dynamic-overwrite
+    * MERGE leaves at least one file per touched partition; at
+    * streaming cadence that is thousands of KB-sized files per
+    * partition within days, and scan cost degrades from "bytes read"
+    * to "files opened" (footer metadata dominates). The plan is pure
+    * metadata: one driver-side directory walk, one row per partition —
+    * no data file is ever opened. */
+  def compactionPlan(spark: SparkSession, table: String,
+                     targetBytes: Long = WarehouseSink.DefaultTargetFileBytes)
+      : DataFrame = {
+    import spark.implicits._
+    partitionFiles(table, targetBytes)
+      .toDF("partition", "n_files", "total_bytes", "target_files",
+        "needs_compaction")
+  }
+
+  /** Rewrite every partition the plan flags: read the partition
+    * directory, `repartition(target_files)`, write to a sibling temp
+    * directory, then swap it into place — scans and rewrites ONLY
+    * flagged partitions (compaction cost is proportional to the
+    * small-file debt, not the table). Returns the partitions rewritten.
+    *
+    * The swap (delete + rename) is the local-FS stand-in for an object
+    * store's commit protocol; a production deployment would hide the
+    * swap behind a manifest the way table formats do. Readers racing
+    * the swap see the old or the new layout, both complete, except in
+    * the instant between delete and move — acceptable for a
+    * maintenance job that owns its maintenance window. */
+  def compact(spark: SparkSession, table: String,
+              targetBytes: Long = WarehouseSink.DefaultTargetFileBytes)
+      : Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val todo = partitionFiles(table, targetBytes).filter(_.needsCompaction)
+    todo.map { pf =>
+      val dir = Paths.get(tablePath(table), pf.partition)
+      val tmp = Paths.get(tablePath(table), pf.partition + ".__compact_tmp")
+      spark.read.parquet(dir.toString)
+        .repartition(pf.targetFiles.toInt)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+      Files.move(tmp, dir)
+      pf.partition
+    }
+  }
 }
 
 object WarehouseSink {
+
+  /** One partition directory's file census (see `compactionPlan`). */
+  case class PartitionFiles(partition: String, nFiles: Long,
+                            totalBytes: Long, targetFiles: Long,
+                            needsCompaction: Boolean)
+
+  /** Default compaction target — 128 MiB, the classic HDFS-block-sized
+    * parquet file that keeps footer overhead negligible and row groups
+    * large enough for effective page skipping. */
+  val DefaultTargetFileBytes: Long = 128L << 20
 
   /** Time-partition column for append tables at the reference's
     * granularities (`partition-type`: HOUR | DAY | MONTH | YEAR,

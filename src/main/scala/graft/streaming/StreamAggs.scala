@@ -167,6 +167,24 @@ object StreamAggs {
     out.result().iterator
   }
 
+  /** Driver entry: the BATCH execution of [[sessionize]] — the full
+    * session table (user, start/end epoch-ms, event count) from the
+    * same `flatMapGroupsWithState` function the stream runs, executed
+    * once per key over complete history. Oracle-checked: DuckDB
+    * replays the gap rule as a cumulative-sum session id (ties at one
+    * timestamp share a RANGE-framed window value, which is exactly the
+    * sessionizer's behavior — same-instant events always co-session).
+    * `q_user_sessions` stays the window-function per-user COUNT view;
+    * this is the session-grain table itself, and StreamAggsSpec pins
+    * the streaming path equal to this batch one. */
+  def eventsSessionsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).as[SessionEvent]
+    sessionize(ev).toDF()
+  }
+
   /** Event-time timeouts exist only in streaming execution with a
     * watermark; in batch, `getCurrentWatermarkMs` throws. */
   private def streamingWithWatermark(state: GroupState[_]): Boolean =

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Ann, TextOps}
+import graft.operators.SkewProfile
+import graft.queries.{Analytics, Analytics2}
+
+/** Specs for the session's audit/report additions: the key-skew
+  * profiler, the closed-vocabulary OOV report, the pivoted revenue
+  * matrix, the oracle-checked batch session table, and int8 scalar
+  * quantization. */
+class AuditOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("skew_profile: exact counts, shares, ratios and salt factors") {
+    import spark.implicits._
+    // 12 rows over 5 keys: a×6, b×3, c/d/e ×1 → mean 2.4 rows/key
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d", "e"))
+      .toDF("k")
+    val out = SkewProfile.skewProfile(df, "k", topK = 2)
+      .as[(String, Long, Double, Double, Long)].collect().sortBy(-_._2)
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq(("a", 6L), ("b", 3L)))
+    val a = out(0); val b = out(1)
+    assert(a._3 === 0.5 && b._3 === 0.25)               // share of 12 rows
+    assert(a._4 === 2.5 && b._4 === 1.25)               // × mean (2.4)
+    assert(a._5 === 3L && b._5 === 2L)                  // ceil(x_mean)
+  }
+
+  test("skew_profile: count ties at the top-K boundary break by key asc") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d", "e"))
+      .toDF("k")
+    val keys = SkewProfile.skewProfile(df, "k", topK = 4)
+      .select("key").as[String].collect().toSet
+    // c, d, e all count 1 — the 2 remaining slots go lexicographically
+    assert(keys === Set("a", "b", "c", "d"))
+  }
+
+  test("vocab_coverage: hand corpus, including the cut's lexicographic tie") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // counts: x→2, y→2, z→1. V=2 admits {x, y}
+    val v2 = TextOps.vocabCoverage(docs, vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(v2.toSeq === Seq((1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5)))
+    // V=1: x and y tie at 2 — x wins the binary-compare tie-break
+    val v1 = TextOps.vocabCoverage(docs, vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(v1.toSeq === Seq((1L, 3L, 1L, 0.3333), (2L, 2L, 2L, 1.0)))
+  }
+
+  test("q_pivot_revenue matches the long-format conditional aggregation") {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    val disc = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+    val expected = Tables.lineitem(spark, sfDir)
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", disc)).cast("double").as("rev_a"),
+        sum(when(col("l_returnflag") === "N", disc)).cast("double").as("rev_n"),
+        sum(when(col("l_returnflag") === "R", disc)).cast("double").as("rev_r"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = Analytics2.qPivotRevenue(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_pivot_revenue: a missing cell lands 0.0, not null") {
+    import spark.implicits._
+    // pivot explicit values include 'R' but no R rows exist for 1995
+    val rows = Seq(
+      ("A", "1995-03-01", 100.0, 0.1),
+      ("N", "1995-06-01", 200.0, 0.0),
+      ("A", "1996-03-01", 50.0, 0.0),
+      ("R", "1996-07-01", 80.0, 0.25))
+      .toDF("l_returnflag", "ship", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", col("ship").cast("timestamp"))
+    // same pivot body as qPivotRevenue, applied to the synthetic frame
+    val out = {
+      val flags = Seq("A", "N", "R")
+      val p = rows.groupBy(year(col("l_shipdate")).as("ship_year"))
+        .pivot("l_returnflag", flags)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))))
+      flags.foldLeft(p) { (df, f) =>
+        df.withColumn(s"rev_${f.toLowerCase}",
+          coalesce(col(f), lit(0).cast("decimal(12,2)")).cast("double"))
+      }.select("ship_year", "rev_a", "rev_n", "rev_r")
+    }.as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1995, 90.0, 200.0, 0.0)))
+    assert(out(1) === ((1996, 50.0, 0.0, 60.0)))
+  }
+
+  test("events_sessions agrees with q_user_sessions and respects the gap") {
+    val sessions = graft.streaming.StreamAggs.eventsSessionsQ(spark, sfDir)
+      .persist()
+    val perUser = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("s_sessions"), sum(col("n_events")).as("s_events"))
+    val counts = Analytics.qUserSessions(spark, sfDir)
+    // same users, same session count, same total event count
+    val joined = perUser.join(counts, "user_id").persist()
+    assert(joined.count() === counts.count() && joined.count() === perUser.count())
+    assert(joined.filter(col("s_sessions") =!= col("n_sessions") ||
+      col("s_events") =!= col("n_events")).isEmpty)
+    // session invariants: start ≤ end; consecutive sessions of one user
+    // are separated by MORE than the 30-minute gap
+    assert(sessions.filter(col("start_ms") > col("end_ms")).isEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("start_ms")
+    val gaps = sessions.withColumn("prev_end", lag(col("end_ms"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("start_ms") - col("prev_end") <= graft.streaming.StreamAggs.DefaultGapMs)
+    assert(gaps.isEmpty)
+    sessions.unpersist(); joined.unpersist()
+  }
+
+  test("cell_topic_terms recovers planted per-cluster vocabularies") {
+    import spark.implicits._
+    // two well-separated embedding clusters, each with its own vocabulary:
+    // cluster 0 near +e1 talks about "alpha beta", cluster 1 near +e2
+    // about "gamma delta"; "common" appears everywhere (df = all cells →
+    // lowest idf, must not win a top slot over the planted terms)
+    val emb = (0 until 40).map { i =>
+      val c = i % 2
+      val base = if (c == 0) Seq(1.0f, 0.05f * (i % 5)) else Seq(0.05f * (i % 5), 1.0f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val docs = (0 until 40).map { i =>
+      val t = if (i % 2 == 0) "alpha beta alpha common" else "gamma delta gamma common"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val cents = Ann.trainSemanticCentroids(emb, nlist = 2, iters = 4)
+    val cells = Ann.semanticCells(emb, cents)
+    // sanity: the quantizer separates the two planted clusters
+    assert(cells.select("cid").distinct().count() === 2)
+    val top = Ann.cellTopicTerms(docs, cells, topK = 2)
+      .select("cid", "term").as[(Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(top.values.toSet === Set(Set("alpha", "beta"), Set("gamma", "delta")))
+  }
+
+  test("cell_topic_terms on the real corpus: bounded ranks, no cross-cell dupes") {
+    val out = Ann.corpusTopicTermsQ(spark, sfDir).persist()
+    val perCell = out.groupBy("cid").agg(count(lit(1)).as("n"))
+    assert(perCell.filter(col("n") > 5).isEmpty)
+    assert(out.count() > 0)
+    // df is consistent: every reported term's df ≤ number of cells
+    val nCells = out.select("cid").distinct().count()
+    assert(out.filter(col("df") > nCells).isEmpty)
+    out.unpersist()
+  }
+
+  test("embed_quantize: hand-computed codes, saturation, zero-dim safety") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f)),
+      (2L, Seq(0.5f, 0.25f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Ann.embedQuantize(emb, dim = 3)
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    // s = (1/127, 0.5/127, 0): extremes pin to ±127; 63.5 rounds HALF_UP
+    // to 64; the all-zero dimension quantizes to 0, never 0/0
+    assert(q(1L) === Seq(127L, -127L, 0L))
+    assert(q(2L) === Seq(64L, 64L, 0L))
+    assert(q(3L) === Seq(0L, 0L, 0L))
+  }
+
+  test("embed_quantize: real corpus — codes in range, error within s/2") {
+    val q = Ann.embedQuantize(Tables.embeddings(spark, sfDir))
+    val bad = q.select(
+      size(filter(col("q"), e => abs(e) > 127L)).as("oor"),
+      // per-dim |v − q·s| ≤ s/2 (+ half-ulp slack): round() guarantees it
+      size(filter(
+        zip_with(zip_with(col("v"), zip_with(col("q"), col("s"), (a, b) => a * b),
+          (x0, d) => abs(x0 - d)), col("s"), (e, sc) => e > sc / 2 * 1.0000001),
+        x => x)).as("overr"))
+      .agg(sum(col("oor")).as("oor"), sum(col("overr")).as("overr"))
+      .collect()(0)
+    assert(bad.getLong(0) === 0L && bad.getLong(1) === 0L)
+    // the driver entry's audit columns: every vector reconstructs within
+    // 2% relative error and saturation only ever hits a few dims
+    val audit = Ann.embedQuantizeQ(spark, sfDir)
+    assert(audit.filter(col("recon_err") > 0.02).isEmpty)
+    assert(audit.filter(col("n_sat") > 8).isEmpty)
+  }
+}

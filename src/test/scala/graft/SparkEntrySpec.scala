@@ -22,7 +22,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "ann_ivf_topk", "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
       "minhash_tuning_report",
-      "dedup_simhash", "dedup_embed", "dedup_semantic",
+      "dedup_simhash", "dedup_embed", "dedup_semantic", "corpus_topic_terms",
       "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video", "media_resize",
       "media_resample", "media_frames",

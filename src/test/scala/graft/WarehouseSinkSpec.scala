@@ -174,4 +174,38 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(rows === Map(1L -> Some("a"), 2L -> None))
   }
+
+  test("compaction: many small appended files collapse to the target, data intact") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("wh_compact_"))
+    // five appends à 2 rows into the same two month partitions → each
+    // partition accumulates one file per append (the small-file debt)
+    (0 until 5).foreach { i =>
+      val df = Seq(
+        (i * 2 + 0L, "2024-01-10 00:00:00", i.toDouble),
+        (i * 2 + 1L, "2024-02-10 00:00:00", i.toDouble))
+        .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("part_month", WarehouseSink.monthPartition("ts"))
+      sink.write(df, "t", "part_month", Seq("id"))
+    }
+    val before = sink.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val plan = sink.compactionPlan(spark, "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+    assert(plan.length === 2)
+    // ≥ 5 data files per partition (one per append), all flagged:
+    // KB-sized files against a 128 MiB target always want ONE file
+    assert(plan.forall { case (_, n, needs) => n >= 5 && needs })
+    val rewritten = sink.compact(spark, "t")
+    assert(rewritten.toSet === plan.map(_._1).toSet)
+    // post-compaction: one file per partition, plan goes clean, and the
+    // table reads back identically
+    val after = sink.compactionPlan(spark, "t").collect()
+      .map(r => (r.getLong(1), r.getBoolean(4)))
+    assert(after.forall { case (n, needs) => n === 1 && !needs })
+    assert(sink.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet === before)
+    // an already-clean table is a no-op
+    assert(sink.compact(spark, "t").isEmpty)
+  }
 }
