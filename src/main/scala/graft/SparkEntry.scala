@@ -64,6 +64,7 @@ object SparkEntry {
     "events_next_within" -> (Analytics2.qNextPurchase _),
     "events_anomaly" -> (Analytics2.eventsAnomaly _),
     "events_transitions" -> (Analytics2.eventsTransitions _),
+    "events_rfm" -> (Analytics2.eventsRfm _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "q_rolling_revenue" -> (Analytics2.qRollingRevenue _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
+    "dedup_eval" -> (Dedup.dedupEvalQ _),
     "minhash_tuning_report" -> (Dedup.minhashTuningReportQ _),
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
@@ -818,6 +820,24 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // RFM quintiles: per-user purchase rollup, then three total-ordered
+    // ntile windows over the |users| frame; monetary exact DECIMAL
+    "events_rfm" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |a AS (SELECT max(ts) AS anchor FROM p),
+        |per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+        |        sum(CAST(value AS DECIMAL(12,2))) AS mon
+        |        FROM p GROUP BY 1)
+        |SELECT user_id,
+        |  date_diff('day', CAST(last_ts AS DATE),
+        |            CAST((SELECT anchor FROM a) AS DATE)) AS recency_days,
+        |  frequency,
+        |  CAST(mon AS DOUBLE) AS monetary,
+        |  ntile(5) OVER (ORDER BY last_ts ASC, user_id ASC) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+        |  ntile(5) OVER (ORDER BY mon ASC, user_id ASC) AS m_score
+        |FROM per""".stripMargin,
     // session-grain table: the gap flag becomes a session id via a
     // cumulative sum; ties at one ms share a RANGE-framed window value,
     // matching the sessionizer (same-instant events co-session)

@@ -836,6 +836,46 @@ object Dedup {
     labels
   }
 
+  /** Measured precision/recall of one candidate near-dup pair set
+    * against a reference pair set — the companion of
+    * [[minhashTuningReport]]'s ANALYTIC recall curve: the curve says
+    * what a banding should catch under the minhash model, this says
+    * what a run actually caught on this corpus against exact truth
+    * (the number that decides whether to reshingle, reband, or ship).
+    * Works for any two pair frames carrying (doc_a, doc_b) — minhash
+    * vs exact jaccard, simhash vs hamming, an incremental path vs its
+    * full recompute.
+    *
+    * Both frames normalize to unordered distinct pairs first, so
+    * orientation and duplicate emissions cannot inflate precision.
+    * One full-outer join of two pair frames (bounded by duplicate
+    * volume, never corpus size) feeding one 1-row agg. Exact integer
+    * counts; P/R/F1 are count ratios rounded 4dp — F1 via the
+    * identity 2·TP/(|cand|+|truth|), no float chaining. */
+  def dedupEval(candidates: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame, tag: String) = df.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct().withColumn(tag, lit(1L))
+    norm(candidates, "c").join(norm(truth, "t"),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(when(col("c").isNotNull && col("t").isNotNull, 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+        when(col("n_candidates") > 0,
+          round(col("n_hit") / col("n_candidates"), 4)).otherwise(0.0)
+          .as("precision"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth"), 4)).otherwise(0.0)
+          .as("recall"),
+        when(col("n_candidates") + col("n_truth") > 0,
+          round(col("n_hit") * 2 / (col("n_candidates") + col("n_truth")), 4))
+          .otherwise(0.0).as("f1"))
+  }
+
   // --- SparkEntry wiring ---
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
     dedupExact(Tables.documents(spark, dir))
@@ -847,6 +887,13 @@ object Dedup {
     dedupContainment(Tables.documents(spark, dir))
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     dedupMinhash(Tables.documents(spark, dir))
+  /** Driver entry: minhash candidates audited against exact jaccard at
+    * the same τ = 0.5 the banding estimates — the measured counterpart
+    * of minhash_tuning_report's analytic curve. */
+  def dedupEvalQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupEval(dedupMinhash(docs), dedupNgramJaccard(docs, tau = 0.5))
+  }
   def dedupSimhashQ(spark: SparkSession, dir: String): DataFrame =
     dedupSimhash(Tables.documents(spark, dir))
   def dedupCorpusQ(spark: SparkSession, dir: String): DataFrame = {

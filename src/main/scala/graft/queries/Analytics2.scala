@@ -494,6 +494,46 @@ object Analytics2 {
       asDouble(sum(col("rev_dec")).over(w7)).as("rev_7d"))
   }
 
+  /** RFM segmentation: per purchasing user, recency (days from last
+    * purchase to the corpus's newest event — a deterministic anchor),
+    * frequency (purchase count), monetary (exact DECIMAL sum), and the
+    * classic 1–5 quintile scores via `ntile` — the one ranking window
+    * shape ([[qRunningTotal]] ROWS, [[qRollingRevenue]] RANGE,
+    * `row_number` everywhere) the surface didn't exercise yet. Score 5
+    * = most recent / most frequent / highest spend.
+    *
+    * The three ntile windows are global-ordered but run over the
+    * PER-USER frame — |users| rows after one map-side-combined agg —
+    * so the implied single partition is entity-dimension-sized, the
+    * qRollingRevenue argument. Each ordering carries user_id as the
+    * tiebreak: ntile bucket boundaries are layout-dependent without a
+    * total order. */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Money._
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val anchor = broadcast(p.agg(max(col("ts")).as("anchor_ts")))
+    val per = p.groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("value"))).as("mon_dec"))
+      .crossJoin(anchor)
+    per.select(
+      col("user_id"),
+      datediff(col("anchor_ts").cast("date"), col("last_ts").cast("date"))
+        .as("recency_days"),
+      col("frequency"),
+      asDouble(col("mon_dec")).as("monetary"),
+      ntile(5).over(Window.orderBy(col("last_ts").asc, col("user_id").asc))
+        .as("r_score"),
+      ntile(5).over(Window.orderBy(col("frequency").asc, col("user_id").asc))
+        .as("f_score"),
+      ntile(5).over(Window.orderBy(col("mon_dec").asc, col("user_id").asc))
+        .as("m_score"))
+  }
+
   /** Revenue pivot: ship-year rows × return-flag columns — the
     * wide-format report every BI layer asks of a long-format fact
     * table, exercising `RelationalGroupedDataset.pivot` (the one

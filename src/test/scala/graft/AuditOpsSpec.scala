@@ -118,6 +118,44 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     sessions.unpersist(); joined.unpersist()
   }
 
+  test("dedup_eval: identity, disjoint, orientation and duplicate immunity") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    // self-eval is perfect
+    val self = Dedup.dedupEval(truth, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(self === ((3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    // swapped orientation and duplicate emissions must not change scores
+    val messy = Seq((2L, 1L), (1L, 2L), (4L, 3L), (6L, 5L), (6L, 5L))
+      .toDF("doc_a", "doc_b")
+    val m = Dedup.dedupEval(messy, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(m === ((3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    // disjoint sets: zero hits, zero scores, no NaN/null floats
+    val other = Seq((7L, 8L)).toDF("doc_a", "doc_b")
+    val d = Dedup.dedupEval(other, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(d === ((1L, 3L, 0L, 0.0, 0.0, 0.0)))
+    // partial overlap: P/R/F1 from exact counts (2 cand, 1 hit, 3 truth)
+    val part = Seq((1L, 2L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val p = Dedup.dedupEval(part, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(p === ((2L, 3L, 1L, 0.5, 0.3333, 0.4)))
+  }
+
+  test("dedup_eval on the real corpus: counts bounded and consistent") {
+    val r = graft.llm.Dedup.dedupEvalQ(spark, sfDir).collect()(0)
+    val (nc, nt, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= math.min(nc, nt))
+    assert(nt > 0)  // the corpus has planted near-dups
+    // exact-duplicate pairs (jaccard 1.0) collide in every band — the
+    // minhash path cannot miss them, so some hits must exist
+    assert(nh > 0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("cell_topic_terms recovers planted per-cluster vocabularies") {
     import spark.implicits._
     // two well-separated embedding clusters, each with its own vocabulary:

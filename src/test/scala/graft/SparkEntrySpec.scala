@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "corpus_sample_quality",
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_pq_topk",
-      "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash",
+      "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
       "dedup_simhash", "dedup_embed", "dedup_semantic", "corpus_topic_terms",
       "dedup_semantic_incremental",
