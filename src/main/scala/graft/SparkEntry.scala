@@ -141,6 +141,7 @@ object SparkEntry {
     "sketch_events_users" -> (Sketches.sketchEventsUsersQ _),
     "sketch_quantiles" -> (Sketches.sketchQuantilesQ _),
     "sketch_topk" -> (Sketches.sketchTopkQ _),
+    "sketch_overlap" -> (Sketches.sketchOverlapQ _),
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_filtered_topk" -> (Ann.annFilteredTopKQ _),
@@ -820,6 +821,32 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // KMV overlap in its exact regime (k=512 > sf0.01 user population →
+    // sketches complete): the estimators reduce to exact set counts, so
+    // the oracle replays them as distinct-set algebra — including the
+    // round(round(j,4)·|∪|) arithmetic of est_inter, replicated verbatim
+    "sketch_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+        |        count(*) AS ninter
+        |      FROM s a JOIN s b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT na.event_type AS key_a, nb.event_type AS key_b,
+        |            na.n AS n_a, nb.n AS n_b
+        |          FROM n na JOIN n nb ON na.event_type < nb.event_type),
+        |j AS (SELECT p.key_a, p.key_b, p.n_a, p.n_b,
+        |        coalesce(i.ninter, 0) AS ninter,
+        |        p.n_a + p.n_b - coalesce(i.ninter, 0) AS nuni
+        |      FROM pairs p LEFT JOIN i
+        |        ON p.key_a = i.key_a AND p.key_b = i.key_b)
+        |SELECT key_a, key_b, n_a, n_b,
+        |  CAST(nuni AS BIGINT) AS est_union,
+        |  CAST(round(round(ninter / CAST(nuni AS DOUBLE), 4) * nuni)
+        |    AS BIGINT) AS est_inter,
+        |  round(ninter / CAST(nuni AS DOUBLE), 4) AS jaccard_est
+        |FROM j""".stripMargin,
     // RFM quintiles: per-user purchase rollup, then three total-ordered
     // ntile windows over the |users| frame; monetary exact DECIMAL
     "events_rfm" ->

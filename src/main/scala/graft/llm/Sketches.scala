@@ -208,4 +208,78 @@ object Sketches {
     * heavy-hitter tokens through the mergeable sketch table. */
   def sketchTopkQ(spark: SparkSession, dir: String): DataFrame =
     topkRollupByLang(topkSketchTable(Tables.documents(spark, dir)))
+
+  /** KMV (k-minimum-values) sketch table: per key, the k smallest
+    * xxhash64 values of the member set — the sketch family member HLL
+    * cannot replace: HLL unions but cannot INTERSECT, and "how much do
+    * two audiences overlap" is a set-intersection question. KMV set
+    * algebra is plain array math over k-length arrays (Beyer et al.
+    * 2007), so every pairwise overlap estimate runs on a
+    * dimension-sized frame without re-reading the stream.
+    *
+    * Built COMPOSITIONALLY — distinct → [[graft.operators.GroupTopK]]
+    * (map-side WindowGroupLimit bounds the exchange at k rows per key
+    * per partition) → sorted collect_list — rather than as a custom
+    * aggregate: the engine's own operators already give the bounded
+    * shuffle a hand-rolled TypedImperativeAggregate would buy. */
+  def kmvSketchTable(df: DataFrame, keyCol: String, valueCol: String,
+                     k: Int = 256): DataFrame = {
+    val uh = df.select(col(keyCol).as("key"),
+      xxhash64(col(valueCol)).as("vh")).distinct()
+    val kept = graft.operators.GroupTopK.topK(uh, Seq("key"),
+      Seq(col("vh").asc), k)
+    // n_distinct is exact and free: the distinct frame is already keyed
+    uh.groupBy("key").agg(count(lit(1)).as("n_distinct"))
+      .join(kept.groupBy("key")
+        .agg(sort_array(collect_list(col("vh"))).as("kmv")), "key")
+  }
+
+  /** Pairwise overlap report from a KMV sketch table: for every
+    * unordered key pair, estimated union size, intersection size and
+    * Jaccard — the audience-overlap matrix served entirely from the
+    * |keys|-row sketch frame. Estimators are the standard KMV forms:
+    * union sketch = k smallest of the merged arrays; θ = its largest
+    * value normalized to (0,1); |A∪B| ≈ (k−1)/θ when the union sketch
+    * is full, EXACT when it isn't (the sketch then IS the set);
+    * Jaccard = |union-sketch ∩ A ∩ B| / |union sketch|; intersection =
+    * Jaccard · |A∪B|. All outputs are rounded where float (4dp). */
+  def kmvOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val a = sketches.select(col("key").as("key_a"), col("kmv").as("kmv_a"),
+      col("n_distinct").as("n_a"))
+    val b = sketches.select(col("key").as("key_b"), col("kmv").as("kmv_b"),
+      col("n_distinct").as("n_b"))
+    val merged = array_sort(array_union(col("kmv_a"), col("kmv_b")))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("u", slice(merged, 1, k))
+      .withColumn("matches",
+        size(array_intersect(array_intersect(col("u"), col("kmv_a")),
+          col("kmv_b"))))
+      // θ: kth min hash as a fraction of the hash space — xxhash64 is a
+      // signed long, so shift into (0, 1) via /2⁶⁴ + ½
+      .withColumn("theta",
+        element_at(col("u"), size(col("u"))).cast("double")
+          / lit(2.0 * Long.MaxValue) + lit(0.5))
+      .withColumn("est_union",
+        when(size(col("u")) < k, size(col("u")).cast("double"))
+          .otherwise((lit(k) - 1) / col("theta")))
+      .withColumn("jaccard_est",
+        round(col("matches") / size(col("u")), 4))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        round(col("est_union")).cast("long").as("est_union"),
+        round(col("jaccard_est") * col("est_union")).cast("long")
+          .as("est_inter"),
+        col("jaccard_est"))
+  }
+
+  /** Driver entry: user-audience overlap between event types. k = 512
+    * exceeds the sf0.01 user population, so every sketch is COMPLETE
+    * and the estimators sit in their exact regime — which is what makes
+    * a DuckDB oracle possible at all (the same param-for-oracle move as
+    * text_gopher's minWords); SketchesSpec covers the k ≪ n estimation
+    * regime against exact truth with tolerance bounds instead. */
+  def sketchOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    kmvOverlap(kmvSketchTable(Tables.events(spark, dir),
+      "event_type", "user_id", k), k)
+  }
 }

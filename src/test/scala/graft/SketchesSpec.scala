@@ -146,4 +146,39 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
         s"lang=$lang exact=$n est=$e drifts > 5%")
     }
   }
+
+  test("KMV overlap: complete sketches are exact; identical sets give J=1") {
+    import spark.implicits._
+    // |A|=30, |B|=20, |A∩B|=10 (members 20..29), plus C identical to A
+    val rows = (0 until 30).map(i => ("A", i.toLong)) ++
+      (20 until 40).map(i => ("B", i.toLong)) ++
+      (0 until 30).map(i => ("C", i.toLong))
+    val df = rows.toDF("key", "member")
+    val sk = Sketches.kmvSketchTable(df, "key", "member", k = 64)
+    val out = Sketches.kmvOverlap(sk, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // complete regime (k=64 > any union): every number exact
+    assert(out(("A", "B")) === ((30L, 20L, 40L, 10L, 0.25)))
+    assert(out(("B", "C")) === ((20L, 30L, 40L, 10L, 0.25)))
+    val (na, nc, uni, inter, j) = out(("A", "C"))
+    assert((na, nc, uni, j) === ((30L, 30L, 30L, 1.0)) && inter === 30L)
+  }
+
+  test("KMV overlap: k << n estimation regime lands near exact truth") {
+    import spark.implicits._
+    // |A|=4000, |B|=4000, overlap 2000 → |∪|=6000, J=1/3
+    val rows = (0 until 4000).map(i => ("A", i.toLong)) ++
+      (2000 until 6000).map(i => ("B", i.toLong))
+    val sk = Sketches.kmvSketchTable(rows.toDF("key", "member"),
+      "key", "member", k = 128)
+    val r = Sketches.kmvOverlap(sk, k = 128).collect()(0)
+    val (uni, inter, j) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+    // KMV error ~ 1/√k ≈ 9%: generous deterministic bounds (fixed hash
+    // → fixed values; bounds document the regime, not luck)
+    assert(math.abs(uni - 6000.0) / 6000.0 < 0.15, s"est_union=$uni")
+    assert(math.abs(j - 1.0 / 3) < 0.12, s"jaccard_est=$j")
+    assert(math.abs(inter - 2000.0) / 2000.0 < 0.30, s"est_inter=$inter")
+  }
 }
