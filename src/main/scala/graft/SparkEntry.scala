@@ -34,6 +34,7 @@ object SparkEntry {
     "cdc_typemap_complex" -> (TypeMap.typeMapComplexQ _),
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
     "cdc_merge_incremental" -> (Cdc.mergeIncrementalQ _),
+    "cdc_time_travel" -> (Cdc.timeTravelQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -312,6 +313,24 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id >= 500""".stripMargin,
     "cdc_merge_incremental" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
+    // time travel AS OF 2024-01-15: latest pre-asOf change per key under
+    // the exact dedup ordering, deletes absent; next_change_ms = first
+    // post-asOf change (-1 sentinel — NULLs render asymmetrically)
+    "cdc_time_travel" ->
+      s"""WITH flat AS ($flattenSql),
+         |past AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY __source_ts_ms DESC, $opPrioSql DESC, event_id DESC) AS rn
+         |  FROM flat WHERE __source_ts_ms <= TIMESTAMP '2024-01-15'),
+         |nxt AS (
+         |  SELECT user_id, min(__ts_ms) AS next_ms FROM flat
+         |  WHERE __source_ts_ms > TIMESTAMP '2024-01-15' GROUP BY 1)
+         |SELECT p.event_id, p.user_id, p.event_type, p.value, p.ts, p.prop_k,
+         |  p.__op, p.__ts_ms, p.__source_ts_ms, p.__deleted,
+         |  CAST(coalesce(n.next_ms, -1) AS BIGINT) AS next_change_ms
+         |FROM past p LEFT JOIN nxt n ON p.user_id = n.user_id
+         |WHERE p.rn = 1 AND p.__op <> 'd'""".stripMargin,
     "cdc_merge_partitioned" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // Final aggregates are CAST(... AS DOUBLE) on BOTH sides: the driver
     // hashes rendered values, and Decimal "137431.00" ≠ float64 "137431.0"

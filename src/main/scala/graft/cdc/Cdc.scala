@@ -110,6 +110,41 @@ object Cdc {
   def softDeleteSnapshot(events: DataFrame): DataFrame =
     dedupLatestEvents(events)
 
+  /** Point-in-time snapshot (time travel): reconstruct the table state AS
+    * OF a past timestamp from the changelog — the engine-side counterpart
+    * of the time travel (`FOR SYSTEM_TIME AS OF`) that the reference's
+    * target warehouse offers its users for incident forensics and backfill
+    * reconciliation. Each key's latest change at or before `asOf` wins
+    * under the exact dedup-latest ordering (source ts, op priority, id);
+    * keys whose latest as-of change is a delete are absent, matching
+    * upsert semantics. `next_change_ms` carries the epoch-ms of the key's
+    * FIRST change after `asOf` (-1 sentinel = still current at head) —
+    * the validity horizon telling a reader how long the reconstruction
+    * stays true.
+    *
+    * ONE scan, ONE map-side-combined shuffle: the as-of winner and the
+    * next-change probe are two conditionally-filtered aggregates in the
+    * same groupBy — `max_by` skips rows whose ordering struct is NULL, so
+    * the past/future split costs no second scan and no self-join. On a
+    * ts-partitioned warehouse at 100 TB the plan additionally prunes: an
+    * asOf far in the past only needs partitions up to the first change
+    * after it per key, and the probe aggregate is a bigint min. */
+  def timeTravel(events: DataFrame, asOf: Column): DataFrame = {
+    val flat = flatten(events)
+    val isPast = col("__source_ts_ms") <= asOf
+    val payloadCols = flat.columns.filterNot(_ == "user_id").toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    val ordering =
+      struct(col("__source_ts_ms"), opPriorityCol(col("__op")), col("event_id"))
+    flat.groupBy(col("user_id"))
+      .agg(
+        max_by(when(isPast, payload), when(isPast, ordering)).as("__latest"),
+        min(when(!isPast, col("__ts_ms"))).as("__next_ms"))
+      .filter(col("__latest").isNotNull && col("__latest.__op") =!= "d")
+      .select(col("user_id") +: payloadCols.map(c => col(s"__latest.$c").as(c))
+        :+ coalesce(col("__next_ms"), lit(-1L)).as("next_change_ms"): _*)
+  }
+
   /** MERGE of an incremental batch into an existing snapshot — what BigQuery
     * executes server-side for `_CHANGE_TYPE` UPSERT/DELETE rows. Union the
     * snapshot (treated as op='r' at its own ts) with the new batch and
@@ -264,4 +299,6 @@ object Cdc {
     schemaEvolution(Tables.events(spark, dir), lit(500))
   def mergeIncrementalQ(spark: SparkSession, dir: String): DataFrame =
     mergeIncremental(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
+  def timeTravelQ(spark: SparkSession, dir: String): DataFrame =
+    timeTravel(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
 }

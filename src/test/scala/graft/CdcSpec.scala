@@ -50,6 +50,39 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("timeTravel at head equals upsertSnapshot with no next change") {
+    val events = Tables.events(spark, sfDir)
+    val head = Cdc.timeTravel(events, lit("2100-01-01").cast("timestamp"))
+    assert(head.filter(col("next_change_ms") =!= -1L).count() === 0)
+    val snap = Cdc.upsertSnapshot(events)
+    val travelled = head.drop("next_change_ms")
+    assert(travelled.exceptAll(snap).isEmpty && snap.exceptAll(travelled).isEmpty)
+    // before the changelog began, the table did not exist
+    assert(Cdc.timeTravel(events, lit("1990-01-01").cast("timestamp")).isEmpty)
+  }
+
+  test("timeTravel reconstructs mid-history state with validity horizon") {
+    import spark.implicits._
+    // events-shaped fixture: key 1 updated before and after asOf (old value
+    // wins, horizon = next change); key 2 deleted before asOf (absent) then
+    // re-created after (still absent AS OF); key 3 untouched after (horizon -1)
+    def ev(id: Long, uid: Long, typ: String, ts: String) =
+      (id, uid, typ, 1.0, java.sql.Timestamp.valueOf(ts), """{"k":1}""")
+    val events = Seq(
+      ev(1, 1, "signup", "2024-01-01 00:00:00"),
+      ev(2, 1, "click", "2024-01-20 00:00:00"),
+      ev(3, 2, "signup", "2024-01-02 00:00:00"),
+      ev(4, 2, "error", "2024-01-03 00:00:00"),
+      ev(5, 2, "signup", "2024-01-25 00:00:00"),
+      ev(6, 3, "purchase", "2024-01-05 00:00:00")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.timeTravel(events, lit("2024-01-10").cast("timestamp"))
+      .select("user_id", "event_id", "next_change_ms")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val jan20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime
+    assert(out === Array((1L, 1L, jan20), (3L, 6L, -1L)))
+  }
+
   test("softDeleteSnapshot keeps deleted keys flagged, upsertSnapshot drops them") {
     val events = Tables.events(spark, sfDir)
     val soft = Cdc.softDeleteSnapshot(events)
