@@ -68,6 +68,7 @@ object SparkEntry {
     "events_rfm" -> (Analytics2.eventsRfm _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "q_rolling_revenue" -> (Analytics2.qRollingRevenue _),
+    "q_growth_yoy" -> (Analytics2.qGrowthYoy _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -840,6 +841,19 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // YoY growth over the |years| frame; exact DECIMAL year sums, growth
+    // divides their DOUBLE casts and rounds 4dp; first year 0.0 sentinel
+    "q_growth_yoy" ->
+      """WITH y AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, n_orders, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  coalesce(round(CAST(rev_dec AS DOUBLE) /
+        |    CAST(lag(rev_dec) OVER (ORDER BY yr) AS DOUBLE) - 1.0, 4), 0.0)
+        |    AS yoy_growth
+        |FROM y""".stripMargin,
     // KMV overlap in its exact regime (k=512 > sf0.01 user population →
     // sketches complete): the estimators reduce to exact set counts, so
     // the oracle replays them as distinct-set algebra — including the

@@ -494,6 +494,32 @@ object Analytics2 {
       asDouble(sum(col("rev_dec")).over(w7)).as("rev_7d"))
   }
 
+  /** Year-over-year revenue growth: yearly order rollup with the
+    * lag-window growth rate every finance dashboard leads with. The
+    * global-ordered lag window runs over the |years| frame after ONE
+    * map-side-combined agg — dimension-sized at any corpus scale (the
+    * [[qRollingRevenue]] argument). Yearly sums accumulate exact
+    * DECIMAL; the growth ratio divides their DOUBLE casts and rounds
+    * 4dp (identical IEEE ops both engines); the first year has no
+    * predecessor and lands at the 0.0 sentinel (NULLs render
+    * asymmetrically across the driver's readers). */
+  def qGrowthYoy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Money._
+    val yearly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("yr"))
+    yearly.select(
+      col("yr"), col("n_orders"),
+      asDouble(col("rev_dec")).as("revenue"),
+      coalesce(
+        round(asDouble(col("rev_dec")) /
+          asDouble(lag(col("rev_dec"), 1).over(w)) - 1.0, 4),
+        lit(0.0)).as("yoy_growth"))
+  }
+
   /** RFM segmentation: per purchasing user, recency (days from last
     * purchase to the corpus's newest event — a deterministic anchor),
     * frequency (purchase count), monetary (exact DECIMAL sum), and the
