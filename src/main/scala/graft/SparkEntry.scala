@@ -84,6 +84,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQualityQ _),
     "text_gopher" -> (TextOps.textGopherQ _),
     "text_blocklist" -> (TextOps.textBlocklistQ _),
+    "filter_agreement" -> (TextOps.filterAgreementQ _),
     "corpus_quality_monitor" -> (graft.streaming.StreamAggs.corpusQualityMonitorQ _),
     "text_langid" -> (TextOps.textLangidQ _),
     "text_lang_confusion" -> (TextOps.textLangConfusionQ _),
@@ -974,6 +975,46 @@ object SparkEntry {
          |FROM m""".stripMargin,
     // minWords=8 / maxWords=100000 / n_stop >= 1 mirror textGopherQ's args
     "text_gopher" -> gopherOracleSql,
+    // gate agreement matrix over the three model-free gates; all flags
+    // int-derived, ratios exact integer ratios rounded 4dp; pair rows in
+    // the operator's i<j order
+    "filter_agreement" -> {
+      val blockSet = TextOps.DemoBlocklist.map(t => s"'$t'").mkString(", ")
+      def pairRow(a: String, b: String, ka: String, kb: String, kab: String) =
+        s"""SELECT '$a' AS gate_a, '$b' AS gate_b, n AS n_docs,
+           |  $ka AS n_a, $kb AS n_b, $kab AS n_both,
+           |  round(CAST(n + 2 * $kab - $ka - $kb AS DOUBLE) / n, 4)
+           |    AS agreement,
+           |  CASE WHEN $ka + $kb - $kab = 0 THEN 0.0
+           |       ELSE round(CAST($kab AS DOUBLE) / ($ka + $kb - $kab), 4)
+           |  END AS jaccard
+           |FROM t""".stripMargin
+      s"""WITH gp AS (SELECT doc_id, gopher_pass FROM ($gopherOracleSql) g),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(CAST(len($tokSql) AS DOUBLE) / 64.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '$punctClass'))
+         |        AS DOUBLE) / CAST(len(text) AS DOUBLE)) >= 0.5 AS f
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    len(list_filter($tokSql, t -> t IN ($blockSet))) = 0 AS f
+         |  FROM documents),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN gp.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS kg,
+         |    CAST(sum(CASE WHEN q.f THEN 1 ELSE 0 END) AS BIGINT) AS kq,
+         |    CAST(sum(CASE WHEN b.f THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+         |    CAST(sum(CASE WHEN gp.gopher_pass AND q.f THEN 1 ELSE 0 END) AS BIGINT) AS kgq,
+         |    CAST(sum(CASE WHEN gp.gopher_pass AND b.f THEN 1 ELSE 0 END) AS BIGINT) AS kgb,
+         |    CAST(sum(CASE WHEN q.f AND b.f THEN 1 ELSE 0 END) AS BIGINT) AS kqb
+         |  FROM gp JOIN q USING (doc_id) JOIN b USING (doc_id))
+         |${pairRow("gopher", "quality", "kg", "kq", "kgq")}
+         |UNION ALL
+         |${pairRow("gopher", "clean", "kg", "kb", "kgb")}
+         |UNION ALL
+         |${pairRow("quality", "clean", "kq", "kb", "kqb")}""".stripMargin
+    },
     "text_blocklist" -> {
       val set = TextOps.DemoBlocklist.map(t => s"'$t'").mkString(", ")
       s"""SELECT doc_id,

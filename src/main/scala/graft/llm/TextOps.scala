@@ -196,6 +196,71 @@ object TextOps {
   def textBlocklistQ(spark: SparkSession, dir: String): DataFrame =
     textBlocklist(Tables.documents(spark, dir))
 
+  /** The composite quality score of [[textQuality]] as a reusable Column
+    * (int-derived double, bit-identical across engines) — the gate form
+    * model-free filters compose with. */
+  def qualityScoreCol: Column = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(toks).cast("double")
+    val nPunct =
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("double")
+    least(nTokens / lit(64.0), lit(1.0)) * (lit(1.0) - nPunct / nChars)
+  }
+
+  /** Quality-filter agreement matrix: for every pair of named boolean
+    * gates, keep counts, overlap, raw agreement (fraction of docs where
+    * the two flags coincide) and keep-set Jaccard — the filter-ablation
+    * audit a curation team runs before stacking gates (near-1.0 Jaccard
+    * means the second gate buys nothing; low agreement between two
+    * "quality" filters means at least one is mislabeled). DataComp/DCLM
+    * report exactly these overlaps when comparing filter recipes.
+    *
+    * Scale shape: the gates are caller-supplied Column predicates, so
+    * the whole matrix costs ONE corpus scan feeding ONE map-side-combined
+    * aggregate to a single row of counters (n + one per gate + one per
+    * pair); the pair rows then explode from that 1-row frame — nothing
+    * corpus-sized ever shuffles, and adding a gate adds counters, not
+    * passes. Ratios are exact integer-count ratios rounded 4dp. */
+  def filterAgreement(docs: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.size >= 2, "need at least two gates to compare")
+    require(gates.map(_._1).distinct.size == gates.size, "gate names must be unique")
+    val pairs = for {
+      i <- gates.indices; j <- (i + 1) until gates.size
+    } yield (gates(i)._1, gates(j)._1)
+    val flags = docs.select(gates.map { case (n, c) =>
+      c.cast("long").as(s"f_$n") }: _*)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n") +:
+        (gates.map { case (n, _) => sum(col(s"f_$n")).as(s"k_$n") } ++
+          pairs.map { case (a, b) =>
+            sum(col(s"f_$a") * col(s"f_$b")).as(s"k_${a}_$b") })
+    val tot = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val (ka, kb, kab) = (col(s"k_$a"), col(s"k_$b"), col(s"k_${a}_$b"))
+      val union = ka + kb - kab
+      struct(
+        lit(a).as("gate_a"), lit(b).as("gate_b"),
+        col("n").as("n_docs"), ka.as("n_a"), kb.as("n_b"), kab.as("n_both"),
+        round((col("n") + lit(2L) * kab - ka - kb).cast("double") / col("n"), 4)
+          .as("agreement"),
+        when(union === 0L, lit(0.0))
+          .otherwise(round(kab.cast("double") / union, 4)).as("jaccard"))
+    }
+    tot.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Driver entry: the three standard model-free gates at their driver
+    * parameters — Gopher pass (minWords=8, minStop=1, the textGopherQ
+    * args), composite quality ≥ 0.5, and blocklist-clean. */
+  def filterAgreementQ(spark: SparkSession, dir: String): DataFrame =
+    filterAgreement(Tables.documents(spark, dir), Seq(
+      "gopher" -> gopherPassCol(8, 100000, 1),
+      "quality" -> (qualityScoreCol >= 0.5),
+      "clean" -> (size(filter(tokens(col("text")),
+        t => t.isin(DemoBlocklist: _*))) === 0)))
+
   /** Marker-token sets per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: langid at corpus scale is a cheap vote
     * over high-frequency function words. */

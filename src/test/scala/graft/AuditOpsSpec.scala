@@ -226,4 +226,41 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("recon_err") > 0.02).isEmpty)
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
+
+  test("filter_agreement: hand-worked matrix over three planted gates") {
+    import spark.implicits._
+    // 8 docs, flags planted via the id: A = id < 6 (6 keeps),
+    // B = id % 2 == 0 (4 keeps, 3 shared with A), C = false everywhere
+    val docs = (0L until 8L).toDF("doc_id")
+    val out = TextOps.filterAgreement(docs, Seq(
+      "a" -> (col("doc_id") < 6),
+      "b" -> (col("doc_id") % 2 === 0),
+      "c" -> lit(false)))
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val ab = out(("a", "b"))
+    // agree on {0,2,4} (both) and {7} (neither) = 4/8; union = 7
+    assert((ab._3, ab._4, ab._5, ab._6) === ((8L, 6L, 4L, 3L)))
+    assert(ab._7 === 0.5 && ab._8 === math.rint(3.0 / 7.0 * 1e4) / 1e4)
+    val ac = out(("a", "c"))
+    // c keeps nothing: overlap 0, agreement = the 2 docs a also drops,
+    // and the empty-union Jaccard guard lands 0.0 (not NaN)
+    assert((ac._4, ac._5, ac._6, ac._7) === ((6L, 0L, 0L, 0.25)))
+    val bc = out(("b", "c"))
+    assert(bc._6 === 0L && bc._7 === 0.5 && bc._8 === 0.0)
+    // the full-false pair: only 3 unordered pairs, i<j order preserved
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("filter_agreement on the real corpus: bounds and symmetry-free order") {
+    val out = TextOps.filterAgreementQ(spark, sfDir).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (n, na, nb, both) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(both <= math.min(na, nb) && na <= n && nb <= n)
+      val agree = r.getDouble(6)
+      assert(agree >= 0.0 && agree <= 1.0)
+    }
+  }
 }
