@@ -156,6 +156,7 @@ object SparkEntry {
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
+    "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
@@ -1663,6 +1664,25 @@ object SparkEntry {
         |SELECT e.vec_id, coalesce(d.d, 0) AS in_degree,
         |  coalesce(d.d, 0) >= 10 AS is_hub
         |FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.nbr_id""".stripMargin,
+    // kNN quality scoring: neighborhood-mean quality over the exact
+    // graph; means round 4dp (k-double summation order), the gap
+    // subtracts two rounded values and re-rounds
+    "knn_quality_score" ->
+      s"""WITH $knnNnSql,
+         |q AS (
+         |  SELECT doc_id,
+         |    least(CAST(len($tokSql) AS DOUBLE) / 64.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '$punctClass'))
+         |        AS DOUBLE) / CAST(len(text) AS DOUBLE)) AS qs
+         |  FROM documents),
+         |a AS (
+         |  SELECT nn.vec_id, count(*) AS n_nbrs,
+         |    round(avg(q.qs), 4) AS knn_quality
+         |  FROM nn JOIN q ON nn.nbr_id = q.doc_id GROUP BY 1)
+         |SELECT a.vec_id, a.n_nbrs, round(q.qs, 4) AS own_quality,
+         |  a.knn_quality,
+         |  round(round(q.qs, 4) - a.knn_quality, 4) AS quality_gap
+         |FROM a JOIN q ON a.vec_id = q.doc_id""".stripMargin,
     // label propagation: the same mutual graph, three UNROLLED
     // synchronous iterations (vote = majority label among labeled mutual
     // neighbors, ties to the smallest label, seeds immutable); -1 = never

@@ -973,6 +973,40 @@ object Ann {
         (coalesce(col("d"), lit(0L)) >= 2L * k).as("is_hub"))
   }
 
+  /** kNN quality scoring: each embedded document's neighborhood-mean
+    * quality — the graph-smoothed score the [[knnGraph]] docstring
+    * promises ("kNN quality scoring"). A doc whose own heuristic score
+    * is high but whose k nearest semantic neighbors score low is
+    * template spam that beat the per-row rules (and vice versa: a
+    * low-scoring doc in a high-quality neighborhood is a keeper the
+    * rules misfired on) — `quality_gap` = own − neighborhood is the
+    * review-queue ranking.
+    *
+    * Scale shape: the graph bounds the work at n·k edges; the quality
+    * frame is one map-side projection of the corpus (scanned once);
+    * edges ⋈ quality on nbr_id and the mean ⋈ own-score on vec_id are
+    * both co-partitioned slim joins — nothing quadratic, nothing
+    * corpus-wide past the graph build. Means round 4dp (k-double
+    * summation-order rule); the gap subtracts two rounded values and
+    * re-rounds, killing the binary residue both engines share. */
+  def knnQualityScore(docs: DataFrame, embeddings: DataFrame,
+                      k: Int = 5): DataFrame = {
+    val q = TextOps.textQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val nbrQ = knnGraph(embeddings, k)
+      .join(q.select(col("doc_id").as("nbr_id"),
+        col("quality_score").as("nbr_q")), "nbr_id")
+    val agg = nbrQ.groupBy(col("vec_id")).agg(
+      count(lit(1)).as("n_nbrs"),
+      round(avg(col("nbr_q")), 4).as("knn_quality"))
+    agg.join(q, agg("vec_id") === q("doc_id"))
+      .select(col("vec_id"), col("n_nbrs"),
+        round(col("quality_score"), 4).as("own_quality"),
+        col("knn_quality"),
+        round(round(col("quality_score"), 4) - col("knn_quality"), 4)
+          .as("quality_gap"))
+  }
+
   /** Semi-supervised label propagation over the mutual-kNN graph: seed
     * vectors (vec_id ≡ 0 mod `seedMod` — the "we hand-labeled 10% of
     * the corpus" simulation) keep their `label`; every other vector
@@ -2005,6 +2039,10 @@ object Ann {
   def knnHubnessQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     knnHubness(Tables.embeddings(spark, dir))
+  }
+  def knnQualityScoreQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnQualityScore(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
   }
   def dedupEmbedQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

@@ -85,4 +85,39 @@ class KnnClusterSpec extends AnyFunSuite with SparkFixture {
     assert(agg.getLong(0) === n * k)
     assert(agg.getLong(1) === 0L)
   }
+
+  test("knn_quality_score: hand-worked neighborhood means at k=1") {
+    import spark.implicits._
+    // quality_score = min(n_tokens/64, 1) · (1 − punct/chars); all-alpha
+    // texts keep the punct term at 1, so quality = n_tokens/64 exactly
+    val docs = Seq(
+      (0L, "aa bb"),                       // 2 tokens → 0.03125 → 0.0313
+      (1L, "aa bb cc dd"),                 // 4 tokens → 0.0625
+      (2L, "aa bb cc dd ee ff gg hh")      // 8 tokens → 0.125
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)),  // top-1: vec 1 (cos .8 > 0)
+      (1L, Array(0.80f, 0.60f)),  // top-1: vec 0 (.8 > .6)
+      (2L, Array(0.00f, 1.00f))   // top-1: vec 1 (.6 > 0)
+    ).toDF("vec_id", "embedding")
+    val out = Ann.knnQualityScore(docs, vecs, k = 1)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.forall(_._2 === 1L))
+    assert(out(0L)._3 === 0.0313 && out(0L)._4 === 0.0625)
+    assert(out(0L)._5 === -0.0312)             // 0.0313 − 0.0625
+    assert(out(1L)._4 === 0.0313)              // neighbor is doc 0
+    assert(out(2L)._3 === 0.125 && out(2L)._4 === 0.0625)
+    assert(out(2L)._5 === 0.0625)
+  }
+
+  test("knn_quality_score on the real corpus: bounded and consistent") {
+    val out = Ann.knnQualityScoreQ(spark, sfDir)
+    val bad = out.filter(
+      col("n_nbrs") < 1 || col("n_nbrs") > 5 ||
+        col("own_quality") < 0 || col("own_quality") > 1 ||
+        col("knn_quality") < 0 || col("knn_quality") > 1 ||
+        abs(col("quality_gap") - round(col("own_quality") - col("knn_quality"), 4)) > 1e-9)
+    assert(bad.isEmpty)
+  }
 }
