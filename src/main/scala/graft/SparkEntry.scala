@@ -120,6 +120,7 @@ object SparkEntry {
     "corpus_refine_learned" -> (TextOps.corpusRefineLearnedQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
+    "corpus_temperature_sample" -> (TextOps.corpusTemperatureSampleQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
     "corpus_split_shards" -> (graft.llm.Export.corpusSplitShardsQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
@@ -1170,6 +1171,26 @@ object SparkEntry {
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
          |       >> ${TextOps.SampleShift}) % 1000 < permille""".stripMargin,
+    // temperature upsampling: rate_bp = round(1e4·sqrt(n_max/n_l))
+    // capped at 3 epochs — division and sqrt are correctly-rounded IEEE
+    // ops, so both engines land the identical integer basis points;
+    // whole copies + fractional copy via the decorrelated 1e4 bucket
+    "corpus_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         |m AS (SELECT max(n_l) AS n_max FROM c),
+         |r AS (SELECT lang,
+         |  CAST(least(round(10000.0 *
+         |    sqrt(CAST(n_max AS DOUBLE) / CAST(n_l AS DOUBLE))), 30000.0)
+         |    AS BIGINT) AS rate_bp
+         |  FROM c, m),
+         |d AS (SELECT doc_id, d.lang, rate_bp,
+         |  (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.TempMultiplier})
+         |    >> ${TextOps.SampleShift}) % 10000 AS b
+         |  FROM documents d JOIN r USING (lang))
+         |SELECT doc_id, lang, g.copy
+         |FROM d, unnest(generate_series(0,
+         |  rate_bp // 10000 - 1 +
+         |    CASE WHEN b < rate_bp % 10000 THEN 1 ELSE 0 END)) AS g(copy)""".stripMargin,
     // shard manifest: consistent-hash shard assignment (same Knuth mix
     // as corpus_sample, then mod nShards) + per-shard doc/token totals
     "corpus_shards" -> {

@@ -1309,6 +1309,69 @@ object TextOps {
   def corpusRebalanceQ(spark: SparkSession, dir: String): DataFrame =
     corpusRebalance(Tables.documents(spark, dir))
 
+  /** Multiplier for [[tempBucket]] — must differ from
+    * [[SampleMultiplier]] AND [[SplitMultiplier]] so temperature
+    * replication decorrelates from both the sampler's kept set and the
+    * split assignment (a doc's extra copies must not preferentially
+    * land in, say, the sampler's keep range). Another well-mixed odd
+    * public constant (xxhash PRIME32_3). */
+  val TempMultiplier = 3266489917L
+
+  /** The basis-point bucket behind [[corpusTemperatureSample]] —
+    * [[sampleBucket]]'s arithmetic at 10⁴ granularity under the
+    * decorrelated [[TempMultiplier]] (fractional replication rates are
+    * basis points, so permille would quantize them 10× coarser). */
+  def tempBucket: Column = pmod(
+    shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * TempMultiplier,
+      SampleShift),
+    lit(10000L))
+
+  /** Temperature-based mixture UPSAMPLING (the mT5/UNIMAX move,
+    * Xue et al. 2021 / Chung et al. 2023): every language stratum is
+    * replicated toward the largest at rate √(n_max/n_l) — temperature
+    * α = 0.5 on the mixture exponent — capped at `epochCap` copies
+    * (UNIMAX's repetition budget: past a few epochs, repeating
+    * low-resource data stops helping and starts memorizing). The
+    * complement of [[corpusRebalance]], which DOWNsamples toward the
+    * smallest stratum; here the largest keeps exactly one copy and
+    * low-resource languages gain whole copies plus a deterministic
+    * fractional remainder. Output is one row per (doc, copy) — the
+    * replicated training stream with `copy` disambiguating epochs.
+    *
+    * Determinism/engine-portability: the rate is derived from two
+    * integer counts via one IEEE division and one `sqrt` (both
+    * correctly-rounded, so both engines compute the identical double),
+    * scaled to integer BASIS POINTS before any comparison; whole
+    * copies = rate_bp div 10⁴, the remainder keeps a copy iff the
+    * doc's [[tempBucket]] < rate_bp mod 10⁴. No order-dependent float
+    * summation anywhere.
+    *
+    * Scale shape: per-lang counts are ONE map-side-combined agg to a
+    * \|langs\| frame; n_max rides back as a 1-row broadcast; the rate
+    * table broadcast-joins onto the corpus and the replication is a
+    * map-side `explode(sequence(...))` fused into the scan — the
+    * corpus never shuffles, and output size is Σ n_l·rate_l (the
+    * training-mix contract), bounded by epochCap·N. */
+  def corpusTemperatureSample(docs: DataFrame, epochCap: Int = 3): DataFrame = {
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val nMax = broadcast(perLang.agg(max(col("n_l")).as("n_max")))
+    val rates = perLang.crossJoin(nMax).select(
+      col("lang"),
+      least(
+        round(lit(10000.0) *
+          sqrt(col("n_max").cast("double") / col("n_l").cast("double")), 0),
+        lit(epochCap * 10000.0)).cast("long").as("rate_bp"))
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L),
+          expr("rate_bp div 10000") - lit(1L) +
+            when(tempBucket < col("rate_bp") % 10000L, 1L).otherwise(0L)))
+          .as("copy"))
+  }
+
+  def corpusTemperatureSampleQ(spark: SparkSession, dir: String): DataFrame =
+    corpusTemperatureSample(Tables.documents(spark, dir))
+
   /** Corpus snapshot diff: content-level changes between two versions of
     * a keyed corpus — `added` (key only in new), `removed` (key only in
     * old), `changed` (key in both, content hash differs). The audit every

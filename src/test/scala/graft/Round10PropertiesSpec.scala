@@ -369,4 +369,45 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(got === expected)
   }
+
+  test("corpus_temperature_sample: exact whole-copy rates and the epoch cap") {
+    import spark.implicits._
+    // 16 en / 4 de / 1 fr: sqrt ratios 1, 2, 4 → rates 1.0, 2.0, capped 3.0
+    // — all integral, so replication is exact whatever the bucket says
+    val docs = ((0L until 16L).map(i => (i, "en")) ++
+      (16L until 20L).map(i => (i, "de")) ++ Seq((20L, "fr")))
+      .toDF("doc_id", "lang")
+    val out = TextOps.corpusTemperatureSample(docs)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("d"),
+        max(col("copy")).as("maxc"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") === (("en", 16L, 16L, 0L)))
+    assert(out("de") === (("de", 8L, 4L, 1L)))
+    assert(out("fr") === (("fr", 3L, 1L, 2L)))
+  }
+
+  test("corpus_temperature_sample: fractional copies match the bucket exactly") {
+    import spark.implicits._
+    // 9 en / 4 de: rate_de = sqrt(9/4) = 1.5 → 15000 bp → every de doc
+    // keeps 1 copy and gains a 2nd iff its decorrelated 1e4 bucket < 5000
+    val docs = ((0L until 9L).map(i => (i, "en")) ++
+      (100L until 104L).map(i => (i, "de"))).toDF("doc_id", "lang")
+    val extra = TextOps.corpusTemperatureSample(docs)
+      .filter(col("copy") === 1L).select("doc_id").as[Long].collect().toSet
+    val expected = (100L until 104L).filter { id =>
+      (((id % TextOps.SampleIdPrime) * TextOps.TempMultiplier)
+        >> TextOps.SampleShift) % 10000L < 5000L
+    }.toSet
+    assert(extra === expected)
+  }
+
+  test("corpus_temperature_sample on the real corpus: every doc kept, cap holds") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.corpusTemperatureSampleQ(spark, sfDir)
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    assert(out.filter(col("copy") < 0 || col("copy") > 2).isEmpty)
+    // (doc, copy) rows are unique — the stream carries no accidental dupes
+    assert(out.distinct().count() === out.count())
+  }
 }
