@@ -35,6 +35,7 @@ object SparkEntry {
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
     "cdc_merge_incremental" -> (Cdc.mergeIncrementalQ _),
     "cdc_time_travel" -> (Cdc.timeTravelQ _),
+    "cdc_snapshot_diff" -> (Cdc.snapshotDiffQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -335,6 +336,38 @@ object SparkEntry {
          |  CAST(coalesce(n.next_ms, -1) AS BIGINT) AS next_change_ms
          |FROM past p LEFT JOIN nxt n ON p.user_id = n.user_id
          |WHERE p.rn = 1 AND p.__op <> 'd'""".stripMargin,
+    // snapshot diff between AS OF 01-10 and AS OF 01-20: per-key winners
+    // at both points, classified; unchanged keys emit nothing, absent
+    // sides carry -1 sentinels
+    "cdc_snapshot_diff" ->
+      s"""WITH flat AS ($flattenSql),
+         |w1 AS (
+         |  SELECT user_id, event_id, __op, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY __source_ts_ms DESC, $opPrioSql DESC, event_id DESC) AS rn
+         |  FROM flat WHERE __source_ts_ms <= TIMESTAMP '2024-01-10'),
+         |w2 AS (
+         |  SELECT user_id, event_id, __op, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY __source_ts_ms DESC, $opPrioSql DESC, event_id DESC) AS rn
+         |  FROM flat WHERE __source_ts_ms <= TIMESTAMP '2024-01-20'),
+         |s AS (
+         |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         |    coalesce(a.__op <> 'd', FALSE) AS live1,
+         |    coalesce(b.__op <> 'd', FALSE) AS live2,
+         |    a.event_id AS e1, b.event_id AS e2
+         |  FROM (SELECT * FROM w1 WHERE rn = 1) a
+         |  FULL OUTER JOIN (SELECT * FROM w2 WHERE rn = 1) b
+         |    ON a.user_id = b.user_id)
+         |SELECT user_id,
+         |  CASE WHEN NOT live1 AND live2 THEN 'added'
+         |       WHEN live1 AND NOT live2 THEN 'removed'
+         |       ELSE 'changed' END AS change_type,
+         |  CAST(CASE WHEN live1 THEN e1 ELSE -1 END AS BIGINT) AS old_event_id,
+         |  CAST(CASE WHEN live2 THEN e2 ELSE -1 END AS BIGINT) AS new_event_id
+         |FROM s
+         |WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
+         |   OR (live1 AND live2 AND e1 <> e2)""".stripMargin,
     "cdc_merge_partitioned" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // Final aggregates are CAST(... AS DOUBLE) on BOTH sides: the driver
     // hashes rendered values, and Decimal "137431.00" ≠ float64 "137431.0"

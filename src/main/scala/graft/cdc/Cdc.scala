@@ -145,6 +145,44 @@ object Cdc {
         :+ coalesce(col("__next_ms"), lit(-1L)).as("next_change_ms"): _*)
   }
 
+  /** Snapshot DIFF between two points in time: which keys were added,
+    * removed, or changed between AS-OF t1 and AS-OF t2 — the "what
+    * changed since last week" audit a CDC warehouse answers constantly
+    * (reconciliation after an incident, change review before a
+    * downstream rebuild). A key is `changed` when both snapshots are
+    * live but a different change event wins; `unchanged` keys produce
+    * no row, so output is bounded by churn, not table size.
+    *
+    * Like [[timeTravel]], ONE scan and ONE map-side-combined shuffle:
+    * both as-of winners are conditionally-filtered `max_by` aggregates
+    * in the same groupBy — the naive form (two snapshot builds + a
+    * full-outer join) pays three shuffles and two scans for the same
+    * answer. Event ids carry -1 sentinels on the absent side. */
+  def snapshotDiff(events: DataFrame, t1: Column, t2: Column): DataFrame = {
+    val flat = flatten(events)
+    val ordering =
+      struct(col("__source_ts_ms"), opPriorityCol(col("__op")), col("event_id"))
+    val keep = struct(col("event_id"), col("__op"), col("__ts_ms"))
+    def asOf(t: Column) = {
+      val c = col("__source_ts_ms") <= t
+      max_by(when(c, keep), when(c, ordering))
+    }
+    val both = flat.groupBy(col("user_id"))
+      .agg(asOf(t1).as("s1"), asOf(t2).as("s2"))
+    val live1 = col("s1").isNotNull && col("s1.__op") =!= "d"
+    val live2 = col("s2").isNotNull && col("s2.__op") =!= "d"
+    both
+      .withColumn("change_type",
+        when(!live1 && live2, "added")
+          .when(live1 && !live2, "removed")
+          .when(live1 && live2 && col("s1.event_id") =!= col("s2.event_id"),
+            "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("user_id"), col("change_type"),
+        when(live1, col("s1.event_id")).otherwise(-1L).as("old_event_id"),
+        when(live2, col("s2.event_id")).otherwise(-1L).as("new_event_id"))
+  }
+
   /** MERGE of an incremental batch into an existing snapshot — what BigQuery
     * executes server-side for `_CHANGE_TYPE` UPSERT/DELETE rows. Union the
     * snapshot (treated as op='r' at its own ts) with the new batch and
@@ -301,4 +339,7 @@ object Cdc {
     mergeIncremental(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
   def timeTravelQ(spark: SparkSession, dir: String): DataFrame =
     timeTravel(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
+  def snapshotDiffQ(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(Tables.events(spark, dir),
+      lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
 }

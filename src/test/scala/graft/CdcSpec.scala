@@ -83,6 +83,49 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, 1L, jan20), (3L, 6L, -1L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged emit nothing") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, typ: String, ts: String) =
+      (id, uid, typ, 1.0, java.sql.Timestamp.valueOf(ts), """{"k":1}""")
+    val events = Seq(
+      ev(1, 1, "signup", "2024-01-01 00:00:00"), // key 1: unchanged → no row
+      ev(2, 2, "signup", "2024-01-12 00:00:00"), // key 2: added in (t1,t2]
+      ev(3, 3, "signup", "2024-01-02 00:00:00"), // key 3: removed (error@01-15)
+      ev(4, 3, "error", "2024-01-15 00:00:00"),
+      ev(5, 4, "signup", "2024-01-03 00:00:00"), // key 4: changed (new winner)
+      ev(6, 4, "click", "2024-01-16 00:00:00"),
+      ev(7, 5, "error", "2024-01-04 00:00:00"),  // key 5: dead both sides → none
+      ev(8, 6, "signup", "2024-01-25 00:00:00")  // key 6: after t2 → no row
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.snapshotDiff(events,
+        lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (2L, "added", -1L, 2L),
+      (3L, "removed", 3L, -1L),
+      (4L, "changed", 5L, 6L)))
+  }
+
+  test("snapshotDiff agrees with the two timeTravel snapshots on the corpus") {
+    val events = Tables.events(spark, sfDir)
+    val (t1, t2) = (lit("2024-01-10").cast("timestamp"),
+      lit("2024-01-20").cast("timestamp"))
+    val s1 = Cdc.timeTravel(events, t1).select(col("user_id"),
+      col("event_id").as("e1"))
+    val s2 = Cdc.timeTravel(events, t2).select(col("user_id"),
+      col("event_id").as("e2"))
+    val joined = s1.join(s2, Seq("user_id"), "full_outer")
+    val expect = Map(
+      "added" -> joined.filter(col("e1").isNull && col("e2").isNotNull).count(),
+      "removed" -> joined.filter(col("e1").isNotNull && col("e2").isNull).count(),
+      "changed" -> joined.filter(col("e1").isNotNull && col("e2").isNotNull &&
+        col("e1") =!= col("e2")).count())
+    val got = Cdc.snapshotDiff(events, t1, t2)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect.filter(_._2 > 0))
+  }
+
   test("softDeleteSnapshot keeps deleted keys flagged, upsertSnapshot drops them") {
     val events = Tables.events(spark, sfDir)
     val soft = Cdc.softDeleteSnapshot(events)
