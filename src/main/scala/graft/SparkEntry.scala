@@ -161,6 +161,7 @@ object SparkEntry {
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
+    "ann_ivf_balance" -> (Ann.ivfBalanceQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
     "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),

@@ -1507,6 +1507,48 @@ object Ann {
     trainOnUnit(unitVecs(embeddings), nlist, iters, trainPerCell)
   }
 
+  /** Quantizer-health balance report: per trained cell, member count,
+    * corpus share, and ratio to the uniform-fill mean — the audit a
+    * vector deployment runs after (re)training a coarse quantizer,
+    * because cell imbalance is THE silent IVF recall/latency killer:
+    * an overfull cell turns every probe that hits it into a scan of a
+    * large corpus fraction, and empty cells waste nprobe budget
+    * without returning candidates (they appear here explicitly at 0).
+    * Rule of thumb the `balance` column encodes: cells beyond ~4× the
+    * mean want a larger nlist or a re-train on fresher data.
+    *
+    * Scale shape: assignment is the shared map-side [[CentroidArgmax]]
+    * pass; ONE map-side-combined count to an ≤ nlist-row frame; the
+    * full cell-id range left-joins so empties surface; share/balance
+    * are exact integer ratios over plan-literal totals. The corpus is
+    * scanned once and never shuffled — only (cid, count) partials move. */
+  def ivfBalance(embeddings: DataFrame,
+                 centroids: Seq[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.count()
+    val counts = semanticCells(embeddings, centroids)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val allCells = centroids.indices.toDF("cid")
+    val mean = n.toDouble / centroids.size
+    allCells.join(counts, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        round(coalesce(col("n_vecs"), lit(0L)).cast("double") / lit(n.toDouble), 4)
+          .as("share"),
+        round(coalesce(col("n_vecs"), lit(0L)).cast("double") / lit(mean), 4)
+          .as("balance"))
+  }
+
+  /** Driver entry: balance of the shared 16-cell semantic quantizer
+    * (rows-only: k-means structure is not SQL-expressible; the spec
+    * pins conservation, the nlist=1 degenerate case, and empty-cell
+    * visibility instead). */
+  def ivfBalanceQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfBalance(emb, trainSemanticCentroids(emb))
+  }
+
   /** [[dedupSemantic]] under a FIXED quantizer: assign the raw
     * embeddings to `centroids` cells map-side, emit within-cell cosine
     * ≥ τ pairs. The production form once a quantizer is frozen — and

@@ -227,6 +227,39 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("ann_ivf_balance: planted cells, explicit empties, conservation") {
+    import spark.implicits._
+    // 3 fixed centroids; 4 vectors near axis-x, 2 near axis-y, none near -x
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.95f, -0.05f)), (3L, Array(1.0f, 0.1f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val out = Ann.ivfBalance(vecs, cents)
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0)._2 === 4L && out(1)._2 === 2L)
+    // the unused centroid surfaces explicitly at zero
+    assert(out(2)._2 === 0L && out(2)._3 === 0.0 && out(2)._4 === 0.0)
+    // share sums to 1, balance = share · nlist (mean fill = 2)
+    assert(out.values.map(_._2).sum === 6L)
+    assert(out(0)._3 === math.rint(4.0 / 6.0 * 1e4) / 1e4 && out(0)._4 === 2.0)
+    // degenerate nlist=1: everything in the one cell at balance 1.0
+    val one = Ann.ivfBalance(vecs, Seq(Array(1.0, 0.0)))
+      .as[(Int, Long, Double, Double)].head()
+    assert(one === ((0, 6L, 1.0, 1.0)))
+  }
+
+  test("ann_ivf_balance on the real corpus: conservation and consistency") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.ivfBalanceQ(spark, sfDir)
+    assert(out.count() === 16L)
+    assert(out.agg(sum(col("n_vecs"))).head().getLong(0) === emb.count())
+    val bad = out.filter(
+      abs(col("balance") - round(col("share") * 16.0, 4)) > 2e-4)
+    assert(bad.isEmpty)
+  }
+
   test("filter_agreement: hand-worked matrix over three planted gates") {
     import spark.implicits._
     // 8 docs, flags planted via the id: A = id < 6 (6 keeps),

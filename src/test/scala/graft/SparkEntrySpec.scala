@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "bpe_encode", "bpe_fertility", "quality_classifier",
       "corpus_sample_quality",
       "corpus_refine_learned",
-      "ann_ivf_topk", "ann_pq_topk",
+      "ann_ivf_topk", "ann_ivf_balance", "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
       "dedup_simhash", "dedup_embed", "dedup_semantic", "corpus_topic_terms",
