@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
+    "link_jaccard" -> (Dedup.linkJaccardQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_eval" -> (Dedup.dedupEvalQ _),
     "minhash_tuning_report" -> (Dedup.minhashTuningReportQ _),
@@ -1554,6 +1555,25 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // cross-table linkage: the jaccard oracle split into even/odd
+    // parity sides, (left, right) orientation instead of a < b
+    "link_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s
+         |          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |          GROUP BY 1, 2)
+         |SELECT left_id, right_id,
+         |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+         |FROM pairs
+         |JOIN counts ca ON left_id = ca.doc_id
+         |JOIN counts cb ON right_id = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin,
     // containment = inter / min(|A|,|B|): exact ints into one double
     // division, the jaccard oracle with a different denominator
     "dedup_containment" ->

@@ -270,6 +270,48 @@ object Dedup {
           least(col("na"), col("nb"))).as("containment"))
       .filter(col("containment") >= tau)
 
+  /** Cross-table fuzzy LINKAGE join (record linkage / entity
+    * resolution): every (left, right) pair whose n-gram shingle Jaccard
+    * ≥ τ — [[dedupNgramJaccard]]'s inverted index across TWO tables,
+    * the "same entity, two datasets" matcher (two corpus vintages, a
+    * scraped feed against a curated catalog, vendor vs internal
+    * records). Dedup asks "is this a copy of something I keep";
+    * linkage asks "which of THEIRS is which of OURS" — the pair
+    * orientation is (left_id, right_id), no `<` ordering, and both
+    * sides survive.
+    *
+    * Scale shape: the same as the self-join form — each side reduces
+    * map-side to distinct (doc_id, 8-byte shingle hash) rows with
+    * per-doc counts; ONE equi-join on the hash (co-partitioned
+    * shuffle, never a cross join) and ONE pair aggregation; |A|/|B|
+    * ride the rows as constants so no post-agg joins remain. The
+    * ultra-frequent-shingle fan-out caveat of the dedup form applies
+    * doubly (a viral shingle pairs across tables); run boilerplate
+    * removal first at scale. */
+  def linkJaccard(left: DataFrame, right: DataFrame,
+                  tau: Double = 0.5, n: Int = 3): DataFrame = {
+    val shL = withShingleCount(shingleHashes(left, n))
+    val shR = withShingleCount(shingleHashes(right, n))
+    shL.as("a")
+      .join(shR.as("b"), col("a.sh_h") === col("b.sh_h"))
+      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+      .select(col("left_id"), col("right_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Driver entry: link the even-id half of the corpus against the odd
+    * half at τ=0.5 — the dedup_eval split convention, so exact-dup
+    * pairs that straddle the parity boundary must surface at 1.0. */
+  def linkJaccardQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    linkJaccard(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1))
+  }
+
   // --- MinHash + LSH ---
 
   /** Signature width and banding: 64 hashes in 16 bands of 4 rows.

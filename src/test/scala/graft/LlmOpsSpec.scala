@@ -1260,4 +1260,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(touts.forall(r => !r.getBoolean(4) && r.getDouble(3) === 0.0),
       "zero-spread labels must not flag outliers")
   }
+
+  test("link_jaccard: orientation, no within-side pairs, identical texts at 1.0") {
+    import spark.implicits._
+    val left = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // same-side dup of 0: no pair
+      (4L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // identical to left 0 and 2
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.linkJaccard(left, right)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((0L, 1L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("link_jaccard equals self-join jaccard restricted to cross-parity pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val linked = graft.llm.Dedup.linkJaccardQ(spark, sfDir)
+      .select(least(col("left_id"), col("right_id")).as("a"),
+        greatest(col("left_id"), col("right_id")).as("b"),
+        round(col("jaccard"), 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val self = graft.llm.Dedup.dedupNgramJaccard(docs, tau = 0.5)
+      .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(linked === self)
+  }
 }

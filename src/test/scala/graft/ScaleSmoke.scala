@@ -253,6 +253,32 @@ object ScaleSmoke {
           graft.llm.Video.withVideoColumn(docs100))
           .write.format("noop").mode("overwrite").save())
     }
+    // r10 s3 operators at 10×
+    t("cdc_time_travel 1M events")(Cdc.timeTravel(ev10,
+        lit("2024-01-15").cast("timestamp"))
+      .write.format("noop").mode("overwrite").save())
+    t("cdc_snapshot_diff 1M events")(Cdc.snapshotDiff(ev10,
+        lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+      .write.format("noop").mode("overwrite").save())
+    t("filter_agreement 50k docs")(graft.llm.TextOps.filterAgreement(docs10, Seq(
+        "gopher" -> graft.llm.TextOps.gopherPassCol(8, 100000, 1),
+        "quality" -> (graft.llm.TextOps.qualityScoreCol >= 0.5),
+        "clean" -> (size(filter(graft.llm.TextOps.tokens(col("text")),
+          tk => tk.isin(graft.llm.TextOps.DemoBlocklist: _*))) === 0)))
+      .write.format("noop").mode("overwrite").save())
+    t("corpus_temperature_sample 50k docs")(
+      graft.llm.TextOps.corpusTemperatureSample(docs10)
+        .write.format("noop").mode("overwrite").save())
+    t("ann_ivf_balance 20k vecs nlist=160")(
+      Ann.ivfBalance(emb10, Ann.trainSemanticCentroids(emb10, nlist = 160))
+        .write.format("noop").mode("overwrite").save())
+    // graph build dominates (quadratic dots, n·k exchange — see
+    // knn_graph above); the quality joins add two slim co-partitioned
+    // hops on top
+    t("knn_quality_score 10k vecs")(
+      Ann.knnQualityScore(docs10.filter(col("doc_id") < 2000000L),
+        emb10.filter(col("vec_id") < 2000000L))
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
