@@ -90,6 +90,32 @@ object StreamAggs {
         (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"))
   }
 
+  /** Live change-mix monitor: per (window, op) change and delete counts
+    * over a streaming CDC feed — the streaming twin of the batch
+    * `cdc_op_mix` dashboard, watching for the same symptoms as it
+    * happens: a delete-rate spike is an upstream purge heading for the
+    * MERGE, a flood of `r` rows is a snapshot re-run. The envelope
+    * flatten runs map-side per micro-batch; the only stateful operator
+    * is the canonical watermarked windowed aggregation, state keyed by
+    * (window, op) — ≤ 4 rows per window — and bounded by the watermark.
+    *
+    * The batch form's `op_share` deliberately stays OUT of the stream:
+    * it would be a second stateful aggregation over the first's output
+    * (a shape append-mode streaming handles poorly and dashboards
+    * derive for free from the emitted counts); batch frames get the
+    * same counts and can window the share downstream. */
+  def opMixMonitor(events: DataFrame, windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val flat = graft.cdc.Cdc.flatten(events)
+    val src = if (flat.isStreaming) flat.withWatermark("ts", watermark)
+              else flat
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("__op"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__deleted"), 1L).otherwise(0L)).as("n_deleted"))
+      .select(col("w.start").as("hour"), col("__op"),
+        col("n_events"), col("n_deleted"))
+  }
+
   /** Driver query: the BATCH form of [[qualityMonitor]] over a
     * deterministic synthetic ingest timestamp (a 6-hour spread derived
     * from doc_id — documents carry no event time of their own). The

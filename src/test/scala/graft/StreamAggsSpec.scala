@@ -67,6 +67,33 @@ class StreamAggsSpec extends AnyFunSuite with SparkFixture {
     assert(got.agg(sum("n_pass")).as[Long].head() === passTotal)
   }
 
+  test("streaming op-mix monitor equals the batch counts and cdc_op_mix") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts", "props")
+    val inputDir = tmpDir("opmix_in_")
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    events.filter(col("ts") < cutoff).coalesce(1).write.parquet(s"$inputDir/f0")
+    events.filter(col("ts") >= cutoff).coalesce(1).write.parquet(s"$inputDir/f1")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = StreamAggs.opMixMonitor(stream)
+      .writeStream.format("memory").queryName("opmix")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("opmix_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("opmix")
+    assert(got.count() > 0)
+    val want = StreamAggs.opMixMonitor(events)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // counts agree with the batch cdc_op_mix dashboard (same grain,
+    // modulo its derived share column)
+    val mix = graft.cdc.Cdc.opMix(events)
+      .select(col("hour"), col("__op"), col("n_events"), col("n_deleted"))
+    assert(got.exceptAll(mix).isEmpty && mix.exceptAll(got).isEmpty)
+  }
+
   test("gateMonitor composes: a blocklist gate's totals match textBlocklist") {
     import spark.implicits._
     implicit val s = spark
