@@ -272,6 +272,10 @@ object ScaleSmoke {
     t("ann_ivf_balance 20k vecs nlist=160")(
       Ann.ivfBalance(emb10, Ann.trainSemanticCentroids(emb10, nlist = 160))
         .write.format("noop").mode("overwrite").save())
+    t("link_jaccard 25k x 25k docs")(
+      Dedup.linkJaccard(docs10.filter(col("doc_id") % 2 === 0),
+        docs10.filter(col("doc_id") % 2 === 1))
+        .write.format("noop").mode("overwrite").save())
     // graph build dominates (quadratic dots, n·k exchange — see
     // knn_graph above); the quality joins add two slim co-partitioned
     // hops on top
