@@ -216,6 +216,59 @@ class WarehouseSink(val warehousePath: String) {
       pf.partition
     }
   }
+
+  /** Partition-retention audit: per partition directory, its partition
+    * VALUE (the `col=value` suffix), bytes, and whether it falls before
+    * the retention cutoff — the engine-side counterpart of the target
+    * warehouse's partition expiration, which every CDC table owner sets
+    * so an append-forever changelog doesn't grow without bound. Values
+    * compare as strings, which is ORDER-CORRECT for the layouts this
+    * sink writes (ISO `part_month=2024-01-01...` timestamps and
+    * zero-padded bucket ids) — the same lexicographic contract Hive
+    * partition pruning relies on. Pure driver-side metadata walk, no
+    * data file opened. */
+  def retentionPlan(table: String, cutoffValue: String)
+      : Seq[WarehouseSink.PartitionRetention] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath(table))
+    if (!Files.exists(root)) return Seq.empty
+    val dirs = Files.list(root)
+    try {
+      dirs.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .map { p =>
+          val name = p.getFileName.toString
+          val value = name.substring(name.indexOf('=') + 1)
+          val s = Files.list(p)
+          val bytes = try {
+            s.iterator().asScala.filter { f =>
+              val n = f.getFileName.toString
+              !n.startsWith("_") && !n.startsWith(".")
+            }.map(Files.size).sum
+          } finally s.close()
+          WarehouseSink.PartitionRetention(name, value, bytes,
+            value < cutoffValue)
+        }.toSeq.sortBy(_.partition)
+    } finally dirs.close()
+  }
+
+  /** Drop every partition the plan flags as expired. Deleting a whole
+    * partition directory is the one table operation that needs NO data
+    * rewrite — cost is metadata-only however large the table — which
+    * is exactly why time-partitioned layouts are the right CDC
+    * warehouse shape (row-level retention on an unpartitioned table
+    * would rewrite everything). Returns the partitions dropped. */
+  def expire(table: String, cutoffValue: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    retentionPlan(table, cutoffValue).filter(_.expired).map { pr =>
+      val dir = Paths.get(tablePath(table), pr.partition)
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+      pr.partition
+    }
+  }
 }
 
 object WarehouseSink {
@@ -224,6 +277,10 @@ object WarehouseSink {
   case class PartitionFiles(partition: String, nFiles: Long,
                             totalBytes: Long, targetFiles: Long,
                             needsCompaction: Boolean)
+
+  /** One partition directory's retention status (see `retentionPlan`). */
+  case class PartitionRetention(partition: String, value: String,
+                                totalBytes: Long, expired: Boolean)
 
   /** Default compaction target — 128 MiB, the classic HDFS-block-sized
     * parquet file that keeps footer overhead negligible and row groups

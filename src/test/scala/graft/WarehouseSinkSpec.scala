@@ -208,4 +208,29 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkFixture {
     // an already-clean table is a no-op
     assert(sink.compact(spark, "t").isEmpty)
   }
+
+  test("retention: partitions before the cutoff drop, the rest read back intact") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("wh_retain_"))
+    val df = Seq(
+      (1L, "2023-11-10 00:00:00", 1.0), (2L, "2023-12-10 00:00:00", 2.0),
+      (3L, "2024-01-10 00:00:00", 3.0), (4L, "2024-02-10 00:00:00", 4.0))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("part_month", WarehouseSink.monthPartition("ts"))
+    sink.write(df, "t", "part_month", Seq("id"))
+    // the plan: 4 partitions, the two 2023 months flagged, bytes counted
+    val plan = sink.retentionPlan("t", "2024-01-01")
+    assert(plan.length === 4)
+    assert(plan.count(_.expired) === 2)
+    assert(plan.forall(_.totalBytes > 0))
+    assert(plan.filter(_.expired).forall(_.value < "2024-01-01"))
+    // expire drops exactly the flagged pair; metadata-only, no rewrite
+    val dropped = sink.expire("t", "2024-01-01")
+    assert(dropped.toSet === plan.filter(_.expired).map(_.partition).toSet)
+    val kept = sink.read(spark, "t").select("id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+    // idempotent: a second pass finds nothing expired
+    assert(sink.expire("t", "2024-01-01").isEmpty)
+    assert(sink.retentionPlan("t", "2024-01-01").length === 2)
+  }
 }
