@@ -67,6 +67,7 @@ object SparkEntry {
     "events_anomaly" -> (Analytics2.eventsAnomaly _),
     "events_transitions" -> (Analytics2.eventsTransitions _),
     "events_rfm" -> (Analytics2.eventsRfm _),
+    "events_seasonality" -> (Analytics2.eventsSeasonality _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "q_rolling_revenue" -> (Analytics2.qRollingRevenue _),
     "q_growth_yoy" -> (Analytics2.qGrowthYoy _),
@@ -879,6 +880,18 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // seasonality heatmap: ISO weekday × hour cells (Spark weekday+1 ==
+    // DuckDB isodow), exact ints + DECIMAL sum, share over the tiny frame
+    "events_seasonality" ->
+      """WITH c AS (
+        |  SELECT isodow(ts) AS iso_dow, hour(ts) AS hod,
+        |    count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT iso_dow, hod, n_events, n_users, sum_value,
+        |  round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 4) AS share
+        |FROM c""".stripMargin,
     // YoY growth over the |years| frame; exact DECIMAL year sums, growth
     // divides their DOUBLE casts and rounds 4dp; first year 0.0 sentinel
     "q_growth_yoy" ->

@@ -520,6 +520,28 @@ object Analytics2 {
         lit(0.0)).as("yoy_growth"))
   }
 
+  /** Activity seasonality matrix: events and distinct actives per
+    * (ISO weekday × hour-of-day) cell with each cell's share of all
+    * traffic — the capacity-planning / anomaly-baseline heatmap every
+    * event pipeline dashboard draws (is Tuesday 14:00 quiet because
+    * it's always quiet, or because ingestion broke?). ONE map-side-
+    * combined agg to a ≤ 168-row frame; the share windows over THAT
+    * frame, never the stream; weekday is ISO (1 = Monday) on both
+    * engines (Spark `weekday`+1 == DuckDB `isodow`). */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Money._
+    val cells = Tables.events(spark, dir)
+      .groupBy((weekday(col("ts")) + 1).as("iso_dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+    cells.withColumn("share",
+      round(col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.partitionBy()), 4))
+  }
+
   /** RFM segmentation: per purchasing user, recency (days from last
     * purchase to the corpus's newest event — a deterministic anchor),
     * frequency (purchase count), monetary (exact DECIMAL sum), and the

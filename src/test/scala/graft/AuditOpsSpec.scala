@@ -227,6 +227,19 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("events_seasonality: full grid bounds and conservation") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics2.eventsSeasonality(spark, sfDir)
+    assert(out.filter(col("iso_dow") < 1 || col("iso_dow") > 7 ||
+      col("hod") < 0 || col("hod") > 23).isEmpty)
+    val agg = out.agg(sum(col("n_events")), sum(col("share"))).head()
+    assert(agg.getLong(0) === ev.count())
+    // 168 cells rounded 4dp each: the share total lands within 168·5e-5
+    assert(math.abs(agg.getDouble(1) - 1.0) < 0.01)
+    // distinct actives per cell never exceed the cell's event count
+    assert(out.filter(col("n_users") > col("n_events")).isEmpty)
+  }
+
   test("ann_ivf_balance: planted cells, explicit empties, conservation") {
     import spark.implicits._
     // 3 fixed centroids; 4 vectors near axis-x, 2 near axis-y, none near -x
