@@ -172,6 +172,7 @@ object SparkEntry {
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
     "embed_pca" -> (Ann.embedPcaQ _),
+    "embed_spectrum" -> (Ann.embedSpectrumQ _),
     "embed_centroid_shift" -> (Ann.embedCentroidShiftQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),

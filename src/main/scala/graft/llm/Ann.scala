@@ -398,6 +398,56 @@ object Ann {
   def embedPcaQ(spark: SparkSession, dir: String): DataFrame =
     embedPca(Tables.embeddings(spark, dir), outDim = 8)
 
+  /** Eigenvalue SPECTRUM report of the embedding covariance: per
+    * component, variance, variance share, and cumulative share, plus
+    * the participation ratio (Σλ)²/Σλ² — the effective dimensionality
+    * estimate — stamped on every row. This answers the question
+    * [[embedPca]] takes as an input: how many components does this
+    * space actually need (pick outDim where cumulative share crosses
+    * ~0.9), and is the space degenerate (participation ratio ≪ dim ⇒
+    * a few directions dominate — the collapse signature that also
+    * drives [[knnHubness]]'s pathologies).
+    *
+    * Same distributed shape as [[embedPca]]: the corpus contributes
+    * ONE [[graft.functions.VecMoments]] pass (a ~2k-double partial per
+    * partition); covariance assembly + Jacobi eigensolve run
+    * driver-side on the single collected row; the report is a
+    * dim-row LocalRelation — corpus-size-free after the one agg. */
+  def embedSpectrum(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val x = embeddings.select(vecAsDouble(col("embedding")).as("v"))
+    val m = x.agg(graft.functions.VectorFunctions
+        .vecMoments(col("v"), dim).as("m"))
+      .head().getSeq[Double](0)
+    val n = m(0)
+    require(n > 1, s"spectrum needs more than one vector, got $n")
+    val mean = Array.tabulate(dim)(i => m(1 + i) / n)
+    val cov = Array.ofDim[Double](dim * dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = m(graft.functions.VecMoments.gramIndex(dim, i, j)) / n -
+        mean(i) * mean(j)
+      cov(i * dim + j) = c; cov(j * dim + i) = c
+    }
+    val (vals, _) = jacobiEigen(cov, dim)
+    val total = vals.sum
+    val sumSq = vals.map(v => v * v).sum
+    val pr = if (sumSq > 0) total * total / sumSq else 0.0
+    val rows = vals.scanLeft(0.0)(_ + _).drop(1).zip(vals).zipWithIndex
+      .map { case ((cum, v), i) =>
+        (i, math.rint(v * 1e6) / 1e6,
+          math.rint(v / total * 1e4) / 1e4,
+          math.rint(cum / total * 1e4) / 1e4,
+          math.rint(pr * 1e2) / 1e2)
+      }
+    rows.toSeq.toDF("component", "variance", "share", "cum_share",
+      "participation_ratio")
+  }
+
+  def embedSpectrumQ(spark: SparkSession, dir: String): DataFrame =
+    embedSpectrum(Tables.embeddings(spark, dir))
+
   /** Embedding-space outlier report per label: Euclidean distance to the
     * label's centroid, its within-label z-score, and an outlier flag —
     * the standard mislabeled/noisy-example screen over a labeled

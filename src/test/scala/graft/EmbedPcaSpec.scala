@@ -84,4 +84,34 @@ class EmbedPcaSpec extends AnyFunSuite with SparkFixture {
     // PCA's defining property, with slack for the 4-decimal rounding
     assert(vs.sliding(2).forall(p => p(0) >= p(1) - 1e-6))
   }
+
+  test("embedSpectrum: planted single axis concentrates the spectrum") {
+    import spark.implicits._
+    // all variance on dim 0 → share(0) = 1.0, participation ratio = 1
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(4)(d => if (d == 0) i.toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.embedSpectrum(vecs, dim = 4)
+      .as[(Int, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === 4)
+    assert(out(0)._3 === 1.0 && out(0)._4 === 1.0)
+    assert(out.drop(1).forall(r => r._2 === 0.0 && r._4 === 1.0))
+    assert(out(0)._5 === 1.0)
+  }
+
+  test("embedSpectrum on the real table: ordering, closure, PR bounds") {
+    val out = Ann.embedSpectrumQ(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(out.length === 64)
+    val shares = out.map(_.getDouble(2))
+    val vars = out.map(_.getDouble(1))
+    assert(vars.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(math.abs(shares.sum - 1.0) < 64 * 5e-5 + 1e-9)
+    assert(math.abs(out.last.getDouble(3) - 1.0) < 1e-3)
+    val pr = out.head.getDouble(4)
+    assert(pr >= 1.0 - 1e-9 && pr <= 64.0 + 1e-9)
+    // cum_share is monotone
+    val cums = out.map(_.getDouble(3))
+    assert(cums.sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+  }
 }

@@ -15,7 +15,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
     assert(rowsOnly === Set("ann_lsh_topk", "knn_graph_lsh", "bpe_train",
-      "embed_pca", "ann_recall_report",
+      "embed_pca", "embed_spectrum", "ann_recall_report",
       "bpe_encode", "bpe_fertility", "quality_classifier",
       "corpus_sample_quality",
       "corpus_refine_learned",
