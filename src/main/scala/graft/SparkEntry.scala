@@ -66,6 +66,7 @@ object SparkEntry {
     "events_next_within" -> (Analytics2.qNextPurchase _),
     "events_anomaly" -> (Analytics2.eventsAnomaly _),
     "events_transitions" -> (Analytics2.eventsTransitions _),
+    "events_paths" -> ((s, d) => Analytics2.eventsPaths(s, d)),
     "events_rfm" -> (Analytics2.eventsRfm _),
     "events_seasonality" -> (Analytics2.eventsSeasonality _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "corpus_diff" -> (TextOps.corpusDiffQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     "corpus_temperature_sample" -> (TextOps.corpusTemperatureSampleQ _),
+    "corpus_sample_fixed" -> (TextOps.corpusSampleFixedQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
     "corpus_split_shards" -> (graft.llm.Export.corpusSplitShardsQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
@@ -162,6 +164,7 @@ object SparkEntry {
     "knn_hubness" -> (Ann.knnHubnessQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
+    "knn_pagerank" -> (Ann.knnPagerankQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_ivf_balance" -> (Ann.ivfBalanceQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
@@ -881,6 +884,19 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // top-20 3-step journeys: two leads over the per-user time order,
+    // exact counts, total (count DESC, steps ASC) order at the cut
+    "events_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     // seasonality heatmap: ISO weekday × hour cells (Spark weekday+1 ==
     // DuckDB isodow), exact ints + DECIMAL sum, share over the tiny frame
     "events_seasonality" ->
@@ -1220,6 +1236,14 @@ object SparkEntry {
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
          |       >> ${TextOps.SampleShift}) % 1000 < permille""".stripMargin,
+    // bottom-k fixed sample: smallest (1e6 Knuth key, doc_id) pairs,
+    // exactly 100 rows, integer arithmetic identical on both engines
+    "corpus_sample_fixed" ->
+      s"""SELECT doc_id, lang, source,
+         |  (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.FixedMultiplier})
+         |    >> ${TextOps.SampleShift}) % 1000000 AS sample_key
+         |FROM documents
+         |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
     // temperature upsampling: rate_bp = round(1e4·sqrt(n_max/n_l))
     // capped at 3 epochs — division and sqrt are correctly-rounded IEEE
     // ops, so both engines land the identical integer basis points;
@@ -1799,6 +1823,35 @@ object SparkEntry {
          |SELECT e.vec_id, coalesce(l.label, -1) AS label,
          |  e.vec_id % 10 = 0 AS is_seed
          |FROM embeddings e LEFT JOIN l3 l USING (vec_id)""".stripMargin
+    },
+    // PageRank over the mutual graph: three unrolled synchronous
+    // rounds in exact integer NANO-units (1e9 = mass 1, damping as the
+    // 85/100 rational, every division integer) — bit-identical replay
+    // by construction; isolated vectors settle at the base floor
+    "knn_pagerank" -> {
+      val iterCtes = (1 to 3).map { r =>
+        s"""p$r AS (
+           |  SELECT e.vec_id,
+           |    c.base_u + (85 * coalesce(m.mass, 0)) // 100 AS pr_nano
+           |  FROM embeddings e
+           |  LEFT JOIN (
+           |    SELECT mu.b AS vec_id, sum(p.pr_nano // d.deg) AS mass
+           |    FROM mutual mu
+           |    JOIN p${r - 1} p ON mu.a = p.vec_id
+           |    JOIN deg d ON mu.a = d.vec_id
+           |    GROUP BY 1) m USING (vec_id), c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnNnSql,
+         |mutual AS (
+         |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+         |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+         |deg AS (SELECT a AS vec_id, count(*) AS deg FROM mutual GROUP BY 1),
+         |c AS (SELECT count(*) AS n, 1000000000 // count(*) AS init_u,
+         |        (15 * (1000000000 // count(*))) // 100 AS base_u
+         |      FROM embeddings),
+         |p0 AS (SELECT vec_id, c.init_u AS pr_nano FROM embeddings, c),
+         |$iterCtes
+         |SELECT vec_id, CAST(pr_nano AS BIGINT) AS pr_nano FROM p3""".stripMargin
     },
     // radius search: same cosine pipeline, threshold instead of top-k.
     // Closest sim to the 0.3 cut measured at EVERY test scale: 4.5e-4

@@ -1123,6 +1123,64 @@ object Ann {
     knnLabelProp(Tables.embeddings(spark, dir))
   }
 
+  /** PageRank centrality over the mutual-kNN graph: which vectors sit
+    * at the semantic CENTER of the corpus — the representative-example
+    * ranking (coreset seeds, human-review sampling, "show me typical
+    * docs of this corpus") that degree alone gets wrong (a vector
+    * ranked by many PERIPHERAL vectors should rank below one ranked by
+    * central ones — exactly the recursion PageRank closes). Fixed
+    * `iters` synchronous rounds at the classic 0.85 damping, uniform
+    * init; isolated vectors (no mutual edge) settle at the (1−d)/n
+    * floor — no dangling redistribution, so mass is a ranking score,
+    * not a probability (documented contract, matching the oracle).
+    *
+    * Scale shape: the [[knnCluster]] mutual edge set (n·k bound, both
+    * directions) persists across rounds; each round is two
+    * co-partitioned joins on vec_id (rank frame ⋈ edges ⋈ degree) and
+    * ONE map-side-combined sum, checkpoint-materialized to keep
+    * lineage flat. Determinism: the ENTIRE iteration runs in exact
+    * integer NANO-units (`pr_nano`, 1e9 = total-mass 1; damping as the
+    * 85/100 rational, every division an integer `div`) — a first
+    * attempt iterated rounded floats and 3 of 500 corpus rows still
+    * flipped at the rounding grid (the two engines' round() algorithms
+    * disagree at half-boundaries, and iteration compounds it); integer
+    * state makes every round bit-identical by construction, the
+    * [[knnLabelProp]] replay argument done properly for numeric
+    * state. Truncation loses ≤ deg nano-units per node per round —
+    * irrelevant to a ranking. */
+  def knnPagerank(embeddings: DataFrame, k: Int = 5, iters: Int = 3): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist()
+    val edges = g.intersect(
+      g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .persist()
+    val deg = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val n = embeddings.count()
+    val initU = 1000000000L / n
+    val baseU = 15L * initU / 100L
+    var pr = graft.Exec.materialize(
+      embeddings.select(col("vec_id"), lit(initU).as("pr_nano")))
+    for (_ <- 1 to iters) {
+      val mass = edges
+        .join(pr, "vec_id").join(deg, "vec_id")
+        .select(col("nbr_id").as("vec_id"),
+          expr("pr_nano div deg").as("w"))
+        .groupBy(col("vec_id")).agg(sum(col("w")).as("in_mass"))
+      pr = graft.Exec.materialize(
+        pr.select(col("vec_id")).join(mass, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(baseU) +
+              expr("(85 * coalesce(in_mass, 0)) div 100")).as("pr_nano")))
+    }
+    g.unpersist(); edges.unpersist()
+    pr
+  }
+
+  def knnPagerankQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnPagerank(Tables.embeddings(spark, dir))
+  }
+
   // --- IVF (inverted-file) ANN ---
 
   /** IVF top-k: a k-means coarse quantizer partitions the corpus into

@@ -1309,6 +1309,44 @@ object TextOps {
   def corpusRebalanceQ(spark: SparkSession, dir: String): DataFrame =
     corpusRebalance(Tables.documents(spark, dir))
 
+  /** Multiplier for [[corpusSampleFixed]]'s ranking key (xxhash
+    * PRIME32_4) — fourth member of the decorrelated-multiplier family:
+    * the fixed sample must not preferentially pick the rate-sampler's
+    * keep range, the split's low buckets, or the temperature
+    * fractional-copy winners. */
+  val FixedMultiplier = 668265263L
+
+  /** The million-range ranking key behind [[corpusSampleFixed]] —
+    * [[sampleBucket]]'s arithmetic under [[FixedMultiplier]] at 10⁶
+    * granularity (a permille key would tie ~N/1000 docs per value and
+    * push selection onto the doc_id tiebreak). */
+  def fixedSampleKey: Column = pmod(
+    shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * FixedMultiplier,
+      SampleShift),
+    lit(1000000L))
+
+  /** Deterministic FIXED-SIZE sample: the `k` docs with the smallest
+    * (consistent-hash key, doc_id) — exactly k rows where
+    * [[corpusSample]] gives rate·N, replayable forever, and
+    * append-STABLE in the bottom-k/KMV sense: adding docs can only
+    * REPLACE members (a new doc hashing lower), never reshuffle the
+    * rest — so an eval subset drawn this way stays comparable across
+    * corpus refreshes, the property a `LIMIT k` over arbitrary layout
+    * or a rate sample at shifting N both lack.
+    *
+    * Scale shape: the order-by-limit plans as TakeOrderedAndProject —
+    * each partition keeps its local bottom-k (O(k) memory), the driver
+    * merges P·k rows — no global sort, no full shuffle, the same
+    * bound [[graft.operators.GroupTopK]] relies on. */
+  def corpusSampleFixed(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        fixedSampleKey.as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(k)
+
+  def corpusSampleFixedQ(spark: SparkSession, dir: String): DataFrame =
+    corpusSampleFixed(Tables.documents(spark, dir))
+
   /** Multiplier for [[tempBucket]] — must differ from
     * [[SampleMultiplier]] AND [[SplitMultiplier]] so temperature
     * replication decorrelates from both the sampler's kept set and the

@@ -520,6 +520,31 @@ object Analytics2 {
         lit(0.0)).as("yoy_growth"))
   }
 
+  /** Top-K three-step user journeys: the most common consecutive
+    * (step1 → step2 → step3) event-type paths across all users — the
+    * multi-step extension of [[eventsTransitions]] (which sees one hop)
+    * and the exploratory complement of [[qFunnel]] (which checks one
+    * FIXED path): product analytics' "what do users actually do"
+    * query. ONE wide shuffle (the same user_id window every sequence
+    * query here reuses), two `lead`s ride it for free, then the
+    * triples collapse map-side-combined to a ≤ |types|³ frame and the
+    * top-K is a bounded TakeOrdered with a total (count DESC, steps
+    * ASC) order. */
+  def eventsPaths(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .withColumn("c", lead(col("event_type"), 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("b").as("step2"),
+        col("c").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topK)
+  }
+
   /** Activity seasonality matrix: events and distinct actives per
     * (ISO weekday × hour-of-day) cell with each cell's share of all
     * traffic — the capacity-planning / anomaly-baseline heatmap every

@@ -227,6 +227,33 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("events_paths: hand-worked journeys and windowing") {
+    import spark.implicits._
+    // user 1: a b a b  → triples (a,b,a), (b,a,b); user 2: a b a →
+    // (a,b,a); user 3: one event, no triple
+    def ev(id: Long, uid: Long, typ: String) =
+      (id, uid, typ, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$id:00"))
+    val events = Seq(
+      ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "a"), ev(4, 1, "b"),
+      ev(5, 2, "a"), ev(6, 2, "b"), ev(7, 2, "a"),
+      ev(8, 3, "a")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val out = events
+      .withColumn("b2", lead(col("event_type"), 1).over(w))
+      .withColumn("c2", lead(col("event_type"), 2).over(w))
+      .filter(col("b2").isNotNull && col("c2").isNotNull)
+      .groupBy(col("event_type"), col("b2"), col("c2")).count()
+      .as[(String, String, String, Long)].collect().toSet
+    assert(out === Set(("a", "b", "a", 2L), ("b", "a", "b", 1L)))
+    // and the driver entry ranks with a total order at the cut
+    val paths = Analytics2.eventsPaths(spark, sfDir).collect()
+    assert(paths.length === 20)
+    val counts = paths.map(_.getLong(3))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("events_seasonality: full grid bounds and conservation") {
     val ev = Tables.events(spark, sfDir)
     val out = Analytics2.eventsSeasonality(spark, sfDir)

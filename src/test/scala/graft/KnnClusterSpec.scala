@@ -86,6 +86,30 @@ class KnnClusterSpec extends AnyFunSuite with SparkFixture {
     assert(agg.getLong(1) === 0L)
   }
 
+  test("knn_pagerank: hand fixture — mutual pair holds its fixed point, isolates floor") {
+    val out = Ann.knnPagerank(fixture, k = 1)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    // n=5 in nano-units: init 200 000 000, base floor 30 000 000. The
+    // one mutual pair H↔C each has degree 1, so pr' = base + 85%·pr —
+    // and the uniform init IS the fixed point (30M + 170M = 200M).
+    // Isolated A, D, E drop to the floor after round 1.
+    assert(out(1L) === 200000000L && out(2L) === 200000000L)
+    assert(out(0L) === 30000000L && out(3L) === 30000000L
+      && out(4L) === 30000000L)
+  }
+
+  test("knn_pagerank on the real corpus: floor, coverage, boundedness") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.knnPagerankQ(spark, sfDir)
+    val n = emb.count()
+    assert(out.count() === n)
+    val floorU = 15L * (1000000000L / n) / 100L
+    assert(out.filter(col("pr_nano") < floorU).isEmpty)
+    // no node can hold more than floor + 85% of total mass
+    assert(out.filter(col("pr_nano") > floorU + 850000000L).isEmpty)
+  }
+
   test("knn_quality_score: hand-worked neighborhood means at k=1") {
     import spark.implicits._
     // quality_score = min(n_tokens/64, 1) · (1 − punct/chars); all-alpha

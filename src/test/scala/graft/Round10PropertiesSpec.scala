@@ -402,6 +402,32 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(extra === expected)
   }
 
+  test("corpus_sample_fixed: exact size, determinism, bottom-k append stability") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = TextOps.corpusSampleFixed(docs, k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size === 50)
+    // replayable: an independent run selects the identical membership
+    val s2 = TextOps.corpusSampleFixed(docs, k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    // bottom-k stability: growing the corpus only REPLACES members —
+    // the bigger corpus's sample is contained in (old sample ∪ new docs)
+    val extra = (0 until 200)
+      .map(i => (1000000L + i, "en", "web")).toDF("doc_id", "lang", "source")
+    val grown = docs.select("doc_id", "lang", "source").unionByName(extra)
+    val s3 = TextOps.corpusSampleFixed(grown, k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.size === 50)
+    assert(s3.subsetOf(s1 ++ extra.select("doc_id").as[Long].collect()))
+    // the plan takes the bounded TakeOrderedAndProject path, not a
+    // global sort
+    val plan = TextOps.corpusSampleFixed(docs, k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("corpus_temperature_sample on the real corpus: every doc kept, cap holds") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextOps.corpusTemperatureSampleQ(spark, sfDir)
