@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
     "corpus_families" -> (Dedup.corpusFamiliesQ _),
     "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
+    "dedup_incremental_bloom" -> (Dedup.dedupIncrementalBloomQ _),
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
     "dedup_incremental_simhash" -> (Dedup.dedupIncrementalSimhashQ _),
     "dedup_spans" -> (SpanDedup.dedupChunksQ _),
@@ -1685,6 +1686,20 @@ object SparkEntry {
     // rest is the "new" batch; dup_of = corpus keeper, else earlier batch
     // twin, else -1 (kept). md5 hex strings match across engines.
     "dedup_incremental" ->
+      """WITH c AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+        |           FROM documents WHERE doc_id % 10 < 6 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(text) AS h
+        |      FROM documents WHERE doc_id % 10 >= 6),
+        |wb AS (SELECT doc_id, h,
+        |         min(doc_id) OVER (PARTITION BY h) AS first_b FROM b)
+        |SELECT wb.doc_id,
+        |  CAST(coalesce(c.keeper,
+        |    CASE WHEN wb.first_b < wb.doc_id THEN wb.first_b END,
+        |    -1) AS BIGINT) AS dup_of
+        |FROM wb LEFT JOIN c ON wb.h = c.h""".stripMargin,
+    // the Bloom-pruned probe must give the IDENTICAL answer — same
+    // oracle as dedup_incremental (the sidecar changes I/O, not output)
+    "dedup_incremental_bloom" ->
       """WITH c AS (SELECT md5(text) AS h, min(doc_id) AS keeper
         |           FROM documents WHERE doc_id % 10 < 6 GROUP BY 1),
         |b AS (SELECT doc_id, md5(text) AS h

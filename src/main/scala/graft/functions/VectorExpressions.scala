@@ -198,6 +198,51 @@ case class PackLongs(child: Expression)
 
 /** [[SigMatchCount]] over two [[PackLongs]]-packed binaries: count of
   * agreeing 8-byte groups. */
+/** Bloom-filter membership over a NON-constant serialized filter column:
+  * `bloom_hit(bloom_bytes, long_value)`. Spark's own
+  * `BloomFilterMightContain` insists its filter side be a constant or
+  * scalar subquery (it exists for runtime join filtering); the store
+  * sidecar ([[graft.llm.Dedup.bloomCandidates]]) instead JOINS a small
+  * bloom table onto batch rows, so the filter arrives as a regular
+  * column. Deserialization (`BloomFilter.readFrom`, the public
+  * spark.util.sketch API) is cached by array reference — sidecar blooms
+  * arrive via a broadcast, so each partition deserializes each bucket's
+  * filter once, then pays one `mightContainLong` per row.
+  * Interpreted-only ([[CodegenFallback]]): the probe's pruning decision
+  * touches |batch| rows once; codegen would buy nothing measurable. */
+case class BloomHit(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Predicate
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_hit requires (binary, bigint), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def prettyName: String = "bloom_hit"
+
+  @transient private var cachedRef: Array[Byte] = _
+  @transient private var cachedFilter: org.apache.spark.util.sketch.BloomFilter = _
+
+  override protected def nullSafeEval(b: Any, v: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedRef)) {
+      cachedFilter = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      cachedRef = bytes
+    }
+    cachedFilter.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomHit =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SigMatchCountBinary(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -573,7 +618,17 @@ object VectorFunctions {
     ("vec_moments", classOf[VecMoments].getName,
       cs => VecMoments(cs(0), cs(1))),
     ("bpe_apply", classOf[BpeApply].getName,
-      cs => BpeApply(cs(0), cs(1), cs(2))))
+      cs => BpeApply(cs(0), cs(1), cs(2))),
+    // Spark's OWN Bloom aggregate/probe pair (the runtime row-level
+    // filtering structures), public classes but absent from the default
+    // FunctionRegistry — registered here under graft names for the
+    // store-sidecar fast path ([[graft.llm.Dedup.buildFingerprintBloom]])
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      cs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(cs(0), cs(1)).toAggregateExpression()),
+    ("bloom_hit", classOf[BloomHit].getName,
+      cs => BloomHit(cs(0), cs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

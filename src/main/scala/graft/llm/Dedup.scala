@@ -983,6 +983,93 @@ object Dedup {
         else graft.sinks.WriteDisposition.WriteTruncate)
   }
 
+  /** Bloom sidecar for the fingerprint store: one row per bucket holding
+    * a Bloom filter over that bucket's content hashes (Spark's native
+    * `bloom_filter_agg`, the same structure runtime row-filtering
+    * ships). KBs per bucket regardless of store size — the sidecar a
+    * probe reads FIRST to skip bucket reads entirely.
+    *
+    * Why it matters at 100 TB: bucket pruning bounds a probe at
+    * O(touched buckets), but a realistic daily batch touches EVERY
+    * bucket (hashes are uniform), so the probe still reads the whole
+    * store. Daily ingest is mostly NOVEL content, though — and a
+    * bucket where no batch hash can possibly be present in the store
+    * (no false negatives, by Bloom contract) need not be read at all.
+    * Probe I/O drops from O(store) to O(buckets with real dups + FP
+    * rate), the classic LSM/bigtable Bloom trick applied to the store
+    * layout. Rebuild after each append (aggregating the store, not the
+    * corpus). */
+  def buildFingerprintBloom(spark: SparkSession,
+                            sink: graft.sinks.WarehouseSink,
+                            table: String = "fingerprints",
+                            expectedPerBucket: Long = 100000L): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val blooms = sink.read(spark, table)
+      .groupBy(col("part_bucket"))
+      .agg(expr(s"graft_bloom_agg(xxhash64(h), ${expectedPerBucket}L)")
+        .as("bloom"))
+    blooms.coalesce(1).write.mode("overwrite")
+      .parquet(sink.tablePath(s"${table}_bloom"))
+  }
+
+  /** The Bloom pruning decision of [[dedupIncrementalBloom]], visible
+    * for the spec: buckets of `b` (doc_id, h, part_bucket rows) where
+    * at least one batch hash might be present in the store. Falls back
+    * to all touched buckets when no sidecar exists. */
+  private[graft] def bloomCandidates(b: DataFrame, spark: SparkSession,
+                                     sink: graft.sinks.WarehouseSink,
+                                     table: String): Array[Int] = {
+    val bloomPath = sink.tablePath(s"${table}_bloom")
+    if (!sink.tableExists(table)) Array.empty
+    else if (!new java.io.File(bloomPath).exists())
+      b.select("part_bucket").distinct().collect().map(_.getInt(0))
+    else {
+      // blooms are KBs/bucket: broadcast onto the batch, keep buckets
+      // with ≥1 possible hit. bloom_hit is a map-side predicate whose
+      // per-partition deserialization is cached by array reference.
+      graft.functions.VectorFunctions.register(spark)
+      val blooms = spark.read.parquet(bloomPath)
+      b.join(broadcast(blooms), Seq("part_bucket"))
+        .filter(expr("bloom_hit(bloom, xxhash64(h))"))
+        .select("part_bucket").distinct().collect().map(_.getInt(0))
+    }
+  }
+
+  /** [[dedupIncremental]] behind the Bloom sidecar: identical output,
+    * but the store read is pruned to buckets where at least one batch
+    * hash MIGHT be present. A batch of entirely novel content reads
+    * ZERO store buckets (spec-pinned via [[bloomCandidates]]); false
+    * positives only cost extra bucket reads, never correctness. */
+  def dedupIncrementalBloom(newDocs: DataFrame, spark: SparkSession,
+                            sink: graft.sinks.WarehouseSink,
+                            table: String = "fingerprints",
+                            numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("h"), numBuckets))
+      .persist()
+    val candidates = bloomCandidates(b, spark, sink, table)
+    val store =
+      if (candidates.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("h", "keeper")
+      } else sink.read(spark, table)
+        .filter(col("part_bucket")
+          .isin(candidates.toIndexedSeq.map(c => lit(c)): _*))
+        .select(col("h"), col("keeper"))
+    val firstInBatch = min(col("doc_id")).over(Window.partitionBy(col("h")))
+    val result = graft.Exec.materialize(
+      b.withColumn("first_b", firstInBatch)
+        .join(store, Seq("h"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper"),
+            when(col("first_b") < col("doc_id"), col("first_b")),
+            lit(-1L)).as("dup_of")))
+    b.unpersist()
+    result
+  }
+
   /** Dedup a NEW batch of documents against the fingerprint store WITHOUT
     * touching corpus text: per batch doc, `dup_of` = the store's keeper
     * for its content hash, else the smallest earlier batch doc with the
@@ -1019,6 +1106,19 @@ object Dedup {
             lit(-1L)).as("dup_of")))
     b.unpersist()
     result
+  }
+
+  /** Driver query for the Bloom-pruned probe: same split, same output
+    * contract (and the SAME SQL oracle) as [[dedupIncrementalQ]] — the
+    * sidecar may only change WHICH buckets are read, never the answer. */
+  def dedupIncrementalBloomQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sink = graft.state.SessionStores.warehouse("fpbloom", dir) { s =>
+      buildFingerprintStore(docs.filter(pmod(col("doc_id"), lit(10)) < 6), s)
+      buildFingerprintBloom(spark, s)
+    }
+    dedupIncrementalBloom(docs.filter(pmod(col("doc_id"), lit(10)) >= 6),
+      spark, sink)
   }
 
   /** Driver query: fingerprint the `doc_id % 10 < 6` corpus split into a

@@ -1261,6 +1261,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       "zero-spread labels must not flag outliers")
   }
 
+  test("bloom-pruned incremental dedup equals the plain probe; novel batch skips all buckets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("fp_bloom_"))
+    graft.llm.Dedup.buildFingerprintStore(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 6), sink)
+    graft.llm.Dedup.buildFingerprintBloom(spark, sink)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 6)
+    val plain = graft.llm.Dedup.dedupIncremental(batch, spark, sink)
+      .as[(Long, Long)].collect().toSet
+    val bloomed = graft.llm.Dedup.dedupIncrementalBloom(batch, spark, sink)
+      .as[(Long, Long)].collect().toSet
+    assert(bloomed === plain)
+    // entirely novel content: every bucket's Bloom check comes back
+    // empty, so the pruned store read is NO read at all
+    val novel = (0 until 50)
+      .map(i => (5000000L + i, s"novel nonsense payload $i xyzzy"))
+      .toDF("doc_id", "text")
+    val nb = novel.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("part_bucket",
+        graft.sinks.WarehouseSink.bucketPartition(Seq("h"), 32))
+    assert(graft.llm.Dedup.bloomCandidates(nb, spark, sink, "fingerprints")
+      .isEmpty)
+    // and the novel batch still dedups correctly (all kept)
+    val out = graft.llm.Dedup.dedupIncrementalBloom(novel, spark, sink)
+      .as[(Long, Long)].collect()
+    assert(out.length === 50 && out.forall(_._2 === -1L))
+  }
+
   test("link_jaccard: orientation, no within-side pairs, identical texts at 1.0") {
     import spark.implicits._
     val left = Seq(

@@ -170,6 +170,17 @@ object ScaleSmoke {
     t("incremental minhash probe 20k docs")(Dedup.dedupIncrementalMinhash(
       docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, mhSink)
       .write.format("noop").mode("overwrite").save())
+    // Bloom sidecar at 10×: store + sidecar build, then the pruned probe
+    val fpSink = new WarehouseSink(
+      java.nio.file.Files.createTempDirectory("scale_fp_").toString)
+    t("fingerprint store + bloom build 30k docs") {
+      Dedup.buildFingerprintStore(
+        docs10.filter(pmod(col("doc_id"), lit(10)) < 6), fpSink)
+      Dedup.buildFingerprintBloom(spark, fpSink)
+    }
+    t("bloom-pruned probe 20k docs")(Dedup.dedupIncrementalBloom(
+      docs10.filter(pmod(col("doc_id"), lit(10)) >= 6), spark, fpSink)
+      .write.format("noop").mode("overwrite").save())
     // persisted IVF-PQ index at 10×: build once, probe-only serve path
     val pqSink = new WarehouseSink(
       java.nio.file.Files.createTempDirectory("scale_ivfpq_").toString)
