@@ -30,6 +30,7 @@ object SparkEntry {
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
     "cdc_op_mix" -> (Cdc.opMixQ _),
     "cdc_key_churn" -> (Cdc.keyChurnQ _),
+    "cdc_tiebreak_audit" -> (Cdc.tiebreakAuditQ _),
     "cdc_typemap" -> (Cdc.typeMapQ _),
     "cdc_typemap_complex" -> (TypeMap.typeMapComplexQ _),
     "cdc_schema_evolution" -> (Cdc.schemaEvolutionQ _),
@@ -344,6 +345,18 @@ object SparkEntry {
          |  CAST(coalesce(n.next_ms, -1) AS BIGINT) AS next_change_ms
          |FROM past p LEFT JOIN nxt n ON p.user_id = n.user_id
          |WHERE p.rn = 1 AND p.__op <> 'd'""".stripMargin,
+    // tiebreak audit: (key, ts) collision groups >= 2, rolled per key;
+    // exact integer counts only
+    "cdc_tiebreak_audit" ->
+      s"""WITH flat AS ($flattenSql),
+         |c AS (
+         |  SELECT user_id, __source_ts_ms, count(*) AS n,
+         |    sum(CASE WHEN __deleted THEN 1 ELSE 0 END) AS n_del
+         |  FROM flat GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT user_id, count(*) AS n_collisions,
+         |  CAST(sum(n) AS BIGINT) AS n_conflicted_changes,
+         |  max(n_del > 0) AS has_delete_conflict
+         |FROM c GROUP BY 1""".stripMargin,
     // snapshot diff between AS OF 01-10 and AS OF 01-20: per-key winners
     // at both points, classified; unchanged keys emit nothing, absent
     // sides carry -1 sentinels

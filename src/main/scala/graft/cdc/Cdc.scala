@@ -303,6 +303,34 @@ object Cdc {
   def opMixQ(spark: SparkSession, dir: String): DataFrame =
     opMix(Tables.events(spark, dir))
 
+  /** Same-timestamp conflict audit: how often the op-priority tiebreak
+    * (`compareByTsThenOp`, StreamBigqueryChangeConsumer.java:64 — the
+    * reference's answer to two changes sharing a source timestamp)
+    * actually DECIDES. Per key with ≥ 1 collision: the number of
+    * source timestamps carrying ≥ 2 changes, total conflicted change
+    * rows, and whether any collision involved a delete — the dangerous
+    * kind, where priority (c<r<u<d) decides LIVENESS, not just which
+    * payload wins. A high delete-conflict count is the signal to check
+    * upstream clock granularity before trusting the snapshot.
+    *
+    * Two chained map-side-combined aggs: (key, ts) groups ≥ 2 first
+    * (collision rows only survive — bounded by conflict volume), then
+    * the per-key rollup over that small frame. */
+  def tiebreakAudit(events: DataFrame): DataFrame = {
+    val collisions = flatten(events)
+      .groupBy(col("user_id"), col("__source_ts_ms"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__deleted"), 1L).otherwise(0L)).as("n_del"))
+      .filter(col("n") >= 2)
+    collisions.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_collisions"),
+      sum(col("n")).as("n_conflicted_changes"),
+      max(col("n_del") > 0).as("has_delete_conflict"))
+  }
+
+  def tiebreakAuditQ(spark: SparkSession, dir: String): DataFrame =
+    tiebreakAudit(Tables.events(spark, dir))
+
   /** Per-key churn report over the changelog — the hot-key audit that
     * decides whether a MERGE needs salting before it falls over: change
     * / update / delete counts and the active span per key, with

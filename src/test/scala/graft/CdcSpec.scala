@@ -83,6 +83,28 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, 1L, jan20), (3L, 6L, -1L)))
   }
 
+  test("tiebreakAudit counts same-ts collision groups and flags delete conflicts") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, typ: String, ts: String) =
+      (id, uid, typ, 1.0, java.sql.Timestamp.valueOf(ts), """{"k":1}""")
+    val events = Seq(
+      // key 1: one collision pair including a delete
+      ev(1, 1, "click", "2024-01-01 00:00:00"),
+      ev(2, 1, "error", "2024-01-01 00:00:00"),
+      // key 2: a 3-change collision plus a lone change — one group
+      ev(3, 2, "click", "2024-01-02 00:00:00"),
+      ev(4, 2, "view", "2024-01-02 00:00:00"),
+      ev(5, 2, "click", "2024-01-02 00:00:00"),
+      ev(6, 2, "click", "2024-01-03 00:00:00"),
+      // key 3: no collisions → absent from the audit
+      ev(7, 3, "click", "2024-01-04 00:00:00"),
+      ev(8, 3, "click", "2024-01-05 00:00:00")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.tiebreakAudit(events)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Array((1L, 1L, 2L, true), (2L, 1L, 3L, false)))
+  }
+
   test("snapshotDiff classifies added/removed/changed; unchanged emit nothing") {
     import spark.implicits._
     def ev(id: Long, uid: Long, typ: String, ts: String) =
