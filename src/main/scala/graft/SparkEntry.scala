@@ -119,6 +119,7 @@ object SparkEntry {
     "bpe_fertility" -> (TextOps.bpeFertilityQ _),
     "corpus_chunk" -> (TextOps.corpusChunkQ _),
     "quality_classifier" -> (graft.llm.Classifier.qualityClassifierQ _),
+    "quality_calibration" -> (graft.llm.Classifier.qualityCalibrationQ _),
     "corpus_sample_quality" -> (graft.llm.Classifier.corpusSampleQualityQ _),
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_refine_learned" -> (TextOps.corpusRefineLearnedQ _),

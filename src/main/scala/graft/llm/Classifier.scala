@@ -180,4 +180,58 @@ object Classifier {
 
   def qualityClassifierQ(spark: SparkSession, dir: String): DataFrame =
     qualityClassifier(Tables.documents(spark, dir))
+
+  /** Calibration curve of the trained classifier against the rule gate
+    * it distilled: corpus deciled by score (highest first), per decile
+    * the doc count, mean score, and Gopher pass rate — the standard
+    * ML-ops check before trusting a learned gate ("does 0.9 actually
+    * mean more keepable than 0.6, and where does the rule cascade
+    * disagree"). A flat or non-monotone curve means the classifier
+    * adds nothing over the rules; divergence concentrated in one
+    * decile is the review queue.
+    *
+    * Scale shape: scores land on the 4-decimal grid ([[scoreCol]]
+    * rounds), so ONE map-side-combined agg reduces the corpus to a
+    * ≤ 10⁴-row (score, n, n_pass) frame; decile boundaries, means and
+    * rates all derive DRIVER-side from that collected frame — no
+    * global sort, no second corpus pass, the [[graft.llm.TextOps
+    * .corpusBudgetSelect]] prefix-sum argument taken to its limit.
+    * Ties never split: every doc with the same score shares a decile
+    * (the statistically honest choice, and it removes any need for a
+    * within-score order). */
+  def qualityCalibration(docs: DataFrame, minWords: Int = 8,
+                         minStop: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = train(docs, minWords, minStop)
+    val byScore = docs
+      .select(scoreCol(m).as("score"),
+        TextOps.gopherPassCol(minWords, 100000, minStop).as("pass"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val total = byScore.map(_._2).sum
+    var cum = 0L
+    val rows = byScore.map { case (v, n, np) =>
+      val d = math.min(9L, 10L * cum / total)
+      cum += n
+      (d, v, n, np)
+    }.groupBy(_._1).toSeq.map { case (d, vs) =>
+      val n = vs.map(_._3).sum
+      val np = vs.map(_._4).sum
+      val meanScore = vs.map(t => t._2 * t._3).sum / n
+      (d, n,
+        math.rint(meanScore * 1e4) / 1e4,
+        math.rint(np.toDouble / n * 1e4) / 1e4,
+        vs.map(_._2).min, vs.map(_._2).max)
+    }.sortBy(_._1)
+    rows.toDF("decile", "n_docs", "mean_score", "gopher_pass_rate",
+      "min_score", "max_score")
+  }
+
+  def qualityCalibrationQ(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibration(Tables.documents(spark, dir))
 }

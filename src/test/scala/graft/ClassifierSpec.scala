@@ -157,4 +157,39 @@ class ClassifierSpec extends AnyFunSuite with SparkFixture {
       col("quality_score") > 1.0).count()
     assert(bad === 0L)
   }
+
+  test("qualityCalibration: separable fixture polarizes, ties never split") {
+    import spark.implicits._
+    // the separable fixture: 40 identical good texts, 40 identical bad —
+    // two score values, so ties-never-split forces exactly TWO deciles
+    val good = (0L until 40L).map(i => (i,
+      "the quick brown fox jumps over the lazy dog and " +
+        "keeps running through the field with great speed today"))
+    val bad = (100L until 140L).map(i => (i, "!!! ??? ### $$$ %%% @@@"))
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val out = Classifier.qualityCalibration(docs)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(out.length === 2)
+    // top decile: all good docs, pass rate 1.0; the other: all bad, 0.0
+    assert(out(0)._1 === 0L && out(0)._2 === 40L && out(0)._4 === 1.0)
+    assert(out(1)._2 === 40L && out(1)._4 === 0.0)
+    assert(out(0)._3 > out(1)._3)
+  }
+
+  test("qualityCalibration on the real corpus: closure and monotone scores") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Classifier.qualityCalibrationQ(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    // deciles are score-ordered: each decile's min never below the next's max
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) >= b.getDouble(5) - 1e-9)
+    case _ => ()
+    }
+    out.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }

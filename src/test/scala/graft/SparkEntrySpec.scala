@@ -17,6 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert(rowsOnly === Set("ann_lsh_topk", "knn_graph_lsh", "bpe_train",
       "embed_pca", "embed_spectrum", "ann_recall_report",
       "bpe_encode", "bpe_fertility", "quality_classifier",
+      "quality_calibration",
       "corpus_sample_quality",
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_ivf_balance", "ann_pq_topk",
