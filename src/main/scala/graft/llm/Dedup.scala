@@ -1004,10 +1004,20 @@ object Dedup {
                             table: String = "fingerprints",
                             expectedPerBucket: Long = 100000L): Unit = {
     graft.functions.VectorFunctions.register(spark)
-    val blooms = sink.read(spark, table)
+    val store = sink.read(spark, table)
+    // freshness stamp: the store's row count at build time rides on
+    // every sidecar row. A probe whose own count disagrees knows the
+    // sidecar is STALE (e.g. a crash between store append and sidecar
+    // rebuild) and must fall back to the unpruned probe — a stale
+    // Bloom under-approximates the store, and a false "not present"
+    // would accept a real duplicate. Counting parquet rows is a
+    // footer-metadata scan, no data pages read.
+    val nRows = store.count()
+    val blooms = store
       .groupBy(col("part_bucket"))
       .agg(expr(s"graft_bloom_agg(xxhash64(h), ${expectedPerBucket}L)")
         .as("bloom"))
+      .withColumn("store_rows", lit(nRows))
     blooms.coalesce(1).write.mode("overwrite")
       .parquet(sink.tablePath(s"${table}_bloom"))
   }
@@ -1015,23 +1025,29 @@ object Dedup {
   /** The Bloom pruning decision of [[dedupIncrementalBloom]], visible
     * for the spec: buckets of `b` (doc_id, h, part_bucket rows) where
     * at least one batch hash might be present in the store. Falls back
-    * to all touched buckets when no sidecar exists. */
+    * to all touched buckets when no sidecar exists OR when the
+    * sidecar's freshness stamp disagrees with the store's current row
+    * count (stale sidecar = possible false negatives = missed
+    * duplicates; the fallback keeps crash-replay convergent). */
   private[graft] def bloomCandidates(b: DataFrame, spark: SparkSession,
                                      sink: graft.sinks.WarehouseSink,
                                      table: String): Array[Int] = {
     val bloomPath = sink.tablePath(s"${table}_bloom")
+    def allTouched = b.select("part_bucket").distinct().collect().map(_.getInt(0))
     if (!sink.tableExists(table)) Array.empty
-    else if (!new java.io.File(bloomPath).exists())
-      b.select("part_bucket").distinct().collect().map(_.getInt(0))
+    else if (!new java.io.File(bloomPath).exists()) allTouched
     else {
-      // blooms are KBs/bucket: broadcast onto the batch, keep buckets
-      // with ≥1 possible hit. bloom_hit is a map-side predicate whose
-      // per-partition deserialization is cached by array reference.
       graft.functions.VectorFunctions.register(spark)
       val blooms = spark.read.parquet(bloomPath)
-      b.join(broadcast(blooms), Seq("part_bucket"))
-        .filter(expr("bloom_hit(bloom, xxhash64(h))"))
-        .select("part_bucket").distinct().collect().map(_.getInt(0))
+      val stamped = blooms.select(col("store_rows")).head().getLong(0)
+      if (stamped != sink.read(spark, table).count()) allTouched
+      else
+        // blooms are KBs/bucket: broadcast onto the batch, keep buckets
+        // with ≥1 possible hit. bloom_hit is a map-side predicate whose
+        // per-partition deserialization is cached by array reference.
+        b.join(broadcast(blooms), Seq("part_bucket"))
+          .filter(expr("bloom_hit(bloom, xxhash64(h))"))
+          .select("part_bucket").distinct().collect().map(_.getInt(0))
     }
   }
 

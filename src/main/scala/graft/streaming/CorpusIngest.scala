@@ -93,9 +93,19 @@ object CorpusIngest {
                   mhTable: String = "minhash_bands",
                   embedTau: Option[Double] = None,
                   embedTable: String = "embed_lsh",
-                  embedCol: String = "embedding"): Long = {
+                  embedCol: String = "embedding",
+                  useBloom: Boolean = false): Long = {
     val cached = batch.persist()
-    val accepted = Dedup.dedupIncremental(cached, spark, sink, fpTable, numBuckets)
+    // with `useBloom`, the exact probe goes through the versioned Bloom
+    // sidecar (novel-content batches read zero store buckets); a stale
+    // sidecar — e.g. a crash landed between the store append and the
+    // sidecar rebuild below — fails its freshness check and the probe
+    // falls back to the unpruned path, so replay stays convergent
+    val probe =
+      if (useBloom)
+        Dedup.dedupIncrementalBloom(cached, spark, sink, fpTable, numBuckets)
+      else Dedup.dedupIncremental(cached, spark, sink, fpTable, numBuckets)
+    val accepted = probe
       .filter(col("dup_of") === -1L)
       .select("doc_id")
     val exactSurvivors = cached.join(accepted, "doc_id").persist()
@@ -159,6 +169,10 @@ object CorpusIngest {
       }
       Dedup.buildFingerprintStore(survivors, sink, fpTable, numBuckets,
         append = true)
+      // sidecar rebuild AFTER the store commit: aggregates the store
+      // (never the corpus); a crash before this line leaves a stale
+      // sidecar the next probe detects and bypasses
+      if (useBloom) Dedup.buildFingerprintBloom(spark, sink, fpTable)
     }
     if (survivors ne exactSurvivors) survivors.unpersist()
     exactSurvivors.unpersist()

@@ -35,6 +35,38 @@ class CorpusIngestSpec extends AnyFunSuite with SparkFixture {
     assert(sink.read(spark, "corpus").count() === 3)
   }
 
+  test("bloom-sidecar ingestion: same acceptance, stale sidecar falls back safely") {
+    import spark.implicits._
+    val sink = new WarehouseSink(tmpDir("ingest_bloom_"))
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((1L, "alpha beta", "web"), (3L, "gamma delta", "book")),
+      useBloom = true) === 2L)
+    // dup vs the store is caught through the sidecar path
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((10L, "alpha beta", "web"), (11L, "epsilon zeta", "web")),
+      useBloom = true) === 1L)
+    // fresh sidecar: a probe batch that is a pure dup prunes to the
+    // store's real bucket(s), and a replay accepts nothing
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((10L, "alpha beta", "web"), (11L, "epsilon zeta", "web")),
+      useBloom = true) === 0L)
+    // STALENESS: append to the store while skipping the sidecar rebuild
+    // (the crash window); the probe must detect the stamp mismatch and
+    // fall back — the duplicate of the un-bloomed doc is still caught
+    graft.llm.Dedup.buildFingerprintStore(
+      docs((50L, "omega psi", "web")), sink, append = true)
+    val nb = docs((60L, "omega psi", "web"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("part_bucket",
+        WarehouseSink.bucketPartition(Seq("h"), 32))
+    // fallback returns the touched bucket even though the sidecar has
+    // never seen "omega psi"
+    assert(graft.llm.Dedup.bloomCandidates(nb, spark, sink, "fingerprints")
+      .nonEmpty)
+    assert(CorpusIngest.ingestBatch(spark, sink,
+      docs((60L, "omega psi", "web")), useBloom = true) === 0L)
+  }
+
   test("near-dup ingestion rejects paraphrases against the corpus and within batches") {
     import spark.implicits._
     val sink = new WarehouseSink(tmpDir("ingest_nd_"))
