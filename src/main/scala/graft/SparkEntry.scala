@@ -68,6 +68,7 @@ object SparkEntry {
     "events_anomaly" -> (Analytics2.eventsAnomaly _),
     "events_transitions" -> (Analytics2.eventsTransitions _),
     "events_paths" -> ((s, d) => Analytics2.eventsPaths(s, d)),
+    "events_dau_wau" -> (Analytics2.eventsDauWau _),
     "events_rfm" -> (Analytics2.eventsRfm _),
     "events_seasonality" -> (Analytics2.eventsSeasonality _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
+    "corpus_report" -> (TextOps.corpusReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "bpe_train" -> (TextOps.bpeTrainQ _),
@@ -899,6 +901,24 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // DAU/WAU/stickiness: trailing-7-day distinct via the explode-to-
+    // target-day trick (generate_series mirrors sequence); integer day
+    // index, exact-int ratio 4dp; activity days only (inner join)
+    "events_dau_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT
+        |    date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_n,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT day_n, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT g.target_day AS day_n, count(DISTINCT user_id) AS wau
+        |  FROM du, unnest(generate_series(du.day_n, du.day_n + 6))
+        |    AS g(target_day)
+        |  GROUP BY 1)
+        |SELECT d.day_n, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day_n = w.day_n""".stripMargin,
     // top-20 3-step journeys: two leads over the per-user time order,
     // exact counts, total (count DESC, steps ASC) order at the cut
     "events_paths" ->
@@ -1251,6 +1271,24 @@ object SparkEntry {
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
          |       >> ${TextOps.SampleShift}) % 1000 < permille""".stripMargin,
+    // one-row corpus health summary: exact ints + exact-int ratios 4dp
+    "corpus_report" ->
+      s"""WITH g AS (SELECT doc_id, gopher_pass FROM ($gopherOracleSql) x),
+         |m AS (
+         |  SELECT d.doc_id, md5(d.text) AS h, d.lang, d.source,
+         |    len($tokSql) AS n_toks, g.gopher_pass
+         |  FROM documents d JOIN g USING (doc_id))
+         |SELECT count(*) AS n_docs,
+         |  count(DISTINCT h) AS n_distinct_texts,
+         |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4)
+         |    AS dup_ratio,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4) AS mean_tokens,
+         |  round(CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS gopher_pass_rate
+         |FROM m""".stripMargin,
     // bottom-k fixed sample: smallest (1e6 Knuth key, doc_id) pairs,
     // exactly 100 rows, integer arithmetic identical on both engines
     "corpus_sample_fixed" ->

@@ -1309,6 +1309,49 @@ object TextOps {
   def corpusRebalanceQ(spark: SparkSession, dir: String): DataFrame =
     corpusRebalance(Tables.documents(spark, dir))
 
+  /** One-row corpus health report — the headline numbers a pipeline
+    * team reads before anything else: corpus size, exact distinct
+    * content count and the implied duplicate ratio, language/source
+    * diversity, token volume, and the Gopher pass rate. Each is a
+    * drill-down into an existing operator ([[graft.llm.Dedup
+    * .dedupExact]], [[corpusMixReport]], [[textGopher]]); this is the
+    * one-call summary that decides WHICH drill-down to run.
+    *
+    * ONE scan, ONE aggregation to a single row: content hash, token
+    * count and the gopher gate are all map-side projections feeding
+    * count / count-distinct / sum aggregates (the distinct lands as a
+    * partial-aggregated expand, never a second scan). At 100 TB the
+    * exact distinct is the one expensive term — swap in
+    * `approx_count_distinct` when ±2% serves; exact here because the
+    * oracle replays it. */
+  def corpusReport(docs: DataFrame,
+                   minWords: Long = 8, minStop: Int = 1): DataFrame = {
+    val toks = size(tokens(col("text"))).cast("long")
+    docs
+      .select(md5(col("text")).as("h"), col("lang"), col("source"),
+        toks.as("n_toks"),
+        when(gopherPassCol(minWords, 100000, minStop), 1L).otherwise(0L)
+          .as("pass"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("pass")).as("n_gopher_pass"))
+      .select(col("n_docs"), col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs"), 4).as("dup_ratio"),
+        col("n_langs"), col("n_sources"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4)
+          .as("mean_tokens"),
+        round(col("n_gopher_pass").cast("double") / col("n_docs"), 4)
+          .as("gopher_pass_rate"))
+  }
+
+  def corpusReportQ(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(Tables.documents(spark, dir))
+
   /** Multiplier for [[corpusSampleFixed]]'s ranking key (xxhash
     * PRIME32_4) — fourth member of the decorrelated-multiplier family:
     * the fixed sample must not preferentially pick the rate-sampler's

@@ -520,6 +520,36 @@ object Analytics2 {
         lit(0.0)).as("yoy_growth"))
   }
 
+  /** DAU / WAU / stickiness per day — the engagement triple every
+    * product dashboard leads with (stickiness = DAU/WAU, the "how many
+    * weekly users show up daily" ratio). WAU needs a trailing-7-day
+    * DISTINCT, which no window frame computes and a raw range join
+    * would plan as a nested loop ([[graft.operators.IntervalJoin]]'s
+    * lesson): instead each (day, user) pair EXPLODES to the ≤ 7 target
+    * days it is visible to — a map-side `sequence`, then ONE distinct
+    * agg keyed by (target day, user) and ONE count agg. Day index is
+    * exact integer arithmetic; ratios exact-int 4dp; days with events
+    * only (the corpus has no true calendar dimension). */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val dayN = datediff(col("ts").cast("date"), lit("1990-01-01").cast("date"))
+      .cast("long")
+    val dayUser = Tables.events(spark, dir)
+      .select(dayN.as("day_n"), col("user_id")).distinct()
+    val dau = dayUser.groupBy(col("day_n"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select(explode(sequence(col("day_n"), col("day_n") + 6))
+        .as("target_day"), col("user_id"))
+      .distinct()
+      .groupBy(col("target_day").as("day_n"))
+      .agg(count(lit(1)).as("wau"))
+    // inner join: only days that themselves have activity report (the
+    // explode also seeds phantom post-corpus days, which dau lacks)
+    dau.join(wau, "day_n")
+      .select(col("day_n"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
   /** Top-K three-step user journeys: the most common consecutive
     * (step1 → step2 → step3) event-type paths across all users — the
     * multi-step extension of [[eventsTransitions]] (which sees one hop)

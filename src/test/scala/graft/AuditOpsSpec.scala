@@ -227,6 +227,37 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("events_dau_wau: bounds and brute-force agreement on a sample day") {
+    import spark.implicits._
+    val out = Analytics2.eventsDauWau(spark, sfDir)
+    // DAU never exceeds WAU; stickiness in (0, 1]
+    assert(out.filter(col("dau") > col("wau")).isEmpty)
+    assert(out.filter(col("stickiness") <= 0 || col("stickiness") > 1).isEmpty)
+    // brute-force one day: WAU(day) = distinct users in [day-6, day]
+    val ev = Tables.events(spark, sfDir)
+      .select(datediff(col("ts").cast("date"),
+        lit("1990-01-01").cast("date")).cast("long").as("d"), col("user_id"))
+    val someDay = out.select("day_n").as[Long].collect().max
+    val brute = ev.filter(col("d") >= someDay - 6 && col("d") <= someDay)
+      .select("user_id").distinct().count()
+    val got = out.filter(col("day_n") === someDay)
+      .select("wau").as[Long].head()
+    assert(got === brute)
+  }
+
+  test("corpus_report: one row agreeing with independent drill-downs") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = TextOps.corpusReportQ(spark, sfDir).head()
+    assert(r.getLong(0) === docs.count())
+    assert(r.getLong(1) ===
+      graft.llm.Dedup.dedupExact(docs).count())
+    val passRate = TextOps.textGopher(docs, minWords = 8, minStop = 1)
+      .filter(col("gopher_pass")).count().toDouble / docs.count()
+    assert(math.abs(r.getDouble(7) - passRate) < 1e-4)
+    assert(r.getLong(5) ===
+      TextOps.textTokens(docs).agg(sum("ws_tokens")).head().getLong(0))
+  }
+
   test("events_paths: hand-worked journeys and windowing") {
     import spark.implicits._
     // user 1: a b a b  → triples (a,b,a), (b,a,b); user 2: a b a →
