@@ -69,6 +69,7 @@ object SparkEntry {
     "events_transitions" -> (Analytics2.eventsTransitions _),
     "events_paths" -> ((s, d) => Analytics2.eventsPaths(s, d)),
     "events_dau_wau" -> (Analytics2.eventsDauWau _),
+    "events_burst" -> (Analytics2.eventsBurst _),
     "events_rfm" -> (Analytics2.eventsRfm _),
     "events_seasonality" -> (Analytics2.eventsSeasonality _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     "corpus_temperature_sample" -> (TextOps.corpusTemperatureSampleQ _),
     "corpus_sample_fixed" -> (TextOps.corpusSampleFixedQ _),
+    "corpus_sample_stratified" -> (TextOps.corpusSampleStratifiedQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
     "corpus_split_shards" -> (graft.llm.Export.corpusSplitShardsQ _),
     // LLM-data-pipeline: dedup family (SURVEY §2C)
@@ -901,6 +903,39 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // hourly burst z vs the trailing 24 observed hours; mean/var from
+    // the window's INTEGER sums so both engines share the arithmetic
+    "events_burst" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT hour, event_type, n_events,
+        |    count(n_events) OVER w AS b_cnt,
+        |    sum(n_events) OVER w AS b_sum,
+        |    sum(n_events * n_events) OVER w AS b_sum2
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT hour, event_type, n_events, b_cnt,
+        |    CAST(b_sum AS DOUBLE) / b_cnt AS mean,
+        |    (CAST(b_sum2 AS DOUBLE) * b_cnt -
+        |     CAST(b_sum AS DOUBLE) * b_sum) /
+        |      (CAST(b_cnt AS DOUBLE) * b_cnt) AS var
+        |  FROM s)
+        |SELECT hour, event_type, n_events,
+        |  CASE WHEN b_cnt >= 12 THEN round(mean, 4) ELSE -1.0 END
+        |    AS baseline_mean,
+        |  CASE WHEN b_cnt >= 12
+        |       THEN round((n_events - mean) / greatest(sqrt(var), 1.0), 4)
+        |       ELSE 0.0 END AS z,
+        |  CASE WHEN b_cnt >= 12
+        |       THEN round((n_events - mean) / greatest(sqrt(var), 1.0), 4)
+        |            >= 3.0
+        |       ELSE FALSE END AS is_burst
+        |FROM z""".stripMargin,
     // DAU/WAU/stickiness: trailing-7-day distinct via the explode-to-
     // target-day trick (generate_series mirrors sequence); integer day
     // index, exact-int ratio 4dp; activity days only (inner join)
@@ -1297,6 +1332,17 @@ object SparkEntry {
          |    >> ${TextOps.SampleShift}) % 1000000 AS sample_key
          |FROM documents
          |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    // stratified fixed sample: bottom-50 of the hash order per lang
+    "corpus_sample_stratified" ->
+      s"""SELECT doc_id, lang, source, sample_key FROM (
+         |  SELECT doc_id, lang, source,
+         |    (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.FixedMultiplier})
+         |      >> ${TextOps.SampleShift}) % 1000000 AS sample_key,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.FixedMultiplier})
+         |        >> ${TextOps.SampleShift}) % 1000000, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 50""".stripMargin,
     // temperature upsampling: rate_bp = round(1e4·sqrt(n_max/n_l))
     // capped at 3 epochs — division and sqrt are correctly-rounded IEEE
     // ops, so both engines land the identical integer basis points;

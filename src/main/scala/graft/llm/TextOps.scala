@@ -1390,6 +1390,29 @@ object TextOps {
   def corpusSampleFixedQ(spark: SparkSession, dir: String): DataFrame =
     corpusSampleFixed(Tables.documents(spark, dir))
 
+  /** Deterministic STRATIFIED fixed-size sample: the `k` smallest
+    * (consistent-hash key, doc_id) docs of EVERY language — the
+    * balanced eval-set draw ("50 docs per language, same ones every
+    * run") that [[corpusSampleFixed]]'s global bottom-k can't give
+    * (it mirrors the corpus mix, so rare languages get ~0 rows).
+    * Same append-stability per stratum: growth within a language only
+    * replaces that language's members.
+    *
+    * Scale shape: [[graft.operators.GroupTopK]] over the hash order —
+    * Spark 4's WindowGroupLimit keeps a map-side partial bottom-k per
+    * partition BEFORE the exchange, so the shuffle carries ≤ P·k rows
+    * per stratum, never the corpus (plan-guarded inside GroupTopK's
+    * own spec). */
+  def corpusSampleStratified(docs: DataFrame, k: Int = 50): DataFrame =
+    graft.operators.GroupTopK.topK(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        fixedSampleKey.as("sample_key")),
+      Seq("lang"), Seq(col("sample_key").asc, col("doc_id").asc), k)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+
+  def corpusSampleStratifiedQ(spark: SparkSession, dir: String): DataFrame =
+    corpusSampleStratified(Tables.documents(spark, dir))
+
   /** Multiplier for [[tempBucket]] — must differ from
     * [[SampleMultiplier]] AND [[SplitMultiplier]] so temperature
     * replication decorrelates from both the sampler's kept set and the

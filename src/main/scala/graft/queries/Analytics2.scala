@@ -520,6 +520,50 @@ object Analytics2 {
         lit(0.0)).as("yoy_growth"))
   }
 
+  /** Hourly burst detection per event type: each (hour, type) cell
+    * z-scored against its own trailing 24 OBSERVED hours — the ops
+    * alarm ("error rate just spiked") complementing [[eventsAnomaly]]
+    * (per-user outliers) and `events_seasonality` (the static
+    * baseline). Burst = z ≥ 3 with ≥ 12 baseline hours (cold starts
+    * never alarm); the sd floors at 1.0 — the Poisson-ish floor for
+    * count data, without which a perfectly flat baseline makes ANY
+    * deviation infinitely surprising (zero variance) and a noisy ±1
+    * hour would alarm.
+    *
+    * Scale shape: ONE map-side-combined agg to the (hours × types)
+    * frame; the trailing window runs over THAT frame, partitioned by
+    * type. Determinism: mean and variance derive from the window's
+    * INTEGER sums (Σx, Σx², exact in doubles) via identical IEEE
+    * arithmetic on both engines — no Welford-vs-naive stddev
+    * divergence — and z rounds 4dp at the boundary anyway. */
+  def eventsBurst(spark: SparkSession, dir: String): DataFrame =
+    eventsBurstOn(Tables.events(spark, dir))
+
+  def eventsBurstOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    val withSums = hourly
+      .withColumn("b_cnt", count(col("n_events")).over(w))
+      .withColumn("b_sum", sum(col("n_events")).over(w))
+      .withColumn("b_sum2", sum(col("n_events") * col("n_events")).over(w))
+    val mean = col("b_sum").cast("double") / col("b_cnt")
+    val variance = (col("b_sum2").cast("double") * col("b_cnt") -
+      col("b_sum").cast("double") * col("b_sum")) /
+      (col("b_cnt").cast("double") * col("b_cnt"))
+    val z = when(col("b_cnt") >= 12,
+      round((col("n_events") - mean) /
+        greatest(sqrt(variance), lit(1.0)), 4)).otherwise(0.0)
+    withSums.select(col("hour"), col("event_type"), col("n_events"),
+      when(col("b_cnt") >= 12, round(mean, 4)).otherwise(-1.0)
+        .as("baseline_mean"),
+      z.as("z"),
+      (z >= 3.0).as("is_burst"))
+  }
+
   /** DAU / WAU / stickiness per day — the engagement triple every
     * product dashboard leads with (stickiness = DAU/WAU, the "how many
     * weekly users show up daily" ratio). WAU needs a trailing-7-day

@@ -227,6 +227,45 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("events_burst: planted spike flags, cold start and flat series never do") {
+    import spark.implicits._
+    // 30 flat hours of 10 events for type a, then one 100-event hour;
+    // type b stays flat throughout (the sd floor keeps flat+spike
+    // alarmable without making ±1 noise alarm)
+    val base = 1704067200L // 2024-01-01 00:00 UTC
+    val rows = (0 until 31).flatMap { h =>
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(base + h * 3600L))
+      val na = if (h == 30) 100 else 10
+      (0 until na).map(_ => (ts, "a")) ++ (0 until 10).map(_ => (ts, "b"))
+    }
+    val events = rows.toDF("ts", "event_type")
+    val out = Analytics2.eventsBurstOn(events)
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Boolean)]
+      .collect()
+    val bursts = out.filter(_._6)
+    // exactly one alarm: type a's spike hour (zero variance in the
+    // baseline never alarms, so the flat hours and type b are silent)
+    assert(bursts.length === 1)
+    assert(bursts.head._2 === "a" && bursts.head._3 === 100L)
+    // cold start: the first 12 hours carry the -1 sentinel baseline
+    assert(out.filter(_._4 === -1.0).nonEmpty)
+  }
+
+  test("corpus_sample_stratified: exactly k per language, deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.corpusSampleStratified(docs, k = 20)
+    val per = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langN = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    langN.foreach { case (l, n) => assert(per(l) === math.min(20L, n)) }
+    // two runs agree exactly
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = TextOps.corpusSampleStratified(docs, k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("events_dau_wau: bounds and brute-force agreement on a sample day") {
     import spark.implicits._
     val out = Analytics2.eventsDauWau(spark, sfDir)
