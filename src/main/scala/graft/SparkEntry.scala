@@ -172,6 +172,7 @@ object SparkEntry {
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "knn_pagerank" -> (Ann.knnPagerankQ _),
+    "embed_centroid_classify" -> (Ann.embedCentroidClassifyQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_ivf_balance" -> (Ann.ivfBalanceQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),

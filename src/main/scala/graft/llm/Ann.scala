@@ -1181,6 +1181,58 @@ object Ann {
     knnPagerank(Tables.embeddings(spark, dir))
   }
 
+  /** Nearest-centroid classification report: train per-label centroids
+    * on the SEED subset (vec_id ≡ 0 mod `seedMod`, the
+    * [[knnLabelProp]] "we hand-labeled 10%" convention), classify the
+    * REST by nearest centroid, and report the confusion matrix with
+    * per-(true, predicted) counts plus the overall holdout accuracy on
+    * every row — Rocchio/prototype classification, the cheapest
+    * supervised baseline an embedding space owes you before anything
+    * graph- or model-based ([[knnLabelProp]] is the transductive
+    * sibling; a LOW accuracy here with a high one there means classes
+    * are non-convex in the space). Seeds are excluded from the eval
+    * (train ≠ test).
+    *
+    * Scale shape: centroids = ONE map-side-combined agg over the seed
+    * subset to a |labels|×dim frame (collected — KBs); assignment is
+    * the map-side [[graft.functions.CentroidArgmax]] pass with the
+    * centroid matrix as one plan literal; the confusion matrix is ONE
+    * map-side-combined count to a ≤ |labels|² frame. The corpus never
+    * shuffles — only (true, pred) count partials move. */
+  def embedCentroidClassify(embeddings: DataFrame,
+                            seedMod: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val unit = unitVecs(embeddings)
+    val seeds = embeddings.filter(col("vec_id") % seedMod === 0)
+    val cents = unitVecs(seeds).join(
+        seeds.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(array((0 until 64).map(i =>
+        avg(element_at(col("v"), i + 1))): _*).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val labels = cents.map(_._1)
+    val matrix = cents.flatMap(_._2)
+    val holdout = embeddings.filter(col("vec_id") % seedMod =!= 0)
+      .select(col("vec_id"), col("label").as("label_true"))
+    val assigned = unit.join(holdout, "vec_id")
+      .withColumn("ci", graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), matrix.toIndexedSeq, labels.length))
+      .withColumn("label_pred",
+        element_at(typedLit(labels.toSeq), col("ci") + 1))
+    val confusion = assigned
+      .groupBy(col("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+    val acc = broadcast(confusion.agg(
+      round(sum(when(col("label_true") === col("label_pred"), col("n"))
+        .otherwise(0L)).cast("double") / sum(col("n")), 4).as("accuracy")))
+    confusion.crossJoin(acc)
+  }
+
+  def embedCentroidClassifyQ(spark: SparkSession, dir: String): DataFrame =
+    embedCentroidClassify(Tables.embeddings(spark, dir))
+
   // --- IVF (inverted-file) ANN ---
 
   /** IVF top-k: a k-means coarse quantizer partitions the corpus into

@@ -110,6 +110,37 @@ class KnnClusterSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("pr_nano") > floorU + 850000000L).isEmpty)
   }
 
+  test("embed_centroid_classify: separable clusters classify perfectly") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes, 64-d; seeds = ids % 10 == 0
+    def vec(axis: Int, i: Int) =
+      Array.tabulate(64)(d => if (d == axis) 1.0f else 0.001f * i)
+    val vecs = ((0 until 20).map(i => (i.toLong, vec(0, i), 0)) ++
+      (20 until 40).map(i => (i.toLong, vec(7, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.embedCentroidClassify(vecs)
+      .as[(Int, Int, Long, Double)].collect()
+    assert(out.forall(r => r._1 === r._2), out.mkString(","))
+    assert(out.forall(_._4 === 1.0))
+    // holdout only: 4 seeds excluded → 36 evaluated rows total
+    assert(out.map(_._3).sum === 36L)
+  }
+
+  test("embed_centroid_classify on the real corpus: closure and bounds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.embedCentroidClassifyQ(spark, sfDir)
+    val holdout = emb.filter(col("vec_id") % 10 =!= 0).count()
+    assert(out.agg(sum(col("n"))).head().getLong(0) === holdout)
+    val acc = out.select("accuracy").head().getDouble(0)
+    assert(acc >= 0.0 && acc <= 1.0)
+    // every predicted label is a label some seed carries
+    import spark.implicits._
+    val seedLabels = emb.filter(col("vec_id") % 10 === 0)
+      .select("label").distinct().as[Int].collect().toSet
+    val preds = out.select("label_pred").distinct().as[Int].collect().toSet
+    assert(preds.subsetOf(seedLabels))
+  }
+
   test("knn_quality_score: hand-worked neighborhood means at k=1") {
     import spark.implicits._
     // quality_score = min(n_tokens/64, 1) · (1 − punct/chars); all-alpha
