@@ -196,7 +196,8 @@ object SparkEntry {
     "media_audio" -> (Audio.mediaAudioQ _),
     "media_resample" -> (Audio.mediaResampleQ _),
     "media_video" -> (Video.mediaVideoQ _),
-    "media_frames" -> (Video.mediaFramesQ _)
+    "media_frames" -> (Video.mediaFramesQ _),
+    "media_report" -> (Video.mediaReportQ _)
   )
 
   /** Shared k-NN CTE chain (norms → all-pairs dots → cosine → top-5

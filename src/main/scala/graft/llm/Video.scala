@@ -291,4 +291,46 @@ object Video {
         round(col("motion"), 6).as("motion"),
         md5(to_json(expr("transform(grid, g -> round(g, 4))"))).as("grid_fp"))
   }
+
+  /** Cross-modality media health rollup: per (modality, format) —
+    * including each codec's `invalid` bucket — row counts, byte
+    * volume, and the decode success rate per modality. The one table
+    * an ingest operator reads to see WHICH pipeline is rotting (a
+    * rising image `invalid` share = a scraper handing us truncated
+    * files; audio fine, video fine ⇒ it's not the transport). Each
+    * modality pays its one batched `mapPartitions` decode pass (the
+    * codec boundary — features are computed anyway in a real pipeline;
+    * this reuses the same pass shape), then everything collapses
+    * map-side-combined to a ≤ (3 × formats)-row frame.
+    *
+    * Determinism: counts and byte sums are exact integers; the rate is
+    * an exact-int ratio rounded 4dp — but the media columns are
+    * deterministic synthetic payloads, so the whole report replays
+    * bit-identically. */
+  def mediaReport(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val img = Multimodal.extractFeatures(Multimodal.withMediaColumn(docs))
+      .toDF().select(lit("image").as("modality"), col("format"),
+        col("n_bytes").cast("long"))
+    val aud = Audio.extractFeatures(Audio.withAudioColumn(docs))
+      .toDF().select(lit("audio").as("modality"), col("format"),
+        col("n_bytes").cast("long"))
+    val vid = extractFeatures(withVideoColumn(docs))
+      .toDF().select(lit("video").as("modality"), col("format"),
+        col("n_bytes").cast("long"))
+    val cells = img.unionByName(aud).unionByName(vid)
+      .groupBy(col("modality"), col("format"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("total_bytes"))
+    val w = Window.partitionBy("modality")
+    cells.withColumn("decode_rate",
+      round(sum(when(col("format") =!= "invalid", col("n_files"))
+        .otherwise(0L)).over(w).cast("double") /
+        sum(col("n_files")).over(w), 4))
+  }
+
+  def mediaReportQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    mediaReport(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+  }
 }

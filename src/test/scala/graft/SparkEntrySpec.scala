@@ -27,7 +27,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "dedup_simhash", "dedup_embed", "dedup_semantic", "corpus_topic_terms",
       "dedup_semantic_incremental",
       "multimodal", "media_audio", "media_video", "media_resize",
-      "media_resample", "media_frames",
+      "media_resample", "media_frames", "media_report",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
       "sketch_events_users",

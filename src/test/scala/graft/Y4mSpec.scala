@@ -151,4 +151,21 @@ class Y4mSpec extends AnyFunSuite with SparkFixture {
     val out = Video.extractFeatures(bad).collect()
     assert(out.head.format === "invalid" && out.head.n_frames === 0)
   }
+
+  test("media_report: three modalities, conserving counts, clean rates") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = Video.mediaReportQ(spark, sfDir)
+    import spark.implicits._
+    val perModality = out.groupBy("modality")
+      .agg(sum(col("n_files")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(perModality.keySet === Set("image", "audio", "video"))
+    assert(perModality.values.forall(_ === n))
+    // the synthetic payloads all decode: rate 1.0, no invalid bucket
+    assert(out.filter(col("decode_rate") =!= 1.0).isEmpty)
+    assert(out.filter(col("format") === "invalid").isEmpty)
+    assert(out.filter(col("total_bytes") <= 0).isEmpty)
+  }
 }
