@@ -168,6 +168,7 @@ object SparkEntry {
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
+    "knn_coreset" -> (Ann.knnCoresetQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
@@ -1885,6 +1886,49 @@ object SparkEntry {
         |SELECT e.vec_id,
         |  least(coalesce(m.mb, e.vec_id), e.vec_id) AS cluster
         |FROM embeddings e LEFT JOIN minr m ON e.vec_id = m.a""".stripMargin,
+    // coreset: the cluster + pagerank oracles composed, top-1 per
+    // cluster by (pr DESC, vec_id)
+    "knn_coreset" -> {
+      val prIterCtes = (1 to 3).map { r =>
+        s"""p$r AS (
+           |  SELECT e.vec_id,
+           |    c.base_u + (85 * coalesce(m.mass, 0)) // 100 AS pr_nano
+           |  FROM embeddings e
+           |  LEFT JOIN (
+           |    SELECT mu.b AS vec_id, sum(p.pr_nano // d.deg) AS mass
+           |    FROM mutual2 mu
+           |    JOIN p${r - 1} p ON mu.a = p.vec_id
+           |    JOIN deg d ON mu.a = d.vec_id
+           |    GROUP BY 1) m USING (vec_id), c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $knnNnSql,
+         |mutual2 AS (
+         |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+         |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+         |reach(a, b) AS (SELECT a, b FROM mutual2
+         |                UNION
+         |                SELECT r.a, m.b FROM reach r
+         |                JOIN mutual2 m ON r.b = m.a WHERE m.b <> r.a),
+         |minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+         |cl AS (
+         |  SELECT e.vec_id,
+         |    least(coalesce(m.mb, e.vec_id), e.vec_id) AS cluster
+         |  FROM embeddings e LEFT JOIN minr m ON e.vec_id = m.a),
+         |deg AS (SELECT a AS vec_id, count(*) AS deg FROM mutual2 GROUP BY 1),
+         |c AS (SELECT count(*) AS n, 1000000000 // count(*) AS init_u,
+         |        (15 * (1000000000 // count(*))) // 100 AS base_u
+         |      FROM embeddings),
+         |p0 AS (SELECT vec_id, c.init_u AS pr_nano FROM embeddings, c),
+         |$prIterCtes,
+         |j AS (
+         |  SELECT cl.cluster, cl.vec_id, CAST(p3.pr_nano AS BIGINT) AS pr_nano,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY p3.pr_nano DESC, cl.vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster) AS cluster_size
+         |  FROM cl JOIN p3 ON cl.vec_id = p3.vec_id)
+         |SELECT cluster, vec_id AS representative, pr_nano, cluster_size
+         |FROM j WHERE rn = 1""".stripMargin
+    },
     // reverse-degree over the same graph; hub flag at in_degree >= 2k
     "knn_hubness" ->
       s"""WITH $knnNnSql,

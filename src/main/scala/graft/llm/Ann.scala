@@ -1181,6 +1181,41 @@ object Ann {
     knnPagerank(Tables.embeddings(spark, dir))
   }
 
+  /** Coreset selection over the mutual-kNN graph: ONE representative
+    * per [[knnCluster]] component — the member with the highest
+    * [[knnPagerank]] centrality (ties → smallest vec_id) — plus the
+    * cluster's size riding along. The "give me N diverse, typical
+    * examples" primitive (eval-seed picking, human-review sampling,
+    * kNN-dedup's keep-most-central alternative to keep-first): cluster
+    * membership supplies the diversity, centrality the typicality.
+    * Singleton clusters select themselves, so the coreset covers the
+    * whole corpus by construction.
+    *
+    * Pure composition — graph, components, and centrality are the
+    * already-bounded operators; the selection itself is one
+    * [[graft.operators.GroupTopK]] top-1 over the |corpus|-row
+    * (cluster, vec_id, pr) frame (WindowGroupLimit map-side bound)
+    * plus a map-side-combined size count. Everything downstream of the
+    * n·k graph build is dimension-or-corpus-slim, nothing quadratic is
+    * added. */
+  def knnCoreset(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val clusters = knnCluster(embeddings, k)
+    val pr = knnPagerank(embeddings, k)
+    val joined = clusters.join(pr, "vec_id")
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    graft.operators.GroupTopK.topK(joined, Seq("cluster"),
+        Seq(col("pr_nano").desc, col("vec_id").asc), 1)
+      .join(sizes, "cluster")
+      .select(col("cluster"), col("vec_id").as("representative"),
+        col("pr_nano"), col("cluster_size"))
+  }
+
+  def knnCoresetQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnCoreset(Tables.embeddings(spark, dir))
+  }
+
   /** Nearest-centroid classification report: train per-label centroids
     * on the SEED subset (vec_id ≡ 0 mod `seedMod`, the
     * [[knnLabelProp]] "we hand-labeled 10%" convention), classify the

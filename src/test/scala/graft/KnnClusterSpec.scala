@@ -110,6 +110,22 @@ class KnnClusterSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("pr_nano") > floorU + 850000000L).isEmpty)
   }
 
+  test("knn_coreset: centrality-ranked representative per cluster, full coverage") {
+    val out = Ann.knnCoreset(fixture, k = 1)
+      .as[(Long, Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+      .collect().map(r => r._1 -> r).toMap
+    // the H↔C cluster: both at the 200M fixed point — vec_id breaks the
+    // tie, H (=1) represents, size 2
+    assert(out(1L) === ((1L, 1L, 200000000L, 2L)))
+    // singletons represent themselves at the floor
+    assert(out(0L) === ((0L, 0L, 30000000L, 1L)))
+    assert(out(3L) === ((3L, 3L, 30000000L, 1L)))
+    assert(out(4L) === ((4L, 4L, 30000000L, 1L)))
+    // the coreset covers the corpus: sizes sum to n
+    assert(out.values.map(_._4).sum === 5L)
+  }
+
   test("embed_centroid_classify: separable clusters classify perfectly") {
     import spark.implicits._
     // two tight clusters on orthogonal axes, 64-d; seeds = ids % 10 == 0
