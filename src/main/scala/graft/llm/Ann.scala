@@ -984,6 +984,17 @@ object Ann {
   def knnCluster(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
       .persist() // both intersect sides — unpersisted after the probe
+    val res = knnClusterOn(embeddings, g)
+    g.unpersist()
+    res
+  }
+
+  /** [[knnCluster]] over a caller-supplied (vec_id, nbr_id) graph —
+    * the shared-graph form compositions like [[knnCoreset]] use so the
+    * quadratic build runs once. The graph MUST be persisted by the
+    * caller (componentLabels' probe re-scans it). */
+  private[graft] def knnClusterOn(embeddings: DataFrame,
+                                  g: DataFrame): DataFrame = {
     val mutual = g.intersect(
         g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .filter(col("vec_id") < col("nbr_id"))
@@ -997,9 +1008,7 @@ object Ann {
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster"))
-    val res = graft.Exec.materialize(out)
-    g.unpersist()
-    res
+    graft.Exec.materialize(out)
   }
 
   /** k-NN hubness report: each vector's REVERSE-neighbor count (how
@@ -1151,6 +1160,15 @@ object Ann {
   def knnPagerank(embeddings: DataFrame, k: Int = 5, iters: Int = 3): DataFrame = {
     val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
       .persist()
+    val res = knnPagerankOn(embeddings, g, iters)
+    g.unpersist()
+    res
+  }
+
+  /** [[knnPagerank]] over a caller-supplied persisted graph (the
+    * [[knnClusterOn]] sharing contract). */
+  private[graft] def knnPagerankOn(embeddings: DataFrame, g: DataFrame,
+                                   iters: Int = 3): DataFrame = {
     val edges = g.intersect(
       g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .persist()
@@ -1172,7 +1190,7 @@ object Ann {
             (lit(baseU) +
               expr("(85 * coalesce(in_mass, 0)) div 100")).as("pr_nano")))
     }
-    g.unpersist(); edges.unpersist()
+    edges.unpersist()
     pr
   }
 
@@ -1199,8 +1217,14 @@ object Ann {
     * n·k graph build is dimension-or-corpus-slim, nothing quadratic is
     * added. */
   def knnCoreset(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val clusters = knnCluster(embeddings, k)
-    val pr = knnPagerank(embeddings, k)
+    // ONE graph build shared by both consumers (the quadratic term —
+    // measured 3.3 s at sf0.1 when cluster and pagerank each built
+    // their own, ~2.0 s shared)
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist()
+    val clusters = knnClusterOn(embeddings, g)
+    val pr = knnPagerankOn(embeddings, g)
+    g.unpersist()
     val joined = clusters.join(pr, "vec_id")
     val sizes = clusters.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"))

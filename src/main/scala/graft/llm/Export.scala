@@ -89,6 +89,46 @@ object Export {
       .toDF("shard", "n_docs", "n_tokens", "checksum")
   }
 
+  /** [[exportShards]] in the wire format most trainers actually consume:
+    * gzip JSON-LINES shards (one JSON object per document, shard=K
+    * directory tree) with the SAME consistent-hash placement, writer
+    * fan-out, within-shard doc_id ordering, and manifest contract. A
+    * parquet shard is the better interchange format (typed, splittable,
+    * columnar); this exists because tokenizer/training stacks that read
+    * `.jsonl.gz` outnumber the ones that read parquet, and a hand-off
+    * format the trainer can't read is not a hand-off. Same one shuffle
+    * — only the sink encoder differs. */
+  def exportShardsJsonl(docs: DataFrame, outDir: String,
+                        nShards: Int = 8): DataFrame = {
+    require(nShards > 0 && nShards <= 1024, s"bad nShards=$nShards")
+    val spark = docs.sparkSession
+    val sharded = docs
+      .withColumn("shard", shardCol(nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+    val ntok = size(TextOps.tokens(col("text")))
+    val aggs = (0 until nShards).flatMap { k =>
+      val in = col("shard") === k
+      Seq(count(when(in, 1)).as(s"d$k"),
+        sum(when(in, ntok)).as(s"t$k"),
+        bit_xor(when(in, contentHash)).as(s"c$k"))
+    }
+    val obs = Observation("export_shards_jsonl")
+    sharded.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(outDir)
+    val row = scala.util.Try(obs.get).getOrElse(Map.empty[String, Any])
+    def long(k: String): Long = row.get(k) match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    import spark.implicits._
+    (0 until nShards)
+      .map(k => (k.toLong, long(s"d$k"), long(s"t$k"), long(s"c$k")))
+      .filter(_._2 > 0)
+      .toDF("shard", "n_docs", "n_tokens", "checksum")
+  }
+
   /** Split-aware export — the complete trainer hand-off: the corpus
     * lands as a `split=train|val|test / shard=K` directory tree and the
     * trainer mounts each split's shard set directly. Destination comes

@@ -125,4 +125,27 @@ class ExportSpec extends AnyFunSuite with SparkFixture {
     assert(movedShards === Set(shard3),
       s"tampering doc 3 (shard $shard3) moved checksums of $movedShards")
   }
+
+  test("jsonl export: same placement and manifest as parquet, round trips") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val pqDir = tmpDir("shards_pq_")
+    val jlDir = tmpDir("shards_jl_")
+    val mPq = Export.exportShards(docs, pqDir, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val mJl = Export.exportShardsJsonl(docs, jlDir, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // identical manifests: same consistent-hash placement, same totals,
+    // same keyed checksums — only the sink encoder differs
+    assert(mJl === mPq)
+    // the jsonl tree is gzip .json files that round-trip to the corpus
+    val files = new java.io.File(jlDir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty)
+    val back = spark.read.json(jlDir)
+      .select("doc_id", "text", "lang", "source")
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }
