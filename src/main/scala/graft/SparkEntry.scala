@@ -96,6 +96,7 @@ object SparkEntry {
     "text_lang_confusion" -> (TextOps.textLangConfusionQ _),
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
+    "text_unicode_audit" -> (TextOps.textUnicodeAuditQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     "decontaminate_report" -> (TextOps.decontaminateReportQ _),
     "dsir_score" -> (TextOps.dsirScoreQ _),
@@ -1309,6 +1310,21 @@ object SparkEntry {
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE (((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier})
          |       >> ${TextOps.SampleShift}) % 1000 < permille""".stripMargin,
+    // unicode hygiene: \x{...} escapes read identically by Java regex
+    // and RE2, so the same pattern strings drive both engines
+    "text_unicode_audit" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextOps.ReplacementPattern}'))
+         |    AS n_replacement,
+         |  len(regexp_extract_all(text, '${TextOps.ZeroWidthPattern}'))
+         |    AS n_zero_width,
+         |  len(regexp_extract_all(text, '${TextOps.ControlPattern}'))
+         |    AS n_control,
+         |  len(regexp_extract_all(text, '${TextOps.ReplacementPattern}')) +
+         |  len(regexp_extract_all(text, '${TextOps.ZeroWidthPattern}')) +
+         |  len(regexp_extract_all(text, '${TextOps.ControlPattern}')) = 0
+         |    AS is_clean
+         |FROM documents""".stripMargin,
     // one-row corpus health summary: exact ints + exact-int ratios 4dp
     "corpus_report" ->
       s"""WITH g AS (SELECT doc_id, gopher_pass FROM ($gopherOracleSql) x),

@@ -289,9 +289,50 @@ object Dedup {
     * doubly (a viral shingle pairs across tables); run boilerplate
     * removal first at scale. */
   def linkJaccard(left: DataFrame, right: DataFrame,
-                  tau: Double = 0.5, n: Int = 3): DataFrame = {
-    val shL = withShingleCount(shingleHashes(left, n))
-    val shR = withShingleCount(shingleHashes(right, n))
+                  tau: Double = 0.5, n: Int = 3,
+                  collapseThreshold: Double = 0.95): DataFrame = {
+    // the adaptiveShinglePairs gate, across both sides: duplicate-heavy
+    // inputs (two vintages of the same corpus — the COMMON linkage
+    // case) pay quadratic bucket work per duplicate class uncollapsed
+    // (measured on the 90%-duplicate 10× smoke: 144 s direct vs 11.6 s
+    // collapsed, LinkProfile); collapse each side to exact-text
+    // classes, score REPRESENTATIVES, expand rep pairs to member pairs
+    val both = left.select(col("text"))
+      .unionByName(right.select(col("text")))
+    val gate = both.agg(count(lit(1)).as("n"),
+      approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
+    if (gate.getLong(1) >= gate.getLong(0) * collapseThreshold)
+      return linkPairs(
+        withShingleCount(shingleHashes(left, n)),
+        withShingleCount(shingleHashes(right, n)), tau)
+    def classes(df: DataFrame) = df
+      .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
+      .groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    val (clL, clR) = (classes(left).persist(), classes(right).persist())
+    // identical texts across the two sides fall out of the index itself
+    // (all shingles shared → jaccard exactly 1.0) — no special case
+    val repPairs = linkPairs(
+      withShingleCount(shingleHashes(clL, n)),
+      withShingleCount(shingleHashes(clR, n)), tau)
+    val memL = clL.join(left.select(col("doc_id"), md5(col("text")).as("tkey"))
+        .withColumnRenamed("doc_id", "member_l"),
+      Seq("tkey")).select(col("doc_id").as("left_id"), col("member_l"))
+    val memR = clR.join(right.select(col("doc_id"), md5(col("text")).as("tkey"))
+        .withColumnRenamed("doc_id", "member_r"),
+      Seq("tkey")).select(col("doc_id").as("right_id"), col("member_r"))
+    val out = graft.Exec.materialize(repPairs
+      .join(memL, "left_id").join(memR, "right_id")
+      .select(col("member_l").as("left_id"), col("member_r").as("right_id"),
+        col("jaccard")))
+    clL.unpersist(); clR.unpersist()
+    out
+  }
+
+  /** The cross-table inverted-index scoring of [[linkJaccard]] over
+    * shingle rows with per-doc counts. */
+  private def linkPairs(shL: DataFrame, shR: DataFrame,
+                        tau: Double): DataFrame =
     shL.as("a")
       .join(shR.as("b"), col("a.sh_h") === col("b.sh_h"))
       .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
@@ -301,7 +342,6 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
-  }
 
   /** Driver entry: link the even-id half of the corpus against the odd
     * half at τ=0.5 — the dedup_eval split convention, so exact-dup

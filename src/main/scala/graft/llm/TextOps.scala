@@ -1309,6 +1309,39 @@ object TextOps {
   def corpusRebalanceQ(spark: SparkSession, dir: String): DataFrame =
     corpusRebalance(Tables.documents(spark, dir))
 
+  /** Unicode hygiene audit per document — the encoding-corruption
+    * screen text filters built on visible characters cannot see:
+    *  - U+FFFD replacement chars: the mojibake signature of a bad
+    *    transcode somewhere upstream — the DOC isn't bad, the
+    *    EXTRACTION is; route to re-fetch, not to the filter;
+    *  - zero-width characters (ZWSP/ZWNJ/ZWJ/word-joiner/BOM): the
+    *    invisible-payload & text-watermark vector, and a tokenizer
+    *    saboteur (identical-looking strings, different tokens);
+    *  - C0/C1 control characters (tab/newline/CR excluded): binary
+    *    junk masquerading as text.
+    * `is_clean` gates on all three. Pure map-side projection fused
+    * into the scan, zero shuffle; patterns use `\x{...}` escapes,
+    * which Java regex and RE2 read identically — no raw control bytes
+    * ride the plan or the oracle SQL. */
+  def textUnicodeAudit(docs: DataFrame): DataFrame = {
+    def cnt(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    val repl = cnt(ReplacementPattern)
+    val zw = cnt(ZeroWidthPattern)
+    val ctl = cnt(ControlPattern)
+    docs.select(col("doc_id"),
+      repl.as("n_replacement"), zw.as("n_zero_width"), ctl.as("n_control"),
+      (repl + zw + ctl === 0).as("is_clean"))
+  }
+
+  val ReplacementPattern = "\\x{FFFD}"
+  val ZeroWidthPattern = "[\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
+  val ControlPattern =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"
+
+  def textUnicodeAuditQ(spark: SparkSession, dir: String): DataFrame =
+    textUnicodeAudit(Tables.documents(spark, dir))
+
   /** One-row corpus health report — the headline numbers a pipeline
     * team reads before anything else: corpus size, exact distinct
     * content count and the implied duplicate ratio, language/source

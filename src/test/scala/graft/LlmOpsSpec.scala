@@ -1306,6 +1306,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Set((0L, 1L, 1.0), (2L, 1L, 1.0)))
   }
 
+  test("link_jaccard collapse and direct paths produce identical pair sets") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val (l, r) = (d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("left_id"), col("right_id"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    // force each path regardless of the corpus' duplicate mass
+    val direct = norm(graft.llm.Dedup.linkJaccard(l, r, collapseThreshold = 0.0))
+    val collapsed = norm(graft.llm.Dedup.linkJaccard(l, r, collapseThreshold = 1.01))
+    assert(direct === collapsed && direct.nonEmpty)
+  }
+
   test("link_jaccard equals self-join jaccard restricted to cross-parity pairs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

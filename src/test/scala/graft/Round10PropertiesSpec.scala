@@ -402,6 +402,24 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(extra === expected)
   }
 
+  test("text_unicode_audit: planted mojibake, invisibles and controls; tabs stay clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "clean normal text"),
+      (1L, "bad � transcode � here"),
+      (2L, "invisible​water‍mark﻿ end"),
+      (3L, "ctlcharshere"),
+      (4L, "tabs\tand\nnewlines are fine\r")
+    ).toDF("doc_id", "text")
+    val out = TextOps.textUnicodeAudit(docs)
+      .as[(Long, Int, Int, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 0, 0, 0, true)))
+    assert(out(1L) === ((1L, 2, 0, 0, false)))
+    assert(out(2L) === ((2L, 0, 3, 0, false)))
+    assert(out(3L) === ((3L, 0, 0, 2, false)))
+    assert(out(4L) === ((4L, 0, 0, 0, true)))
+  }
+
   test("corpus_sample_fixed: exact size, determinism, bottom-k append stability") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

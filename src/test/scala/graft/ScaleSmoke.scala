@@ -294,6 +294,9 @@ object ScaleSmoke {
       Ann.knnQualityScore(docs10.filter(col("doc_id") < 2000000L),
         emb10.filter(col("vec_id") < 2000000L))
         .write.format("noop").mode("overwrite").save())
+    t("knn_coreset 10k vecs (one shared graph build)")(
+      Ann.knnCoreset(emb10.filter(col("vec_id") < 2000000L))
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
