@@ -213,4 +213,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(planString(pruned).contains("PartitionFilters: [part_bucket"),
       "bucket filter not applied as a partition filter")
   }
+
+  test("text_unicode_audit is a shuffle-free projection of a pruned scan") {
+    val p = planString(
+      graft.llm.TextOps.textUnicodeAudit(Tables.documents(spark, sfDir)))
+    assert(!p.contains("Exchange"), "unicode audit must not shuffle")
+    val readSchemas = "ReadSchema: struct<([^>]*)>?".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(_.split(",").length <= 2),
+      s"audit scan reads more than (doc_id, text): $readSchemas")
+  }
+
+  test("filter_agreement and corpus_report: one aggregation, no wide shuffle") {
+    import org.apache.spark.sql.functions._
+    val fa = planString(graft.llm.TextOps.filterAgreementQ(spark, sfDir))
+    // the only exchanges allowed are the single-partition collapse of
+    // the 1-row counter aggregate — never a hashpartitioning of docs
+    assert(!fa.contains("Exchange hashpartitioning"),
+      s"filter_agreement shuffled the corpus:\n$fa")
+    val cr = planString(graft.llm.TextOps.corpusReportQ(spark, sfDir))
+    // corpus_report's count-distincts expand + re-aggregate: at most
+    // the expand exchange and the final single-partition collapse —
+    // hash/lang/source tuples on the wire, slim by construction
+    val nEx = "Exchange".r.findAllMatchIn(cr).length
+    assert(nEx <= 3, s"corpus_report grew extra exchanges ($nEx):\n$cr")
+  }
 }
