@@ -70,6 +70,7 @@ object SparkEntry {
     "events_paths" -> ((s, d) => Analytics2.eventsPaths(s, d)),
     "events_dau_wau" -> (Analytics2.eventsDauWau _),
     "events_burst" -> (Analytics2.eventsBurst _),
+    "q_basket_pairs" -> ((s, d) => Analytics2.qBasketPairs(s, d)),
     "events_rfm" -> (Analytics2.eventsRfm _),
     "events_seasonality" -> (Analytics2.eventsSeasonality _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_unicode_audit" -> (TextOps.textUnicodeAuditQ _),
+    "text_script_profile" -> (TextOps.textScriptProfileQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     "decontaminate_report" -> (TextOps.decontaminateReportQ _),
     "dsir_score" -> (TextOps.dsirScoreQ _),
@@ -907,6 +909,22 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // market-basket lift over within-order part pairs; exact counts,
+    // lift 4dp before the total-order rank, min-support 3
+    "q_basket_pairs" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_both
+        |      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |m AS (SELECT pk, count(*) AS n FROM l GROUP BY 1),
+        |t AS (SELECT count(DISTINCT ok) AS n_orders FROM l)
+        |SELECT part_a, part_b, n_both,
+        |  round(CAST(n_both AS DOUBLE) * t.n_orders /
+        |    (CAST(ma.n AS DOUBLE) * mb.n), 4) AS lift
+        |FROM p JOIN m ma ON p.part_a = ma.pk
+        |       JOIN m mb ON p.part_b = mb.pk, t
+        |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin,
     // hourly burst z vs the trailing 24 observed hours; mean/var from
     // the window's INTEGER sums so both engines share the arithmetic
     "events_burst" ->
@@ -1325,6 +1343,30 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${TextOps.ControlPattern}')) = 0
          |    AS is_clean
          |FROM documents""".stripMargin,
+    // script-mix profile: the same \x{...} cross-engine pattern rule;
+    // share = exact-int ratio 4dp, zero-letter docs at 0.0/flagged
+    "text_script_profile" -> {
+      def c(p: String) = s"len(regexp_extract_all(text, '$p'))"
+      val (l, k, y, a) = (c(TextOps.LatinPattern), c(TextOps.CjkPattern),
+        c(TextOps.CyrillicPattern), c(TextOps.ArabicPattern))
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST($l AS BIGINT) AS n_latin, CAST($k AS BIGINT) AS n_cjk,
+         |    CAST($y AS BIGINT) AS n_cyrillic, CAST($a AS BIGINT) AS n_arabic
+         |  FROM documents)
+         |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+         |  CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic = 0 THEN 0.0
+         |       ELSE round(CAST(greatest(n_latin, n_cjk, n_cyrillic,
+         |         n_arabic) AS DOUBLE) /
+         |         (n_latin + n_cjk + n_cyrillic + n_arabic), 4)
+         |  END AS dom_share,
+         |  CASE WHEN n_latin + n_cjk + n_cyrillic + n_arabic = 0 THEN 0.0
+         |       ELSE round(CAST(greatest(n_latin, n_cjk, n_cyrillic,
+         |         n_arabic) AS DOUBLE) /
+         |         (n_latin + n_cjk + n_cyrillic + n_arabic), 4)
+         |  END < 0.9 AS mixed_script
+         |FROM m""".stripMargin
+    },
     // one-row corpus health summary: exact ints + exact-int ratios 4dp
     "corpus_report" ->
       s"""WITH g AS (SELECT doc_id, gopher_pass FROM ($gopherOracleSql) x),

@@ -1334,6 +1334,48 @@ object TextOps {
       (repl + zw + ctl === 0).as("is_clean"))
   }
 
+  /** Script-mix profile per document: counts of Latin / CJK / Cyrillic /
+    * Arabic letters, the dominant script's share of all letters, and a
+    * `mixed_script` flag when no script reaches `domThresh` of the
+    * letter mass — the homoglyph-spoofing and code-switching screen
+    * that complements [[textLangid]] (which assumes ONE script family)
+    * and [[textLangConfusion]] (which audits the LABEL, not the
+    * bytes). A "Latin" doc with a Cyrillic 'о' planted in URLs is
+    * invisible to word-level language ID and flagrant here.
+    *
+    * Pure map-side regex counts fused into the scan ([[textUnicodeAudit]]'s
+    * contract — `\x{...}` ranges read identically by Java regex and
+    * RE2); share is an exact-int ratio rounded 4dp; all-zero docs
+    * (no letters at all) land share 0.0 and flag true. */
+  def textScriptProfile(docs: DataFrame,
+                        domThresh: Double = 0.9): DataFrame = {
+    def cnt(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    val lat = cnt(LatinPattern)
+    val cjk = cnt(CjkPattern)
+    val cyr = cnt(CyrillicPattern)
+    val ara = cnt(ArabicPattern)
+    val tot = col("n_latin") + col("n_cjk") + col("n_cyrillic") + col("n_arabic")
+    val dom = greatest(col("n_latin"), col("n_cjk"), col("n_cyrillic"),
+      col("n_arabic"))
+    docs.select(col("doc_id"), lat.as("n_latin"), cjk.as("n_cjk"),
+        cyr.as("n_cyrillic"), ara.as("n_arabic"))
+      .withColumn("dom_share",
+        when(tot === 0, 0.0)
+          .otherwise(round(dom.cast("double") / tot, 4)))
+      .withColumn("mixed_script", col("dom_share") < domThresh)
+  }
+
+  // Latin-1 letter ranges exclude U+00D7 (×) and U+00F7 (÷)
+  val LatinPattern =
+    "[A-Za-z\\x{C0}-\\x{D6}\\x{D8}-\\x{F6}\\x{F8}-\\x{FF}\\x{100}-\\x{17F}]"
+  val CjkPattern = "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"
+  val CyrillicPattern = "[\\x{400}-\\x{4FF}]"
+  val ArabicPattern = "[\\x{600}-\\x{6FF}]"
+
+  def textScriptProfileQ(spark: SparkSession, dir: String): DataFrame =
+    textScriptProfile(Tables.documents(spark, dir))
+
   val ReplacementPattern = "\\x{FFFD}"
   val ZeroWidthPattern = "[\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
   val ControlPattern =

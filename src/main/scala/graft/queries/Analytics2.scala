@@ -520,6 +520,46 @@ object Analytics2 {
         lit(0.0)).as("yoy_growth"))
   }
 
+  /** Market-basket part pairs: the top-K (part_a, part_b) combinations
+    * by LIFT — P(a,b) / (P(a)·P(b)) over orders — the bought-together
+    * signal behind recommendations and assortment planning, restricted
+    * to pairs seen ≥ `minOrders` times (lift's low-support pathology,
+    * the text_collocations minCount rule). Pair generation is a
+    * within-order self-join — orders average ~4 lines, so pair volume
+    * is ~6× orders, never quadratic in lineitem — followed by ONE
+    * map-side-combined pair count; part marginals and the order total
+    * are dimension-sized frames joined back (AQE broadcast). Lift =
+    * exact integer counts through identical IEEE division, rounded
+    * 4dp BEFORE the (lift, part_a, part_b) total-order ranking. */
+  def qBasketPairs(spark: SparkSession, dir: String, topK: Int = 50,
+                   minOrders: Long = 3): DataFrame =
+    qBasketPairsOn(Tables.lineitem(spark, dir), topK, minOrders)
+
+  def qBasketPairsOn(lineitem: DataFrame, topK: Int = 50,
+                     minOrders: Long = 3): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = lines.as("a")
+      .join(lines.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minOrders)
+    val marg = lines.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val total = broadcast(lines.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    pairs
+      .join(marg.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
+      .join(marg.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
+      .crossJoin(total)
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("na").cast("double") * col("nb")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** Hourly burst detection per event type: each (hour, type) cell
     * z-scored against its own trailing 24 OBSERVED hours — the ops
     * alarm ("error rate just spiked") complementing [[eventsAnomaly]]

@@ -227,6 +227,50 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("q_basket_pairs: hand-worked lift on a planted basket fixture") {
+    import spark.implicits._
+    // 6 orders: parts (1,2) together in 3, part 3 everywhere (lift ~1
+    // with anything), part 4 alone once
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L),
+      (4L, 3L), (4L, 4L),
+      (5L, 3L), (6L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Analytics2.qBasketPairsOn(rows, topK = 10, minOrders = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // lift(1,2) = P(both)/(P(1)P(2)) = (3/6)/((3/6)(3/6)) = 2.0
+    assert(out((1L, 2L))._3 === 3L && out((1L, 2L))._4 === 2.0)
+    // (1,3) and (2,3): (3/6)/((3/6)(6/6)) = 1.0 — no signal
+    assert(out((1L, 3L))._4 === 1.0 && out((2L, 3L))._4 === 1.0)
+    // min-support: no other pair reaches 3 orders
+    assert(out.size === 3)
+  }
+
+  test("text_script_profile: planted scripts, mixed flag, zero-letter doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "pure latin words only here"),
+      (1L, "привет мир"),                        // pure cyrillic
+      (2L, "password with а planted"),            // latin + 1 cyrillic а
+      (3L, "123 456 !!!")                         // no letters at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.textScriptProfile(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._6 === 1.0 && !out(0L)._7)
+    assert(out(1L)._4 === 9L && out(1L)._6 === 1.0 && !out(1L)._7)
+    // 20 latin letters + 1 cyrillic homoglyph → share 20/21 < 0.96 is
+    // still above 0.9 — construct the flagged case explicitly
+    assert(out(2L)._4 === 1L && out(2L)._2 === 19L)
+    val flagged = TextOps.textScriptProfile(
+      Seq((9L, "abc где")).toDF("doc_id", "text")).head()
+    assert(flagged.getBoolean(6), "3+3 split must flag mixed_script")
+    assert(out(3L)._6 === 0.0 && out(3L)._7)
+  }
+
   test("events_burst: planted spike flags, cold start and flat series never do") {
     import spark.implicits._
     // 30 flat hours of 10 events for type a, then one 100-event hour;
