@@ -71,6 +71,7 @@ object SparkEntry {
     "events_dau_wau" -> (Analytics2.eventsDauWau _),
     "events_burst" -> (Analytics2.eventsBurst _),
     "q_basket_pairs" -> ((s, d) => Analytics2.qBasketPairs(s, d)),
+    "q_revenue_concentration" -> (Analytics2.qRevenueConcentration _),
     "events_rfm" -> (Analytics2.eventsRfm _),
     "events_seasonality" -> (Analytics2.eventsSeasonality _),
     "q_running_total" -> (Analytics2.qRunningTotal _),
@@ -909,6 +910,27 @@ object SparkEntry {
         |                       CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
         |FROM d""".stripMargin,
+    // Pareto deciles by ntile over (rev DESC, custkey) — total order,
+    // exact DECIMAL sums, shares 4dp, cum over the 10-row frame
+    "q_revenue_concentration" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, rev,
+        |        ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        |      FROM pc),
+        |d AS (SELECT decile, count(*) AS n_customers,
+        |        sum(rev) AS rev_dec FROM r GROUP BY 1),
+        |t AS (SELECT sum(rev_dec) AS tot FROM d)
+        |SELECT decile, n_customers,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  round(CAST(rev_dec AS DOUBLE) / CAST(tot AS DOUBLE), 4)
+        |    AS rev_share,
+        |  round(CAST(sum(rev_dec) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(tot AS DOUBLE), 4) AS cum_share
+        |FROM d, t""".stripMargin,
     // market-basket lift over within-order part pairs; exact counts,
     // lift 4dp before the total-order rank, min-support 3
     "q_basket_pairs" ->

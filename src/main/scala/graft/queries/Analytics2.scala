@@ -520,6 +520,42 @@ object Analytics2 {
         lit(0.0)).as("yoy_growth"))
   }
 
+  /** Revenue-concentration (Pareto) report: per customer-revenue
+    * DECILE, customer count, exact-DECIMAL revenue, revenue share, and
+    * the cumulative share from the top — "the top 10% of customers
+    * carry X% of revenue", the concentration curve behind every
+    * key-account and risk dashboard (and the business twin of
+    * [[graft.operators.SkewProfile]]'s engineering view: the same
+    * heavy keys, priced). Deciles by `ntile(10)` over (revenue DESC,
+    * custkey) — a total order, so bucket boundaries replay exactly.
+    *
+    * The global window runs over the |customers| frame after ONE
+    * map-side-combined agg — entity-dimension-sized at any corpus
+    * scale (the events_rfm argument); shares divide exact DECIMAL
+    * sums as DOUBLE, rounded 4dp; the cumulative share windows over
+    * the 10-row decile frame. */
+  def qRevenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Money._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val ranked = perCust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+    val deciles = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_dec"))
+    val total = broadcast(deciles.agg(sum(col("rev_dec")).as("tot")))
+    deciles.crossJoin(total)
+      .select(col("decile"), col("n_customers"),
+        asDouble(col("rev_dec")).as("revenue"),
+        round(asDouble(col("rev_dec")) / asDouble(col("tot")), 4)
+          .as("rev_share"),
+        round(asDouble(sum(col("rev_dec")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, 0))) /
+          asDouble(col("tot")), 4).as("cum_share"))
+  }
+
   /** Market-basket part pairs: the top-K (part_a, part_b) combinations
     * by LIFT — P(a,b) / (P(a)·P(b)) over orders — the bought-together
     * signal behind recommendations and assortment planning, restricted

@@ -227,6 +227,22 @@ class AuditOpsSpec extends AnyFunSuite with SparkFixture {
     assert(audit.filter(col("n_sat") > 8).isEmpty)
   }
 
+  test("q_revenue_concentration: monotone deciles, closure, top-heavy") {
+    val out = Analytics2.qRevenueConcentration(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(out.length === 10)
+    val shares = out.map(_.getDouble(3))
+    // deciles are revenue-ordered: share non-increasing from the top
+    assert(shares.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(math.abs(shares.sum - 1.0) < 1e-2)
+    assert(math.abs(out.last.getDouble(4) - 1.0) < 1e-3)
+    // concentration exists: the top decile outweighs a uniform share
+    assert(shares.head > 0.1)
+    // customer counts balance within ntile's ±1 contract
+    val counts = out.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1)
+  }
+
   test("q_basket_pairs: hand-worked lift on a planted basket fixture") {
     import spark.implicits._
     // 6 orders: parts (1,2) together in 3, part 3 everywhere (lift ~1
