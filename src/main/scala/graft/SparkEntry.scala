@@ -131,6 +131,7 @@ object SparkEntry {
     "corpus_refine" -> (TextOps.corpusRefineQ _),
     "corpus_refine_learned" -> (TextOps.corpusRefineLearnedQ _),
     "corpus_diff" -> (TextOps.corpusDiffQ _),
+    "corpus_diff_report" -> (TextOps.corpusDiffReportQ _),
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     "corpus_temperature_sample" -> (TextOps.corpusTemperatureSampleQ _),
     "corpus_sample_fixed" -> (TextOps.corpusSampleFixedQ _),
@@ -821,6 +822,35 @@ object SparkEntry {
         |       WHEN prev.h <> nxt.h THEN 'changed' END AS status
         |FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id
         |WHERE prev.h IS NULL OR nxt.h IS NULL OR prev.h <> nxt.h""".stripMargin,
+    // the diff rolled to (status, lang) with token deltas; tokens from
+    // the side that defines the change (new for added/changed, old for
+    // removed); exact integers only
+    "corpus_diff_report" ->
+      s"""WITH prev AS (
+         |  SELECT doc_id, md5(text) AS h, lang, len($tokSql) AS t
+         |  FROM documents),
+         |nxt AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h,
+         |    lang,
+         |    len(${tokSqlOf(
+              "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")}) AS t
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, md5(text), lang, len($tokSql)
+         |  FROM documents WHERE doc_id < 10),
+         |j AS (
+         |  SELECT
+         |    CASE WHEN p.h IS NULL THEN 'added'
+         |         WHEN n.h IS NULL THEN 'removed'
+         |         WHEN p.h <> n.h THEN 'changed' END AS status,
+         |    coalesce(n.lang, p.lang) AS lang,
+         |    CASE WHEN p.h IS NULL OR p.h <> n.h THEN n.t ELSE p.t END AS t
+         |  FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
+         |  WHERE p.h IS NULL OR n.h IS NULL OR p.h <> n.h)
+         |SELECT status, lang, count(*) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens
+         |FROM j GROUP BY 1, 2""".stripMargin,
     "q_top_customers" ->
       """SELECT c_custkey, c_name, n_orders, total_spent FROM (
         |  SELECT o_custkey, count(*) AS n_orders,

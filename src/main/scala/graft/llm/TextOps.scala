@@ -1572,6 +1572,50 @@ object TextOps {
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
 
+  /** The dataset-refresh RELEASE NOTES: [[corpusDiff]]'s per-doc rows
+    * rolled to (status, lang) — doc and token deltas per language,
+    * tokens counted on the side that defines the change (added/changed
+    * → the NEW text, removed → the OLD) — the summary a dataset
+    * publisher ships with a refresh and the first thing a consumer
+    * reads ("did my language lose mass?"). Unchanged docs contribute
+    * nothing, so the report is churn-sized.
+    *
+    * One co-partitioned full-outer id join (the corpusDiff shape with
+    * lang + token counts riding the 40-byte side rows), ONE
+    * map-side-combined rollup. Exact integers only. */
+  def corpusDiffReport(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(df: DataFrame, sfx: String) = df.select(
+      col("doc_id"), md5(col("text")).as(s"h_$sfx"),
+      col("lang").as(s"lang_$sfx"),
+      size(tokens(col("text"))).cast("long").as(s"t_$sfx"))
+    side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("lang_new"), col("lang_old")).as("lang"),
+        when(col("h_old").isNull || col("h_old") =!= col("h_new"),
+          col("t_new")).otherwise(col("t_old")).as("n_toks"))
+      .filter(col("status") =!= "unchanged")
+      .groupBy(col("status"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** Driver entry: the corpusDiffQ synthetic "next release", rolled up. */
+  def corpusDiffReportQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "lang")
+    val next = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    corpusDiffReport(docs, next)
+  }
+
   /** Driver query: a synthetic "next release" derived deterministically
     * from `documents` — every 7th doc dropped, every 5th doc's text
     * edited, 10 re-keyed copies appended — diffed against the original. */
