@@ -238,4 +238,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val nEx = "Exchange".r.findAllMatchIn(cr).length
     assert(nEx <= 3, s"corpus_report grew extra exchanges ($nEx):\n$cr")
   }
+
+  test("q_basket_pairs: within-order pair join is a hash/merge equi-join, never looped") {
+    val p = planString(graft.queries.Analytics2.qBasketPairs(spark, sfDir))
+    // the a.ok = b.ok equi-key carries the PAIR join; a.pk < b.pk is a
+    // post-join condition — a raw pair predicate would nested-loop.
+    // Exactly ONE BroadcastNestedLoopJoin is allowed: the 1-row order-
+    // total crossJoin (the q11 scalar-broadcast convention).
+    assert(!p.contains("CartesianProduct"), s"cartesian in basket:\n$p")
+    val nLoops = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).length
+    assert(nLoops <= 1, s"basket pair generation planned loop joins:\n$p")
+  }
 }

@@ -402,6 +402,60 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(extra === expected)
   }
 
+  test("q_basket_pairs equals a plain-Scala basket count on random orders") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    // 80 orders, 1-5 distinct parts each from a 12-part catalog
+    val baskets = (1L to 80L).map { ok =>
+      ok -> rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(5))
+    }
+    val rows = baskets.flatMap { case (ok, ps) => ps.map(p => (ok, p)) }
+    val df = rows.toDF("l_orderkey", "l_partkey")
+    // reference: exact pair/marginal counts, lift via the same rounding
+    val nOrders = baskets.size.toDouble
+    val marg = rows.groupBy(_._2).map { case (p, xs) => p -> xs.size }
+    val pairCnt = baskets.flatMap { case (_, ps) =>
+      val s = ps.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).map { case (pr, xs) => pr -> xs.size.toLong }
+      .filter(_._2 >= 3)
+    val want = pairCnt.map { case ((a, b), n) =>
+      (a, b, n, BigDecimal(n * nOrders / (marg(a).toDouble * marg(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(r => (-r._4, r._1, r._2)).take(10)
+    val got = graft.queries.Analytics2.qBasketPairsOn(df, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("filter_agreement equals plain-Scala set algebra on random flags") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    val flags = (0L until 300L).map(i =>
+      (i, rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean()))
+    val df = flags.toDF("doc_id", "fa", "fb", "fc")
+    val got = TextOps.filterAgreement(df, Seq(
+        "a" -> col("fa"), "b" -> col("fb"), "c" -> col("fc")))
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    def check(n1: String, n2: String, f1: ((Long, Boolean, Boolean, Boolean)) => Boolean,
+              f2: ((Long, Boolean, Boolean, Boolean)) => Boolean): Unit = {
+      val (s1, s2) = (flags.filter(f1).map(_._1).toSet,
+        flags.filter(f2).map(_._1).toSet)
+      val r = got((n1, n2))
+      assert(r._3 === 300L && r._4 === s1.size && r._5 === s2.size)
+      assert(r._6 === (s1 & s2).size.toLong)
+      val agree = flags.count(x => f1(x) == f2(x)).toDouble / 300.0
+      assert(math.abs(r._7 - math.rint(agree * 1e4) / 1e4) < 1e-9)
+      val jac = if ((s1 | s2).isEmpty) 0.0
+        else (s1 & s2).size.toDouble / (s1 | s2).size
+      assert(math.abs(r._8 - math.rint(jac * 1e4) / 1e4) < 1e-9)
+    }
+    check("a", "b", _._2, _._3)
+    check("a", "c", _._2, _._4)
+    check("b", "c", _._3, _._4)
+  }
+
   test("text_unicode_audit: planted mojibake, invisibles and controls; tabs stay clean") {
     import spark.implicits._
     val docs = Seq(
