@@ -100,6 +100,7 @@ object SparkEntry {
     "text_scrub" -> (TextOps.textScrubQ _),
     "text_unicode_audit" -> (TextOps.textUnicodeAuditQ _),
     "text_script_profile" -> (TextOps.textScriptProfileQ _),
+    "text_compressibility" -> (TextOps.textCompressibilityQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     "decontaminate_report" -> (TextOps.decontaminateReportQ _),
     "dsir_score" -> (TextOps.dsirScoreQ _),

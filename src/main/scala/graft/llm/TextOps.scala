@@ -1309,6 +1309,51 @@ object TextOps {
   def corpusRebalanceQ(spark: SparkSession, dir: String): DataFrame =
     corpusRebalance(Tables.documents(spark, dir))
 
+  /** Per-document DEFLATE compressibility — the byte-level redundancy
+    * signal web-scale pipelines use alongside the character/token
+    * screens: [[textEntropy]] sees the unigram byte distribution and
+    * [[textRepetition]] sees n-gram repeats, but only a real
+    * compressor sees LONG-RANGE redundancy (a page of boilerplate
+    * repeated every 2 KB compresses to nothing and fools both).
+    * `ratio` = compressed/raw bytes; `high_redundancy` flags docs
+    * under `flagBelow` — machine-generated filler, log spew, template
+    * spam. Empty docs pin ratio 1.0, unflagged.
+    *
+    * DEFLATE level 6, raw (nowrap) streams: a pure function of the
+    * bytes, evaluated inside one `mapPartitions` batch boundary (the
+    * media-codec convention — compression is a codec, and a per-row
+    * Catalyst expression would re-allocate the 256 KB deflater state
+    * per value). Zero shuffle; output is 4 scalars per doc. */
+  def textCompressibility(docs: DataFrame,
+                          flagBelow: Double = 0.4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, t) =>
+          val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) (id, 0, 0, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            val ratio = math.rint(n.toDouble / raw.length * 1e4) / 1e4
+            (id, raw.length, n, ratio)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+      .withColumn("high_redundancy",
+        col("n_bytes") > 0 && col("ratio") < flagBelow)
+  }
+
+  def textCompressibilityQ(spark: SparkSession, dir: String): DataFrame =
+    textCompressibility(Tables.documents(spark, dir))
+
   /** Unicode hygiene audit per document — the encoding-corruption
     * screen text filters built on visible characters cannot see:
     *  - U+FFFD replacement chars: the mojibake signature of a bad

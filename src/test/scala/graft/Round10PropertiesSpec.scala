@@ -456,6 +456,34 @@ class Round10PropertiesSpec extends AnyFunSuite with SparkFixture {
     check("b", "c", _._3, _._4)
   }
 
+  test("text_compressibility: repetitive text flags, diverse text doesn't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val repetitive = "the same boilerplate sentence again and again. " * 80
+    val diverse = (0 until 400)
+      .map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    val docs = Seq((0L, repetitive), (1L, diverse), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.textCompressibility(docs)
+      .as[(Long, Int, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // the long-range repeat compresses away; random text barely does
+    assert(out(0L)._4 < 0.1 && out(0L)._5)
+    assert(out(1L)._4 > 0.5 && !out(1L)._5)
+    // empty doc: ratio pinned 1.0, never flagged
+    assert(out(2L) === ((2L, 0, 0, 1.0, false)))
+    // deflate is deterministic: a second run reproduces byte counts
+    val again = TextOps.textCompressibility(docs)
+      .as[(Long, Int, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again === out)
+    // conservation on the real corpus: raw byte counts match length
+    val real = TextOps.textCompressibilityQ(spark, sfDir)
+    val docsReal = Tables.documents(spark, sfDir)
+    assert(real.count() === docsReal.count())
+    assert(real.filter(col("ratio") <= 0 || col("ratio") > 1.2).isEmpty)
+  }
+
   test("text_unicode_audit: planted mojibake, invisibles and controls; tabs stay clean") {
     import spark.implicits._
     val docs = Seq(

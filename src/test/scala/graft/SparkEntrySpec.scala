@@ -26,6 +26,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "minhash_tuning_report",
       "dedup_simhash", "dedup_embed", "dedup_semantic", "corpus_topic_terms",
       "dedup_semantic_incremental",
+      "text_compressibility",
       "multimodal", "media_audio", "media_video", "media_resize",
       "media_resample", "media_frames", "media_report",
       "dedup_incremental_minhash", "dedup_embed_incremental",
