@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
 import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, Video}
-import graft.queries.{Analytics, Analytics2}
+import graft.queries.{Analytics, Analytics2, Analytics3}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -77,6 +77,9 @@ object SparkEntry {
     "q_running_total" -> (Analytics2.qRunningTotal _),
     "q_rolling_revenue" -> (Analytics2.qRollingRevenue _),
     "q_growth_yoy" -> (Analytics2.qGrowthYoy _),
+    "events_new_users" -> (Analytics3.eventsNewUsers _),
+    "q_order_gaps" -> (Analytics3.qOrderGaps _),
+    "q_discount_effect" -> (Analytics3.qDiscountEffect _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -1067,6 +1070,67 @@ object SparkEntry {
         |    CAST(lag(rev_dec) OVER (ORDER BY yr) AS DOUBLE) - 1.0, 4), 0.0)
         |    AS yoy_growth
         |FROM y""".stripMargin,
+    // cumulative adoption: first-seen day per user (one agg), daily new
+    // counts, running total + share over the |days| frame only
+    "events_new_users" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)))
+        |      AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day_n, count(*) AS new_users
+        |      FROM fs GROUP BY 1)
+        |SELECT day_n, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day_n) AS BIGINT) AS cum_users,
+        |  round(CAST(sum(new_users) OVER (ORDER BY day_n) AS DOUBLE) /
+        |        CAST(sum(new_users) OVER () AS DOUBLE), 4) AS adoption
+        |FROM d""".stripMargin,
+    // purchase cadence: mean gap derives from span/(n-1) (no lag
+    // needed), max gap from the ordered diff; repeat customers only
+    "q_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE))
+        |        OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(date_diff('day', min(od), max(od)) AS BIGINT) AS span_days,
+        |  round(CAST(date_diff('day', min(od), max(od)) AS DOUBLE) /
+        |        (count(*) - 1), 4) AS mean_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // Pearson corr rebuilt from exact integer moment sums — one IEEE
+    // expression tree both engines share (native corr() kernels differ
+    // in partial order); discount as exact basis points
+    "q_discount_effect" ->
+      """WITH m AS (
+        |  SELECT p_brand, count(*) AS n_lines,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sx2, sum(y*y) AS sy2
+        |  FROM (SELECT l_partkey,
+        |          CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |          CAST(l_quantity AS BIGINT) AS y
+        |        FROM lineitem) l
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n_lines,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_lines AS DOUBLE), 4)
+        |    AS avg_disc_bp,
+        |  round(CAST(sy AS DOUBLE) / CAST(n_lines AS DOUBLE), 4) AS avg_qty,
+        |  CASE WHEN CAST(n_lines AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n_lines AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN round((CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(CAST(n_lines AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(CAST(n_lines AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    ELSE 0.0 END AS corr_disc_qty
+        |FROM m""".stripMargin,
     // KMV overlap in its exact regime (k=512 > sf0.01 user population →
     // sketches complete): the estimators reduce to exact set counts, so
     // the oracle replays them as distinct-set algebra — including the

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 session-4 analytics: adoption, purchase-cadence and
+  * correlation shapes the earlier query families don't exercise —
+  * cumulative distinct done right (no cumulative-distinct window
+  * exists), per-key cadence via one wide shuffle, and Pearson
+  * correlation rebuilt from exact integer sums so both engines share
+  * one IEEE expression tree instead of their own (divergent) streaming
+  * covariance kernels.
+  */
+object Analytics3 {
+
+  private val epoch = lit("1990-01-01").cast("date")
+
+  /** Daily new users + cumulative adoption curve — the growth view
+    * every product dashboard opens with ("users to date"). The naive
+    * form is a cumulative DISTINCT window, which no engine's window
+    * frame computes and a day×user range self-join would nested-loop;
+    * the right shape is two bounded reductions: a user's FIRST-SEEN
+    * day is ONE map-side-combined `min` agg (|users| rows), daily new
+    * counts collapse that to the |days| frame, and the running total
+    * is a window over THAT dimension-sized frame (the
+    * q_rolling_revenue argument — the implied single-partition sort
+    * never sees the corpus). `adoption` = cum/total, exact-int ratio
+    * rounded 4dp; total rides a window over the same tiny frame. */
+  def eventsNewUsers(spark: SparkSession, dir: String): DataFrame =
+    eventsNewUsersOn(Tables.events(spark, dir))
+
+  def eventsNewUsersOn(events: DataFrame): DataFrame = {
+    val dayN = datediff(col("ts").cast("date"), epoch).cast("long")
+    val firstSeen = events
+      .select(col("user_id"), dayN.as("day_n"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day_n")).as("first_day"))
+    val daily = firstSeen.groupBy(col("first_day").as("day_n"))
+      .agg(count(lit(1)).as("new_users"))
+    val cumW = Window.orderBy(col("day_n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+    daily
+      .withColumn("cum_users", sum(col("new_users")).over(cumW))
+      .withColumn("__total", sum(col("new_users")).over(totW))
+      .select(col("day_n"), col("new_users"), col("cum_users"),
+        round(col("cum_users").cast("double") / col("__total"), 4)
+          .as("adoption"))
+  }
+
+  /** Per-customer purchase-cadence profile: order count, active span,
+    * mean and max inter-order gap in days (repeat customers only) —
+    * the churn-risk signal ("their max gap is 3× their mean: they
+    * lapsed once already") and the replenishment-cycle estimate
+    * feeding any demand forecast. One wide shuffle total: the lag
+    * window and the per-customer rollup share the same `o_custkey`
+    * hash partitioning, so the groupBy reuses the window's exchange.
+    * `mean_gap_days` is derived as span/(n−1) — algebraically the mean
+    * of the lag gaps, but computed from the agg's own min/max without
+    * touching the lag column (exact-int ratio, 4dp); `max_gap_days`
+    * is the one statistic that genuinely needs the ordered diff.
+    * Ordering ties on the same date break by `o_orderkey` (and yield
+    * gap 0 either way). */
+  def qOrderGaps(spark: SparkSession, dir: String): DataFrame =
+    qOrderGapsOn(Tables.orders(spark, dir))
+
+  def qOrderGapsOn(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .withColumn("gap", datediff(col("od"), lag(col("od"), 1).over(w)))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        datediff(max(col("od")), min(col("od"))).cast("long").as("span_days"),
+        max(col("gap")).cast("long").as("max_gap_days"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"), col("n_orders"), col("span_days"),
+        round(col("span_days").cast("double") / (col("n_orders") - 1), 4)
+          .as("mean_gap_days"),
+        col("max_gap_days"))
+  }
+
+  /** Per-brand discount→quantity Pearson correlation — "does
+    * discounting this brand actually move volume", the price-response
+    * screen a pricing team runs before a margin giveaway. The scale
+    * shape is ONE map-side-combined aggregation: five integer moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) + n per brand, with the part
+    * dimension joined in beforehand (AQE broadcasts while small, the
+    * SF-growing-dim convention — no hint). Correlation then assembles
+    * DRIVER-FREE from those sums in one closed-form expression.
+    *
+    * Determinism: a native `corr()` aggregate runs each engine's own
+    * streaming covariance kernel in partition order — divergent last
+    * ulps by construction. Here x = discount in exact basis points
+    * (round(d·100) — the synthetic discounts are centi-steps, never at
+    * a half boundary) and y = integral quantity, so all five sums are
+    * exact BIGINTs and both engines evaluate the IDENTICAL double
+    * expression over identical integers; 4dp rounding at the boundary
+    * absorbs nothing but is kept by convention. Zero-variance brands
+    * pin to 0.0. At sums beyond 2^53 (≫ this schema's reach) the
+    * moment columns would accumulate in DECIMAL(38,0) instead —
+    * same plan shape. */
+  def qDiscountEffect(spark: SparkSession, dir: String): DataFrame =
+    qDiscountEffectOn(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  def qDiscountEffectOn(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(
+      col("l_partkey"),
+      round(col("l_discount") * 100, 0).cast("long").as("x"),
+      col("l_quantity").cast("long").as("y"))
+    val joined = li.join(
+      part.select(col("p_partkey"), col("p_brand")),
+      col("l_partkey") === col("p_partkey"))
+    val agg = joined.groupBy(col("p_brand")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"),
+      sum(col("y") * col("y")).as("sy2"))
+    val n = col("n_lines").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varx = n * col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = n * col("sy2").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.select(
+      col("p_brand"), col("n_lines"),
+      round(col("sx").cast("double") / n, 4).as("avg_disc_bp"),
+      round(col("sy").cast("double") / n, 4).as("avg_qty"),
+      when(varx > 0 && vary > 0,
+        round(num / (sqrt(varx) * sqrt(vary)), 4)).otherwise(0.0)
+        .as("corr_disc_qty"))
+  }
+}
