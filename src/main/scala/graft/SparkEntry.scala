@@ -147,6 +147,7 @@ object SparkEntry {
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
+    "text_similar_topk" -> (Dedup.textSimilarTopkQ _),
     "link_jaccard" -> (Dedup.linkJaccardQ _),
     "dedup_minhash" -> (Dedup.dedupMinhashQ _),
     "dedup_eval" -> (Dedup.dedupEvalQ _),
@@ -1870,6 +1871,31 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // per-doc top-5 jaccard neighbors: the jaccard oracle directed
+    // (both orientations), 4dp-rounded BEFORE the row_number rank so
+    // boundary ties resolve identically on both engines
+    "text_similar_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.doc_id <> b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT p.doc_id, nbr_id,
+         |        round(CAST(inter AS DOUBLE) /
+         |              (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+         |      FROM pairs p
+         |      JOIN counts ca ON p.doc_id = ca.doc_id
+         |      JOIN counts cb ON nbr_id = cb.doc_id),
+         |r AS (SELECT doc_id, nbr_id, jaccard,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY jaccard DESC, nbr_id) AS rn
+         |      FROM j)
+         |SELECT doc_id, nbr_id, jaccard FROM r WHERE rn <= 5""".stripMargin,
     // cross-table linkage: the jaccard oracle split into even/odd
     // parity sides, (left, right) orientation instead of a < b
     "link_jaccard" ->

@@ -270,6 +270,45 @@ object Dedup {
           least(col("na"), col("nb"))).as("containment"))
       .filter(col("containment") >= tau)
 
+  /** Per-doc top-k most similar OTHER docs by n-gram Jaccard — the
+    * text-side counterpart of [[graft.llm.Ann.knnGraph]] ("show me this
+    * doc's nearest neighbors"), the exploration view behind duplicate
+    * triage, related-content surfacing and cluster eyeballing, where
+    * the dedup operators only answer the thresholded yes/no.
+    *
+    * Same inverted-index shape as [[jaccardPairs]] but DIRECTED: the
+    * self-join keeps both orientations (each unordered pair appears as
+    * (a,b) and (b,a)) because every doc wants its own neighbor list.
+    * Scores round to 4dp BEFORE ranking (the text_tfidf convention —
+    * `ln`-free here, but the rounded grid keeps the kept set identical
+    * across engines when ties straddle the k boundary), and the
+    * (jaccard DESC, nbr_id ASC) ordering is total. The per-doc cut is
+    * [[graft.operators.GroupTopK]], so Spark 4's InferWindowGroupLimit
+    * bounds the rank exchange map-side at k rows per doc per partition
+    * — output is ≤ n·k rows however dense the similarity graph.
+    *
+    * The ultra-frequent-shingle fan-out caveat of every inverted-index
+    * metric applies unchanged (a viral boilerplate shingle pairs
+    * everything sharing it): at 100 TB run after [[graft.llm.SpanDedup]]
+    * boilerplate removal, exactly like [[dedupContainment]]. */
+  def textSimilarTopk(docs: DataFrame, k: Int = 5, n: Int = 3): DataFrame = {
+    val shW = withShingleCount(shingleHashes(docs, n)).persist()
+    val pairs = shW.as("a")
+      .join(shW.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+      .select(col("doc_id"), col("nbr_id"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+    val result = graft.Exec.materialize(
+      graft.operators.GroupTopK.topK(
+        pairs, Seq("doc_id"), Seq(col("jaccard").desc, col("nbr_id")), k))
+    shW.unpersist()
+    result
+  }
+
   /** Cross-table fuzzy LINKAGE join (record linkage / entity
     * resolution): every (left, right) pair whose n-gram shingle Jaccard
     * ≥ τ — [[dedupNgramJaccard]]'s inverted index across TWO tables,
@@ -967,6 +1006,8 @@ object Dedup {
     dedupNgramJaccard(Tables.documents(spark, dir))
   def dedupContainmentQ(spark: SparkSession, dir: String): DataFrame =
     dedupContainment(Tables.documents(spark, dir))
+  def textSimilarTopkQ(spark: SparkSession, dir: String): DataFrame =
+    textSimilarTopk(Tables.documents(spark, dir))
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     dedupMinhash(Tables.documents(spark, dir))
   /** Driver entry: minhash candidates audited against exact jaccard at

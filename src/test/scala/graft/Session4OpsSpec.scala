@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Session-4 LLM-pipeline ops: independent plain-Scala replays +
+  * bounded-shape pins. */
+class Session4OpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def r4(v: Double) = BigDecimal(v)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Reference shingle-set computation shared by the replays. */
+  private def shingleSets(docs: Seq[(Long, String)], n: Int = 3) =
+    docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      id -> toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+
+  test("text_similar_topk equals a plain-Scala replay on the real corpus") {
+    val docsDf = Tables.documents(spark, sfDir)
+    val out = Dedup.textSimilarTopk(docsDf, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+
+    val docs = docsDf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val sets = shingleSets(docs)
+    val ids = sets.keys.toSeq.sorted
+    val expect = ids.flatMap { a =>
+      val nbrs = ids.filter(_ != a).flatMap { b =>
+        val inter = (sets(a) & sets(b)).size
+        if (inter == 0) None
+        else Some((b, r4(inter.toDouble /
+          (sets(a).size + sets(b).size - inter))))
+      }
+      val top = nbrs.sortBy { case (id, j) => (-j, id) }.take(5)
+      if (top.isEmpty) None else Some(a -> top.sortBy(_._1))
+    }.toMap
+    assert(out === expect)
+    // the output really is n·k-bounded
+    assert(out.values.forall(_.size <= 5))
+  }
+
+  test("text_similar_topk: ties at the k boundary cut deterministically") {
+    import spark.implicits._
+    // base doc + three docs each sharing exactly its first 3-gram →
+    // identical scores; k=2 must keep the two smallest neighbor ids
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma zz aa"),
+      (3L, "alpha beta gamma zz bb"),
+      (4L, "alpha beta gamma zz cc")
+    ).toDF("doc_id", "text")
+    val m = Dedup.textSimilarTopk(docs, k = 2)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    // doc 1 vs 2/3/4: inter=1, |1|=2, |others|=3 → jaccard 0.25 each;
+    // the (jaccard DESC, nbr_id ASC) total order keeps 2 and 3
+    assert(m === Seq(2L, 3L))
+  }
+}
