@@ -186,6 +186,7 @@ object SparkEntry {
     "embed_centroid_classify" -> (Ann.embedCentroidClassifyQ _),
     "ann_ivf_topk" -> (Ann.annIvfTopKQ _),
     "ann_ivf_balance" -> (Ann.ivfBalanceQ _),
+    "ivf_tuning_report" -> (Ann.ivfTuningReportQ _),
     "ann_pq_topk" -> (Ann.annPqTopKQ _),
     "ann_ivfpq_topk" -> (Ann.annIvfPqTopKQ _),
     "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),

@@ -1768,6 +1768,113 @@ object Ann {
     ivfBalance(emb, trainSemanticCentroids(emb))
   }
 
+  /** IVF parameter-sweep report: for each candidate `nprobe`, the
+    * MEASURED mean/min recall@k against exact brute force and the exact
+    * candidate-scan cost (mean candidates per query + fraction of the
+    * corpus) — the recall-you-get vs corpus-fraction-you-scan trade an
+    * IVF deployment tunes before committing an nprobe, as one operator
+    * run after every quantizer (re)train. The vector-space counterpart
+    * of [[graft.llm.Dedup.minhashTuningReport]] (which sweeps bandings
+    * analytically); here recall has no closed form, so it is measured.
+    *
+    * Work sharing: the quantizer trains ONCE and the corpus pays ONE
+    * assignment pass (persisted) for the whole sweep — each nprobe step
+    * is one bounded probe join + per-query top-k over the probed cells
+    * (~nprobe/nlist of a scan), never a retrain. The scan cost needs no
+    * data pass at all: candidates per query = Σ|probed cell| − (1 if
+    * the query's own cell is probed), computed exactly from the
+    * ≤ nlist-row cell-population table. Probe lists are nested in
+    * nprobe by construction (centroids ranked once per query), so
+    * recall is non-decreasing along the sweep — spec-pinned, as is
+    * recall ≡ 1.0 at nprobe = nlist (full probe = brute force).
+    * Output is a |probes|-row frame; recalls/fractions 4dp. */
+  def ivfTuningReport(embeddings: DataFrame, nQueries: Int = 10,
+                      k: Int = 10, nlist: Int = 16,
+                      probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                      iters: Int = 1, trainPerCell: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v")).persist()
+    val corpusN = vecs.count()
+    val trainCap = nlist.toLong * trainPerCell
+    val train =
+      if (corpusN <= trainCap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
+    val centroids = trainCoarse(train, nlist, iters)
+    val assigned = vecs
+      .withColumn("cid", graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), centroids.flatten.toIndexedSeq, centroids.size))
+      .withColumn("nrm", norm(col("v"))).persist()
+    // cost model inputs: ≤ nlist cell populations + the queries' own
+    // cells — KBs, driver-side by construction
+    val cellSize = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val queryRows = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    // each query ranks the centroid table once; every sweep step takes
+    // a PREFIX of that ranking (this nesting is what makes recall
+    // monotone in nprobe)
+    val rankedCells = queryRows.map { case (qid, qv, ownCid) =>
+      val qnorm = math.sqrt(qv.map(x => x * x).sum)
+      val order = centroids.zipWithIndex.map { case (c, j) =>
+        (j, qv.zip(c).map { case (a, b) => a * b }.sum -
+          c.map(x => x * x).sum / 2)
+      }.sortBy { case (j, s) => (-s, j) }.map(_._1)
+      (qid, qnorm, ownCid, order)
+    }
+    val truth = annTopK(embeddings, nQueries, k).persist()
+    truth.count()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val rows = probes.map { np =>
+      val probeList = rankedCells.flatMap { case (qid, qnorm, _, order) =>
+        order.take(np).map(j => (qid, j, qnorm))
+      }.toSeq
+      val probeDf = broadcast(probeList.toDF("query_id", "cid", "qnrm"))
+      val qv = broadcast(
+        queryRows.map(q => (q._1, q._2.toSeq)).toSeq.toDF("query_id", "q"))
+      val approx = assigned.join(probeDf, "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(qv, "query_id")
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("q"), col("v")) / (col("qnrm") * col("nrm"))).as("sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      val rec = annRecallReport(truth, approx)
+        .agg(avg(col("recall_at_k")).as("mean_r"),
+          min(col("recall_at_k")).as("min_r")).head()
+      val cands = rankedCells.map { case (_, _, ownCid, order) =>
+        val probed = order.take(np)
+        probed.map(j => cellSize.getOrElse(j, 0L)).sum -
+          (if (probed.contains(ownCid)) 1L else 0L)
+      }
+      val meanCand = cands.sum.toDouble / cands.length
+      (np, BigDecimal(rec.getDouble(0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+        rec.getDouble(1),
+        BigDecimal(meanCand).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(meanCand / corpusN).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    vecs.unpersist(); assigned.unpersist(); truth.unpersist()
+    rows.toDF("nprobe", "mean_recall", "min_recall",
+      "mean_candidates", "cand_frac")
+  }
+
+  /** Driver entry: the default 16-cell quantizer swept over nprobe ∈
+    * {1, 2, 4, 8, 16} (rows-only: k-means structure is not
+    * SQL-expressible; the spec pins per-step recall monotonicity, the
+    * full-probe recall ≡ 1.0 identity, and the exact candidate
+    * arithmetic instead). */
+  def ivfTuningReportQ(spark: SparkSession, dir: String): DataFrame =
+    ivfTuningReport(Tables.embeddings(spark, dir))
+
   /** [[dedupSemantic]] under a FIXED quantizer: assign the raw
     * embeddings to `centroids` cells map-side, emit within-cell cosine
     * ≥ τ pairs. The production form once a quantizer is frozen — and

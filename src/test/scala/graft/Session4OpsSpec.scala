@@ -47,6 +47,35 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.values.forall(_.size <= 5))
   }
 
+  test("ivf_tuning_report: monotone recall, exact full-probe identity") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val rep = graft.llm.Ann.ivfTuningReport(emb, nQueries = 8, k = 5,
+      nlist = 8, probes = Seq(1, 2, 4, 8))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rep.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // probe lists are nested prefixes → recall cannot decrease
+    rep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2, s"mean recall fell: $lo -> $hi")
+      assert(hi._3 >= lo._3, s"min recall fell: $lo -> $hi")
+    }
+    // full probe IS brute force: every truth member is a candidate
+    assert(rep.last._2 === 1.0)
+    assert(rep.last._3 === 1.0)
+    // ...and the exact candidate count is the whole corpus minus self
+    assert(rep.last._4 === (n - 1).toDouble)
+    assert(rep.last._5 ===
+      BigDecimal((n - 1).toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // cost grows with nprobe and never exceeds the corpus
+    rep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._4 >= lo._4)
+    }
+    assert(rep.forall(r => r._4 >= 0 && r._4 <= n - 1))
+  }
+
   test("text_similar_topk: ties at the k boundary cut deterministically") {
     import spark.implicits._
     // base doc + three docs each sharing exactly its first 3-gram →
