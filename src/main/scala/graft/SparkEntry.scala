@@ -101,6 +101,7 @@ object SparkEntry {
     "text_lang_confusion" -> (TextOps.textLangConfusionQ _),
     "text_fingerprint" -> (TextOps.textFingerprintQ _),
     "text_scrub" -> (TextOps.textScrubQ _),
+    "text_html_strip" -> (TextOps.textHtmlStripQ _),
     "text_unicode_audit" -> (TextOps.textUnicodeAuditQ _),
     "text_script_profile" -> (TextOps.textScriptProfileQ _),
     "text_compressibility" -> (TextOps.textCompressibilityQ _),
@@ -1399,6 +1400,27 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS n_emails,
          |  len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS n_ips
          |FROM documents""".stripMargin,
+    // HTML strip: the IDENTICAL pass chain (comments, script, style,
+    // tags, entity decode with &amp; last, whitespace collapse) — every
+    // pattern lives in the Java-regex ∩ RE2 common dialect
+    "text_html_strip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g'),
+        |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\r\n\f]+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+        |    AS n_tags,
+        |  len(regexp_extract_all(text, '<[^>]*>')) > 0 AS had_html
+        |FROM documents""".stripMargin,
     "text_repetition" ->
       s"""WITH tokrows AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
          |tokfreq AS (SELECT doc_id, tok, count(*) AS c FROM tokrows GROUP BY 1, 2),

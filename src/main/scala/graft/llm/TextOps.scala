@@ -360,6 +360,47 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0))).as("n_ips"))
 
+  /** HTML boilerplate stripping: the markup-removal pass a web-scraped
+    * corpus runs before ANY text analysis (every quality metric, shingle
+    * and tokenizer in this engine assumes prose, and raw HTML poisons
+    * them all — tags inflate token counts, scripts dominate n-grams).
+    * The trafilatura-class extraction problem reduced to its portable,
+    * deterministic core: comments out first, then script/style blocks
+    * WITH their payloads (each element in its own pass — RE2 has no
+    * backreferences, so `</(script|style)>` cross-matching is avoided
+    * structurally), remaining tags → spaces, the five ubiquitous
+    * entities decoded (`&amp;` LAST, so `&amp;lt;` yields the literal
+    * `&lt;` — the standard double-escape rule), whitespace collapsed.
+    * `n_tags` counts raw tag occurrences (the audit: how marked-up was
+    * this source), `had_html` gates cheap downstream routing.
+    *
+    * Pure map-side projection fused into the scan — zero shuffle, the
+    * text_scrub shape. Every pattern is written in the Java-regex ∩ RE2
+    * common dialect ((?is) inline flags, explicit `[ \t\r\n\f]` class —
+    * `\s` differs between the engines on VT) so the DuckDB oracle runs
+    * the IDENTICAL pass chain. */
+  def textHtmlStrip(docs: DataFrame): DataFrame = {
+    val noComments =
+      regexp_replace(col("text"), "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    val clean = trim(regexp_replace(decoded, "[ \t\r\n\f]+", " "))
+    val nTags = size(regexp_extract_all(col("text"), lit("<[^>]*>"), lit(0)))
+    docs.select(
+      col("doc_id"),
+      clean.as("clean_text"),
+      nTags.cast("long").as("n_tags"),
+      (nTags > 0).as("had_html"))
+  }
+
   /** Decontamination: flag training docs sharing any word n-gram with a
     * benchmark/eval set — the standard guard against test-set leakage.
     *
@@ -1169,6 +1210,8 @@ object TextOps {
     textFingerprint(Tables.documents(spark, dir))
   def textScrubQ(spark: SparkSession, dir: String): DataFrame =
     textScrub(Tables.documents(spark, dir))
+  def textHtmlStripQ(spark: SparkSession, dir: String): DataFrame =
+    textHtmlStrip(Tables.documents(spark, dir))
   def corpusSampleQ(spark: SparkSession, dir: String): DataFrame =
     corpusSample(Tables.documents(spark, dir))
   def corpusPackQ(spark: SparkSession, dir: String): DataFrame =

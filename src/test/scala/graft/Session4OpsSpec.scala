@@ -47,6 +47,38 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.values.forall(_.size <= 5))
   }
 
+  test("text_html_strip extracts prose from a real HTML page") {
+    import spark.implicits._
+    val html =
+      """<!DOCTYPE html><html><head>
+        |<style type="text/css">body { color: red; }</style>
+        |<SCRIPT src="x.js">var hidden = "payload";</SCRIPT>
+        |</head><body>
+        |<!-- nav boilerplate -->
+        |<h1>Title &amp; subtitle</h1>
+        |<p>First&nbsp;paragraph with &lt;literal&gt; angle brackets,
+        |&quot;quotes&quot; and &#39;apostrophes&#39;.</p>
+        |<p>Double escape: &amp;lt; stays as an entity.</p>
+        |</body></html>""".stripMargin
+    val docs = Seq((1L, html), (2L, "plain prose, no markup"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.textHtmlStrip(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val (clean, nTags, hadHtml) = out(1L)
+    assert(clean === "Title & subtitle First paragraph with <literal> " +
+      "angle brackets, \"quotes\" and 'apostrophes'. " +
+      "Double escape: &lt; stays as an entity.")
+    assert(hadHtml)
+    // script/style payloads are GONE, not just their tags
+    assert(!clean.contains("payload") && !clean.contains("color: red"))
+    assert(!clean.contains("nav boilerplate"))
+    // raw tag audit counts every <...> occurrence in the source
+    assert(nTags > 10)
+    // a markup-free doc passes through untouched
+    assert(out(2L) === (("plain prose, no markup", 0L, false)))
+  }
+
   test("ivf_tuning_report: monotone recall, exact full-probe identity") {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
