@@ -193,6 +193,7 @@ object SparkEntry {
     "ann_ivfpq_index" -> (Ann.annIvfPqIndexQ _),
     "embed_project" -> (Ann.embedProjectQ _),
     "embed_whiten" -> (Ann.embedWhitenQ _),
+    "embed_norm_profile" -> (Ann.embedNormProfileQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
     "embed_pca" -> (Ann.embedPcaQ _),
@@ -2321,6 +2322,46 @@ object SparkEntry {
          |$cols
          |FROM embeddings""".stripMargin
     },
+    // one-row space health profile: finite filter, norm spread, mean
+    // cosine to the finite-vector centroid; floats 4dp (last-ulp
+    // summation-order wobble only)
+    "embed_norm_profile" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    len(list_filter(embedding, x ->
+        |      isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+        |      AS fin
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT b.vec_id,
+        |    sqrt(sum(CAST(b.embedding[g.i] AS DOUBLE) *
+        |             CAST(b.embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM base b, unnest(generate_series(1, len(b.embedding))) AS g(i)
+        |  WHERE b.fin GROUP BY 1),
+        |mu AS (
+        |  SELECT g.i AS i, avg(CAST(b.embedding[g.i] AS DOUBLE)) AS m
+        |  FROM base b, unnest(generate_series(1, len(b.embedding))) AS g(i)
+        |  WHERE b.fin GROUP BY 1),
+        |nmu AS (SELECT sqrt(sum(m * m)) AS v FROM mu),
+        |dots AS (
+        |  SELECT b.vec_id, sum(CAST(b.embedding[mu.i] AS DOUBLE) * mu.m)
+        |    AS dmu
+        |  FROM base b, mu WHERE b.fin GROUP BY 1),
+        |cosv AS (
+        |  SELECT n.vec_id,
+        |    CASE WHEN n.nrm > 0 AND (SELECT v FROM nmu) > 0
+        |         THEN d.dmu / (n.nrm * (SELECT v FROM nmu))
+        |         WHEN n.nrm > 0 THEN 0.0 END AS c
+        |  FROM norms n JOIN dots d ON n.vec_id = d.vec_id)
+        |SELECT
+        |  (SELECT count(*) FROM base) AS n_vecs,
+        |  (SELECT count(*) FROM base WHERE NOT fin) AS n_nonfinite,
+        |  (SELECT count(*) FROM norms WHERE nrm = 0) AS n_zero_norm,
+        |  round((SELECT min(nrm) FROM norms), 4) AS norm_min,
+        |  round((SELECT avg(nrm) FROM norms), 4) AS norm_mean,
+        |  round((SELECT max(nrm) FROM norms), 4) AS norm_max,
+        |  round((SELECT avg(c) FROM cosv WHERE c IS NOT NULL), 4)
+        |    AS mean_cos_centroid""".stripMargin,
     // int8 codes are exact integers (round is half-away on both engines
     // and float ties are measure-zero); the one float output is the
     // relative reconstruction error, rounded 6dp — the summands are

@@ -532,6 +532,54 @@ object Ann {
       (0 until 8).map(i => round(col("w").getItem(i), 4).as(s"w$i")): _*)
   }
 
+  /** One-row embedding-space health profile: population, defect counts
+    * (non-finite components, zero norms — each silently poisons cosine
+    * math downstream: NaN propagates through every dot, a zero norm
+    * divides by zero), norm spread, and ANISOTROPY as the mean cosine
+    * to the corpus centroid (Ethayarajh 2019's degeneration signal: a
+    * healthy space sits near 0, a collapsed "narrow cone" space near 1
+    * — and a cone is why [[knn_hubness]] finds hubs and LSH buckets
+    * fill unevenly). The first-look audit before any ANN/dedup family
+    * op; [[embedSpectrum]] is the expensive drill-down it gates.
+    *
+    * Scale shape, the [[embedWhiten]] contract twice over: the centroid
+    * is ONE map-side-combined dim-wide agg over FINITE vectors
+    * (defective rows can't poison μ), broadcast back as a 1-row cross
+    * join; norms/cosines are codegen'd [[dot]] folds fused into the
+    * scan; the final reduction is ONE aggregation to a single row. The
+    * corpus never shuffles. Floats 4dp; a zero centroid pins the
+    * cosine term to 0.0. */
+  def embedNormProfile(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val inf = lit(Double.PositiveInfinity)
+    val x = embeddings
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("fin",
+        size(filter(col("v"), e => isnan(e) || abs(e) === inf)) === 0)
+    val mu = broadcast(x.filter(col("fin")).agg(
+      array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("mu")))
+    val scored = x.crossJoin(mu).select(
+      col("fin"),
+      when(col("fin"), norm(col("v"))).as("nrm"),
+      when(col("fin"), dot(col("v"), col("mu"))).as("dmu"),
+      norm(col("mu")).as("nmu"))
+    scored.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(!col("fin"), 1L).otherwise(0L)).as("n_nonfinite"),
+      sum(when(col("fin") && col("nrm") === 0.0, 1L).otherwise(0L))
+        .as("n_zero_norm"),
+      round(min(col("nrm")), 4).as("norm_min"),
+      round(avg(col("nrm")), 4).as("norm_mean"),
+      round(max(col("nrm")), 4).as("norm_max"),
+      round(avg(when(col("fin") && col("nrm") > 0 && col("nmu") > 0,
+        col("dmu") / (col("nrm") * col("nmu"))).otherwise(
+        when(col("fin") && col("nrm") > 0, 0.0))), 4)
+        .as("mean_cos_centroid"))
+  }
+
+  def embedNormProfileQ(spark: SparkSession, dir: String): DataFrame =
+    embedNormProfile(Tables.embeddings(spark, dir))
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

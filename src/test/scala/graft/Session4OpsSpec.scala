@@ -108,6 +108,41 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rep.forall(r => r._4 >= 0 && r._4 <= n - 1))
   }
 
+  test("embed_norm_profile counts defects and excludes them from the stats") {
+    import spark.implicits._
+    val nan = Double.NaN
+    val inf = Double.PositiveInfinity
+    def pad(v: Double*) = (v ++ Seq.fill(4 - v.length)(0.0)).toArray
+    val emb = Seq(
+      (0L, pad(3.0, 4.0)),          // norm 5
+      (1L, pad(0.0, 0.0)),          // zero norm: cosine-killer
+      (2L, Array(nan, 1.0, 0.0, 0.0)),  // NaN component
+      (3L, Array(inf, 1.0, 0.0, 0.0)),  // Inf component
+      (4L, pad(6.0, 8.0))           // norm 10, same direction as 0
+    ).toDF("vec_id", "embedding")
+    val r = graft.llm.Ann.embedNormProfile(emb, dim = 4).head()
+    assert(r.getLong(0) === 5)     // n_vecs
+    assert(r.getLong(1) === 2)     // n_nonfinite (NaN + Inf rows)
+    assert(r.getLong(2) === 1)     // n_zero_norm
+    // norm stats over FINITE vectors only: {5, 0, 10}
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 5.0)
+    assert(r.getDouble(5) === 10.0)
+    // both nonzero finite vectors point along the centroid exactly →
+    // perfect anisotropy 1.0; defective rows never reached the mean
+    assert(r.getDouble(6) === 1.0)
+  }
+
+  test("embed_norm_profile on the real corpus: clean, non-degenerate space") {
+    val r = graft.llm.Ann
+      .embedNormProfile(Tables.embeddings(spark, sfDir)).head()
+    assert(r.getLong(1) === 0 && r.getLong(2) === 0)
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= r.getDouble(4) &&
+      r.getDouble(4) <= r.getDouble(5))
+    // cosine to the centroid is a cosine
+    assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
+  }
+
   test("text_similar_topk: ties at the k boundary cut deterministically") {
     import spark.implicits._
     // base doc + three docs each sharing exactly its first 3-gram →
