@@ -615,11 +615,20 @@ object Analytics2 {
   def eventsBurst(spark: SparkSession, dir: String): DataFrame =
     eventsBurstOn(Tables.events(spark, dir))
 
-  def eventsBurstOn(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = events
+  def eventsBurstOn(events: DataFrame): DataFrame =
+    burstFromHourly(events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The z-score stage over an already-aggregated (hour, event_type,
+    * n_events) frame — split out so the STREAMING-maintained count
+    * table ([[graft.streaming.StreamBurst]]) serves the identical
+    * report: hourly counts are exact integers and additive over
+    * micro-batch shards, so a served frame equals the batch rebuild
+    * bit-for-bit, and everything downstream is derived from those
+    * integers through one shared IEEE expression tree. */
+  def burstFromHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(-24, -1)
     val withSums = hourly
