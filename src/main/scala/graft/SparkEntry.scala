@@ -207,6 +207,7 @@ object SparkEntry {
     // LLM-data-pipeline: multimodal column plumbing (SURVEY §2C)
     "multimodal" -> (Multimodal.multimodalQ _),
     "media_resize" -> (Multimodal.mediaResizeQ _),
+    "media_phash" -> (Multimodal.mediaPhashQ _),
     "media_audio" -> (Audio.mediaAudioQ _),
     "media_resample" -> (Audio.mediaResampleQ _),
     "media_video" -> (Video.mediaVideoQ _),

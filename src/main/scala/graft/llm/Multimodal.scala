@@ -247,6 +247,103 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a decoded image:
+    * integer BT.601 grayscale ((299r + 587g + 114b) / 1000 — integer
+    * division, bit-deterministic), nearest-neighbor resize to 9×8 via
+    * the shared [[Netpbm.resize]], then one bit per horizontal neighbor
+    * comparison (left < right). The standard cheap image fingerprint:
+    * stable under re-encoding, scaling and small noise, which is
+    * exactly what byte-level dedup (md5 of the payload) cannot see —
+    * the same photo at two sizes or qualities has disjoint bytes and
+    * (near-)identical dHash. */
+  def dhash64(img: Netpbm.Image): Long = {
+    val gray =
+      if (img.channels == 1) img
+      else {
+        val g = new Array[Byte](img.width * img.height)
+        var i = 0
+        while (i < g.length) {
+          val j = i * 3
+          g(i) = ((299 * (img.raster(j) & 0xff) +
+            587 * (img.raster(j + 1) & 0xff) +
+            114 * (img.raster(j + 2) & 0xff)) / 1000).toByte
+          i += 1
+        }
+        Netpbm.Image("pgm", img.width, img.height, 1, g)
+      }
+    val s = Netpbm.resize(gray, 9, 8)
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val i = y * 9 + x
+        if ((s.raster(i) & 0xff) < (s.raster(i + 1) & 0xff)) h |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hashes: decode + [[dhash64]] inside the one
+    * batched codec boundary; undecodable payloads are dropped (the
+    * [[resizeMedia]] convention — decode-gate accounting lives in
+    * [[extractFeatures]]'s `invalid` rows). Output (doc_id, sig) is the
+    * [[graft.llm.Dedup.dedupSimhash]] signature contract, so the
+    * pigeonhole block machinery applies unchanged. */
+  def mediaPhash(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          Netpbm.decode(r.media).map(img => (r.doc_id, dhash64(img)))
+        }
+      }
+    }.toDF("doc_id", "sig")
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash signatures through
+    * the EXACT SimHash pigeonhole banding ([[Dedup.simhashBlocks]] /
+    * [[Dedup.simhashPairs]] — 4 × 16-bit blocks, complete for hamming
+    * ≤ 3, candidates verified by bit_count(xor)). Image dedup without
+    * ever shuffling a pixel: after the one decode pass, everything on
+    * the wire is (doc_id, 8-byte hash) rows — the whole near-dup text
+    * stack (banding, stores, incremental probes) applies to images by
+    * this reduction. */
+  def mediaPhashPairs(media: Dataset[MediaRecord], maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = mediaPhash(media).persist()
+    val result = graft.Exec.materialize(
+      Dedup.simhashPairs(Dedup.simhashBlocks(sigs), maxHamming))
+    sigs.unpersist()
+    result
+  }
+
+  /** Driver query: each image's perceptual hash (exact int) + its
+    * near-dup degree at hamming ≤ 3 — hash table and pair view in one
+    * deterministic frame (rows-only: DuckDB cannot decode Netpbm; the
+    * spec pins the fixture semantics and banding completeness). */
+  def mediaPhashQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = withMediaColumn(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+    val sigs = mediaPhash(media).persist()
+    val pairs = Dedup.simhashPairs(Dedup.simhashBlocks(sigs), 3)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups"))
+    val result = graft.Exec.materialize(
+      sigs.join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sig").as("phash"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups")))
+    sigs.unpersist()
+    result
+  }
+
   /** Driver query: resize the synthetic media corpus to 16×16 and
     * fingerprint the re-encoded payloads (scalar columns only — the
     * driver comparator sorts in pandas). */

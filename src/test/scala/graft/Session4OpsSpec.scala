@@ -143,6 +143,61 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("media_phash: dHash semantics on exact-size fixtures") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    import graft.llm.{MediaMeta, MediaRecord, Multimodal, Netpbm}
+    // 9×8 sources make the dHash resize the identity, so every bit is
+    // hand-predictable
+    def gradient(perturbAt: Int = -1): Array[Byte] = {
+      val raster = Array.tabulate(72)(i => ((i % 9) * 28).toByte)
+      if (perturbAt >= 0) raster(perturbAt) = 0
+      Netpbm.encodeP5(9, 8, raster)
+    }
+    val reversed = Netpbm.encodeP5(9, 8,
+      Array.tabulate(72)(i => ((8 - i % 9) * 28).toByte))
+    val meta = MediaMeta("pgm", 9, 8)
+    val media = Seq(
+      MediaRecord(1L, gradient(), meta),
+      MediaRecord(2L, gradient(), meta),          // identical content
+      MediaRecord(3L, gradient(4 * 9 + 4), meta), // one darkened pixel
+      MediaRecord(4L, reversed, meta),            // every bit flipped
+      MediaRecord(5L, Array[Byte](1, 2, 3), meta) // undecodable: dropped
+    ).toDS()
+    val hashes = Multimodal.mediaPhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 4L))
+    // ascending gradient: every left < right comparison fires
+    assert(hashes(1L) === -1L)
+    assert(hashes(2L) === hashes(1L))
+    // the one perturbed pixel flips exactly one comparison
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) === 1)
+    // reversed gradient: no comparison fires
+    assert(hashes(4L) === 0L)
+    val pairs = Multimodal.mediaPhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("media_phash banding is pigeonhole-complete on the real media corpus") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.llm.Multimodal
+    val media = Multimodal.withMediaColumn(Tables.documents(spark, sfDir))
+    val sigs = Multimodal.mediaPhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // deterministic across runs
+    val again = Multimodal.mediaPhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(sigs.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val banded = Multimodal.mediaPhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded === brute)
+  }
+
   test("text_similar_topk: ties at the k boundary cut deterministically") {
     import spark.implicits._
     // base doc + three docs each sharing exactly its first 3-gram →
