@@ -80,6 +80,7 @@ object SparkEntry {
     "events_new_users" -> (Analytics3.eventsNewUsers _),
     "q_order_gaps" -> (Analytics3.qOrderGaps _),
     "q_discount_effect" -> (Analytics3.qDiscountEffect _),
+    "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -1106,6 +1107,33 @@ object SparkEntry {
         |        (count(*) - 1), 4) AS mean_gap_days,
         |  CAST(max(gap) AS BIGINT) AS max_gap_days
         |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // fulfillment-lag distribution off the count grid: exact lower
+    // median = first lag with cum >= ceil(n/2); mean an exact-int ratio
+    "q_fulfillment_lag" ->
+      """WITH grid AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) AS BIGINT) AS lag,
+        |    count(*) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT o_orderpriority, lag, cnt,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n_lines,
+        |    sum(lag * cnt) OVER (PARTITION BY o_orderpriority) AS lag_sum,
+        |    min(lag) OVER (PARTITION BY o_orderpriority) AS min_lag,
+        |    max(lag) OVER (PARTITION BY o_orderpriority) AS max_lag
+        |  FROM grid)
+        |SELECT o_orderpriority,
+        |  CAST(min(n_lines) AS BIGINT) AS n_lines,
+        |  round(CAST(min(lag_sum) AS DOUBLE) / CAST(min(n_lines) AS DOUBLE), 4)
+        |    AS mean_lag_days,
+        |  min(lag) AS median_lag_days,
+        |  CAST(min(min_lag) AS BIGINT) AS min_lag_days,
+        |  CAST(min(max_lag) AS BIGINT) AS max_lag_days
+        |FROM g WHERE cum >= (n_lines + 1) // 2
+        |GROUP BY 1""".stripMargin,
     // Pearson corr rebuilt from exact integer moment sums — one IEEE
     // expression tree both engines share (native corr() kernels differ
     // in partial order); discount as exact basis points

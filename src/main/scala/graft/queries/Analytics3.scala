@@ -86,6 +86,49 @@ object Analytics3 {
         col("max_gap_days"))
   }
 
+  /** Per-priority fulfillment-lag distribution: line count, mean /
+    * exact lower median / min / max of (ship date − order date) days —
+    * the order-to-ship SLA view a logistics dashboard leads with, and
+    * the shape every "exact percentile per group" question reduces to.
+    * A per-group percentile window would funnel the whole fact join
+    * through |priorities| tasks (five corpus-sized sorts at scale);
+    * the right shape is the COUNT-GRID: lags are small integers, so
+    * ONE map-side-combined agg reduces the join to a ≤ |priorities| ×
+    * |distinct lags| frame and every statistic — including the exact
+    * lower median via cumulative counts (first lag with cum ≥
+    * ⌈n/2⌉, the q_median_order rank construction) — derives from
+    * windows over THAT grid (the quality_calibration argument). Mean
+    * is an exact-integer ratio, 4dp. */
+  def qFulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    val lag = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date")).cast("long")
+    val grid = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), lag.as("lag"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col("o_orderpriority")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("o_orderpriority"))
+    val g = grid
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n_lines", sum(col("cnt")).over(totW))
+      .withColumn("lag_sum", sum(col("lag") * col("cnt")).over(totW))
+      .withColumn("min_lag", min(col("lag")).over(totW))
+      .withColumn("max_lag", max(col("lag")).over(totW))
+    g.filter(col("cum") >= expr("(n_lines + 1) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(col("n_lines")).as("n_lines"),
+        round(min(col("lag_sum")).cast("double") / min(col("n_lines")), 4)
+          .as("mean_lag_days"),
+        min(col("lag")).as("median_lag_days"),
+        min(col("min_lag")).as("min_lag_days"),
+        min(col("max_lag")).as("max_lag_days"))
+  }
+
   /** Per-brand discount→quantity Pearson correlation — "does
     * discounting this brand actually move volume", the price-response
     * screen a pricing team runs before a margin giveaway. The scale

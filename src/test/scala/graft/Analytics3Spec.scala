@@ -109,6 +109,39 @@ class Analytics3Spec extends AnyFunSuite with SparkFixture {
     assert(out.values.exists(_._4 != 0.0))
   }
 
+  test("q_fulfillment_lag equals a plain-Scala distribution replay") {
+    val out = Analytics3.qFulfillmentLag(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      .toMap
+
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDate(1).toLocalDate, r.getString(2))))
+      .toMap
+    val lags = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date"))
+      .collect()
+      .map { r =>
+        val (od, prio) = orders(r.getLong(0))
+        prio -> (r.getDate(1).toLocalDate.toEpochDay - od.toEpochDay)
+      }
+    val expect = lags.groupBy(_._1).map { case (prio, rows) =>
+      val v = rows.map(_._2).sorted
+      val n = v.length
+      // exact LOWER median: the element at 1-based rank ceil(n/2)
+      val med = v((n + 1) / 2 - 1)
+      val mean = BigDecimal(v.sum.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      prio -> ((n.toLong, mean, med, v.head, v.last))
+    }
+    assert(out === expect)
+  }
+
   test("q_discount_effect pins zero-variance groups to the 0.0 sentinel") {
     import spark.implicits._
     // one brand all at the same discount (zero x-variance), one brand
