@@ -113,6 +113,7 @@ object SparkEntry {
     "corpus_sample" -> (TextOps.corpusSampleQ _),
     "corpus_pack" -> (TextOps.corpusPackQ _),
     "corpus_budget_select" -> (TextOps.corpusBudgetSelectQ _),
+    "corpus_budget_mix" -> (TextOps.corpusBudgetMixQ _),
     "corpus_interleave" -> (TextOps.corpusInterleaveQ _),
     "corpus_pack_bins" -> (TextOps.corpusPackBinsQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
@@ -1868,6 +1869,26 @@ object SparkEntry {
          |  FROM q)
          |SELECT doc_id, n_tokens, cum_tokens,
          |  cum_tokens <= 8000 AS selected
+         |FROM c""".stripMargin,
+    // stratified budget: the same quality grid, cumsum per LANGUAGE
+    "corpus_budget_mix" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(text) AS DOUBLE) AS nc,
+         |    CAST(len($tokSql) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '$punctClass')) AS DOUBLE) AS np
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+         |    CAST(round(least(nt / 64.0, 1.0) * (1.0 - np / nc) * 10000)
+         |      AS BIGINT) AS qk
+         |  FROM m),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY qk DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, lang, n_tokens, cum_tokens,
+         |  cum_tokens <= 4000 AS selected
          |FROM c""".stripMargin,
     // proportional interleave: both engines compute the stride key with
     // identical IEEE ops on identical integers, so the two plain windows

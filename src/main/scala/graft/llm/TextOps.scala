@@ -879,6 +879,58 @@ object TextOps {
   def corpusBudgetSelectQ(spark: SparkSession, dir: String): DataFrame =
     corpusBudgetSelect(Tables.documents(spark, dir))
 
+  /** STRATIFIED token-budget selection: every language gets its own
+    * budget and keeps its own quality-ranked prefix — the budgeted twin
+    * of [[corpusSampleStratified]], and what a multilingual curation
+    * actually runs, because [[corpusBudgetSelect]]'s single global
+    * ranking silently spends the whole budget on the majority language
+    * (quality scores aren't comparable across languages: a rare
+    * language's best docs lose a global rank fight on length/punct
+    * statistics alone). Equal per-language budgets are the uniform-mix
+    * convention ([[corpusRebalance]]'s goal expressed as tokens);
+    * callers with a temperature-weighted allocation pass their own map.
+    *
+    * Scale shape: [[corpusBudgetSelect]]'s distributed prefix-sum keyed
+    * per (lang, quality-grid value) — the bounded collect grows to
+    * ≤ |langs| × 10 001 rows, offsets prefix-sum per language in rank
+    * order driver-side, and the within-grid-cell cumsum windows on
+    * (lang, qk) — no global sort, no per-language single-task funnel.
+    * The quality key lives on the exact 1e-4 grid (int-derived,
+    * bit-identical cross-engine), and `lang` rides the ONE quality
+    * scan (no doc_id self-join re-attaching it). */
+  def corpusBudgetMix(docs: DataFrame,
+                      budgetPerLang: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(toks).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"),
+      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val q = docs.select(col("doc_id"), col("lang"),
+      nTokens.cast("bigint").as("n_tokens"),
+      round(least(nTokens / lit(64.0), lit(1.0)) *
+        (lit(1.0) - nPunct / nChars) * 10000).cast("long").as("qk"))
+    val totals = q.groupBy("lang", "qk").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val sorted = rows.sortBy { case (_, qk, _) => -qk }
+      sorted.zip(sorted.scanLeft(0L) { case (acc, (_, _, t)) => acc + t })
+        .map { case ((l, qk, _), prefix) => (l, qk, prefix) }
+    }
+    val offsetDf = broadcast(offsets.toDF("lang", "qk", "qk_offset"))
+    val w = Window.partitionBy("lang", "qk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(offsetDf, Seq("lang", "qk"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("qk_offset") + sum(col("n_tokens")).over(w)).as("cum_tokens"))
+      .withColumn("selected", col("cum_tokens") <= budgetPerLang)
+  }
+
+  def corpusBudgetMixQ(spark: SparkSession, dir: String): DataFrame =
+    corpusBudgetMix(Tables.documents(spark, dir))
+
   /** Deterministic proportional source interleaving — the training-order
     * scheduler: doc r of a source with n docs gets the stride key
     * (r − ½)/n (its fraction through its own source), and the global

@@ -143,6 +143,38 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("corpus_budget_mix: per-language clean prefixes under equal budgets") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 2000L
+    val out = TextOps.corpusBudgetMix(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.length === docs.count())
+    // selection semantics: selected exactly when the running total fits
+    out.foreach { case (_, _, _, cum, sel) =>
+      assert(sel === (cum <= budget))
+    }
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (_, rows) =>
+      // cum_tokens restated from scratch: sort by cum (its order IS the
+      // rank order), then each cum must be the prefix sum of n_tokens
+      val sorted = rows.sortBy(_._4)
+      var acc = 0L
+      sorted.foreach { case (_, _, nt, cum, _) =>
+        acc += nt
+        assert(cum === acc)
+      }
+      // clean prefix: once over budget, never selected again
+      assert(sorted.map(_._5).dropWhile(identity).forall(!_))
+    }
+    // the stratified point: EVERY language gets a selected prefix,
+    // where the global single-budget form starves minority languages
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.exists(_._5), s"language $lang got no budget")
+    }
+  }
+
   test("media_phash: dHash semantics on exact-size fixtures") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
