@@ -210,6 +210,7 @@ object SparkEntry {
     "multimodal" -> (Multimodal.multimodalQ _),
     "media_resize" -> (Multimodal.mediaResizeQ _),
     "media_phash" -> (Multimodal.mediaPhashQ _),
+    "media_phash_incremental" -> (Multimodal.mediaPhashIncrementalQ _),
     "media_audio" -> (Audio.mediaAudioQ _),
     "media_resample" -> (Audio.mediaResampleQ _),
     "media_video" -> (Video.mediaVideoQ _),

@@ -699,8 +699,20 @@ object Dedup {
   def buildSimhashStore(docs: DataFrame, sink: graft.sinks.WarehouseSink,
                         table: String = "simhash_blocks",
                         numBuckets: Int = 32,
-                        append: Boolean = false): Unit = {
-    val rows = simhashBlocks(simhashSigs(shingleHashes(docs)))
+                        append: Boolean = false): Unit =
+    buildSigBlockStore(simhashSigs(shingleHashes(docs)), sink, table,
+      numBuckets, append)
+
+  /** The signature-agnostic core of [[buildSimhashStore]]: any
+    * (doc_id, sig: long) frame lands as a pigeonhole block store —
+    * text SimHash and image dHash ([[Multimodal.mediaPhash]]) share
+    * this layout, the probe below, and the hamming-≤3 completeness
+    * argument, because all three are properties of the 64-bit
+    * signature alone. */
+  def buildSigBlockStore(sigs: DataFrame, sink: graft.sinks.WarehouseSink,
+                         table: String, numBuckets: Int = 32,
+                         append: Boolean = false): Unit = {
+    val rows = simhashBlocks(sigs)
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("blk", "v"), numBuckets))
     sink.write(rows, table, "part_bucket", Seq("v"),
@@ -719,12 +731,24 @@ object Dedup {
                               sink: graft.sinks.WarehouseSink,
                               table: String = "simhash_blocks",
                               maxHamming: Int = 3,
-                              numBuckets: Int = 32): DataFrame = {
+                              numBuckets: Int = 32): DataFrame =
+    dedupIncrementalSig(simhashSigs(shingleHashes(newDocs)), spark, sink,
+      table, maxHamming, numBuckets)
+
+  /** The signature-agnostic probe behind [[dedupIncrementalSimhash]]
+    * (and the image-side [[Multimodal.mediaPhashIncremental]]): a new
+    * batch's (doc_id, sig) rows probe a [[buildSigBlockStore]] layout,
+    * bucket-pruned, cross + within arms verified by exact hamming. */
+  def dedupIncrementalSig(newSigs: DataFrame, spark: SparkSession,
+                          sink: graft.sinks.WarehouseSink,
+                          table: String,
+                          maxHamming: Int = 3,
+                          numBuckets: Int = 32): DataFrame = {
     require(maxHamming <= 3,
       s"4-block pigeonhole banding is complete only for hamming <= 3, got $maxHamming")
     // blocks is the only frame referenced more than once (cross + within
     // arms); sigs feeds it exactly once, so persisting blocks suffices
-    val blocks = simhashBlocks(simhashSigs(shingleHashes(newDocs)))
+    val blocks = simhashBlocks(newSigs)
       .withColumn("part_bucket",
         graft.sinks.WarehouseSink.bucketPartition(Seq("blk", "v"), numBuckets))
       .persist()

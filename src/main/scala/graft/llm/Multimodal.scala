@@ -323,6 +323,37 @@ object Multimodal {
     result
   }
 
+  /** Build (or extend) the persisted perceptual-hash block store —
+    * IMAGE dedup joins the incremental store family (8th member) by
+    * pure reduction: one decode pass yields (doc_id, dHash), and the
+    * SimHash block layout, bucket-pruned probe and hamming-≤3
+    * completeness apply verbatim ([[Dedup.buildSigBlockStore]]). A
+    * daily image ingest pays O(batch decode + touched buckets), never
+    * re-decoding the stored corpus — the pixels were read exactly once,
+    * ever. */
+  def buildPhashStore(media: Dataset[MediaRecord],
+                      sink: graft.sinks.WarehouseSink,
+                      table: String = "phash_blocks",
+                      numBuckets: Int = 32,
+                      append: Boolean = false)(
+      implicit spark: SparkSession): Unit =
+    Dedup.buildSigBlockStore(mediaPhash(media), sink, table, numBuckets,
+      append)
+
+  /** Perceptual near-dup pairs of a NEW image batch vs the stored
+    * corpus plus within the batch — [[mediaPhashPairs]] restricted to
+    * pairs involving a new image, at O(batch) cost. */
+  def mediaPhashIncremental(newMedia: Dataset[MediaRecord],
+                            spark: SparkSession,
+                            sink: graft.sinks.WarehouseSink,
+                            table: String = "phash_blocks",
+                            maxHamming: Int = 3,
+                            numBuckets: Int = 32): DataFrame = {
+    implicit val s: SparkSession = spark
+    Dedup.dedupIncrementalSig(mediaPhash(newMedia), spark, sink, table,
+      maxHamming, numBuckets)
+  }
+
   /** Driver query: each image's perceptual hash (exact int) + its
     * near-dup degree at hamming ≤ 3 — hash table and pair view in one
     * deterministic frame (rows-only: DuckDB cannot decode Netpbm; the
@@ -342,6 +373,19 @@ object Multimodal {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups")))
     sigs.unpersist()
     result
+  }
+
+  /** Driver query (rows-only; the spec proves equality with the full
+    * [[mediaPhashPairs]] restricted to new-image pairs): store from 60%
+    * of the media corpus, probe the other 40% — session-cached store,
+    * the dedupIncrementalSimhashQ convention. */
+  def mediaPhashIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = withMediaColumn(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+    val sink = graft.state.SessionStores.warehouse("phstore", dir)(snk =>
+      buildPhashStore(media.filter(col("doc_id") % 10 < 6), snk))
+    mediaPhashIncremental(media.filter(col("doc_id") % 10 >= 6), spark, sink)
   }
 
   /** Driver query: resize the synthetic media corpus to 16×16 and

@@ -211,6 +211,32 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
 
+  test("media_phash_incremental equals the full pairs on new-image pairs") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val media = Multimodal.withMediaColumn(Tables.documents(spark, sfDir))
+    val oldM = media.filter(col("doc_id") % 10 < 6)
+    val newM = media.filter(col("doc_id") % 10 >= 6)
+    val sink = new graft.sinks.WarehouseSink(tmpDir("ph_wh_"))
+    Multimodal.buildPhashStore(oldM, sink)
+    val inc = Multimodal.mediaPhashIncremental(newM, spark, sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val newIds = newM.collect().map(_.doc_id).toSet
+    val full = Multimodal.mediaPhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => newIds(p._1) || newIds(p._2)).toSet
+    assert(inc === full)
+    // append keeps the store probing correctly: the batch joins the
+    // store and a later (empty-new) probe finds nothing new
+    Multimodal.buildPhashStore(newM, sink, append = true)
+    val again = Multimodal
+      .mediaPhashIncremental(spark.emptyDataset[graft.llm.MediaRecord](
+        org.apache.spark.sql.Encoders.product[graft.llm.MediaRecord]),
+        spark, sink)
+    assert(again.isEmpty)
+  }
+
   test("media_phash banding is pigeonhole-complete on the real media corpus") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import graft.llm.Multimodal

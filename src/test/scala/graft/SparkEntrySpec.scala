@@ -28,7 +28,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "dedup_semantic_incremental",
       "text_compressibility",
       "multimodal", "media_audio", "media_video", "media_resize",
-      "media_phash",
+      "media_phash", "media_phash_incremental",
       "media_resample", "media_frames", "media_report",
       "dedup_incremental_minhash", "dedup_embed_incremental",
       "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
