@@ -81,6 +81,7 @@ object SparkEntry {
     "q_order_gaps" -> (Analytics3.qOrderGaps _),
     "q_discount_effect" -> (Analytics3.qDiscountEffect _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
+    "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -1109,6 +1110,35 @@ object SparkEntry {
         |        (count(*) - 1), 4) AS mean_gap_days,
         |  CAST(max(gap) AS BIGINT) AS max_gap_days
         |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // bot cadence profile: integer-second gaps, CV from integer sums
+    // through one shared IEEE tree (the events_burst convention)
+    "events_bot_profile" -> {
+      val cv = """CASE WHEN ng > 0 AND sg > 0
+                 |    THEN round(sqrt((CAST(ng AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                 |           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+                 |          (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))) /
+                 |         (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)), 4)
+                 |    ELSE 0.0 END""".stripMargin
+      s"""WITH g AS (
+         |  SELECT user_id, ts,
+         |    (epoch_us(ts) - epoch_us(lag(ts) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+         |      AS gap
+         |  FROM events),
+         |a AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS span_sec,
+         |    count(gap) AS ng, sum(gap) AS sg, sum(gap * gap) AS sg2
+         |  FROM g GROUP BY 1)
+         |SELECT user_id, n_events, CAST(span_sec AS BIGINT) AS span_sec,
+         |  CASE WHEN span_sec > 0
+         |    THEN round(CAST(n_events AS DOUBLE) * 3600.0 /
+         |               CAST(span_sec AS DOUBLE), 4)
+         |    ELSE 0.0 END AS rate_per_hour,
+         |  $cv AS gap_cv,
+         |  n_events >= 20 AND $cv <= 0.2 AS is_bot
+         |FROM a WHERE n_events >= 2""".stripMargin
+    },
     // fulfillment-lag distribution off the count grid: exact lower
     // median = first lag with cum >= ceil(n/2); mean an exact-int ratio
     "q_fulfillment_lag" ->

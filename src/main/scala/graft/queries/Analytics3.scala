@@ -86,6 +86,54 @@ object Analytics3 {
         col("max_gap_days"))
   }
 
+  /** Per-user automation (bot) profile: event count, active span,
+    * events/hour rate, and the coefficient of variation of inter-event
+    * gaps — the behavioral-data curation gate before training on event
+    * streams (a scripted client fires on a timer: gap CV near 0; a
+    * human's gaps are heavy-tailed, CV ≳ 1). `is_bot` flags high-volume
+    * users (≥ 20 events) whose cadence is too regular (CV ≤ 0.2).
+    *
+    * ONE wide shuffle: the lag window and the per-user rollup share the
+    * user_id hash partitioning (the q_order_gaps shape). Determinism:
+    * gaps are exact integer SECONDS (micros would overflow Σg² in
+    * BIGINT on wide spans); mean/variance derive from the integer sums
+    * (n, Σg, Σg²) through one IEEE expression tree shared with the
+    * oracle (the events_burst convention), CV rounds 4dp, and the
+    * degenerate all-same-timestamp user (mean 0) pins CV to 0.0 —
+    * maximally regular, which is the honest bot reading. */
+  def eventsBotProfile(spark: SparkSession, dir: String,
+                       minEvents: Int = 20, maxCv: Double = 0.2): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        call_function("div",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)),
+          lit(1000000L)))
+    val agg = gaps.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      call_function("div",
+        max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))),
+        lit(1000000L)).as("span_sec"),
+      count(col("gap")).as("ng"),
+      sum(col("gap")).as("sg"),
+      sum(col("gap") * col("gap")).as("sg2"))
+    val ng = col("ng").cast("double")
+    val mean = col("sg").cast("double") / ng
+    val variance = (ng * col("sg2").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double")) / (ng * ng)
+    val cv = when(col("ng") > 0 && col("sg") > 0,
+      round(sqrt(variance) / mean, 4)).otherwise(0.0)
+    agg.filter(col("n_events") >= 2)
+      .select(col("user_id"), col("n_events"), col("span_sec"),
+        when(col("span_sec") > 0,
+          round(col("n_events") * lit(3600.0) / col("span_sec"), 4))
+          .otherwise(0.0).as("rate_per_hour"),
+        cv.as("gap_cv"),
+        (col("n_events") >= minEvents && cv <= maxCv).as("is_bot"))
+  }
+
   /** Per-priority fulfillment-lag distribution: line count, mean /
     * exact lower median / min / max of (ship date − order date) days —
     * the order-to-ship SLA view a logistics dashboard leads with, and

@@ -157,6 +157,37 @@ class Analytics3Spec extends AnyFunSuite with SparkFixture {
     assert(m("LINE") === 1.0)
   }
 
+  test("events_bot_profile flags metronome cadence, spares humans") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // user 1: 25 events exactly 60 s apart (scripted client)
+    val bot = (0 until 25).map(i =>
+      (1000L + i, ts(i * 60000L), 1L, "view", 0.0, "{}"))
+    // user 2: 25 events with wildly irregular gaps
+    val gaps2 = Seq(1L, 50L, 3L, 400L, 7L, 1000L, 2L, 90L, 13L, 700L,
+      5L, 300L, 1L, 60L, 21L, 900L, 4L, 150L, 9L, 500L, 6L, 45L, 30L, 80L)
+    val t2 = gaps2.scanLeft(0L)(_ + _)
+    val human = t2.zipWithIndex.map { case (sec, i) =>
+      (2000L + i, ts(sec * 1000L), 2L, "view", 0.0, "{}") }
+    // user 3: perfectly regular but only 5 events (below minEvents)
+    val lowVol = (0 until 5).map(i =>
+      (3000L + i, ts(i * 60000L), 3L, "view", 0.0, "{}"))
+    val events = (bot ++ human ++ lowVol)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("bot_")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics3.eventsBotProfile(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(1L)._2 === 0.0)          // zero gap variation
+    assert(out(1L)._3 === true)
+    assert(out(2L)._2 > 0.2)            // heavy-tailed human cadence
+    assert(out(2L)._3 === false)
+    assert(out(3L)._2 === 0.0)          // regular but low volume
+    assert(out(3L)._3 === false)
+  }
+
   test("q_order_gaps: same-date orders tie-break cleanly to a zero gap") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
