@@ -199,4 +199,37 @@ class SchemaHistory(val path: String, spark: SparkSession,
   def recover(consume: String => Unit): Unit = replay().foreach(consume)
 
   def asDF: DataFrame = spark.read.parquet(path)
+
+  /** Schema-drift report over the recorded DDL log: per table, when it
+    * was created (seq), how many columns it started with, how many ADD
+    * COLUMN events followed, the resulting width, and the last change —
+    * the "which tables drift fastest" ops view a CDC operator reads
+    * before a consumer breaks on a surprise column. A table whose
+    * n_added climbs every week has an upstream writing unvetted fields;
+    * a table with none is safe to pin a static schema on.
+    *
+    * Pure column parsing over the DDL-sized history frame (compaction
+    * keeps it one file; this never touches data tables). Duplicate seq
+    * rows from the compaction crash window collapse exactly like
+    * [[replay]] does. */
+  def driftReport(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pat = "^(CREATE|ALTER) TABLE (\\S+)"
+    val parsed = asDF.dropDuplicates("seq").select(
+      col("seq"),
+      regexp_extract(col("entry"), pat, 1).as("op"),
+      regexp_extract(col("entry"), pat, 2).as("tbl"),
+      when(regexp_extract(col("entry"), pat, 1) === "CREATE",
+        size(split(regexp_extract(col("entry"), "\\((.*)\\)", 1), ", ")))
+        .otherwise(0).as("init_cols"))
+    parsed.groupBy(col("tbl").as("table"))
+      .agg(
+        min(when(col("op") === "CREATE", col("seq"))).as("created_seq"),
+        max(col("init_cols")).cast("long").as("n_initial_cols"),
+        sum(when(col("op") === "ALTER", 1L).otherwise(0L)).as("n_added"),
+        (max(col("init_cols")).cast("long") +
+          sum(when(col("op") === "ALTER", 1L).otherwise(0L)))
+          .as("n_columns"),
+        max(col("seq")).as("last_change_seq"))
+  }
 }

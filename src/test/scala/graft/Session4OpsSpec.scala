@@ -143,6 +143,26 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("schema drift report summarizes the DDL log per table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val sink = new graft.sinks.WarehouseSink(tmpDir("drift_wh_"))
+    val hist = new graft.state.SchemaHistory(tmpDir("drift_hist_"), spark)
+    val df1 = Seq((1L, "a")).toDF("id", "name").withColumn("p", lit(1))
+    sink.evolveAndAppend(spark, df1, "t1", "p", Seq("id"), Some(hist))
+    // two new columns arrive in a later batch → two ALTER records
+    val df2 = df1.withColumn("extra", lit(2.0)).withColumn("more", lit("x"))
+    sink.evolveAndAppend(spark, df2, "t1", "p", Seq("id"), Some(hist))
+    // a second, never-evolved table
+    sink.evolveAndAppend(spark, df1, "t2", "p", Seq("id"), Some(hist))
+    val rep = hist.driftReport().collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rep("t1") === ((0L, 3L, 2L, 5L, 2L)))
+    assert(rep("t2") === ((3L, 3L, 0L, 3L, 3L)))
+  }
+
   test("corpus_budget_mix: per-language clean prefixes under equal budgets") {
     import graft.llm.TextOps
     val docs = Tables.documents(spark, sfDir)
