@@ -175,6 +175,7 @@ object SparkEntry {
     // LLM-data-pipeline: similarity search (SURVEY §2C)
     "ann_topk" -> (Ann.annTopKQ _),
     "ann_filtered_topk" -> (Ann.annFilteredTopKQ _),
+    "ann_mmr_topk" -> (Ann.annMmrTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),
     "embed_decontaminate" -> (Ann.embedDecontaminateQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),

@@ -152,6 +152,82 @@ object Ann {
     annRecallReport(annTopK(emb), annLshTopK(emb))
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedily pick
+    * k results maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected}
+    * sim(d, s) from a pool of the poolFactor·k nearest candidates —
+    * the re-ranking every retrieval surface (RAG context building,
+    * dedup review queues, "similar items" carousels) applies when the
+    * plain top-k returns k copies of the same thing. λ=1 degenerates to
+    * pure similarity (spec-pinned identity with [[annTopK]]).
+    *
+    * Scale shape: the corpus-heavy work is the bounded candidate
+    * retrieval ([[annTopK]]'s broadcast-query scan with a GroupTopK
+    * cut, WindowGroupLimit-bounded); the inherently SEQUENTIAL greedy
+    * selection then runs per query over its own ≤ poolFactor·k rows
+    * via `flatMapGroups` — distributed ACROSS queries, O(k²·pool·dim)
+    * work per group, no driver collect at any query count. Candidate
+    * vectors ride the bounded pool rows only; ties break (score desc,
+    * vec_id), scores round 4dp at the boundary. */
+  def annMmrTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                 poolFactor: Int = 3, lambdaDiv: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("q"),
+          col("nv").as("nq")))
+    val pool = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q"), col("v")) / (col("nq") * col("nv"))).as("sim"),
+        col("v"), col("nv"))
+    val top = graft.operators.GroupTopK.topK(pool, Seq("query_id"),
+      Seq(col("sim").desc, col("vec_id")), k * poolFactor)
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    top.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cands = it.map { case (_, id, sim, v, nv) =>
+        (id, sim, v.toArray, nv)
+      }.toArray.sortBy(c => (-c._2, c._1))
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      def cos(i: Int, j: Int): Double = {
+        val (a, b) = (cands(i), cands(j))
+        var d = 0.0; var p = 0
+        while (p < a._3.length) { d += a._3(p) * b._3(p); p += 1 }
+        d / (a._4 * b._4)
+      }
+      while (selected.length < k && selected.length < cands.length) {
+        var bestI = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!selected.contains(i)) {
+            val maxSel = if (selected.isEmpty) 0.0
+              else selected.map(cos(i, _)).max
+            val score = lambdaDiv * cands(i)._2 - (1 - lambdaDiv) * maxSel
+            // strict > keeps the first (highest-sim, lowest-id) on ties:
+            // cands is already in that total order
+            if (score > bestScore) { bestScore = score; bestI = i }
+          }
+          i += 1
+        }
+        selected += bestI
+        out += ((qid, selected.length, cands(bestI)._1,
+          BigDecimal(bestScore).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      out.iterator
+    }.toDF("query_id", "rank", "vec_id", "mmr_score")
+  }
+
+  /** Driver entry (rows-only: greedy selection over k-means-free
+    * geometry still has no SQL form; the spec pins the λ=1 identity
+    * with [[annTopK]], the diversity fixture, and pool containment). */
+  def annMmrTopKQ(spark: SparkSession, dir: String): DataFrame =
+    annMmrTopK(Tables.embeddings(spark, dir))
+
   /** Cosine radius (range) search: every corpus vector within cosine ≥
     * `tau` of each query vector, self excluded — the "find everything
     * similar enough" companion to [[annTopK]]'s "find the k best".

@@ -143,6 +143,51 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("ann_mmr_topk: diversity beats redundancy, lambda=1 is pure sim") {
+    import spark.implicits._
+    import graft.llm.Ann
+    // query 0 = [1,0,...]; A and B are nearly parallel to EACH OTHER
+    // (redundant pair) but distinct from the query, C is diverse with
+    // moderate relevance — so B's redundancy penalty (≈1 vs A) crushes
+    // its score while C's (≈0.43 vs A) doesn't
+    def pad(v: Double*) = (v ++ Seq.fill(4 - v.length)(0.0))
+    val emb = Seq(
+      (0L, pad(1.0, 0.0)),        // the query (vec_id < nQueries=1)
+      (10L, pad(0.9, 0.1)),       // A: sim ~0.994
+      (11L, pad(0.9, 0.11)),      // B: sim ~0.993, cos(B,A) ~0.9999
+      (12L, pad(0.6, -0.6))       // C: sim ~0.707, cos(C,A) ~0.62
+    ).toDF("vec_id", "embedding")
+    val mmr = Ann.annMmrTopK(emb, nQueries = 1, k = 2, poolFactor = 2,
+      lambdaDiv = 0.5)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // pure sim top-2 would be (A, B); MMR swaps the redundant B for C
+    assert(mmr.toSeq === Seq((1, 10L), (2, 12L)))
+    // λ=1: MMR degenerates to the plain similarity ranking
+    val pure = Ann.annMmrTopK(emb, nQueries = 1, k = 3, poolFactor = 1,
+      lambdaDiv = 1.0)
+      .orderBy("rank").collect().map(_.getLong(2))
+    val brute = Ann.annTopK(emb, nQueries = 1, k = 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(pure.toSeq === brute.toSeq)
+  }
+
+  test("ann_mmr_topk on the real corpus: dense ranks from the pool") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.annMmrTopK(emb, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 5))
+      assert(rows.map(_._3).distinct.length === 5)
+    }
+    // selections come from the candidate pool (top 15 by sim)
+    val pool = Ann.annTopK(emb, nQueries = 5, k = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out.forall(r => pool((r._1, r._3))))
+  }
+
   test("schema drift report summarizes the DDL log per table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -21,6 +21,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "corpus_sample_quality",
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_ivf_balance", "ivf_tuning_report", "ann_pq_topk",
+      "ann_mmr_topk",
       "embed_centroid_classify",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
