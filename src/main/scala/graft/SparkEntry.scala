@@ -178,6 +178,7 @@ object SparkEntry {
     "ann_mmr_topk" -> (Ann.annMmrTopKQ _),
     "ann_range" -> (Ann.annRangeQ _),
     "embed_decontaminate" -> (Ann.embedDecontaminateQ _),
+    "dedup_embed_consistency" -> (Ann.dedupEmbedConsistencyQ _),
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "ann_recall_report" -> (Ann.annRecallReportQ _),
     "knn_graph" -> (Ann.knnGraphQ _),
@@ -2002,6 +2003,49 @@ object SparkEntry {
          |                           ORDER BY jaccard DESC, nbr_id) AS rn
          |      FROM j)
          |SELECT doc_id, nbr_id, jaccard FROM r WHERE rn <= 5""".stripMargin,
+    // cross-modal consistency: the jaccard pair CTE joined to per-pair
+    // embedding cosines (norms/dots via the knn-oracle unnest pattern,
+    // restricted to the duplicate-bounded pair set), cos 4dp
+    "dedup_embed_consistency" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS inter
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)
+         |          AS jaccard
+         |      FROM p
+         |      JOIN counts ca ON doc_a = ca.doc_id
+         |      JOIN counts cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)
+         |            >= 0.8),
+         |norms AS (
+         |  SELECT vec_id,
+         |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) *
+         |             CAST(embedding[g.i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+         |    AS g(i)
+         |  GROUP BY vec_id),
+         |d AS (
+         |  SELECT j.doc_a, j.doc_b, j.jaccard,
+         |    sum(CAST(a.embedding[g.i] AS DOUBLE) *
+         |        CAST(b.embedding[g.i] AS DOUBLE)) AS dt
+         |  FROM j
+         |  JOIN embeddings a ON j.doc_a = a.vec_id
+         |  JOIN embeddings b ON j.doc_b = b.vec_id,
+         |    unnest(generate_series(1, len(a.embedding))) AS g(i)
+         |  GROUP BY 1, 2, 3)
+         |SELECT d.doc_a, d.doc_b, d.jaccard,
+         |  round(dt / (na.nrm * nb.nrm), 4) AS cos,
+         |  round(dt / (na.nrm * nb.nrm), 4) >= 0.9 AS consistent
+         |FROM d
+         |JOIN norms na ON d.doc_a = na.vec_id
+         |JOIN norms nb ON d.doc_b = nb.vec_id""".stripMargin,
     // cross-table linkage: the jaccard oracle split into even/odd
     // parity sides, (left, right) orientation instead of a < b
     "link_jaccard" ->

@@ -152,6 +152,46 @@ object Ann {
     annRecallReport(annTopK(emb), annLshTopK(emb))
   }
 
+  /** Cross-modal consistency audit: every TEXT near-dup pair
+    * ([[Dedup.dedupNgramJaccard]] at τ) scored by its EMBEDDING cosine
+    * — near-identical text whose vectors sit far apart means the
+    * embedding pipeline is broken for those docs (stale vectors after
+    * a re-encode, wrong row alignment, a truncation bug), and the
+    * inverse pass (embedding-dups with disjoint text) is
+    * [[dedupEmbed]] ∘ this with the roles swapped. The audit a
+    * pipeline runs after every encoder refresh, because embedding
+    * dedup silently degrades exactly when this disagrees. On the
+    * synthetic corpus the embeddings are random relative to the text,
+    * so real text-dups score near-zero cosine — flagged inconsistent,
+    * which is the honest reading (the [[embedCentroidClassify]]
+    * convention for label-free synthetic data).
+    *
+    * Scale shape: the pair frame is duplicate-bounded (never corpus²);
+    * vectors attach through two co-partitioned id joins; the cosine is
+    * one codegen'd [[dot]] fold per pair, 4dp. */
+  def dedupEmbedConsistency(docs: DataFrame, embeddings: DataFrame,
+                            tau: Double = 0.8,
+                            cosFlag: Double = 0.9): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val pairs = Dedup.dedupNgramJaccard(docs, tau)
+    val vecs = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val cos = round(
+      dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+    pairs
+      .join(vecs.select(col("vec_id"), col("v").as("va"),
+        col("nv").as("na")), col("doc_a") === col("vec_id")).drop("vec_id")
+      .join(vecs.select(col("vec_id"), col("v").as("vb"),
+        col("nv").as("nb")), col("doc_b") === col("vec_id")).drop("vec_id")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        cos.as("cos"), (cos >= cosFlag).as("consistent"))
+  }
+
+  def dedupEmbedConsistencyQ(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedConsistency(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
   /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedily pick
     * k results maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected}
     * sim(d, s) from a pool of the poolFactor·k nearest candidates —

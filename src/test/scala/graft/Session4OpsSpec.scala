@@ -143,6 +143,28 @@ class Session4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("dedup_embed_consistency separates aligned from broken vectors") {
+    import spark.implicits._
+    import graft.llm.Ann
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq((1L, text), (2L, text), (3L, text),
+      (4L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.01, 0.0, 0.0)), // aligned with 1: consistent dup
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),   // orthogonal: broken vector
+      (4L, Seq(0.5, 0.5, 0.5, 0.5))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.dedupEmbedConsistency(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(4)).toMap
+    // the three identical texts yield exactly three dup pairs
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 2L)) === true)   // vectors agree with the text
+    assert(out((1L, 3L)) === false)  // doc 3's vector is broken
+    assert(out((2L, 3L)) === false)
+  }
+
   test("ann_mmr_topk: diversity beats redundancy, lambda=1 is pure sim") {
     import spark.implicits._
     import graft.llm.Ann
