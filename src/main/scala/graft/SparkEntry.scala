@@ -82,6 +82,7 @@ object SparkEntry {
     "q_discount_effect" -> (Analytics3.qDiscountEffect _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
+    "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
     "events_interval_join" -> (graft.operators.IntervalJoin.eventsIntervalJoinQ _),
     "q_top_customers" -> (Analytics.qTopCustomers _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
@@ -1112,6 +1113,35 @@ object SparkEntry {
         |        (count(*) - 1), 4) AS mean_gap_days,
         |  CAST(max(gap) AS BIGINT) AS max_gap_days
         |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // cohort LTV: the retention-matrix cohorts monetized — DECIMAL
+    // revenue cells, cumulative over the matrix frame, per-member 4dp
+    "q_cohort_ltv" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |             FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS n_cohort_users FROM coh GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cw AS cohort_week,
+        |    CAST(datediff('day', CAST(c.cw AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+        |      AS week_n,
+        |    sum(CAST(e.value AS DECIMAL(12,2))) AS rev_dec
+        |  FROM events e JOIN coh c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_week, week_n, rev_dec,
+        |    sum(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_n)
+        |      AS cum_dec
+        |  FROM cells)
+        |SELECT m.cohort_week, m.week_n,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(cum_dec AS DOUBLE) AS cum_revenue,
+        |  sz.n_cohort_users,
+        |  round(CAST(cum_dec AS DOUBLE) / sz.n_cohort_users, 4)
+        |    AS ltv_per_user
+        |FROM cum m JOIN sz ON m.cohort_week = sz.cw""".stripMargin,
     // bot cadence profile: integer-second gaps, CV from integer sums
     // through one shared IEEE tree (the events_burst convention)
     "events_bot_profile" -> {

@@ -86,6 +86,53 @@ object Analytics3 {
         col("max_gap_days"))
   }
 
+  /** Cohort LTV curve: per (first-active-week cohort, weeks since),
+    * purchase revenue, the running cumulative, and LTV per cohort
+    * member — the monetized companion of `q_retention_matrix` (same
+    * cohort definition, so the two matrices join on their keys): "how
+    * much has the January cohort spent per user by week 6" is THE
+    * payback-period question under every acquisition budget. Cohort
+    * size counts ALL members (not just purchasers) so LTV is per
+    * acquired user, the metric's standard form.
+    *
+    * Scale shape: first-active week = one distinct + min agg (the
+    * retention-matrix frames, reusing the same user_id partitioning);
+    * revenue cells = ONE map-side-combined agg over purchases to the
+    * cohorts × weeks matrix; the cumulative windows over THAT
+    * dimension-sized frame. Revenue accumulates in DECIMAL (exact,
+    * order-independent — the Money contract) and lands as DOUBLE;
+    * weeks with no purchases are absent (their cum is carried by the
+    * next observed week). */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val activity = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val cells = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        col("value").cast("decimal(12,2)").as("rev"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk").cast("date"), col("cohort_week").cast("date")) / 7)
+          .cast("int").as("week_n"))
+      .agg(sum(col("rev")).as("rev_dec"))
+    val cumW = Window.partitionBy(col("cohort_week")).orderBy(col("week_n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_dec", sum(col("rev_dec")).over(cumW))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_n"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_dec").cast("double").as("cum_revenue"),
+        col("n_cohort_users"),
+        round(col("cum_dec").cast("double") / col("n_cohort_users"), 4)
+          .as("ltv_per_user"))
+  }
+
   /** Per-user automation (bot) profile: event count, active span,
     * events/hour rate, and the coefficient of variation of inter-event
     * gaps — the behavioral-data curation gate before training on event

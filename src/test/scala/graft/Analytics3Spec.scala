@@ -157,6 +157,45 @@ class Analytics3Spec extends AnyFunSuite with SparkFixture {
     assert(m("LINE") === 1.0)
   }
 
+  test("q_cohort_ltv equals a plain-Scala cohort replay") {
+    val out = Analytics3.qCohortLtv(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3)))
+    val cohortOf = events.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).minBy(_.getTime)
+    }
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size)
+    val cells = events.filter(_._3 == "purchase")
+      .groupBy { case (u, wk, _, _) =>
+        val cw = cohortOf(u)
+        (cw, ((wk.getTime - cw.getTime) / (7L * 86400000L)).toInt)
+      }
+      .map { case (k, rows) =>
+        k -> rows.map(r => BigDecimal(r._4).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+      }
+    val expect = cells.groupBy(_._1._1).flatMap { case (cw, cs) =>
+      val sorted = cs.toSeq.sortBy(_._1._2)
+      var cum = BigDecimal(0)
+      sorted.map { case ((_, wn), rev) =>
+        cum += rev
+        val n = sizes(cw).toLong
+        (cw, wn) -> ((rev.toDouble, cum.toDouble, n,
+          BigDecimal(cum.toDouble / n).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    assert(out === expect)
+  }
+
   test("events_bot_profile flags metronome cadence, spares humans") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
