@@ -127,6 +127,7 @@ object SparkEntry {
     "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
+    "corpus_mix_kl" -> (TextOps.corpusMixKlQ _),
     "corpus_report" -> (TextOps.corpusReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
@@ -1807,6 +1808,25 @@ object SparkEntry {
          |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS doc_share,
          |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
          |FROM g""".stripMargin,
+    // mixture drift as KL vs uniform: exact-int shares, ln the one
+    // transcendental, every float 4dp; total rides each row (tiny frame)
+    "corpus_mix_kl" ->
+      s"""WITH g AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |s AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p,
+         |    CAST(count(*) OVER () AS DOUBLE) AS nl
+         |  FROM g),
+         |t AS (SELECT *, p * ln(p * nl) AS term FROM s)
+         |SELECT lang, n_docs, n_tokens,
+         |  round(p, 4) AS token_share,
+         |  round(1.0 / nl, 4) AS target_share,
+         |  round(term, 4) AS kl_term,
+         |  round(sum(term) OVER (), 4) AS kl_total
+         |FROM t""".stripMargin,
     // top-k n-grams: deterministic (count desc, shingle asc) cutoff
     "text_ngram_topk" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),

@@ -931,6 +931,42 @@ object TextOps {
   def corpusBudgetMixQ(spark: SparkSession, dir: String): DataFrame =
     corpusBudgetMix(Tables.documents(spark, dir))
 
+  /** Mixture-drift report: per language, token share vs the uniform
+    * target and the KL-divergence contribution p·ln(p/q), plus the
+    * total KL riding every row — the one NUMBER that says how far the
+    * corpus mixture has drifted from spec between refreshes, where
+    * [[corpusMixReport]] shows the raw shares and leaves the judgment
+    * to the reader (KL ≈ 0: ship it; rising KL across refreshes:
+    * the crawler's language balance is rotting). Uniform q = 1/|L| is
+    * the [[corpusRebalance]]/[[corpusBudgetMix]] goal expressed as a
+    * divergence; a caller-supplied target mix is the same arithmetic.
+    *
+    * ONE map-side-combined agg to the |langs| frame; totals and the
+    * KL sum are windows over THAT frame. Shares are exact-int ratios;
+    * ln is the one transcendental (the text_tfidf precedent), with
+    * every float rounded 4dp at the boundary. */
+  def corpusMixKl(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("bigint")).as("n_tokens"))
+    val w = Window.partitionBy()
+    // two projection levels: p/nl are window results, the KL total is a
+    // window over the term derived from them (nesting is not allowed)
+    val shares = agg.select(col("lang"), col("n_docs"), col("n_tokens"),
+      (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w)).as("p"),
+      count(lit(1)).over(w).cast("double").as("nl"))
+      .withColumn("term", col("p") * log(col("p") * col("nl")))
+    shares.select(col("lang"), col("n_docs"), col("n_tokens"),
+      round(col("p"), 4).as("token_share"),
+      round(lit(1.0) / col("nl"), 4).as("target_share"),
+      round(col("term"), 4).as("kl_term"),
+      round(sum(col("term")).over(w), 4).as("kl_total"))
+  }
+
+  def corpusMixKlQ(spark: SparkSession, dir: String): DataFrame =
+    corpusMixKl(Tables.documents(spark, dir))
+
   /** Deterministic proportional source interleaving — the training-order
     * scheduler: doc r of a source with n docs gets the stride key
     * (r − ½)/n (its fraction through its own source), and the global
