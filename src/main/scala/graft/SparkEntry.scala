@@ -1820,7 +1820,8 @@ object SparkEntry {
          |    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p,
          |    CAST(count(*) OVER () AS DOUBLE) AS nl
          |  FROM g),
-         |t AS (SELECT *, p * ln(p * nl) AS term FROM s)
+         |t AS (SELECT *, CASE WHEN p > 0 THEN p * ln(p * nl)
+         |                     ELSE 0.0 END AS term FROM s)
          |SELECT lang, n_docs, n_tokens,
          |  round(p, 4) AS token_share,
          |  round(1.0 / nl, 4) AS target_share,

@@ -939,13 +939,20 @@ object TextOps {
     * to the reader (KL ≈ 0: ship it; rising KL across refreshes:
     * the crawler's language balance is rotting). Uniform q = 1/|L| is
     * the [[corpusRebalance]]/[[corpusBudgetMix]] goal expressed as a
-    * divergence; a caller-supplied target mix is the same arithmetic.
+    * divergence; `targetMix` swaps in a caller-supplied q per language
+    * (same arithmetic — languages absent from the map fall back to the
+    * uniform share, so a partial spec still yields a finite KL).
     *
     * ONE map-side-combined agg to the |langs| frame; totals and the
     * KL sum are windows over THAT frame. Shares are exact-int ratios;
     * ln is the one transcendental (the text_tfidf precedent), with
-    * every float rounded 4dp at the boundary. */
-  def corpusMixKl(docs: DataFrame): DataFrame = {
+    * every float rounded 4dp at the boundary. A language whose docs
+    * all tokenize empty has p = 0: its KL term is 0 by the measure-
+    * theoretic convention 0·ln 0 = 0 (guarded — Spark's log(0) is
+    * NULL, which would silently drop the row from kl_total while
+    * DuckDB's ln(0) errors; the oracle mirrors the CASE). */
+  def corpusMixKl(docs: DataFrame,
+                  targetMix: Map[String, Double] = Map.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agg = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
@@ -953,13 +960,31 @@ object TextOps {
     val w = Window.partitionBy()
     // two projection levels: p/nl are window results, the KL total is a
     // window over the term derived from them (nesting is not allowed)
-    val shares = agg.select(col("lang"), col("n_docs"), col("n_tokens"),
+    val withShares = agg.select(col("lang"), col("n_docs"), col("n_tokens"),
       (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w)).as("p"),
       count(lit(1)).over(w).cast("double").as("nl"))
-      .withColumn("term", col("p") * log(col("p") * col("nl")))
+    // q: caller target (plan-literal map, |langs|-bounded) or uniform.
+    // The uniform branch keeps the p·ln(p·nl) form — bit-identical to
+    // the oracle's expression, where p/(1/nl) would round differently
+    // whenever nl is not a power of two.
+    val (q, term) =
+      if (targetMix.isEmpty)
+        (lit(1.0) / col("nl"), col("p") * log(col("p") * col("nl")))
+      else {
+        val qc = coalesce(
+          element_at(
+            map(targetMix.toSeq.sortBy(_._1)
+              .flatMap { case (l, v) => Seq(lit(l), lit(v)) }: _*),
+            col("lang")),
+          lit(1.0) / col("nl"))
+        (qc, col("p") * log(col("p") / qc))
+      }
+    val shares = withShares
+      .withColumn("q", q)
+      .withColumn("term", when(col("p") > 0, term).otherwise(lit(0.0)))
     shares.select(col("lang"), col("n_docs"), col("n_tokens"),
       round(col("p"), 4).as("token_share"),
-      round(lit(1.0) / col("nl"), 4).as("target_share"),
+      round(col("q"), 4).as("target_share"),
       round(col("term"), 4).as("kl_term"),
       round(sum(col("term")).over(w), 4).as("kl_total"))
   }
