@@ -178,18 +178,35 @@ object Multimodal {
   /** Attach a synthetic media column to `documents`: the payload is a
     * REAL encoded PPM (even ids) or PGM (odd ids) image whose pixels are
     * rendered deterministically from the text bytes; metadata struct
-    * typed as it would be for a real corpus. */
+    * typed as it would be for a real corpus.
+    *
+    * Ids with `id % 50 ∈ {5, 9}` form planted perceptual twin pairs
+    * that STRADDLE the driver's 60/40 store/probe split (`%10 < 6`):
+    * both twins render the same id-seeded gradient at the store twin's
+    * dimensions, the probe twin uniformly +1 brighter — different
+    * payload bytes, identical luminance ORDER everywhere (values
+    * clamped below 255 so +1 never wraps), hence dHash hamming 0. Real
+    * corpora contain re-encoded copies of the same raster; without the
+    * plant, the synthetic corpus had no cross-split perceptual dup and
+    * `media_phash_incremental`'s driver entry was vacuously empty
+    * (VERDICT r10 #3). */
   def withMediaColumn(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
-        val w = (id % 64 + 16).toInt
-        val h = (id % 48 + 16).toInt
+        val twin = id % 50 == 5 || id % 50 == 9
+        // twins take every parameter from the STORE-side member so the
+        // pair differs only by the +1 brightness shift
+        val sid = if (twin) id - id % 50 + 5 else id
+        val w = (sid % 64 + 16).toInt
+        val h = (sid % 48 + 16).toInt
         val tb = text.getBytes("UTF-8")
-        val fmt = if (id % 2 == 0) "ppm" else "pgm"
+        val fmt = if (sid % 2 == 0) "ppm" else "pgm"
         val channels = if (fmt == "ppm") 3 else 1
+        val shift = if (twin && id % 50 == 9) 1 else 0
         val raster = Array.tabulate(w * h * channels) { i =>
-          if (tb.isEmpty) ((i * 31 + id) & 0xff).toByte
+          if (twin) (math.min((i * 31 + sid) & 0xff, 254) + shift).toByte
+          else if (tb.isEmpty) ((i * 31 + id) & 0xff).toByte
           else ((tb(i % tb.length) & 0xff) + i / tb.length).toByte
         }
         val payload =

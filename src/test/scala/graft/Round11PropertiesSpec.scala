@@ -68,6 +68,30 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(_.getAs[Double]("kl_total") === ln2))
   }
 
+  test("planted media twins straddle the store split at hamming 0") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.llm.Multimodal
+    val media = Multimodal.withMediaColumn(Tables.documents(spark, sfDir))
+    val sigs = Multimodal.mediaPhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every (50k+5, 50k+9) twin pair present and perceptually identical
+    val bases = sigs.keySet.filter(_ % 50 == 5)
+    assert(bases.nonEmpty)
+    bases.foreach { b =>
+      val probe = b + 4
+      assert(sigs.contains(probe), s"probe twin $probe missing")
+      assert(java.lang.Long.bitCount(sigs(b) ^ sigs(probe)) === 0)
+    }
+    // ...and the payloads still differ (near-dup, not byte-dup)
+    val pay = media.collect().map(r => r.doc_id -> r.media).toMap
+    bases.foreach { b =>
+      assert(!java.util.Arrays.equals(pay(b), pay(b + 4)))
+    }
+    // which makes the driver's incremental entry non-vacuous
+    val out = Multimodal.mediaPhashIncrementalQ(spark, sfDir)
+    assert(out.count() >= bases.size)
+  }
+
   test("corpus_mix_kl takes a caller-supplied target mix") {
     import spark.implicits._
     // p = (0.75, 0.25); target q = (0.75, 0.25) → KL exactly 0
