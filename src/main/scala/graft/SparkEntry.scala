@@ -278,6 +278,58 @@ object SparkEntry {
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
+  // --- LSH oracle machinery (r11) -------------------------------------
+  // The random-hyperplane coefficients are SEEDED literals
+  // (Ann.hyperplanes), so the whole LSH candidate structure is
+  // SQL-expressible: the oracle inlines the 32×64 plane matrix and
+  // recomputes sign buckets with list_dot_product, whose left-to-right
+  // fold matches the native VecDot/HyperplaneBuckets loops — verified
+  // bit-identical on all 4000 bucket ints and 190 raw cosines at
+  // sf0.01 before these oracles were wired in. Bucket assembly mirrors
+  // HyperplaneBuckets: band t's bucket int is MSB-first over its 4
+  // sign bits, sign strictly positive.
+  private lazy val lshCteSql: String = {
+    val planes = graft.llm.Ann.hyperplanes(
+      graft.llm.Ann.NumBands * graft.llm.Ann.BitsPerBand)
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+       |planes(pid, plane) AS (VALUES
+       |    $rows),
+       |bits AS (
+       |  SELECT vec_id, pid // 4 AS tbl, pid % 4 AS b,
+       |    CASE WHEN list_dot_product(v, plane) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM v, planes),
+       |buckets AS (
+       |  SELECT vec_id, tbl, sum(bit * (1 << (3 - b))) AS bucket
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Approximate LSH top-k rows (query_id, rank, vec_id ≤ k) as a SQL
+    * fragment over the [[lshCteSql]] CTEs — shared by the ann_lsh_topk
+    * oracle and the recall report's approx side. */
+  private val lshTopkSql: String =
+    """lcand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      |  FROM buckets q JOIN buckets c
+      |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |lsims AS (
+      |  SELECT query_id, l.vec_id AS vec_id,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      |  FROM lcand l
+      |  JOIN n a ON l.query_id = a.vec_id
+      |  JOIN n b ON l.vec_id = b.vec_id),
+      |lsh_topk AS (
+      |  SELECT query_id, rank, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (
+      |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM lsims)
+      |  WHERE rank <= 10)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_flatten" -> flattenSql,
     "cdc_dedup_latest" -> dedupLatestSql,
@@ -2217,6 +2269,109 @@ object SparkEntry {
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    // LSH family (r11): candidates replayed from the literal hyperplane
+    // matrix (lshCteSql); cosines are raw doubles, bit-identical by the
+    // shared left-to-right fold order
+    "dedup_embed" ->
+      s"""WITH $lshCteSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |      AND x.vec_id < y.vec_id)
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM cand
+         |  JOIN n a ON cand.vec_a = a.vec_id
+         |  JOIN n b ON cand.vec_b = b.vec_id)
+         |WHERE cos >= 0.4""".stripMargin,
+    // incremental probe == full LSH pairs restricted to pairs touching
+    // the new 40% split (the store arm is old×new, the within arm
+    // new×new; old×old never forms) — the equality the spec proves,
+    // here replayed directly
+    "dedup_embed_incremental" ->
+      s"""WITH $lshCteSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |      AND x.vec_id < y.vec_id
+         |  WHERE x.vec_id % 10 >= 6 OR y.vec_id % 10 >= 6)
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM cand
+         |  JOIN n a ON cand.vec_a = a.vec_id
+         |  JOIN n b ON cand.vec_b = b.vec_id)
+         |WHERE cos >= 0.4""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $lshCteSql,
+         |$lshTopkSql
+         |SELECT query_id, rank, vec_id FROM lsh_topk""".stripMargin,
+    "ann_recall_report" ->
+      s"""WITH $lshCteSql,
+         |$lshTopkSql,
+         |sims AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |    FROM sims)
+         |  WHERE rank <= 10)
+         |SELECT t.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS recall_at_k
+         |FROM truth t
+         |LEFT JOIN lsh_topk a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY t.query_id""".stripMargin,
+    // nearest-centroid classify: per-label unit-vector centroids off the
+    // 10% seed split, argmax of v·c − |c|²/2 with the native
+    // expression's last-max tie rule (higher label wins)
+    "embed_centroid_classify" ->
+      """WITH v0 AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, label,
+        |    list_transform(v0,
+        |      x -> x / sqrt(list_dot_product(v0, v0))) AS v
+        |  FROM v0),
+        |cdim AS (
+        |  SELECT label AS clabel, g.i AS i, avg(v[g.i]) AS c
+        |  FROM u, unnest(generate_series(1, len(v))) AS g(i)
+        |  WHERE vec_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT clabel, list(c ORDER BY i) AS cv FROM cdim GROUP BY 1),
+        |scored AS (
+        |  SELECT h.vec_id, h.label AS label_true, c.clabel,
+        |    list_dot_product(h.v, c.cv)
+        |      - list_dot_product(c.cv, c.cv) / 2.0 AS s
+        |  FROM u h, cents c
+        |  WHERE h.vec_id % 10 <> 0),
+        |pred AS (
+        |  SELECT label_true, clabel AS label_pred FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY s DESC, clabel DESC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |conf AS (
+        |  SELECT label_true, label_pred, count(*) AS n
+        |  FROM pred GROUP BY 1, 2)
+        |SELECT label_true, label_pred, n,
+        |  round(CAST(sum(CASE WHEN label_true = label_pred THEN n
+        |                      ELSE 0 END) OVER () AS DOUBLE)
+        |    / sum(n) OVER (), 4) AS accuracy
+        |FROM conf""".stripMargin,
     "ann_topk" ->
       """WITH norms AS (
         |  SELECT vec_id,
