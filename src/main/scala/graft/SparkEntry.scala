@@ -288,9 +288,8 @@ object SparkEntry {
   // sf0.01 before these oracles were wired in. Bucket assembly mirrors
   // HyperplaneBuckets: band t's bucket int is MSB-first over its 4
   // sign bits, sign strictly positive.
-  private lazy val lshCteSql: String = {
-    val planes = graft.llm.Ann.hyperplanes(
-      graft.llm.Ann.NumBands * graft.llm.Ann.BitsPerBand)
+  private def lshCte(numBands: Int, bitsPerBand: Int): String = {
+    val planes = graft.llm.Ann.hyperplanes(numBands * bitsPerBand)
     val rows = planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(",")}]::DOUBLE[])"
     }.mkString(",\n    ")
@@ -299,13 +298,17 @@ object SparkEntry {
        |planes(pid, plane) AS (VALUES
        |    $rows),
        |bits AS (
-       |  SELECT vec_id, pid // 4 AS tbl, pid % 4 AS b,
+       |  SELECT vec_id, pid // $bitsPerBand AS tbl, pid % $bitsPerBand AS b,
        |    CASE WHEN list_dot_product(v, plane) > 0 THEN 1 ELSE 0 END AS bit
        |  FROM v, planes),
        |buckets AS (
-       |  SELECT vec_id, tbl, sum(bit * (1 << (3 - b))) AS bucket
+       |  SELECT vec_id, tbl,
+       |    sum(bit * (1 << (${bitsPerBand - 1} - b))) AS bucket
        |  FROM bits GROUP BY 1, 2)""".stripMargin
   }
+
+  private lazy val lshCteSql: String =
+    lshCte(graft.llm.Ann.NumBands, graft.llm.Ann.BitsPerBand)
 
   /** Approximate LSH top-k rows (query_id, rank, vec_id ≤ k) as a SQL
     * fragment over the [[lshCteSql]] CTEs — shared by the ann_lsh_topk
@@ -2309,6 +2312,26 @@ object SparkEntry {
       s"""WITH $lshCteSql,
          |$lshTopkSql
          |SELECT query_id, rank, vec_id FROM lsh_topk""".stripMargin,
+    // approximate kNN graph at the 16-band × 3-bit banding: DIRECTED
+    // candidates (each node ranks its own neighbors), top-5 per node,
+    // ties to the smaller nbr_id (the TopKPairs rule)
+    "knn_graph_lsh" ->
+      s"""WITH ${lshCte(16, 3)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |  FROM buckets x JOIN buckets y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |      AND x.vec_id <> y.vec_id),
+         |sims AS (
+         |  SELECT src, dst,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM cand JOIN n a ON src = a.vec_id JOIN n b ON dst = b.vec_id)
+         |SELECT vec_id, CAST(rank AS INT) AS rank, nbr_id FROM (
+         |  SELECT src AS vec_id, dst AS nbr_id,
+         |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+         |      AS rank
+         |  FROM sims)
+         |WHERE rank <= 5""".stripMargin,
     "ann_recall_report" ->
       s"""WITH $lshCteSql,
          |$lshTopkSql,

@@ -15,10 +15,10 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
     // r11 moved the LSH family (dedup_embed, dedup_embed_incremental,
-    // ann_lsh_topk, ann_recall_report) and embed_centroid_classify to
-    // full DuckDB oracles — the hyperplanes are seeded literals, so the
+    // ann_lsh_topk, ann_recall_report, knn_graph_lsh) and
+    // embed_centroid_classify to full DuckDB oracles — the hyperplanes are seeded literals, so the
     // bucket structure replays in SQL
-    assert(rowsOnly === Set("knn_graph_lsh", "bpe_train",
+    assert(rowsOnly === Set("bpe_train",
       "embed_pca", "embed_spectrum",
       "bpe_encode", "bpe_fertility", "quality_classifier",
       "quality_calibration",
