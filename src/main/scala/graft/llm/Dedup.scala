@@ -290,21 +290,88 @@ object Dedup {
     * The ultra-frequent-shingle fan-out caveat of every inverted-index
     * metric applies unchanged (a viral boilerplate shingle pairs
     * everything sharing it): at 100 TB run after [[graft.llm.SpanDedup]]
-    * boilerplate removal, exactly like [[dedupContainment]]. */
-  def textSimilarTopk(docs: DataFrame, k: Int = 5, n: Int = 3): DataFrame = {
-    val shW = withShingleCount(shingleHashes(docs, n)).persist()
-    val pairs = shW.as("a")
+    * boilerplate removal, exactly like [[dedupContainment]].
+    *
+    * Duplicate mass gets the SAME adaptive exact-duplicate collapse as
+    * the thresholded metrics (ADVICE r10 — the direct index pays the
+    * quadratic bucket blowup the collapse was measured to avoid, 98 s
+    * vs 7.5 s on the 90%-dup smoke), adapted to the DIRECTED top-k:
+    * rep-level top-k classes dominate member-level top-k because a
+    * class's rep IS its smallest member id — at any score-tie boundary
+    * the k kept reps outrank every dropped class's members, so k
+    * neighbor CLASSES always contain the true k neighbor MEMBERS.
+    * Within a class only the k+1 smallest ids can ever surface in
+    * someone's list, so expansion is O(k²) per doc, never class². A
+    * class whose texts produce no shingles has no index rows and
+    * yields no pairs in either path (the adaptiveShinglePairs rule). */
+  def textSimilarTopk(docs: DataFrame, k: Int = 5, n: Int = 3,
+                      collapseThreshold: Double = 0.95): DataFrame = {
+    val gate = docs.agg(count(lit(1)).as("n"),
+      approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
+    if (gate.getLong(1) >= gate.getLong(0) * collapseThreshold) {
+      val shW = withShingleCount(shingleHashes(docs, n)).persist()
+      val pairs = shW.as("a")
+        .join(shW.as("b"),
+          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr_id"))
+        .agg(count(lit(1)).as("inter"),
+          min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
+        .select(col("doc_id"), col("nbr_id"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      val result = graft.Exec.materialize(
+        graft.operators.GroupTopK.topK(
+          pairs, Seq("doc_id"), Seq(col("jaccard").desc, col("nbr_id")), k))
+      shW.unpersist()
+      return result
+    }
+    // COLLAPSE: the adaptiveShinglePairs class machinery, directed
+    val classes = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      .groupBy(col("tkey")).agg(min(col("doc_id")).as("rep_id"))
+    val members = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      .join(classes, "tkey").select(col("doc_id"), col("rep_id"))
+      .persist()
+    val shW = withShingleCount(
+      shingleHashes(docs, n)
+        .join(members.filter(col("doc_id") === col("rep_id"))
+          .select(col("rep_id")), col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("sh_h")))
+      .persist()
+    val repPairs = shW.as("a")
       .join(shW.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr_id"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
-      .select(col("doc_id"), col("nbr_id"),
+      .select(col("rep_a"), col("rep_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+    // k neighbor classes per rep (see docstring for why k suffices)
+    val repTop = graft.operators.GroupTopK.topK(
+      repPairs, Seq("rep_a"), Seq(col("jaccard").desc, col("rep_b")), k)
+    // per class, the only members that can appear as neighbors
+    val smallIds = graft.operators.GroupTopK.topK(
+        members.select(col("rep_id"), col("doc_id")),
+        Seq("rep_id"), Seq(col("doc_id").asc), k + 1)
+      .select(col("rep_id").as("nbr_rep"), col("doc_id").as("nbr_id"))
+    val shingled = shW.select(col("doc_id").as("srep")).distinct()
+    // class-mates: identical shingle sets score exactly 1.0
+    val classmates = members.as("m")
+      .join(shingled, col("m.rep_id") === col("srep"))
+      .join(smallIds,
+        col("m.rep_id") === col("nbr_rep") && col("m.doc_id") =!= col("nbr_id"))
+      .select(col("m.doc_id").as("doc_id"), col("nbr_id"),
+        lit(1.0).as("jaccard"))
+    // rep scores transfer to every member pair of the two classes
+    val expanded = members.as("m")
+      .join(repTop, col("m.rep_id") === col("rep_a"))
+      .join(smallIds, col("rep_b") === col("nbr_rep"))
+      .select(col("m.doc_id").as("doc_id"), col("nbr_id"), col("jaccard"))
     val result = graft.Exec.materialize(
       graft.operators.GroupTopK.topK(
-        pairs, Seq("doc_id"), Seq(col("jaccard").desc, col("nbr_id")), k))
+        classmates.unionByName(expanded),
+        Seq("doc_id"), Seq(col("jaccard").desc, col("nbr_id")), k))
+    members.unpersist()
     shW.unpersist()
     result
   }

@@ -215,20 +215,31 @@ class SchemaHistory(val path: String, spark: SparkSession,
   def driftReport(): DataFrame = {
     import org.apache.spark.sql.functions._
     val pat = "^(CREATE|ALTER) TABLE (\\S+)"
+    // column count = top-level commas + 1: nested type-parameter groups
+    // are stripped first so MAP<K, V>, STRUCT<a: INT, b: INT> and
+    // DECIMAL(12,2) commas never count as column separators (depth ≤ 4
+    // covers any sane DDL; deeper nests degrade to an overcount, never
+    // an error)
+    val colList = regexp_extract(col("entry"), "\\((.*)\\)", 1)
+    val stripped = (1 to 4).foldLeft(colList)((c, _) =>
+      regexp_replace(regexp_replace(c, "<[^<>]*>", ""), "\\([^()]*\\)", ""))
+    val isAdd = col("op") === "ALTER" && col("entry").rlike("ADD COLUMN")
     val parsed = asDF.dropDuplicates("seq").select(
-      col("seq"),
+      col("seq"), col("entry"),
       regexp_extract(col("entry"), pat, 1).as("op"),
       regexp_extract(col("entry"), pat, 2).as("tbl"),
       when(regexp_extract(col("entry"), pat, 1) === "CREATE",
-        size(split(regexp_extract(col("entry"), "\\((.*)\\)", 1), ", ")))
+        size(split(stripped, ",")))
         .otherwise(0).as("init_cols"))
     parsed.groupBy(col("tbl").as("table"))
       .agg(
         min(when(col("op") === "CREATE", col("seq"))).as("created_seq"),
         max(col("init_cols")).cast("long").as("n_initial_cols"),
-        sum(when(col("op") === "ALTER", 1L).otherwise(0L)).as("n_added"),
+        // only ADD COLUMN alters widen the table — type changes,
+        // renames, drops et al. are drift events but not width growth
+        sum(when(isAdd, 1L).otherwise(0L)).as("n_added"),
         (max(col("init_cols")).cast("long") +
-          sum(when(col("op") === "ALTER", 1L).otherwise(0L)))
+          sum(when(isAdd, 1L).otherwise(0L)))
           .as("n_columns"),
         max(col("seq")).as("last_change_seq"))
   }

@@ -92,6 +92,55 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() >= bases.size)
   }
 
+  test("driftReport counts columns through nested types and gates ALTERs") {
+    val hist = new graft.state.SchemaHistory(tmpDir("drift2_hist_"), spark)
+    // three columns whose sql types contain ', ' — the naive
+    // split-on-comma counted 6 here
+    hist.record("CREATE TABLE t (a MAP<STRING, INT>, " +
+      "b STRUCT<x: INT, y: DECIMAL(12,2)>, c ARRAY<STRUCT<p: INT, q: INT>>)")
+    hist.record("ALTER TABLE t ADD COLUMN d BIGINT")
+    // drift events that are NOT width growth must not count as added
+    hist.record("ALTER TABLE t ALTER COLUMN a SET DATA TYPE STRING")
+    hist.record("ALTER TABLE t RENAME COLUMN c TO c2")
+    val r = hist.driftReport().collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_initial_cols") === 3L)
+    assert(row.getAs[Long]("n_added") === 1L)
+    assert(row.getAs[Long]("n_columns") === 4L)
+    assert(row.getAs[Long]("created_seq") === 0L)
+    assert(row.getAs[Long]("last_change_seq") === 3L)
+  }
+
+  test("text_similar_topk: collapse path equals direct on duplicate mass") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    // duplicate-heavy corpus: 5 base texts sharing vocabulary overlap
+    // (non-trivial cross-class jaccards), each replicated 12x, plus
+    // unique docs and a shingle-free class (2-word texts, n=3)
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "alpha beta gamma theta iota kappa",
+      "lambda mu nu xi omicron pi",
+      "lambda mu nu xi omicron rho")
+    val docs = (bases.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 12).map(c => (i * 100L + c, t))
+    } ++ Seq((900L, "sigma tau upsilon phi chi psi"),
+      (901L, "too short"), (902L, "too short"))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rows(Dedup.textSimilarTopk(docs, k = 3,
+      collapseThreshold = 0.0))
+    val collapsed = rows(Dedup.textSimilarTopk(docs, k = 3,
+      collapseThreshold = 2.0))
+    assert(collapsed === direct)
+    // the shingle-free duplicate class must yield no rows in either path
+    assert(!direct.exists(r => r._1 >= 901L || r._2 >= 901L))
+    // and the gate on THIS corpus picks the collapse path on its own
+    assert(rows(Dedup.textSimilarTopk(docs, k = 3)) === direct)
+  }
+
   test("corpus_mix_kl takes a caller-supplied target mix") {
     import spark.implicits._
     // p = (0.75, 0.25); target q = (0.75, 0.25) → KL exactly 0

@@ -49,12 +49,25 @@ class StreamBurstSpec extends AnyFunSuite with SparkFixture {
     assert(rep === batchRep)
     assert(rep.nonEmpty)
 
-    // replay idempotence: re-running a batch overwrites its own rows
-    val b0Events = shards.filter(col("batch_id") === 0)
-      .agg(sum("n_events")).as[Long].head()
+    // replay idempotence: re-running a batch overwrites its own rows.
+    // Batch 0 is identified by its (hour, event_type, n) rows, not a
+    // total count — the even/odd slices can tie on totals (ADVICE r10)
+    val b0Rows = shards.filter(col("batch_id") === 0)
+      .select("hour", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    def hourlyOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(_.toSeq).toSet
     val evenSlice = events.filter(col("event_id") % 2 === 0)
     val oddSlice = events.filter(col("event_id") % 2 === 1)
-    val replay = if (evenSlice.count() == b0Events) evenSlice else oddSlice
+    val replay =
+      if (hourlyOf(evenSlice) == b0Rows) evenSlice
+      else {
+        assert(hourlyOf(oddSlice) === b0Rows,
+          "neither file slice reproduces batch 0's aggregate rows")
+        oddSlice
+      }
     StreamBurst.writeBatch(replay, 0L, sink, "events_hourly_counts")
     val after = StreamBurst.servedBurstReport(spark, sink)
       .collect().map(_.toSeq).toSet
