@@ -149,10 +149,15 @@ object Analytics3 {
     * degenerate all-same-timestamp user (mean 0) pins CV to 0.0 —
     * maximally regular, which is the honest bot reading. */
   def eventsBotProfile(spark: SparkSession, dir: String,
-                       minEvents: Int = 20, maxCv: Double = 0.2): DataFrame = {
+                       minEvents: Int = 20, maxCv: Double = 0.2): DataFrame =
+    eventsBotProfileOn(Tables.events(spark, dir), minEvents, maxCv)
+
+  def eventsBotProfileOn(events: DataFrame,
+                         minEvents: Int = 20,
+                         maxCv: Double = 0.2): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val gaps = Tables.events(spark, dir)
+    val gaps = events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("gap",
         call_function("div",

@@ -141,6 +141,140 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(Dedup.textSimilarTopk(docs, k = 3)) === direct)
   }
 
+  test("events_bot_profile equals a plain-Scala replay on random cadences") {
+    import spark.implicits._
+    import graft.queries.Analytics3
+    val rnd = new scala.util.Random(1111)
+    val base = 1704067200000000L // 2024-01-01 in micros
+    // 30 users: metronomes (fixed gap), humans (heavy-tailed gaps),
+    // same-timestamp degenerates, and sub-minEvents small fry
+    val rows = (0 until 30).flatMap { u =>
+      val n = u % 4 match {
+        case 0 => 25 case 1 => 20 + rnd.nextInt(10)
+        case 2 => 2 + rnd.nextInt(3) case 3 => 1
+      }
+      var t = base + rnd.nextInt(1000000)
+      (0 until n).map { i =>
+        val gap = u % 4 match {
+          case 0 => 60000000L // exact metronome
+          case 2 => 0L // all same timestamp
+          case _ => (rnd.nextInt(500) * rnd.nextInt(500) + 1) * 1000L
+        }
+        if (i > 0) t += gap
+        (u.toLong * 1000 + i, u.toLong, "view", 1.0,
+          java.time.Instant.EPOCH.plusNanos(t * 1000) match {
+            case inst => java.sql.Timestamp.from(inst)
+          })
+      }
+    }
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Analytics3.eventsBotProfileOn(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    def r4(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = rows.groupBy(_._2).collect {
+      case (uid, evs) if evs.size >= 2 =>
+        val micros = evs.sortBy(e =>
+          (e._5.getTime * 1000 + e._5.getNanos / 1000 % 1000, e._1))
+          .map(e => e._5.getTime / 1000 * 1000000L + e._5.getNanos / 1000)
+        val gaps = micros.zip(micros.tail)
+          .map { case (a, b) => Math.floorDiv(b - a, 1000000L) }
+        val n = evs.size.toLong
+        val span = Math.floorDiv(micros.max - micros.min, 1000000L)
+        val (ng, sg, sg2) =
+          (gaps.size.toDouble, gaps.sum.toDouble,
+            gaps.map(g => g * g).sum.toDouble)
+        val mean = sg / ng
+        val variance = (ng * sg2 - sg * sg) / (ng * ng)
+        val cv = if (gaps.nonEmpty && gaps.sum > 0)
+          r4(math.sqrt(variance) / mean) else 0.0
+        val rate = if (span > 0) r4(n * 3600.0 / span) else 0.0
+        uid -> ((n, span, rate, cv, n >= 20 && cv <= 0.2))
+    }.toMap
+    assert(out === expect)
+    // the planted regimes land where they should
+    assert(out(0L)._5 && out(4L)._5) // metronomes flagged
+    assert(!out(1L)._5) // heavy-tailed human at volume: spared
+  }
+
+  test("q_order_gaps equals a plain-Scala replay on random order books") {
+    import spark.implicits._
+    import graft.queries.Analytics3
+    val rnd = new scala.util.Random(2222)
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 40).flatMap { c =>
+      val n = 1 + rnd.nextInt(6)
+      (0 until n).map { i =>
+        // duplicate dates happen: same-day orders must tie to gap 0
+        (c.toLong * 100 + i, c.toLong,
+          java.sql.Date.valueOf(epoch.plusDays(rnd.nextInt(90))))
+      }
+    }
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Analytics3.qOrderGapsOn(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    def r4(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = rows.groupBy(_._2).collect {
+      case (c, os) if os.size >= 2 =>
+        val sorted = os.sortBy(o => (o._3.toLocalDate.toEpochDay, o._1))
+          .map(_._3.toLocalDate.toEpochDay)
+        val span = sorted.max - sorted.min
+        val maxGap = sorted.zip(sorted.tail).map { case (a, b) => b - a }.max
+        c -> ((os.size.toLong, span,
+          r4(span.toDouble / (os.size - 1)), maxGap))
+    }.toMap
+    assert(out === expect)
+  }
+
+  test("q_discount_effect equals a plain-Scala replay on random books") {
+    import spark.implicits._
+    import graft.queries.Analytics3
+    val rnd = new scala.util.Random(3333)
+    val brands = (0 until 6).map(b => s"Brand#$b")
+    val part = (0 until 60)
+      .map(p => (p.toLong, brands(rnd.nextInt(brands.size))))
+      .toDF("p_partkey", "p_brand")
+    val partBrand = (0 until 60)
+      .map(p => p.toLong -> brands.indexOf(
+        part.collect().find(_.getLong(0) == p).get.getString(1)))
+    val li = (0 until 400).map { i =>
+      // Brand#5 gets constant discount → zero variance → 0.0 sentinel
+      val pk = rnd.nextInt(60).toLong
+      val d = if (partBrand(pk.toInt)._2 == 5) 0.05
+        else rnd.nextInt(11) / 100.0
+      (pk, d, (1 + rnd.nextInt(50)).toLong)
+    }
+    val lineitem = li.toDF("l_partkey", "l_discount", "l_quantity")
+    val out = Analytics3.qDiscountEffectOn(lineitem, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def r4(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brandOf = partBrand.map { case (pk, bi) => pk -> brands(bi) }.toMap
+    val expect = li.groupBy(l => brandOf(l._1)).map { case (b, ls) =>
+      // x replays Spark's round(l_discount*100, 0): BigDecimal.valueOf
+      val xs = ls.map(l => java.math.BigDecimal.valueOf(l._2 * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      val ys = ls.map(_._3)
+      val n = ls.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      val sx2 = xs.map(x => x * x).sum.toDouble
+      val sy2 = ys.map(y => y * y).sum.toDouble
+      val num = n * sxy - sx * sy
+      val varx = n * sx2 - sx * sx
+      val vary = n * sy2 - sy * sy
+      val corr = if (varx > 0 && vary > 0)
+        r4(num / (math.sqrt(varx) * math.sqrt(vary))) else 0.0
+      b -> ((ls.size.toLong, r4(sx / n), r4(sy / n), corr))
+    }
+    assert(out === expect.toMap)
+    assert(out("Brand#5")._4 === 0.0) // the planted zero-variance brand
+  }
+
   test("corpus_mix_kl takes a caller-supplied target mix") {
     import spark.implicits._
     // p = (0.75, 0.25); target q = (0.75, 0.25) → KL exactly 0
