@@ -1087,21 +1087,35 @@ object Ann {
     * pruning prunes nothing. LSH wins when the corpus CLUSTERS (real
     * embedding corpora: most of each node's bucket-mates are genuine
     * near neighbors) and when `bitsPerBand` scales with log(n) to hold
-    * bucket sizes flat; both knobs are exposed for exactly that
-    * reason. What stays right at any scale: the candidate join is the
+    * bucket sizes flat. Per that argument, the DEFAULT (`bitsPerBand =
+    * 0`) now self-scales: bits = ⌈log₂(n / 4k)⌉ clamped to [2, 12],
+    * holding expected bucket occupancy at ~4k members so per-node
+    * candidate volume stays O(bands · k) at ANY corpus size instead of
+    * growing linearly with n — the one count() it costs runs on the
+    * already-persisted signature frame. A caller (and the driver
+    * entry, whose DuckDB oracle inlines the plane matrix for one fixed
+    * banding) can still pin bits explicitly. What stays right at any
+    * scale: the candidate join is the
     * [[dedupEmbed]] slim form (only (tbl, bucket, id) triples
     * shuffle; the distinct-ed pair set joins vectors back for ONE
     * exact cosine per pair), the aggregate bound is n·k, and no
     * corpus-sized broadcast exists anywhere. */
   def knnGraphLsh(embeddings: DataFrame, k: Int = 5,
-                  numBands: Int = 16, bitsPerBand: Int = 3): DataFrame = {
+                  numBands: Int = 16, bitsPerBand: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val sigs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist()
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        val n = sigs.count().toDouble
+        math.min(12, math.max(2,
+          math.ceil(math.log(n / (4.0 * k)) / math.log(2.0)).toInt))
+      }
     val buckets = sigs.select(col("vec_id"),
-      posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+      posexplode(lshBucketInts(col("v"), numBands, bits))
         .as(Seq("tbl", "bucket")))
     // DIRECTED candidate pairs (each node ranks its own neighbors), so
     // unlike dedupEmbed's undirected x<y form both directions survive
@@ -2560,9 +2574,13 @@ object Ann {
     graft.functions.VectorFunctions.register(spark)
     knnGraph(Tables.embeddings(spark, dir))
   }
+  /** Driver entry pins the 16×3 banding explicitly: the DuckDB oracle
+    * inlines the 48-plane literal matrix, which requires a banding
+    * known without touching the data (the auto-scaled default derives
+    * bits from the corpus count). */
   def knnGraphLshQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    knnGraphLsh(Tables.embeddings(spark, dir))
+    knnGraphLsh(Tables.embeddings(spark, dir), bitsPerBand = 3)
   }
   def knnClusterQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
