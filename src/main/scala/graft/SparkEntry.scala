@@ -2357,6 +2357,67 @@ object SparkEntry {
          |LEFT JOIN lsh_topk a
          |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
          |GROUP BY t.query_id""".stripMargin,
+    // greedy MMR replayed as a RECURSIVE CTE (r11): one row per (query,
+    // step) carrying the selected-id list; each iteration scores the
+    // unselected pool (λ·sim − (1−λ)·max-cos-to-selected, the float
+    // constants interpolated from the SAME Scala arithmetic so
+    // 1−0.7 = 0.30000000000000004 on both engines) and keeps the
+    // argmax under the operator's (score, sim, id) tie order
+    "ann_mmr_topk" -> {
+      val lam = "0.7"
+      val oneMinus = (1 - 0.7).toString
+      s"""WITH RECURSIVE
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM v),
+         |pool AS (
+         |  SELECT * FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim,
+         |      b.v AS bv, b.nrm AS bn,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |          DESC, b.vec_id) AS pr
+         |    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id < 10)
+         |  WHERE pr <= 30),
+         |pc AS (
+         |  SELECT x.query_id, x.vec_id AS i, y.vec_id AS j,
+         |    list_dot_product(x.bv, y.bv) / (x.bn * y.bn) AS cos
+         |  FROM pool x JOIN pool y
+         |    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+         |sel(query_id, step, selected, vec_id, score) AS (
+         |  SELECT query_id, 1, [vec_id], vec_id,
+         |    $lam * sim - $oneMinus * 0.0
+         |  FROM (
+         |    SELECT query_id, vec_id, sim, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY $lam * sim - $oneMinus * 0.0 DESC, sim DESC,
+         |        vec_id) AS rn
+         |    FROM pool) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT query_id, step, selected, vec_id, score FROM (
+         |    SELECT s.query_id, s.step + 1 AS step,
+         |      list_append(s.selected, p.vec_id) AS selected, p.vec_id,
+         |      $lam * p.sim - $oneMinus * coalesce(mx.m, 0.0) AS score,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY $lam * p.sim - $oneMinus * coalesce(mx.m, 0.0)
+         |          DESC, p.sim DESC, p.vec_id) AS rn
+         |    FROM sel s
+         |    JOIN pool p ON p.query_id = s.query_id
+         |      AND NOT list_contains(s.selected, p.vec_id)
+         |    LEFT JOIN (
+         |      SELECT pc.query_id, pc.i, s2.step, max(pc.cos) AS m
+         |      FROM pc JOIN sel s2 ON pc.query_id = s2.query_id
+         |        AND list_contains(s2.selected, pc.j)
+         |      GROUP BY 1, 2, 3) mx
+         |      ON mx.query_id = s.query_id AND mx.i = p.vec_id
+         |        AND mx.step = s.step
+         |    WHERE s.step < 10)
+         |  WHERE rn = 1)
+         |SELECT query_id, CAST(step AS INT) AS rank, vec_id,
+         |  round(score, 4) AS mmr_score FROM sel""".stripMargin
+    },
     // nearest-centroid classify: per-label unit-vector centroids off the
     // 10% seed split, argmax of v·c − |c|²/2 with the native
     // expression's last-max tie rule (higher label wins)

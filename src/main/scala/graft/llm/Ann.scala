@@ -262,9 +262,11 @@ object Ann {
     }.toDF("query_id", "rank", "vec_id", "mmr_score")
   }
 
-  /** Driver entry (rows-only: greedy selection over k-means-free
-    * geometry still has no SQL form; the spec pins the λ=1 identity
-    * with [[annTopK]], the diversity fixture, and pool containment). */
+  /** Driver entry. Oracle-checked since r11: the greedy replays as a
+    * DuckDB RECURSIVE CTE (selected-id list per step, argmax under the
+    * same (score, sim, id) tie order — see SparkEntry.oracleSql); the
+    * spec additionally pins the λ=1 identity with [[annTopK]], the
+    * diversity fixture, and pool containment. */
   def annMmrTopKQ(spark: SparkSession, dir: String): DataFrame =
     annMmrTopK(Tables.embeddings(spark, dir))
 

@@ -25,7 +25,6 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "corpus_sample_quality",
       "corpus_refine_learned",
       "ann_ivf_topk", "ann_ivf_balance", "ivf_tuning_report", "ann_pq_topk",
-      "ann_mmr_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
       "dedup_simhash", "dedup_semantic", "corpus_topic_terms",
