@@ -2272,6 +2272,27 @@ object SparkEntry {
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    // BPE tokenizer round trip (r11): training replayed as a recursive
+    // CTE over the (iteration, vocab word) state — see bpeCoreSql
+    "bpe_train" ->
+      s"""WITH RECURSIVE
+         |$bpeCoreSql
+         |SELECT CAST(it AS INT) AS merge_rank, ml AS "left",
+         |  mr AS "right", mc AS n_occurrences
+         |FROM (SELECT DISTINCT it, ml, mr, mc FROM state WHERE it > 0)""".stripMargin,
+    "bpe_encode" ->
+      s"""WITH RECURSIVE
+         |$bpeCoreSql
+         |SELECT doc_id, n_words, n_bpe_tokens FROM enc""".stripMargin,
+    "bpe_fertility" ->
+      s"""WITH RECURSIVE
+         |$bpeCoreSql
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(n_bpe_tokens) AS DOUBLE) / sum(n_words), 4)
+         |    AS fertility
+         |FROM enc JOIN documents USING (doc_id) GROUP BY lang""".stripMargin,
     // LSH family (r11): candidates replayed from the literal hyperplane
     // matrix (lshCteSql); cosines are raw doubles, bit-identical by the
     // shared left-to-right fold order
@@ -2880,6 +2901,66 @@ object SparkEntry {
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is
     * a plain (non-interpolated concatenation of) string so the SQL carries
     * a single backslash-s. */
+  /** BPE train state as a RECURSIVE CTE (r11): one row per (iteration,
+    * vocab word) carrying the current segmentation as a space-joined
+    * string. Each iteration counts adjacent symbol pairs weighted by
+    * word frequency, keeps the (count desc, left, right) argmax if it
+    * occurs ≥ 2 times, and re-folds every word under that one merge via
+    * `list_reduce` — the fold (merge when the accumulator's last symbol
+    * is `l` and the next is `r`) is equivalent to the trainer's
+    * skip-two scan because a merged symbol `l||r` can never equal `l`
+    * again within the pass. Shared by the bpe_train / bpe_encode /
+    * bpe_fertility oracles; the encode side reads the FINAL iteration's
+    * segmentation lengths directly, which equals BpeApply under the
+    * trained table because training itself applies merges in rank
+    * order, one pass each. */
+  private lazy val bpeCoreSql: String =
+    s"""vocab AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($tokSql) AS w FROM documents)
+       |  GROUP BY w ORDER BY freq DESC, w ASC LIMIT 50000),
+       |state(it, w, freq, seg, ml, mr, mc) AS (
+       |  SELECT 0, w, freq,
+       |    array_to_string(string_split_regex(w, ''), ' '),
+       |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS BIGINT)
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT s.it + 1, s.w, s.freq,
+       |    list_reduce(
+       |      list_prepend('', string_split(s.seg, ' ')),
+       |      (acc, x) -> CASE
+       |        WHEN regexp_extract(acc, '[^ ]*$$') = b.l AND x = b.r
+       |          THEN substr(acc, 1, len(acc) - len(b.l)) || b.l || b.r
+       |        WHEN acc = '' THEN x
+       |        ELSE acc || ' ' || x END),
+       |    b.l, b.r, b.c
+       |  FROM state s CROSS JOIN (
+       |    SELECT l, r, c FROM (
+       |      SELECT l, r, CAST(sum(freq) AS BIGINT) AS c,
+       |        row_number() OVER (ORDER BY sum(freq) DESC, l ASC, r ASC)
+       |          AS rn
+       |      FROM (
+       |        SELECT syms[g.i] AS l, syms[g.i + 1] AS r, freq
+       |        FROM (SELECT string_split(seg, ' ') AS syms, freq
+       |              FROM state),
+       |          unnest(generate_series(1, len(syms) - 1)) AS g(i))
+       |      GROUP BY l, r)
+       |    WHERE rn = 1 AND c >= 2) b
+       |  WHERE s.it < 20),
+       |final AS (
+       |  SELECT w, CASE WHEN w = '' THEN 0
+       |    ELSE len(string_split(seg, ' ')) END AS n_sym
+       |  FROM state WHERE it = (SELECT max(it) FROM state)),
+       |docwords AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |    CAST(sum(n * n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM docwords JOIN final USING (w) GROUP BY doc_id)""".stripMargin
+
   private def tokSqlOf(c: String): String =
     "regexp_split_to_array(trim(lower(" + c + ")), '" + """\s""" + "+')"
   private val tokSql: String = tokSqlOf("text")

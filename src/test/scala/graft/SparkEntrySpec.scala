@@ -18,9 +18,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // ann_lsh_topk, ann_recall_report, knn_graph_lsh) and
     // embed_centroid_classify to full DuckDB oracles — the hyperplanes are seeded literals, so the
     // bucket structure replays in SQL
-    assert(rowsOnly === Set("bpe_train",
-      "embed_pca", "embed_spectrum",
-      "bpe_encode", "bpe_fertility", "quality_classifier",
+    assert(rowsOnly === Set(
+      "embed_pca", "embed_spectrum", "quality_classifier",
       "quality_calibration",
       "corpus_sample_quality",
       "corpus_refine_learned",
