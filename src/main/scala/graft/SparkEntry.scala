@@ -2272,6 +2272,78 @@ object SparkEntry {
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    // trained-classifier family (r11): the logistic GD replayed as a
+    // recursive CTE (clsCoreSql), scores identical to 4dp
+    "quality_classifier" ->
+      s"""WITH RECURSIVE
+         |$clsCoreSql
+         |SELECT gm.doc_id, round(${clsScoreSql("gm")}, 4) AS quality_score,
+         |  round(${clsScoreSql("gm")}, 4) >= 0.5 AS keep
+         |FROM gm, musd, model""".stripMargin,
+    "corpus_sample_quality" ->
+      s"""WITH RECURSIVE
+         |$clsCoreSql,
+         |scored AS (
+         |  SELECT gm.doc_id, round(${clsScoreSql("gm")}, 4) AS quality_score
+         |  FROM gm, musd, model)
+         |SELECT doc_id, quality_score FROM scored
+         |WHERE ((doc_id % ${TextOps.SampleIdPrime})
+         |    * ${TextOps.SampleMultiplier}
+         |    >> ${TextOps.SampleShift}) % 1000
+         |  < CAST(round(quality_score * 1000) AS BIGINT)""".stripMargin,
+    // deciles over the 4dp score grid; mean/rate round half-to-even like
+    // the driver's math.rint
+    "quality_calibration" ->
+      s"""WITH RECURSIVE
+         |$clsCoreSql,
+         |byscore AS (
+         |  SELECT round(${clsScoreSql("gm")}, 4) AS score,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN gm.gopher_pass THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS np
+         |  FROM gm, musd, model GROUP BY 1),
+         |cumc AS (
+         |  SELECT *,
+         |    coalesce(CAST(sum(n) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cum,
+         |    CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM byscore)
+         |SELECT least(9, 10 * cum // total) AS decile,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  round_even(sum(score * n) / sum(n), 4) AS mean_score,
+         |  round_even(CAST(sum(np) AS DOUBLE) / sum(n), 4)
+         |    AS gopher_pass_rate,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM cumc GROUP BY 1""".stripMargin,
+    // train on RAW docs (clsCoreSql), gate the SCRUBBED corpus — the
+    // corpus_refine pipeline with the learned gate in the rule's seat
+    "corpus_refine_learned" ->
+      s"""WITH RECURSIVE
+         |$clsCoreSql,
+         |sc AS (
+         |  SELECT doc_id, lang, source, $scrubSql AS ct FROM documents),
+         |sg AS (
+         |${gopherOracleSqlOver("(SELECT doc_id, ct AS text FROM sc)")
+             .linesIterator.map("  " + _).mkString("\n")}
+         |),
+         |gated AS (
+         |  SELECT sg.doc_id, sc.lang, sc.source, sc.ct,
+         |    sg.n_words AS n_tokens,
+         |    round(${clsScoreSql("sg")}, 4) AS quality_score
+         |  FROM sg JOIN sc USING (doc_id), musd, model
+         |  WHERE sg.n_words >= 8),
+         |k AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY ct) AS keeper
+         |  FROM gated WHERE quality_score >= 0.5)
+         |SELECT doc_id, lang, source, n_tokens, quality_score FROM k
+         |WHERE doc_id = keeper
+         |  AND (((doc_id % ${TextOps.SampleIdPrime})
+         |       * ${TextOps.SampleMultiplier})
+         |       >> ${TextOps.SampleShift}) % 1000 <
+         |    CASE lang ${TextOps.SampleRatesPermille
+               .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")}
+         |    ELSE ${TextOps.SampleDefaultPermille} END""".stripMargin,
     // BPE tokenizer round trip (r11): training replayed as a recursive
     // CTE over the (iteration, vocab word) state — see bpeCoreSql
     "bpe_train" ->
@@ -2961,6 +3033,90 @@ object SparkEntry {
        |    CAST(sum(n * n_sym) AS BIGINT) AS n_bpe_tokens
        |  FROM docwords JOIN final USING (w) GROUP BY doc_id)""".stripMargin
 
+  /** Trained-classifier replay (r11): the 300-iteration full-batch
+    * logistic GD of Classifier.train as a RECURSIVE CTE. State is ONE
+    * row (iteration, weight list, bias); each step aggregates the
+    * gradient over the standardized training sample and applies the
+    * lr/n update with the trainer's own expression shapes (z folds
+    * left-to-right from the bias exactly like the Scala loop). The
+    * only cross-engine wobble left is unordered float summation and
+    * libm exp's last ulp — orders below the 4dp grain the scores round
+    * to. Verified: the replayed scores hash-matched all 500 docs at
+    * sf0.01 before wiring in. */
+  private lazy val clsCoreSql: String = {
+    val z = "((((((((s.b + s.w[1] * sx.x[1]) + s.w[2] * sx.x[2])" +
+      " + s.w[3] * sx.x[3]) + s.w[4] * sx.x[4]) + s.w[5] * sx.x[5])" +
+      " + s.w[6] * sx.x[6]) + s.w[7] * sx.x[7]))"
+    val grad = (1 to 7).map(j =>
+      s"sum((1.0 / (1.0 + exp(-$z)) - sx.y) * sx.x[$j])").mkString(",\n      ")
+    s"""gm AS (
+       |${gopherOracleSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |feat AS (
+       |  SELECT doc_id,
+       |    [CAST(n_words AS DOUBLE), mean_word_len, symbol_ratio,
+       |     bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+       |     CAST(n_stop_present AS DOUBLE)] AS x,
+       |    CASE WHEN gopher_pass THEN 1.0 ELSE 0.0 END AS y,
+       |    ((doc_id % ${TextOps.SampleIdPrime}) * ${TextOps.SampleMultiplier}
+       |      >> ${TextOps.SampleShift}) % 1000 AS bkt
+       |  FROM gm),
+       |samp AS (SELECT x, y FROM feat ORDER BY bkt, doc_id LIMIT 10000),
+       |nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM samp),
+       |mus AS (
+       |  SELECT gs.j AS j, sum(x[gs.j]) / max(nr.n) AS mu, max(nr.n) AS nn
+       |  FROM samp, nr, unnest(generate_series(1, 7)) AS gs(j)
+       |  GROUP BY gs.j),
+       |sds AS (
+       |  SELECT mm.j AS j, mm.mu AS mu,
+       |    sqrt(sum((sp.x[mm.j] - mm.mu) * (sp.x[mm.j] - mm.mu))
+       |      / max(mm.nn)) AS s0
+       |  FROM samp sp, mus mm GROUP BY mm.j, mm.mu),
+       |musd AS (
+       |  SELECT list(mu ORDER BY j) AS mu,
+       |    list(CASE WHEN s0 = 0.0 THEN 1.0 ELSE s0 END ORDER BY j) AS sd
+       |  FROM sds),
+       |sx AS (
+       |  SELECT list_transform(generate_series(1, 7),
+       |      j -> (x[j] - musd.mu[j]) / musd.sd[j]) AS x, y
+       |  FROM samp, musd),
+       |state(it, w, b) AS (
+       |  SELECT 0, [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+       |             0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE], 0.0::DOUBLE
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    list_transform(generate_series(1, 7),
+       |      j -> wv[j] - 0.5 * gw[j] / nn),
+       |    bv - 0.5 * gb / nn
+       |  FROM (
+       |    SELECT s.it AS it, max(s.w) AS wv, max(s.b) AS bv,
+       |      max(nr.n) AS nn,
+       |      list_value(
+       |      $grad) AS gw,
+       |      sum(1.0 / (1.0 + exp(-$z)) - sx.y) AS gb
+       |    FROM state s, sx, nr
+       |    WHERE s.it < 300
+       |    GROUP BY s.it, s.w, s.b)),
+       |model AS (SELECT w, b FROM state WHERE it = 300)""".stripMargin
+  }
+
+  /** σ(w·x̂ + b) over a gopher-metrics relation `rel`, with the trained
+    * `model`/`musd` CTEs in scope — the exact term order of
+    * Classifier.score. Callers wrap in round(·, 4). */
+  private def clsScoreSql(rel: String): String =
+    s"""1.0 / (1.0 + exp(-(
+       |    ((CAST($rel.n_words AS DOUBLE) - musd.mu[1]) / musd.sd[1]
+       |        * model.w[1]
+       |     + ($rel.mean_word_len - musd.mu[2]) / musd.sd[2] * model.w[2]
+       |     + ($rel.symbol_ratio - musd.mu[3]) / musd.sd[3] * model.w[3]
+       |     + ($rel.bullet_ratio - musd.mu[4]) / musd.sd[4] * model.w[4]
+       |     + ($rel.ellipsis_ratio - musd.mu[5]) / musd.sd[5] * model.w[5]
+       |     + ($rel.alpha_word_ratio - musd.mu[6]) / musd.sd[6]
+       |        * model.w[6]
+       |     + (CAST($rel.n_stop_present AS DOUBLE) - musd.mu[7])
+       |        / musd.sd[7] * model.w[7])
+       |    + model.b)))""".stripMargin
+
   private def tokSqlOf(c: String): String =
     "regexp_split_to_array(trim(lower(" + c + ")), '" + """\s""" + "+')"
   private val tokSql: String = tokSqlOf("text")
@@ -2968,7 +3124,12 @@ object SparkEntry {
   /** DuckDB twin of TextOps.textGopher at the driver's minWords=8 /
     * maxWords=100000 / minStop=1 — shared by the `text_gopher` oracle and
     * (as a parenthesized subquery) the `corpus_quality_monitor` rollup. */
-  private def gopherOracleSql: String = {
+  private def gopherOracleSql: String = gopherOracleSqlOver("documents")
+
+  /** The gopher metric query over an arbitrary (doc_id, text) relation —
+    * `documents` for the raw corpus, a scrub subquery for
+    * corpus_refine_learned's gate (r11). */
+  private def gopherOracleSqlOver(src: String): String = {
     val stops = TextOps.GopherStopwords
       .map(s => s"(CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -2978,7 +3139,7 @@ object SparkEntry {
        |      l -> len(trim(l)) > 0) AS ls,
        |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
        |      AS n_sym
-       |  FROM documents),
+       |  FROM $src),
        |m2 AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_words,

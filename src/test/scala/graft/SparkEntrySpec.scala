@@ -19,10 +19,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // embed_centroid_classify to full DuckDB oracles — the hyperplanes are seeded literals, so the
     // bucket structure replays in SQL
     assert(rowsOnly === Set(
-      "embed_pca", "embed_spectrum", "quality_classifier",
-      "quality_calibration",
-      "corpus_sample_quality",
-      "corpus_refine_learned",
+      "embed_pca", "embed_spectrum",
       "ann_ivf_topk", "ann_ivf_balance", "ivf_tuning_report", "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
