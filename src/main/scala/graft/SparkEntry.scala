@@ -2272,6 +2272,165 @@ object SparkEntry {
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    // k-means family (r11): Lloyd unrolled as chained CTEs (lloydCte)
+    "ann_ivf_topk" ->
+      s"""WITH
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${lloydCte("v", 16, 1, "i")},
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM v),
+         |${assignCte("v", "ic1", "ax")},
+         |assigned AS (
+         |  SELECT n.vec_id, n.v, n.nrm, ax.cid
+         |  FROM n JOIN ax ON n.vec_id = ax.vec_id),
+         |probes AS (
+         |  SELECT query_id, j AS cid, qnrm FROM (
+         |    SELECT q.vec_id AS query_id, cc.j, q.nrm AS qnrm,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, cc.c)
+         |          - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j ASC)
+         |        AS rn
+         |    FROM n q, ic1 cc WHERE q.vec_id < 10) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_dot_product(q.v, a.v) / (p.qnrm * a.nrm) AS sim
+         |  FROM assigned a JOIN probes p ON a.cid = p.cid
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM cand) WHERE rank <= 10""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "s")},
+         |${assignCte("u", "sc2", "cells")}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  list_dot_product(a.v, b.v) AS cos
+         |FROM cells a JOIN cells b
+         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) >= 0.4""".stripMargin,
+    // frozen quantizer trained on the 60% store split; probe == full
+    // fixed-quantizer pairs touching the new 40% (the spec's equality)
+    "dedup_semantic_incremental" ->
+      s"""WITH $unitCteSql,
+         |uold AS (SELECT * FROM u WHERE vec_id % 10 < 6),
+         |${lloydCte("uold", 16, 2, "s")},
+         |${assignCte("u", "sc2", "cells")}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  list_dot_product(a.v, b.v) AS cos
+         |FROM cells a JOIN cells b
+         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE (a.vec_id % 10 >= 6 OR b.vec_id % 10 >= 6)
+         |  AND list_dot_product(a.v, b.v) >= 0.4""".stripMargin,
+    "ann_ivf_balance" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "s")},
+         |${assignCte("u", "sc2", "cells")},
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |        FROM cells GROUP BY 1)
+         |SELECT CAST(ac.j AS INT) AS cid,
+         |  coalesce(cnt.n_vecs, 0) AS n_vecs,
+         |  round(CAST(coalesce(cnt.n_vecs, 0) AS DOUBLE) / tot.n, 4)
+         |    AS share,
+         |  round(CAST(coalesce(cnt.n_vecs, 0) AS DOUBLE) / (tot.n / 16.0),
+         |    4) AS balance
+         |FROM (SELECT j FROM sc2) ac LEFT JOIN cnt ON ac.j = cnt.cid,
+         |  tot""".stripMargin,
+    "corpus_topic_terms" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "s")},
+         |${assignCte("u", "sc2", "cells")},
+         |nc AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS n
+         |       FROM cells),
+         |tf AS (
+         |  SELECT cid, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT d.doc_id, c.cid, unnest($tokSql) AS t
+         |        FROM documents d JOIN cells c ON d.doc_id = c.vec_id)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+         |       GROUP BY 1),
+         |scored AS (
+         |  SELECT cid, tf.t, tf.tf, df.df,
+         |    round(tf.tf * ln((nc.n + 1.0) / (df.df + 1.0)), 6) AS score
+         |  FROM tf JOIN df ON tf.t = df.t, nc)
+         |SELECT CAST(cid AS INT) AS cid, t AS term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cid
+         |    ORDER BY score DESC, t ASC) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+    "ivf_tuning_report" ->
+      s"""WITH
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${lloydCte("v", 16, 1, "i")},
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM v),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS cn FROM v),
+         |${assignCte("v", "ic1", "ax")},
+         |assigned AS (
+         |  SELECT n.vec_id, n.v, n.nrm, ax.cid
+         |  FROM n JOIN ax ON n.vec_id = ax.vec_id),
+         |cellsize AS (SELECT cid, CAST(count(*) AS BIGINT) AS cs
+         |             FROM assigned GROUP BY 1),
+         |ranked AS (
+         |  SELECT q.vec_id AS query_id, cc.j AS cid, q.nrm AS qnrm,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, cc.c)
+         |        - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j ASC)
+         |      AS crank
+         |  FROM n q, ic1 cc WHERE q.vec_id < 10),
+         |owncell AS (SELECT vec_id AS query_id, cid AS owncid
+         |            FROM assigned WHERE vec_id < 10),
+         |np(np) AS (VALUES (1), (2), (4), (8), (16)),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+         |          DESC, b.vec_id) AS rank
+         |    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id < 10)
+         |  WHERE rank <= 10),
+         |approx AS (
+         |  SELECT np, query_id, vec_id FROM (
+         |    SELECT np.np AS np, r.query_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY np.np, r.query_id
+         |        ORDER BY list_dot_product(q.v, a.v) / (r.qnrm * a.nrm)
+         |          DESC, a.vec_id) AS rank
+         |    FROM np, ranked r
+         |    JOIN assigned a ON a.cid = r.cid
+         |    JOIN n q ON q.vec_id = r.query_id
+         |    WHERE r.crank <= np.np AND a.vec_id <> r.query_id)
+         |  WHERE rank <= 10),
+         |rec AS (
+         |  SELECT t2.np AS np, t2.query_id,
+         |    round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1
+         |                        ELSE 0 END) AS DOUBLE) / count(*), 4)
+         |      AS recall_at_k
+         |  FROM (SELECT np.np AS np, t.query_id, t.vec_id
+         |        FROM np, truth t) t2
+         |  LEFT JOIN approx ap ON ap.np = t2.np
+         |    AND ap.query_id = t2.query_id AND ap.vec_id = t2.vec_id
+         |  GROUP BY t2.np, t2.query_id),
+         |cand AS (
+         |  SELECT np.np AS np, r.query_id,
+         |    CAST(sum(cs.cs) AS BIGINT)
+         |      - CAST(max(CASE WHEN r.cid = o.owncid THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS nc
+         |  FROM np, ranked r
+         |  JOIN cellsize cs ON cs.cid = r.cid
+         |  JOIN owncell o ON o.query_id = r.query_id
+         |  WHERE r.crank <= np.np
+         |  GROUP BY np.np, r.query_id)
+         |SELECT CAST(r.np AS INT) AS nprobe,
+         |  round(avg(r.recall_at_k), 4) AS mean_recall,
+         |  min(r.recall_at_k) AS min_recall,
+         |  round(avg(c.nc), 4) AS mean_candidates,
+         |  round(avg(c.nc) / max(tot.cn), 4) AS cand_frac
+         |FROM rec r JOIN cand c ON r.np = c.np
+         |  AND r.query_id = c.query_id, tot
+         |GROUP BY r.np""".stripMargin,
     // trained-classifier family (r11): the logistic GD replayed as a
     // recursive CTE (clsCoreSql), scores identical to 4dp
     "quality_classifier" ->
@@ -3116,6 +3275,66 @@ object SparkEntry {
        |     + (CAST($rel.n_stop_present AS DOUBLE) - musd.mu[7])
        |        / musd.sd[7] * model.w[7])
        |    + model.b)))""".stripMargin
+
+  // --- k-means (Lloyd) oracle machinery (r11) -------------------------
+  // trainCoarse is fully deterministic given the data: init = the first
+  // nlist vectors by vec_id, then `iters` Lloyd steps of (assign via
+  // argmax v·c − |c|²/2 with the CentroidArgmax last-max tie → HIGHER
+  // j; per-(cell, dim) mean; empty cells keep their old centroid). The
+  // oracle unrolls the iterations as chained CTEs. At the driver SF the
+  // train cap (nlist·256) exceeds the corpus, so training sees every
+  // vector and no xxhash sampling fires — the one regime where the
+  // quantizer IS SQL-expressible. Verified exact on all six entries at
+  // sf0.01 before wiring in.
+  private def lloydCte(src: String, nlist: Int, iters: Int,
+                       p: String): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""${p}c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+      |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $nlist))""".stripMargin
+    for (t <- 1 to iters) {
+      parts += s"""${p}a$t AS (
+        |  SELECT vec_id, v, j AS cid FROM (
+        |    SELECT vv.vec_id, vv.v, cc.j,
+        |      row_number() OVER (PARTITION BY vv.vec_id
+        |        ORDER BY list_dot_product(vv.v, cc.c)
+        |          - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j DESC)
+        |        AS rn
+        |    FROM $src vv, ${p}c${t - 1} cc) WHERE rn = 1)""".stripMargin
+      parts += s"""${p}m$t AS (
+        |  SELECT cid, g.i AS pos, avg(v[g.i]) AS m
+        |  FROM ${p}a$t, unnest(generate_series(1, len(v))) AS g(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""${p}c$t AS (
+        |  SELECT cc.j, coalesce(mv.c, cc.c) AS c
+        |  FROM ${p}c${t - 1} cc LEFT JOIN (
+        |    SELECT cid AS j, list(m ORDER BY pos) AS c FROM ${p}m$t
+        |    GROUP BY cid) mv
+        |    ON cc.j = mv.j)""".stripMargin
+    }
+    parts.result().mkString(",\n")
+  }
+
+  /** Map-side nearest-centroid assignment of `src`(vec_id, v) under the
+    * centroid CTE `cents`(j, c) — ties to the HIGHER j, the
+    * CentroidArgmax rule. */
+  private def assignCte(src: String, cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, j AS cid FROM (
+       |    SELECT s.vec_id, s.v, cc.j,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY list_dot_product(s.v, cc.c)
+       |          - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j DESC)
+       |        AS rn
+       |    FROM $src s, $cents cc) WHERE rn = 1)""".stripMargin
+
+  /** Unit-normalized embeddings — Ann.unitVecs verbatim. */
+  private val unitCteSql: String =
+    """u AS (
+      |  SELECT vec_id,
+      |    list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0
+      |        FROM embeddings))""".stripMargin
 
   private def tokSqlOf(c: String): String =
     "regexp_split_to_array(trim(lower(" + c + ")), '" + """\s""" + "+')"

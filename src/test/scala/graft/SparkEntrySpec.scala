@@ -14,17 +14,20 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     assert((o -- q).isEmpty, s"oracle SQL without a query entry: ${o -- q}")
     // every oracle-checked op exists; rows-only entries are the known set
     val rowsOnly = q -- o
-    // r11 moved the LSH family (dedup_embed, dedup_embed_incremental,
-    // ann_lsh_topk, ann_recall_report, knn_graph_lsh) and
-    // embed_centroid_classify to full DuckDB oracles — the hyperplanes are seeded literals, so the
-    // bucket structure replays in SQL
+    // r11 converted 20 entries to full DuckDB oracles: the LSH family
+    // (seeded-literal hyperplanes replay in SQL), the BPE trio and the
+    // trained classifier family (recursive CTEs replay the driver
+    // loops), MMR (recursive greedy), and the k-means family (Lloyd
+    // unrolls; the train cap covers the corpus at the driver SF). What
+    // remains is genuinely engine-bound: xxhash64 signatures
+    // (minhash/simhash), DEFLATE, media codecs, sketch internals, and
+    // the eigensolve pair.
     assert(rowsOnly === Set(
       "embed_pca", "embed_spectrum",
-      "ann_ivf_topk", "ann_ivf_balance", "ivf_tuning_report", "ann_pq_topk",
+      "ann_pq_topk",
       "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
-      "dedup_simhash", "dedup_semantic", "corpus_topic_terms",
-      "dedup_semantic_incremental",
+      "dedup_simhash",
       "text_compressibility",
       "multimodal", "media_audio", "media_video", "media_resize",
       "media_phash", "media_phash_incremental",
