@@ -2272,6 +2272,23 @@ object SparkEntry {
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    // HLL pair (r11): at the driver SF every stratum's cardinality sits
+    // far inside HLL's sparse EXACT mode (lgK=12), where the estimate
+    // is the true distinct count and merge order cannot matter — so the
+    // oracle is plain COUNT(DISTINCT). (sketch_quantiles stays
+    // rows-only: en's 218 values exceed KLL k=200 and compact;
+    // sketch_topk stays rows-only: de ties at the k boundary, where the
+    // sketch's insertion order decides the kept token.)
+    "sketch_distinct" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS est_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    "sketch_events_users" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     // k-means family (r11): Lloyd unrolled as chained CTEs (lloydCte)
     "ann_ivf_topk" ->
       s"""WITH

@@ -33,8 +33,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
       "media_phash", "media_phash_incremental",
       "media_resample", "media_frames", "media_report",
       "dedup_incremental_minhash",
-      "dedup_incremental_simhash", "sketch_distinct", "sketch_quantiles",
-      "sketch_events_users",
+      "dedup_incremental_simhash", "sketch_quantiles",
       "sketch_topk"),
       s"unexpected rows-only entries: $rowsOnly")
   }
