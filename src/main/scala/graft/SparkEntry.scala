@@ -2272,6 +2272,78 @@ object SparkEntry {
     // ranks (not raw float sims) are compared: adjacent-rank cosine margins
     // in this corpus are >=2e-5, far above cross-engine double noise, so
     // row_number ordering agrees. Tie-break on vec_id keeps it total.
+    // PQ family (r11): per-subspace Lloyd chains (pqTrainCtes) + the
+    // literal ADC fold, exact re-rank on the bounded survivor set
+    "ann_pq_topk" ->
+      s"""WITH $unitCteSql,
+         |${pqTrainCtes("u")},
+         |enc AS (SELECT vec_id, codes FROM e3),
+         |$pqLutCte,
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, enc.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY $pqAdcSql DESC, enc.vec_id) AS arn
+         |    FROM luts q, enc WHERE enc.vec_id <> q.query_id)
+         |  WHERE arn <= 80)
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT c.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_dot_product(q.qv, u.v) DESC, c.vec_id)
+         |      AS rank
+         |  FROM cand c JOIN u ON c.vec_id = u.vec_id
+         |  JOIN luts q ON q.query_id = c.query_id)
+         |WHERE rank <= 10""".stripMargin,
+    // IVF-PQ: coarse Lloyd on unit vectors, residual sub-codebooks,
+    // ascore = q·c_cell + ADC; the serve-path index entry ranks by
+    // ascore directly (no refine)
+    "ann_ivfpq_topk" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "q")},
+         |${ivfPqResidCte},
+         |${pqTrainCtes("resid")},
+         |enc0 AS (
+         |  SELECT r.vec_id, r.cid, e.codes
+         |  FROM resid r JOIN e3 e ON r.vec_id = e.vec_id),
+         |$ivfPqProbesCte,
+         |$pqLutCte,
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, enc.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY p.qdotc + $pqAdcSql DESC, enc.vec_id) AS arn
+         |    FROM probes p
+         |    JOIN enc0 enc ON enc.cid = p.cid
+         |    JOIN luts q ON q.query_id = p.query_id
+         |    WHERE enc.vec_id <> p.query_id)
+         |  WHERE arn <= 80)
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT c.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_dot_product(q.qv, u.v) DESC, c.vec_id)
+         |      AS rank
+         |  FROM cand c JOIN u ON c.vec_id = u.vec_id
+         |  JOIN luts q ON q.query_id = c.query_id)
+         |WHERE rank <= 10""".stripMargin,
+    "ann_ivfpq_index" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "q")},
+         |${ivfPqResidCte},
+         |${pqTrainCtes("resid")},
+         |enc0 AS (
+         |  SELECT r.vec_id, r.cid, e.codes
+         |  FROM resid r JOIN e3 e ON r.vec_id = e.vec_id),
+         |$ivfPqProbesCte,
+         |$pqLutCte
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT p.query_id, enc.vec_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY p.qdotc + $pqAdcSql DESC, enc.vec_id) AS rank
+         |  FROM probes p
+         |  JOIN enc0 enc ON enc.cid = p.cid
+         |  JOIN luts q ON q.query_id = p.query_id
+         |  WHERE enc.vec_id <> p.query_id)
+         |WHERE rank <= 10""".stripMargin,
     // HLL pair (r11): at the driver SF every stratum's cardinality sits
     // far inside HLL's sparse EXACT mode (lgK=12), where the estimate
     // is the true distinct count and merge order cannot matter — so the
@@ -3352,6 +3424,105 @@ object SparkEntry {
       |    list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v0
       |        FROM embeddings))""".stripMargin
+
+  // --- PQ oracle machinery (r11) --------------------------------------
+  // Sub-codebooks are per-subspace Lloyd chains with the same seeded
+  // determinism as lloydCte (init = slices of the first ksub training
+  // vectors, assign ties to the higher code, per-(subspace, code, dim)
+  // mean, empty codes keep old centroids); the ADC score is a literal
+  // 16-term left-associated sum matching pqAdcScore's fold. Verified
+  // exact on all three PQ entries at sf0.01 before wiring in. The
+  // partition-local candidate cut (per-pid top k·rf) equals the global
+  // cut here because the driver-SF corpus reads as one input split.
+  private val PqDsub = 4
+  private val PqM = 16
+  private val PqKsub = 16
+
+  private def pqCodesCte(src: String, cb: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, list(code ORDER BY j) AS codes FROM (
+       |    SELECT vec_id, v, j, c AS code FROM (
+       |      SELECT s.vec_id, s.v, cb.j, cb.c,
+       |        row_number() OVER (PARTITION BY s.vec_id, cb.j
+       |          ORDER BY list_dot_product(
+       |              s.v[cb.j * $PqDsub + 1 : (cb.j + 1) * $PqDsub], cb.cv)
+       |            - list_dot_product(cb.cv, cb.cv) / 2.0 DESC, cb.c DESC)
+       |          AS rn
+       |      FROM $src s, $cb cb) WHERE rn = 1)
+       |  GROUP BY vec_id, v)""".stripMargin
+
+  private def pqUpdateCte(codes: String, cbOld: String,
+                          cbNew: String): String =
+    s"""$cbNew AS (
+       |  SELECT o.j, o.c, coalesce(mv.cv, o.cv) AS cv
+       |  FROM $cbOld o LEFT JOIN (
+       |    SELECT j, code AS c, list(mu ORDER BY p) AS cv FROM (
+       |      SELECT gs.j, codes[gs.j + 1] AS code, gp.p,
+       |        avg(v[gs.j * $PqDsub + gp.p]) AS mu
+       |      FROM $codes, unnest(generate_series(0, ${PqM - 1})) AS gs(j),
+       |        unnest(generate_series(1, $PqDsub)) AS gp(p)
+       |      GROUP BY 1, 2, 3)
+       |    GROUP BY 1, 2) mv ON o.j = mv.j AND o.c = mv.c)""".stripMargin
+
+  /** Two-iteration sub-codebook training over `src`(vec_id, v) ending
+    * in codebook `cb2` and encode CTE `e3`(vec_id, v, codes). */
+  private def pqTrainCtes(src: String): String =
+    s"""cb0 AS (
+       |  SELECT gs.j,
+       |    row_number() OVER (PARTITION BY gs.j ORDER BY vec_id) - 1 AS c,
+       |    v[gs.j * $PqDsub + 1 : (gs.j + 1) * $PqDsub] AS cv
+       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $PqKsub),
+       |    unnest(generate_series(0, ${PqM - 1})) AS gs(j)),
+       |${pqCodesCte(src, "cb0", "e1")},
+       |${pqUpdateCte("e1", "cb0", "cb1")},
+       |${pqCodesCte(src, "cb1", "e2")},
+       |${pqUpdateCte("e2", "cb1", "cb2")},
+       |${pqCodesCte(src, "cb2", "e3")}""".stripMargin
+
+  /** ADC Σ_j lut[j·ksub + code_j] as a literal left-associated sum over
+    * `q.lut` and `enc.codes`. */
+  private val pqAdcSql: String =
+    (0 until PqM).map(j =>
+      s"q.lut[$j * $PqKsub + enc.codes[${j + 1}] + 1]").mkString(" + ")
+
+  /** Residuals v − c_cid under the final coarse quantizer `qc2`. */
+  private val ivfPqResidCte: String =
+    """resid AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] - cc.c[i]) AS v
+      |  FROM (
+      |    SELECT vec_id, v, j AS cid FROM (
+      |      SELECT s.vec_id, s.v, cc.j,
+      |        row_number() OVER (PARTITION BY s.vec_id
+      |          ORDER BY list_dot_product(s.v, cc.c)
+      |            - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j DESC)
+      |          AS rn
+      |      FROM u s, qc2 cc) WHERE rn = 1) a
+      |  JOIN qc2 cc ON a.cid = cc.j)""".stripMargin
+
+  /** Per-query probe rows under `qc2`: top-4 cells by q·c − |c|²/2
+    * (ties to the LOWER j, the driver-side sortBy rule), q·c riding. */
+  private val ivfPqProbesCte: String =
+    """probes AS (
+      |  SELECT query_id, j AS cid, qdotc FROM (
+      |    SELECT q.vec_id AS query_id, cc.j,
+      |      list_dot_product(q.v, cc.c) AS qdotc,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.v, cc.c)
+      |          - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j ASC)
+      |        AS rn
+      |    FROM u q, qc2 cc WHERE q.vec_id < 10) WHERE rn <= 4)""".stripMargin
+
+  /** Per-query LUT rows over codebook `cb2` (queries = vec_id < 10). */
+  private val pqLutCte: String =
+    s"""luts AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv,
+       |    list(list_dot_product(
+       |        q.v[cb.j * $PqDsub + 1 : (cb.j + 1) * $PqDsub], cb.cv)
+       |      ORDER BY cb.j, cb.c) AS lut
+       |  FROM u q, cb2 cb WHERE q.vec_id < 10
+       |  GROUP BY q.vec_id, q.v)""".stripMargin
 
   private def tokSqlOf(c: String): String =
     "regexp_split_to_array(trim(lower(" + c + ")), '" + """\s""" + "+')"

@@ -24,8 +24,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // the eigensolve pair.
     assert(rowsOnly === Set(
       "embed_pca", "embed_spectrum",
-      "ann_pq_topk",
-      "ann_ivfpq_topk", "ann_ivfpq_index", "dedup_minhash", "dedup_eval",
+      "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
       "dedup_simhash",
       "text_compressibility",
