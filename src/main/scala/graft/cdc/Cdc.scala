@@ -145,6 +145,45 @@ object Cdc {
         :+ coalesce(col("__next_ms"), lit(-1L)).as("next_change_ms"): _*)
   }
 
+  /** SCD Type-2 dimension materialization: the changelog becomes one
+    * VERSION row per non-delete change with a validity interval
+    * [valid_from, valid_to) — the classic warehouse shape every
+    * "state as of any time, by plain BETWEEN predicate" consumer wants,
+    * where [[timeTravel]] answers one as-of question per run. A key's
+    * versions chain (each valid_to = the next change's timestamp under
+    * the canonical (ts, op priority, id) change order); the OPEN
+    * version (valid_to NULL, is_current true) exists iff the key's
+    * last change is not a delete — a delete closes the final interval
+    * without opening one, exactly the upsert-with-hard-deletes
+    * convention ([[upsertSnapshot]]; the current set equals that
+    * snapshot, spec-pinned).
+    *
+    * ONE wide shuffle: the `lead` window and nothing else — the
+    * delete-closing rule needs no self-join because the next change's
+    * timestamp closes the interval regardless of what kind of change
+    * it is; delete rows are then dropped in the same projection. At
+    * 100 TB the output appends immutably per version (old intervals
+    * never rewrite once closed), which is what makes SCD2 the
+    * warehouse-friendly history format. */
+  def scd2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = flatten(events)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__source_ts_ms"), opPriorityCol(col("__op")),
+        col("event_id"))
+    // valid_to rides as epoch-ms with a -1 open sentinel (the
+    // timeTravel convention: NULL timestamps render asymmetrically
+    // across the driver's two readers)
+    flat
+      .withColumn("valid_to", lead(col("__source_ts_ms"), 1).over(w))
+      .filter(col("__op") =!= "d")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("prop_k"), col("__op"),
+        col("__source_ts_ms").as("valid_from"),
+        coalesce(unix_millis(col("valid_to")), lit(-1L)).as("valid_to_ms"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Snapshot DIFF between two points in time: which keys were added,
     * removed, or changed between AS-OF t1 and AS-OF t2 — the "what
     * changed since last week" audit a CDC warehouse answers constantly
@@ -365,6 +404,8 @@ object Cdc {
     schemaEvolution(Tables.events(spark, dir), lit(500))
   def mergeIncrementalQ(spark: SparkSession, dir: String): DataFrame =
     mergeIncremental(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
+  def scd2Q(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir))
   def timeTravelQ(spark: SparkSession, dir: String): DataFrame =
     timeTravel(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
   def snapshotDiffQ(spark: SparkSession, dir: String): DataFrame =

@@ -141,6 +141,60 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(Dedup.textSimilarTopk(docs, k = 3)) === direct)
   }
 
+  test("cdc_scd2 chains versions and closes them with deletes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.cdc.Cdc
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: create, update, update, delete → 3 versions, none current
+    // user 2: create, update → 2 versions, last current
+    // user 3: lone create → 1 current version
+    val events = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "click", 1.0, ts("2024-01-02 00:00:00"), """{"k":2}"""),
+      (3L, 1L, "purchase", 1.0, ts("2024-01-03 00:00:00"), """{"k":3}"""),
+      (4L, 1L, "error", 1.0, ts("2024-01-04 00:00:00"), """{"k":4}"""),
+      (5L, 2L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":5}"""),
+      (6L, 2L, "click", 1.0, ts("2024-01-05 00:00:00"), """{"k":6}"""),
+      (7L, 3L, "signup", 1.0, ts("2024-01-02 00:00:00"), """{"k":7}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.scd2(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(7), r.getBoolean(8)))
+      .toList.sortBy(r => (r._1, r._2))
+    def ms(s: String) = ts(s).getTime
+    assert(out === List(
+      (1L, 1L, ms("2024-01-02 00:00:00"), false),
+      (1L, 2L, ms("2024-01-03 00:00:00"), false),
+      (1L, 3L, ms("2024-01-04 00:00:00"), false), // closed by delete
+      (2L, 5L, ms("2024-01-05 00:00:00"), false),
+      (2L, 6L, -1L, true),
+      (3L, 7L, -1L, true)))
+  }
+
+  test("cdc_scd2 invariants hold on the real changelog") {
+    import graft.cdc.Cdc
+    val events = Tables.events(spark, sfDir)
+    val out = Cdc.scd2(events)
+    // current set == the upsert snapshot's live keys, exactly
+    val cur = out.filter(col("is_current")).select("user_id", "event_id")
+    val snap = Cdc.upsertSnapshot(events).select("user_id", "event_id")
+    assert(cur.exceptAll(snap).isEmpty && snap.exceptAll(cur).isEmpty)
+    // at most one open version per key; intervals well-formed
+    assert(out.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(out.filter(col("valid_to_ms") =!= -1L &&
+      col("valid_to_ms") < unix_millis(col("valid_from"))).isEmpty)
+    // intervals chain: each non-final version's valid_to equals the
+    // next version's valid_from OR a delete's timestamp — so every
+    // valid_to is some change timestamp of the same key
+    val f = Cdc.flatten(events).select(col("user_id"),
+      col("__source_ts_ms").as("t"))
+    val orphan = out.filter(col("valid_to_ms") =!= -1L)
+      .join(f, out("user_id") === f("user_id") &&
+        out("valid_to_ms") === unix_millis(f("t")), "left_anti")
+    assert(orphan.isEmpty)
+  }
+
   test("events_bot_profile equals a plain-Scala replay on random cadences") {
     import spark.implicits._
     import graft.queries.Analytics3
