@@ -207,6 +207,7 @@ object SparkEntry {
     "embed_pca" -> (Ann.embedPcaQ _),
     "embed_spectrum" -> (Ann.embedSpectrumQ _),
     "embed_centroid_shift" -> (Ann.embedCentroidShiftQ _),
+    "embed_truncation_eval" -> (Ann.embedTruncationEvalQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
@@ -414,6 +415,41 @@ object SparkEntry {
         |FROM events WHERE event_id >= 500""".stripMargin,
     "cdc_merge_incremental" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // time travel AS OF 2024-01-15: latest pre-asOf change per key under
+    // truncation eval (r11): every prefix cosine from one pair scan
+    "embed_truncation_eval" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sims AS (
+        |  SELECT d.d AS dim, a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    list_dot_product(a.v[1:d.d], b.v[1:d.d])
+        |      / (sqrt(list_dot_product(a.v[1:d.d], a.v[1:d.d]))
+        |         * sqrt(list_dot_product(b.v[1:d.d], b.v[1:d.d]))) AS sim
+        |  FROM v a JOIN v b ON b.vec_id <> a.vec_id,
+        |    (VALUES (8), (16), (32), (64)) d(d)
+        |  WHERE a.vec_id < 10),
+        |topk AS (
+        |  SELECT dim, query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY dim, query_id
+        |      ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |  WHERE rn <= 10),
+        |truth AS (SELECT query_id, vec_id FROM topk WHERE dim = 64),
+        |hits AS (
+        |  SELECT t2.dim, t2.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM topk t2 JOIN truth t
+        |    ON t2.query_id = t.query_id AND t2.vec_id = t.vec_id
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dims.dim, q.query_id
+        |  FROM (SELECT DISTINCT dim FROM topk) dims,
+        |    (SELECT DISTINCT query_id FROM truth) q),
+        |recalls AS (
+        |  SELECT g.dim, g.query_id,
+        |    CAST(coalesce(h.h, 0) AS DOUBLE) / 10 AS r
+        |  FROM grid g LEFT JOIN hits h
+        |    ON g.dim = h.dim AND g.query_id = h.query_id)
+        |SELECT dim, round(avg(r), 4) AS mean_recall,
+        |  round(min(r), 4) AS min_recall
+        |FROM recalls GROUP BY dim""".stripMargin,
     // SCD2 (r11): one version row per non-delete change, interval
     // closed by the NEXT change (of any kind) under the canonical order
     "cdc_scd2" ->

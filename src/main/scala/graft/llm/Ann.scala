@@ -667,6 +667,70 @@ object Ann {
     * scan; the final reduction is ONE aggregation to a single row. The
     * corpus never shuffles. Floats 4dp; a zero centroid pins the
     * cosine term to 0.0. */
+  /** Dimension-truncation retrieval eval (Matryoshka/MRL-style): for
+    * each candidate prefix length d, per-query recall@k of top-k under
+    * the TRUNCATED cosine (first d dims of both sides, renormalized)
+    * against the full-dimension ranking — the "how many dims do we
+    * actually have to store" sweep run before committing a vector
+    * store's width, the storage-side sibling of [[embedQuantize]]
+    * (that shrinks bytes per dim; this drops dims outright, and the
+    * two compose multiplicatively). The full width appears as its own
+    * row and pins recall ≡ 1.0 (a self-check the spec also asserts).
+    *
+    * Scale shape: queries broadcast; ONE corpus pass computes every
+    * prefix cosine per pair (prefix dots cost Σd ≈ 2× the full dot —
+    * nothing is rescanned per d); ranks run per (d, query) on the
+    * n·|dims| scored rows via one window; recalls reduce to a
+    * |dims|-row frame. Determinism: ranks tie on vec_id, recalls are
+    * exact /k rationals rounded 4dp. */
+  def embedTruncationEval(embeddings: DataFrame, nQueries: Int = 10,
+                          k: Int = 10,
+                          dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val full = dims.max
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+    val queries = broadcast(corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q")))
+    def trunc(d: Int): Column = {
+      val qs = slice(col("q"), 1, d)
+      val vs = slice(col("v"), 1, d)
+      (dot(qs, vs) / (norm(qs) * norm(vs))).as(s"sim_$d")
+    }
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ dims.map(trunc): _*)
+    // unpivot to (dim, sim) rows so one window ranks every prefix
+    val unpivoted = scored.select(col("query_id"), col("vec_id"),
+      explode(map(dims.flatMap(d =>
+        Seq(lit(d), col(s"sim_$d"))): _*)).as(Seq("dim", "sim")))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = unpivoted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("dim"), col("query_id"), col("vec_id")).persist()
+    val truth = topk.filter(col("dim") === full)
+      .select(col("query_id"), col("vec_id"))
+    val hits = truth.join(topk, Seq("query_id", "vec_id"))
+      .groupBy(col("dim"), col("query_id")).agg(count(lit(1)).as("h"))
+    // the (dim × query) grid keeps zero-overlap cells at recall 0
+    // instead of silently dropping them from the mean
+    val grid = topk.select(col("dim")).distinct()
+      .crossJoin(truth.select(col("query_id")).distinct())
+    val recalls = grid.join(hits, Seq("dim", "query_id"), "left")
+      .select(col("dim"),
+        (coalesce(col("h"), lit(0L)).cast("double") / k).as("r"))
+    val result = graft.Exec.materialize(
+      recalls.groupBy(col("dim"))
+        .agg(round(avg(col("r")), 4).as("mean_recall"),
+          round(min(col("r")), 4).as("min_recall")))
+    topk.unpersist()
+    result
+  }
+
+  def embedTruncationEvalQ(spark: SparkSession, dir: String): DataFrame =
+    embedTruncationEval(Tables.embeddings(spark, dir))
+
   def embedNormProfile(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val inf = lit(Double.PositiveInfinity)

@@ -195,6 +195,32 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(orphan.isEmpty)
   }
 
+  test("embed_truncation_eval: full width pins recall 1.0, monotone-ish") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.embedTruncationEval(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(8, 16, 32, 64))
+    assert(out(64) === ((1.0, 1.0))) // truth vs itself
+    // every recall is a valid /k rational in [0, 1], and wider prefixes
+    // should not do materially worse than the narrowest
+    out.values.foreach { case (m, mn) =>
+      assert(m >= 0.0 && m <= 1.0 && mn >= 0.0 && mn <= m + 1e-9)
+    }
+    assert(out(32)._1 >= out(8)._1 - 0.1)
+    // a PLANTED prefix-concentrated space: first 8 dims carry all the
+    // signal, so d=8 must already achieve recall 1.0
+    import spark.implicits._
+    val planted = (0L until 60L).map { i =>
+      val v = Array.tabulate(64)(j =>
+        if (j < 8) math.cos(i.toDouble * (j + 1)).toFloat else 0.0f)
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val p = Ann.embedTruncationEval(planted).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(p.values.forall(_ === 1.0))
+  }
+
   test("events_bot_profile equals a plain-Scala replay on random cadences") {
     import spark.implicits._
     import graft.queries.Analytics3
