@@ -208,6 +208,7 @@ object SparkEntry {
     "embed_spectrum" -> (Ann.embedSpectrumQ _),
     "embed_centroid_shift" -> (Ann.embedCentroidShiftQ _),
     "embed_truncation_eval" -> (Ann.embedTruncationEvalQ _),
+    "ann_rrf_fusion" -> (Ann.annRrfFusionQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
@@ -415,6 +416,47 @@ object SparkEntry {
         |FROM events WHERE event_id >= 500""".stripMargin,
     "cdc_merge_incremental" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // time travel AS OF 2024-01-15: latest pre-asOf change per key under
+    // RRF fusion (r11): both retrieval paths replayed (LSH literal
+    // hyperplanes + IVF Lloyd), then the two-term reciprocal-rank sum
+    "ann_rrf_fusion" ->
+      s"""WITH $lshCteSql,
+         |$lshTopkSql,
+         |${lloydCte("v", 16, 1, "i")},
+         |${assignCte("v", "ic1", "ax")},
+         |assigned AS (
+         |  SELECT n.vec_id, n.v, n.nrm, ax.cid
+         |  FROM n JOIN ax ON n.vec_id = ax.vec_id),
+         |iprobes AS (
+         |  SELECT query_id, j AS cid, qnrm FROM (
+         |    SELECT q.vec_id AS query_id, cc.j, q.nrm AS qnrm,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, cc.c)
+         |          - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j ASC)
+         |        AS rn
+         |    FROM n q, ic1 cc WHERE q.vec_id < 10) WHERE rn <= 4),
+         |icand AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_dot_product(q.v, a.v) / (p.qnrm * a.nrm) AS sim
+         |  FROM assigned a JOIN iprobes p ON a.cid = p.cid
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ivf_topk AS (
+         |  SELECT query_id, rank, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, vec_id) AS rank
+         |    FROM icand) WHERE rank <= 10),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, i.query_id) AS query_id,
+         |    coalesce(l.vec_id, i.vec_id) AS vec_id,
+         |    coalesce(1.0 / (60 + l.rank), 0.0)
+         |      + coalesce(1.0 / (60 + i.rank), 0.0) AS rrf
+         |  FROM lsh_topk l FULL OUTER JOIN ivf_topk i
+         |    ON l.query_id = i.query_id AND l.vec_id = i.vec_id)
+         |SELECT query_id, rank, vec_id, round(rrf, 6) AS rrf_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, vec_id) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
     // truncation eval (r11): every prefix cosine from one pair scan
     "embed_truncation_eval" ->
       """WITH v AS (

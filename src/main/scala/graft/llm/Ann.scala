@@ -667,6 +667,47 @@ object Ann {
     * scan; the final reduction is ONE aggregation to a single row. The
     * corpus never shuffles. Floats 4dp; a zero centroid pins the
     * cosine term to 0.0. */
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval results: score(d) = Σ_lists 1/(c + rank_d), the
+    * standard zero-tuning way to combine heterogeneous retrievers
+    * (here the ANN ladder's two cheap paths — LSH and IVF — whose
+    * error modes are independent: fixed hyperplanes miss different
+    * neighbors than learned cells, so the fusion recalls more than
+    * either at the same per-list cost). Rank-based, so the two lists'
+    * incomparable raw scores never mix — the reason RRF beats score
+    * averaging without calibration.
+    *
+    * Both inputs are (query_id, rank, vec_id) frames of n_queries·k
+    * rows, so the full-outer join and re-rank are broadcast-sized by
+    * construction — the expensive parts are the retrievals being
+    * fused, exactly like [[annRecallReport]]. Determinism: the RRF
+    * score is the same two-term IEEE expression on any engine
+    * (integer ranks in, left-to-right add), ties break on vec_id. */
+  def annRrfFusion(a: DataFrame, b: DataFrame, k: Int = 10,
+                   c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val left = a.select(col("query_id"), col("vec_id"),
+      col("rank").as("rank_a"))
+    val right = b.select(col("query_id"), col("vec_id"),
+      col("rank").as("rank_b"))
+    val fused = left.join(right, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  /** Driver entry: fuse the LSH and IVF top-k paths. */
+  def annRrfFusionQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    annRrfFusion(annLshTopK(emb), annIvfTopK(emb))
+  }
+
   /** Dimension-truncation retrieval eval (Matryoshka/MRL-style): for
     * each candidate prefix length d, per-query recall@k of top-k under
     * the TRUNCATED cosine (first d dims of both sides, renormalized)

@@ -221,6 +221,27 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(p.values.forall(_ === 1.0))
   }
 
+  test("ann_rrf_fusion: self-fusion is order-preserving, fusion interleaves") {
+    import spark.implicits._
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val lsh = Ann.annLshTopK(emb)
+    // fusing a list with itself preserves its order exactly
+    val self = Ann.annRrfFusion(lsh, lsh).select("query_id", "rank", "vec_id")
+    assert(self.exceptAll(lsh.select("query_id", "rank", "vec_id")).isEmpty)
+    // hand fixture: doc 100 (rank 1 in both lists) must outrank doc
+    // 200/300 (rank 1 in only one); 2/(61) > 1/61 + 0 > ...
+    val la = Seq((0L, 1, 100L), (0L, 2, 200L)).toDF("query_id", "rank", "vec_id")
+    val lb = Seq((0L, 1, 100L), (0L, 2, 300L)).toDF("query_id", "rank", "vec_id")
+    val f = Ann.annRrfFusion(la, lb).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(f.head === ((1, 100L,
+      BigDecimal(2.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    // the two single-list docs tie at 1/62 and break by vec_id
+    assert(f.map(x => (x._1, x._2)).toSeq === Seq((1, 100L), (2, 200L), (3, 300L)))
+  }
+
   test("events_bot_profile equals a plain-Scala replay on random cadences") {
     import spark.implicits._
     import graft.queries.Analytics3
