@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExactQ _),
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
+    "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweepQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "text_similar_topk" -> (Dedup.textSimilarTopkQ _),
     "link_jaccard" -> (Dedup.linkJaccardQ _),
@@ -2161,6 +2162,42 @@ object SparkEntry {
     },
     // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
     // integer arithmetic into one double division — engine-stable.
+    // threshold sweep (r11): the jaccard pair frame at the grid MIN,
+    // rolled up per tau; zero-pair taus still report
+    "dedup_threshold_sweep" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS j
+         |  FROM pairs
+         |  JOIN counts ca ON doc_a = ca.doc_id
+         |  JOIN counts cb ON doc_b = cb.doc_id),
+         |taus(tau) AS (VALUES (0.3), (0.5), (0.7), (0.9)),
+         |tagged AS (
+         |  SELECT taus.tau, doc_a, doc_b FROM jac, taus WHERE j >= tau),
+         |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM tagged GROUP BY 1),
+         |nd AS (
+         |  SELECT tau, CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM (
+         |    SELECT tau, doc_a AS d FROM tagged
+         |    UNION ALL SELECT tau, doc_b FROM tagged)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT taus.tau,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs, 0) AS n_docs,
+         |  round(CAST(coalesce(nd.n_docs, 0) AS DOUBLE) / tot.n, 4)
+         |    AS doc_share
+         |FROM taus LEFT JOIN np ON taus.tau = np.tau
+         |LEFT JOIN nd ON taus.tau = nd.tau, tot""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s

@@ -114,6 +114,50 @@ object Dedup {
     adaptiveShinglePairs(docs, n, collapseThreshold, "jaccard")(
       shW => jaccardPairs(shW, tau))
 
+  /** Threshold-tuning sweep for jaccard dedup: per candidate τ, how
+    * many pairs fire, how many docs they touch, and the corpus share —
+    * the "what does each τ actually cost me" table read before
+    * committing a dedup threshold (too low: half the corpus chains
+    * into one family; too high: obvious rewrites survive). The
+    * measured counterpart of [[minhashTuningReport]]'s analytic recall
+    * curve, on exact jaccard instead of banding estimates.
+    *
+    * ONE inverted-index pair pass at the grid's MINIMUM τ; every
+    * sweep step is a filter + two tiny aggregations over that pair
+    * frame (pair volume is duplicate-bounded, never corpus²). A τ
+    * whose pairs vanish still reports a zero row. Counts are exact
+    * integers; share is an exact ratio, 4dp. */
+  def dedupThresholdSweep(docs: DataFrame,
+                          taus: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9),
+                          n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = dedupNgramJaccard(docs, tau = taus.min, n = n).persist()
+    val total = docs.count()
+    val tauDf = broadcast(taus.sorted.toDF("tau"))
+    val tagged = pairs.crossJoin(tauDf)
+      .filter(col("jaccard") >= col("tau")).persist()
+    val nPairs = tagged.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("tau"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("tau")).agg(countDistinct(col("d")).as("n_docs"))
+    val result = graft.Exec.materialize(
+      tauDf.join(nPairs, Seq("tau"), "left").join(nDocs, Seq("tau"), "left")
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          round(coalesce(col("n_docs"), lit(0L)).cast("double") / total, 4)
+            .as("doc_share")))
+    tagged.unpersist()
+    pairs.unpersist()
+    result
+  }
+
+  def dedupThresholdSweepQ(spark: SparkSession, dir: String): DataFrame =
+    dedupThresholdSweep(Tables.documents(spark, dir))
+
   /** The adaptive exact-duplicate collapse shared by every shingle-pair
     * metric ([[dedupNgramJaccard]], [[dedupContainment]]): identical
     * texts have identical shingle sets, so their inverted-index work is

@@ -242,6 +242,30 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(f.map(x => (x._1, x._2)).toSeq === Seq((1, 100L), (2, 200L), (3, 300L)))
   }
 
+  test("dedup_threshold_sweep: monotone in tau, consistent with jaccard") {
+    import graft.llm.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.dedupThresholdSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0.3, 0.5, 0.7, 0.9))
+    // pair and doc counts are non-increasing in tau
+    assert(out.toSeq.sliding(2).forall { w =>
+      w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3 })
+    // each step agrees with an independent jaccard run at that tau
+    for ((tau, np, nd, _) <- out) {
+      val p = Dedup.dedupNgramJaccard(docs, tau = tau)
+      assert(p.count() === np, s"tau $tau pairs")
+      val d = p.select(col("doc_a")).union(p.select(col("doc_b")))
+        .distinct().count()
+      assert(d === nd, s"tau $tau docs")
+    }
+    // zero-pair taus still report (grid with an unreachable threshold)
+    val z = Dedup.dedupThresholdSweep(docs, taus = Seq(0.9999))
+      .collect()(0)
+    assert(z.getLong(2) === 0L && z.getDouble(3) === 0.0)
+  }
+
   test("events_bot_profile equals a plain-Scala replay on random cadences") {
     import spark.implicits._
     import graft.queries.Analytics3
