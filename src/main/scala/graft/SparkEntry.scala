@@ -121,6 +121,7 @@ object SparkEntry {
     "corpus_pack_bins" -> (TextOps.corpusPackBinsQ _),
     "text_rarity" -> (TextOps.textRarityQ _),
     "vocab_coverage" -> (TextOps.vocabCoverageQ _),
+    "vocab_growth" -> (TextOps.vocabGrowthQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
     "text_collocations" -> (TextOps.textCollocationsQ _),
@@ -2198,6 +2199,44 @@ object SparkEntry {
          |    AS doc_share
          |FROM taus LEFT JOIN np ON taus.tau = np.tau
          |LEFT JOIN nd ON taus.tau = nd.tau, tot""".stripMargin,
+    // Heaps-law curve (r11): id-range checkpoints, conditional sums
+    "vocab_growth" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |           FROM documents),
+         |ks(k) AS (VALUES (1), (2), (4), (8)),
+         |cuts AS (SELECT k, lo + (hi - lo) * k // 8 AS c FROM ks, b),
+         |toks AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |occ AS (
+         |  SELECT k, CAST(sum(CASE WHEN doc_id <= c THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_tokens
+         |  FROM toks, cuts GROUP BY k, c),
+         |fd AS (SELECT t, min(doc_id) AS fd FROM toks GROUP BY t),
+         |voc AS (
+         |  SELECT k, CAST(sum(CASE WHEN fd <= c THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS vocab
+         |  FROM fd, cuts GROUP BY k, c),
+         |nd AS (
+         |  SELECT k, CAST(sum(CASE WHEN doc_id <= c THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs
+         |  FROM documents, cuts GROUP BY k, c),
+         |pts AS (
+         |  SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+         |    ln(CAST(vocab AS DOUBLE)) AS y
+         |  FROM occ JOIN voc USING (k)
+         |  WHERE n_tokens > 0 AND vocab > 0),
+         |beta AS (
+         |  SELECT CASE
+         |    WHEN count(*) < 2 THEN 0.0
+         |    WHEN CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x)
+         |      = 0.0 THEN 0.0
+         |    ELSE round(
+         |      (CAST(count(*) AS DOUBLE) * sum(x * y) - sum(x) * sum(y))
+         |      / (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x)),
+         |      4) END AS hb
+         |  FROM pts)
+         |SELECT CAST(k AS INT) AS eighths, n_docs, n_tokens, vocab,
+         |  beta.hb AS heaps_beta
+         |FROM nd JOIN occ USING (k) JOIN voc USING (k), beta""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s

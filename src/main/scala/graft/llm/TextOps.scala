@@ -624,6 +624,71 @@ object TextOps {
     * Determinism: the vocabulary cut orders by (count DESC, token ASC) —
     * a total order, both engines binary-compare UTF-8 — and the rate is
     * a ratio of exact longs rounded 4dp at output. */
+  /** Vocabulary-growth (Heaps' law) curve: at ingest-order prefixes of
+    * the corpus (doc_id cutoffs at 1/8, 1/4, 1/2, 1 of the id range),
+    * cumulative docs, token occurrences and DISTINCT vocabulary, plus
+    * the fitted Heaps exponent β (slope of ln V against ln N by least
+    * squares over the checkpoints, V ≈ K·N^β) riding every row — the
+    * projection that answers "how big does the vocab table / BPE merge
+    * budget / rarity join get at 10× the corpus" before the corpus is
+    * 10×. Sub-linear β (typically 0.4–0.6 for natural text) is what
+    * makes every vocab-shaped frame in this engine Heaps-bounded; a β
+    * near 1 means ids/noise are leaking into tokens and vocab-keyed
+    * operators will NOT stay small.
+    *
+    * Scale shape: checkpoints are INTEGER cutoffs on the id range
+    * (min/max only — no rank sort anywhere); one exploded-token pass
+    * computes all checkpoints' occurrence counts as conditional sums,
+    * and the (token, first_doc) frame — vocab-sized, Heaps-bounded,
+    * the [[textRarity]] argument — yields the distinct counts the same
+    * way. β is driver arithmetic over the |checkpoints| collected
+    * values; ln is the one transcendental, 4dp. */
+  def vocabGrowth(docs: DataFrame,
+                  fracs: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // fracs are EIGHTHS: cutoff_k = lo + (hi - lo) * k / 8, exact ints
+    val cuts = fracs.sorted.map(k => (k, lo + (hi - lo) * k / 8))
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    def condSums(idCol: String, tag: String) = cuts.map { case (k, c) =>
+      sum(when(col(idCol) <= c, 1L).otherwise(0L)).as(s"${tag}_$k")
+    }
+    val occAggs = condSums("doc_id", "occ")
+    val occ = toks.agg(occAggs.head, occAggs.tail: _*).head()
+    val vocAggs = condSums("fd", "v")
+    val voc = toks.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      .agg(vocAggs.head, vocAggs.tail: _*).head()
+    val ndAggs = condSums("doc_id", "d")
+    val nd = docs.agg(ndAggs.head, ndAggs.tail: _*).head()
+    val rows = cuts.indices.map { i =>
+      (cuts(i)._1, nd.getLong(i), occ.getLong(i), voc.getLong(i))
+    }
+    // Heaps fit over checkpoints with nonzero tokens and vocab
+    val pts = rows.filter(r => r._3 > 0 && r._4 > 0)
+      .map(r => (math.log(r._3.toDouble), math.log(r._4.toDouble)))
+    val beta =
+      if (pts.size < 2) 0.0
+      else {
+        val n = pts.size.toDouble
+        val sx = pts.map(_._1).sum
+        val sy = pts.map(_._2).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sx2 = pts.map(p => p._1 * p._1).sum
+        val den = n * sx2 - sx * sx
+        if (den == 0.0) 0.0
+        else BigDecimal((n * sxy - sx * sy) / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    rows.map { case (k, d, o, v) => (k, d, o, v, beta) }
+      .toDF("eighths", "n_docs", "n_tokens", "vocab", "heaps_beta")
+  }
+
+  def vocabGrowthQ(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val vocab = broadcast(

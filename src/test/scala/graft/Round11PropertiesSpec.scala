@@ -266,6 +266,43 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(z.getLong(2) === 0L && z.getDouble(3) === 0.0)
   }
 
+  test("vocab_growth: monotone curve, exact counts, sane beta") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.vocabGrowth(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // all three counters non-decreasing along the curve; the last
+    // checkpoint covers the whole corpus exactly
+    assert(out.toSeq.sliding(2).forall { w =>
+      w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3 && w(0)._4 <= w(1)._4 })
+    val last = out.last
+    assert(last._2 === docs.count())
+    assert(last._4 === docs.select(explode(TextOps.tokens(col("text"))))
+      .distinct().count())
+    // one beta on every row, within Heaps' possible range
+    assert(out.map(_._5).distinct.length === 1)
+    assert(last._5 >= 0.0 && last._5 <= 1.0)
+    // hand fixture: vocab EXACTLY sqrt(tokens) at every checkpoint →
+    // beta 0.5 on the grid. Ids 0..8 put the 1/2/4/8-eighth cutoffs on
+    // whole docs; cumulative vocab after doc d is 2^(d+1), cumulative
+    // tokens 4^(d+1), so every log-log point sits on the slope-0.5
+    // line exactly.
+    val fix = (0 until 9).map { d =>
+      val newWords =
+        if (d == 0) Seq("w1", "w2")
+        else (math.pow(2, d).toLong + 1 to
+          math.pow(2, d + 1).toLong).map(w => s"w$w")
+      val pad = (if (d == 0) 4L else 3L * math.pow(4, d).toLong) -
+        newWords.size
+      (d.toLong, (newWords ++ Seq.fill(pad.toInt)("w1")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fb = TextOps.vocabGrowth(fix).collect().head.getDouble(4)
+    assert(fb === 0.5, s"beta $fb")
+  }
+
   test("events_bot_profile equals a plain-Scala replay on random cadences") {
     import spark.implicits._
     import graft.queries.Analytics3
