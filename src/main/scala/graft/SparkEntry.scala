@@ -155,6 +155,7 @@ object SparkEntry {
     "dedup_fuzzy" -> (Dedup.dedupFuzzyQ _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweepQ _),
+    "dedup_edit_verify" -> (Dedup.dedupEditVerifyQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "text_similar_topk" -> (Dedup.textSimilarTopkQ _),
     "link_jaccard" -> (Dedup.linkJaccardQ _),
@@ -2163,6 +2164,34 @@ object SparkEntry {
     },
     // jaccard = inter/(|A|+|B|-inter) over distinct word 3-grams: pure
     // integer arithmetic into one double division — engine-stable.
+    // edit verification (r11): the jaccard candidates at tau 0.5
+    // re-scored by exact character Levenshtein
+    "dedup_edit_verify" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS j
+         |  FROM pairs
+         |  JOIN counts ca ON doc_a = ca.doc_id
+         |  JOIN counts cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)
+         |    >= 0.5)
+         |SELECT doc_a, doc_b, round(j, 4) AS jaccard,
+         |  CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance,
+         |  CASE WHEN greatest(len(ta.text), len(tb.text)) = 0 THEN 1.0
+         |    ELSE round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+         |      / greatest(len(ta.text), len(tb.text)), 4) END AS edit_sim
+         |FROM jac
+         |JOIN documents ta ON doc_a = ta.doc_id
+         |JOIN documents tb ON doc_b = tb.doc_id""".stripMargin,
     // threshold sweep (r11): the jaccard pair frame at the grid MIN,
     // rolled up per tau; zero-pair taus still report
     "dedup_threshold_sweep" ->
@@ -2232,7 +2261,7 @@ object SparkEntry {
          |    ELSE round(
          |      (CAST(count(*) AS DOUBLE) * sum(x * y) - sum(x) * sum(y))
          |      / (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x)),
-         |      4) END AS hb
+         |      4) + 0.0 END AS hb
          |  FROM pts)
          |SELECT CAST(k AS INT) AS eighths, n_docs, n_tokens, vocab,
          |  beta.hb AS heaps_beta

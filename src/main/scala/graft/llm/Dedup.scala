@@ -114,6 +114,40 @@ object Dedup {
     adaptiveShinglePairs(docs, n, collapseThreshold, "jaccard")(
       shW => jaccardPairs(shW, tau))
 
+  /** Edit-distance verification of near-dup candidates: every jaccard
+    * candidate pair ≥ τ re-scored by EXACT character Levenshtein and
+    * the normalized similarity 1 − dist/max(|a|,|b|) — the
+    * strictest-metric pass a duplication triage runs on the (bounded)
+    * candidate set before bulk-dropping docs, because set-based
+    * jaccard is order-blind: two docs that share every shingle in a
+    * different order score 1.0 on jaccard but their edit similarity
+    * exposes the rewrite. Candidates-then-verify is the only sane
+    * shape for an O(|a|·|b|)-per-pair metric at 100 TB — the quadratic
+    * cost applies to the duplicate-bounded pair frame, never corpus².
+    *
+    * Both engines' `levenshtein` is the classic unit-cost DP over
+    * characters; lengths/distances are exact ints, similarities exact
+    * ratios 4dp. */
+  def dedupEditVerify(docs: DataFrame, tau: Double = 0.5,
+                      n: Int = 3): DataFrame = {
+    val pairs = dedupNgramJaccard(docs, tau = tau, n = n)
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"),
+        levenshtein(col("ta.text"), col("tb.text")).as("edit_distance"),
+        when(greatest(length(col("ta.text")), length(col("tb.text"))) === 0,
+          lit(1.0))
+          .otherwise(round(lit(1.0) -
+            levenshtein(col("ta.text"), col("tb.text")).cast("double") /
+              greatest(length(col("ta.text")), length(col("tb.text"))), 4))
+          .as("edit_sim"))
+  }
+
+  def dedupEditVerifyQ(spark: SparkSession, dir: String): DataFrame =
+    dedupEditVerify(Tables.documents(spark, dir))
+
   /** Threshold-tuning sweep for jaccard dedup: per candidate τ, how
     * many pairs fire, how many docs they touch, and the corpus share —
     * the "what does each τ actually cost me" table read before

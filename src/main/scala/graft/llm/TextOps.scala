@@ -679,8 +679,11 @@ object TextOps {
         val sx2 = pts.map(p => p._1 * p._1).sum
         val den = n * sx2 - sx * sx
         if (den == 0.0) 0.0
+        // + 0.0 normalizes the signed zero a tiny negative residual
+        // rounds to (a flat curve's slope is cancellation noise and
+        // both engines may land on either zero)
         else BigDecimal((n * sxy - sx * sy) / den)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
       }
     rows.map { case (k, d, o, v) => (k, d, o, v, beta) }
       .toDF("eighths", "n_docs", "n_tokens", "vocab", "heaps_beta")

@@ -303,6 +303,40 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(fb === 0.5, s"beta $fb")
   }
 
+  test("dedup_edit_verify: order-blind jaccard vs order-aware edit sim") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    // docs 1/2: byte-identical → jaccard 1, edit 0, sim 1.
+    // doc 3: the same shingle-heavy text with two blocks SWAPPED —
+    // jaccard stays high while the edit metric exposes the rewrite.
+    val block1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val block2 = "iota kappa lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (1L, s"$block1 $block2"),
+      (2L, s"$block1 $block2"),
+      (3L, s"$block2 $block1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupEditVerify(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out((1L, 2L)) === ((1.0, 0, 1.0)))
+    // swapped blocks: most shingles survive, edit distance is large
+    val (j13, d13, s13) = out((1L, 3L))
+    assert(j13 > 0.5 && d13 > 10 && s13 < 0.7)
+    assert(out((1L, 3L)) === out((2L, 3L)))
+    // on the real corpus: edit 0 iff identical text, sim bounds hold
+    val real = Dedup.dedupEditVerify(Tables.documents(spark, sfDir))
+    assert(real.filter(col("edit_sim") > 1.0 || col("edit_sim") < 0.0)
+      .isEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val zero = real.filter(col("edit_distance") === 0)
+      .join(texts.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(texts.as("y"), col("doc_b") === col("y.doc_id"))
+      .filter(col("x.text") =!= col("y.text"))
+    assert(zero.isEmpty)
+  }
+
   test("events_bot_profile equals a plain-Scala replay on random cadences") {
     import spark.implicits._
     import graft.queries.Analytics3
