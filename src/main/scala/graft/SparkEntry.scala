@@ -81,6 +81,7 @@ object SparkEntry {
     "events_new_users" -> (Analytics3.eventsNewUsers _),
     "q_order_gaps" -> (Analytics3.qOrderGaps _),
     "q_discount_effect" -> (Analytics3.qDiscountEffect _),
+    "events_attribution" -> (Analytics3.eventsAttribution _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "vocab_growth" -> (TextOps.vocabGrowthQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
+    "text_readability" -> (TextOps.textReadabilityQ _),
     "text_collocations" -> (TextOps.textCollocationsQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
     "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
@@ -190,6 +192,7 @@ object SparkEntry {
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
+    "knn_triangles" -> (Ann.knnTrianglesQ _),
     "knn_coreset" -> (Ann.knnCoresetQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
@@ -1350,6 +1353,39 @@ object SparkEntry {
         |  CAST(min(max_lag) AS BIGINT) AS max_lag_days
         |FROM g WHERE cum >= (n_lines + 1) // 2
         |GROUP BY 1""".stripMargin,
+    // first/last-touch attribution: one per-user RANGE window over
+    // epoch seconds, min/max of a (tsec, event_id, type) struct —
+    // event_id totalizes same-second ties on both engines; DECIMAL sums
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_ms(ts) // 1000 AS tsec
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, value,
+        |    min(CASE WHEN event_type <> 'purchase' THEN
+        |      {'tsec': tsec, 'event_id': event_id, 'et': event_type}
+        |      END) OVER w AS ft,
+        |    max(CASE WHEN event_type <> 'purchase' THEN
+        |      {'tsec': tsec, 'event_id': event_id, 'et': event_type}
+        |      END) OVER w AS lt
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT coalesce(ft.et, '(direct)') AS first_type,
+        |    coalesce(lt.et, '(direct)') AS last_type, value
+        |  FROM t WHERE event_type = 'purchase'),
+        |f AS (SELECT first_type AS touch_type, count(*) AS first_touch,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS fv FROM c GROUP BY 1),
+        |l AS (SELECT last_type AS touch_type, count(*) AS last_touch,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS lv FROM c GROUP BY 1)
+        |SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+        |  coalesce(first_touch, 0) AS first_touch,
+        |  coalesce(last_touch, 0) AS last_touch,
+        |  CAST(coalesce(fv, 0) AS DOUBLE) AS first_touch_value,
+        |  CAST(coalesce(lv, 0) AS DOUBLE) AS last_touch_value
+        |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type""".stripMargin,
     // Pearson corr rebuilt from exact integer moment sums — one IEEE
     // expression tree both engines share (native corr() kernels differ
     // in partial order); discount as exact basis points
@@ -2039,6 +2075,30 @@ object SparkEntry {
         |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) < 2.0
         |    AS is_low_entropy
         |FROM k GROUP BY doc_id""".stripMargin,
+    // Flesch / FK readability: words = whitespace tokens, sentences =
+    // [.!?]+ runs floor 1, syllables = per-word [aeiouy]+ vowel groups
+    // floor 1; one fixed association order, 4dp
+    "text_readability" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $tokSql AS ws,
+         |    greatest(1, length(regexp_extract_all(text, '[.!?]+')))
+         |      AS n_sent
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(length(ws) AS BIGINT) AS n_words,
+         |    CAST(n_sent AS BIGINT) AS n_sentences,
+         |    CAST(list_sum(list_transform(ws, t ->
+         |      greatest(1, length(regexp_extract_all(t, '[aeiouy]+')))))
+         |      AS BIGINT) AS n_syllables
+         |  FROM w WHERE length(ws) > 0)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+         |    AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+         |    AS fk_grade
+         |FROM s""".stripMargin,
     // smooth-idf TF-IDF; scores rounded to 4 decimals BEFORE ranking on
     // both engines (ln may differ in the last ulp), term as tiebreak
     "text_tfidf" ->
@@ -3051,6 +3111,40 @@ object SparkEntry {
     "knn_graph" ->
       s"""WITH $knnNnSql
         |SELECT vec_id, rank, nbr_id FROM nn""".stripMargin,
+    // mutual edges a<b, wedge join at the middle node, closure probe
+    // back to the edge list — triangles as ordered triples credited to
+    // all three corners; coefficient 2T/(d(d-1)) in one shared IEEE
+    // association order, 4dp
+    "knn_triangles" ->
+      s"""WITH $knnNnSql,
+        |mutual AS (
+        |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+        |  WHERE a.vec_id < a.nbr_id),
+        |tri AS (
+        |  SELECT x.a AS a, x.b AS b, y.b AS c
+        |  FROM mutual x JOIN mutual y ON x.b = y.a
+        |  JOIN mutual z ON x.a = z.a AND y.b = z.b),
+        |pern AS (
+        |  SELECT v AS vec_id, count(*) AS t
+        |  FROM (SELECT a AS v FROM tri UNION ALL
+        |        SELECT b AS v FROM tri UNION ALL
+        |        SELECT c AS v FROM tri)
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT v AS vec_id, count(*) AS d
+        |  FROM (SELECT a AS v FROM mutual UNION ALL
+        |        SELECT b AS v FROM mutual)
+        |  GROUP BY 1)
+        |SELECT e.vec_id, coalesce(d.d, 0) AS degree,
+        |  coalesce(t.t, 0) AS triangles,
+        |  CASE WHEN coalesce(d.d, 0) >= 2
+        |    THEN round(2.0 * coalesce(t.t, 0)
+        |      / CAST(d.d * (d.d - 1) AS DOUBLE), 4)
+        |    ELSE 0.0 END AS coefficient
+        |FROM embeddings e
+        |LEFT JOIN deg d ON e.vec_id = d.vec_id
+        |LEFT JOIN pern t ON e.vec_id = t.vec_id""".stripMargin,
     // mutual edges + recursive-CTE reachability (the dedup_corpus
     // pattern): cluster = min id reachable over mutual-kNN edges
     "knn_cluster" ->

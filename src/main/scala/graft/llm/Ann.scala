@@ -1317,6 +1317,59 @@ object Ann {
         (coalesce(col("d"), lit(0L)) >= 2L * k).as("is_hub"))
   }
 
+  /** Local clustering coefficient over the mutual-kNN graph (r11):
+    * per-node mutual degree, triangle count, and coefficient
+    * 2T/(d(d−1)) — the graph-structure audit that separates a corpus
+    * of tight semantic cliques (high coefficient: neighbors know each
+    * other → [[knnCluster]] components are real) from a hub-and-spoke
+    * space (low coefficient at high degree: neighbors are an artifact
+    * of [[knnHubness]]-style centrality, and cluster labels are
+    * unstable). Zero-degree and degree-1 nodes report 0.0 explicitly.
+    *
+    * Scale shape: mutual edges are ⊆ the n·k directed graph with
+    * per-node degree ≤ k, so the wedge join (edges meeting at the
+    * middle node) is ≤ n·k² rows and the closing join back to the edge
+    * list is equi-hash on (a, c) — NO cartesian anywhere, every frame
+    * k-bounded per node. The mutual edge list persists across its
+    * three uses (wedge build ×2, closure probe) so the quadratic graph
+    * build runs once. Triangles enumerate as ordered triples a<b<c —
+    * each counted exactly once, then credited to all three corners via
+    * one explode. */
+  def knnTriangles(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist()
+    val mutual = g.intersect(
+        g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .persist()
+    val wedges = mutual.as("x").join(mutual.as("y"),
+        col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges.as("w").join(mutual.as("z"),
+      col("w.a") === col("z.a") && col("w.c") === col("z.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("t"))
+    val deg = mutual.select(col("a").as("vec_id"))
+      .union(mutual.select(col("b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("d"))
+    val out = embeddings.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(coalesce(col("d"), lit(0L)) >= 2L,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - 1L)).cast("double"), 4))
+          .otherwise(0.0).as("coefficient"))
+    val res = graft.Exec.materialize(out)
+    mutual.unpersist(); g.unpersist()
+    res
+  }
+
   /** kNN quality scoring: each embedded document's neighborhood-mean
     * quality — the graph-smoothed score the [[knnGraph]] docstring
     * promises ("kNN quality scoring"). A doc whose own heuristic score
@@ -2696,6 +2749,10 @@ object Ann {
   def knnHubnessQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     knnHubness(Tables.embeddings(spark, dir))
+  }
+  def knnTrianglesQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnTriangles(Tables.embeddings(spark, dir))
   }
   def knnQualityScoreQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

@@ -2142,4 +2142,47 @@ object TextOps {
 
   def textEntropyQ(spark: SparkSession, dir: String): DataFrame =
     textEntropy(Tables.documents(spark, dir))
+
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * classic readability screen (Flesch 1948; Kincaid 1975) used as a
+    * quality feature alongside [[textQuality]]'s surface ratios: very
+    * low ease flags legalese/run-on machine text, impossibly HIGH ease
+    * on long docs flags token soup. Conventions (pinned in the spec and
+    * mirrored verbatim in the oracle): words = whitespace tokens;
+    * sentences = runs of `[.!?]+`, floor 1 (headlines count as one);
+    * syllables = per-word maximal `[aeiouy]+` vowel groups on the
+    * lower-cased token, floor 1 per word (vowel-less tokens — numbers,
+    * "qqq" — still cost a beat). Both scores are the textbook linear
+    * forms, computed in one fixed association order and rounded to 4
+    * decimals ([[textPerplexity]] float rule); docs with zero words
+    * drop out on both engines identically.
+    *
+    * Scale shape: pure map-side — the syllable sum is a higher-order
+    * `aggregate` over the token array (no explode, no groupBy), so the
+    * whole operator is one projection fused into the parquet scan with
+    * only (doc_id, text) read. Zero shuffles at any corpus size. */
+  def textReadability(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val syl = aggregate(ws, lit(0L), (acc, t) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long")))
+    val sent = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    docs.select(col("doc_id"), size(ws).cast("long").as("n_words"),
+        sent.as("n_sentences"), syl.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4).as("flesch"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+          - lit(15.59), 4).as("fk_grade"))
+  }
+
+  def textReadabilityQ(spark: SparkSession, dir: String): DataFrame =
+    textReadability(Tables.documents(spark, dir))
 }

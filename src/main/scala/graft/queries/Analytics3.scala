@@ -281,4 +281,55 @@ object Analytics3 {
         round(num / (sqrt(varx) * sqrt(vary)), 4)).otherwise(0.0)
         .as("corr_disc_qty"))
   }
+
+  /** First-touch / last-touch conversion attribution (r11): for every
+    * `purchase`, the earliest and latest non-purchase event by the same
+    * user inside the lookback window gets the credit; conversions with
+    * no prior touch report as `(direct)`. The marketing-analytics
+    * staple ("which channel opens journeys, which one closes them").
+    *
+    * The naive shape is a touches×conversions self-join per user —
+    * quadratic in events for a hot user. The right shape is ONE
+    * per-user range window over epoch seconds: first/last touch are
+    * `min`/`max` of a conditional (tsec, event_id, event_type) struct
+    * over `[-lookback, -1]` — event_id breaks same-second ties, so the
+    * order is total and both engines agree. One shuffle on user_id,
+    * window state bounded by the lookback horizon; the two rollups then
+    * aggregate the CONVERSION frame only (a fraction of events), meet
+    * in a type-dimension-sized full outer join, and every count/value
+    * is exact (DECIMAL sums, the [[Money.dec]] rule). */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionOn(Tables.events(spark, dir))
+
+  def eventsAttributionOn(events: DataFrame,
+                          lookbackHours: Int = 168): DataFrame = {
+    import graft.queries.Money.{dec, asDouble}
+    val e = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts").cast("long").as("tsec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-lookbackHours.toLong * 3600L, -1L)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("tsec"), col("event_id"), col("event_type").as("et")))
+    val conv = e
+      .withColumn("ft", min(touch).over(w))
+      .withColumn("lt", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("ft.et"), lit("(direct)")).as("first_type"),
+        coalesce(col("lt.et"), lit("(direct)")).as("last_type"),
+        col("value"))
+    val first = conv.groupBy(col("first_type").as("touch_type"))
+      .agg(count(lit(1)).as("first_touch"),
+        sum(dec(col("value"))).as("fv"))
+    val last = conv.groupBy(col("last_type").as("touch_type"))
+      .agg(count(lit(1)).as("last_touch"),
+        sum(dec(col("value"))).as("lv"))
+    first.join(last, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        asDouble(coalesce(col("fv"), lit(0).cast("decimal(12,2)")))
+          .as("first_touch_value"),
+        asDouble(coalesce(col("lv"), lit(0).cast("decimal(12,2)")))
+          .as("last_touch_value"))
+  }
 }

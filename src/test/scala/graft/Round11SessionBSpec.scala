@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextOps
+
+/** Round-11 session-B operators: readability, attribution, graph
+  * triangles, binary-embedding retrieval, incremental SCD2, KN
+  * perplexity. */
+class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
+
+  test("text_readability matches the hand-computed Flesch fixture") {
+    import spark.implicits._
+    // "The cat sat. It ran!" — words 5, sentences 2 ([.] [!]),
+    // syllables 5 (one vowel group per token) →
+    // flesch = 206.835 − 1.015·(5/2) − 84.6·(5/5) = 119.6975
+    // fk     = 0.39·2.5 + 11.8·1 − 15.59 = −2.815
+    val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
+    val r = TextOps.textReadability(docs).collect().head
+    assert(r.getLong(1) === 5L && r.getLong(2) === 2L &&
+      r.getLong(3) === 5L)
+    assert(r.getDouble(4) === 119.6975 && r.getDouble(5) === -2.815)
+  }
+
+  test("text_readability floors: headline = 1 sentence, vowel-less " +
+    "token = 1 syllable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "no terminal punctuation here"), // 4 words, 1 sentence
+      (2L, "xyz 123")                       // 2 words, 0 vowel groups
+    ).toDF("doc_id", "text")
+    val out = TextOps.textReadability(docs).orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 1L)
+    // xyz has a y → 1 group; 123 has none → floored to 1
+    assert(out(1).getLong(3) === 2L)
+  }
+
+  test("events_attribution matches the hand-built journey fixture") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val events = Seq(
+      // user 1: view → click → purchase: first=view, last=click
+      (1L, at(0), 1L, "view", 0.0),
+      (2L, at(60), 1L, "click", 0.0),
+      (3L, at(120), 1L, "purchase", 10.0),
+      // user 2: cold purchase → (direct)
+      (4L, at(0), 2L, "purchase", 7.0),
+      // user 3: touch OUTSIDE the 168h lookback → (direct)
+      (5L, at(0), 3L, "click", 0.0),
+      (6L, at(8L * 86400), 3L, "purchase", 3.0),
+      // user 4: same-second tie — event_id breaks it: first=signup(7),
+      // last=error(8)
+      (7L, at(0), 4L, "signup", 0.0),
+      (8L, at(0), 4L, "error", 0.0),
+      (9L, at(30), 4L, "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.queries.Analytics3.eventsAttributionOn(events)
+      .orderBy("touch_type")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("(direct)", 2L, 2L, 10.0, 10.0),
+      ("click", 0L, 1L, 0.0, 10.0),
+      ("error", 0L, 1L, 0.0, 5.0),
+      ("signup", 1L, 0L, 5.0, 0.0),
+      ("view", 1L, 0L, 10.0, 0.0)))
+  }
+
+  test("events_attribution: first==last when exactly one touch") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    val events = Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, new java.sql.Timestamp(t0.getTime + 1000L), 1L, "purchase",
+        2.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.queries.Analytics3.eventsAttributionOn(events)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "view" && r.getLong(1) === 1L &&
+      r.getLong(2) === 1L && r.getDouble(3) === 2.5 &&
+      r.getDouble(4) === 2.5)
+  }
+
+  test("knn_triangles: planted clique closes, satellite stays open") {
+    import spark.implicits._
+    // A/B/C a tight 2-D cluster (k=2 → their mutual graph is the
+    // triangle), D orthogonal (in nobody's top-2 mutually)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.95f, 0.2f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Ann.knnTriangles(vecs, k = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 1L, 1.0), (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
+  test("knn_triangles matches a randomized plain-Scala replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(411)
+    val n = 40
+    val dim = 6
+    val data = (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val k = 4
+    // plain-Scala mirror of knnGraph's (sim desc, id asc) top-k +
+    // mutual intersect + ordered-triple triangle count
+    val v = data.map { case (id, a) => id -> a.map(_.toDouble) }.toMap
+    def sim(a: Long, b: Long): Double = {
+      val (x, y) = (v(a), v(b))
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- 0 until dim) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val ids = data.map(_._1)
+    val nn = ids.map { a =>
+      a -> ids.filter(_ != a)
+        .sortBy(b => (-sim(a, b), b)).take(k).toSet
+    }.toMap
+    val mutual = (for {
+      a <- ids; b <- nn(a) if a < b && nn(b).contains(a)
+    } yield (a, b)).toSet
+    val adj = ids.map(x =>
+      x -> mutual.collect { case (a, b) if a == x => b
+                            case (a, b) if b == x => a }).toMap
+    val triangles = ids.map { x =>
+      val ns = adj(x).toSeq
+      x -> (for {
+        i <- ns.indices; j <- (i + 1) until ns.size
+        if mutual.contains((ns(i) min ns(j), ns(i) max ns(j)))
+      } yield 1).size.toLong
+    }.toMap
+    val out = graft.llm.Ann.knnTriangles(
+        data.toDF("vec_id", "embedding"), k)
+      .orderBy("vec_id").as[(Long, Long, Long, Double)].collect()
+    out.foreach { case (id, d, t, c) =>
+      assert(d === adj(id).size.toLong, s"degree of $id")
+      assert(t === triangles(id), s"triangles of $id")
+      val expC = if (d >= 2)
+        BigDecimal(2.0 * t / (d * (d - 1)).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(c === expC, s"coefficient of $id")
+    }
+  }
+
+  test("text_readability: polysyllabic words raise the FK grade") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "we go up now."),
+      (2L, "extraordinary considerations nevertheless materialize.")
+    ).toDF("doc_id", "text")
+    val out = TextOps.textReadability(docs).orderBy("doc_id").collect()
+    assert(out(0).getDouble(5) < out(1).getDouble(5))
+    assert(out(0).getDouble(4) > out(1).getDouble(4))
+  }
+}
