@@ -209,6 +209,7 @@ object SparkEntry {
     "embed_whiten" -> (Ann.embedWhitenQ _),
     "embed_norm_profile" -> (Ann.embedNormProfileQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
+    "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
     "embed_pca" -> (Ann.embedPcaQ _),
     "embed_spectrum" -> (Ann.embedSpectrumQ _),
@@ -3415,6 +3416,24 @@ object SparkEntry {
     // and float ties are measure-zero); the one float output is the
     // relative reconstruction error, rounded 6dp — the summands are
     // identical IEEE terms, only summation order can wobble (last-ulp)
+    // binary-embedding retrieval: hamming = count of sign-bit
+    // mismatches per dim — exact integers end to end, ties on vec_id
+    "embed_binary_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(len(list_filter(range(1, 65), i ->
+        |      (e.embedding[i] > 0) <> (q.qe[i] > 0))) AS BIGINT)
+        |      AS hamming
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, rank, vec_id, hamming FROM (
+        |  SELECT query_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS rank
+        |  FROM p)
+        |WHERE rank <= 10""".stripMargin,
     "embed_quantize" -> {
       val qCols = (0 until 8).map { i =>
         s"  CAST(max(CASE WHEN i = ${i + 1} THEN qv END) AS BIGINT) AS q$i"

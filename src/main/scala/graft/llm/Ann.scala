@@ -821,6 +821,63 @@ object Ann {
     * Returns (vec_id, q: array<long>, v, s) — q exact integers, v/s
     * kept so callers (the driver entry's reconstruction audit) can
     * compute error without a second scan. */
+  /** Binary-embedding retrieval (r11): sign-binarize each vector to
+    * packed 64-bit words (bit i of word w = component 64w+i > 0), rank
+    * candidates per query by exact Hamming distance over the packed
+    * signatures — the 32×-compression rung BELOW [[embedQuantize]]'s
+    * int8 (1 bit/dim vs 8) and the storage floor of the
+    * [[embed_truncation_eval]] width sweep; modern retrieval stacks
+    * (binary-MRL) serve exactly this as the first-pass filter before a
+    * float rerank. Hamming is an exact INTEGER, so ranks are
+    * engine-stable with no float boundary anywhere: ties break on
+    * vec_id.
+    *
+    * Scale shape: signatures pack ONCE per corpus in a map-side
+    * projection (a dim-term literal OR-tree, the [[simhashSigs]]
+    * assembly idiom — W = ⌈dim/64⌉ longs on the wire instead of dim
+    * floats, 32× less shuffle/broadcast traffic than float scoring);
+    * queries broadcast; per-pair work is W `bit_count(xor)` word ops —
+    * 64 dims per cycle-ish vs one multiply per dim for cosine. Same
+    * per-partition → global two-phase top-k as [[annTopK]], so the
+    * full pair stream never reaches one node. */
+  def embedBinaryTopK(embeddings: DataFrame, nQueries: Int = 10,
+                      k: Int = 10, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = (dim + 63) / 64
+    val v = vecAsDouble(col("embedding"))
+    val sig = array((0 until words).map { w =>
+      (0 until 64).flatMap { i =>
+        val idx = w * 64 + i
+        if (idx < dim)
+          Some(when(element_at(v, idx + 1) > 0.0, lit(1L << i))
+            .otherwise(lit(0L)))
+        else None
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+    val corpus = embeddings.select(col("vec_id"), sig.as("sig"))
+    val queries = broadcast(corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig")))
+    val hamming = aggregate(
+      zip_with(col("sig"), col("qsig"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), hamming.as("hamming"),
+        spark_partition_id().as("pid"))
+    val localW = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val globalW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"))
+  }
+
+  def embedBinaryTopKQ(spark: SparkSession, dir: String): DataFrame =
+    embedBinaryTopK(Tables.embeddings(spark, dir))
+
   def embedQuantize(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val x = embeddings.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
     val scales = broadcast(x.agg(

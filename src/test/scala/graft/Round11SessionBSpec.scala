@@ -153,6 +153,49 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embed_binary_topk ranks by exact sign-bit hamming") {
+    import spark.implicits._
+    // 4-dim sign patterns: q=(+,+,+,+); candidates at hamming 0,1,2,4
+    val vecs = Seq(
+      (0L, Array(1f, 1f, 1f, 1f)),         // the query
+      (1L, Array(2f, 3f, 4f, 5f)),         // hamming 0
+      (2L, Array(-1f, 1f, 1f, 1f)),        // hamming 1
+      (3L, Array(-1f, -1f, 1f, 1f)),       // hamming 2
+      (4L, Array(-1f, -1f, -1f, -1f)),     // hamming 4
+      (5L, Array(9f, 9f, 9f, 9f))          // hamming 0 — tie with 1
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Ann
+      .embedBinaryTopK(vecs, nQueries = 1, k = 5, dim = 4)
+      .orderBy("rank").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1, 1L, 0L), (0L, 2, 5L, 0L), (0L, 3, 2L, 1L),
+      (0L, 4, 3L, 2L), (0L, 5, 4L, 4L)))
+  }
+
+  test("embed_binary_topk matches a randomized plain-Scala replay " +
+    "across the 64-bit word boundary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(911)
+    val n = 60
+    val dim = 96 // spans two packed words
+    val data = (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val bits = data.map { case (id, a) => id -> a.map(_ > 0f) }.toMap
+    def ham(a: Long, b: Long): Long =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }.toLong
+    val expected = (0L until 3L).flatMap { q =>
+      (0L until n.toLong).filter(_ != q)
+        .sortBy(c => (ham(q, c), c)).take(7).zipWithIndex
+        .map { case (c, r) => (q, r + 1, c, ham(q, c)) }
+    }
+    val out = graft.llm.Ann
+      .embedBinaryTopK(data.toDF("vec_id", "embedding"),
+        nQueries = 3, k = 7, dim = dim)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out === expected)
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
