@@ -37,6 +37,7 @@ object SparkEntry {
     "cdc_merge_incremental" -> (Cdc.mergeIncrementalQ _),
     "cdc_time_travel" -> (Cdc.timeTravelQ _),
     "cdc_scd2" -> (Cdc.scd2Q _),
+    "cdc_scd2_incremental" -> (Cdc.scd2IncrementalQ _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiffQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
@@ -502,6 +503,20 @@ object SparkEntry {
     // SCD2 (r11): one version row per non-delete change, interval
     // closed by the NEXT change (of any kind) under the canonical order
     "cdc_scd2" ->
+      s"""WITH f AS ($flattenSql),
+         |w AS (
+         |  SELECT *, lead(__source_ts_ms) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY __source_ts_ms, $opPrioSql, event_id) AS valid_to
+         |  FROM f)
+         |SELECT user_id, event_id, event_type, value, prop_k, __op,
+         |  __source_ts_ms AS valid_from,
+         |  coalesce(epoch_ms(valid_to), -1) AS valid_to_ms,
+         |  valid_to IS NULL AS is_current
+         |FROM w WHERE __op <> 'd'""".stripMargin,
+    // incremental SCD2 == the full rebuild (closed intervals immutable
+    // under the in-order changelog contract) — same oracle as cdc_scd2
+    "cdc_scd2_incremental" ->
       s"""WITH f AS ($flattenSql),
          |w AS (
          |  SELECT *, lead(__source_ts_ms) OVER (

@@ -196,6 +196,55 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     assert(out === expected)
   }
 
+  test("cdc_scd2_incremental == full rebuild on randomized splits") {
+    import spark.implicits._
+    import graft.cdc.Cdc
+    val rnd = new scala.util.Random(1121)
+    val types = Seq("signup", "click", "purchase", "view", "error")
+    val rows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(25).toLong + 1L,
+        types(rnd.nextInt(types.size)), rnd.nextDouble(),
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(2000000) * 1000L),
+        s"""{"k":${rnd.nextInt(100)}}""")
+    }
+    val events = rows
+      .toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val full = Cdc.scd2(events)
+    for (cutSec <- Seq(500000, 1000000, 1500000)) {
+      val t = new java.sql.Timestamp(1704067200000L + cutSec * 1000L)
+      val inc = Cdc.scd2Incremental(
+        Cdc.scd2(events.filter(col("ts") <= lit(t))),
+        events.filter(col("ts") > lit(t)))
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"split at +${cutSec}s diverges from the full rebuild")
+    }
+  }
+
+  test("cdc_scd2_incremental: delete-then-readd across the split, " +
+    "empty batch is identity") {
+    import spark.implicits._
+    import graft.cdc.Cdc
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 is created then DELETED before the split; the batch
+    // re-creates it — history stays closed, one fresh current row
+    val events = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "error", 1.0, ts("2024-01-02 00:00:00"), """{"k":2}"""),
+      (3L, 1L, "signup", 1.0, ts("2024-01-20 00:00:00"), """{"k":3}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val cut = lit("2024-01-10").cast("timestamp")
+    val inc = Cdc.scd2Incremental(
+      Cdc.scd2(events.filter(col("ts") <= cut)),
+      events.filter(col("ts") > cut))
+    val full = Cdc.scd2(events)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    assert(inc.filter(col("is_current")).count() === 1L)
+    // empty batch: the table passes through byte-identical
+    val base = Cdc.scd2(events)
+    val idem = Cdc.scd2Incremental(base, events.filter(lit(false)))
+    assert(idem.exceptAll(base).isEmpty && base.exceptAll(idem).isEmpty)
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
