@@ -130,6 +130,7 @@ object SparkEntry {
     "text_collocations" -> (TextOps.textCollocationsQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
     "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
+    "text_perplexity_kn" -> (TextOps.textPerplexityKnQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
     "corpus_mix_report" -> (TextOps.corpusMixReportQ _),
     "corpus_mix_kl" -> (TextOps.corpusMixKlQ _),
@@ -1989,6 +1990,32 @@ object SparkEntry {
          |    AS bits_per_transition
          |FROM big JOIN bgc USING (a, b) JOIN ctx USING (a)
          |  JOIN uni ON big.b = uni.t
+         |GROUP BY doc_id""".stripMargin,
+    // interpolated Kneser-Ney: continuation counts replace unigram
+    // backoff; same string-token replay (hash-collision-free at this
+    // vocab), one shared IEEE association order
+    "text_perplexity_kn" ->
+      s"""WITH dt AS (SELECT doc_id, $tokSql AS ts FROM documents),
+         |tok AS (
+         |  SELECT doc_id, g.i AS pos, ts[g.i] AS t
+         |  FROM dt, unnest(generate_series(1, len(ts))) AS g(i)),
+         |big AS (
+         |  SELECT p.doc_id, p.t AS a, c.t AS b
+         |  FROM tok p JOIN tok c
+         |    ON c.doc_id = p.doc_id AND c.pos = p.pos + 1),
+         |bgc AS (SELECT a, b, count(*) AS cab FROM big GROUP BY 1, 2),
+         |ctx AS (SELECT a, count(*) AS ca FROM big GROUP BY 1),
+         |na AS (SELECT a, count(*) AS n1a FROM bgc GROUP BY 1),
+         |nb AS (SELECT b, count(*) AS n1b FROM bgc GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bgc)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-avg(log2(
+         |    (cab - ${TextOps.KnDiscount}) / ca +
+         |    ${TextOps.KnDiscount} * n1a / ca *
+         |      (n1b / (SELECT n FROM tot)))), 4)
+         |    AS bits_per_transition
+         |FROM big JOIN bgc USING (a, b) JOIN ctx USING (a)
+         |  JOIN na USING (a) JOIN nb USING (b)
          |GROUP BY doc_id""".stripMargin,
     // disjoint train/val/test split: same integer Knuth-mix arithmetic,
     // under the split's own decorrelated multiplier

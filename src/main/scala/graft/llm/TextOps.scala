@@ -813,6 +813,63 @@ object TextOps {
   def textPerplexityBigramQ(spark: SparkSession, dir: String): DataFrame =
     textPerplexityBigram(Tables.documents(spark, dir))
 
+  /** Absolute discount for [[textPerplexityKn]] — the classic 0.75. */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999) — the smoothing the KenLM-style filtering
+    * models (CCNet et al.) actually use, and the fix for
+    * [[textPerplexityBigram]]'s known JM weakness: JM backs off to raw
+    * UNIGRAM frequency, so a token frequent in exactly one context
+    * ("francisco", which only ever follows "san") is overrated in every
+    * other context; KN backs off to the CONTINUATION distribution
+    * P_cont(b) = N1+(·b)/|bigram types| — how many distinct contexts b
+    * completes — which scores such tokens low outside their collocation.
+    * P(b|a) = (c(ab) − D)/c(a·) + D·N1+(a·)/c(a·) · P_cont(b), D = 0.75;
+    * self-trained like the JM twin, so every eval bigram has c(ab) ≥ 1
+    * and no zero branch is reachable. Per-context probabilities sum to
+    * EXACTLY 1 (spec-pinned) — KN is a proper distribution, not a
+    * heuristic blend.
+    *
+    * Scale shape identical to the JM twin: map-side bigram generate,
+    * hashes on the wire, four vocab/bigram-type-bounded count frames
+    * joined back (AQE broadcasts them), the 1-row type total as a
+    * broadcast crossJoin, one per-doc agg. Heaps' law bounds every
+    * joined frame sublinearly in the corpus. */
+  def textPerplexityKn(docs: DataFrame,
+                       discount: Double = KnDiscount): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
+    val ts = tokens(col("text"))
+    val big = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => struct(xxhash64(element_at(col("ts"), i + 1)).as("a"),
+          xxhash64(element_at(col("ts"), i + 2)).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .persist()
+    val bgc = big.groupBy("a", "b").agg(count(lit(1)).as("cab")).persist()
+    val ctx = big.groupBy("a").agg(count(lit(1)).as("ca"))
+    val n1a = bgc.groupBy("a").agg(count(lit(1)).as("n1a"))
+    val n1b = bgc.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val tot = broadcast(bgc.agg(count(lit(1)).cast("double").as("nbt")))
+    val p = (col("cab") - lit(discount)) / col("ca") +
+      lit(discount) * col("n1a") / col("ca") * (col("n1b") / col("nbt"))
+    val result = graft.Exec.materialize(
+      big.join(bgc, Seq("a", "b")).join(ctx, Seq("a"))
+        .join(n1a, Seq("a")).join(n1b, Seq("b")).crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log2(p)), 4).as("bits_per_transition")))
+    big.unpersist(); bgc.unpersist()
+    result
+  }
+
+  def textPerplexityKnQ(spark: SparkSession, dir: String): DataFrame =
+    textPerplexityKn(Tables.documents(spark, dir))
+
   /** Split-boundary permilles for [[corpusSplit]]: bucket < 900 → train,
     * < 950 → val, else test — a 90/5/5 split. */
   val SplitTrainPermille = 900

@@ -245,6 +245,46 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     assert(idem.exceptAll(base).isEmpty && base.exceptAll(idem).isEmpty)
   }
 
+  test("text_perplexity_kn matches the hand-computed fixture") {
+    import spark.implicits._
+    // "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; ca: a=3 b=2;
+    // N1+(a·)=2 N1+(b·)=1; N1+(·b)=1 N1+(·a)=1 N1+(·c)=1; types=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val pab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    val pba = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1.0 / 3)
+    val pac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    def l2(x: Double) = math.log(x) / math.log(2)
+    val bits = BigDecimal(
+      -(2 * l2(pab) + 2 * l2(pba) + l2(pac)) / 5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.llm.TextOps.textPerplexityKn(docs).collect().head
+    assert(r.getLong(1) === 5L)
+    assert(math.abs(r.getDouble(2) - bits) < 2e-4)
+  }
+
+  test("text_perplexity_kn separates single-context collocation " +
+    "tokens the JM model cannot see") {
+    import spark.implicits._
+    // francisco and common have IDENTICAL unigram counts, but
+    // francisco completes 2 contexts while common completes 11 —
+    // JM (unigram backoff) scores the two probe docs equally; KN
+    // (continuation backoff) penalizes the collocation-bound token
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "san francisco")) ++
+      (1 to 10).map(i => (10L + i, s"u$i common")) ++
+      Seq((21L, "probea francisco"), (22L, "probeb common"))
+    ).toDF("doc_id", "text")
+    val kn = graft.llm.TextOps.textPerplexityKn(docs)
+      .filter(col("doc_id") >= 21L).orderBy("doc_id")
+      .select("bits_per_transition").as[Double].collect()
+    val jm = graft.llm.TextOps.textPerplexityBigram(docs)
+      .filter(col("doc_id") >= 21L).orderBy("doc_id")
+      .select("bits_per_transition").as[Double].collect()
+    assert(jm(0) === jm(1), "JM sees the two probes as identical")
+    assert(kn(0) > kn(1) + 0.5,
+      "KN must penalize the single-context token")
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
