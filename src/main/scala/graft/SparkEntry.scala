@@ -38,6 +38,7 @@ object SparkEntry {
     "cdc_time_travel" -> (Cdc.timeTravelQ _),
     "cdc_scd2" -> (Cdc.scd2Q _),
     "cdc_scd2_incremental" -> (Cdc.scd2IncrementalQ _),
+    "cdc_gap_audit" -> (Cdc.gapAuditQ _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiffQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
@@ -515,6 +516,36 @@ object SparkEntry {
          |  coalesce(epoch_ms(valid_to), -1) AS valid_to_ms,
          |  valid_to IS NULL AS is_current
          |FROM w WHERE __op <> 'd'""".stripMargin,
+    // changelog-health state machine: lag over the canonical order +
+    // running arrival-order ts max, one summary row of exact integers
+    "cdc_gap_audit" ->
+      s"""WITH f AS ($flattenSql),
+         |st AS (
+         |  SELECT __op, __ts_ms,
+         |    lag(__op) OVER (PARTITION BY user_id
+         |      ORDER BY __source_ts_ms, $opPrioSql, event_id) AS prev_op,
+         |    max(__ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS max_prev_ms,
+         |    user_id
+         |  FROM f)
+         |SELECT count(*) AS n_changes,
+         |  count(DISTINCT user_id) AS n_keys,
+         |  CAST(sum(CASE WHEN __op = 'u' AND prev_op IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_updates,
+         |  CAST(sum(CASE WHEN __op = 'd' AND prev_op IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_deletes,
+         |  CAST(sum(CASE WHEN __op = 'c' AND prev_op IN ('c', 'r', 'u')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS double_creates,
+         |  CAST(sum(CASE WHEN __op = 'd' AND prev_op = 'd'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS double_deletes,
+         |  CAST(sum(CASE WHEN __op = 'u' AND prev_op = 'd'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrect_updates,
+         |  CAST(sum(CASE WHEN __ts_ms < max_prev_ms
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS late_arrivals,
+         |  coalesce(max(CASE WHEN __ts_ms < max_prev_ms
+         |    THEN max_prev_ms - __ts_ms END), 0) AS max_lateness_ms
+         |FROM st""".stripMargin,
     // incremental SCD2 == the full rebuild (closed intervals immutable
     // under the in-order changelog contract) — same oracle as cdc_scd2
     "cdc_scd2_incremental" ->

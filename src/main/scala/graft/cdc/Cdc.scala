@@ -224,6 +224,54 @@ object Cdc {
       .unionByName(scd2Versions(replay))
   }
 
+  /** Changelog-health audit (r11): the per-key op-sequence state
+    * machine every CDC ingest team watches — orphan updates/deletes
+    * (change for a key never created: lost snapshot or dropped
+    * create), double creates (connector replay without dedup), double
+    * deletes, updates on dead keys (resurrections: out-of-order
+    * delivery past [[dedupLatest]]'s tiebreak), plus arrival-order
+    * lateness (source ts behind an earlier-ARRIVED change — what sizes
+    * the [[graft.streaming.CdcStream]] watermark). One summary row;
+    * any nonzero anomaly column is an upstream-connector bug or a
+    * mis-sized watermark, found BEFORE it corrupts a snapshot.
+    *
+    * Scale shape: both windows (canonical change order for the state
+    * machine, arrival order for lateness) share the user_id hash
+    * partitioning — ONE exchange, two sorts — then one
+    * map-side-combined global agg to a single row. Nothing but the
+    * slim audit columns ever shuffles. */
+  def gapAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = flatten(events)
+    val canon = Window.partitionBy(col("user_id"))
+      .orderBy(col("__source_ts_ms"), opPriorityCol(col("__op")),
+        col("event_id"))
+    val arrival = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val st = flat
+      .withColumn("prev_op", lag(col("__op"), 1).over(canon))
+      .withColumn("max_prev_ms", max(col("__ts_ms")).over(arrival))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    st.agg(
+      count(lit(1)).as("n_changes"),
+      countDistinct(col("user_id")).as("n_keys"),
+      cnt(col("__op") === "u" && col("prev_op").isNull)
+        .as("orphan_updates"),
+      cnt(col("__op") === "d" && col("prev_op").isNull)
+        .as("orphan_deletes"),
+      cnt(col("__op") === "c" && col("prev_op").isin("c", "r", "u"))
+        .as("double_creates"),
+      cnt(col("__op") === "d" && col("prev_op") === "d")
+        .as("double_deletes"),
+      cnt(col("__op") === "u" && col("prev_op") === "d")
+        .as("resurrect_updates"),
+      cnt(col("__ts_ms") < col("max_prev_ms")).as("late_arrivals"),
+      coalesce(max(when(col("__ts_ms") < col("max_prev_ms"),
+        col("max_prev_ms") - col("__ts_ms"))), lit(0L))
+        .as("max_lateness_ms"))
+  }
+
   /** Snapshot DIFF between two points in time: which keys were added,
     * removed, or changed between AS-OF t1 and AS-OF t2 — the "what
     * changed since last week" audit a CDC warehouse answers constantly
@@ -446,6 +494,8 @@ object Cdc {
     mergeIncremental(Tables.events(spark, dir), lit("2024-01-15").cast("timestamp"))
   def scd2Q(spark: SparkSession, dir: String): DataFrame =
     scd2(Tables.events(spark, dir))
+  def gapAuditQ(spark: SparkSession, dir: String): DataFrame =
+    gapAudit(Tables.events(spark, dir))
   def scd2IncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val t = lit("2024-01-15").cast("timestamp")

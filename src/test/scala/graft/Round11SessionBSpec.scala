@@ -285,6 +285,47 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
       "KN must penalize the single-context token")
   }
 
+  test("cdc_gap_audit counts each anomaly class exactly once") {
+    import spark.implicits._
+    import graft.cdc.Cdc
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // event types: signup=c, view=r, error=d, click=u
+    val events = Seq(
+      // user 1: clean c → u
+      (1L, 1L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-02 00:00:00")),
+      // user 2: orphan update
+      (3L, 2L, "click", ts("2024-01-01 00:00:00")),
+      // user 3: orphan delete
+      (4L, 3L, "error", ts("2024-01-01 00:00:00")),
+      // user 4: double create
+      (5L, 4L, "signup", ts("2024-01-01 00:00:00")),
+      (6L, 4L, "signup", ts("2024-01-02 00:00:00")),
+      // user 5: double delete
+      (7L, 5L, "signup", ts("2024-01-01 00:00:00")),
+      (8L, 5L, "error", ts("2024-01-02 00:00:00")),
+      (9L, 5L, "error", ts("2024-01-03 00:00:00")),
+      // user 6: update after delete (resurrection)
+      (10L, 6L, "signup", ts("2024-01-01 00:00:00")),
+      (11L, 6L, "error", ts("2024-01-02 00:00:00")),
+      (12L, 6L, "click", ts("2024-01-03 00:00:00")),
+      // user 7: the SECOND-arrived change carries an EARLIER source ts
+      (19L, 7L, "signup", ts("2024-01-01 00:00:00")),
+      (20L, 7L, "click", ts("2024-01-05 00:00:00")),
+      (21L, 7L, "click", ts("2024-01-04 00:00:00"))
+    ).map { case (e, u, t, s) => (e, u, t, 1.0, s, """{"k":1}""") }
+      .toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val r = Cdc.gapAudit(events).collect().head
+    assert(r.getLong(0) === 15L && r.getLong(1) === 7L) // changes, keys
+    assert(r.getLong(2) === 1L, "orphan_updates")
+    assert(r.getLong(3) === 1L, "orphan_deletes")
+    assert(r.getLong(4) === 1L, "double_creates")
+    assert(r.getLong(5) === 1L, "double_deletes")
+    assert(r.getLong(6) === 1L, "resurrect_updates")
+    assert(r.getLong(7) === 1L, "late_arrivals")
+    assert(r.getLong(8) === 86400000L, "max_lateness_ms = one day")
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
