@@ -196,6 +196,7 @@ object SparkEntry {
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
     "knn_triangles" -> (Ann.knnTrianglesQ _),
+    "knn_modularity" -> (Ann.knnModularityQ _),
     "knn_coreset" -> (Ann.knnCoresetQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
@@ -3185,6 +3186,40 @@ object SparkEntry {
     "knn_graph" ->
       s"""WITH $knnNnSql
         |SELECT vec_id, rank, nbr_id FROM nn""".stripMargin,
+    // label-partition modularity: mutual edges labeled twice, per-label
+    // rollups, e/m − (d/2m)² in one shared association order
+    "knn_modularity" ->
+      s"""WITH $knnNnSql,
+        |mutual AS (
+        |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+        |  WHERE a.vec_id < a.nbr_id),
+        |m AS (SELECT count(*) AS m FROM mutual),
+        |le AS (
+        |  SELECT mu.a, mu.b, ea.label AS la, eb.label AS lb
+        |  FROM mutual mu
+        |  JOIN embeddings ea ON mu.a = ea.vec_id
+        |  JOIN embeddings eb ON mu.b = eb.vec_id),
+        |nodes AS (SELECT label, count(*) AS n_nodes
+        |  FROM embeddings GROUP BY 1),
+        |internal AS (SELECT la AS label, count(*) AS ie
+        |  FROM le WHERE la = lb GROUP BY 1),
+        |degs AS (SELECT label, count(*) AS ds FROM (
+        |  SELECT la AS label FROM le UNION ALL SELECT lb AS label FROM le)
+        |  GROUP BY 1)
+        |SELECT n.label, n.n_nodes,
+        |  coalesce(i.ie, 0) AS internal_edges,
+        |  coalesce(d.ds, 0) AS degree_sum,
+        |  CASE WHEN (SELECT m FROM m) > 0 THEN
+        |    round(CAST(coalesce(i.ie, 0) AS DOUBLE) / (SELECT m FROM m)
+        |      - (CAST(coalesce(d.ds, 0) AS DOUBLE)
+        |         / (2 * (SELECT m FROM m)))
+        |        * (CAST(coalesce(d.ds, 0) AS DOUBLE)
+        |         / (2 * (SELECT m FROM m))), 4)
+        |  ELSE 0.0 END AS q_term
+        |FROM nodes n
+        |LEFT JOIN internal i ON n.label = i.label
+        |LEFT JOIN degs d ON n.label = d.label""".stripMargin,
     // mutual edges a<b, wedge join at the middle node, closure probe
     // back to the edge list — triangles as ordered triples credited to
     // all three corners; coefficient 2T/(d(d-1)) in one shared IEEE

@@ -1374,6 +1374,69 @@ object Ann {
         (coalesce(col("d"), lit(0L)) >= 2L * k).as("is_hub"))
   }
 
+  /** Label-partition modularity over the mutual-kNN graph (r11;
+    * Newman 2004): per label, member count, internal edge count,
+    * degree mass, and the modularity term e_c/m − (d_c/2m)² — "do the
+    * DECLARED labels agree with the embedding GEOMETRY". Σ terms near 1
+    * means labels track mutual-neighbor structure (supervised signal
+    * and geometry coherent — [[embed_centroid_classify]] will work);
+    * near 0 means the labels cut across the graph (expect
+    * [[knn_label_prop]] to disagree with declared labels and
+    * label-stratified curation to mix semantics). Unlike a modularity
+    * over [[knn_cluster]]'s own components (degenerate: components have
+    * zero cut edges by construction), the label partition genuinely
+    * pays for every cross-label edge.
+    *
+    * Scale shape: mutual edges (≤ n·k, degree ≤ k) join the slim
+    * (vec_id, label) frame twice — co-partitioned hash joins; per-label
+    * rollups are label-dimension-sized; the edge total rides as a
+    * broadcast 1-row crossJoin. One shared IEEE association order, 4dp;
+    * an edgeless graph pins every term to 0.0. */
+  def knnModularity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist()
+    val mutual = g.intersect(
+        g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .persist()
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val e = mutual
+      .join(lab.select(col("vec_id").as("a"), col("label").as("la")),
+        Seq("a"))
+      .join(lab.select(col("vec_id").as("b"), col("label").as("lb")),
+        Seq("b"))
+    val m = broadcast(mutual.agg(count(lit(1)).as("m")))
+    val nodes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val internal = e.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("ie"))
+    val degs = e.select(col("la").as("label"))
+      .union(e.select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("ds"))
+    val out = nodes
+      .join(internal, Seq("label"), "left")
+      .join(degs, Seq("label"), "left")
+      .crossJoin(m)
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("ie"), lit(0L)).as("internal_edges"),
+        coalesce(col("ds"), lit(0L)).as("degree_sum"),
+        when(col("m") > 0L, {
+          val frac = coalesce(col("ie"), lit(0L)).cast("double") / col("m")
+          val dm = coalesce(col("ds"), lit(0L)).cast("double") /
+            (lit(2L) * col("m"))
+          round(frac - dm * dm, 4)
+        }).otherwise(0.0).as("q_term"))
+    val res = graft.Exec.materialize(out)
+    mutual.unpersist(); g.unpersist()
+    res
+  }
+
+  def knnModularityQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnModularity(Tables.embeddings(spark, dir))
+  }
+
   /** Local clustering coefficient over the mutual-kNN graph (r11):
     * per-node mutual degree, triangle count, and coefficient
     * 2T/(d(d−1)) — the graph-structure audit that separates a corpus

@@ -326,6 +326,48 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(8) === 86400000L, "max_lateness_ms = one day")
   }
 
+  test("knn_modularity matches the hand-computed partition terms") {
+    import spark.implicits._
+    // mutual graph = triangle A-B-C (m=3), D isolated.
+    // labels {A,B}=0, {C,D}=1: q0 = 1/3 − (4/6)², q1 = 0 − (2/6)²
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.95f, 0.2f), 1),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Ann.knnModularity(vecs, k = 2)
+      .orderBy("label").as[(Int, Long, Long, Long, Double)]
+      .collect().toSeq
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      (0, 2L, 1L, 4L, r4(1.0 / 3 - (4.0 / 6) * (4.0 / 6))),
+      (1, 2L, 0L, 2L, r4(0.0 / 3 - (2.0 / 6) * (2.0 / 6)))))
+    // aligned labels: one community holding every edge → Q = 1−1 = 0
+    val aligned = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.95f, 0.2f), 0),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out2 = graft.llm.Ann.knnModularity(aligned, k = 2)
+      .orderBy("label").as[(Int, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out2 === Seq((0, 3L, 3L, 6L, 0.0), (1, 1L, 0L, 0L, 0.0)))
+  }
+
+  test("knn_modularity invariants hold on the real embeddings") {
+    val out = graft.llm.Ann.knnModularity(
+      Tables.embeddings(spark, sfDir)).collect()
+    assert(out.map(_.getLong(1)).sum === 500L)
+    // each term is bounded by the community's edge fraction ≤ 1
+    assert(out.forall(r => r.getDouble(4) <= 1.0))
+    // degree mass double-counts every edge exactly twice
+    val m = out.map(_.getLong(2)).sum
+    assert(out.map(_.getLong(3)).sum >= 2 * m)
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
