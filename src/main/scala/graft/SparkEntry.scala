@@ -84,6 +84,7 @@ object SparkEntry {
     "q_order_gaps" -> (Analytics3.qOrderGaps _),
     "q_discount_effect" -> (Analytics3.qDiscountEffect _),
     "events_attribution" -> (Analytics3.eventsAttribution _),
+    "events_forecast_baseline" -> (Analytics3.eventsForecastBaseline _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -1402,6 +1403,40 @@ object SparkEntry {
         |  CAST(min(max_lag) AS BIGINT) AS max_lag_days
         |FROM g WHERE cum >= (n_lines + 1) // 2
         |GROUP BY 1""".stripMargin,
+    // seasonal-naive backtest: dense hour spine from the corpus' own
+    // span (missing hours are real zeros), two lags, exact-int MAEs
+    "events_forecast_baseline" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ms(ts) // 1000 // 3600 AS h, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+        |spine AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t,
+        |    b, unnest(generate_series(b.h0, b.h1)) AS g(h)),
+        |dense AS (
+        |  SELECT s.event_type, s.h, coalesce(hourly.n, 0) AS n
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h),
+        |scored AS (
+        |  SELECT event_type, n,
+        |    lag(n, 168) OVER (PARTITION BY event_type ORDER BY h)
+        |      AS season,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY h)
+        |      AS persist
+        |  FROM dense),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(abs(n - season)) AS BIGINT) AS se,
+        |    CAST(sum(abs(n - persist)) AS BIGINT) AS pe
+        |  FROM scored WHERE season IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  round(CAST(se AS DOUBLE) / n_hours, 4) AS mae_seasonal,
+        |  round(CAST(pe AS DOUBLE) / n_hours, 4) AS mae_persist,
+        |  CASE WHEN pe > 0 THEN round(CAST(se AS DOUBLE) / pe, 4)
+        |    ELSE 0.0 END AS skill
+        |FROM agg""".stripMargin,
     // first/last-touch attribution: one per-user RANGE window over
     // epoch seconds, min/max of a (tsec, event_id, type) struct —
     // event_id totalizes same-second ties on both engines; DECIMAL sums

@@ -282,6 +282,60 @@ object Analytics3 {
         .as("corr_disc_qty"))
   }
 
+  /** Seasonal-naive forecast backtest (r11): per event_type, the MAE of
+    * the "same hour last week" forecast vs the "previous hour"
+    * persistence baseline over a DENSE hourly grid, plus their skill
+    * ratio — the sanity baseline every capacity-planning / anomaly
+    * model must beat before it ships (if a learned model can't beat
+    * count[h−168], it's memorizing seasonality badly). Missing hours
+    * are REAL zeros: evaluating only on observed hours silently
+    * inflates skill exactly where traffic dies, so the grid
+    * materializes from the corpus' own [min, max] hour span.
+    *
+    * Scale shape: events collapse to the (hour × type) count frame in
+    * ONE map-side-combined agg — the only corpus-sized pass; the dense
+    * spine builds from a broadcast 1-row min/max and the
+    * type-dimension frame (time-bounded, not data-bounded), lags are
+    * one window over that dimension-sized grid, and the rollup is
+    * type-sized. Counts are exact integers; MAE = Σ|diff|/n in one
+    * shared division, 4dp; skill guards the zero-MAE baseline. */
+  def eventsForecastBaseline(spark: SparkSession, dir: String): DataFrame =
+    eventsForecastBaselineOn(Tables.events(spark, dir))
+
+  def eventsForecastBaselineOn(events: DataFrame,
+                               seasonHours: Int = 168): DataFrame = {
+    val hourly = events
+      .select((col("ts").cast("long") / 3600L).cast("long").as("h"),
+        col("event_type"))
+      .groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
+    val bounds = broadcast(hourly.agg(min(col("h")).as("h0"),
+      max(col("h")).as("h1")))
+    val types = hourly.select(col("event_type")).distinct()
+    val spine = types.crossJoin(bounds)
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val scored = dense
+      .withColumn("season", lag(col("n"), seasonHours).over(w))
+      .withColumn("persist", lag(col("n"), 1).over(w))
+      .filter(col("season").isNotNull)
+    val agg = scored.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(abs(col("n") - col("season"))).as("se"),
+      sum(abs(col("n") - col("persist"))).as("pe"))
+    agg.select(col("event_type"), col("n_hours"),
+      round(col("se").cast("double") / col("n_hours"), 4)
+        .as("mae_seasonal"),
+      round(col("pe").cast("double") / col("n_hours"), 4)
+        .as("mae_persist"),
+      when(col("pe") > 0L,
+        round(col("se").cast("double") / col("pe"), 4))
+        .otherwise(0.0).as("skill"))
+  }
+
   /** First-touch / last-touch conversion attribution (r11): for every
     * `purchase`, the earliest and latest non-purchase event by the same
     * user inside the lookback window gets the credit; conversions with

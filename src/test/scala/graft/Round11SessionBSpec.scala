@@ -368,6 +368,46 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getLong(3)).sum >= 2 * m)
   }
 
+  test("events_forecast_baseline: a perfectly weekly series zeroes " +
+    "the seasonal MAE but not persistence") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // two weeks, weekly pattern: 1 event/hour for 84h then 2/hour
+    val rows = (for {
+      h <- 0 until 336
+      i <- 0 until (if (h % 168 < 84) 1 else 2)
+    } yield (h * 10L + i, new java.sql.Timestamp(t0 + h * 3600000L),
+      1L, "click", 1.0, """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.Analytics3.eventsForecastBaselineOn(rows)
+      .collect().head
+    assert(r.getString(0) === "click")
+    assert(r.getLong(1) === 168L)
+    assert(r.getDouble(2) === 0.0, "seasonal naive is exact here")
+    // persistence misses the two level shifts in the eval week
+    val pe = BigDecimal(2.0 / 168)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === pe)
+    assert(r.getDouble(4) === 0.0, "skill ratio with zero numerator")
+  }
+
+  test("events_forecast_baseline: missing hours count as real zeros") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // one event at hour 0 and one at hour 169 — the 168 hours between
+    // are dense zeros; at eval hour 168 the seasonal forecast is
+    // count[0] = 1 vs actual 0, at hour 169 it is count[1] = 0 vs 1
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(t0), 1L, "view", 1.0, """{"k":1}"""),
+      (2L, new java.sql.Timestamp(t0 + 169L * 3600000L), 1L, "view",
+        1.0, """{"k":1}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.Analytics3.eventsForecastBaselineOn(rows)
+      .collect().head
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0, "both eval hours miss by exactly 1")
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
