@@ -85,6 +85,7 @@ object SparkEntry {
     "q_discount_effect" -> (Analytics3.qDiscountEffect _),
     "events_attribution" -> (Analytics3.eventsAttribution _),
     "events_forecast_baseline" -> (Analytics3.eventsForecastBaseline _),
+    "events_lifecycle" -> (Analytics3.eventsLifecycle _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -1403,6 +1404,44 @@ object SparkEntry {
         |  CAST(min(max_lag) AS BIGINT) AS max_lag_days
         |FROM g WHERE cum >= (n_lines + 1) // 2
         |GROUP BY 1""".stripMargin,
+    // weekly growth accounting: distinct (user, week) → status lag →
+    // week-dimension rollup + churn lag; integers, guarded quick ratio
+    "events_lifecycle" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 1000 // 604800 AS week
+        |  FROM events),
+        |st AS (
+        |  SELECT week,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev = week - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM (SELECT week, lag(week) OVER (
+        |          PARTITION BY user_id ORDER BY week) AS prev
+        |        FROM act)),
+        |weekly AS (
+        |  SELECT week, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |fin AS (
+        |  SELECT week, n_active, n_new, n_retained, n_resurrected,
+        |    CASE WHEN lag(week) OVER (ORDER BY week) = week - 1
+        |      THEN lag(n_active) OVER (ORDER BY week) - n_retained
+        |      ELSE coalesce(lag(n_active) OVER (ORDER BY week), 0)
+        |      END AS n_churned
+        |  FROM weekly)
+        |SELECT week, n_active, n_new, n_retained, n_resurrected,
+        |  n_churned,
+        |  CASE WHEN n_churned > 0
+        |    THEN round(CAST(n_new + n_resurrected AS DOUBLE)
+        |      / n_churned, 4)
+        |    ELSE 0.0 END AS quick_ratio
+        |FROM fin""".stripMargin,
     // seasonal-naive backtest: dense hour spine from the corpus' own
     // span (missing hours are real zeros), two lags, exact-int MAEs
     "events_forecast_baseline" ->

@@ -282,6 +282,60 @@ object Analytics3 {
         .as("corr_disc_qty"))
   }
 
+  /** Weekly growth accounting (r11): every active (user, week) is
+    * exactly one of new / retained (active the week before) /
+    * resurrected (active before, but not last week); churned(w) =
+    * active(w−1) − retained(w); quick ratio = (new + resurrected) /
+    * churned — the canonical growth-accounting identity (active(w) =
+    * new + retained + resurrected, spec-pinned) behind every
+    * startup-metrics dashboard, and the decomposition [[qRetention]]'s
+    * single ratio can't show (a flat DAU can be healthy retention or a
+    * leaky bucket refilled by reactivation — these columns tell them
+    * apart).
+    *
+    * Scale shape: events collapse to the distinct (user, week) frame in
+    * one shuffle (map-side combined); the status window (lag week +
+    * running min) rides the SAME user partitioning; the rollup and the
+    * churn lag live on the week-dimension frame. Integers end to end;
+    * the one ratio guards /0 with a 0.0 sentinel, 4dp. */
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame =
+    eventsLifecycleOn(Tables.events(spark, dir))
+
+  def eventsLifecycleOn(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"),
+        (col("ts").cast("long") / 604800L).cast("long").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val status = act
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .select(col("week"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("week") - 1L, "retained")
+          .otherwise("resurrected").as("status"))
+    val weekly = status.groupBy(col("week")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val ww = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev_active", lag(col("n_active"), 1).over(ww))
+      .withColumn("prev_week", lag(col("week"), 1).over(ww))
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        when(col("prev_week") === col("week") - 1L,
+          col("prev_active") - col("n_retained"))
+          .otherwise(coalesce(col("prev_active"), lit(0L)))
+          .as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") > 0L,
+          round((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned"), 4)).otherwise(0.0))
+  }
+
   /** Seasonal-naive forecast backtest (r11): per event_type, the MAE of
     * the "same hour last week" forecast vs the "previous hour"
     * persistence baseline over a DENSE hourly grid, plus their skill

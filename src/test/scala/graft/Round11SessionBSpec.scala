@@ -408,6 +408,37 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) === 1.0, "both eval hours miss by exactly 1")
   }
 
+  test("events_lifecycle matches the hand-built growth ledger") {
+    import spark.implicits._
+    // epoch weeks w, w+1, w+2:
+    //   u1 active all three weeks        (new, retained, retained)
+    //   u2 active w only                 (new; churns at w+1)
+    //   u3 active w and w+2              (new; churns at w+1; resurrects)
+    //   u4 active w+1 only               (new at w+1; churns at w+2)
+    val base = 1704067200L // 2024-01-01, week-aligned enough
+    def at(week: Int) =
+      new java.sql.Timestamp((base / 604800 * 604800 + week * 604800L +
+        3600L) * 1000L)
+    val rows = Seq(
+      (1L, at(0), 1L), (2L, at(1), 1L), (3L, at(2), 1L),
+      (4L, at(0), 2L),
+      (5L, at(0), 3L), (6L, at(2), 3L),
+      (7L, at(1), 4L)
+    ).map { case (e, t, u) => (e, t, u, "click", 1.0, """{"k":1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.queries.Analytics3.eventsLifecycleOn(rows)
+      .orderBy("week")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val w0 = out.head._1
+    assert(out.map { case (w, a, n, r, rs, c, q) =>
+      (w - w0, a, n, r, rs, c, q) } === Seq(
+      (0L, 3L, 3L, 0L, 0L, 0L, 0.0),
+      (1L, 2L, 1L, 1L, 0L, 2L, 0.5),
+      (2L, 2L, 0L, 1L, 1L, 1L, 1.0)))
+    // the accounting identity: active = new + retained + resurrected
+    out.foreach { case (_, a, n, r, rs, _, _) => assert(a === n + r + rs) }
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
