@@ -224,6 +224,7 @@ object SparkEntry {
     "ann_rrf_fusion" -> (Ann.annRrfFusionQ _),
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
+    "embed_threshold_sweep" -> (Ann.embedThresholdSweepQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
     "dedup_semantic_incremental" -> (Ann.dedupSemanticIncrementalQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
@@ -3037,6 +3038,38 @@ object SparkEntry {
          |  JOIN n a ON cand.vec_a = a.vec_id
          |  JOIN n b ON cand.vec_b = b.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
+    // cosine-τ sweep over the SAME LSH pair frame as dedup_embed at the
+    // grid minimum; zero-pair τs still report
+    "embed_threshold_sweep" ->
+      s"""WITH $lshCteSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |      AND x.vec_id < y.vec_id),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT vec_a, vec_b,
+         |      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |    FROM cand
+         |    JOIN n a ON cand.vec_a = a.vec_id
+         |    JOIN n b ON cand.vec_b = b.vec_id)
+         |  WHERE cos >= 0.4),
+         |taus AS (SELECT unnest([0.4, 0.6, 0.8, 0.9]) AS tau),
+         |tagged AS (
+         |  SELECT t.tau, p.vec_a, p.vec_b
+         |  FROM pairs p JOIN taus t ON p.cos >= t.tau),
+         |np AS (SELECT tau, count(*) AS n_pairs FROM tagged GROUP BY 1),
+         |nd AS (SELECT tau, count(DISTINCT d) AS n_vecs FROM (
+         |  SELECT tau, unnest([vec_a, vec_b]) AS d FROM tagged)
+         |  GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM embeddings)
+         |SELECT t.tau, coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_vecs, 0) AS n_vecs,
+         |  round(CAST(coalesce(nd.n_vecs, 0) AS DOUBLE)
+         |    / (SELECT n FROM tot), 4) AS vec_share
+         |FROM taus t LEFT JOIN np ON t.tau = np.tau
+         |LEFT JOIN nd ON t.tau = nd.tau""".stripMargin,
     // incremental probe == full LSH pairs restricted to pairs touching
     // the new 40% split (the store arm is old×new, the within arm
     // new×new; old×old never forms) — the equality the spec proves,

@@ -1022,6 +1022,45 @@ object Ann {
     * @param collapseThreshold classes/docs ratio at or above which the
     *        direct path runs; 0.0 forces direct, anything > 1 forces
     *        collapse — exposed so tests can prove path equivalence. */
+  /** Cosine-threshold sweep for embedding dedup (r11): per candidate τ,
+    * exact pair count, vectors touched, and corpus share — the
+    * embedding-side twin of [[graft.llm.Dedup.dedupThresholdSweep]],
+    * read before committing a semantic-dedup τ (too low: the corpus
+    * chains into one family; too high: paraphrase clusters survive).
+    * ONE [[dedupEmbed]] candidate pass at the grid MINIMUM; each sweep
+    * step is a filter + two tiny aggregations over the
+    * duplicate-bounded pair frame; a τ with no pairs still reports a
+    * zero row. Counts exact, share 4dp. */
+  def embedThresholdSweep(embeddings: DataFrame,
+                          taus: Seq[Double] = Seq(0.4, 0.6, 0.8, 0.9))
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pairs = dedupEmbed(embeddings, tau = taus.min).persist()
+    val total = embeddings.count()
+    val tauDf = broadcast(taus.sorted.toDF("tau"))
+    val tagged = pairs.crossJoin(tauDf)
+      .filter(col("cos") >= col("tau")).persist()
+    val nPairs = tagged.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nVecs = tagged
+      .select(col("tau"),
+        explode(array(col("vec_a"), col("vec_b"))).as("d"))
+      .groupBy(col("tau")).agg(countDistinct(col("d")).as("n_vecs"))
+    val result = graft.Exec.materialize(
+      tauDf.join(nPairs, Seq("tau"), "left").join(nVecs, Seq("tau"), "left")
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          round(coalesce(col("n_vecs"), lit(0L)).cast("double") / total, 4)
+            .as("vec_share")))
+    tagged.unpersist(); pairs.unpersist()
+    result
+  }
+
+  def embedThresholdSweepQ(spark: SparkSession, dir: String): DataFrame =
+    embedThresholdSweep(Tables.embeddings(spark, dir))
+
   def dedupEmbed(embeddings: DataFrame, tau: Double = 0.4,
                  numBands: Int = NumBands,
                  bitsPerBand: Int = BitsPerBand,

@@ -439,6 +439,25 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     out.foreach { case (_, a, n, r, rs, _, _) => assert(a === n + r + rs) }
   }
 
+  test("embed_threshold_sweep: monotone, per-τ consistent with the " +
+    "direct pass, zero τs still report") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val grid = Seq(0.4, 0.7, 0.99)
+    val out = Ann.embedThresholdSweep(emb, grid).orderBy("tau").collect()
+    assert(out.map(_.getDouble(0)).toSeq === grid)
+    val pairCounts = out.map(_.getLong(1))
+    assert(pairCounts.sliding(2).forall(w => w(0) >= w(1)),
+      "pair counts must not increase with tau")
+    // each sweep row equals an independent dedupEmbed run at that tau
+    for ((tau, i) <- grid.zipWithIndex) {
+      assert(Ann.dedupEmbed(emb, tau = tau).count() === pairCounts(i),
+        s"sweep row at tau=$tau")
+    }
+    assert(out.forall(r => r.getLong(2) <= 2 * r.getLong(1) &&
+      r.getDouble(3) <= 1.0))
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
