@@ -425,12 +425,16 @@ object Analytics3 {
       .select(coalesce(col("ft.et"), lit("(direct)")).as("first_type"),
         coalesce(col("lt.et"), lit("(direct)")).as("last_type"),
         col("value"))
-    val first = conv.groupBy(col("first_type").as("touch_type"))
-      .agg(count(lit(1)).as("first_touch"),
-        sum(dec(col("value"))).as("fv"))
-    val last = conv.groupBy(col("last_type").as("touch_type"))
-      .agg(count(lit(1)).as("last_touch"),
-        sum(dec(col("value"))).as("lv"))
+    // ONE pass to the (first × last) cell grid — ≤ |types|² rows,
+    // materialized so the two rollups don't each replay the scan +
+    // window subtree (plan-pinned: exactly one user_id exchange)
+    val cells = graft.Exec.materialize(
+      conv.groupBy(col("first_type"), col("last_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v")))
+    val first = cells.groupBy(col("first_type").as("touch_type"))
+      .agg(sum(col("n")).as("first_touch"), sum(col("v")).as("fv"))
+    val last = cells.groupBy(col("last_type").as("touch_type"))
+      .agg(sum(col("n")).as("last_touch"), sum(col("v")).as("lv"))
     first.join(last, Seq("touch_type"), "full_outer")
       .select(col("touch_type"),
         coalesce(col("first_touch"), lit(0L)).as("first_touch"),

@@ -458,6 +458,33 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
       r.getDouble(3) <= 1.0))
   }
 
+  test("session-B plan pins: readability shuffle-free; gap audit and " +
+    "attribution share ONE user_id exchange") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // readability: a pure projection fused into the scan
+    val pr = plan(graft.llm.TextOps.textReadability(
+      Tables.documents(spark, sfDir)))
+    assert(!pr.contains("Exchange"), "readability must not shuffle")
+    val readSchemas = "ReadSchema: struct<([^>]*)>?".r
+      .findAllMatchIn(pr).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(_.split(",").length <= 2),
+      s"readability reads more than (doc_id, text): $readSchemas")
+    // gap audit: the canonical-order and arrival-order windows must
+    // ride one shared user_id hash exchange
+    val pg = plan(graft.cdc.Cdc.gapAudit(Tables.events(spark, sfDir)))
+    assert("hashpartitioning\\(user_id".r.findAllIn(pg).size === 1,
+      s"gap audit should shuffle the events exactly once:\n$pg")
+    // attribution: events shuffle once for the range window; the two
+    // rollups touch only the conversion frame; no loop joins
+    val pa = plan(graft.queries.Analytics3.eventsAttributionOn(
+      Tables.events(spark, sfDir)))
+    assert("hashpartitioning\\(user_id".r.findAllIn(pa).size === 1,
+      "attribution should shuffle the events exactly once")
+    assert(!pa.contains("CartesianProduct"), "loop join in attribution")
+  }
+
   test("text_readability: polysyllabic words raise the FK grade") {
     import spark.implicits._
     val docs = Seq(
