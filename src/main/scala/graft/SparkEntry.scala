@@ -517,6 +517,7 @@ object SparkEntry {
          |  FROM f)
          |SELECT user_id, event_id, event_type, value, prop_k, __op,
          |  __source_ts_ms AS valid_from,
+         |  epoch_ms(__source_ts_ms) AS valid_from_ms,
          |  coalesce(epoch_ms(valid_to), -1) AS valid_to_ms,
          |  valid_to IS NULL AS is_current
          |FROM w WHERE __op <> 'd'""".stripMargin,
@@ -561,6 +562,7 @@ object SparkEntry {
          |  FROM f)
          |SELECT user_id, event_id, event_type, value, prop_k, __op,
          |  __source_ts_ms AS valid_from,
+         |  epoch_ms(__source_ts_ms) AS valid_from_ms,
          |  coalesce(epoch_ms(valid_to), -1) AS valid_to_ms,
          |  valid_to IS NULL AS is_current
          |FROM w WHERE __op <> 'd'""".stripMargin,

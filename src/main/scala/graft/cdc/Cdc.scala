@@ -184,6 +184,11 @@ object Cdc {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("prop_k"), col("__op"),
         col("__source_ts_ms").as("valid_from"),
+        // both bounds as comparable epoch-ms so "state as of t" is ONE
+        // predicate: valid_from_ms <= t AND (valid_to_ms = -1 OR
+        // t < valid_to_ms) — the TIMESTAMP valid_from alone couldn't
+        // pair with the -1-sentinel BIGINT bound (ADVICE r11)
+        unix_millis(col("__source_ts_ms")).as("valid_from_ms"),
         coalesce(unix_millis(col("valid_to")), lit(-1L)).as("valid_to_ms"),
         col("valid_to").isNull.as("is_current"))
   }
@@ -198,7 +203,9 @@ object Cdc {
     * (ts, op-priority, id) order is preserved) alongside the batch, one
     * bounded window re-derives that segment, and everything else passes
     * through untouched. Equality to the full rebuild is spec-pinned on
-    * random splits.
+    * random splits. The contract is ENFORCED (`strict`, default on): a
+    * batch change timestamped before a touched key's closed history
+    * throws rather than silently leaving stale closed rows.
     *
     * Scale shape: the window runs over O(batch + touched-current) rows,
     * never history; touched-key routing is two hash joins against the
@@ -207,11 +214,32 @@ object Cdc {
     * `is_current` partition ([[graft.sinks.WarehouseSink]] layout), so
     * the daily rewrite touches ONE partition and appends closed
     * versions — O(batch), not O(history), at 100 TB. */
-  def scd2Incremental(existing: DataFrame, batch: DataFrame): DataFrame = {
+  def scd2Incremental(existing: DataFrame, batch: DataFrame,
+                      strict: Boolean = true): DataFrame = {
     val flatB = flatten(batch).select(col("user_id"), col("event_id"),
       col("event_type"), col("value"), col("prop_k"), col("__op"),
       col("__source_ts_ms"))
     val keys = flatB.select(col("user_id")).distinct()
+    if (strict) {
+      // in-order contract audit (ADVICE r11): a batch change timestamped
+      // strictly before a key's open-segment start (or its delete time,
+      // for dead keys) would require rewriting CLOSED rows this fold
+      // never touches — fail loudly instead of silently diverging from
+      // the full rebuild. Touched keys only: O(batch + touched history).
+      val bmin = flatB.groupBy(col("user_id"))
+        .agg(min(unix_millis(col("__source_ts_ms"))).as("bmin"))
+      val emax = existing.join(keys, Seq("user_id"), "left_semi")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("is_current"), col("valid_from_ms"))
+          .otherwise(col("valid_to_ms"))).as("emax"))
+      val bad = bmin.join(emax, Seq("user_id"))
+        .filter(col("bmin") < col("emax")).count()
+      require(bad == 0L,
+        s"scd2Incremental: $bad key(s) have batch changes timestamped " +
+          "before existing closed intervals (in-order contract violated); " +
+          "rebuild those keys with scd2() or pass strict = false to " +
+          "accept stale closed rows")
+    }
     val current = existing.filter(col("is_current"))
     val curTouched = current.join(keys, Seq("user_id"), "left_semi")
     val curUntouched = current.join(keys, Seq("user_id"), "left_anti")

@@ -1030,10 +1030,15 @@ object Ann {
     * ONE [[dedupEmbed]] candidate pass at the grid MINIMUM; each sweep
     * step is a filter + two tiny aggregations over the
     * duplicate-bounded pair frame; a τ with no pairs still reports a
-    * zero row. Counts exact, share 4dp. */
+    * zero row. Counts exact, share 4dp.
+    *
+    * NOTE: pair counts are lower-bounded by [[dedupEmbed]]'s LSH
+    * candidate recall at the grid minimum — a τ far below the bucket
+    * floor reports only the pairs LSH surfaces, not the exact census. */
   def embedThresholdSweep(embeddings: DataFrame,
                           taus: Seq[Double] = Seq(0.4, 0.6, 0.8, 0.9))
       : DataFrame = {
+    require(taus.nonEmpty, "embedThresholdSweep needs at least one tau")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val pairs = dedupEmbed(embeddings, tau = taus.min).persist()
@@ -1302,7 +1307,14 @@ object Ann {
     * [[dedupEmbed]] slim form (only (tbl, bucket, id) triples
     * shuffle; the distinct-ed pair set joins vectors back for ONE
     * exact cosine per pair), the aggregate bound is n·k, and no
-    * corpus-sized broadcast exists anywhere. */
+    * corpus-sized broadcast exists anywhere.
+    *
+    * BEHAVIOR CHANGE (r11, ADVICE-flagged): the default was a fixed
+    * `bitsPerBand = 3` through r10; default callers now get the
+    * auto-scaled banding (different neighbor sets, one extra count()
+    * on the persisted signature frame, lower recall on small/uniform
+    * corpora — the recall spec bounds it at ≥0.5 there). Pass
+    * `bitsPerBand = 3` to restore the old behavior exactly. */
   def knnGraphLsh(embeddings: DataFrame, k: Int = 5,
                   numBands: Int = 16, bitsPerBand: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)

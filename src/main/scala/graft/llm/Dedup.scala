@@ -134,13 +134,15 @@ object Dedup {
     val t = docs.select(col("doc_id"), col("text"))
     pairs.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .withColumn("edit_distance",
+        levenshtein(col("ta.text"), col("tb.text")))
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"),
-        levenshtein(col("ta.text"), col("tb.text")).as("edit_distance"),
+        col("edit_distance"),
         when(greatest(length(col("ta.text")), length(col("tb.text"))) === 0,
           lit(1.0))
           .otherwise(round(lit(1.0) -
-            levenshtein(col("ta.text"), col("tb.text")).cast("double") /
+            col("edit_distance").cast("double") /
               greatest(length(col("ta.text")), length(col("tb.text"))), 4))
           .as("edit_sim"))
   }
@@ -164,6 +166,7 @@ object Dedup {
   def dedupThresholdSweep(docs: DataFrame,
                           taus: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9),
                           n: Int = 3): DataFrame = {
+    require(taus.nonEmpty, "dedupThresholdSweep needs at least one tau")
     val spark = docs.sparkSession
     import spark.implicits._
     val pairs = dedupNgramJaccard(docs, tau = taus.min, n = n).persist()

@@ -651,8 +651,10 @@ object TextOps {
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     // fracs are EIGHTHS: cutoff_k = lo + (hi - lo) * k / 8, exact ints
     val cuts = fracs.sorted.map(k => (k, lo + (hi - lo) * k / 8))
+    // persisted: the occurrence sums and the vocab first-doc frame both
+    // consume the exploded stream — one tokenize+explode pass, not two
     val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("t"))
+      explode(tokens(col("text"))).as("t")).persist()
     def condSums(idCol: String, tag: String) = cuts.map { case (k, c) =>
       sum(when(col(idCol) <= c, 1L).otherwise(0L)).as(s"${tag}_$k")
     }
@@ -661,6 +663,7 @@ object TextOps {
     val vocAggs = condSums("fd", "v")
     val voc = toks.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
       .agg(vocAggs.head, vocAggs.tail: _*).head()
+    toks.unpersist()
     val ndAggs = condSums("doc_id", "d")
     val nd = docs.agg(ndAggs.head, ndAggs.tail: _*).head()
     val rows = cuts.indices.map { i =>

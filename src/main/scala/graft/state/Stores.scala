@@ -229,7 +229,10 @@ class SchemaHistory(val path: String, spark: SparkSession,
       regexp_extract(col("entry"), pat, 1).as("op"),
       regexp_extract(col("entry"), pat, 2).as("tbl"),
       when(regexp_extract(col("entry"), pat, 1) === "CREATE",
-        size(split(stripped, ",")))
+        // split("") yields [""] (size 1), so a degenerate CREATE with an
+        // empty column list '()' must report 0, not 1 (ADVICE r11)
+        when(length(trim(stripped)) === 0, 0)
+          .otherwise(size(split(stripped, ","))))
         .otherwise(0).as("init_cols"))
     parsed.groupBy(col("tbl").as("table"))
       .agg(

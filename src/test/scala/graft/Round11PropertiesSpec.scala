@@ -159,7 +159,7 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
       (7L, 3L, "signup", 1.0, ts("2024-01-02 00:00:00"), """{"k":7}""")
     ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
     val out = Cdc.scd2(events).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(7), r.getBoolean(8)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(8), r.getBoolean(9)))
       .toList.sortBy(r => (r._1, r._2))
     def ms(s: String) = ts(s).getTime
     assert(out === List(
@@ -184,6 +184,19 @@ class Round11PropertiesSpec extends AnyFunSuite with SparkFixture {
       .filter(col("count") > 1).isEmpty)
     assert(out.filter(col("valid_to_ms") =!= -1L &&
       col("valid_to_ms") < unix_millis(col("valid_from"))).isEmpty)
+    // both bounds comparable in ONE predicate (ADVICE r11): the plain
+    // BETWEEN-style as-of read over epoch-ms equals the snapshot
+    assert(out.filter(col("valid_from_ms") =!=
+      unix_millis(col("valid_from"))).isEmpty)
+    val asOfMs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+    val viaScd2 = out.filter(col("valid_from_ms") <= asOfMs &&
+      (col("valid_to_ms") === -1L || col("valid_to_ms") > asOfMs))
+      .select("user_id", "event_id")
+    val viaTravel = Cdc.timeTravel(events,
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("user_id", "event_id")
+    assert(viaScd2.exceptAll(viaTravel).isEmpty &&
+      viaTravel.exceptAll(viaScd2).isEmpty)
     // intervals chain: each non-final version's valid_to equals the
     // next version's valid_from OR a delete's timestamp — so every
     // valid_to is some change timestamp of the same key

@@ -245,6 +245,35 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     assert(idem.exceptAll(base).isEmpty && base.exceptAll(idem).isEmpty)
   }
 
+  test("cdc_scd2_incremental: out-of-order batch trips the strict " +
+    "guard; strict=false folds it anyway") {
+    import spark.implicits._
+    import graft.cdc.Cdc
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val history = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "click", 1.0, ts("2024-01-10 00:00:00"), """{"k":2}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    // batch change lands INSIDE user 1's closed [01-01, 01-10) interval
+    val late = Seq(
+      (3L, 1L, "view", 1.0, ts("2024-01-05 00:00:00"), """{"k":3}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val base = Cdc.scd2(history)
+    val err = intercept[IllegalArgumentException] {
+      Cdc.scd2Incremental(base, late).collect()
+    }
+    assert(err.getMessage.contains("in-order contract"))
+    // non-strict still runs (accepting the stale closed row)
+    assert(Cdc.scd2Incremental(base, late, strict = false).count() === 3L)
+    // an in-order batch against the same history passes the guard
+    val ok = Seq(
+      (4L, 1L, "purchase", 1.0, ts("2024-01-20 00:00:00"), """{"k":4}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val inc = Cdc.scd2Incremental(base, ok)
+    val full = Cdc.scd2(history.unionByName(ok))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   test("text_perplexity_kn matches the hand-computed fixture") {
     import spark.implicits._
     // "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; ca: a=3 b=2;
@@ -476,13 +505,18 @@ class Round11SessionBSpec extends AnyFunSuite with SparkFixture {
     val pg = plan(graft.cdc.Cdc.gapAudit(Tables.events(spark, sfDir)))
     assert("hashpartitioning\\(user_id".r.findAllIn(pg).size === 1,
       s"gap audit should shuffle the events exactly once:\n$pg")
-    // attribution: events shuffle once for the range window; the two
-    // rollups touch only the conversion frame; no loop joins
-    val pa = plan(graft.queries.Analytics3.eventsAttributionOn(
+    // attribution: events shuffle once for the range window. The full
+    // operator checkpoints the cell grid (so ITS plan starts from a
+    // LogicalRDD); the exchange pin lives on the pre-materialize frame.
+    val pa = plan(graft.queries.Analytics3.eventsAttributionCells(
       Tables.events(spark, sfDir)))
     assert("hashpartitioning\\(user_id".r.findAllIn(pa).size === 1,
       "attribution should shuffle the events exactly once")
     assert(!pa.contains("CartesianProduct"), "loop join in attribution")
+    val paFull = plan(graft.queries.Analytics3.eventsAttributionOn(
+      Tables.events(spark, sfDir)))
+    assert(!paFull.contains("CartesianProduct"),
+      "loop join in attribution rollups")
   }
 
   test("text_readability: polysyllabic words raise the FK grade") {
