@@ -39,6 +39,7 @@ object SparkEntry {
     "cdc_scd2" -> (Cdc.scd2Q _),
     "cdc_scd2_incremental" -> (Cdc.scd2IncrementalQ _),
     "cdc_gap_audit" -> (Cdc.gapAuditQ _),
+    "cdc_lateness_profile" -> (Cdc.latenessProfileQ _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiffQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
@@ -86,6 +87,8 @@ object SparkEntry {
     "events_attribution" -> (Analytics3.eventsAttribution _),
     "events_forecast_baseline" -> (Analytics3.eventsForecastBaseline _),
     "events_lifecycle" -> (Analytics3.eventsLifecycle _),
+    "events_markov_stationary" ->
+      ((s, d) => Analytics3.eventsMarkovStationary(s, d)),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -127,6 +130,8 @@ object SparkEntry {
     "text_rarity" -> (TextOps.textRarityQ _),
     "vocab_coverage" -> (TextOps.vocabCoverageQ _),
     "vocab_growth" -> (TextOps.vocabGrowthQ _),
+    "text_novelty" -> (TextOps.textNoveltyQ _),
+    "corpus_quality_pareto" -> (TextOps.corpusQualityParetoQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
     "text_readability" -> (TextOps.textReadabilityQ _),
@@ -225,6 +230,7 @@ object SparkEntry {
     "embed_outliers" -> (Ann.embedOutliersQ _),
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "embed_threshold_sweep" -> (Ann.embedThresholdSweepQ _),
+    "embed_silhouette" -> (Ann.embedSilhouetteQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
     "dedup_semantic_incremental" -> (Ann.dedupSemanticIncrementalQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
@@ -551,6 +557,28 @@ object SparkEntry {
          |  coalesce(max(CASE WHEN __ts_ms < max_prev_ms
          |    THEN max_prev_ms - __ts_ms END), 0) AS max_lateness_ms
          |FROM st""".stripMargin,
+    // lateness histogram behind the gap audit's max: same arrival
+    // window, bucketed to a <=5-row frame of exact ints + one ratio
+    "cdc_lateness_profile" ->
+      s"""WITH f AS ($flattenSql),
+         |lt AS (
+         |  SELECT greatest(coalesce(
+         |    max(__ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      - __ts_ms, 0), 0) AS lateness_ms
+         |  FROM f),
+         |b AS (
+         |  SELECT CASE WHEN lateness_ms = 0 THEN '0_on_time'
+         |              WHEN lateness_ms < 60000 THEN '1_lt_1m'
+         |              WHEN lateness_ms < 3600000 THEN '2_lt_1h'
+         |              WHEN lateness_ms < 86400000 THEN '3_lt_1d'
+         |              ELSE '4_ge_1d' END AS bucket, lateness_ms
+         |  FROM lt)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_changes,
+         |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM b), 4)
+         |    AS share,
+         |  max(lateness_ms) AS max_lateness_ms
+         |FROM b GROUP BY bucket""".stripMargin,
     // incremental SCD2 == the full rebuild (closed intervals immutable
     // under the in-order changelog contract) — same oracle as cdc_scd2
     "cdc_scd2_incremental" ->
@@ -1445,6 +1473,49 @@ object SparkEntry {
         |      / n_churned, 4)
         |    ELSE 0.0 END AS quick_ratio
         |FROM fin""".stripMargin,
+    // stationary distribution: transition counts -> row-stochastic P
+    // (dangling rows uniform) -> 20 power steps; list_sum's sequential
+    // order matches the driver loop's left-to-right sums exactly
+    "events_markov_stationary" ->
+      """WITH RECURSIVE tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev,
+        |         event_type AS nxt
+        |  FROM events),
+        |cnt AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+        |        FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ty AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS INTEGER)
+        |           AS r
+        |       FROM (SELECT DISTINCT prev AS t FROM cnt
+        |             UNION SELECT DISTINCT nxt FROM cnt)),
+        |mm AS (SELECT CAST(count(*) AS INTEGER) AS m FROM ty),
+        |rt AS (SELECT ty.t, ty.r,
+        |         CAST(coalesce((SELECT sum(n) FROM cnt
+        |                        WHERE prev = ty.t), 0) AS BIGINT) AS tot
+        |       FROM ty),
+        |pm AS (SELECT list(p ORDER BY j, k) AS pf FROM (
+        |        SELECT a.r AS j, b.r AS k,
+        |          CASE WHEN ra.tot = 0
+        |               THEN 1.0 / mm.m
+        |               ELSE CAST(coalesce((SELECT n FROM cnt
+        |                     WHERE prev = a.t AND nxt = b.t), 0) AS DOUBLE)
+        |                 / ra.tot END AS p
+        |        FROM ty a, ty b, rt ra, mm WHERE ra.t = a.t)),
+        |state(it, pi) AS (
+        |  SELECT 0,
+        |    (SELECT list(1.0 / (SELECT CAST(m AS DOUBLE) FROM mm)) FROM ty)
+        |  UNION ALL
+        |  SELECT st.it + 1,
+        |    list_transform(generate_series(1, ms.m),
+        |      k -> list_sum(list_transform(generate_series(1, ms.m),
+        |             j -> st.pi[j] * pm.pf[(j - 1) * ms.m + k])))
+        |  FROM state st, pm, mm ms WHERE st.it < 20),
+        |fin AS (SELECT pi FROM state WHERE it = 20)
+        |SELECT rt.t AS event_type, rt.tot AS n_transitions_out,
+        |  round(fin.pi[rt.r], 4) AS stationary_prob,
+        |  round(CAST(rt.tot AS DOUBLE)
+        |    / (SELECT sum(tot) FROM rt), 4) AS outflow_share
+        |FROM rt, fin""".stripMargin,
     // seasonal-naive backtest: dense hour spine from the corpus' own
     // span (missing hours are real zeros), two lags, exact-int MAEs
     "events_forecast_baseline" ->
@@ -2317,6 +2388,56 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, cum_tokens,
          |  cum_tokens <= 8000 AS selected
          |FROM c""".stripMargin,
+    // the budget curve behind the single point: same qk grid + cumsum,
+    // decile thresholds = integer floor k*T/10 on both engines
+    "corpus_quality_pareto" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(text) AS DOUBLE) AS nc,
+         |    CAST(len($tokSql) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '$punctClass')) AS DOUBLE) AS np
+         |  FROM documents),
+         |q AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |    CAST(round(least(nt / 64.0, 1.0) * (1.0 - np / nc) * 10000)
+         |      AS BIGINT) AS qk
+         |  FROM m),
+         |c AS (SELECT doc_id, n_tokens, qk,
+         |    CAST(sum(n_tokens) OVER (ORDER BY qk DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM q),
+         |g AS (SELECT CAST(gs.k AS INTEGER) AS decile,
+         |        CAST(gs.k * t.tot // 10 AS BIGINT) AS budget_tokens
+         |      FROM unnest(generate_series(1, 10)) AS gs(k), t),
+         |sel AS (SELECT g.decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |          max(c.cum_tokens) AS n_tokens,
+         |          round(avg(CAST(c.qk AS DOUBLE) / 10000.0), 4)
+         |            AS mean_quality
+         |        FROM c, g WHERE c.cum_tokens <= g.budget_tokens
+         |        GROUP BY 1)
+         |SELECT g.decile, g.budget_tokens,
+         |  coalesce(s.n_docs, 0) AS n_docs,
+         |  coalesce(s.n_tokens, 0) AS n_tokens,
+         |  coalesce(s.mean_quality, 0.0) AS mean_quality
+         |FROM g LEFT JOIN sel s ON g.decile = s.decile""".stripMargin,
+    // per-doc first-occurrence share over the distinct 3-gram frame
+    "text_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |        FROM sh GROUP BY 1),
+         |fst AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+         |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+         |        FROM fst GROUP BY 1)
+         |SELECT d.doc_id, coalesce(t.n_grams, 0) AS n_grams,
+         |  coalesce(v.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 1.0
+         |       ELSE round(CAST(coalesce(v.n_novel, 0) AS DOUBLE)
+         |                    / t.n_grams, 4) END AS novelty
+         |FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id
+         |LEFT JOIN nov v ON d.doc_id = v.doc_id""".stripMargin,
     // stratified budget: the same quality grid, cumsum per LANGUAGE
     "corpus_budget_mix" ->
       s"""WITH m AS (
@@ -2801,6 +2922,36 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, vec_id) AS rank
          |  FROM cand) WHERE rank <= 10""".stripMargin,
+    // centroid-form silhouette over the SAME Lloyd chain as the
+    // dedup_semantic quantizer: per vec, own-centroid distance vs the
+    // nearest other centroid, rolled per cell with an empty-cell spine
+    "embed_silhouette" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "sil")},
+         |${assignCte("u", "silc2", "sila")},
+         |sd AS (SELECT a.vec_id, a.cid, cc.j,
+         |    sqrt(greatest(1.0 - 2.0 * list_dot_product(a.v, cc.c)
+         |      + list_dot_product(cc.c, cc.c), 0.0)) AS d
+         |  FROM sila a, silc2 cc),
+         |ab AS (SELECT vec_id, cid,
+         |    max(CASE WHEN j = cid THEN d END) AS a,
+         |    min(CASE WHEN j <> cid THEN d END) AS b
+         |  FROM sd GROUP BY 1, 2),
+         |sv AS (SELECT cid, a, b,
+         |    CASE WHEN coalesce(greatest(a, b), 0.0) > 0.0
+         |         THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+         |  FROM ab),
+         |r AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |        round(avg(a), 4) AS mean_dist_own,
+         |        round(avg(b), 4) AS mean_dist_next,
+         |        round(avg(s), 4) AS mean_silhouette
+         |      FROM sv GROUP BY 1)
+         |SELECT CAST(cc.j AS INTEGER) AS cid,
+         |  coalesce(r.n_members, 0) AS n_members,
+         |  coalesce(r.mean_dist_own, 0.0) AS mean_dist_own,
+         |  coalesce(r.mean_dist_next, 0.0) AS mean_dist_next,
+         |  coalesce(r.mean_silhouette, 0.0) AS mean_silhouette
+         |FROM silc2 cc LEFT JOIN r ON cc.j = r.cid""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $unitCteSql,
          |${lloydCte("u", 16, 2, "s")},

@@ -300,6 +300,46 @@ object Cdc {
         .as("max_lateness_ms"))
   }
 
+  /** Watermark-sizing lateness distribution (r12): the full arrival
+    * lateness histogram behind [[gapAudit]]'s single max — per
+    * operational bucket (on-time, <1 min, <1 h, <1 d, ≥1 d), how many
+    * changes arrived that far behind an earlier-ARRIVED change of the
+    * same key, their share, and the bucket's worst case. `gapAudit`
+    * answers "is anything late"; this answers "how late is the tail",
+    * which is what actually prices a [[graft.streaming.CdcStream]]
+    * watermark: set it at the bucket boundary that covers the share
+    * you can afford to reprocess, and everything later is the
+    * dead-letter volume you accept.
+    *
+    * Scale shape: ONE user_id exchange (the same arrival-order window
+    * [[gapAudit]] runs), then one map-side-combined aggregation to a
+    * ≤ 5-row frame; the share denominator is a window total over those
+    * 5 rows, not a second scan. Lateness in exact integer ms. */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = flatten(events)
+    val arrival = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = flat
+      .withColumn("max_prev_ms", max(col("__ts_ms")).over(arrival))
+      .withColumn("lateness_ms",
+        greatest(coalesce(col("max_prev_ms") - col("__ts_ms"), lit(0L)),
+          lit(0L)))
+    val bucket = when(col("lateness_ms") === 0L, "0_on_time")
+      .when(col("lateness_ms") < 60000L, "1_lt_1m")
+      .when(col("lateness_ms") < 3600000L, "2_lt_1h")
+      .when(col("lateness_ms") < 86400000L, "3_lt_1d")
+      .otherwise("4_ge_1d")
+    val perBucket = late.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_changes"),
+        max(col("lateness_ms")).as("max_lateness_ms"))
+    perBucket.select(col("bucket"), col("n_changes"),
+      round(col("n_changes").cast("double") /
+        sum(col("n_changes")).over(Window.partitionBy()), 4).as("share"),
+      col("max_lateness_ms"))
+  }
+
   /** Snapshot DIFF between two points in time: which keys were added,
     * removed, or changed between AS-OF t1 and AS-OF t2 — the "what
     * changed since last week" audit a CDC warehouse answers constantly
@@ -524,6 +564,8 @@ object Cdc {
     scd2(Tables.events(spark, dir))
   def gapAuditQ(spark: SparkSession, dir: String): DataFrame =
     gapAudit(Tables.events(spark, dir))
+  def latenessProfileQ(spark: SparkSession, dir: String): DataFrame =
+    latenessProfile(Tables.events(spark, dir))
   def scd2IncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val t = lit("2024-01-15").cast("timestamp")

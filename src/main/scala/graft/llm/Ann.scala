@@ -1034,14 +1034,21 @@ object Ann {
     *
     * NOTE: pair counts are lower-bounded by [[dedupEmbed]]'s LSH
     * candidate recall at the grid minimum — a τ far below the bucket
-    * floor reports only the pairs LSH surfaces, not the exact census. */
+    * floor reports only the pairs LSH surfaces, not the exact census.
+    * On duplicate-dense corpora the candidate stage is Θ(Σ bucket²);
+    * pass a wider `bitsPerBand` (bits ≈ log₂(n/target-occupancy), the
+    * [[knnGraphLsh]] rule) to hold bucket sizes flat at scale —
+    * defaults unchanged so the driver oracle's fixed-banding replay
+    * stays pinned. */
   def embedThresholdSweep(embeddings: DataFrame,
-                          taus: Seq[Double] = Seq(0.4, 0.6, 0.8, 0.9))
-      : DataFrame = {
+                          taus: Seq[Double] = Seq(0.4, 0.6, 0.8, 0.9),
+                          numBands: Int = NumBands,
+                          bitsPerBand: Int = BitsPerBand): DataFrame = {
     require(taus.nonEmpty, "embedThresholdSweep needs at least one tau")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val pairs = dedupEmbed(embeddings, tau = taus.min).persist()
+    val pairs = dedupEmbed(embeddings, tau = taus.min,
+      numBands = numBands, bitsPerBand = bitsPerBand).persist()
     val total = embeddings.count()
     val tauDf = broadcast(taus.sorted.toDF("tau"))
     val tagged = pairs.crossJoin(tauDf)
@@ -2276,6 +2283,75 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     ivfBalance(emb, trainSemanticCentroids(emb))
   }
+
+  /** Cluster-separation audit (r12): simplified (centroid-based)
+    * silhouette per trained cell — each vector's distance to its OWN
+    * centroid (a), to the nearest OTHER centroid (b), and
+    * s = (b−a)/max(a,b) ∈ [−1, 1], rolled up per cell. The geometric
+    * companion to [[ivfBalance]]'s population counts: a cell can be
+    * perfectly sized yet have mean_silhouette ≈ 0 (its members sit on
+    * the boundary — IVF probes bleed, [[dedupSemantic]] cells split
+    * duplicate families), and a NEGATIVE cell mean says Lloyd parked a
+    * centroid inside another's mass — retrain with different nlist.
+    * The full-pairwise silhouette is O(n²); the centroid form is the
+    * standard large-n surrogate (distance to centroids, not members)
+    * and is what scales.
+    *
+    * Scale shape: quantizer trains once ([[trainCoarse]]); the corpus
+    * pays ONE map-side pass — assignment via the native
+    * [[graft.functions.CentroidArgmax]] plus nlist literal-centroid
+    * distances per row (nlist × dim flops, no join, nothing shuffled
+    * but the (cid, a, b, s) quad) — then one map-side-combined rollup
+    * to ≤ nlist rows joined to the full cell spine (empty cells
+    * surface at n=0). Unit vectors make d = √(1 − 2·v·c + |c|²) with
+    * |c|² a plan literal; means 4dp. */
+  def embedSilhouette(embeddings: DataFrame, nlist: Int = 16,
+                      iters: Int = 2,
+                      trainPerCell: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = unitVecs(embeddings).persist()
+    val coarse = trainOnUnit(vecs, nlist, iters, trainPerCell)
+    val cid = graft.functions.VectorFunctions.centroidArgmax(
+      col("v"), coarse.flatten.toIndexedSeq, coarse.size)
+    val dists = array(coarse.map { c =>
+      sqrt(greatest(lit(1.0)
+        - lit(2.0) * graft.functions.VectorFunctions.vecDot(
+            col("v"), lit(c))
+        + lit(c.map(x => x * x).sum), lit(0.0)))
+    }: _*)
+    val perVec = vecs
+      .select(col("vec_id"), cid.as("cid"), dists.as("d"))
+      .select(col("vec_id"), col("cid"),
+        element_at(col("d"), col("cid") + 1).as("a"),
+        array_min(transform(col("d"), (x, i) =>
+          when(i === col("cid"), lit(null).cast("double"))
+            .otherwise(x))).as("b"))
+      .select(col("vec_id"), col("cid"), col("a"), col("b"),
+        when(coalesce(greatest(col("a"), col("b")), lit(0.0)) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+    val rolled = perVec.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("a")), 4).as("mean_dist_own"),
+        round(avg(col("b")), 4).as("mean_dist_next"),
+        round(avg(col("s")), 4).as("mean_silhouette"))
+    val spine = broadcast(coarse.indices.toDF("cid"))
+    val out = graft.Exec.materialize(
+      spine.join(rolled, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          coalesce(col("mean_dist_own"), lit(0.0)).as("mean_dist_own"),
+          coalesce(col("mean_dist_next"), lit(0.0)).as("mean_dist_next"),
+          coalesce(col("mean_silhouette"), lit(0.0))
+            .as("mean_silhouette")))
+    vecs.unpersist()
+    out
+  }
+
+  def embedSilhouetteQ(spark: SparkSession, dir: String): DataFrame =
+    embedSilhouette(Tables.embeddings(spark, dir))
 
   /** IVF parameter-sweep report: for each candidate `nprobe`, the
     * MEASURED mean/min recall@k against exact brute force and the exact

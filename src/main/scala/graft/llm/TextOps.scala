@@ -695,6 +695,104 @@ object TextOps {
   def vocabGrowthQ(spark: SparkSession, dir: String): DataFrame =
     vocabGrowth(Tables.documents(spark, dir))
 
+  /** Per-document n-gram novelty (r12): for each doc, the share of its
+    * distinct word n-grams whose FIRST corpus occurrence (by doc_id
+    * order) is the doc itself — the ingestion-order memorization audit.
+    * A doc near novelty 0 is assembled entirely from n-grams the corpus
+    * already contains (boilerplate, template spam, near-copy — the
+    * span-level complement of [[graft.llm.Dedup.dedupSpans]]); a stream
+    * of docs whose novelty trend falls is a crawl revisiting itself.
+    * Docs too short for one n-gram report novelty 1.0 on 0 grams
+    * (nothing seen before, nothing copied).
+    *
+    * Scale shape: two aggregations over ONE persisted distinct-shingle
+    * frame — per-doc totals (groupBy doc_id) and first-occurrence
+    * credits (min doc_id per shingle, then count per first doc); both
+    * map-side-combine to slim frames, joined back on the docs spine.
+    * Shingle STRINGS ride the shuffle here because the DuckDB oracle
+    * replays them; the 100 TB form swaps in
+    * [[graft.llm.Dedup.shingleHashes]] (8-byte wire, xxhash64's
+    * vanishing collision trade) without touching the shape. */
+  def textNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(docs, n).persist()
+    val totals = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = sh.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val out = graft.Exec.materialize(
+      docs.select(col("doc_id"))
+        .join(totals, Seq("doc_id"), "left")
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(1.0))
+            .otherwise(round(coalesce(col("n_novel"), lit(0L))
+              .cast("double") / col("n_grams"), 4)).as("novelty")))
+    sh.unpersist()
+    out
+  }
+
+  def textNoveltyQ(spark: SparkSession, dir: String): DataFrame =
+    textNovelty(Tables.documents(spark, dir))
+
+  /** Quality-vs-budget Pareto curve (r12): the sweep that prices
+    * [[corpusBudgetSelect]]'s single point — at each decile of the
+    * corpus token mass, greedily keeping best-quality-first, how many
+    * docs and tokens are in, and the mean quality of what's kept. The
+    * read before committing a budget: the decile where mean quality
+    * falls off the cliff is the real size of the usable corpus,
+    * everything past it is what a bigger budget would actually buy.
+    *
+    * Scale shape: reuses the distributed prefix-sum of
+    * [[corpusBudgetSelect]] — exact 1e-4 quality grid, per-cell token
+    * totals collected (≤ 10 001 rows), offsets prefix-summed driver
+    * side, within-cell cumsum windowed per (qk) cell — NO global sort,
+    * no corpus-sized single partition. The decile thresholds are plan
+    * literals (integer floor of k·T/10); each decile row aggregates the
+    * selected prefix via one broadcast grid crossJoin + filter, the
+    * [[graft.llm.Dedup.dedupThresholdSweep]] pattern. Mean quality
+    * averages exact grid ints, 4dp. */
+  def corpusQualityPareto(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = textQuality(docs).select(col("doc_id"), col("n_tokens"),
+      round(col("quality_score") * 10000).cast("long").as("qk"))
+    val totals = q.groupBy("qk").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (qk, _) => -qk }
+    val grandTotal = totals.map(_._2).sum
+    val offsets = totals
+      .zip(totals.scanLeft(0L) { case (acc, (_, tot)) => acc + tot })
+      .map { case ((qk, _), prefix) => (qk, prefix) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("qk", "qk_offset"))
+    val w = Window.partitionBy("qk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = q.join(offsetDf, "qk")
+      .select(col("doc_id"), col("n_tokens"), col("qk"),
+        (col("qk_offset") + sum(col("n_tokens")).over(w)).as("cum_tokens"))
+    val grid = broadcast((1 to 10)
+      .map(k => (k, k.toLong * grandTotal / 10L))
+      .toDF("decile", "budget_tokens"))
+    val selected = cum.crossJoin(grid)
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cum_tokens")).as("n_tokens"),
+        round(avg(col("qk").cast("double") / 10000.0), 4)
+          .as("mean_quality"))
+    grid.join(selected, Seq("decile"), "left")
+      .select(col("decile"), col("budget_tokens"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("mean_quality"), lit(0.0)).as("mean_quality"))
+  }
+
+  def corpusQualityParetoQ(spark: SparkSession, dir: String): DataFrame =
+    corpusQualityPareto(Tables.documents(spark, dir))
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val vocab = broadcast(

@@ -455,4 +455,59 @@ object Analytics3 {
         asDouble(coalesce(col("lv"), lit(0).cast("decimal(12,2)")))
           .as("last_touch_value"))
   }
+
+  /** Stationary distribution of the event-type Markov chain (r12):
+    * where a user's session settles in the long run — the equilibrium
+    * the per-step [[Analytics2.eventsTransitions]] matrix implies but
+    * doesn't state. A type whose stationary mass far exceeds its raw
+    * frequency share is an attractor (sessions funnel into it and
+    * stay); the gap between the two is the signal a one-step
+    * transition report can't show.
+    *
+    * Shape: the corpus pays exactly the transitions aggregation — one
+    * user_id window + one map-side-combined (prev, next) count to a
+    * ≤ |types|² frame; that DIMENSION-sized matrix collects to the
+    * driver (the Heaps-β/`vocabGrowth` rule: driver arithmetic on
+    * dimension-sized data is honest) where `steps` power-iteration
+    * steps run in deterministic left-to-right summation order — the
+    * DuckDB oracle replays the identical recursive loop with
+    * `list_sum`'s identical order, so both engines walk one IEEE
+    * trajectory. A dangling type (no outgoing transitions)
+    * redistributes uniformly, the PageRank convention. Probabilities
+    * round 4dp at the END only. */
+  def eventsMarkovStationary(spark: SparkSession, dir: String,
+                             steps: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val types = counts.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val m = types.size
+    val rowTot = types.map(t =>
+      types.map(u => counts.getOrElse((t, u), 0L)).sum)
+    val p = Array.tabulate(m, m) { (j, k) =>
+      if (rowTot(j) == 0L) 1.0 / m
+      else counts.getOrElse((types(j), types(k)), 0L).toDouble / rowTot(j)
+    }
+    var pi = Array.fill(m)(1.0 / m)
+    for (_ <- 1 to steps)
+      pi = Array.tabulate(m)(k => (0 until m).map(j => pi(j) * p(j)(k)).sum)
+    val total = rowTot.sum.toDouble
+    types.indices.map { i =>
+      (types(i), rowTot(i),
+        BigDecimal(pi(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0,
+        BigDecimal(
+          if (total == 0.0) 0.0 else rowTot(i) / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }.toDF("event_type", "n_transitions_out", "stationary_prob",
+      "outflow_share")
+  }
 }
