@@ -560,7 +560,12 @@ object SparkEntry {
     // lateness histogram behind the gap audit's max: same arrival
     // window, bucketed to a <=5-row frame of exact ints + one ratio
     "cdc_lateness_profile" ->
-      s"""WITH f AS ($flattenSql),
+      s"""WITH f AS (
+         |  SELECT user_id, epoch_ms(ts) AS __ts_ms,
+         |    (CASE WHEN event_id % 7 = 0
+         |          THEN event_id + (event_id % 11 + 1) * 50
+         |          ELSE event_id END) * 1000000 + event_id AS event_id
+         |  FROM events),
          |lt AS (
          |  SELECT greatest(coalesce(
          |    max(__ts_ms) OVER (PARTITION BY user_id ORDER BY event_id

@@ -564,8 +564,21 @@ object Cdc {
     scd2(Tables.events(spark, dir))
   def gapAuditQ(spark: SparkSession, dir: String): DataFrame =
     gapAudit(Tables.events(spark, dir))
-  def latenessProfileQ(spark: SparkSession, dir: String): DataFrame =
-    latenessProfile(Tables.events(spark, dir))
+  /** Driver entry with a SYNTHESIZED arrival sequence: the test table's
+    * event_id order IS its ts order, so the real changelog has zero
+    * lateness and the histogram would be one vacuous on-time row. Per
+    * the corpus_diff convention (the missing second input synthesized
+    * deterministically inside the entry), every 7th change is delayed
+    * by an id-dependent 50–550 arrival slots; ids stay unique (the
+    * ×1e6 + id remap is injective) and the oracle replays the same
+    * permutation. */
+  def latenessProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    val delayed = when(col("event_id") % 7 === 0,
+      col("event_id") + (col("event_id") % 11 + lit(1L)) * lit(50L))
+      .otherwise(col("event_id"))
+    latenessProfile(Tables.events(spark, dir)
+      .withColumn("event_id", delayed * lit(1000000L) + col("event_id")))
+  }
   def scd2IncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val t = lit("2024-01-15").cast("timestamp")

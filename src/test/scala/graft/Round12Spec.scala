@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Cdc
+import graft.llm.{Ann, TextOps}
+import graft.queries.Analytics3
+
+/** Fixtures and invariants for the round-12 operators:
+  * cdc_lateness_profile, text_novelty, corpus_quality_pareto,
+  * embed_silhouette, events_markov_stationary. */
+class Round12Spec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("cdc_lateness_profile: planted delays land in their buckets") {
+    import spark.implicits._
+    // arrival order = event_id; user 1's changes arrive 1,2,3,4,5 but
+    // source timestamps put 3 30s behind 2, 4 two hours behind, and 5
+    // five days behind — one change per bucket, plus two on time
+    val events = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-10 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "click", 1.0, ts("2024-01-10 01:00:00"), """{"k":2}"""),
+      (3L, 1L, "click", 1.0, ts("2024-01-10 00:59:30"), """{"k":3}"""),
+      (4L, 1L, "click", 1.0, ts("2024-01-10 00:30:00"), """{"k":4}"""),
+      (5L, 1L, "click", 1.0, ts("2024-01-09 20:00:00"), """{"k":5}"""),
+      (6L, 1L, "click", 1.0, ts("2024-01-05 01:00:00"), """{"k":6}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.latenessProfile(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(out("0_on_time")._1 === 2L)
+    assert(out("1_lt_1m") === ((1L, 0.1667, 30000L)))      // 30 s
+    assert(out("2_lt_1h") === ((1L, 0.1667, 1800000L)))    // 30 min
+    assert(out("3_lt_1d") === ((1L, 0.1667, 18000000L)))   // 5 h
+    assert(out("4_ge_1d")._1 === 1L)                       // 5 days
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-3)
+  }
+
+  test("cdc_lateness_profile shuffles the events exactly once") {
+    val plan = Cdc.latenessProfile(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size === 1,
+      s"lateness profile should shuffle once:\n$plan")
+  }
+
+  test("text_novelty: copies score 0, originals 1, short docs 1 on 0 " +
+    "grams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),       // both grams first here
+      (2L, "alpha beta gamma delta"),       // exact copy -> novelty 0
+      (3L, "hi"),                           // too short for a 3-gram
+      (4L, "alpha beta gamma epsilon zeta") // 1 of 3 grams seen in doc 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.textNovelty(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 2L, 2L, 1.0)))
+    assert(out(1) === ((2L, 2L, 0L, 0.0)))
+    assert(out(2) === ((3L, 0L, 0L, 1.0)))
+    assert(out(3) === ((4L, 3L, 2L, 0.6667)))
+  }
+
+  test("corpus_quality_pareto: monotone curve, decile 10 covers the " +
+    "corpus, greedy prefix is quality-sorted") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.corpusQualityPareto(docs).orderBy("decile").collect()
+    assert(out.length === 10)
+    // budgets, docs and tokens all non-decreasing in the decile
+    for (i <- 1 until 10) {
+      assert(out(i).getLong(1) >= out(i - 1).getLong(1))
+      assert(out(i).getLong(2) >= out(i - 1).getLong(2))
+      assert(out(i).getLong(3) >= out(i - 1).getLong(3))
+      // greedy best-first: mean quality can only fall as budget grows
+      assert(out(i).getDouble(4) <= out(i - 1).getDouble(4) + 1e-9)
+    }
+    // decile 10's budget is the whole corpus (floor(10*T/10) = T)
+    assert(out(9).getLong(3) === out(9).getLong(1))
+    assert(out(9).getLong(2) === docs.count())
+  }
+
+  test("embed_silhouette: well-separated planted clusters score near " +
+    "1, cells conserve the corpus") {
+    import spark.implicits._
+    // three tight orthogonal clusters, 20 vectors each
+    val data = (0 until 60).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 10.0 else 0.0) + 0.01 * ((i * 7 + j) % 5)).map(_.toFloat)
+      (i.toLong, v, c)
+    }
+    val out = Ann.embedSilhouette(
+      data.toDF("vec_id", "embedding", "label"), nlist = 3, iters = 3)
+      .collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(1)).sum === 60L)
+    out.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getDouble(4) > 0.9,
+        s"tight cluster ${r.getInt(0)} silhouette ${r.getDouble(4)}")
+    }
+    // sf fixture: 16 cells always surface, members conserve
+    val real = Ann.embedSilhouette(Tables.embeddings(spark, sfDir)).collect()
+    assert(real.length === 16)
+    assert(real.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sfDir).count())
+    real.foreach { r =>
+      assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("events_markov_stationary: a deterministic 2-cycle settles at " +
+    "(0.5, 0.5); probabilities always sum to 1") {
+    import spark.implicits._
+    val dir = tmpDir("markov_")
+    // A->B->A->B... for two users
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (i % 2).toLong + 1L,
+        if ((i / 2) % 2 == 0) "view" else "purchase", 1.0,
+        new java.sql.Timestamp(1704067200000L + i * 60000L), """{"k":1}""")
+    }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Analytics3.eventsMarkovStationary(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set("view", "purchase"))
+    assert(out("view") === 0.5 && out("purchase") === 0.5)
+    val real = Analytics3.eventsMarkovStationary(spark, sfDir).collect()
+    assert(math.abs(real.map(_.getDouble(2)).sum - 1.0) < 2e-4)
+    assert(math.abs(real.map(_.getDouble(3)).sum - 1.0) < 2e-4)
+    // the stationary mass concentrates relative to raw outflow share
+    // only through real structure; both are proper distributions here
+    real.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+}
