@@ -89,6 +89,7 @@ object SparkEntry {
     "events_lifecycle" -> (Analytics3.eventsLifecycle _),
     "events_markov_stationary" ->
       ((s, d) => Analytics3.eventsMarkovStationary(s, d)),
+    "events_stickiness" -> ((s, d) => Analytics3.eventsStickiness(s, d)),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "vocab_growth" -> (TextOps.vocabGrowthQ _),
     "text_novelty" -> (TextOps.textNoveltyQ _),
     "corpus_quality_pareto" -> (TextOps.corpusQualityParetoQ _),
+    "text_ngram_coverage" -> (TextOps.textNgramCoverageQ _),
     "text_tfidf" -> (TextOps.textTfidfQ _),
     "text_entropy" -> (TextOps.textEntropyQ _),
     "text_readability" -> (TextOps.textReadabilityQ _),
@@ -177,6 +179,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhashQ _),
     "dedup_corpus" -> (Dedup.dedupCorpusQ _),
     "corpus_families" -> (Dedup.corpusFamiliesQ _),
+    "corpus_family_purity" -> (Dedup.corpusFamilyPurityQ _),
     "dedup_incremental" -> (Dedup.dedupIncrementalQ _),
     "dedup_incremental_bloom" -> (Dedup.dedupIncrementalBloomQ _),
     "dedup_incremental_minhash" -> (Dedup.dedupIncrementalMinhashQ _),
@@ -231,6 +234,7 @@ object SparkEntry {
     "dedup_embed" -> (Ann.dedupEmbedQ _),
     "embed_threshold_sweep" -> (Ann.embedThresholdSweepQ _),
     "embed_silhouette" -> (Ann.embedSilhouetteQ _),
+    "ivf_elbow_report" -> (Ann.ivfElbowReportQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
     "dedup_semantic_incremental" -> (Ann.dedupSemanticIncrementalQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
@@ -1521,6 +1525,30 @@ object SparkEntry {
         |  round(CAST(rt.tot AS DOUBLE)
         |    / (SELECT sum(tot) FROM rt), 4) AS outflow_share
         |FROM rt, fin""".stripMargin,
+    // DAU over a dense day spine; MAU via bounded 30x cover explode —
+    // no cumulative-distinct window, no day-by-user range join
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |dau AS (SELECT di, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |b AS (SELECT min(di) AS d0, max(di) AS d1 FROM ud),
+        |cover AS (SELECT user_id, di + g.i AS di
+        |          FROM ud, unnest(generate_series(0, 29)) AS g(i)),
+        |mau AS (SELECT c.di,
+        |          CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+        |        FROM cover c, b WHERE c.di <= b.d1 GROUP BY 1),
+        |spine AS (SELECT g.di
+        |          FROM b, unnest(generate_series(b.d0, b.d1)) AS g(di))
+        |SELECT DATE '1990-01-01' + to_days(CAST(s.di AS INTEGER)) AS d,
+        |  coalesce(dau.dau, 0) AS dau,
+        |  coalesce(mau.mau, 0) AS mau,
+        |  CASE WHEN coalesce(mau.mau, 0) > 0
+        |       THEN round(CAST(coalesce(dau.dau, 0) AS DOUBLE) / mau.mau, 4)
+        |       ELSE 0.0 END AS stickiness
+        |FROM spine s LEFT JOIN dau ON s.di = dau.di
+        |LEFT JOIN mau ON s.di = mau.di""".stripMargin,
     // seasonal-naive backtest: dense hour spine from the corpus' own
     // span (missing hours are real zeros), two lags, exact-int MAEs
     "events_forecast_baseline" ->
@@ -2443,6 +2471,30 @@ object SparkEntry {
          |                    / t.n_grams, 4) END AS novelty
          |FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id
          |LEFT JOIN nov v ON d.doc_id = v.doc_id""".stripMargin,
+    // top-k occurrence-mass coverage; deterministic (count desc, sh asc)
+    // cutoff, the text_ngram_topk rule
+    "text_ngram_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |shall AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |          FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |          WHERE len(t) >= 3),
+         |counts AS (SELECT sh, CAST(count(*) AS BIGINT) AS c
+         |           FROM shall GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+         |top AS (SELECT c,
+         |          row_number() OVER (ORDER BY c DESC, sh ASC) AS r
+         |        FROM counts QUALIFY r <= 1000),
+         |g AS (SELECT k FROM unnest([10, 100, 1000]) AS t(k)),
+         |cov AS (SELECT g.k, CAST(sum(top.c) AS BIGINT) AS covered
+         |        FROM top, g WHERE top.r <= g.k GROUP BY 1)
+         |SELECT CAST(g.k AS INTEGER) AS k,
+         |  coalesce(cov.covered, 0) AS covered_occurrences,
+         |  t.total AS total_occurrences,
+         |  CASE WHEN t.total > 0
+         |       THEN round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+         |                    / t.total, 4)
+         |       ELSE 0.0 END AS coverage
+         |FROM g LEFT JOIN cov ON g.k = cov.k, tot t""".stripMargin,
     // stratified budget: the same quality grid, cumsum per LANGUAGE
     "corpus_budget_mix" ->
       s"""WITH m AS (
@@ -2747,6 +2799,26 @@ object SparkEntry {
          |    AS BIGINT) AS chars_dropped
          |FROM fam GROUP BY family
          |HAVING count(*) >= 2""".stripMargin,
+    // the same CC chain with lang attached: per family, language count
+    // and deterministic majority (count desc, lang asc)
+    "corpus_family_purity" ->
+      s"""WITH RECURSIVE $jaccardCcSql,
+         |minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+         |fam AS (SELECT d.doc_id, d.lang,
+         |          least(coalesce(m.mb, d.doc_id), d.doc_id) AS family
+         |        FROM documents d LEFT JOIN minr m ON d.doc_id = m.a),
+         |fl AS (SELECT family, lang, CAST(count(*) AS BIGINT) AS n
+         |       FROM fam GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY family
+         |         ORDER BY n DESC, lang ASC) AS r FROM fl),
+         |agg AS (SELECT family, CAST(sum(n) AS BIGINT) AS n_docs,
+         |          CAST(count(*) AS BIGINT) AS n_langs,
+         |          max(CASE WHEN r = 1 THEN lang END) AS majority_lang,
+         |          max(CASE WHEN r = 1 THEN n END) AS majority_n
+         |        FROM rk GROUP BY 1)
+         |SELECT family, n_docs, n_langs, majority_lang,
+         |  round(CAST(majority_n AS DOUBLE) / n_docs, 4) AS purity
+         |FROM agg WHERE n_docs >= 2""".stripMargin,
     // composed refinery: scrub → quality gate on clean text → exact
     // content dedup keep-first → consistent-hash stratified sample. All
     // float terms are single divisions/multiplies of exact integers —
@@ -2957,6 +3029,26 @@ object SparkEntry {
          |  coalesce(r.mean_dist_next, 0.0) AS mean_dist_next,
          |  coalesce(r.mean_silhouette, 0.0) AS mean_silhouette
          |FROM silc2 cc LEFT JOIN r ON cc.j = r.cid""".stripMargin,
+    // three Lloyd chains over the shared unit frame; inertia = mean
+    // clamped own-centroid d^2; gains lag over the UNROUNDED values
+    "ivf_elbow_report" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 4, 2, "e4")},
+         |${assignCte("u", "e4c2", "e4a")},
+         |${lloydCte("u", 8, 2, "e8")},
+         |${assignCte("u", "e8c2", "e8a")},
+         |${lloydCte("u", 16, 2, "e16")},
+         |${assignCte("u", "e16c2", "e16a")},
+         |rows AS (
+         |  SELECT 4 AS nlist, (SELECT avg(greatest(1.0 - 2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c), 0.0)) FROM e4a a JOIN e4c2 cc ON a.cid = cc.j) AS inertia
+         |  UNION ALL SELECT 8, (SELECT avg(greatest(1.0 - 2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c), 0.0)) FROM e8a a JOIN e8c2 cc ON a.cid = cc.j)
+         |  UNION ALL SELECT 16, (SELECT avg(greatest(1.0 - 2.0 * list_dot_product(a.v, cc.c) + list_dot_product(cc.c, cc.c), 0.0)) FROM e16a a JOIN e16c2 cc ON a.cid = cc.j)),
+         |lagged AS (SELECT nlist, inertia,
+         |             lag(inertia) OVER (ORDER BY nlist) AS pin FROM rows)
+         |SELECT CAST(nlist AS INTEGER) AS nlist,
+         |  round(inertia, 4) AS inertia,
+         |  round(coalesce(pin - inertia, 0.0), 4) AS elbow_gain
+         |FROM lagged""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $unitCteSql,
          |${lloydCte("u", 16, 2, "s")},

@@ -2353,6 +2353,59 @@ object Ann {
   def embedSilhouetteQ(spark: SparkSession, dir: String): DataFrame =
     embedSilhouette(Tables.embeddings(spark, dir))
 
+  /** k-means elbow sweep (r12): mean squared own-centroid distance
+    * (inertia) per candidate `nlist`, with the marginal gain over the
+    * previous grid point — the "how many cells does this space want"
+    * read that precedes every [[ivfBalance]] / [[embedSilhouette]] /
+    * [[ivfTuningReport]] audit (they all assume nlist was chosen;
+    * this is where it gets chosen: the elbow is the nlist after which
+    * gain collapses). Completes the tuning-report family
+    * ([[minhashTuningReport]] sweeps bandings, [[ivfTuningReport]]
+    * sweeps nprobe, this sweeps the quantizer size itself).
+    *
+    * Scale shape: per grid point one [[trainCoarse]] (capped
+    * deterministic training sample) + ONE map-side inertia pass over
+    * the shared persisted unit-vector frame (nlist literal-centroid
+    * d² terms, assignment via native [[graft.functions.CentroidArgmax]],
+    * one scalar avg) — the grid bounds everything; nothing quadratic,
+    * nothing collected beyond (nlist × dim) centroids and one double
+    * per step. Inertia/gain 4dp at the end. */
+  def ivfElbowReport(embeddings: DataFrame,
+                     nlists: Seq[Int] = Seq(4, 8, 16),
+                     iters: Int = 2,
+                     trainPerCell: Int = 256): DataFrame = {
+    require(nlists.nonEmpty, "ivfElbowReport needs at least one nlist")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = unitVecs(embeddings).persist()
+    val inertias = nlists.sorted.map { nl =>
+      val coarse = trainOnUnit(vecs, nl, iters, trainPerCell)
+      val cid = graft.functions.VectorFunctions.centroidArgmax(
+        col("v"), coarse.flatten.toIndexedSeq, coarse.size)
+      val d2s = array(coarse.map { c =>
+        greatest(lit(1.0)
+          - lit(2.0) * graft.functions.VectorFunctions.vecDot(
+              col("v"), lit(c))
+          + lit(c.map(x => x * x).sum), lit(0.0))
+      }: _*)
+      val inertia = vecs.select(element_at(d2s, cid + 1).as("d2"))
+        .agg(avg(col("d2"))).head().getDouble(0)
+      (nl, inertia)
+    }
+    def r4(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val out = inertias.zipWithIndex.map { case ((nl, in), i) =>
+      val gain = if (i == 0) 0.0 else inertias(i - 1)._2 - in
+      (nl, r4(in), r4(gain))
+    }
+    vecs.unpersist()
+    out.toDF("nlist", "inertia", "elbow_gain")
+  }
+
+  def ivfElbowReportQ(spark: SparkSession, dir: String): DataFrame =
+    ivfElbowReport(Tables.embeddings(spark, dir))
+
   /** IVF parameter-sweep report: for each candidate `nprobe`, the
     * MEASURED mean/min recall@k against exact brute force and the exact
     * candidate-scan cost (mean candidates per query + fraction of the

@@ -1000,6 +1000,55 @@ object Dedup {
     out
   }
 
+  /** Language purity of near-dup families (r12): per [[corpusFamilies]]
+    * component, how many languages its members claim and the majority
+    * language's share — the audit that catches two distinct failure
+    * modes at once: an IMPURE family (purity < 1) is either real
+    * cross-language boilerplate (navigation chrome, license headers —
+    * drop the family, not one language's copy) or a language-ID error
+    * on near-identical docs (same text, two `lang` labels — fix the
+    * labeler before [[graft.llm.TextOps.corpusBudgetMix]] budgets by
+    * that column). Majority ties break to the lexicographically
+    * smallest language, deterministically.
+    *
+    * Scale shape: the component labels are the shared
+    * [[componentLabels]] path (adaptive driver union-find / distributed
+    * min-label propagation); everything after is families-sized — one
+    * (family, lang) count, one row_number window per family, both over
+    * frames bounded by duplicate mass, never the corpus. */
+  def corpusFamilyPurity(docs: DataFrame, pairs: DataFrame,
+                         maxDriverPairs: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = componentLabels(pairs, maxDriverPairs)
+    val fam = docs.select(col("doc_id"), col("lang"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("lang"),
+        coalesce(col("label"), col("doc_id")).as("family"))
+    val fl = fam.groupBy(col("family"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("family"))
+      .orderBy(col("n").desc, col("lang").asc)
+    fl.withColumn("r", row_number().over(w))
+      .groupBy(col("family"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("r") === 1, col("lang"))).as("majority_lang"),
+        max(when(col("r") === 1, col("n"))).as("majority_n"))
+      .filter(col("n_docs") >= 2)
+      .select(col("family"), col("n_docs"), col("n_langs"),
+        col("majority_lang"),
+        round(col("majority_n").cast("double") / col("n_docs"), 4)
+          .as("purity"))
+  }
+
+  def corpusFamilyPurityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = dedupNgramJaccard(docs).persist()
+    val out = graft.Exec.materialize(corpusFamilyPurity(docs, pairs))
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Connected-component labels (id, label) for every EDGE-TOUCHED
     * vertex of an undirected (doc_a, doc_b) pair graph; label = the
     * component's minimum vertex id. Isolated vertices don't appear —

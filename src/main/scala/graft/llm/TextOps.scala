@@ -793,6 +793,52 @@ object TextOps {
   def corpusQualityParetoQ(spark: SparkSession, dir: String): DataFrame =
     corpusQualityPareto(Tables.documents(spark, dir))
 
+  /** Boilerplate-mass coverage curve (r12): what share of ALL 3-gram
+    * occurrences the top-k most frequent shingles account for, at k
+    * checkpoints — the corpus-level complement of [[textNovelty]]'s
+    * per-doc view. A corpus where 100 shingles cover half the
+    * occurrence mass is template soup ([[graft.llm.SpanDedup]]'s
+    * span-level targets, quantified before choosing thresholds); a
+    * flat curve is genuinely diverse text.
+    *
+    * Scale shape: one shingle pass to the (sh, count) frame (map-side
+    * combined), then `orderBy(count desc, sh).limit(maxK)` — a
+    * distributed TakeOrdered, NOT a global sort — so only the top-k
+    * frame (≤ 1000 rows) ever concentrates; checkpoint sums are a
+    * broadcast grid crossJoin over it; the total is one scalar agg.
+    * The deterministic (count desc, shingle asc) cutoff is the
+    * [[textNgramTopK]] rule. Exact ints, coverage 4dp. */
+  def textNgramCoverage(docs: DataFrame,
+                        ks: Seq[Int] = Seq(10, 100, 1000),
+                        n: Int = 3): DataFrame = {
+    require(ks.nonEmpty, "textNgramCoverage needs at least one k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = Dedup.shingleRowsAll(docs, n)
+    val counts = occ.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    val top = counts.orderBy(col("c").desc, col("sh").asc)
+      .limit(ks.max)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("sh").asc)))
+    val grid = broadcast(ks.sorted.toDF("k"))
+    val covered = top.crossJoin(grid).filter(col("r") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("covered_occurrences"))
+    grid.join(covered, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("covered_occurrences"), lit(0L))
+          .as("covered_occurrences"),
+        lit(total).as("total_occurrences"),
+        when(lit(total) > 0L,
+          round(coalesce(col("covered_occurrences"), lit(0L))
+            .cast("double") / total, 4)).otherwise(0.0).as("coverage"))
+  }
+
+  def textNgramCoverageQ(spark: SparkSession, dir: String): DataFrame =
+    textNgramCoverage(Tables.documents(spark, dir))
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val vocab = broadcast(

@@ -510,4 +510,45 @@ object Analytics3 {
     }.toDF("event_type", "n_transitions_out", "stationary_prob",
       "outflow_share")
   }
+
+  /** DAU/MAU stickiness (r12): per calendar day, the active-user count,
+    * the trailing-30-day active-user count, and their ratio — the
+    * engagement metric every growth dashboard tracks next to
+    * [[eventsDauWau]]'s spot counts and [[eventsLifecycle]]'s weekly
+    * accounting. Missing days are REAL rows (DAU 0, MAU still counts
+    * the trailing window) — the dense-spine rule
+    * [[eventsForecastBaselineOn]] established, because stickiness
+    * evaluated only on active days silently hides the dead ones.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (user, day) frame (map-side-combined); DAU is a count over it;
+    * the trailing window is NOT a cumulative-distinct window (none
+    * exists) nor a day×user range join — each (user, day) row explodes
+    * to the ≤ 30 window-end days it covers, a bounded 30× of the
+    * user-day frame, and MAU is one countDistinct per day over that.
+    * The spine is dimension-sized (days × nothing). Exact ints, ratio
+    * 4dp. */
+  def eventsStickiness(spark: SparkSession, dir: String,
+                       windowDays: Int = 30): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("di"))
+      .distinct()
+    val dau = ud.groupBy(col("di")).agg(count(lit(1)).as("dau"))
+    val bounds = broadcast(ud.agg(min(col("di")).as("d0"),
+      max(col("di")).as("d1")))
+    val cover = ud.select(col("user_id"),
+      explode(sequence(col("di"),
+        col("di") + lit(windowDays - 1))).as("di"))
+    val mau = cover.join(broadcast(bounds), cover("di") <= bounds("d1"))
+      .groupBy(col("di")).agg(countDistinct(col("user_id")).as("mau"))
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1")))
+      .as("di"))
+    spine.join(dau, Seq("di"), "left").join(mau, Seq("di"), "left")
+      .select(date_add(epoch, col("di")).as("d"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("mau"), lit(0L)).as("mau"),
+        when(coalesce(col("mau"), lit(0L)) > 0L,
+          round(coalesce(col("dau"), lit(0L)).cast("double") / col("mau"),
+            4)).otherwise(0.0).as("stickiness"))
+  }
 }

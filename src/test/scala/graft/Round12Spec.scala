@@ -109,6 +109,95 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("events_stickiness: dense spine, trailing window, planted " +
+    "regimes") {
+    import spark.implicits._
+    val dir = tmpDir("stick_")
+    val base = 1704067200L
+    // user 1 active days 0..9; user 2 only day 0; day 5 has NO events
+    // from user 2 but user 1 keeps the spine alive; days 10..14 empty
+    // except a final day-14 event keeping the span open
+    val rows =
+      (0 until 10).filter(_ != 5).map { d =>
+        (d.toLong, 1L, "view", 1.0,
+          new java.sql.Timestamp((base + d * 86400L) * 1000L), """{"k":1}""")
+      } ++ Seq(
+        (100L, 2L, "view", 1.0,
+          new java.sql.Timestamp(base * 1000L), """{"k":1}"""),
+        (101L, 1L, "view", 1.0,
+          new java.sql.Timestamp((base + 14 * 86400L) * 1000L), """{"k":1}"""))
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.Analytics3.eventsStickiness(spark, dir)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 15) // dense day spine 0..14
+    assert(out(0) === ((2L, 2L, 1.0)))      // both users day 0
+    assert(out(5) === ((0L, 2L, 0.0)))      // gap day: DAU 0, MAU holds
+    assert(out(1) === ((1L, 2L, 0.5)))
+    assert(out(14)._2 === 2L)               // both inside trailing 30d
+  }
+
+  test("text_ngram_coverage: a planted dominant shingle, monotone in k") {
+    import spark.implicits._
+    val docs = ((1 to 30).map(i => (i.toLong, "the same old boilerplate"))
+      ++ Seq((100L, "completely fresh words here now"))).toDF("doc_id", "text")
+    val out = TextOps.textNgramCoverage(docs).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 30 docs x 2 shingles of the template + 3 fresh = 63 occurrences;
+    // top-10 covers everything
+    assert(out(0) === ((10, 63L, 63L, 1.0)))
+    assert(out(1)._1 === 100 && out(2)._1 === 1000)
+    for (i <- 1 until 3) assert(out(i)._2 >= out(i - 1)._2)
+    // real corpus: coverage monotone, within (0, 1]
+    val real = TextOps.textNgramCoverage(Tables.documents(spark, sfDir))
+      .orderBy("k").collect().map(_.getDouble(3))
+    assert(real.toSeq === real.sorted)
+    assert(real.forall(c => c > 0.0 && c <= 1.0))
+  }
+
+  test("corpus_family_purity: cross-lang family impure, same-lang pure") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (2L, "alpha beta gamma delta epsilon", "de", "web", 30L), // mislabel
+      (3L, "one two three four five six", "en", "web", 27L),
+      (4L, "one two three four five six", "en", "web", 27L),
+      (5L, "nothing like the others at all", "fr", "web", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.dedupNgramJaccard(docs)
+    val out = Dedup.corpusFamilyPurity(docs, pairs).orderBy("family")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    assert(out.length === 2)
+    assert(out(0) === ((1L, 2L, 2L, "de", 0.5))) // tie -> lex smallest
+    assert(out(1) === ((3L, 2L, 1L, "en", 1.0)))
+  }
+
+  test("ivf_elbow_report: inertia non-increasing on planted clusters, " +
+    "gains reported off the unrounded curve") {
+    import spark.implicits._
+    // four tight orthogonal clusters: nlist=4 captures them, 8/16 can
+    // only shave within-cluster noise
+    val data = (0 until 80).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 10.0 else 0.0) + 0.05 * ((i * 13 + j) % 7)).map(_.toFloat)
+      (i.toLong, v, c)
+    }
+    val out = graft.llm.Ann.ivfElbowReport(
+      data.toDF("vec_id", "embedding", "label")).orderBy("nlist").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(4, 8, 16))
+    assert(out(0)._3 === 0.0)
+    assert(out(1)._2 <= out(0)._2 + 1e-9)
+    assert(out(2)._2 <= out(1)._2 + 1e-9)
+    // the planted structure: 4 cells already explain nearly everything
+    assert(out(0)._2 < 0.01, s"4-cell inertia ${out(0)._2}")
+  }
+
   test("events_markov_stationary: a deterministic 2-cycle settles at " +
     "(0.5, 0.5); probabilities always sum to 1") {
     import spark.implicits._
