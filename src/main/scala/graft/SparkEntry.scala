@@ -40,6 +40,8 @@ object SparkEntry {
     "cdc_scd2_incremental" -> (Cdc.scd2IncrementalQ _),
     "cdc_gap_audit" -> (Cdc.gapAuditQ _),
     "cdc_lateness_profile" -> (Cdc.latenessProfileQ _),
+    "cdc_snapshot_profile" -> (Cdc.snapshotProfileQ _),
+    "cdc_delete_debt" -> (Cdc.deleteDebtQ _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiffQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
@@ -90,6 +92,8 @@ object SparkEntry {
     "events_markov_stationary" ->
       ((s, d) => Analytics3.eventsMarkovStationary(s, d)),
     "events_stickiness" -> ((s, d) => Analytics3.eventsStickiness(s, d)),
+    "events_group_topk" ->
+      (graft.operators.GroupTopK.eventsGroupTopKQ _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -364,6 +368,39 @@ object SparkEntry {
     "cdc_flatten" -> flattenSql,
     "cdc_dedup_latest" -> dedupLatestSql,
     "cdc_upsert_snapshot" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
+    // one-row column-level stats over the live snapshot; exact ints,
+    // exact stored doubles/timestamps, nothing rounded
+    "cdc_snapshot_profile" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_value,
+         |  CAST(sum(CASE WHEN prop_k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_prop_k,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  min(__source_ts_ms) AS oldest_state,
+         |  max(__source_ts_ms) AS newest_state
+         |FROM ($dedupLatestSql) s WHERE __op <> 'd'""".stripMargin,
+    // tombstone debt: dead keys' final delete month + their whole
+    // change history mass; max_by replayed as the rn=1 winner
+    "cdc_delete_debt" ->
+      s"""WITH pk AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN rn = 1 THEN __op END) AS last_op,
+         |    max(CASE WHEN rn = 1 THEN __source_ts_ms END) AS last_ts,
+         |    CAST(count(*) AS BIGINT) AS n_changes
+         |  FROM (
+         |    SELECT user_id, __op, __source_ts_ms, row_number() OVER (
+         |      PARTITION BY user_id
+         |      ORDER BY __source_ts_ms DESC, $opPrioSql DESC,
+         |        event_id DESC) AS rn
+         |    FROM ($flattenSql) flat) t
+         |  GROUP BY user_id)
+         |SELECT CAST(date_trunc('month', last_ts) AS DATE) AS delete_month,
+         |  CAST(count(*) AS BIGINT) AS n_deleted_keys,
+         |  CAST(sum(n_changes) AS BIGINT) AS n_changes
+         |FROM pk WHERE last_op = 'd' GROUP BY 1""".stripMargin,
     "cdc_soft_delete" -> dedupLatestSql,
     "cdc_append" ->
       s"SELECT *, 'events' AS __table, 'graft' AS __db FROM ($flattenSql) f",
@@ -1549,6 +1586,16 @@ object SparkEntry {
         |       ELSE 0.0 END AS stickiness
         |FROM spine s LEFT JOIN dau ON s.di = dau.di
         |LEFT JOIN mau ON s.di = mau.di""".stripMargin,
+    // per-type top-3 users, ties to the smaller id — the GroupTopK
+    // operator behind an exact-count aggregate
+    "events_group_topk" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, user_id ASC) AS r FROM c) t
+        |WHERE r <= 3""".stripMargin,
     // seasonal-naive backtest: dense hour spine from the corpus' own
     // span (missing hours are real zeros), two lags, exact-int MAEs
     "events_forecast_baseline" ->

@@ -340,6 +340,60 @@ object Cdc {
       col("max_lateness_ms"))
   }
 
+  /** Post-MERGE data-quality profile (r12): one row of column-level
+    * stats over the LIVE upsert snapshot — row count, key cardinality
+    * (must equal row count: a violation means the MERGE left a
+    * duplicate key), null counts on the payload columns, type
+    * cardinality, and value/timestamp ranges. The check a warehouse
+    * team runs after every merge window, BEFORE consumers read: a
+    * jump in null share or a value-range excursion is an upstream
+    * schema/semantic drift that [[graft.state.Stores.driftReport]]'s
+    * DDL view cannot see (same columns, new garbage).
+    *
+    * One pass over the snapshot, one map-side-combined global agg to a
+    * single row; every stat is an exact integer or an exact stored
+    * double/timestamp — nothing derived, nothing rounded. */
+  def snapshotProfile(events: DataFrame): DataFrame = {
+    val snap = upsertSnapshot(events)
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c")
+    snap.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_keys"),
+      countDistinct(col("event_type")).as("n_types"),
+      nulls("value"), nulls("prop_k"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      min(col("__source_ts_ms")).as("oldest_state"),
+      max(col("__source_ts_ms")).as("newest_state"))
+  }
+
+  /** Tombstone debt by age (r12): keys whose FINAL change is a delete,
+    * bucketed by delete month — how much dead history each month holds
+    * and what a retention/compaction pass would reclaim
+    * ([[graft.sinks.WarehouseSink.retentionPlan]] prices partitions;
+    * this prices the deleted-key mass inside them). `n_changes` counts
+    * the dead keys' whole change history — the rows a "purge deleted
+    * keys" rewrite would actually remove from an append changelog.
+    *
+    * ONE user_id-keyed map-side-combined aggregation (last change via
+    * `max_by` over the canonical order, total count in the same agg),
+    * then a month-sized rollup. Exact integers only. */
+  def deleteDebt(events: DataFrame): DataFrame = {
+    val flat = flatten(events)
+    val ordering = struct(col("__source_ts_ms"),
+      opPriorityCol(col("__op")), col("event_id"))
+    val perKey = flat.groupBy(col("user_id")).agg(
+      max_by(struct(col("__op"), col("__source_ts_ms")), ordering)
+        .as("last"),
+      count(lit(1)).as("n_changes"))
+    perKey.filter(col("last.__op") === "d")
+      .groupBy(date_trunc("month", col("last.__source_ts_ms"))
+        .cast("date").as("delete_month"))
+      .agg(count(lit(1)).as("n_deleted_keys"),
+        sum(col("n_changes")).as("n_changes"))
+  }
+
   /** Snapshot DIFF between two points in time: which keys were added,
     * removed, or changed between AS-OF t1 and AS-OF t2 — the "what
     * changed since last week" audit a CDC warehouse answers constantly
@@ -579,6 +633,10 @@ object Cdc {
     latenessProfile(Tables.events(spark, dir)
       .withColumn("event_id", delayed * lit(1000000L) + col("event_id")))
   }
+  def snapshotProfileQ(spark: SparkSession, dir: String): DataFrame =
+    snapshotProfile(Tables.events(spark, dir))
+  def deleteDebtQ(spark: SparkSession, dir: String): DataFrame =
+    deleteDebt(Tables.events(spark, dir))
   def scd2IncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val t = lit("2024-01-15").cast("timestamp")

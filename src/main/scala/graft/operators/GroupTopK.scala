@@ -38,4 +38,19 @@ object GroupTopK {
       .filter(col(rank) <= k)
       .drop(rank)
   }
+
+  /** Driver entry (r12, upgrading this operator from test-only to
+    * oracle-checked): per event_type, the 3 most active users by exact
+    * event count, ties to the smaller user_id — the "top accounts per
+    * segment" report, and a live exercise of the WindowGroupLimit
+    * bounding on a real aggregate (the counts frame shuffles once;
+    * the rank window rides the same event_type partitioning). */
+  def eventsGroupTopKQ(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val counts = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    topK(counts, Seq("event_type"),
+      Seq(col("n").desc, col("user_id").asc), 3)
+  }
 }

@@ -198,6 +198,90 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     assert(out(0)._2 < 0.01, s"4-cell inertia ${out(0)._2}")
   }
 
+  test("cdc_snapshot_profile: planted nulls counted, key uniqueness " +
+    "invariant on the real changelog") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "click", 5.5, ts("2024-01-02 00:00:00"), """{}"""),
+      (3L, 2L, "signup", 2.0, ts("2024-01-03 00:00:00"), """{"k":9}"""),
+      (4L, 3L, "signup", 3.0, ts("2024-01-01 00:00:00"), """{"k":2}"""),
+      (5L, 3L, "error", 0.0, ts("2024-01-04 00:00:00"), """{"k":3}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val r = Cdc.snapshotProfile(events).head()
+    // user 3 deleted; user 1's live state (e2) has no prop_k
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 2L) // click + signup survive
+    assert(r.getLong(3) === 0L && r.getLong(4) === 1L)
+    assert(r.getDouble(5) === 2.0 && r.getDouble(6) === 5.5)
+    // real changelog: the MERGE invariant — one row per live key
+    val real = Cdc.snapshotProfile(Tables.events(spark, sfDir)).head()
+    assert(real.getLong(0) === real.getLong(1))
+  }
+
+  test("cdc_delete_debt: dead keys carry their whole history, " +
+    "resurrected keys don't count") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "click", 1.0, ts("2024-01-15 00:00:00"), """{"k":2}"""),
+      (3L, 1L, "error", 1.0, ts("2024-02-10 00:00:00"), """{"k":3}"""),
+      (4L, 2L, "signup", 1.0, ts("2024-01-05 00:00:00"), """{"k":4}"""),
+      (5L, 2L, "error", 1.0, ts("2024-01-20 00:00:00"), """{"k":5}"""),
+      (6L, 2L, "signup", 1.0, ts("2024-03-01 00:00:00"), """{"k":6}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.deleteDebt(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // user 1 dead (3 changes, deleted in Feb); user 2 resurrected: free
+    assert(out.toSeq === Seq(("2024-02-01", 1L, 3L)))
+  }
+
+  test("events_group_topk: exact counts, smaller-id ties, k bound") {
+    import spark.implicits._
+    val events = (1 to 12).map { i =>
+      // type A: user 1 x3, users 2,3 x2 each (tie), user 4 x1
+      val (u, t) = i match {
+        case 1 | 2 | 3 => (1L, "a")
+        case 4 | 5 => (2L, "a")
+        case 6 | 7 => (3L, "a")
+        case 8 => (4L, "a")
+        case _ => (i.toLong, "b")
+      }
+      (i.toLong, u, t, 1.0, ts("2024-01-01 00:00:00"), """{"k":1}""")
+    }.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val dir = tmpDir("gtk_")
+    events.write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.GroupTopK.eventsGroupTopKQ(spark, dir)
+      .filter(col("event_type") === "a")
+      .orderBy(col("n").desc, col("user_id")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("r12 plan pins: coverage top-k is a TakeOrdered not a global " +
+    "sort; pareto windows per qk cell; stickiness never joins " +
+    "day-by-user ranges") {
+    val docs = Tables.documents(spark, sfDir)
+    val pc = TextOps.textNgramCoverage(docs)
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("TakeOrderedAndProject"),
+      s"coverage must cut top-k via TakeOrdered:\n$pc")
+    val pp = TextOps.corpusQualityPareto(docs)
+      .queryExecution.executedPlan.toString
+    // the cumsum windows on the qk grid cell — a corpus-wide
+    // single-partition sort would show an empty partition spec
+    assert(!pp.contains("Window [sum") ||
+      pp.contains("windowspecdefinition(qk"),
+      s"pareto cumsum must partition by qk:\n$pp")
+    assert("Exchange SinglePartition.*Window".r
+      .findAllIn(pp.replaceAll("\n", " ")).isEmpty,
+      "pareto must not sort the corpus in one partition")
+    val ps = graft.queries.Analytics3.eventsStickiness(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("CartesianProduct"),
+      s"stickiness must not day-by-user range join:\n$ps")
+  }
+
   test("events_markov_stationary: a deterministic 2-cycle settles at " +
     "(0.5, 0.5); probabilities always sum to 1") {
     import spark.implicits._
