@@ -54,6 +54,7 @@ object SparkEntry {
     "q10_returns" -> (Analytics.q10Returns _),
     "q21_sole_blame" -> (Analytics.q21SoleBlame _),
     "q16_supplier_diversity" -> (Analytics.q16SupplierDiversity _),
+    "q_trade_balance" -> (Analytics.qTradeBalance _),
     "q2_min_cost_supplier" -> (Analytics2.q2MinCostSupplier _),
     "q6_forecast_revenue" -> (Analytics2.q6ForecastRevenue _),
     "q8_market_share" -> (Analytics2.q8MarketShare _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "embed_threshold_sweep" -> (Ann.embedThresholdSweepQ _),
     "embed_silhouette" -> (Ann.embedSilhouetteQ _),
     "ivf_elbow_report" -> (Ann.ivfElbowReportQ _),
+    "embed_pq_distortion" -> (Ann.embedPqDistortionQ _),
     "dedup_semantic" -> (Ann.dedupSemanticQ _),
     "dedup_semantic_incremental" -> (Ann.dedupSemanticIncrementalQ _),
     "dedup_embed_incremental" -> (Ann.dedupEmbedIncrementalQ _),
@@ -807,6 +809,26 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                        WHERE s_acctbal < 0)
         |GROUP BY 1, 2""".stripMargin,
+    // nation-level flow grid rolled both ways; DECIMAL-exact money,
+    // domestic flows excluded as in q7
+    "q_trade_balance" ->
+      s"""WITH flows AS (
+         |  SELECT sn.n_name AS sn, cn.n_name AS cn,
+         |    sum($discPriceSql) AS v
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |  WHERE sn.n_name <> cn.n_name GROUP BY 1, 2),
+         |e AS (SELECT sn AS nation, sum(v) AS ev FROM flows GROUP BY 1),
+         |i AS (SELECT cn AS nation, sum(v) AS iv FROM flows GROUP BY 1)
+         |SELECT coalesce(e.nation, i.nation) AS nation,
+         |  CAST(coalesce(ev, 0) AS DOUBLE) AS exports,
+         |  CAST(coalesce(iv, 0) AS DOUBLE) AS imports,
+         |  CAST(coalesce(ev, 0) - coalesce(iv, 0) AS DOUBLE) AS balance
+         |FROM e FULL OUTER JOIN i ON e.nation = i.nation""".stripMargin,
     // scan-side conjunctive filter → scalar agg
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -3096,6 +3118,25 @@ object SparkEntry {
          |  round(inertia, 4) AS inertia,
          |  round(coalesce(pin - inertia, 0.0), 4) AS elbow_gain
          |FROM lagged""".stripMargin,
+    // same sub-codebook chains + encode tie rule as the serving path;
+    // per-(vec, subspace) clamped squared error, rolled per subspace
+    "embed_pq_distortion" ->
+      s"""WITH $unitCteSql,
+         |${pqTrainCtes("u")},
+         |d AS (
+         |  SELECT cb.j AS subspace,
+         |    greatest(
+         |      list_dot_product(e.v[cb.j * $PqDsub + 1 : (cb.j + 1) * $PqDsub],
+         |                       e.v[cb.j * $PqDsub + 1 : (cb.j + 1) * $PqDsub])
+         |      - 2.0 * list_dot_product(
+         |          e.v[cb.j * $PqDsub + 1 : (cb.j + 1) * $PqDsub], cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv), 0.0) AS d2
+         |  FROM e3 e JOIN cb2 cb
+         |    ON cb.c = e.codes[cb.j + 1])
+         |SELECT CAST(subspace AS INTEGER) AS subspace,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(avg(d2), 4) AS mean_distortion
+         |FROM d GROUP BY 1""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $unitCteSql,
          |${lloydCte("u", 16, 2, "s")},

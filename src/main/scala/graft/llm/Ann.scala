@@ -2406,6 +2406,71 @@ object Ann {
   def ivfElbowReportQ(spark: SparkSession, dir: String): DataFrame =
     ivfElbowReport(Tables.embeddings(spark, dir))
 
+  /** PQ reconstruction-distortion report (r12): per subspace, the mean
+    * squared quantization error ‖v_sub − codeword‖² of the trained
+    * product quantizer — the fidelity audit behind [[annPqTopK]]'s
+    * recall numbers. PQ recall degrades exactly where distortion
+    * concentrates: a subspace whose mean distortion dwarfs the others
+    * is under-coded (its 4 dims carry more variance than ksub=16
+    * centroids can express — rotate, re-slice, or spend more bits
+    * there), and the summed curve is the rate-distortion point the
+    * m/ksub choice bought. Uses the SAME training, encode tie rule and
+    * codebooks as the serving path, so the number audited is the
+    * number served.
+    *
+    * Scale shape: train on the capped deterministic sample, then ONE
+    * map-side corpus pass — per row, m code lookups into literal
+    * codeword tables (m × ksub d² terms, clamped at 0) + one
+    * posexplode to (subspace, d²) pairs — and a map-side-combined
+    * ≤ m-row rollup. Nothing joins, nothing shuffles but the m-row
+    * partials. Means 4dp. */
+  def embedPqDistortion(embeddings: DataFrame, m: Int = 16,
+                        ksub: Int = 16, iters: Int = 2,
+                        trainCap: Long = 4096L): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val raw = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v0"))
+    val dim = raw.select(size(col("v0"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val vecs = raw
+      .withColumn("nrm", norm(col("v0")))
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("v"))
+      .persist()
+    val corpusN = vecs.count()
+    val train =
+      if (corpusN <= trainCap) vecs
+      else vecs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
+    val cents = trainSubCodebooks(train, m, dsub, ksub, iters)
+    val kEff = cents(0).length
+    val codes = pqCodesCol(cents, dsub)
+    val perJ: Seq[Column] = (0 until m).map { j =>
+      val sl = slice(col("v"), j * dsub + 1, dsub)
+      val d2ByCode = array((0 until kEff).map { c =>
+        val cw = cents(j)(c)
+        greatest(
+          graft.functions.VectorFunctions.vecDot(sl, sl)
+            - lit(2.0) * graft.functions.VectorFunctions.vecDot(sl, lit(cw))
+            + lit(cw.map(x => x * x).sum),
+          lit(0.0))
+      }: _*)
+      element_at(d2ByCode, element_at(col("codes"), j + 1) + 1)
+    }
+    val out = graft.Exec.materialize(
+      vecs.select(col("v"), codes.as("codes"))
+        .select(posexplode(array(perJ: _*)).as(Seq("subspace", "d2")))
+        .groupBy(col("subspace"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("d2")), 4).as("mean_distortion")))
+    vecs.unpersist()
+    out
+  }
+
+  def embedPqDistortionQ(spark: SparkSession, dir: String): DataFrame =
+    embedPqDistortion(Tables.embeddings(spark, dir))
+
   /** IVF parameter-sweep report: for each candidate `nprobe`, the
     * MEASURED mean/min recall@k against exact brute force and the exact
     * candidate-scan cost (mean candidates per query + fraction of the

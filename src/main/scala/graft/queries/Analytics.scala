@@ -346,4 +346,52 @@ object Analytics {
       .groupBy(col("p_brand"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
+
+  /** Per-nation trade balance (r12): cross-nation revenue where each
+    * nation is the SUPPLIER side (exports) vs the CUSTOMER side
+    * (imports), and the net — the q7 bilateral-flow machinery widened
+    * to every nation pair and rolled both ways, asking the question q7
+    * can't ("who nets positive"), with domestic flows excluded the
+    * same way q7 excludes same-nation pairs.
+    *
+    * Shape: the fact stream pays the ord/cust/supp joins ONCE down to
+    * the nation×nation flow grid (≤ |nations|², materialized), both
+    * rollups and the full-outer meet are dimension-sized — the
+    * [[Analytics3.eventsAttributionOn]] cell-grid pattern on TPC-H
+    * dims. Nation dims broadcast; money stays exact DECIMAL through
+    * every sum and lands DOUBLE at the boundary ([[Money]]). */
+  def qTradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    import Money._
+    val nat = broadcast(Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val flows = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))).as("v"))
+    val cells = graft.Exec.materialize(flows)
+    val zero = lit(0).cast("decimal(24,4)")
+    val exp = cells.groupBy(col("supp_nation").as("nation"))
+      .agg(sum(col("v")).as("ev"))
+    val imp = cells.groupBy(col("cust_nation").as("nation"))
+      .agg(sum(col("v")).as("iv"))
+    exp.join(imp, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        asDouble(coalesce(col("ev"), zero)).as("exports"),
+        asDouble(coalesce(col("iv"), zero)).as("imports"),
+        asDouble(coalesce(col("ev"), zero) - coalesce(col("iv"), zero))
+          .as("balance"))
+  }
 }

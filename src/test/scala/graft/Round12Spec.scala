@@ -258,6 +258,45 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 2L)))
   }
 
+  test("q_trade_balance: global conservation — every export is " +
+    "someone's import") {
+    val out = graft.queries.Analytics.qTradeBalance(spark, sfDir).collect()
+    val exports = out.map(_.getDouble(1)).sum
+    val imports = out.map(_.getDouble(2)).sum
+    val balance = out.map(_.getDouble(3)).sum
+    assert(math.abs(exports - imports) < 1e-6, s"$exports vs $imports")
+    assert(math.abs(balance) < 1e-6)
+    assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0))
+    assert(out.length > 1)
+  }
+
+  test("embed_pq_distortion: perfectly codable corpus scores 0, real " +
+    "corpus reports all subspaces non-negative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1204)
+    // exactly 16 distinct patterns, the first 16 ids one of each: the
+    // codebook init IS the pattern set and Lloyd keeps it -> zero error
+    val patterns = (0 until 16).map { p =>
+      Array.tabulate(64)(j => (math.sin(p * 31 + j) * 5).toFloat)
+    }
+    val data = (0 until 200).map { i =>
+      val p = if (i < 16) i else rnd.nextInt(16)
+      (i.toLong, patterns(p), p)
+    }
+    val zero = graft.llm.Ann.embedPqDistortion(
+      data.toDF("vec_id", "embedding", "label")).collect()
+    assert(zero.length === 16)
+    zero.foreach(r => assert(r.getDouble(2) === 0.0,
+      s"subspace ${r.getInt(0)} distortion ${r.getDouble(2)}"))
+    val real = graft.llm.Ann.embedPqDistortion(
+      Tables.embeddings(spark, sfDir)).collect()
+    assert(real.length === 16)
+    real.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getLong(1) === Tables.embeddings(spark, sfDir).count())
+    }
+  }
+
   test("r12 plan pins: coverage top-k is a TakeOrdered not a global " +
     "sort; pareto windows per qk cell; stickiness never joins " +
     "day-by-user ranges") {
