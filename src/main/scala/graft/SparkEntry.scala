@@ -3905,6 +3905,46 @@ object SparkEntry {
       }.mkString(",\n")
       s"SELECT vec_id,\n$cols\nFROM embeddings"
     },
+    // eigensolve replay (r12, the last convertible rows-only pair):
+    // gap-amplified deflated power iteration — see eigenPowerCtes.
+    // Projections p_j = v·e_j − μ·e_j rounded 4dp; cross-solver vector
+    // agreement ~1e-12 ≪ the 1e-4 rounding grid
+    "embed_pca" -> {
+      val projCols = (0 until 8).map { k =>
+        s"""  round((SELECT sum(e$k.x * emb.v[e$k.i + 1]) FROM e$k)
+           |    - (SELECT sum(e$k.x * mu.m)
+           |       FROM e$k JOIN mu ON mu.i = e$k.i), 4) AS p$k""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |${eigenPowerCtes(8, 320)}
+         |SELECT vec_id,
+         |$projCols
+         |FROM emb""".stripMargin
+    },
+    // all 64 eigenvalues via the same deflated chains; variances are
+    // Rayleigh quotients back on the ORIGINAL covariance (second-order
+    // insensitive to eigenvector error: θ ~1e-6 worst case → λ error
+    // ~θ²·gap ≪ the 1e-6 grid), share/cum_share/participation ride the
+    // trace identities
+    "embed_spectrum" -> {
+      val evs = (0 until 64).map { k =>
+        s"""SELECT $k AS component,
+           |  (SELECT sum(cv.x * a.x * b.x)
+           |   FROM cv JOIN e$k a ON a.i = cv.i
+           |     JOIN e$k b ON b.i = cv.j) AS lam""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE
+         |${eigenPowerCtes(64, 160)},
+         |evs AS ($evs),
+         |tot AS (SELECT (SELECT sum(x) FROM cv WHERE i = j) AS tr,
+         |               (SELECT sum(x * x) FROM cv) AS tr2)
+         |SELECT CAST(component AS INTEGER) AS component,
+         |  round(lam, 6) AS variance,
+         |  round(lam / tr, 4) AS share,
+         |  round(sum(lam) OVER (ORDER BY component) / tr, 4) AS cum_share,
+         |  round(tr * tr / tr2, 2) AS participation_ratio
+         |FROM evs, tot""".stripMargin
+    },
     // whitened coordinates rounded to 4 decimals on both engines (mean /
     // stddev sums are summation-order-dependent in the last ulps); the
     // oracle only needs stats for the 8 projected dims — w_i depends on
@@ -4342,6 +4382,88 @@ object SparkEntry {
        |${pqCodesCte(src, "cb1", "e2")},
        |${pqUpdateCte("e2", "cb1", "cb2")},
        |${pqCodesCte(src, "cb2", "e3")}""".stripMargin
+
+  // --- Eigensolve oracle machinery (r12) ------------------------------
+  // embed_pca / embed_spectrum replay. The oracle cannot replay Jacobi
+  // (dim² state × ~16k rotations is outside a recursive CTE's budget)
+  // — but it doesn't have to: eigenpairs of a symmetric matrix are
+  // UNIQUE given the operator's conventions (eigenvalues DESC, sign
+  // fixed on the largest-|coordinate| entry), so any solver converged
+  // to machine precision reproduces the rounded outputs. The replay
+  // uses gap amplification: M = C^16 via four max-normalized squarings
+  // turns the corpus's worst consecutive eigen-ratio (0.9947 measured
+  // at sf0.01 — the spectrum is near-isotropic, participation ratio
+  // 56.6/64) into 0.9947^16 = 0.918, so deflated power iteration
+  // converges each component to ~1e-15 in a few hundred 64-row
+  // recursive steps. Power 16 is the sweet spot: large enough to
+  // converge fast, small enough that trailing eigenvalues stay far
+  // above the matmul noise floor (λ63/λ0 = 0.236 → 0.236^16 = 1e-10 ≫
+  // 1e-15; at power 512 everything below λ0·0.93 drowns in rounding
+  // noise and deflation retrieves garbage). Deflation is matrix-side
+  // (d_k = d_{k-1} − λ_{k-1}·e·eᵀ with λ the Rayleigh quotient in
+  // M-space, so each component's recursion is a bare matvec + one
+  // window normalize), eigenvalues are Rayleigh quotients back on the
+  // ORIGINAL covariance, and Σλ / Σλ² come from trace identities
+  // (trace(C), ‖C‖²_F) with no eigensolve at all. MATERIALIZED hints
+  // are load-bearing: DuckDB inlines plain CTEs per reference, which
+  // would re-run the corpus gram once per component. Validated
+  // value-exact against the Spark dumps at sf0.01 before wiring in.
+  private def eigenPowerCtes(nComp: Int, iters: Int): String = {
+    val dim = 64
+    val parts = Seq.newBuilder[String]
+    parts += s"""emb AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nn AS (SELECT count(*)::DOUBLE AS n FROM emb),
+      |mu AS MATERIALIZED (
+      |  SELECT g.i - 1 AS i, sum(v[g.i]) / (SELECT n FROM nn) AS m
+      |  FROM emb, unnest(generate_series(1, $dim)) AS g(i) GROUP BY 1),
+      |gr AS MATERIALIZED (
+      |  SELECT gi.i - 1 AS i, gj.i - 1 AS j,
+      |    sum(v[gi.i] * v[gj.i]) AS g
+      |  FROM emb, unnest(generate_series(1, $dim)) AS gi(i),
+      |       unnest(generate_series(1, $dim)) AS gj(i)
+      |  GROUP BY 1, 2),
+      |cv AS MATERIALIZED (
+      |  SELECT gr.i, gr.j, gr.g / (SELECT n FROM nn) - mi.m * mj.m AS x
+      |  FROM gr JOIN mu mi ON mi.i = gr.i JOIN mu mj ON mj.i = gr.j),
+      |m0 AS MATERIALIZED (
+      |  SELECT i, j, x / (SELECT max(abs(x)) FROM cv) AS x FROM cv)""".stripMargin
+    for (s <- 1 to 4)
+      parts += s"""m$s AS MATERIALIZED (
+        |  SELECT p.i, p.j, p.x / max(abs(p.x)) OVER () AS x
+        |  FROM (SELECT a.i, b.j, sum(a.x * b.x) AS x
+        |        FROM m${s - 1} a JOIN m${s - 1} b ON a.j = b.i
+        |        GROUP BY 1, 2) p)""".stripMargin
+    for (k <- 0 until nComp) {
+      if (k == 0)
+        parts += "d0 AS MATERIALIZED (SELECT i, j, x FROM m4)"
+      else
+        parts += s"""lam${k - 1} AS MATERIALIZED (
+          |  SELECT sum(d${k - 1}.x * a.x * b.x) AS l
+          |  FROM d${k - 1} JOIN e${k - 1} a ON a.i = d${k - 1}.i
+          |    JOIN e${k - 1} b ON b.i = d${k - 1}.j),
+          |d$k AS MATERIALIZED (
+          |  SELECT d${k - 1}.i, d${k - 1}.j,
+          |    d${k - 1}.x - (SELECT l FROM lam${k - 1}) * a.x * b.x AS x
+          |  FROM d${k - 1} JOIN e${k - 1} a ON a.i = d${k - 1}.i
+          |    JOIN e${k - 1} b ON b.i = d${k - 1}.j)""".stripMargin
+      parts += s"""p$k AS (
+        |  SELECT 0 AS t, g.i - 1 AS i,
+        |    sin((g.i - 1) * 1.7 + 0.3) + 1.1 AS x
+        |  FROM unnest(generate_series(1, $dim)) AS g(i)
+        |  UNION ALL
+        |  SELECT y.t + 1, y.i, y.x / sqrt(sum(y.x * y.x) OVER ()) AS x
+        |  FROM (SELECT p.t, a.i, sum(a.x * p.x) AS x
+        |        FROM p$k p JOIN d$k a ON a.j = p.i GROUP BY 1, 2) y
+        |  WHERE y.t < $iters),
+        |e$k AS MATERIALIZED (
+        |  SELECT f.i, CASE WHEN sgn.x < 0 THEN -f.x ELSE f.x END AS x
+        |  FROM (SELECT i, x FROM p$k WHERE t = $iters) f,
+        |       (SELECT x FROM p$k WHERE t = $iters
+        |        ORDER BY abs(x) DESC, i ASC LIMIT 1) sgn(x))""".stripMargin
+    }
+    parts.result().mkString(",\n")
+  }
 
   /** ADC Σ_j lut[j·ksub + code_j] as a literal left-associated sum over
     * `q.lut` and `enc.codes`. */

@@ -479,10 +479,15 @@ object Ann {
     *
     * Deterministic for a fixed partition layout (per-partition float
     * sum order is row order); coordinates are ROUNDED to 4 decimals on
-    * output (the shared float rule). Rows-only gate: eigenvectors have
-    * no closed-form cross-engine oracle — the spec pins a hand-solved
-    * 2×2 fixture, orthonormality, the eigen equation residual, planted
-    * dominant-axis recovery, and per-component variance ordering. */
+    * output (the shared float rule). Oracle (r12): eigenpairs are
+    * UNIQUE under this operator's conventions (DESC order, sign fixed
+    * on the largest-|coordinate| entry), so the DuckDB side needn't
+    * replay Jacobi — it re-derives the same eigenvectors to machine
+    * precision by gap-amplified deflated power iteration (C^16 via
+    * normalized squarings, then ~300 64-row recursive steps per
+    * component); the spec additionally pins a hand-solved 2×2 fixture,
+    * orthonormality, the eigen equation residual, planted dominant-axis
+    * recovery, and per-component variance ordering. */
   def embedPca(embeddings: DataFrame, dim: Int = 64,
                outDim: Int = 16): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)

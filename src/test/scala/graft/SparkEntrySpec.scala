@@ -18,12 +18,14 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // (seeded-literal hyperplanes replay in SQL), the BPE trio and the
     // trained classifier family (recursive CTEs replay the driver
     // loops), MMR (recursive greedy), and the k-means family (Lloyd
-    // unrolls; the train cap covers the corpus at the driver SF). What
-    // remains is genuinely engine-bound: xxhash64 signatures
-    // (minhash/simhash), DEFLATE, media codecs, sketch internals, and
-    // the eigensolve pair.
+    // unrolls; the train cap covers the corpus at the driver SF). r12
+    // converted the eigensolve pair (embed_pca / embed_spectrum) via a
+    // gap-amplified deflated-power-iteration replay — eigenpairs are
+    // unique under the operator's conventions, so the oracle needn't
+    // replay Jacobi. What remains is genuinely engine-bound: xxhash64
+    // signatures (minhash/simhash), DEFLATE, media codecs, and sketch
+    // internals.
     assert(rowsOnly === Set(
-      "embed_pca", "embed_spectrum",
       "dedup_minhash", "dedup_eval",
       "minhash_tuning_report",
       "dedup_simhash",
