@@ -78,6 +78,7 @@ object SparkEntry {
     "events_dau_wau" -> (Analytics2.eventsDauWau _),
     "events_burst" -> (Analytics2.eventsBurst _),
     "q_basket_pairs" -> ((s, d) => Analytics2.qBasketPairs(s, d)),
+    "q_basket_rules" -> ((s, d) => Analytics2.qBasketRules(s, d)),
     "q_revenue_concentration" -> (Analytics2.qRevenueConcentration _),
     "events_rfm" -> (Analytics2.eventsRfm _),
     "events_seasonality" -> (Analytics2.eventsSeasonality _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "events_markov_stationary" ->
       ((s, d) => Analytics3.eventsMarkovStationary(s, d)),
     "events_stickiness" -> ((s, d) => Analytics3.eventsStickiness(s, d)),
+    "q_customer_survival" -> ((s, d) => Analytics3.qCustomerSurvival(s, d)),
     "events_group_topk" ->
       (graft.operators.GroupTopK.eventsGroupTopKQ _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
@@ -151,6 +153,7 @@ object SparkEntry {
     "corpus_mix_kl" -> (TextOps.corpusMixKlQ _),
     "corpus_report" -> (TextOps.corpusReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
+    "text_zipf" -> (TextOps.textZipfQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "bpe_train" -> (TextOps.bpeTrainQ _),
     "bpe_encode" -> (TextOps.bpeEncodeQ _),
@@ -1191,6 +1194,36 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Kaplan–Meier: week grid = observed exit weeks only; counts exact
+    // integers, survival = exp(Σ ln(1−h)) over the week-ordered window
+    // (identical summation order both engines) with the h=1 zero guard
+    "q_customer_survival" ->
+      """WITH us AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+        |    max(CAST(o_orderdate AS DATE)) AS ld
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(ld) AS md FROM us),
+        |ex AS (
+        |  SELECT CAST(date_diff('day', fd, ld) // 7 AS INT) AS week,
+        |    sum(CASE WHEN date_diff('day', ld, (SELECT md FROM mx)) > 90
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_churned,
+        |    sum(CASE WHEN date_diff('day', ld, (SELECT md FROM mx)) > 90
+        |        THEN 0 ELSE 1 END)::BIGINT AS n_censored
+        |  FROM us GROUP BY 1),
+        |km AS (
+        |  SELECT week, n_churned, n_censored,
+        |    CAST(sum(n_churned + n_censored) OVER ()
+        |      - coalesce(sum(n_churned + n_censored) OVER (ORDER BY week
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM ex)
+        |SELECT week, n_risk, n_churned, n_censored,
+        |  round(CAST(n_churned AS DOUBLE) / n_risk, 4) AS hazard,
+        |  round(CASE WHEN min(1.0 - CAST(n_churned AS DOUBLE) / n_risk)
+        |      OVER (ORDER BY week) = 0.0 THEN 0.0
+        |    ELSE exp(sum(ln(1.0 - CAST(n_churned AS DOUBLE) / n_risk))
+        |      OVER (ORDER BY week)) END, 4) AS survival
+        |FROM km""".stripMargin,
     "q_retention" ->
       """WITH m AS (SELECT DISTINCT user_id,
         |             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
@@ -1298,6 +1331,29 @@ object SparkEntry {
         |FROM p JOIN m ma ON p.part_a = ma.pk
         |       JOIN m mb ON p.part_b = mb.pk, t
         |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin,
+    // directional rules: both directions of each min-support pair;
+    // support/confidence/lift exact-integer ratios 4dp before the
+    // total-order rank
+    "q_basket_rules" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |p AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
+        |      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |r AS (SELECT pa AS antecedent, pb AS consequent, n_both FROM p
+        |      UNION ALL
+        |      SELECT pb, pa, n_both FROM p),
+        |m AS (SELECT pk, count(*) AS n FROM l GROUP BY 1),
+        |t AS (SELECT count(DISTINCT ok) AS n_orders FROM l)
+        |SELECT antecedent, consequent, n_both,
+        |  round(CAST(n_both AS DOUBLE) / t.n_orders, 4) AS support,
+        |  round(CAST(n_both AS DOUBLE) / ma.n, 4) AS confidence,
+        |  round(CAST(n_both AS DOUBLE) * t.n_orders /
+        |    (CAST(ma.n AS DOUBLE) * mb.n), 4) AS lift
+        |FROM r JOIN m ma ON r.antecedent = ma.pk
+        |       JOIN m mb ON r.consequent = mb.pk, t
+        |ORDER BY confidence DESC, lift DESC, antecedent, consequent
+        |LIMIT 50""".stripMargin,
     // hourly burst z vs the trailing 24 observed hours; mean/var from
     // the window's INTEGER sums so both engines share the arithmetic
     "events_burst" ->
@@ -2350,6 +2406,30 @@ object SparkEntry {
          |FROM sh GROUP BY 1
          |ORDER BY n_occurrences DESC, sh ASC
          |LIMIT 100""".stripMargin,
+    // Zipf fit: ranks/counts exact integers under the total
+    // (tf DESC, term ASC) order; ln of exact integers + the shared
+    // closed-form slope/intercept/r² expression tree, 4dp
+    "text_zipf" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |tf AS (SELECT u.tok AS w, count(*) AS tf
+         |       FROM toks, unnest(t) AS u(tok)
+         |       WHERE len(u.tok) > 0 GROUP BY 1
+         |       ORDER BY tf DESC, w ASC LIMIT 500),
+         |pts AS (SELECT ln(CAST(row_number() OVER
+         |            (ORDER BY tf DESC, w ASC) AS DOUBLE)) AS x,
+         |          ln(CAST(tf AS DOUBLE)) AS y
+         |        FROM tf),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |        sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+         |    / n, 4) AS intercept,
+         |  round(pow(n * sxy - sx * sy, 2) /
+         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+         |FROM s""".stripMargin,
     // BPE pair stats: pairs explode from the VOCAB CTE, mirroring the
     // Spark plan; sum(freq) casts back to BIGINT (DuckDB sums to HUGEINT,
     // which pandas would render as float and break the hash compare)

@@ -1471,6 +1471,55 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("sh").asc)
       .limit(k)
 
+  /** Zipf rank–frequency fit (r12): least-squares slope of
+    * ln(frequency) against ln(rank) over the corpus's top-`topR`
+    * terms, with intercept and r² — the one-row law-of-language audit
+    * (Zipf 1949: natural text slopes ≈ −1). A corpus that bends off
+    * the line is telling you something upstream ops act on: slope
+    * shallower than −1 ⇒ boilerplate/templating inflating the mid
+    * ranks (the [[textNgramTopK]] signal in scalar form), steeper ⇒
+    * vocabulary collapse (OCR noise, language mixing); r² is the
+    * goodness-of-law. Complements [[vocabGrowth]] (Heaps = types vs
+    * corpus size; Zipf = frequency vs rank — the two dual exponents).
+    *
+    * Scale shape: ONE map-side-combined term count collapses the
+    * corpus to the Heaps-bounded vocab frame; the top-R cut is a
+    * TakeOrdered under the total (freq DESC, term ASC) order; rank
+    * assignment and the five regression sums run over the R-row
+    * frame, output is ONE row. Determinism: ranks/counts are exact
+    * integers; ln of exact integers is correctly rounded on both
+    * engines; the closed-form slope/intercept/r² derive from the five
+    * sums through one shared IEEE expression tree, rounded 4dp. */
+  def textZipf(docs: DataFrame, topR: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w").asc)
+      .limit(topR)
+    val pts = tf
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("tf").desc, col("w").asc)))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("long").as("n_terms"),
+      round(slope, 4).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
+      round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
+  def textZipfQ(spark: SparkSession, dir: String): DataFrame =
+    textZipf(Tables.documents(spark, dir))
+
   /** First-iteration BPE merge-pair statistics: corpus-wide counts of
     * adjacent character pairs WITHIN words, ranked — the pair-counting
     * step a tokenizer-training run executes over the whole corpus before

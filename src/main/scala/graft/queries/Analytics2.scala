@@ -596,6 +596,64 @@ object Analytics2 {
       .limit(topK)
   }
 
+  /** Directional association rules (r12): the classic
+    * support/confidence/lift triple per ORDERED part pair a→b — the
+    * Agrawal-style rule mining [[qBasketPairs]]'s symmetric lift
+    * ranking can't express: lift(a,b) = lift(b,a), but
+    * confidence(a→b) = P(b|a) ≠ P(a|b), and "customers who bought a
+    * also bought b" is a directional claim (the cheap accessory
+    * implies the expensive base, rarely the reverse). Each undirected
+    * pair above `minOrders` emits BOTH directions; ranking is
+    * (confidence DESC, lift DESC, antecedent, consequent), top-K.
+    *
+    * Scale shape: identical to qBasketPairs up to the pair frame
+    * (within-order self-join over distinct lines — ~6× orders, never
+    * quadratic in lineitem; ONE map-side-combined pair count), then
+    * the direction explode and marginal joins run over the
+    * min-support-bounded pair frame (AQE broadcasts the dimension
+    * marginals); top-K is a TakeOrdered. Support/confidence/lift are
+    * exact integer counts through identical IEEE division, rounded
+    * 4dp BEFORE the total-order ranking. */
+  def qBasketRules(spark: SparkSession, dir: String, topK: Int = 50,
+                   minOrders: Long = 3): DataFrame =
+    qBasketRulesOn(Tables.lineitem(spark, dir), topK, minOrders)
+
+  def qBasketRulesOn(lineitem: DataFrame, topK: Int = 50,
+                     minOrders: Long = 3): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = lines.as("a")
+      .join(lines.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minOrders)
+    val rules = pairs.select(col("pa").as("antecedent"),
+        col("pb").as("consequent"), col("n_both"))
+      .unionByName(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("n_both")))
+    val marg = lines.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val total = broadcast(lines.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    rules
+      .join(marg.select(col("pk").as("antecedent"), col("n").as("na")),
+        "antecedent")
+      .join(marg.select(col("pk").as("consequent"), col("n").as("nb")),
+        "consequent")
+      .crossJoin(total)
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_orders"), 4)
+          .as("support"),
+        round(col("n_both").cast("double") / col("na"), 4)
+          .as("confidence"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("na").cast("double") * col("nb")), 4).as("lift"))
+      .orderBy(col("confidence").desc, col("lift").desc,
+        col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
   /** Hourly burst detection per event type: each (hour, type) cell
     * z-scored against its own trailing 24 OBSERVED hours — the ops
     * alarm ("error rate just spiked") complementing [[eventsAnomaly]]

@@ -551,4 +551,65 @@ object Analytics3 {
           round(coalesce(col("dau"), lit(0L)).cast("double") / col("mau"),
             4)).otherwise(0.0).as("stickiness"))
   }
+
+  /** Kaplan–Meier churn-survival curve over customer order lifetimes
+    * (r12): per observed exit week, the at-risk population, churn and
+    * censor exits, the discrete hazard d/n, and the product-limit
+    * survival S(t) = Π_{u≤t}(1 − d_u/n_u) — the censoring-aware
+    * estimator (Kaplan & Meier 1958) that retention curves get wrong:
+    * a customer still ordering at the corpus edge hasn't churned,
+    * merely stopped being observed, and counting them as churned
+    * biases every naive lifetime average low. A customer's observed
+    * time is last−first order date in whole weeks; customers whose
+    * last order falls within `censorDays` of the corpus end are
+    * CENSORED (leave the risk set without a churn event), everyone
+    * else churned at their observed week. Runs on orders (multi-year
+    * span, real churn/censor mix) rather than events (the 30-day
+    * window censors everyone — measured before choosing the
+    * substrate).
+    *
+    * Scale shape: ONE custkey shuffle (min/max date agg) collapses
+    * the fact table to |customers| rows; exits roll up
+    * map-side-combined to the ≤|weeks| frame; at-risk counts and the
+    * product-limit fold are windows over THAT dimension-sized frame
+    * (the q_rolling_revenue argument — the single-partition sort
+    * never sees the corpus). Determinism: counts are exact integers;
+    * survival is exp(Σ ln(1−h)) over the week-ordered window —
+    * identical summation order on both engines — with an exact-zero
+    * guard for the final h=1 week (ln(0) never evaluates);
+    * hazard/survival rounded 4dp. */
+  def qCustomerSurvival(spark: SparkSession, dir: String,
+                        censorDays: Int = 90): DataFrame = {
+    val users = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+      .groupBy("o_custkey")
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val maxD = broadcast(users.agg(max(col("last_d")).as("max_d")))
+    val exits = users.crossJoin(maxD)
+      .select(
+        (datediff(col("last_d"), col("first_d")) / 7).cast("int")
+          .as("week"),
+        (datediff(col("max_d"), col("last_d")) > censorDays)
+          .as("churned"))
+      .groupBy("week")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val wAll = Window.orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("week")
+    val h = col("n_churned").cast("double") / col("n_risk")
+    exits
+      .withColumn("n_risk",
+        sum(col("n_churned") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_churned") + col("n_censored")).over(wPrev),
+            lit(0L)))
+      .select(col("week"), col("n_risk"), col("n_churned"),
+        col("n_censored"),
+        round(h, 4).as("hazard"),
+        round(when(min(lit(1.0) - h).over(wCum) === 0.0, lit(0.0))
+          .otherwise(exp(sum(log(lit(1.0) - h)).over(wCum))), 4)
+          .as("survival"))
+  }
 }

@@ -344,4 +344,75 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     // only through real structure; both are proper distributions here
     real.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("q_customer_survival: KM invariants — risk set telescopes by " +
+    "exits, survival is a non-increasing product-limit, churn and " +
+    "censoring both occur") {
+    val out = Analytics3.qCustomerSurvival(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val byWeek = out.sortBy(_._1)
+    // telescoping: n_risk(t+1) = n_risk(t) - exits(t)
+    byWeek.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 === a._2 - a._3 - a._4, s"risk set broke at week ${b._1}")
+    }
+    assert(byWeek.head._2 === byWeek.map(w => w._3 + w._4).sum)
+    // survival: starts <= 1, never increases, equals the product limit
+    val surv = byWeek.map(_._6)
+    assert(surv.head <= 1.0)
+    surv.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9) }
+    var prod = 1.0
+    byWeek.foreach { w =>
+      prod *= (1.0 - w._3.toDouble / w._2)
+      assert(math.abs(w._6 - prod) < 5e-4, s"product limit off at ${w._1}")
+    }
+    assert(byWeek.map(_._3).sum > 0L, "no churn events — degenerate")
+    assert(byWeek.map(_._4).sum > 0L, "no censoring — degenerate")
+  }
+
+  test("text_zipf: a corpus with planted 1/r frequencies fits slope " +
+    "-1 with r2 ~ 1; the real corpus slopes negative") {
+    import spark.implicits._
+    // term t_r appears floor(1024/r) times, r = 1..64: exact Zipf
+    val words = (1 to 64).flatMap(r => Seq.fill(1024 / r)(f"t$r%02d"))
+    val docs = words.grouped(97).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val planted = TextOps.textZipf(docs, topR = 64).head()
+    assert(planted.getLong(0) === 64L)
+    assert(math.abs(planted.getDouble(1) + 1.0) < 0.02,
+      s"slope ${planted.getDouble(1)}")
+    assert(planted.getDouble(3) > 0.999)
+    // sf0.001's vocab is tiny (31 terms) and its token distribution is
+    // deliberately near-flat (slope -0.18, r2 0.06) — the operator
+    // correctly reports that this synthetic corpus does NOT follow the
+    // law, which is exactly the audit it exists to perform
+    val real = TextOps.textZipf(Tables.documents(spark, sfDir)).head()
+    assert(real.getLong(0) > 10L && real.getLong(0) <= 500L)
+    assert(real.getDouble(1) < 0.0)
+    assert(real.getDouble(3) >= 0.0 && real.getDouble(3) <= 1.0)
+  }
+
+  test("q_basket_rules: directional bookkeeping — both directions " +
+    "share n_both, confidence recovers the exact marginals") {
+    import spark.implicits._
+    // 4 orders: {1,2} x3, {1,3} x1 -> n(1)=4, n(2)=3, n(3)=1, N=4
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (40L, 1L), (40L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.queries.Analytics2.qBasketRulesOn(li, topK = 10,
+        minOrders = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.size === 4) // (1,2), (2,1), (1,3), (3,1)
+    assert(out((1L, 2L)) === ((3L, 0.75, 0.75, 1.0)))
+    assert(out((2L, 1L)) === ((3L, 0.75, 1.0, 1.0)))
+    assert(out((1L, 3L)) === ((1L, 0.25, 0.25, 1.0)))
+    assert(out((3L, 1L)) === ((1L, 0.25, 1.0, 1.0)))
+    // ranking: confidence DESC first
+    val ranked = graft.queries.Analytics2.qBasketRulesOn(li, 10, 1)
+      .collect().map(_.getDouble(4))
+    ranked.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
 }
