@@ -154,6 +154,7 @@ object SparkEntry {
     "corpus_report" -> (TextOps.corpusReportQ _),
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "text_zipf" -> (TextOps.textZipfQ _),
+    "text_burstiness" -> (TextOps.textBurstinessQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "bpe_train" -> (TextOps.bpeTrainQ _),
     "bpe_encode" -> (TextOps.bpeEncodeQ _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
     "knn_triangles" -> (Ann.knnTrianglesQ _),
+    "knn_assortativity" -> (Ann.knnAssortativityQ _),
     "knn_modularity" -> (Ann.knnModularityQ _),
     "knn_coreset" -> (Ann.knnCoresetQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
@@ -2430,6 +2432,23 @@ object SparkEntry {
          |  round(pow(n * sxy - sx * sy, 2) /
          |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
          |FROM s""".stripMargin,
+    // Church–Gale burstiness from SPARSE per-doc counts (zero cells
+    // contribute nothing to Σx/Σx²): exact-integer sums, shared tree 4dp
+    "text_burstiness" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |cells AS (SELECT doc_id, u.tok AS w, count(*) AS x
+         |          FROM toks, unnest(t) AS u(tok)
+         |          WHERE len(u.tok) > 0 GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM documents)
+         |SELECT w AS term,
+         |  CAST(sum(x) AS BIGINT) AS total_tf,
+         |  CAST(count(*) AS BIGINT) AS doc_freq,
+         |  round(CAST(sum(x * x) AS DOUBLE) / sum(x)
+         |    - CAST(sum(x) AS DOUBLE) / (SELECT n_docs FROM n), 4)
+         |    AS burstiness
+         |FROM cells GROUP BY 1
+         |ORDER BY total_tf DESC, term ASC LIMIT 100""".stripMargin,
     // BPE pair stats: pairs explode from the VOCAB CTE, mirroring the
     // Spark plan; sum(freq) casts back to BIGINT (DuckDB sums to HUGEINT,
     // which pandas would render as float and break the hash compare)
@@ -3779,6 +3798,45 @@ object SparkEntry {
         |FROM embeddings e
         |LEFT JOIN deg d ON e.vec_id = d.vec_id
         |LEFT JOIN pern t ON e.vec_id = t.vec_id""".stripMargin,
+    // Newman degree assortativity: directed orientations of the mutual
+    // edge list, six exact-integer sums, one shared closed-form tree 4dp
+    "knn_assortativity" ->
+      s"""WITH $knnNnSql,
+        |mutual AS (
+        |  SELECT a.vec_id AS a, a.nbr_id AS b FROM nn a
+        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+        |  WHERE a.vec_id < a.nbr_id),
+        |deg AS (
+        |  SELECT v, count(*) AS d
+        |  FROM (SELECT a AS v FROM mutual UNION ALL
+        |        SELECT b AS v FROM mutual)
+        |  GROUP BY 1),
+        |dir AS (SELECT a, b FROM mutual
+        |        UNION ALL SELECT b, a FROM mutual),
+        |gsum AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(da.d) AS BIGINT) AS sx,
+        |    CAST(sum(db.d) AS BIGINT) AS sy,
+        |    CAST(sum(da.d * db.d) AS BIGINT) AS sxy,
+        |    CAST(sum(da.d * da.d) AS BIGINT) AS sxx,
+        |    CAST(sum(db.d * db.d) AS BIGINT) AS syy
+        |  FROM dir JOIN deg da ON dir.a = da.v
+        |           JOIN deg db ON dir.b = db.v),
+        |gnodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(d) AS BIGINT) AS dsum FROM deg)
+        |SELECT n_nodes, n // 2 AS n_edges,
+        |  round(CAST(dsum AS DOUBLE) / n_nodes, 4) AS mean_degree,
+        |  CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx
+        |                  - CAST(sx AS DOUBLE) * sx)
+        |               * (CAST(n AS DOUBLE) * syy
+        |                  - CAST(sy AS DOUBLE) * sy)) > 0.0
+        |    THEN round((CAST(n AS DOUBLE) * sxy
+        |                - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        |      4)
+        |    ELSE 0.0 END AS assortativity
+        |FROM gsum, gnodes""".stripMargin,
     // mutual edges + recursive-CTE reachability (the dedup_corpus
     // pattern): cluster = min id reachable over mutual-kNN edges
     "knn_cluster" ->

@@ -1553,6 +1553,68 @@ object Ann {
     res
   }
 
+  /** Degree assortativity of the mutual-kNN graph (r12): Newman's r —
+    * the Pearson correlation of endpoint degrees over directed edge
+    * orientations — plus the graph's size and mean degree, one row.
+    * The missing summary statistic of the graph family: modularity
+    * asks "do labels align with geometry", triangles ask "is the
+    * neighborhood closed", assortativity asks "do hubs link to hubs"
+    * (r > 0, robust core) "or to leaves" (r < 0, hub-and-spoke — the
+    * [[knnHubness]] pathology in correlation form: a strongly negative
+    * r means retrieval traffic funnels through few hub vectors).
+    *
+    * Scale shape: the mutual edge list is ≤ n·k rows (built once,
+    * persisted); degrees are ONE rollup of it; the edge⋈degree joins
+    * are slim co-partitioned joins on vec_id; the correlation
+    * collapses to SIX exact-integer sums (degrees ≤ k, products tiny)
+    * folded in one map-side-combined agg, and the closed-form r is one
+    * shared IEEE expression tree over them, rounded 4dp — the
+    * events_burst integer-sums determinism rule. */
+  def knnAssortativity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+      .persist()
+    val mutual = g.intersect(
+        g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .persist()
+    val deg = mutual.select(col("a").as("v"))
+      .union(mutual.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val directed = mutual.select(col("a"), col("b"))
+      .unionByName(mutual.select(col("b").as("a"), col("a").as("b")))
+    val s = directed
+      .join(deg.select(col("v").as("a"), col("d").as("x")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("y")), Seq("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nodes = broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("dsum")))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val den = sqrt((col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")) *
+      (col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy")))
+    val res = graft.Exec.materialize(s.crossJoin(nodes)
+      .select(col("n_nodes"),
+        (col("n") / 2L).cast("long").as("n_edges"),
+        round(col("dsum").cast("double") / col("n_nodes"), 4)
+          .as("mean_degree"),
+        when(den > 0.0, round(num / den, 4)).otherwise(0.0)
+          .as("assortativity")))
+    mutual.unpersist(); g.unpersist()
+    res
+  }
+
+  def knnAssortativityQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnAssortativity(Tables.embeddings(spark, dir))
+  }
+
   /** kNN quality scoring: each embedded document's neighborhood-mean
     * quality — the graph-smoothed score the [[knnGraph]] docstring
     * promises ("kNN quality scoring"). A doc whose own heuristic score

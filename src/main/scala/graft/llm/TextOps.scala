@@ -1520,6 +1520,49 @@ object TextOps {
   def textZipfQ(spark: SparkSession, dir: String): DataFrame =
     textZipf(Tables.documents(spark, dir))
 
+  /** Term burstiness (r12): Church & Gale's variance-to-mean ratio of
+    * per-document term counts over the whole corpus (zeros included),
+    * for the top-`topK` terms by total frequency. Under a Poisson
+    * null a term spreads evenly and b ≈ 1 (function words); content
+    * words BURST — they recur within the documents that mention them
+    * — so b ≫ 1. The scalar the quality stack reads it with:
+    * boilerplate n-grams score bursty AND high-df (templating), while
+    * a supposedly-common word with b ≈ 1 everywhere is a tokenizer
+    * artifact. Complements [[textTfidf]] (df weights), [[textZipf]]
+    * (corpus-rank law) and [[textCollocations]] (PMI pairs).
+    *
+    * The zeros trick: Var/Mean over ALL N docs needs no dense
+    * (doc × term) frame — zero cells contribute nothing to Σx or Σx²,
+    * so b = Σx²/Σx − Σx/N from the SPARSE counts alone. Scale shape:
+    * one (doc_id, term) map-side-combined count (the shuffle carries
+    * distinct-per-doc terms, not token occurrences), ONE rollup to
+    * the Heaps-bounded vocab frame carrying exact integer sums, a
+    * 1-row doc-count broadcast, TakeOrdered top-K; b is one shared
+    * IEEE tree over exact integers, 4dp. */
+  def textBurstiness(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val cells = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("x"))
+    val n = broadcast(docs.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs")))
+    cells.groupBy(col("w").as("term"))
+      .agg(sum(col("x")).as("total_tf"),
+        count(lit(1)).as("doc_freq"),
+        sum(col("x") * col("x")).as("sx2"))
+      .crossJoin(n)
+      .select(col("term"), col("total_tf"), col("doc_freq"),
+        round(col("sx2").cast("double") / col("total_tf") -
+          col("total_tf").cast("double") / col("n_docs"), 4)
+          .as("burstiness"))
+      .orderBy(col("total_tf").desc, col("term").asc)
+      .limit(topK)
+  }
+
+  def textBurstinessQ(spark: SparkSession, dir: String): DataFrame =
+    textBurstiness(Tables.documents(spark, dir))
+
   /** First-iteration BPE merge-pair statistics: corpus-wide counts of
     * adjacent character pairs WITHIN words, ranked — the pair-counting
     * step a tokenizer-training run executes over the whole corpus before

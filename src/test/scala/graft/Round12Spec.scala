@@ -415,4 +415,44 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getDouble(4))
     ranked.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
   }
+
+  test("knn_assortativity: a degree-regular graph hits the zero-" +
+    "variance guard; the real graph stays in [-1, 1]") {
+    import spark.implicits._
+    // two orthogonal 6-cliques at k=5: every node's 5 NNs are its
+    // clique mates, all degrees 5 -> zero degree variance -> r = 0.0
+    val vecs = (0 until 12).map { i =>
+      val base = Array.fill(64)(0.0f)
+      base((i / 6) * 2) = 10.0f
+      base(8 + i % 6) = 1.0f // distinct small offsets, same cluster
+      (i.toLong, base, i / 6)
+    }
+    val out = graft.llm.Ann.knnAssortativity(
+      vecs.toDF("vec_id", "embedding", "label")).head()
+    assert(out.getLong(0) === 12L)       // all nodes in the graph
+    assert(out.getLong(1) === 30L)       // 2 x C(6,2) mutual edges
+    assert(out.getDouble(2) === 5.0)     // degree-regular
+    assert(out.getDouble(3) === 0.0)     // zero-variance guard
+    val real = graft.llm.Ann.knnAssortativityQ(spark, sfDir).head()
+    assert(real.getDouble(3) >= -1.0 && real.getDouble(3) <= 1.0)
+    assert(real.getLong(1) > 0L && real.getDouble(2) <= 5.0)
+  }
+
+  test("text_burstiness: a term packed into one doc scores Var/Mean " +
+    "7, a perfectly even term scores 0") {
+    import spark.implicits._
+    val docs = (0 until 8).map { i =>
+      val bursty = if (i == 0) " aaa" * 8 else ""
+      (i.toLong, s"bbb filler$i$bursty")
+    }.toDF("doc_id", "text")
+    val out = TextOps.textBurstiness(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // aaa: sum x = 8 in one doc of N=8 -> 64/8 - 8/8 = 7.0
+    assert(out("aaa") === ((8L, 1L, 7.0)))
+    // bbb: one per doc -> 8/8 - 8/8 = 0.0 (deterministic-even,
+    // sub-Poisson)
+    assert(out("bbb") === ((8L, 8L, 0.0)))
+    out.values.foreach(v => assert(v._3 >= 0.0 - 1e-9))
+  }
 }
