@@ -53,6 +53,15 @@ object ScaleSmokeR12b {
       times10(Tables.embeddings(spark, dir), Map("vec_id" -> 1000000L),
           perturb)
         .write.parquet(s"$dir10/embeddings.parquet")
+      // orders: shifted keys keep per-customer histories intact, so the
+      // survival exit mix replicates rather than merging customers
+      times10(Tables.orders(spark, dir),
+        Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
+        .write.parquet(s"$dir10/orders.parquet")
+      times10(Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey"),
+        Map("l_orderkey" -> 100000000L))
+        .write.parquet(s"$dir10/lineitem.parquet")
     }
 
     val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -71,7 +80,18 @@ object ScaleSmokeR12b {
       ("text_ngram_coverage", graft.llm.TextOps.textNgramCoverageQ _),
       ("corpus_family_purity", graft.llm.Dedup.corpusFamilyPurityQ _),
       ("embed_silhouette", graft.llm.Ann.embedSilhouetteQ _),
-      ("ivf_elbow_report", graft.llm.Ann.ivfElbowReportQ _))
+      ("ivf_elbow_report", graft.llm.Ann.ivfElbowReportQ _),
+      // second r12 wave
+      ("q_customer_survival",
+        (s: SparkSession, d: String) =>
+          graft.queries.Analytics3.qCustomerSurvival(s, d)),
+      ("q_basket_rules",
+        (s: SparkSession, d: String) =>
+          graft.queries.Analytics2.qBasketRules(s, d)),
+      ("text_zipf", graft.llm.TextOps.textZipfQ _),
+      ("text_burstiness", graft.llm.TextOps.textBurstinessQ _),
+      ("knn_assortativity", graft.llm.Ann.knnAssortativityQ _),
+      ("embed_pq_distortion", graft.llm.Ann.embedPqDistortionQ _))
 
     ops.foreach { case (_, fn) => noop(fn(spark, dir)) } // untimed warmup
     for ((label, d) <- Seq(("1x", dir), ("10x", dir10));
