@@ -2343,9 +2343,9 @@ object Ann {
   }
 
   /** Driver entry: balance of the shared 16-cell semantic quantizer
-    * (rows-only: k-means structure is not SQL-expressible; the spec
-    * pins conservation, the nlist=1 degenerate case, and empty-cell
-    * visibility instead). */
+    * (oracled since r11 via the unrolled-Lloyd SQL replay; the spec
+    * additionally pins conservation, the nlist=1 degenerate case, and
+    * empty-cell visibility). */
   def ivfBalanceQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfBalance(emb, trainSemanticCentroids(emb))
@@ -2638,10 +2638,10 @@ object Ann {
   }
 
   /** Driver entry: the default 16-cell quantizer swept over nprobe ∈
-    * {1, 2, 4, 8, 16} (rows-only: k-means structure is not
-    * SQL-expressible; the spec pins per-step recall monotonicity, the
-    * full-probe recall ≡ 1.0 identity, and the exact candidate
-    * arithmetic instead). */
+    * {1, 2, 4, 8, 16} (oracled since r11 via the unrolled-Lloyd SQL
+    * replay; the spec additionally pins per-step recall monotonicity,
+    * the full-probe recall ≡ 1.0 identity, and the exact candidate
+    * arithmetic). */
   def ivfTuningReportQ(spark: SparkSession, dir: String): DataFrame =
     ivfTuningReport(Tables.embeddings(spark, dir))
 
@@ -2724,19 +2724,19 @@ object Ann {
   }
 
   /** Driver entry: label the shared 16-cell semantic quantizer's cells
-    * over the real corpus (rows-only: the k-means structure is not
-    * SQL-expressible; AuditOpsSpec pins planted-vocabulary recovery on
-    * a separable fixture instead). */
+    * over the real corpus (oracled since r11 via the unrolled-Lloyd SQL
+    * replay; AuditOpsSpec additionally pins planted-vocabulary recovery
+    * on a separable fixture). */
   def corpusTopicTermsQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cells = semanticCells(emb, trainSemanticCentroids(emb))
     cellTopicTerms(Tables.documents(spark, dir), cells)
   }
 
-  /** Driver entry: semantic near-dup pairs over `embeddings` (rows-only:
-    * the k-means cell structure is not expressible in the oracle;
-    * LlmOpsSpec pins nlist=1 == brute force and cell-restricted
-    * exactness instead). */
+  /** Driver entry: semantic near-dup pairs over `embeddings` (oracled
+    * since r11 via the unrolled-Lloyd SQL replay; LlmOpsSpec
+    * additionally pins nlist=1 == brute force and cell-restricted
+    * exactness). */
   def dedupSemanticQ(spark: SparkSession, dir: String): DataFrame =
     dedupSemantic(Tables.embeddings(spark, dir))
 
@@ -2833,7 +2833,8 @@ object Ann {
     result
   }
 
-  /** Driver query (rows-only; LlmOpsSpec proves equality with the full
+  /** Driver query (oracled since r11 — the split replays in SQL under
+    * the same Lloyd chains; LlmOpsSpec proves equality with the full
     * fixed-quantizer run restricted to new-vector pairs): cell-store the
     * `vec_id % 10 < 6` split, probe with the rest. */
   def dedupSemanticIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
@@ -3023,9 +3024,10 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
-  /** Driver query (rows-only; LlmOpsSpec pins recall vs brute force,
-    * determinism, and the pruned read): index the corpus once per
-    * session, probe with the first 10 vectors. */
+  /** Driver query (oracled since r11 — ascore-ranked ADC replay, the
+    * serve path's exact contract; LlmOpsSpec additionally pins recall vs
+    * brute force, determinism, and the pruned read): index the corpus
+    * once per session, probe with the first 10 vectors. */
   def annIvfPqIndexQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -3136,9 +3138,10 @@ object Ann {
     result
   }
 
-  /** Driver query (rows-only; LlmOpsSpec proves equality with the full
-    * [[dedupEmbed]] restricted to new-vector pairs): LSH-store the
-    * `vec_id % 10 < 6` split, probe with the rest. */
+  /** Driver query (oracled since r11 — seeded-literal hyperplane
+    * replay; LlmOpsSpec proves equality with the full [[dedupEmbed]]
+    * restricted to new-vector pairs): LSH-store the `vec_id % 10 < 6`
+    * split, probe with the rest. */
   def dedupEmbedIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
