@@ -2513,21 +2513,32 @@ object Ann {
     val cents = trainSubCodebooks(train, m, dsub, ksub, iters)
     val kEff = cents(0).length
     val codes = pqCodesCol(cents, dsub)
-    val perJ: Seq[Column] = (0 until m).map { j =>
-      val sl = slice(col("v"), j * dsub + 1, dsub)
-      val d2ByCode = array((0 until kEff).map { c =>
-        val cw = cents(j)(c)
-        greatest(
-          graft.functions.VectorFunctions.vecDot(sl, sl)
-            - lit(2.0) * graft.functions.VectorFunctions.vecDot(sl, lit(cw))
-            + lit(cw.map(x => x * x).sum),
-          lit(0.0))
-      }: _*)
-      element_at(d2ByCode, element_at(col("codes"), j + 1) + 1)
-    }
+    // the m×ksub codewords ride a BROADCAST table, not plan literals:
+    // the literal form (an array of ksub distance expressions per
+    // subspace, element_at by code) blew the Generate stage's codegen
+    // unit past Janino's limits (InternalCompilerException → whole
+    // stage ran interpreted, 3.07 s on the r12 board); the join form
+    // keeps every codegen unit small and the encode→lookup semantics
+    // IDENTICAL — same codes, same cv doubles, same IEEE d² tree
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cb = broadcast(
+      (for (j <- 0 until m; c <- 0 until kEff)
+        yield (j, c, cents(j)(c).toSeq, cents(j)(c).map(x => x * x).sum))
+        .toDF("cbj", "cbc", "cv", "c2"))
+    val enc = vecs.select(col("v"),
+      posexplode(codes).as(Seq("subspace", "code")))
+    val sl = slice(col("v"), col("subspace") * dsub + 1, lit(dsub))
     val out = graft.Exec.materialize(
-      vecs.select(col("v"), codes.as("codes"))
-        .select(posexplode(array(perJ: _*)).as(Seq("subspace", "d2")))
+      enc.join(cb, col("subspace") === col("cbj") &&
+          col("code") === col("cbc"))
+        .select(col("subspace"),
+          greatest(
+            graft.functions.VectorFunctions.vecDot(sl, sl)
+              - lit(2.0) * graft.functions.VectorFunctions
+                  .vecDot(sl, col("cv"))
+              + col("c2"),
+            lit(0.0)).as("d2"))
         .groupBy(col("subspace"))
         .agg(count(lit(1)).as("n_vectors"),
           round(avg(col("d2")), 4).as("mean_distortion")))
