@@ -95,6 +95,8 @@ object SparkEntry {
       ((s, d) => Analytics3.eventsMarkovStationary(s, d)),
     "events_stickiness" -> ((s, d) => Analytics3.eventsStickiness(s, d)),
     "q_customer_survival" -> ((s, d) => Analytics3.qCustomerSurvival(s, d)),
+    "events_autocorrelation" ->
+      ((s, d) => Analytics3.eventsAutocorrelation(s, d)),
     "events_group_topk" ->
       (graft.operators.GroupTopK.eventsGroupTopKQ _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
@@ -1678,6 +1680,43 @@ object SparkEntry {
         |WHERE r <= 3""".stripMargin,
     // seasonal-naive backtest: dense hour spine from the corpus' own
     // span (missing hours are real zeros), two lags, exact-int MAEs
+    // dense-grid ACF: every sum an exact integer, r_k one shared IEEE
+    // tree (mu recomputed identically at each occurrence), zero-variance
+    // guard, 4dp
+    "events_autocorrelation" ->
+      """WITH hrs AS (
+        |  SELECT epoch_ms(ts) // 1000 // 3600 AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        |dense AS (
+        |  SELECT g.h, coalesce(hrs.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM b) g
+        |  LEFT JOIN hrs ON g.h = hrs.h),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(c) AS BIGINT) AS s1,
+        |          CAST(sum(c * c) AS BIGINT) AS s2 FROM dense),
+        |pairs AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(a.c * d.c) AS BIGINT) AS sab,
+        |    CAST(sum(a.c) AS BIGINT) AS sa,
+        |    CAST(sum(d.c) AS BIGINT) AS sb
+        |  FROM (SELECT unnest(generate_series(1, 24)) AS lag) l,
+        |    dense a, dense d
+        |  WHERE d.h = a.h + l.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, m AS n_pairs,
+        |  CASE WHEN CAST(s2 AS DOUBLE)
+        |      - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      <> 0.0
+        |    THEN round((CAST(sab AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / n * sa
+        |        - CAST(s1 AS DOUBLE) / n * sb
+        |        + m * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |      / (CAST(s2 AS DOUBLE)
+        |        - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+        |      4)
+        |    ELSE 0.0 END AS acf
+        |FROM pairs, tot""".stripMargin,
     "events_forecast_baseline" ->
       """WITH hourly AS (
         |  SELECT epoch_ms(ts) // 1000 // 3600 AS h, event_type,

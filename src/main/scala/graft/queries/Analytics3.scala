@@ -552,6 +552,64 @@ object Analytics3 {
             4)).otherwise(0.0).as("stickiness"))
   }
 
+  /** Hourly autocorrelation function (r12): ACF at lags 1..`maxLag`
+    * of the DENSE corpus-wide hourly event-count series — the
+    * statistical twin of `events_seasonality` (that one profiles
+    * hour-of-day/day-of-week means; this one measures how much the
+    * series REMEMBERS at each offset, which is what picks the seasonal
+    * window `events_forecast_baseline` takes as input: a daily cycle
+    * shows as an ACF spike at lag 24, sessionful traffic as high lag-1
+    * mass, white noise as nothing). The grid must be dense — skipping
+    * empty hours silently shortens every lag and biases r upward —
+    * so missing hours are real zeros off a broadcast min/max spine
+    * (the forecast_baseline spine rule).
+    *
+    * Scale shape: ONE map-side-combined rollup collapses the corpus
+    * to the |hours| frame (materialized, reused 3×); the lag pairing
+    * is a (maxLag × |hours|) self-join over THAT dimension-sized
+    * frame, never the corpus; totals ride a 1-row broadcast.
+    * Determinism: every sum is an exact integer (counts and count
+    * products); r_k = (Σab − μΣa − μΣb + mμ²)/(Σc² − nμ²) is one
+    * shared IEEE tree over them, rounded 4dp, with a zero-variance
+    * guard. */
+  def eventsAutocorrelation(spark: SparkSession, dir: String,
+                            maxLag: Int = 24): DataFrame =
+    eventsAutocorrelationOn(Tables.events(spark, dir), maxLag)
+
+  def eventsAutocorrelationOn(events: DataFrame,
+                              maxLag: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    val hourly = events
+      .select((col("ts").cast("long") / 3600L).cast("long").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val bounds = broadcast(hourly.agg(min(col("h")).as("h0"),
+      max(col("h")).as("h1")))
+    val dense = graft.Exec.materialize(
+      bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(hourly, Seq("h"), "left")
+        .select(col("h"), coalesce(col("c"), lit(0L)).as("c")))
+    val tot = broadcast(dense.agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2")))
+    val lags = spark.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = lags.crossJoin(dense.select(col("h"), col("c").as("ca")))
+      .join(dense.select(col("h").as("hb"), col("c").as("cb")),
+        col("hb") === col("h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+    val mu = col("s1").cast("double") / col("n")
+    val den = col("s2").cast("double") - col("n") * mu * mu
+    pairs.crossJoin(tot)
+      .select(col("lag"), col("m").as("n_pairs"),
+        when(den =!= 0.0,
+          round((col("sab").cast("double") - mu * col("sa")
+            - mu * col("sb") + col("m") * mu * mu) / den, 4))
+          .otherwise(0.0).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** Kaplan–Meier churn-survival curve over customer order lifetimes
     * (r12): per observed exit week, the at-risk population, churn and
     * censor exits, the discrete hazard d/n, and the product-limit

@@ -455,4 +455,45 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     assert(out("bbb") === ((8L, 8L, 0.0)))
     out.values.foreach(v => assert(v._3 >= 0.0 - 1e-9))
   }
+
+  test("events_autocorrelation: a planted period-2 series alternates " +
+    "±(n-k)/n exactly; lags count down the dense grid") {
+    import spark.implicits._
+    // 2 events in every EVEN hour of a 48-hour window; odd hours are
+    // spine zeros -> c = [2,0,2,0,...], mu = 1, biased ACF
+    // r_k = ±(n-k)/n
+    val rows = for (h <- 0 until 48 if h % 2 == 0; i <- 0 until 2)
+      yield (h.toLong * 2 + i, 1L, "click", 1.0,
+        new java.sql.Timestamp((1704067200L + h * 3600L) * 1000L),
+        """{"k":1}""")
+    val out = graft.queries.Analytics3.eventsAutocorrelationOn(
+        rows.toDF("event_id", "user_id", "event_type", "value", "ts",
+          "props"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size === 24)
+    // series ends on hour 46 (the last even hour): n = 47 dense hours;
+    // plain-Scala replay of the biased ACF is the expectation
+    val c = (0 until 47).map(t => if (t % 2 == 0) 2.0 else 0.0)
+    val n = 47.0
+    val mu = c.sum / n
+    val den = c.map(x => x * x).sum - n * mu * mu
+    for (k <- 1 to 24) {
+      val m = 47 - k
+      val ab = (0 until m).map(t => (c(t), c(t + k)))
+      val num = ab.map { case (a, b) => a * b }.sum -
+        mu * ab.map(_._1).sum - mu * ab.map(_._2).sum + m * mu * mu
+      val expect = math.rint(num / den * 1e4) / 1e4
+      assert(out(k)._1 === m.toLong, s"n_pairs at lag $k")
+      assert(math.abs(out(k)._2 - expect) < 2e-4,
+        s"lag $k: ${out(k)._2} vs $expect")
+      // sign structure of the planted period-2 cycle survives the
+      // biased normalization: even lags positive, odd negative
+      assert((out(k)._2 > 0) === (k % 2 == 0), s"sign at lag $k")
+    }
+    val real = graft.queries.Analytics3
+      .eventsAutocorrelation(spark, sfDir).collect()
+    assert(real.length === 24)
+    real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.001))
+  }
 }
