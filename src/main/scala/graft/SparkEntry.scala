@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
 import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, Video}
-import graft.queries.{Analytics, Analytics2, Analytics3}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -99,6 +99,11 @@ object SparkEntry {
       ((s, d) => Analytics3.eventsAutocorrelation(s, d)),
     "events_group_topk" ->
       (graft.operators.GroupTopK.eventsGroupTopKQ _),
+    "events_power_users" -> (Analytics4.eventsPowerUsers _),
+    "events_changepoint" -> ((s, d) => Analytics4.eventsChangepoint(s, d)),
+    "events_type_affinity" -> (Analytics4.eventsTypeAffinity _),
+    "events_user_entropy" -> (Analytics4.eventsUserEntropy _),
+    "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -1717,6 +1722,138 @@ object SparkEntry {
         |      4)
         |    ELSE 0.0 END AS acf
         |FROM pairs, tot""".stripMargin,
+    // Gini over the activity-value histogram: the tie-block identity
+    // Σ i·c = c·(m·o + m(m+1)/2) makes both engines rank-free; shares
+    // read the block containing rank k with a deterministic partial
+    "events_power_users" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, count(*) AS m FROM counts GROUP BY 1),
+        |scored AS (
+        |  SELECT c, m,
+        |    sum(m) OVER w AS cum_u,
+        |    sum(c * m) OVER w AS cum_e,
+        |    sum(m) OVER w - m AS o
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT sum(m) AS n, sum(c * m) AS s,
+        |    sum(c * (m * o + m * (m + 1) // 2)) AS t
+        |  FROM scored),
+        |x AS (SELECT scored.*, tot.n, tot.s, tot.t,
+        |    greatest(1, tot.n // 100) AS k1,
+        |    greatest(1, tot.n // 10) AS k10
+        |  FROM scored, tot)
+        |SELECT
+        |  CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(max(s) AS BIGINT) AS n_events,
+        |  round(CAST(2 * max(t) - (max(n) + 1) * max(s) AS DOUBLE)
+        |    / (CAST(max(n) AS DOUBLE) * CAST(max(s) AS DOUBLE)), 4)
+        |    AS gini,
+        |  round(CAST(max(CASE WHEN n - cum_u < k1
+        |      THEN (s - cum_e) + least(m, k1 - (n - cum_u)) * c END)
+        |      AS DOUBLE) / CAST(max(s) AS DOUBLE), 4) AS top1pct_share,
+        |  round(CAST(max(CASE WHEN n - cum_u < k10
+        |      THEN (s - cum_e) + least(m, k10 - (n - cum_u)) * c END)
+        |      AS DOUBLE) / CAST(max(s) AS DOUBLE), 4) AS top10pct_share
+        |FROM x""".stripMargin,
+    // binary-segmentation first split over the dense hourly grid; the
+    // score tree (s·n − S·t)²/(t·(n−t)·n) is all-double on both sides
+    "events_changepoint" ->
+      """WITH hrs AS (
+        |  SELECT epoch_ms(ts) // 1000 // 3600 AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        |dense AS (
+        |  SELECT g.h, coalesce(hrs.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM b) g
+        |  LEFT JOIN hrs ON g.h = hrs.h),
+        |cum AS (SELECT h, c,
+        |    CAST(count(*) OVER w AS BIGINT) AS t,
+        |    CAST(sum(c) OVER w AS BIGINT) AS s
+        |  FROM dense
+        |  WINDOW w AS (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(max(t) AS BIGINT) AS n,
+        |    CAST(max(s) AS BIGINT) AS stot FROM cum),
+        |sc AS (SELECT h, t, s, n, stot,
+        |    (CAST(s AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(stot AS DOUBLE) * CAST(t AS DOUBLE)) AS num
+        |  FROM cum, tot WHERE t < n),
+        |sc2 AS (SELECT *, num * num
+        |    / (CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+        |      * CAST(n AS DOUBLE)) AS score
+        |  FROM sc),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, h)
+        |    AS rank FROM sc2)
+        |SELECT CAST(rank AS INTEGER) AS rank,
+        |  (h + 1) * 3600 AS split_epoch_s,
+        |  t AS hours_left, n - t AS hours_right,
+        |  round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 4) AS mean_left,
+        |  round((CAST(stot AS DOUBLE) - CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)), 4) AS mean_right,
+        |  round((CAST(stot AS DOUBLE) - CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+        |    - CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 4) AS shift,
+        |  round(score, 4) AS score
+        |FROM rk WHERE rank <= 5""".stripMargin,
+    "events_type_affinity" ->
+      """WITH ud AS (SELECT DISTINCT user_id, event_type FROM events),
+        |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS users
+        |  FROM ud GROUP BY 1),
+        |nt AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM ud),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS users_both
+        |  FROM ud a JOIN ud b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ma.users AS users_a, mb.users AS users_b,
+        |  users_both,
+        |  round(CAST(users_both AS DOUBLE)
+        |    / CAST(ma.users + mb.users - users_both AS DOUBLE), 4)
+        |    AS jaccard,
+        |  round(CAST(users_both AS DOUBLE) * CAST(nt.n AS DOUBLE)
+        |    / (CAST(ma.users AS DOUBLE) * CAST(mb.users AS DOUBLE)), 4)
+        |    AS lift,
+        |  round(ln(CAST(users_both AS DOUBLE) * CAST(nt.n AS DOUBLE)
+        |    / (CAST(ma.users AS DOUBLE) * CAST(mb.users AS DOUBLE))), 4)
+        |    AS pmi
+        |FROM p
+        |JOIN marg ma ON ma.event_type = p.type_a
+        |JOIN marg mb ON mb.event_type = p.type_b
+        |CROSS JOIN nt""".stripMargin,
+    "events_user_entropy" ->
+      """WITH ut AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        |  FROM ut GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  round(greatest(0.0, ln(CAST(n_events AS DOUBLE))
+        |    - clogc / CAST(n_events AS DOUBLE)), 4) AS entropy,
+        |  CASE WHEN n_types > 1
+        |    THEN round(greatest(0.0, (ln(CAST(n_events AS DOUBLE))
+        |      - clogc / CAST(n_events AS DOUBLE))
+        |      / ln(CAST(n_types AS DOUBLE))), 4)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM u""".stripMargin,
+    "q_reorder_rate" ->
+      """WITH pco AS (SELECT DISTINCT l_partkey AS partkey,
+        |    o_custkey AS custkey, o_orderkey AS orderkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pb AS (SELECT partkey, custkey, CAST(count(*) AS BIGINT)
+        |    AS n_orders
+        |  FROM pco GROUP BY 1, 2)
+        |SELECT partkey, CAST(count(*) AS BIGINT) AS buyers,
+        |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS repeat_buyers,
+        |  CAST(sum(n_orders) AS BIGINT) AS orders,
+        |  CAST(max(n_orders) AS BIGINT) AS max_orders_per_buyer,
+        |  round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS repeat_rate
+        |FROM pb GROUP BY 1""".stripMargin,
     "events_forecast_baseline" ->
       """WITH hourly AS (
         |  SELECT epoch_ms(ts) // 1000 // 3600 AS h, event_type,

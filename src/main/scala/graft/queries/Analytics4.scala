@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 second-wave analytics: activity concentration, structural
+  * change detection, behavioral co-occurrence/diversity, and repeat
+  * purchase — shapes the earlier families don't cover (a global Gini
+  * without a global sort, an argmax over every possible series split in
+  * one pass, PMI over a bounded self-join).
+  *
+  * Determinism contract shared with [[Analytics3]]: every aggregate is
+  * an exact integer (counts, count products) until ONE final IEEE
+  * double expression tree both engines evaluate identically, rounded
+  * 4dp at the edge.
+  */
+object Analytics4 {
+
+  /** Activity concentration report — Gini coefficient and top-1%/10%
+    * share of events over users, the "how skewed is our traffic" audit
+    * every capacity planner and bot-hunter runs first (a Gini near 1
+    * says a handful of accounts generate the corpus and per-user
+    * partitioning will skew; near 0 says uniform).
+    *
+    * The naive Gini ranks every user globally — a full sort of a
+    * corpus-dimension frame. The scale-right shape exploits that the
+    * rank statistic Σ i·cᵢ is tie-invariant: group users into the
+    * HISTOGRAM of activity values (distinct event-counts c, bounded by
+    * max per-user activity, thousands not billions), where a tie-block
+    * of m users at value c starting after o users contributes
+    * c·(m·o + m(m+1)/2) exactly. Two map-side-combined aggs (user
+    * counts → value histogram) and windows over the histogram frame
+    * only. Top-k shares read off the same histogram: the block
+    * containing rank k contributes a deterministic partial
+    * (k − users_before)·c — no per-user tiebreak ever matters.
+    *
+    * All sums ride DECIMAL(38,0) (i·c products overflow BIGINT at
+    * 10⁹ users × 10⁶ events); the final ratios are one shared IEEE
+    * tree, 4dp. */
+  def eventsPowerUsers(spark: SparkSession, dir: String): DataFrame =
+    eventsPowerUsersOn(Tables.events(spark, dir))
+
+  /** The (activity value → user count) histogram — the ONLY pass over
+    * the corpus; exposed un-materialized so the plan spec can pin its
+    * single user_id exchange (a pin on the operator's own plan would
+    * see a LogicalRDD past the materialize cut). */
+  private[graft] def activityHistogram(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+
+  def eventsPowerUsersOn(events: DataFrame): DataFrame = {
+    // materialized: both the windowed block frame and the totals row
+    // derive from the histogram — without the cut, the crossJoin's
+    // build side replays the corpus aggregation a second time
+    val hist = graft.Exec.materialize(activityHistogram(events))
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val asc = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hist
+      .withColumn("cum_u", sum(col("m")).over(asc))
+      .withColumn("cum_e", sum(dec(col("c")) * dec(col("m"))).over(asc))
+      .withColumn("o", col("cum_u") - col("m"))
+      // Σ i·c over the tie-block = c·(m·o + m(m+1)/2), exact integers
+      // (m(m+1) is always even, so the integer div loses nothing)
+      .withColumn("rank_term",
+        dec(col("c")) * (dec(col("m")) * dec(col("o")) +
+          dec(expr("m * (m + 1) div 2"))))
+    val tot = scored.agg(
+      sum(col("m")).as("n"),
+      sum(dec(col("c")) * dec(col("m"))).as("s"),
+      sum(col("rank_term")).as("t"))
+    // top-k share: the DESC-cumulative block containing rank k yields
+    // events_above + (k − users_above)·c; max over qualifying blocks
+    // IS that block's value (cumulative sums increase monotonically)
+    def topShare(k: org.apache.spark.sql.Column) = {
+      val above = col("n") - col("cum_u") // users strictly more active
+      val eAbove = col("s") - col("cum_e")
+      max(when(above < k,
+        eAbove + dec(least(dec(col("m")), k - above)) * dec(col("c"))))
+    }
+    val withTot = scored.crossJoin(broadcast(tot))
+    withTot.agg(
+      first(col("n")).as("n_users"),
+      first(col("s").cast("long")).as("n_events"),
+      round(
+        (lit(2).cast("decimal(38,0)") * first(col("t")) -
+          dec(first(col("n")) + lit(1)) * first(col("s"))).cast("double") /
+        (first(col("n")).cast("double") * first(col("s")).cast("double")),
+        4).as("gini"),
+      round(topShare(dec(greatest(lit(1L), expr("n div 100"))))
+        .cast("double") / first(col("s")).cast("double"), 4)
+        .as("top1pct_share"),
+      round(topShare(dec(greatest(lit(1L), expr("n div 10"))))
+        .cast("double") / first(col("s")).cast("double"), 4)
+        .as("top10pct_share"))
+  }
+
+  /** Structural-break detection: the binary-segmentation first split of
+    * the DENSE corpus-wide hourly series — which hour boundary best
+    * separates "before" from "after" (deploys, incidents, bot waves,
+    * onboarding launches all present as a level shift;
+    * `events_anomaly` finds hour-sized spikes, this finds the REGIME
+    * change those z-scores silently absorb into the mean). Score is
+    * the between-segment sum of squares t·(n−t)/n·(μl−μr)², evaluated
+    * at every candidate split from ONE prefix-sum pass.
+    *
+    * Dense grid off a broadcast min/max spine (the forecast_baseline
+    * spine rule — skipping empty hours biases both means). Prefix sums
+    * window over the |hours| frame only (the q_rolling_revenue
+    * argument); each candidate's score is pure arithmetic on its own
+    * row. Double products throughout — s·n and S·t stay exact under
+    * 2^53 at any plausible hour count, and above it the IEEE tree is
+    * still the SAME tree on both engines, so ranks agree. Ties break
+    * on the earlier hour. */
+  def eventsChangepoint(spark: SparkSession, dir: String,
+                        topK: Int = 5): DataFrame =
+    eventsChangepointOn(Tables.events(spark, dir), topK)
+
+  def eventsChangepointOn(events: DataFrame, topK: Int = 5): DataFrame = {
+    val hourly = events
+      .select((col("ts").cast("long") / 3600L).cast("long").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val bounds = broadcast(hourly.agg(min(col("h")).as("h0"),
+      max(col("h")).as("h1")))
+    val dense = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val pre = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .withColumn("t", count(lit(1)).over(pre))
+      .withColumn("s", sum(col("c")).over(pre))
+    val tot = broadcast(cum.agg(max(col("t")).as("n"),
+      max(col("s")).as("tot")))
+    val d = (c: String) => col(c).cast("double")
+    val scored = cum.crossJoin(tot)
+      .filter(col("t") < col("n")) // split AFTER hour h: left = 1..t
+      .withColumn("num", d("s") * d("n") - d("tot") * d("t"))
+      .withColumn("score",
+        col("num") * col("num") / (d("t") * (d("n") - d("t")) * d("n")))
+    val w = Window.orderBy(col("score").desc, col("h"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank"),
+        ((col("h") + 1) * 3600L).as("split_epoch_s"),
+        col("t").as("hours_left"),
+        (col("n") - col("t")).as("hours_right"),
+        round(d("s") / d("t"), 4).as("mean_left"),
+        round((d("tot") - d("s")) / (d("n") - d("t")), 4).as("mean_right"),
+        round((d("tot") - d("s")) / (d("n") - d("t")) - d("s") / d("t"), 4)
+          .as("shift"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Event-type affinity matrix: for every type pair, how many users
+    * do BOTH, with Jaccard, lift and PMI — the behavioral
+    * co-occurrence readout ("do users who error also purchase?") that
+    * decides which event families share a funnel and which are
+    * independent traffic. PMI > 0 means doing A makes B more likely
+    * than the marginals predict.
+    *
+    * Scale shape: ONE distinct (user, type) reduction (map-side
+    * combined), then a self-join co-partitioned on user_id whose
+    * fan-out is bounded by |types|² per user — never a corpus×corpus
+    * pair stream; marginals and the user total ride a broadcast join.
+    * Counts exact; jaccard/lift/pmi one IEEE tree, 4dp. */
+  def eventsTypeAffinity(spark: SparkSession, dir: String): DataFrame =
+    eventsTypeAffinityOn(Tables.events(spark, dir))
+
+  def eventsTypeAffinityOn(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), col("event_type")).distinct()
+    val marg = ud.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("users"))
+    val nTot = broadcast(ud.agg(countDistinct(col("user_id")).as("n")))
+    val a = ud.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ud.select(col("user_id"), col("event_type").as("type_b"))
+    val both = a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("users_both"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    both
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("users").as("users_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("users").as("users_b"))), Seq("type_b"))
+      .crossJoin(nTot)
+      .select(col("type_a"), col("type_b"),
+        col("users_a"), col("users_b"), col("users_both"),
+        round(d(col("users_both")) /
+          d(col("users_a") + col("users_b") - col("users_both")), 4)
+          .as("jaccard"),
+        round(d(col("users_both")) * d(col("n")) /
+          (d(col("users_a")) * d(col("users_b"))), 4).as("lift"),
+        round(log(d(col("users_both")) * d(col("n")) /
+          (d(col("users_a")) * d(col("users_b")))), 4).as("pmi"))
+  }
+
+  /** Per-user behavioral diversity: Shannon entropy of each user's
+    * event-type distribution, plus its normalized form H/ln(k) — the
+    * single-number "is this account a one-trick bot or a real user"
+    * feature every abuse model starts from (bots concentrate on one
+    * type → H≈0; organic users spread → H near ln k). The per-term
+    * form Σ (c/n)·ln(n/c) makes single-type users EXACTLY 0.0 (ln 1 is
+    * exact), where ln n − Σ c·ln c/n would leave an ulp of noise.
+    *
+    * One (user, type) reduction then one user-keyed agg, both
+    * map-side combined; no windows, no corpus-wide sort. Integer
+    * counts feed a shared IEEE tree, 4dp. */
+  def eventsUserEntropy(spark: SparkSession, dir: String): DataFrame =
+    eventsUserEntropyOn(Tables.events(spark, dir))
+
+  def eventsUserEntropyOn(events: DataFrame): DataFrame = {
+    val ut = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    // ln(n) − Σ c·ln(c)/n — the two-aggregate algebraic form
+    // ([[graft.llm.TextOps.textEntropy]]'s shape); greatest(0, ·)
+    // clamps the ±ulp residue a single-type user leaves (both engines'
+    // ln may differ in the last bit, and −1e-17 would round to "-0.0"
+    // on one side only)
+    val perUser = ut.groupBy(col("user_id")).agg(
+      sum(col("c")).as("n_events"),
+      count(lit(1)).as("n_types"),
+      sum(d(col("c")) * log(d(col("c")))).as("clogc"))
+    val h = greatest(lit(0.0),
+      log(d(col("n_events"))) - col("clogc") / d(col("n_events")))
+    perUser.select(col("user_id"), col("n_events"), col("n_types"),
+      round(h, 4).as("entropy"),
+      round(when(col("n_types") > 1,
+        greatest(lit(0.0), h / log(d(col("n_types"))))).otherwise(0.0), 4)
+        .as("norm_entropy"))
+  }
+
+  /** Repeat-purchase report per part: of the customers who ever bought
+    * the part, how many came back for it in a second order — the
+    * reorder-rate view merchandising uses to split staples from
+    * one-off buys (and the pipeline twin of a per-key "returning
+    * user" rate on any entity).
+    *
+    * Scale shape: lineitem joins orders on the orderkey hash (both
+    * sides co-partitioned by the join key; no broadcast — orders is
+    * corpus-sized), reduces to distinct (part, cust, order) DURING the
+    * first agg, then two map-side-combined rollups. Output is
+    * |parts|-dimensional. Exact integers + one 4dp ratio. */
+  def qReorderRate(spark: SparkSession, dir: String): DataFrame =
+    qReorderRateOn(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  def qReorderRateOn(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+    val pco = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_partkey").as("partkey"), col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"))
+      .distinct()
+    val perBuyer = pco.groupBy(col("partkey"), col("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    perBuyer.groupBy(col("partkey")).agg(
+      count(lit(1)).as("buyers"),
+      sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("repeat_buyers"),
+      sum(col("n_orders")).as("orders"),
+      max(col("n_orders")).as("max_orders_per_buyer"),
+      round(sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double"), 4)
+        .as("repeat_rate"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics4
+
+/** Fixtures and invariants for the round-12 session-B analytics wave:
+  * events_power_users, events_changepoint, events_type_affinity,
+  * events_user_entropy, q_reorder_rate. */
+class Round12bSpec extends AnyFunSuite with SparkFixture {
+
+  test("events_power_users: hand-computed Gini and top shares") {
+    import spark.implicits._
+    // counts asc [1,1,2,4]: Σ i·c = 1+2+6+16 = 25,
+    // G = (2·25 − 5·8)/(4·8) = 10/32 = 0.3125; k1 = k10 = 1 → top user
+    // holds 4 of 8 events
+    val events = Seq(1L, 2L, 3L, 3L, 4L, 4L, 4L, 4L).toDF("user_id")
+    val r = Analytics4.eventsPowerUsersOn(events).collect()(0)
+    assert(r.getAs[Long]("n_users") === 4L)
+    assert(r.getAs[Long]("n_events") === 8L)
+    assert(r.getAs[Double]("gini") === 0.3125)
+    assert(r.getAs[Double]("top1pct_share") === 0.5)
+    assert(r.getAs[Double]("top10pct_share") === 0.5)
+  }
+
+  test("events_power_users: uniform activity has Gini 0 and the " +
+    "boundary tie-block contributes its deterministic partial") {
+    import spark.implicits._
+    // every user at c=2: one block, k=1 lands inside it → share = 2/4
+    val events = Seq(1L, 1L, 2L, 2L).toDF("user_id")
+    val r = Analytics4.eventsPowerUsersOn(events).collect()(0)
+    assert(r.getAs[Double]("gini") === 0.0)
+    assert(r.getAs[Double]("top1pct_share") === 0.5)
+  }
+
+  test("events_changepoint: a planted step lands the split, ties " +
+    "break on the earlier hour") {
+    import spark.implicits._
+    // hours 1000..1003 with counts [1,1,5,5]: best split after hour
+    // 1001 (score 16); t=1 and t=3 tie at 5.3333 → earlier hour ranks 2
+    val rows = Seq.fill(1)(1000L) ++ Seq.fill(1)(1001L) ++
+      Seq.fill(5)(1002L) ++ Seq.fill(5)(1003L)
+    val events = rows.toDF("h")
+      .select(timestamp_seconds(col("h") * 3600L).as("ts"))
+    val out = Analytics4.eventsChangepointOn(events).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("split_epoch_s") === 1002L * 3600L)
+    assert(out(0).getAs[Long]("hours_left") === 2L)
+    assert(out(0).getAs[Double]("mean_left") === 1.0)
+    assert(out(0).getAs[Double]("mean_right") === 5.0)
+    assert(out(0).getAs[Double]("shift") === 4.0)
+    assert(out(0).getAs[Double]("score") === 16.0)
+    assert(out(1).getAs[Long]("split_epoch_s") === 1001L * 3600L)
+    assert(out(2).getAs[Long]("split_epoch_s") === 1003L * 3600L)
+    assert(out(1).getAs[Double]("score") === out(2).getAs[Double]("score"))
+  }
+
+  test("events_changepoint: missing hours are real zeros in both " +
+    "segments") {
+    import spark.implicits._
+    // events only at hours 1000 and 1003 → the dense grid has 4 hours;
+    // with counts [2,0,0,2] the symmetric splits t=1/t=3 share the top
+    // score and t=1 wins the tie
+    val events = Seq(1000L, 1000L, 1003L, 1003L).toDF("h")
+      .select(timestamp_seconds(col("h") * 3600L).as("ts"))
+    val out = Analytics4.eventsChangepointOn(events).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out(0).getAs[Long]("hours_left") +
+      out(0).getAs[Long]("hours_right") === 4L)
+    assert(out(0).getAs[Long]("split_epoch_s") === 1001L * 3600L)
+  }
+
+  test("events_type_affinity: PMI/lift/jaccard from exact counts") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"), (4L, "b"),
+      (4L, "a") // duplicate (user,type) rows must not double-count
+    ).toDF("user_id", "event_type")
+    val out = Analytics4.eventsTypeAffinityOn(events).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("type_a") === "a")
+    assert(r.getAs[Long]("users_a") === 3L)
+    assert(r.getAs[Long]("users_b") === 3L)
+    assert(r.getAs[Long]("users_both") === 2L)
+    assert(r.getAs[Double]("jaccard") === 0.5)
+    assert(r.getAs[Double]("lift") === 0.8889)
+    assert(r.getAs[Double]("pmi") === -0.1178)
+  }
+
+  test("events_user_entropy: single-type users are exactly 0.0, " +
+    "balanced two-type users hit ln 2 with norm 1") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"),
+      (3L, "a"), (3L, "a"), (3L, "b")
+    ).toDF("user_id", "event_type")
+    val out = Analytics4.eventsUserEntropyOn(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy"))))
+      .toMap
+    assert(out(1L) === ((4L, 2L, 0.6931, 1.0)))
+    assert(out(2L) === ((1L, 1L, 0.0, 0.0)))
+    assert(out(3L) === ((3L, 2L, 0.6365, 0.9183)))
+  }
+
+  test("q_reorder_rate: same-order duplicate lines don't count as a " +
+    "reorder; a second order does") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (10L, 100L), (11L, 100L), // c1 buys p100 in two orders → repeat
+      (12L, 100L),              // c2 buys p100 once
+      (10L, 200L), (10L, 200L)  // c1 buys p200 twice in ONE order
+    ).toDF("l_orderkey", "l_partkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Analytics4.qReorderRateOn(lineitem, orders).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        ((r.getAs[Long]("buyers"), r.getAs[Long]("repeat_buyers"),
+          r.getAs[Long]("orders"), r.getAs[Long]("max_orders_per_buyer"),
+          r.getAs[Double]("repeat_rate")))).toMap
+    assert(out(100L) === ((2L, 1L, 3L, 2L, 0.5)))
+    assert(out(200L) === ((1L, 0L, 1L, 1L, 0.0)))
+  }
+
+  test("events_power_users plan: the corpus shuffles once into the " +
+    "histogram, and the operator never re-reads it past the cut") {
+    // pin the pre-materialize histogram (the operator's only corpus
+    // pass): exactly one user_id exchange
+    val histPlan = Analytics4
+      .activityHistogram(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(histPlan).size === 1,
+      s"histogram should shuffle the corpus once:\n$histPlan")
+    // past the cut, everything is histogram-dimensional: no user_id
+    // exchange (and no parquet scan) may appear in the final plan
+    val plan = Analytics4.eventsPowerUsers(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(user_id"),
+      s"final plan must not replay the corpus agg:\n$plan")
+    assert(!plan.toLowerCase.contains("filescan"),
+      s"final plan must not re-scan parquet:\n$plan")
+  }
+
+  test("session-B ops run on the warehouse and return rows") {
+    assert(Analytics4.eventsPowerUsers(spark, sfDir).count() === 1L)
+    assert(Analytics4.eventsChangepoint(spark, sfDir).count() === 5L)
+    assert(Analytics4.eventsTypeAffinity(spark, sfDir).count() === 10L)
+    assert(Analytics4.eventsUserEntropy(spark, sfDir).count() > 0L)
+    assert(Analytics4.qReorderRate(spark, sfDir).count() > 0L)
+  }
+}
