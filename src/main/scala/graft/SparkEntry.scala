@@ -42,6 +42,8 @@ object SparkEntry {
     "cdc_lateness_profile" -> (Cdc.latenessProfileQ _),
     "cdc_snapshot_profile" -> (Cdc.snapshotProfileQ _),
     "cdc_delete_debt" -> (Cdc.deleteDebtQ _),
+    "cdc_column_volatility" -> (Cdc.columnVolatilityQ _),
+    "cdc_key_lifespan" -> (Cdc.keyLifespanQ _),
     "cdc_snapshot_diff" -> (Cdc.snapshotDiffQ _),
     "cdc_merge_partitioned" -> (MergePipeline.mergePartitionedQ _),
     // Analytics (SURVEY §2B)
@@ -415,6 +417,58 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_deleted_keys,
          |  CAST(sum(n_changes) AS BIGINT) AS n_changes
          |FROM pk WHERE last_op = 'd' GROUP BY 1""".stripMargin,
+    "cdc_column_volatility" ->
+      s"""WITH st AS (
+         |  SELECT user_id, value, prop_k, event_type,
+         |    lag(value) OVER w AS p_value,
+         |    lag(prop_k) OVER w AS p_k,
+         |    lag(event_type) OVER w AS p_type
+         |  FROM ($flattenSql) f
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY __source_ts_ms, $opPrioSql, event_id)),
+         |t AS (SELECT * FROM st WHERE p_type IS NOT NULL),
+         |u AS (
+         |  SELECT user_id, 'value' AS col_name,
+         |    value <> p_value AS changed FROM t
+         |  UNION ALL SELECT user_id, 'prop_k', prop_k <> p_k FROM t
+         |  UNION ALL SELECT user_id, 'event_type',
+         |    event_type <> p_type FROM t)
+         |SELECT col_name, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(count(DISTINCT CASE WHEN changed THEN user_id END)
+         |    AS BIGINT) AS n_keys_changed,
+         |  round(CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS change_rate
+         |FROM u GROUP BY 1""".stripMargin,
+    "cdc_key_lifespan" ->
+      s"""WITH pk AS (
+         |  SELECT user_id,
+         |    min(__ts_ms) AS first_ms, max(__ts_ms) AS last_ms,
+         |    max(CASE WHEN rn = 1 THEN __op END) AS last_op,
+         |    CAST(count(*) AS BIGINT) AS n_changes
+         |  FROM (
+         |    SELECT user_id, __op, __ts_ms, __source_ts_ms, row_number()
+         |      OVER (PARTITION BY user_id
+         |        ORDER BY __source_ts_ms DESC, $opPrioSql DESC,
+         |          event_id DESC) AS rn
+         |    FROM ($flattenSql) flat) t
+         |  GROUP BY user_id),
+         |b AS (SELECT *,
+         |    last_ms - first_ms AS span,
+         |    CASE WHEN n_changes = 1 THEN '0_single'
+         |      WHEN last_ms - first_ms < 86400000 THEN '1_lt_1d'
+         |      WHEN last_ms - first_ms < 604800000 THEN '2_lt_7d'
+         |      WHEN last_ms - first_ms < 2592000000 THEN '3_lt_30d'
+         |      ELSE '4_ge_30d' END AS lifespan_bucket
+         |  FROM pk)
+         |SELECT lifespan_bucket, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(CASE WHEN last_op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ended_deleted,
+         |  round(CAST(sum(n_changes) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS avg_changes,
+         |  CAST(max(span) AS BIGINT) AS max_lifespan_ms
+         |FROM b GROUP BY 1""".stripMargin,
     "cdc_soft_delete" -> dedupLatestSql,
     "cdc_append" ->
       s"SELECT *, 'events' AS __table, 'graft' AS __db FROM ($flattenSql) f",

@@ -394,6 +394,90 @@ object Cdc {
         sum(col("n_changes")).as("n_changes"))
   }
 
+  /** Per-column change-frequency audit (r12 sB): over each key's
+    * canonical version chain, how often each payload column actually
+    * CHANGES between consecutive versions — the schema-design readout
+    * a CDC warehouse owner uses to split hot columns from static ones
+    * (a column that changes in 90% of transitions dominates SCD2
+    * version growth and is the first candidate for its own narrow
+    * history table; a column that never changes is snapshot-only).
+    * `n_keys_changed` separates "one key flaps constantly" from
+    * "every key changes once".
+    *
+    * Scale shape: ONE user_id exchange (the canonical-order window),
+    * then the per-column flags explode to 3 slim rows per transition
+    * and reduce map-side to a |columns|-sized frame. Exact integers +
+    * one 4dp ratio. */
+  def columnVolatility(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = flatten(events)
+    val canon = Window.partitionBy(col("user_id"))
+      .orderBy(col("__source_ts_ms"), opPriorityCol(col("__op")),
+        col("event_id"))
+    val st = flat
+      .withColumn("p_value", lag(col("value"), 1).over(canon))
+      .withColumn("p_k", lag(col("prop_k"), 1).over(canon))
+      .withColumn("p_type", lag(col("event_type"), 1).over(canon))
+      .filter(col("p_type").isNotNull) // non-first versions only
+    val flags = st.select(col("user_id"), explode(map(
+        lit("value"), col("value") =!= col("p_value"),
+        lit("prop_k"), col("prop_k") =!= col("p_k"),
+        lit("event_type"), col("event_type") =!= col("p_type")
+      )).as(Seq("col_name", "changed")))
+    flags.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_transitions"),
+      sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+      countDistinct(when(col("changed"), col("user_id")))
+        .as("n_keys_changed"),
+      round(sum(when(col("changed"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 4).as("change_rate"))
+  }
+
+  def columnVolatilityQ(spark: SparkSession, dir: String): DataFrame =
+    columnVolatility(Tables.events(spark, dir))
+
+  /** Key-lifetime accounting (r12 sB): how long keys LIVE in the
+    * changelog — per lifespan bucket (single-change, <1 d, <7 d,
+    * <30 d, ≥30 d between first and last change), how many keys, how
+    * many ended deleted, their average change count and the bucket's
+    * longest life. The retention-policy input ([[Cdc.deleteDebt]]
+    * prices the delete backlog by month; this tells you whether keys
+    * are ephemeral — partition history by day and expire aggressively
+    * — or long-lived, where [[scd2]] version chains grow and the
+    * open/closed split of [[Scd2Store]] pays off).
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the corpus
+    * to |keys| slim rows (min/max/max_by/count in a single agg — no
+    * window, no sort), then a ≤5-row bucket rollup. Exact integer ms
+    * everywhere; the only double is the 4dp avg. */
+  def keyLifespan(events: DataFrame): DataFrame = {
+    val flat = flatten(events)
+    val ordering = struct(col("__source_ts_ms"),
+      opPriorityCol(col("__op")), col("event_id"))
+    val perKey = flat.groupBy(col("user_id")).agg(
+      min(col("__ts_ms")).as("first_ms"),
+      max(col("__ts_ms")).as("last_ms"),
+      max_by(col("__op"), ordering).as("last_op"),
+      count(lit(1)).as("n_changes"))
+    val span = col("last_ms") - col("first_ms")
+    val day = 86400000L
+    val bucket = when(col("n_changes") === 1, "0_single")
+      .when(span < day, "1_lt_1d")
+      .when(span < 7L * day, "2_lt_7d")
+      .when(span < 30L * day, "3_lt_30d")
+      .otherwise("4_ge_30d")
+    perKey.groupBy(bucket.as("lifespan_bucket")).agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("last_op") === "d", 1L).otherwise(0L))
+        .as("n_ended_deleted"),
+      round(sum(col("n_changes")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("avg_changes"),
+      max(span).as("max_lifespan_ms"))
+  }
+
+  def keyLifespanQ(spark: SparkSession, dir: String): DataFrame =
+    keyLifespan(Tables.events(spark, dir))
+
   /** Snapshot DIFF between two points in time: which keys were added,
     * removed, or changed between AS-OF t1 and AS-OF t2 — the "what
     * changed since last week" audit a CDC warehouse answers constantly

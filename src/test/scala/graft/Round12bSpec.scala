@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.cdc.Cdc
 import graft.queries.Analytics4
 
 /** Fixtures and invariants for the round-12 session-B analytics wave:
@@ -144,6 +145,63 @@ class Round12bSpec extends AnyFunSuite with SparkFixture {
       s"final plan must not replay the corpus agg:\n$plan")
     assert(!plan.toLowerCase.contains("filescan"),
       s"final plan must not re-scan parquet:\n$plan")
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("cdc_column_volatility: per-column flags count exactly, first " +
+    "versions are not transitions") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: signup → click (k changes, type changes, value holds)
+      //         → click (value changes, k and type hold)
+      (1L, 1L, "signup", 1.0, ts("2024-01-10 00:00:00"), """{"k":1}"""),
+      (2L, 1L, "click", 1.0, ts("2024-01-10 01:00:00"), """{"k":2}"""),
+      (3L, 1L, "click", 2.0, ts("2024-01-10 02:00:00"), """{"k":2}"""),
+      // user 2: single change → contributes no transition
+      (4L, 2L, "view", 9.0, ts("2024-01-10 00:00:00"), """{"k":9}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.columnVolatility(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("value") === ((2L, 1L, 1L, 0.5)))
+    assert(out("prop_k") === ((2L, 1L, 1L, 0.5)))
+    assert(out("event_type") === ((2L, 1L, 1L, 0.5)))
+  }
+
+  test("cdc_key_lifespan: buckets split on first→last change span, " +
+    "single-change keys have their own bucket") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "signup", 1.0, ts("2024-01-10 00:00:00"), """{"k":1}"""),
+      // user 2: 2 h life ending in a delete
+      (2L, 2L, "signup", 1.0, ts("2024-01-10 00:00:00"), """{"k":1}"""),
+      (3L, 2L, "error", 1.0, ts("2024-01-10 02:00:00"), """{"k":2}"""),
+      // user 3: 10-day life, three changes
+      (4L, 3L, "signup", 1.0, ts("2024-01-01 00:00:00"), """{"k":1}"""),
+      (5L, 3L, "click", 1.0, ts("2024-01-05 00:00:00"), """{"k":2}"""),
+      (6L, 3L, "click", 1.0, ts("2024-01-11 00:00:00"), """{"k":3}"""),
+      // user 4: exactly 1 day → the < boundary puts it in 2_lt_7d
+      (7L, 4L, "signup", 1.0, ts("2024-01-10 00:00:00"), """{"k":1}"""),
+      (8L, 4L, "click", 1.0, ts("2024-01-11 00:00:00"), """{"k":2}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Cdc.keyLifespan(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("0_single") === ((1L, 0L, 1.0, 0L)))
+    assert(out("1_lt_1d") === ((1L, 1L, 2.0, 2L * 3600000L)))
+    assert(out("2_lt_7d") === ((1L, 0L, 2.0, 86400000L)))
+    assert(out("3_lt_30d") === ((1L, 0L, 3.0, 10L * 86400000L)))
+    assert(!out.contains("4_ge_30d"))
+  }
+
+  test("cdc_key_lifespan plan: one corpus exchange, no window sort") {
+    val plan = Cdc.keyLifespan(Tables.events(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size === 1,
+      s"key lifespan should shuffle the corpus once:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the per-key reduction must be an agg, not a window:\n$plan")
   }
 
   test("session-B ops run on the warehouse and return rows") {
