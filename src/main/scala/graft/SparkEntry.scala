@@ -164,6 +164,10 @@ object SparkEntry {
     "text_ngram_topk" -> (TextOps.textNgramTopKQ _),
     "text_zipf" -> (TextOps.textZipfQ _),
     "text_burstiness" -> (TextOps.textBurstinessQ _),
+    "text_lexical_diversity" -> (TextOps.textLexicalDiversityQ _),
+    "corpus_length_profile" -> (TextOps.corpusLengthProfileQ _),
+    "text_keyword_rake" -> (TextOps.textKeywordRakeQ _),
+    "corpus_epoch_plan" -> (TextOps.corpusEpochPlanQ _),
     "corpus_bpe_pairs" -> (TextOps.corpusBpePairsQ _),
     "bpe_train" -> (TextOps.bpeTrainQ _),
     "bpe_encode" -> (TextOps.bpeEncodeQ _),
@@ -2662,6 +2666,98 @@ object SparkEntry {
          |  round(pow(n * sxy - sx * sy, 2) /
          |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
          |FROM s""".stripMargin,
+    "text_lexical_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |cells AS (SELECT doc_id, u.tok AS w, count(*) AS c
+         |          FROM toks, unnest(t) AS u(tok)
+         |          WHERE len(u.tok) > 0 GROUP BY 1, 2),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax,
+         |    CAST(sum(c * c) AS BIGINT) AS sc2
+         |  FROM cells GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+         |    AS ttr,
+         |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 4)
+         |    AS hapax_ratio,
+         |  round(10000.0 * CAST(sc2 - n_tokens AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 4)
+         |    AS yule_k
+         |FROM d""".stripMargin,
+    // ⌊log₂ n⌋ as binary-digit-count − 1: exact integers where
+    // floor(log2(64)) can land in bucket 5 under one libm's rounding
+    "corpus_length_profile" ->
+      s"""WITH base AS (SELECT source,
+         |    CAST(len(list_filter($tokSql, x -> len(x) > 0)) AS BIGINT)
+         |      AS n
+         |  FROM documents),
+         |cells AS (SELECT source,
+         |    CASE WHEN n = 0 THEN CAST(-1 AS BIGINT)
+         |      ELSE CAST(length(bin(n)) - 1 AS BIGINT) END AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM base GROUP BY 1, 2)
+         |SELECT source, bucket,
+         |  CASE WHEN bucket >= 0 THEN CAST(1 AS BIGINT) << bucket
+         |    ELSE CAST(0 AS BIGINT) END AS bucket_lo,
+         |  n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE)
+         |    / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) AS token_share
+         |FROM cells""".stripMargin,
+    "text_keyword_rake" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |toks AS (SELECT doc_id, g.i AS pos, t[g.i] AS w
+         |  FROM tk, unnest(generate_series(1, len(t))) AS g(i)
+         |  WHERE len(t[g.i]) > 0),
+         |st AS (SELECT *, w IN ('a','an','the','of','to','and','in',
+         |    'is','it','on','for','with','as','at','by','or','be')
+         |    AS is_stop FROM toks),
+         |ph AS (SELECT doc_id, pos, w, is_stop,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+         |  FROM st),
+         |phr AS (SELECT doc_id, pid,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS n_words
+         |  FROM ph WHERE NOT is_stop GROUP BY 1, 2),
+         |ws AS (SELECT u.ww AS w, CAST(sum(n_words) AS BIGINT) AS deg,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM phr, unnest(string_split(phrase, ' ')) AS u(ww)
+         |  GROUP BY 1),
+         |dp AS (SELECT phrase, CAST(count(*) AS BIGINT)
+         |      AS n_occurrences,
+         |    max(n_words) AS n_words
+         |  FROM phr GROUP BY 1),
+         |sc AS (SELECT dp.phrase, dp.n_occurrences, dp.n_words,
+         |    round(sum(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)),
+         |      4) AS score
+         |  FROM dp, unnest(string_split(dp.phrase, ' ')) AS u(ww)
+         |  JOIN ws ON ws.w = u.ww
+         |  GROUP BY 1, 2, 3)
+         |SELECT phrase, n_occurrences, n_words, score FROM sc
+         |ORDER BY score DESC, phrase ASC LIMIT 25""".stripMargin,
+    "corpus_epoch_plan" ->
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(list_filter($tokSql, x -> len(x) > 0)))
+         |      AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT *,
+         |    400000 // (SELECT count(*) FROM s) AS target_tokens FROM s),
+         |p AS (SELECT *,
+         |    least(target_tokens, 4 * avail_tokens) AS achieved_tokens
+         |  FROM t)
+         |SELECT source, n_docs, avail_tokens,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(achieved_tokens AS BIGINT) AS achieved_tokens,
+         |  CAST(target_tokens - achieved_tokens AS BIGINT) AS shortfall,
+         |  round(CAST(achieved_tokens AS DOUBLE)
+         |    / CAST(avail_tokens AS DOUBLE), 4) AS epochs,
+         |  round(CAST(achieved_tokens AS DOUBLE)
+         |    / CAST(target_tokens AS DOUBLE), 4) AS fill_rate
+         |FROM p""".stripMargin,
     // Church–Gale burstiness from SPARSE per-doc counts (zero cells
     // contribute nothing to Σx/Σx²): exact-integer sums, shared tree 4dp
     "text_burstiness" ->

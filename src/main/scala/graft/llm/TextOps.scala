@@ -2481,4 +2481,190 @@ object TextOps {
 
   def textReadabilityQ(spark: SparkSession, dir: String): DataFrame =
     textReadability(Tables.documents(spark, dir))
+
+  /** Per-doc lexical diversity (r12 sB): type-token ratio, hapax share
+    * and Yule's K — the vocabulary-richness screen that catches what
+    * [[textRepetition]]'s surface n-grams and [[textEntropy]]'s
+    * character distribution both miss: a doc can be repetition-free
+    * and char-diverse while cycling a 20-word vocabulary (K explodes —
+    * template/spam tell), or suspiciously NEVER reuse a word (TTR ≈ 1
+    * on a long doc — shuffled-dictionary synthetic text). Yule's
+    * K = 10⁴·(Σc² − N)/N² over per-type counts is length-insensitive
+    * where raw TTR is not, which is why both ship.
+    *
+    * Scale shape: one (doc, type) map-side-combined count (the
+    * [[textBurstiness]] cells frame) then one per-doc rollup — every
+    * statistic (N, V, hapax, Σc²) is an exact integer, the three
+    * ratios one shared IEEE tree, 4dp. */
+  def textLexicalDiversity(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    cells.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 4).as("hapax_ratio"),
+        round(lit(10000.0) *
+          (col("sc2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") *
+            col("n_tokens").cast("double")), 4).as("yule_k"))
+  }
+
+  def textLexicalDiversityQ(spark: SparkSession, dir: String): DataFrame =
+    textLexicalDiversity(Tables.documents(spark, dir))
+
+  /** Corpus length histogram (r12 sB): docs and token mass per
+    * (source, power-of-two token-length bucket) with each bucket's
+    * corpus-wide token share — the shape report behind every packing
+    * and curriculum decision ([[corpusPack]]'s bin efficiency and
+    * [[corpusChunk]]'s truncation loss are both functions of WHERE the
+    * mass sits: a corpus whose tokens live in 2^4-word snippets packs
+    * badly and a source whose mass sits ≥2^12 needs chunking, and
+    * neither shows in a mean length).
+    *
+    * Bucket = ⌊log₂ n⌋ computed as binary-digit count − 1 — EXACT
+    * integer arithmetic on both engines, where floor(log2(·)) puts
+    * n = 64 in bucket 5 whenever one libm rounds ln64/ln2 to
+    * 5.999…97 (the float-boundary rule). Scale shape: token counts
+    * are a map-side projection fused into the scan; ONE rollup to the
+    * (source × ~20 buckets) frame; shares via a window over THAT
+    * frame. */
+  def corpusLengthProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ntok = size(filter(tokens(col("text")),
+      t => length(t) > 0)).cast("long")
+    val bucket = when(ntok === 0L, lit(-1L))
+      .otherwise((length(bin(ntok)) - 1).cast("long"))
+    val cells = docs
+      .select(col("source"), ntok.as("n"), bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = Window.partitionBy(lit(1))
+    cells.select(col("source"), col("bucket"),
+      when(col("bucket") >= 0, expr("shiftleft(1L, int(bucket))"))
+        .otherwise(lit(0L)).as("bucket_lo"),
+      col("n_docs"), col("n_tokens"),
+      round(col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(tot).cast("double"), 4)
+        .as("token_share"))
+  }
+
+  def corpusLengthProfileQ(spark: SparkSession, dir: String): DataFrame =
+    corpusLengthProfile(Tables.documents(spark, dir))
+
+  /** RAKE keyphrase extraction (Rose et al. 2010), corpus-level top-k
+    * (r12 sB): candidate phrases are maximal runs of non-stopword
+    * tokens; each word scores deg/freq (deg = Σ length of phrases
+    * containing it — co-occurrence degree including itself; freq =
+    * occurrences) and a phrase scores the sum over its words — long
+    * technical collocations win over bare frequent words, which is
+    * exactly what [[textNgramTopK]] (raw counts) can't do and
+    * [[textCollocations]] only does for pairs. The corpus view ranks
+    * DISTINCT phrase strings with their occurrence counts.
+    *
+    * Scale shape: phrase assembly is per-doc — a posexplode, a
+    * running stopword-count window partitioned BY DOC (parallel over
+    * the corpus, never a global sort), and a sort_array-of-structs
+    * concat (deterministic word order without an ordered
+    * collect_list). Word stats and phrase scores are token-scale
+    * map-side-combined aggs; the per-phrase score join fans out ≤
+    * phrase length. Integer deg/freq; the score sum is the one
+    * distributed double fold (the textZipf float rule), 4dp; top-k
+    * ties break on the phrase string. */
+  def textKeywordRake(docs: DataFrame, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("a", "an", "the", "of", "to", "and", "in", "is",
+      "it", "on", "for", "with", "as", "at", "by", "or", "be")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("is_stop", col("w").isin(stop: _*))
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrased = toks
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(perDoc))
+      .filter(!col("is_stop"))
+    val phrases = phrased.groupBy(col("doc_id"), col("pid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        transform(col("ws"), x => x.getField("w")).as("ws"))
+      .select(concat_ws(" ", col("ws")).as("phrase"),
+        size(col("ws")).cast("long").as("n_words"))
+    val wordStats = phrases
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("n_words")).as("deg"), count(lit(1)).as("freq"))
+    val distinctPhrases = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        first(col("n_words")).as("n_words"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occurrences"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, Seq("w"))
+      .groupBy(col("phrase"))
+      .agg(first(col("n_occurrences")).as("n_occurrences"),
+        first(col("n_words")).as("n_words"),
+        round(sum(col("deg").cast("double") / col("freq").cast("double")),
+          4).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
+
+  def textKeywordRakeQ(spark: SparkSession, dir: String): DataFrame =
+    textKeywordRake(Tables.documents(spark, dir))
+
+  /** Epoch plan under a token budget (r12 sB): the data-constrained
+    * scaling arithmetic (Muennighoff et al. 2023) a training run
+    * executes when the budget EXCEEDS the corpus — where
+    * [[corpusBudgetSelect]] picks the best prefix of too-much data,
+    * this allocates REPEATS of too-little: each source gets the
+    * uniform-mix target budget/|sources| and fills it by repeating its
+    * own tokens, capped at `maxEpochs` passes (the ~4-epoch point
+    * where repeated data's value decays to noise in the paper's
+    * fits); the shortfall column is the mass you must source
+    * elsewhere, and `epochs` > 1 quantifies repetition pressure
+    * per source.
+    *
+    * Scale shape: ONE map-side-combined token count to the |sources|
+    * frame; every plan column is exact integer arithmetic off it
+    * (achieved = least(target, maxEpochs·avail) — never a float
+    * floor), the two ratios 4dp. */
+  def corpusEpochPlan(docs: DataFrame, budgetTokens: Long = 400000L,
+                      maxEpochs: Int = 4): DataFrame = {
+    val ntok = size(filter(tokens(col("text")),
+      t => length(t) > 0)).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val bySource = docs.select(col("source"), ntok.as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("avail_tokens"))
+    val planned = bySource
+      .withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L div n_sources"))
+    planned.select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"),
+        least(col("target_tokens"), lit(maxEpochs.toLong) *
+          col("avail_tokens")).as("achieved_tokens"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"), col("achieved_tokens"),
+        (col("target_tokens") - col("achieved_tokens")).as("shortfall"),
+        round(col("achieved_tokens").cast("double") /
+          col("avail_tokens").cast("double"), 4).as("epochs"),
+        round(col("achieved_tokens").cast("double") /
+          col("target_tokens").cast("double"), 4).as("fill_rate"))
+  }
+
+  def corpusEpochPlanQ(spark: SparkSession, dir: String): DataFrame =
+    corpusEpochPlan(Tables.documents(spark, dir))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.Cdc
+import graft.llm.TextOps
 import graft.queries.Analytics4
 
 /** Fixtures and invariants for the round-12 session-B analytics wave:
@@ -202,6 +203,64 @@ class Round12bSpec extends AnyFunSuite with SparkFixture {
       s"key lifespan should shuffle the corpus once:\n$plan")
     assert(!plan.contains("Window"),
       s"the per-key reduction must be an agg, not a window:\n$plan")
+  }
+
+  test("text_lexical_diversity: TTR, hapax share and Yule's K from " +
+    "exact counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y z")).toDF("doc_id", "text")
+    val r = TextOps.textLexicalDiversity(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Double]("ttr") === 0.75)
+    assert(r.getAs[Double]("hapax_ratio") === 0.6667)
+    // K = 10⁴·(Σc² − N)/N² = 10⁴·(6−4)/16
+    assert(r.getAs[Double]("yule_k") === 1250.0)
+  }
+
+  test("corpus_length_profile: power-of-two buckets are exact at the " +
+    "boundary and shares sum over the corpus") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a b c d"), ("s1", "a")).toDF("source", "text")
+    val out = TextOps.corpusLengthProfile(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("token_share"))))
+      .toMap
+    // 4 tokens = exactly 2²: must land in bucket 2, not 1
+    assert(out(2L) === ((4L, 1L, 4L, 0.8)))
+    assert(out(0L) === ((1L, 1L, 1L, 0.2)))
+  }
+
+  test("text_keyword_rake: degree/frequency scoring prefers the long " +
+    "collocation over its sub-phrase") {
+    import spark.implicits._
+    val docs = Seq((1L, "deep learning of deep learning systems"))
+      .toDF("doc_id", "text")
+    val out = TextOps.textKeywordRake(docs).collect()
+      .map(r => r.getAs[String]("phrase") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_words"),
+          r.getAs[Double]("score")))).toMap
+    // deg(deep)=deg(learning)=5, freq=2 → 2.5 each; deg(systems)=3/1
+    assert(out("deep learning") === ((1L, 2L, 5.0)))
+    assert(out("deep learning systems") === ((1L, 3L, 8.0)))
+  }
+
+  test("corpus_epoch_plan: capped sources repeat maxEpochs times and " +
+    "report their shortfall, uncapped sources fill the target") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 50).map(i => s"b$i").mkString(" ")
+    val docs = Seq(("A", a), ("B", b)).toDF("source", "text")
+    val out = TextOps.corpusEpochPlan(docs, budgetTokens = 100L,
+        maxEpochs = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("achieved_tokens"), r.getAs[Long]("shortfall"),
+          r.getAs[Double]("epochs"), r.getAs[Double]("fill_rate"))))
+      .toMap
+    assert(out("A") === ((10L, 50L, 40L, 10L, 4.0, 0.8)))
+    assert(out("B") === ((50L, 50L, 50L, 0L, 1.0, 1.0)))
   }
 
   test("session-B ops run on the warehouse and return rows") {
