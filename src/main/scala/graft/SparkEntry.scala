@@ -245,6 +245,8 @@ object SparkEntry {
     "embed_project" -> (Ann.embedProjectQ _),
     "embed_whiten" -> (Ann.embedWhitenQ _),
     "embed_norm_profile" -> (Ann.embedNormProfileQ _),
+    "embed_dim_stats" -> (Ann.embedDimStatsQ _),
+    "embed_class_margin" -> (Ann.embedClassMarginQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
@@ -4432,6 +4434,56 @@ object SparkEntry {
     // one-row space health profile: finite filter, norm spread, mean
     // cosine to the finite-vector centroid; floats 4dp (last-ulp
     // summation-order wobble only)
+    "embed_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(g.i - 1 AS INTEGER) AS dim,
+        |    CAST(e.embedding[g.i] AS DOUBLE) AS x
+        |  FROM embeddings e,
+        |    unnest(generate_series(1, len(e.embedding))) AS g(i))
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(x), 4) AS mean,
+        |  round(sqrt(greatest(0.0, avg(x * x) - avg(x) * avg(x))), 4)
+        |    AS std,
+        |  round(min(x), 4) AS vmin,
+        |  round(max(x), 4) AS vmax,
+        |  min(x) = max(x) AS is_dead,
+        |  CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero
+        |FROM x GROUP BY 1""".stripMargin,
+    "embed_class_margin" ->
+      """WITH pd AS (
+        |  SELECT label, g.i AS i,
+        |    avg(CAST(e.embedding[g.i] AS DOUBLE)) AS m
+        |  FROM embeddings e,
+        |    unnest(generate_series(1, len(e.embedding))) AS g(i)
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT label, vec_id,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE)
+        |      * CAST(e.embedding[g.i] AS DOUBLE)) AS ss
+        |  FROM embeddings e,
+        |    unnest(generate_series(1, len(e.embedding))) AS g(i)
+        |  GROUP BY 1, 2),
+        |e2 AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    avg(ss) AS e2 FROM v2 GROUP BY 1),
+        |mu2 AS (SELECT label, sum(m * m) AS mu2 FROM pd GROUP BY 1),
+        |lab AS (SELECT e2.label, e2.n_vecs,
+        |    sqrt(greatest(0.0, e2.e2 - mu2.mu2)) AS intra
+        |  FROM e2 JOIN mu2 USING (label)),
+        |cd AS (SELECT a.label AS label, b.label AS label_b,
+        |    sqrt(sum((a.m - b.m) * (a.m - b.m))) AS cdist
+        |  FROM pd a JOIN pd b ON a.i = b.i AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY cdist, label_b) AS rn FROM cd)
+        |SELECT lab.label, lab.n_vecs,
+        |  round(lab.intra, 4) AS intra_rms,
+        |  rk.label_b AS nearest_label,
+        |  round(rk.cdist, 4) AS margin,
+        |  CASE WHEN lab.intra > 0.0
+        |    THEN round(rk.cdist / lab.intra, 4) ELSE 0.0 END
+        |    AS fisher_ratio
+        |FROM lab JOIN rk ON rk.label = lab.label AND rk.rn = 1""".stripMargin,
     "embed_norm_profile" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,

@@ -808,6 +808,87 @@ object Ann {
   def embedNormProfileQ(spark: SparkSession, dir: String): DataFrame =
     embedNormProfile(Tables.embeddings(spark, dir))
 
+  /** Per-dimension health audit (r12 sB): mean, std, range, exact-zero
+    * count and a dead flag for every embedding coordinate —
+    * [[embedNormProfile]] profiles whole VECTORS, this profiles the
+    * AXES, which is where encoder rot actually shows (a dimension
+    * stuck at a constant after a bad fine-tune, sparsity from ReLU
+    * heads, one axis with 100× the variance silently dominating every
+    * un-whitened cosine — the [[embedWhiten]] go/no-go evidence).
+    * Dead = exact min == max, an engine-stable float comparison, not
+    * a rounded-variance threshold.
+    *
+    * Scale shape: ONE posexplode → per-dim map-side-combined agg to a
+    * |dim|-row frame; moment sums are the one distributed double fold
+    * (4dp rule), everything else exact. */
+  def embedDimStats(embeddings: DataFrame): DataFrame = {
+    val x = embeddings.select(
+      posexplode(vecAsDouble(col("embedding"))).as(Seq("dim", "x")))
+    x.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("x")), 4).as("mean"),
+      round(sqrt(greatest(lit(0.0),
+        avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")))), 4)
+        .as("std"),
+      round(min(col("x")), 4).as("vmin"),
+      round(max(col("x")), 4).as("vmax"),
+      (min(col("x")) === max(col("x"))).as("is_dead"),
+      sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+  }
+
+  def embedDimStatsQ(spark: SparkSession, dir: String): DataFrame =
+    embedDimStats(Tables.embeddings(spark, dir))
+
+  /** Label-separation audit (r12 sB): per label, the within-class
+    * spread (RMS distance to own centroid via E‖x‖² − ‖μ‖²), the
+    * nearest OTHER centroid with its distance, and the Fisher-style
+    * separation ratio margin/spread — the "are these labels real in
+    * this embedding space" check run before trusting
+    * [[embedCentroidClassify]] or label-stratified curation (ratio
+    * ≪ 1 = classes overlap and the centroid classifier is noise;
+    * [[knnModularity]] asks the graph the same question, this asks
+    * the geometry).
+    *
+    * Scale shape: ONE map-side-combined per-label agg (counts, a
+    * dim-wide avg array, E‖x‖² — the [[embedNormProfile]] centroid
+    * idiom); everything after runs on the |labels|-sized frame
+    * (pairwise centroid distances are a |labels|² crossJoin). The
+    * centroid distance uses the Σ(aᵢ−bᵢ)² fold, not
+    * ‖a‖²+‖b‖²−2ab (cancellation near equal centroids); nearest
+    * ties break on the label id. */
+  def embedClassMargin(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val x = embeddings.select(col("label"),
+      vecAsDouble(col("embedding")).as("v"))
+    val byLabel = x.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("mu"),
+      avg(dot(col("v"), col("v"))).as("e2"))
+    val lab = byLabel.withColumn("intra_rms",
+      sqrt(greatest(lit(0.0), col("e2") - dot(col("mu"), col("mu")))))
+    val b = lab.select(col("label").as("label_b"), col("mu").as("mu_b"))
+    val pairs = lab.crossJoin(b)
+      .filter(col("label") =!= col("label_b"))
+      .withColumn("cdist", sqrt(aggregate(
+        zip_with(col("mu"), col("mu_b"), (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, t) => acc + t)))
+    pairs.groupBy(col("label")).agg(
+        first(col("n_vecs")).as("n_vecs"),
+        first(col("intra_rms")).as("intra"),
+        min_by(col("label_b"), struct(col("cdist"), col("label_b")))
+          .as("nearest_label"),
+        min(col("cdist")).as("margin"))
+      .select(col("label"), col("n_vecs"),
+        round(col("intra"), 4).as("intra_rms"),
+        col("nearest_label"),
+        round(col("margin"), 4).as("margin"),
+        when(col("intra") > 0.0, round(col("margin") / col("intra"), 4))
+          .otherwise(0.0).as("fisher_ratio"))
+  }
+
+  def embedClassMarginQ(spark: SparkSession, dir: String): DataFrame =
+    embedClassMargin(Tables.embeddings(spark, dir))
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.Cdc
-import graft.llm.TextOps
+import graft.llm.{Ann, TextOps}
 import graft.queries.Analytics4
 
 /** Fixtures and invariants for the round-12 session-B analytics wave:
@@ -261,6 +261,37 @@ class Round12bSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(out("A") === ((10L, 50L, 40L, 10L, 4.0, 0.8)))
     assert(out("B") === ((50L, 50L, 50L, 0L, 1.0, 1.0)))
+  }
+
+  test("embed_dim_stats: constant axes flag dead on exact min==max, " +
+    "moments match by hand") {
+    import spark.implicits._
+    val embs = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(3f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.embedDimStats(embs).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean"),
+          r.getAs[Double]("std"), r.getAs[Boolean]("is_dead"),
+          r.getAs[Long]("n_zero")))).toMap
+    // dim 0: mean 2, std = sqrt(5 − 4) = 1, live, no zeros
+    assert(out(0) === ((2L, 2.0, 1.0, false, 0L)))
+    assert(out(1) === ((2L, 0.0, 0.0, true, 2L)))
+  }
+
+  test("embed_class_margin: centroid geometry by hand, zero-spread " +
+    "singleton guards the ratio") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(2f, 0f), 0), // μ=(1,0), intra 1
+      (3L, Seq(10f, 0f), 1)                       // singleton, intra 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.embedClassMargin(embs, dim = 2).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("intra_rms"),
+          r.getAs[Int]("nearest_label"), r.getAs[Double]("margin"),
+          r.getAs[Double]("fisher_ratio")))).toMap
+    assert(out(0) === ((2L, 1.0, 1, 9.0, 9.0)))
+    assert(out(1) === ((1L, 0.0, 0, 9.0, 0.0)))
   }
 
   test("session-B ops run on the warehouse and return rows") {
