@@ -102,6 +102,7 @@ object SparkEntry {
     "events_group_topk" ->
       (graft.operators.GroupTopK.eventsGroupTopKQ _),
     "events_power_users" -> (Analytics4.eventsPowerUsers _),
+    "events_session_sweep" -> ((s, d) => Analytics4.eventsSessionSweep(s, d)),
     "events_changepoint" -> ((s, d) => Analytics4.eventsChangepoint(s, d)),
     "events_type_affinity" -> (Analytics4.eventsTypeAffinity _),
     "events_user_entropy" -> (Analytics4.eventsUserEntropy _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "text_zipf" -> (TextOps.textZipfQ _),
     "text_burstiness" -> (TextOps.textBurstinessQ _),
     "text_lexical_diversity" -> (TextOps.textLexicalDiversityQ _),
+    "text_predictability" -> (TextOps.textPredictabilityQ _),
     "corpus_length_profile" -> (TextOps.corpusLengthProfileQ _),
     "text_keyword_rake" -> (TextOps.textKeywordRakeQ _),
     "corpus_epoch_plan" -> (TextOps.corpusEpochPlanQ _),
@@ -232,6 +234,7 @@ object SparkEntry {
     "knn_modularity" -> (Ann.knnModularityQ _),
     "knn_coreset" -> (Ann.knnCoresetQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
+    "knn_reciprocity" -> (Ann.knnReciprocityQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "knn_pagerank" -> (Ann.knnPagerankQ _),
@@ -1782,6 +1785,33 @@ object SparkEntry {
         |      4)
         |    ELSE 0.0 END AS acf
         |FROM pairs, tot""".stripMargin,
+    "events_session_sweep" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) // 1000
+        |      - lag(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ms(ts) // 1000, event_id) AS g
+        |  FROM events),
+        |stats AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |      AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_gaps
+        |  FROM g),
+        |grid AS (SELECT unnest([300, 900, 1800, 3600, 7200]) AS gap_s),
+        |b AS (SELECT grid.gap_s,
+        |    CAST(sum(CASE WHEN g.g > grid.gap_s THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_breaks
+        |  FROM g, grid GROUP BY 1)
+        |SELECT CAST(gap_s AS BIGINT) AS gap_s,
+        |  n_users + n_breaks AS n_sessions,
+        |  round(CAST(n_events AS DOUBLE)
+        |    / CAST(n_users + n_breaks AS DOUBLE), 4)
+        |    AS avg_events_per_session,
+        |  CASE WHEN n_gaps > 0
+        |    THEN round(CAST(n_breaks AS DOUBLE) / CAST(n_gaps AS DOUBLE),
+        |      4) ELSE 0.0 END AS break_rate
+        |FROM b, stats""".stripMargin,
     // Gini over the activity-value histogram: the tie-block identity
     // Σ i·c = c·(m·o + m(m+1)/2) makes both engines rank-free; shares
     // read the block containing rank k with a deterministic partial
@@ -2668,6 +2698,39 @@ object SparkEntry {
          |  round(pow(n * sxy - sx * sy, 2) /
          |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
          |FROM s""".stripMargin,
+    // corpus information rate: H(w₂|w₁) = Σ c_ab·(ln c_a − ln c_ab)/N₂
+    // over exact integer counts, string tokens replaying the hash path
+    "text_predictability" ->
+      s"""WITH dt AS (SELECT doc_id, $tokSql AS ts FROM documents),
+         |tok AS (
+         |  SELECT doc_id, g.i AS pos, ts[g.i] AS t
+         |  FROM dt, unnest(generate_series(1, len(ts))) AS g(i)),
+         |big AS (
+         |  SELECT p.t AS a, c.t AS b
+         |  FROM tok p JOIN tok c
+         |    ON c.doc_id = p.doc_id AND c.pos = p.pos + 1),
+         |uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
+         |ua AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    sum(CAST(cu AS DOUBLE) * ln(CAST(cu AS DOUBLE))) AS culn
+         |  FROM uni),
+         |bgc AS (SELECT a, b, count(*) AS cab FROM big GROUP BY 1, 2),
+         |ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+         |  FROM bgc GROUP BY 1),
+         |ba AS (SELECT CAST(sum(cab) AS BIGINT) AS n_bigrams,
+         |    sum(CAST(cab AS DOUBLE) * (ln(CAST(ca AS DOUBLE))
+         |      - ln(CAST(cab AS DOUBLE)))) AS h2num
+         |  FROM bgc JOIN ctx USING (a)),
+         |h AS (SELECT n_tokens, vocab, n_bigrams,
+         |    ln(CAST(n_tokens AS DOUBLE))
+         |      - culn / CAST(n_tokens AS DOUBLE) AS h1,
+         |    h2num / CAST(n_bigrams AS DOUBLE) AS h2
+         |  FROM ua, ba)
+         |SELECT n_tokens, vocab, n_bigrams,
+         |  round(h1, 4) AS h_unigram,
+         |  round(h2, 4) AS h_bigram_cond,
+         |  round(1.0 - h2 / h1, 4) AS redundancy
+         |FROM h""".stripMargin,
     "text_lexical_diversity" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
          |cells AS (SELECT doc_id, u.tok AS w, count(*) AS c
@@ -4224,6 +4287,21 @@ object SparkEntry {
          |FROM j WHERE rn = 1""".stripMargin
     },
     // reverse-degree over the same graph; hub flag at in_degree >= 2k
+    "knn_reciprocity" ->
+      s"""WITH $knnNnSql,
+        |e AS (SELECT vec_id, nbr_id FROM nn),
+        |m AS (SELECT e1.vec_id, e1.nbr_id FROM e e1
+        |  JOIN e e2 ON e1.vec_id = e2.nbr_id AND e1.nbr_id = e2.vec_id),
+        |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_nodes FROM e),
+        |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual_edges,
+        |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_mutual_nodes
+        |  FROM m)
+        |SELECT n_nodes, n_edges, n_mutual_edges,
+        |  round(CAST(n_mutual_edges AS DOUBLE)
+        |    / CAST(n_edges AS DOUBLE), 4) AS reciprocity,
+        |  n_nodes - n_mutual_nodes AS n_one_way_nodes
+        |FROM es, ms""".stripMargin,
     "knn_hubness" ->
       s"""WITH $knnNnSql,
         |deg AS (SELECT nbr_id, count(*) AS d FROM nn GROUP BY nbr_id)

@@ -889,6 +889,43 @@ object Ann {
   def embedClassMarginQ(spark: SparkSession, dir: String): DataFrame =
     embedClassMargin(Tables.embeddings(spark, dir))
 
+  /** kNN-graph reciprocity report (r12 sB): how much of the directed
+    * top-k graph is MUTUAL — the one number that prices everything
+    * built on mutuality ([[knnCluster]], [[knnModularity]],
+    * [[knnTriangles]] all run on the mutual subgraph; at reciprocity
+    * 0.2 they're analyzing 20% of the edges you paid to build) and
+    * the aggregate twin of [[knnHubness]]'s per-node view: hubs
+    * absorb in-links they never return, so low reciprocity IS the
+    * hubness pathology corpus-wide (Radovanović 2010).
+    * `n_one_way_nodes` counts nodes losing ALL their edges to the
+    * mutual cut — [[knnCluster]] singletons by construction.
+    *
+    * Scale shape: the quadratic build is [[knnGraph]]'s (shared,
+    * materialized once); everything here runs on the ≤ n·k edge list
+    * — one self-join semi probe for mutuality, two map-side-combined
+    * 1-row aggregates, a broadcast assembly. Exact integers + one
+    * 4dp ratio. */
+  def knnReciprocity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val g = graft.Exec.materialize(
+      knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id")))
+    val rev = g.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"))
+    val mutual = g.join(rev, Seq("vec_id", "nbr_id"), "left_semi")
+    val eStats = broadcast(g.agg(count(lit(1)).as("n_edges"),
+      countDistinct(col("vec_id")).as("n_nodes")))
+    val mStats = broadcast(mutual.agg(
+      count(lit(1)).as("n_mutual_edges"),
+      countDistinct(col("vec_id")).as("n_mutual_nodes")))
+    eStats.crossJoin(mStats).select(
+      col("n_nodes"), col("n_edges"), col("n_mutual_edges"),
+      round(col("n_mutual_edges").cast("double") /
+        col("n_edges").cast("double"), 4).as("reciprocity"),
+      (col("n_nodes") - col("n_mutual_nodes")).as("n_one_way_nodes"))
+  }
+
+  def knnReciprocityQ(spark: SparkSession, dir: String): DataFrame =
+    knnReciprocity(Tables.embeddings(spark, dir))
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

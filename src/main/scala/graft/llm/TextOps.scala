@@ -2667,4 +2667,58 @@ object TextOps {
 
   def corpusEpochPlanQ(spark: SparkSession, dir: String): DataFrame =
     corpusEpochPlan(Tables.documents(spark, dir))
+
+  /** Corpus predictability report (r12 sB): unigram entropy, bigram
+    * CONDITIONAL entropy H(w₂|w₁) and the redundancy ratio 1 − H₂/H₁ —
+    * the information-rate summary behind the perplexity family
+    * ([[textPerplexityBigram]] scores DOCS against the corpus LM; this
+    * scores the CORPUS itself: H₂ far below H₁ says the text is
+    * template-locked — the next token is near-determined by the
+    * previous one, boilerplate/log-file tell — while H₂ ≈ H₁ says
+    * bigram structure adds nothing and an n-gram quality filter is
+    * wasted compute). One row out.
+    *
+    * Scale shape: the [[textPerplexityBigram]] frames — map-side
+    * bigram generation from the token array, hashed tokens on the
+    * wire, unigram + bigram + context counts all Heaps-bounded,
+    * folded to ONE row; conditional entropy assembles as
+    * Σ c_ab·(ln c_a − ln c_ab)/N₂ — ln of exact integers, the sums
+    * the one distributed double fold, 4dp. */
+  def textPredictability(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val tok = docs.select(explode(ts).as("t"))
+      .select(xxhash64(col("t")).as("th"))
+    val big = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => struct(xxhash64(element_at(col("ts"), i + 1)).as("a"),
+          xxhash64(element_at(col("ts"), i + 2)).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val uniAgg = tok.groupBy(col("th")).agg(count(lit(1)).as("cu"))
+      .agg(sum(col("cu")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(d(col("cu")) * log(d(col("cu")))).as("culn"))
+    val bgc = big.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ctx = bgc.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val bgAgg = bgc.join(ctx, Seq("a"))
+      .agg(sum(col("cab")).as("n_bigrams"),
+        sum(d(col("cab")) * (log(d(col("ca"))) - log(d(col("cab")))))
+          .as("h2num"))
+    val res = uniAgg.crossJoin(bgAgg)
+      .withColumn("h1",
+        log(d(col("n_tokens"))) - col("culn") / d(col("n_tokens")))
+      .withColumn("h2", col("h2num") / d(col("n_bigrams")))
+      .select(col("n_tokens"), col("vocab"), col("n_bigrams"),
+        round(col("h1"), 4).as("h_unigram"),
+        round(col("h2"), 4).as("h_bigram_cond"),
+        round(lit(1.0) - col("h2") / col("h1"), 4).as("redundancy"))
+    res
+  }
+
+  def textPredictabilityQ(spark: SparkSession, dir: String): DataFrame =
+    textPredictability(Tables.documents(spark, dir))
 }

@@ -236,6 +236,60 @@ object Analytics4 {
         .as("norm_entropy"))
   }
 
+  /** Session-gap threshold sweep (r12 sB): what each sessionization
+    * gap actually produces — per candidate timeout τ, the session
+    * count, mean events per session and the share of inter-event gaps
+    * it breaks. The [[graft.streaming.StreamAggs.sessionize]] gap (and
+    * every analytics built on `events_sessions`) is a CHOICE, and this
+    * is the evidence for it: the τ where the session count stops
+    * falling fast is where real session boundaries end and typing
+    * pauses begin (the dedup_threshold_sweep argument applied to
+    * time). Session count needs no per-τ sessionization: sessions =
+    * users + broken gaps, an identity over the SAME gap frame for
+    * every τ.
+    *
+    * Scale shape: ONE user_id exchange (the lag window), then the
+    * broadcast τ-grid crossJoin fans the slim gap rows |τ| ways
+    * map-side and reduces immediately (the threshold_sweep shape);
+    * totals ride a 1-row broadcast. Exact integer seconds and counts;
+    * two 4dp ratios. */
+  def eventsSessionSweep(spark: SparkSession, dir: String,
+                         taus: Seq[Long] =
+                           Seq(300L, 900L, 1800L, 3600L, 7200L)): DataFrame =
+    eventsSessionSweepOn(Tables.events(spark, dir), taus)
+
+  def eventsSessionSweepOn(events: DataFrame,
+                           taus: Seq[Long] =
+                             Seq(300L, 900L, 1800L, 3600L, 7200L)): DataFrame = {
+    require(taus.nonEmpty, "eventsSessionSweep: empty tau grid")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("tsec"))
+      .withColumn("g", col("tsec") - lag(col("tsec"), 1).over(w))
+    val stats = broadcast(gaps.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      count(lit(1)).as("n_events"),
+      sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("n_gaps")))
+    val grid = broadcast(taus.toDF("gap_s"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    gaps.crossJoin(grid)
+      .groupBy(col("gap_s"))
+      .agg(sum(when(col("g") > col("gap_s"), 1L).otherwise(0L))
+        .as("n_breaks"))
+      .crossJoin(stats)
+      .select(col("gap_s"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        round(d(col("n_events")) / d(col("n_users") + col("n_breaks")), 4)
+          .as("avg_events_per_session"),
+        round(when(col("n_gaps") > 0,
+          d(col("n_breaks")) / d(col("n_gaps"))).otherwise(0.0), 4)
+          .as("break_rate"))
+  }
+
   /** Repeat-purchase report per part: of the customers who ever bought
     * the part, how many came back for it in a second order — the
     * reorder-rate view merchandising uses to split staples from

@@ -294,6 +294,55 @@ class Round12bSpec extends AnyFunSuite with SparkFixture {
     assert(out(1) === ((1L, 0.0, 0, 9.0, 0.0)))
   }
 
+  test("events_session_sweep: sessions = users + broken gaps, per tau " +
+    "from one gap frame") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, 100L), (3L, 1L, 2000L), // gaps 100, 1900
+      (4L, 2L, 0L)                                    // singleton user
+    ).toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val out = Analytics4.eventsSessionSweepOn(events, Seq(60L, 1000L))
+      .collect()
+      .map(r => r.getAs[Long]("gap_s") ->
+        ((r.getAs[Long]("n_sessions"),
+          r.getAs[Double]("avg_events_per_session"),
+          r.getAs[Double]("break_rate")))).toMap
+    assert(out(60L) === ((4L, 1.0, 1.0)))
+    assert(out(1000L) === ((3L, 1.3333, 0.5)))
+  }
+
+  test("text_predictability: a pure template corpus is fully " +
+    "redundant (H2 = 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextOps.textPredictability(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("vocab") === 2L)
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    assert(r.getAs[Double]("h_unigram") === 0.6931)
+    assert(r.getAs[Double]("h_bigram_cond") === 0.0)
+    assert(r.getAs[Double]("redundancy") === 1.0)
+  }
+
+  test("knn_reciprocity: a hub that doesn't reciprocate is counted " +
+    "and loses its node to the mutual cut") {
+    import spark.implicits._
+    // A↔B mutual; C→B one-way (k=1)
+    val embs = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.985f, 0.174f), 0),
+      (3L, Seq(0f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Ann.knnReciprocity(embs, k = 1).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 3L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_mutual_edges") === 2L)
+    assert(r.getAs[Double]("reciprocity") === 0.6667)
+    assert(r.getAs[Long]("n_one_way_nodes") === 1L)
+  }
+
   test("session-B ops run on the warehouse and return rows") {
     assert(Analytics4.eventsPowerUsers(spark, sfDir).count() === 1L)
     assert(Analytics4.eventsChangepoint(spark, sfDir).count() === 5L)
