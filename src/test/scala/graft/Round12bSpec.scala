@@ -343,6 +343,77 @@ class Round12bSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n_one_way_nodes") === 1L)
   }
 
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("events_power_users agrees with a plain-Scala replay on " +
+    "randomized activity books") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val counts = (1L to 30L).map(u => u -> (1 + rnd.nextInt(40))).toMap
+      val rows = counts.toSeq.flatMap { case (u, c) => Seq.fill(c)(u) }
+      val out = Analytics4.eventsPowerUsersOn(rows.toDF("user_id"))
+        .collect()(0)
+      // plain-Scala Gini over the explicit ascending rank
+      val asc = counts.toSeq.map(_._2.toLong).sorted
+      val n = asc.size.toLong
+      val s = asc.sum
+      val t = asc.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val gini = (2.0 * t - (n + 1) * s).toDouble / (n.toDouble * s.toDouble)
+      // top-k share via the deterministic desc prefix
+      def share(k: Long): Double = {
+        val desc = asc.reverse
+        desc.take(k.toInt).sum.toDouble / s.toDouble
+      }
+      assert(out.getAs[Long]("n_users") === n, s"trial $trial")
+      assert(out.getAs[Long]("n_events") === s, s"trial $trial")
+      assert(out.getAs[Double]("gini") === r4(gini), s"trial $trial")
+      assert(out.getAs[Double]("top1pct_share") ===
+        r4(share(math.max(1L, n / 100))), s"trial $trial")
+      assert(out.getAs[Double]("top10pct_share") ===
+        r4(share(math.max(1L, n / 10))), s"trial $trial")
+    }
+  }
+
+  test("events_changepoint agrees with a plain-Scala replay on " +
+    "randomized hourly series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1212)
+    for (trial <- 1 to 3) {
+      val nh = 48
+      // endpoints nonzero so the dense spine is exactly hours 0..47
+      val cs = (0 until nh).map(h =>
+        if (h == 0 || h == nh - 1) 1 + rnd.nextInt(20)
+        else rnd.nextInt(20))
+      val rows = cs.zipWithIndex.flatMap { case (c, h) =>
+        Seq.fill(c)(2000L + h)
+      }
+      val out = Analytics4.eventsChangepointOn(
+          rows.toDF("h").select(timestamp_seconds(col("h") * 3600L)
+            .as("ts")))
+        .collect().sortBy(_.getAs[Int]("rank"))
+      // replay every split with the operator's own double tree
+      val tot = cs.map(_.toLong).sum
+      val pre = cs.map(_.toLong).scanLeft(0L)(_ + _).tail
+      val scored = (1 until nh).map { t =>
+        val s = pre(t - 1)
+        val num = s.toDouble * nh.toDouble - tot.toDouble * t.toDouble
+        val score = num * num /
+          (t.toDouble * (nh.toDouble - t.toDouble) * nh.toDouble)
+        (t, score)
+      }
+      val best = scored.sortBy { case (t, sc) => (-sc, t) }.take(5)
+      assert(out.length === 5, s"trial $trial")
+      out.zip(best).foreach { case (row, (t, sc)) =>
+        assert(row.getAs[Long]("hours_left") === t.toLong, s"trial $trial")
+        assert(row.getAs[Long]("split_epoch_s") === (2000L + t) * 3600L,
+          s"trial $trial")
+        assert(row.getAs[Double]("score") === r4(sc), s"trial $trial")
+      }
+    }
+  }
+
   test("session-B ops run on the warehouse and return rows") {
     assert(Analytics4.eventsPowerUsers(spark, sfDir).count() === 1L)
     assert(Analytics4.eventsChangepoint(spark, sfDir).count() === 5L)
