@@ -106,6 +106,7 @@ object SparkEntry {
     "events_changepoint" -> ((s, d) => Analytics4.eventsChangepoint(s, d)),
     "events_type_affinity" -> (Analytics4.eventsTypeAffinity _),
     "events_user_entropy" -> (Analytics4.eventsUserEntropy _),
+    "events_conversion_lag" -> ((s, d) => Analytics4.eventsConversionLag(s, d)),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
@@ -235,6 +236,7 @@ object SparkEntry {
     "knn_coreset" -> (Ann.knnCoresetQ _),
     "knn_hubness" -> (Ann.knnHubnessQ _),
     "knn_reciprocity" -> (Ann.knnReciprocityQ _),
+    "embed_intrinsic_dim" -> (Ann.embedIntrinsicDimQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "knn_pagerank" -> (Ann.knnPagerankQ _),
@@ -2039,6 +2041,44 @@ object SparkEntry {
         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
         |    ELSE 0.0 END AS corr_disc_qty
         |FROM m""".stripMargin,
+    // attribution's range window reused for the FIRST touch only;
+    // power-of-two minute buckets via bit length (length(bin(x)) − 1),
+    // integer-exact on both engines — no floor(log2) boundary rounding
+    "events_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_ms(ts) // 1000 AS tsec
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, value, tsec,
+        |    min(CASE WHEN event_type <> 'purchase' THEN
+        |      {'tsec': tsec, 'event_id': event_id}
+        |      END) OVER w AS ft
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT value, tsec - ft.tsec AS lag_sec
+        |  FROM t WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT value,
+        |    CASE WHEN lag_sec IS NULL THEN -1
+        |      ELSE CAST(length(bin(greatest(1, lag_sec // 60))) - 1
+        |        AS INTEGER) END AS bucket
+        |  FROM c),
+        |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_conv,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_conv) AS DOUBLE) AS tn FROM h)
+        |SELECT bucket,
+        |  CASE WHEN bucket = -1 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(pow(2.0, CAST(bucket AS DOUBLE)) AS BIGINT)
+        |    END AS lo_min,
+        |  n_conv, CAST(v AS DOUBLE) AS conv_value,
+        |  round(CAST(n_conv AS DOUBLE) / tn, 4) AS share,
+        |  round(CAST(sum(n_conv) OVER (ORDER BY bucket) AS DOUBLE) / tn,
+        |    4) AS cum_share
+        |FROM h, tot""".stripMargin,
     // KMV overlap in its exact regime (k=512 > sf0.01 user population →
     // sketches complete): the estimators reduce to exact set counts, so
     // the oracle replays them as distinct-set algebra — including the
@@ -4302,6 +4342,60 @@ object SparkEntry {
         |    / CAST(n_edges AS DOUBLE), 4) AS reciprocity,
         |  n_nodes - n_mutual_nodes AS n_one_way_nodes
         |FROM es, ms""".stripMargin,
+    // Levina–Bickel intrinsic dimension: the exact-NN CTE re-derived
+    // WITH the similarity kept (knnNnSql drops it), chordal distance
+    // √(2−2·cos), per-(point, k) log-ratio sums, duplicate points
+    // (1-NN distance exactly 0) excluded and counted on both engines
+    "embed_intrinsic_dim" ->
+      """WITH norms AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+        |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+        |  FROM embeddings q, embeddings c,
+        |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+        |  WHERE c.vec_id <> q.vec_id GROUP BY 1, 2),
+        |s AS (
+        |  SELECT d.vec_id, d.nbr_id, dt / (nq.nrm * nc.nrm) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON d.vec_id = nq.vec_id
+        |  JOIN norms nc ON d.nbr_id = nc.vec_id),
+        |nn AS (
+        |  SELECT vec_id, rank,
+        |    sqrt(greatest(0.0, 2.0 - 2.0 * sim)) AS d
+        |  FROM (
+        |    SELECT vec_id, nbr_id, sim,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+        |    FROM s)
+        |  WHERE rank <= 5),
+        |ks AS (SELECT * FROM (VALUES (3), (4), (5)) AS t(k)),
+        |pp AS (
+        |  SELECT vec_id, k, min(d) AS dmin,
+        |    sum(CASE WHEN rank < k THEN ln(d) END) AS slog,
+        |    max(CASE WHEN rank = k THEN ln(d) END) AS ltk
+        |  FROM nn, ks WHERE rank <= k GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT vec_id, k, dmin,
+        |    CAST(k - 1 AS DOUBLE) * ltk - slog AS denom
+        |  FROM pp)
+        |SELECT k,
+        |  CAST(sum(CASE WHEN dmin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pts,
+        |  CAST(sum(CASE WHEN dmin > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_degenerate,
+        |  round(avg(CASE WHEN dmin > 0
+        |    THEN CAST(k - 1 AS DOUBLE) / denom END), 4) AS mlid_mean,
+        |  round(min(CASE WHEN dmin > 0
+        |    THEN CAST(k - 1 AS DOUBLE) / denom END), 4) AS mlid_min,
+        |  round(max(CASE WHEN dmin > 0
+        |    THEN CAST(k - 1 AS DOUBLE) / denom END), 4) AS mlid_max,
+        |  round(CAST(k - 1 AS DOUBLE)
+        |    * CAST(sum(CASE WHEN dmin > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN dmin > 0 THEN denom END), 4) AS mlid_global
+        |FROM pd GROUP BY k""".stripMargin,
     "knn_hubness" ->
       s"""WITH $knnNnSql,
         |deg AS (SELECT nbr_id, count(*) AS d FROM nn GROUP BY nbr_id)

@@ -926,6 +926,76 @@ object Ann {
   def knnReciprocityQ(spark: SparkSession, dir: String): DataFrame =
     knnReciprocity(Tables.embeddings(spark, dir))
 
+  /** Intrinsic-dimension report (r12 sC): the Levina–Bickel maximum-
+    * likelihood estimator over the exact kNN graph — per neighborhood
+    * size k, the MLE m̂(x) = (k−1) / Σ_{j<k} ln(T_k/T_j) where T_j is
+    * the chordal distance √(2−2·cos) to the j-th neighbor, plus the
+    * global MLE (the harmonic pool over points, MacKay–Ghahramani's
+    * correction of averaging m̂ directly — reported as both). The
+    * embedding-health number a curation pipeline reads BEFORE choosing
+    * compression: intrinsic dim ≪ ambient dim says [[embedPca]] /
+    * Matryoshka truncation / [[annPqTopK]] will be nearly lossless;
+    * intrinsic ≈ ambient says every projection loses signal (Levina &
+    * Bickel, NeurIPS 2004).
+    *
+    * Scale shape: the quadratic scoring is [[knnGraph]]'s (block-wise,
+    * n·k-bounded exchange); distances are then RECOMPUTED only on the
+    * ≤ n·k edge list by two slim shuffle joins back to the corpus —
+    * cos ranks and chordal-distance ranks agree (monotone), so the
+    * rank-≤-k frame is exactly the k nearest by distance. The k-grid
+    * fans the ≤ k rows per point map-side (broadcast crossJoin);
+    * per-point and per-k reductions are map-side combined. Points
+    * whose 1-NN distance is exactly 0 (duplicate vectors — ln 0
+    * undefined) are excluded and counted. One shared IEEE tree
+    * (ln/sums of doubles), 4dp at the edge. */
+  def embedIntrinsicDim(embeddings: DataFrame,
+                        ks: Seq[Int] = Seq(3, 4, 5)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), "each k must be >= 2")
+    val spark = embeddings.sparkSession
+    val g = knnGraph(embeddings, ks.max)
+    val corpus = embeddings.select(col("vec_id"),
+      vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // recompute cosine on the n·k edges only, then the chordal distance
+    val edges = g
+      .join(corpus, Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("nbr_id"), col("v").as("w"),
+        col("nrm").as("nw")), Seq("nbr_id"))
+      .select(col("vec_id"), col("rank"),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+          (dot(col("v"), col("w")) / (col("nrm") * col("nw"))))).as("d"))
+    import spark.implicits._
+    val kGrid = broadcast(ks.sorted.toDF("k"))
+    val perPoint = edges.crossJoin(kGrid)
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(min(col("d")).as("dmin"),
+        sum(when(col("rank") < col("k"), log(col("d")))).as("slog"),
+        max(when(col("rank") === col("k"), log(col("d")))).as("ltk"))
+    // denom = (k−1)·ln T_k − Σ_{j<k} ln T_j ;  m̂ = (k−1)/denom
+    val denom = (col("k") - 1).cast("double") * col("ltk") - col("slog")
+    val live = col("dmin") > 0.0
+    perPoint.groupBy(col("k")).agg(
+        sum(when(live, 1L).otherwise(0L)).as("n_pts"),
+        sum(when(live, 0L).otherwise(1L)).as("n_degenerate"),
+        round(avg(when(live,
+          (col("k") - 1).cast("double") / denom)), 4).as("mlid_mean"),
+        round(min(when(live,
+          (col("k") - 1).cast("double") / denom)), 4).as("mlid_min"),
+        round(max(when(live,
+          (col("k") - 1).cast("double") / denom)), 4).as("mlid_max"),
+        sum(when(live, denom)).as("sdenom"))
+      .select(col("k"), col("n_pts"), col("n_degenerate"),
+        col("mlid_mean"), col("mlid_min"), col("mlid_max"),
+        round((col("k") - 1).cast("double") * col("n_pts").cast("double")
+          / col("sdenom"), 4).as("mlid_global"))
+  }
+
+  def embedIntrinsicDimQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    embedIntrinsicDim(Tables.embeddings(spark, dir))
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

@@ -322,4 +322,60 @@ object Analytics4 {
         .cast("double") / count(lit(1)).cast("double"), 4)
         .as("repeat_rate"))
   }
+
+  /** Time-to-convert distribution (r12 sB): for every `purchase`, the
+    * lag back to the user's FIRST touch inside the attribution lookback
+    * window, bucketed on a power-of-two minute grid — the journey-length
+    * histogram behind every attribution-window choice
+    * ([[Analytics3.eventsAttribution]] picks 168h; this is the evidence
+    * that the mass actually lives inside it). Conversions with no prior
+    * touch land in bucket −1 as `(direct)` journeys.
+    *
+    * Shares the attribution operator's scale shape: ONE per-user range
+    * window takes the min conditional (tsec, event_id) struct — no
+    * touches×conversions self-join — then the histogram is a bucket
+    * groupBy over the conversion frame only. The bucket is
+    * INTEGER-exact in both engines: `length(bin(lag_min)) − 1` (the
+    * bit-length of the floored minute lag) sidesteps cross-engine
+    * `floor(log2(x))` boundary rounding entirely; shares/cum ride one
+    * IEEE tree over the ≤15-row bucket frame, 4dp. */
+  def eventsConversionLag(spark: SparkSession, dir: String): DataFrame =
+    eventsConversionLagOn(Tables.events(spark, dir))
+
+  def eventsConversionLagOn(events: DataFrame,
+                            lookbackHours: Int = 168): DataFrame = {
+    import graft.queries.Money.{asDouble, dec}
+    val e = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts").cast("long").as("tsec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-lookbackHours.toLong * 3600L, -1L)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("tsec"), col("event_id")))
+    val conv = e
+      .withColumn("ft", min(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("value"),
+        (col("tsec") - col("ft.tsec")).as("lag_sec"))
+    // lag_sec ≥ 1 by the window's `1 PRECEDING` bound; bucket −1 = direct
+    val lagMin = greatest(lit(1L), col("lag_sec").divide(60).cast("long"))
+    val bucketed = conv.select(col("value"),
+      when(col("lag_sec").isNull, lit(-1))
+        .otherwise((length(bin(lagMin)) - 1).cast("int")).as("bucket"))
+    val hist = bucketed.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_conv"),
+      sum(dec(col("value"))).as("v"))
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.select(col("bucket"),
+        when(col("bucket") === -1, lit(0L))
+          .otherwise(pow(lit(2.0), col("bucket").cast("double"))
+            .cast("long")).as("lo_min"),
+        col("n_conv"), asDouble(col("v")).as("conv_value"),
+        round(col("n_conv").cast("double") /
+          sum(col("n_conv")).over(wAll).cast("double"), 4).as("share"),
+        round(sum(col("n_conv")).over(wCum).cast("double") /
+          sum(col("n_conv")).over(wAll).cast("double"), 4).as("cum_share"))
+  }
 }

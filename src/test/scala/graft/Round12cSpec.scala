@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Ann
+import graft.queries.Analytics4
+
+/** Fixtures and invariants for the round-12 session-C wave:
+  * events_conversion_lag (time-to-convert histogram) and
+  * embed_intrinsic_dim (Levina–Bickel MLE over the exact kNN graph). */
+class Round12cSpec extends AnyFunSuite with SparkFixture {
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def eventsDf(rows: Seq[(Long, Long, String, Double, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "value", "tsec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), timestamp_seconds(col("tsec")).as("ts"))
+  }
+
+  test("events_conversion_lag: hand-computed buckets, direct journeys, " +
+    "lookback boundary, and the 127/128-minute bit-length edge") {
+    val rows = Seq(
+      // user 1: touch then purchase 90 s later → lag_min 1 → bucket 0
+      (1L, 1L, "click", 0.0, 1000L),
+      (2L, 1L, "purchase", 10.0, 1090L),
+      // user 2: purchase with no touch → direct
+      (3L, 2L, "purchase", 20.0, 5000L),
+      // user 3: touch exactly ONE second outside the 604800 s lookback
+      (4L, 3L, "view", 0.0, 0L),
+      (5L, 3L, "purchase", 30.0, 604801L),
+      // user 4: touch exactly AT the lookback bound (inclusive) →
+      // lag 604800 s = 10080 min → bucket 13, lo_min 8192
+      (6L, 4L, "view", 0.0, 0L),
+      (7L, 4L, "purchase", 40.0, 604800L),
+      // user 5: FIRST of two touches wins → lag 7680 s = 128 min →
+      // bucket 7 (bit length of 128 is 8)
+      (8L, 5L, "click", 0.0, 100L),
+      (9L, 5L, "view", 0.0, 200L),
+      (10L, 5L, "purchase", 50.0, 7780L),
+      // user 6: lag 7679 s → 127 min floored → bucket 6
+      (11L, 6L, "click", 0.0, 0L),
+      (12L, 6L, "purchase", 60.0, 7679L),
+      // user 7: purchases are NOT touches — both are direct
+      (13L, 7L, "purchase", 70.0, 1000L),
+      (14L, 7L, "purchase", 80.0, 2000L))
+    val out = Analytics4.eventsConversionLagOn(eventsDf(rows)).collect()
+      .map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(out.keySet === Set(-1, 0, 6, 7, 13))
+    // direct = user 2, user 3 (touch one second too old), user 7 twice
+    assert(out(-1).getAs[Long]("n_conv") === 4L)
+    assert(out(-1).getAs[Double]("conv_value") === 200.0)
+    assert(out(0).getAs[Long]("lo_min") === 1L)
+    assert(out(0).getAs[Long]("n_conv") === 1L)
+    assert(out(0).getAs[Double]("conv_value") === 10.0)
+    assert(out(6).getAs[Long]("lo_min") === 64L)
+    assert(out(7).getAs[Long]("lo_min") === 128L)
+    assert(out(13).getAs[Long]("lo_min") === 8192L)
+    assert(out(-1).getAs[Long]("lo_min") === 0L)
+    // shares over 8 conversions, cum in bucket order
+    val n = out.values.map(_.getAs[Long]("n_conv")).sum
+    assert(n === 8L)
+    assert(out(-1).getAs[Double]("share") === 0.5)
+    assert(out(-1).getAs[Double]("cum_share") === 0.5)
+    assert(out(0).getAs[Double]("cum_share") === r4(5.0 / 8.0))
+    assert(out(13).getAs[Double]("cum_share") === 1.0)
+  }
+
+  test("events_conversion_lag agrees with a plain-Scala replay on " +
+    "randomized journeys") {
+    val lookback = 604800L
+    val rnd = new scala.util.Random(12321)
+    for (trial <- 1 to 3) {
+      val types = Seq("click", "view", "purchase")
+      val rows = (1 to 120).map { i =>
+        (i.toLong, (1 + rnd.nextInt(8)).toLong,
+          types(rnd.nextInt(3)), rnd.nextInt(100).toDouble,
+          rnd.nextLong(1000000L))
+      }
+      val out = Analytics4.eventsConversionLagOn(eventsDf(rows)).collect()
+        .map(r => r.getAs[Int]("bucket") -> r).toMap
+      // replay: per purchase, min-(tsec, event_id) touch in the window
+      case class Conv(bucket: Int, value: Double)
+      val convs = rows.filter(_._3 == "purchase").map { p =>
+        val touches = rows.filter(t => t._2 == p._2 && t._3 != "purchase" &&
+          t._5 >= p._5 - lookback && t._5 <= p._5 - 1)
+        val bucket =
+          if (touches.isEmpty) -1
+          else {
+            val ft = touches.minBy(t => (t._5, t._1))
+            val lagMin = math.max(1L, (p._5 - ft._5) / 60L)
+            java.lang.Long.toBinaryString(lagMin).length - 1
+          }
+        Conv(bucket, p._4)
+      }
+      val hist = convs.groupBy(_.bucket).map { case (b, cs) =>
+        b -> (cs.size.toLong, cs.map(_.value).sum)
+      }
+      val tot = convs.size.toDouble
+      assert(out.keySet === hist.keySet, s"trial $trial")
+      val cum = hist.toSeq.sortBy(_._1)
+        .scanLeft(0L) { case (acc, (_, (c, _))) => acc + c }.tail
+      hist.toSeq.sortBy(_._1).zip(cum).foreach {
+        case ((b, (c, v)), cumN) =>
+          assert(out(b).getAs[Long]("n_conv") === c, s"trial $trial b=$b")
+          assert(out(b).getAs[Double]("conv_value") === v,
+            s"trial $trial b=$b")
+          assert(out(b).getAs[Double]("share") === r4(c / tot),
+            s"trial $trial b=$b")
+          assert(out(b).getAs[Double]("cum_share") === r4(cumN / tot),
+            s"trial $trial b=$b")
+      }
+    }
+  }
+
+  test("events_conversion_lag shuffles the events exactly once and " +
+    "plans no loop join") {
+    val df = Analytics4.eventsConversionLag(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1,
+      s"conversion lag should shuffle the events exactly once:\n$p")
+    assert(!p.contains("CartesianProduct"), "loop join in conversion lag")
+  }
+
+  test("embed_intrinsic_dim agrees with a plain-Scala replay of the " +
+    "exact kNN MLE on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7321)
+    for (trial <- 1 to 2) {
+      val n = 40; val dim = 8
+      val vecs = (0 until n).map { i =>
+        i.toLong -> Array.fill(dim)((rnd.nextInt(2000) - 1000) / 1000.0f)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")
+          .as("embedding"))
+      val out = Ann.embedIntrinsicDim(df).collect()
+        .map(r => r.getAs[Int]("k") -> r).toMap
+      // replay: exact cosine ranks (sim DESC, id ASC), chordal distances
+      val dbl = vecs.map { case (id, v) => id -> v.map(_.toDouble) }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val nrm = dbl.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+      val byId = dbl.toMap
+      val topD: Map[Long, IndexedSeq[Double]] = dbl.map { case (id, v) =>
+        val ds = dbl.filter(_._1 != id).map { case (jid, w) =>
+          (dot(v, w) / (nrm(id) * nrm(jid)), jid)
+        }.sortBy { case (s, j) => (-s, j) }.take(5)
+          .map { case (s, _) =>
+            math.sqrt(math.max(0.0, 2.0 - 2.0 * s)) }.toIndexedSeq
+        id -> ds
+      }.toMap
+      for (k <- Seq(3, 4, 5)) {
+        val mhats = topD.toSeq.sortBy(_._1).map { case (_, ds) =>
+          val denom = (k - 1).toDouble * math.log(ds(k - 1)) -
+            ds.take(k - 1).map(math.log).sum
+          ((k - 1).toDouble / denom, denom)
+        }
+        val row = out(k)
+        assert(row.getAs[Long]("n_pts") === n.toLong, s"trial $trial k=$k")
+        assert(row.getAs[Long]("n_degenerate") === 0L, s"trial $trial k=$k")
+        assert(row.getAs[Double]("mlid_mean") ===
+          r4(mhats.map(_._1).sum / n), s"trial $trial k=$k")
+        assert(row.getAs[Double]("mlid_min") === r4(mhats.map(_._1).min),
+          s"trial $trial k=$k")
+        assert(row.getAs[Double]("mlid_max") === r4(mhats.map(_._1).max),
+          s"trial $trial k=$k")
+        assert(row.getAs[Double]("mlid_global") ===
+          r4((k - 1).toDouble * n / mhats.map(_._2).sum),
+          s"trial $trial k=$k")
+      }
+    }
+  }
+
+  test("embed_intrinsic_dim counts exact-duplicate points as degenerate " +
+    "instead of poisoning the pool") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val base = (0 until 20).map { i =>
+      i.toLong -> Array.fill(6)((rnd.nextInt(2000) - 1000) / 1000.0f)
+    }
+    // vec 20 duplicates vec 0 exactly → both have a 0-distance 1-NN
+    val vecs = base :+ (20L -> base(0)._2)
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val out = Ann.embedIntrinsicDim(df).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_degenerate") === 2L)
+      assert(r.getAs[Long]("n_pts") === 19L)
+      assert(r.getAs[Double]("mlid_mean") > 0.0)
+    }
+  }
+
+  test("session-C ops run on the warehouse and return rows") {
+    assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
+    assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
+  }
+}
