@@ -28,6 +28,7 @@ object SparkEntry {
     "cdc_soft_delete" -> (Cdc.softDeleteQ _),
     "cdc_append" -> (Cdc.appendQ _),
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
+    "cdc_compaction_plan" -> (Cdc.compactionPlanQ _),
     "cdc_op_mix" -> (Cdc.opMixQ _),
     "cdc_key_churn" -> (Cdc.keyChurnQ _),
     "cdc_tiebreak_audit" -> (Cdc.tiebreakAuditQ _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "text_rarity" -> (TextOps.textRarityQ _),
     "vocab_coverage" -> (TextOps.vocabCoverageQ _),
     "vocab_growth" -> (TextOps.vocabGrowthQ _),
+    "vocab_overlap" -> (TextOps.vocabOverlapQ _),
     "text_novelty" -> (TextOps.textNoveltyQ _),
     "corpus_quality_pareto" -> (TextOps.corpusQualityParetoQ _),
     "text_ngram_coverage" -> (TextOps.textNgramCoverageQ _),
@@ -488,6 +490,25 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    // compaction planner: all-integer partition accounting (ceil via
+    // integer div on both engines), one 4dp ratio
+    "cdc_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS part_day,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+        |      AS n_batches,
+        |    CAST(sum(40 + length(event_type) + length(props)) AS BIGINT)
+        |      AS est_bytes
+        |  FROM events GROUP BY 1)
+        |SELECT part_day, n_rows, n_batches, est_bytes,
+        |  (est_bytes + 262143) // 262144 AS compacted_files,
+        |  greatest(0, n_batches - (est_bytes + 262143) // 262144)
+        |    AS small_file_debt,
+        |  round(CAST(n_batches AS DOUBLE) /
+        |    CAST((est_bytes + 262143) // 262144 AS DOUBLE), 4)
+        |    AS write_amplification
+        |FROM m""".stripMargin,
     // op-mix dashboard: integer counts; share = exact ratio of two
     // integer counts (deterministic double division on both engines)
     "cdc_op_mix" ->
@@ -3218,6 +3239,34 @@ object SparkEntry {
          |FROM taus LEFT JOIN np ON taus.tau = np.tau
          |LEFT JOIN nd ON taus.tau = nd.tau, tot""".stripMargin,
     // Heaps-law curve (r11): id-range checkpoints, conditional sums
+    // pairwise source-vocab overlap: distinct (source, token) once,
+    // pair counts via the token self-join (bounded by |vocab|·S²),
+    // marginals joined back; empty-split '' token filtered identically
+    "vocab_overlap" ->
+      s"""WITH st AS (
+         |  SELECT DISTINCT source, t.tok
+         |  FROM documents, unnest($tokSql) AS t(tok)
+         |  WHERE length(t.tok) > 0),
+         |marg AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+         |  FROM st GROUP BY 1),
+         |c AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT ma.source AS source_a, mb.source AS source_b,
+         |  ma.vocab AS vocab_a, mb.vocab AS vocab_b,
+         |  coalesce(c.shared, 0) AS shared,
+         |  round(CAST(coalesce(c.shared, 0) AS DOUBLE)
+         |    / CAST(ma.vocab + mb.vocab - coalesce(c.shared, 0) AS DOUBLE),
+         |    4) AS jaccard,
+         |  round(CAST(coalesce(c.shared, 0) AS DOUBLE)
+         |    / CAST(ma.vocab AS DOUBLE), 4) AS containment_a,
+         |  round(CAST(coalesce(c.shared, 0) AS DOUBLE)
+         |    / CAST(mb.vocab AS DOUBLE), 4) AS containment_b
+         |FROM marg ma JOIN marg mb ON ma.source < mb.source
+         |LEFT JOIN c
+         |  ON c.source_a = ma.source AND c.source_b = mb.source""".stripMargin,
     "vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
          |           FROM documents),

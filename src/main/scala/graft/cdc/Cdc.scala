@@ -549,6 +549,46 @@ object Cdc {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value")
       )
 
+  /** Compaction planner (r12 sC): per DAY partition, what hourly
+    * micro-batch ingestion actually leaves on disk vs what compaction
+    * would keep — batch count (one commit file per batch per partition,
+    * the pattern behind every small-file problem a streaming warehouse
+    * sink has; cf. reference BatchRecordWriter's per-batch load jobs),
+    * an estimated byte footprint from the payload widths, the file
+    * count a `targetBytes` compaction would leave, and the resulting
+    * small-file debt + write-amplification ratio. The ANALYTIC twin of
+    * [[graft.sinks.WarehouseSink]]'s executable `compact` — this one
+    * PRICES the backlog so an operator can schedule that one.
+    *
+    * Scale shape: one month-keyed agg, map-side combined (the distinct
+    * hour count partial-aggregates per month too); everything after is
+    * per-partition arithmetic on a |months|-row frame. All integers
+    * (ceil division via `div`, engine-exact) + one 4dp ratio. */
+  def compactionPlan(events: DataFrame,
+                     targetBytes: Long = 256L * 1024L): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val perDay = events
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("part_day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(date_trunc("hour", col("ts"))).as("n_batches"),
+        sum(lit(40L) + length(col("event_type")).cast("long")
+          + length(col("props")).cast("long")).as("est_bytes"))
+    perDay.select(col("part_day"), col("n_rows"), col("n_batches"),
+      col("est_bytes"),
+      expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes")
+        .as("compacted_files"),
+      greatest(lit(0L), col("n_batches") -
+        expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes"))
+        .as("small_file_debt"),
+      round(col("n_batches").cast("double") /
+        expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes")
+          .cast("double"), 4).as("write_amplification"))
+  }
+
+  def compactionPlanQ(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(graft.Tables.events(spark, dir))
+
   /** Debezium semantic-type mapping (BaseRecordConverter.schemaPrimitiveField
     * + handleFieldValue): epoch-days → DATE, epoch-millis → TIMESTAMP,
     * ISO-8601 rendering with the trailing-Z strip

@@ -695,6 +695,59 @@ object TextOps {
   def vocabGrowthQ(spark: SparkSession, dir: String): DataFrame =
     vocabGrowth(Tables.documents(spark, dir))
 
+  /** Pairwise source-vocabulary overlap (r12 sC): for every pair of
+    * sources, the shared distinct-token count with Jaccard and BOTH
+    * directional containments — the mix-curation evidence reading
+    * [[corpusMixReport]] can't give: two sources with high Jaccard are
+    * redundant (downweight one), a small source fully CONTAINED in a
+    * big one (containment ≈ 1 on its side, low Jaccard) adds zero
+    * lexical signal, and a low-overlap source is where new vocabulary
+    * actually lives. The source-dimension twin of [[linkJaccard]]'s
+    * per-document set overlap.
+    *
+    * Scale shape: ONE distinct over (source, token) — map-side partial,
+    * Heaps-bounded per source; the pair frame is a self-equi-join ON
+    * THE TOKEN (the [[graft.queries.Analytics4.eventsTypeAffinity]]
+    * shape): each token held by m sources emits m(m−1)/2 pairs, so the
+    * join output is bounded by |vocab|·S² with S = |sources| (tens),
+    * never documents². Marginals ride two broadcast joins. Exact
+    * integers + three 4dp ratios. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val marg = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    val counts = st.select(col("source").as("source_a"), col("tok"))
+      .join(st.select(col("source").as("source_b"), col("tok")),
+        Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    // full S² pair grid so ZERO-overlap pairs (the interesting ones —
+    // that's where new vocabulary lives) appear explicitly
+    val grid = marg.select(col("source").as("source_a"),
+        col("vocab").as("vocab_a"))
+      .crossJoin(marg.select(col("source").as("source_b"),
+        col("vocab").as("vocab_b")))
+      .filter(col("source_a") < col("source_b"))
+    val d = (c: Column) => c.cast("double")
+    grid.join(broadcast(counts), Seq("source_a", "source_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"),
+        col("vocab_a"), col("vocab_b"), col("shared"),
+        round(d(col("shared")) /
+          d(col("vocab_a") + col("vocab_b") - col("shared")), 4)
+          .as("jaccard"),
+        round(d(col("shared")) / d(col("vocab_a")), 4)
+          .as("containment_a"),
+        round(d(col("shared")) / d(col("vocab_b")), 4)
+          .as("containment_b"))
+  }
+
+  def vocabOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    vocabOverlap(Tables.documents(spark, dir))
+
   /** Per-document n-gram novelty (r12): for each doc, the share of its
     * distinct word n-grams whose FIRST corpus occurrence (by doc_id
     * order) is the doc itself — the ingestion-order memorization audit.

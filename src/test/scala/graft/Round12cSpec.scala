@@ -198,8 +198,72 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vocab_overlap: hand-computed pair table, zero-overlap pairs " +
+    "present, empty-split token filtered") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "the cat sat"), ("A", "the dog"),
+      ("B", "the cat runs"),
+      ("C", "zebra"), ("C", "  ")) // tokenizes to [''] → filtered
+      .toDF("source", "text")
+    val out = graft.llm.TextOps.vocabOverlap(docs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r).toMap
+    assert(out.size === 3)
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("vocab_a") === 4L) // the cat sat dog
+    assert(ab.getAs[Long]("vocab_b") === 3L) // the cat runs
+    assert(ab.getAs[Long]("shared") === 2L)  // the, cat
+    assert(ab.getAs[Double]("jaccard") === 0.4)
+    assert(ab.getAs[Double]("containment_a") === 0.5)
+    assert(ab.getAs[Double]("containment_b") === r4(2.0 / 3.0))
+    val ac = out(("A", "C"))
+    assert(ac.getAs[Long]("vocab_b") === 1L) // '' filtered, zebra stays
+    assert(ac.getAs[Long]("shared") === 0L)
+    assert(ac.getAs[Double]("jaccard") === 0.0)
+  }
+
+  test("cdc_compaction_plan: hand-computed day partitions — ceil " +
+    "boundary exact, small-file debt, write amplification") {
+    import spark.implicits._
+    val pad56 = "x" * 56
+    val rows = Seq.empty[(Long, String, String)] ++
+      // day 1: 3×46 B in 2 batches → 138 B → 2 files at 100 B, debt 0
+      Seq((3600L * 0, "view", "{}"), (3600L * 0 + 60, "view", "{}"),
+        (3600L * 1, "view", "{}")) ++
+      // day 2: 5×46 B across 5 batches → 230 B → 3 files, debt 2
+      (0 until 5).map(h => (86400L + 3600L * h, "view", "{}")) ++
+      // day 3: exactly 200 B (2×(40+4+56)) in 1 batch → exactly 2 files
+      Seq((2 * 86400L, "view", pad56), (2 * 86400L + 60, "view", pad56))
+    val events = rows.toDF("tsec", "event_type", "props")
+      .select(timestamp_seconds(col("tsec")).as("ts"),
+        col("event_type"), col("props"))
+    val out = graft.cdc.Cdc.compactionPlan(events, targetBytes = 100L)
+      .collect().map(r => r.getAs[java.sql.Date]("part_day").toString -> r)
+      .toMap
+    assert(out.size === 3)
+    val d1 = out("1970-01-01")
+    assert(d1.getAs[Long]("n_rows") === 3L)
+    assert(d1.getAs[Long]("n_batches") === 2L)
+    assert(d1.getAs[Long]("est_bytes") === 138L)
+    assert(d1.getAs[Long]("compacted_files") === 2L)
+    assert(d1.getAs[Long]("small_file_debt") === 0L)
+    assert(d1.getAs[Double]("write_amplification") === 1.0)
+    val d2 = out("1970-01-02")
+    assert(d2.getAs[Long]("est_bytes") === 230L)
+    assert(d2.getAs[Long]("compacted_files") === 3L)
+    assert(d2.getAs[Long]("small_file_debt") === 2L)
+    assert(d2.getAs[Double]("write_amplification") === r4(5.0 / 3.0))
+    val d3 = out("1970-01-03")
+    assert(d3.getAs[Long]("est_bytes") === 200L)
+    assert(d3.getAs[Long]("compacted_files") === 2L) // exact ceil bound
+    assert(d3.getAs[Long]("small_file_debt") === 0L)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
+    assert(graft.llm.TextOps.vocabOverlapQ(spark, sfDir).count() > 0L)
+    assert(graft.cdc.Cdc.compactionPlanQ(spark, sfDir).count() > 0L)
   }
 }
