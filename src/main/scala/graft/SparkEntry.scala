@@ -197,6 +197,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccardQ _),
     "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweepQ _),
     "dedup_edit_verify" -> (Dedup.dedupEditVerifyQ _),
+    "dedup_cross_source" -> (Dedup.dedupCrossSourceQ _),
+    "dedup_quality_impact" -> (Dedup.dedupQualityImpactQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "text_similar_topk" -> (Dedup.textSimilarTopkQ _),
     "link_jaccard" -> (Dedup.linkJaccardQ _),
@@ -3320,6 +3322,67 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // the jaccard pair CTE labeled by both ends' sources; each pair
+    // explodes to its two ends so n_pairs = rows // 2 exactly and the
+    // distinct-doc count rides the same group
+    "dedup_cross_source" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b FROM pairs
+         |       JOIN counts ca ON doc_a = ca.doc_id
+         |       JOIN counts cb ON doc_b = cb.doc_id
+         |       WHERE CAST(inter AS DOUBLE)
+         |         / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+         |lab AS (SELECT least(da.source, db.source) AS source_a,
+         |          greatest(da.source, db.source) AS source_b,
+         |          jp.doc_a, jp.doc_b
+         |        FROM jp
+         |        JOIN documents da ON jp.doc_a = da.doc_id
+         |        JOIN documents db ON jp.doc_b = db.doc_id),
+         |ex AS (SELECT source_a, source_b, doc_a AS d FROM lab
+         |       UNION ALL SELECT source_a, source_b, doc_b FROM lab),
+         |a AS (SELECT source_a, source_b,
+         |        CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |        CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |      FROM ex GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS DOUBLE) AS tp FROM a)
+         |SELECT source_a, source_b, source_a <> source_b AS is_cross,
+         |  n_pairs, n_docs,
+         |  round(CAST(n_pairs AS DOUBLE) / tp, 4) AS pair_share
+         |FROM a, t""".stripMargin,
+    // the jaccard CC chain's family labels + textQuality's composite
+    // in one corpus pass; keep-first = min doc_id per family
+    "dedup_quality_impact" ->
+      s"""WITH RECURSIVE $jaccardCcSql,
+         |minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+         |d AS (SELECT dd.doc_id,
+         |    CASE WHEN dd.doc_id =
+         |        least(coalesce(m.mb, dd.doc_id), dd.doc_id)
+         |      THEN 'kept' ELSE 'dropped' END AS disposition,
+         |    CAST(len($tokSql) AS BIGINT) AS n_toks,
+         |    CAST(len(text) AS BIGINT) AS n_chars,
+         |    least(CAST(len($tokSql) AS DOUBLE) / 64.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '$punctClass'))
+         |        AS DOUBLE) / CAST(len(text) AS DOUBLE)) AS qs
+         |  FROM documents dd LEFT JOIN minr m ON dd.doc_id = m.a),
+         |a AS (SELECT disposition,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    round(avg(qs), 4) AS mean_quality,
+         |    round(CAST(sum(n_chars) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 4) AS mean_chars
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM a)
+         |SELECT disposition, n_docs, n_tokens, mean_quality, mean_chars,
+         |  round(CAST(n_tokens AS DOUBLE) / tt, 4) AS token_share
+         |FROM a, t""".stripMargin,
     // per-doc top-5 jaccard neighbors: the jaccard oracle directed
     // (both orientations), 4dp-rounded BEFORE the row_number rank so
     // boundary ties resolve identically on both engines

@@ -150,6 +150,109 @@ object Dedup {
   def dedupEditVerifyQ(spark: SparkSession, dir: String): DataFrame =
     dedupEditVerify(Tables.documents(spark, dir))
 
+  /** Cross-source duplication matrix (r12 sC): the near-dup pair frame
+    * labeled by the SOURCE of both ends and rolled up per (unordered)
+    * source pair — n_pairs, distinct docs touched, and each cell's
+    * share of the total pair mass, with the diagonal (same-source)
+    * rows kept for contrast. The provenance audit behind every mix
+    * decision: a hot OFF-diagonal cell says two feeds mirror each
+    * other (dedup across them before weighting, or the mix double
+    * counts), while duplicate mass concentrated ON the diagonal is
+    * ordinary within-feed redundancy the per-source dedup already
+    * handles. [[vocab_overlap]] asks "do these sources share
+    * vocabulary"; this asks "do they share DOCUMENTS".
+    *
+    * Scale shape: the pair frame is [[dedupNgramJaccard]]'s
+    * (inverted-index join, duplicate-bounded — never corpus²); source
+    * labels arrive by two slim joins on the pair ends; ONE
+    * aggregation computes pairs AND distinct-docs together (each pair
+    * explodes to its two ends, so n_pairs = rows/2 exactly); the
+    * share rides a window over the ≤ S² matrix frame. */
+  def dedupCrossSource(docs: DataFrame, tau: Double = 0.8,
+                       n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = dedupNgramJaccard(docs, tau = tau, n = n)
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+    val agg = lab
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    agg.select(col("source_a"), col("source_b"),
+      (col("source_a") =!= col("source_b")).as("is_cross"),
+      col("n_pairs"), col("n_docs"),
+      round(col("n_pairs").cast("double") /
+        sum(col("n_pairs")).over(wAll).cast("double"), 4).as("pair_share"))
+  }
+
+  def dedupCrossSourceQ(spark: SparkSession, dir: String): DataFrame =
+    dedupCrossSource(Tables.documents(spark, dir))
+
+  /** Dedup survivorship audit (r12 sC): after near-dup keep-first
+    * dedup (family = [[componentLabels]] component, keep = its min
+    * doc_id — the [[corpusFamilies]]/[[dedupCorpus]] rule), the
+    * quality/length books of the KEPT corpus vs the DROPPED mass —
+    * the "is dedup deleting good or bad documents" check a curation
+    * pipeline runs before trusting keep-first (templated spam
+    * duplicates heavily, so dropped mass usually reads LOW quality;
+    * dropped quality reading HIGH says a mirror of your best feed is
+    * being thrown away by id order and the keep rule needs a quality
+    * tiebreak). Uses [[graft.llm.TextOps.textQuality]]'s composite.
+    *
+    * Scale shape: the pair frame is the caller-persisted
+    * [[dedupNgramJaccard]] output (duplicate-bounded); labels ride the
+    * shared adaptive [[componentLabels]] path and join back LEFT onto
+    * one corpus scan that computes the quality features map-side in
+    * the same projection; then a 2-row disposition rollup. Counts and
+    * token sums exact; the two means are each ONE distributed double
+    * fold (4dp rule). */
+  def dedupQualityImpact(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = componentLabels(pairs)
+    val per = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.qualityScoreCol(col("text")).as("qs"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("disposition",
+        when(col("label").isNull || col("label") === col("doc_id"), "kept")
+          .otherwise("dropped"))
+    val agg = per.groupBy(col("disposition")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      round(avg(col("qs")), 4).as("mean_quality"),
+      round(sum(col("n_chars")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("mean_chars"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    agg.select(col("disposition"), col("n_docs"), col("n_tokens"),
+      col("mean_quality"), col("mean_chars"),
+      round(col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(wAll).cast("double"), 4)
+        .as("token_share"))
+  }
+
+  def dedupQualityImpactQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // same persist contract as [[corpusFamiliesQ]]
+    val pairs = dedupNgramJaccard(docs).persist()
+    val out = graft.Exec.materialize(dedupQualityImpact(docs, pairs))
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Threshold-tuning sweep for jaccard dedup: per candidate τ, how
     * many pairs fire, how many docs they touch, and the corpus share —
     * the "what does each τ actually cost me" table read before

@@ -35,6 +35,19 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** The composite quality expression of [[textQuality]] as a bare
+    * Column, for operators that need the score NEXT TO other per-doc
+    * columns in one scan projection (dedup survivorship audit) instead
+    * of a doc_id join against textQuality's frame. Identical IEEE tree
+    * to the `quality_score` column below. */
+  def qualityScoreCol(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = size(tokens(text)).cast("double")
+    val nPunct = size(regexp_extract_all(text,
+      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    least(nTokens / lit(64.0), lit(1.0)) * (lit(1.0) - nPunct / nChars)
+  }
+
   /** Quality scoring: doc length, punctuation ratio, stopword ratio, mean
     * word length, and a composite score — the standard cheap heuristics
     * (C4/Gopher-style) for filtering web-scale corpora. All arithmetic is

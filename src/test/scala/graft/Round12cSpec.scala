@@ -260,10 +260,62 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(d3.getAs[Long]("small_file_debt") === 0L)
   }
 
+  test("dedup_cross_source: planted cross-feed mirrors land in the " +
+    "off-diagonal cell, within-feed dups on the diagonal") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, txt, "X"), (2L, txt, "Y"), (3L, txt, "X"),
+      (4L, "totally different words here now", "Y"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Dedup.dedupCrossSource(docs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r).toMap
+    assert(out.keySet === Set(("X", "X"), ("X", "Y")))
+    val xy = out(("X", "Y")) // pairs (1,2) and (2,3)
+    assert(xy.getAs[Boolean]("is_cross"))
+    assert(xy.getAs[Long]("n_pairs") === 2L)
+    assert(xy.getAs[Long]("n_docs") === 3L)
+    assert(xy.getAs[Double]("pair_share") === r4(2.0 / 3.0))
+    val xx = out(("X", "X")) // pair (1,3)
+    assert(!xx.getAs[Boolean]("is_cross"))
+    assert(xx.getAs[Long]("n_pairs") === 1L)
+    assert(xx.getAs[Long]("n_docs") === 2L)
+    assert(xx.getAs[Double]("pair_share") === r4(1.0 / 3.0))
+  }
+
+  test("dedup_quality_impact: keep-first family accounting with exact " +
+    "hand-computed quality means") {
+    import spark.implicits._
+    // 8 single-letter tokens, no punctuation → qs = 8/64 = 0.125 exact
+    val dup = "a b c d e f g h"                    // 15 chars
+    val uniq = "p q r s t u v w x y z a b c d e"   // 16 toks → qs 0.25
+    val docs = Seq((1L, dup, "s"), (2L, dup, "s"), (3L, uniq, "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val pairs = graft.llm.Dedup.dedupNgramJaccard(docs).persist()
+    val out = graft.llm.Dedup.dedupQualityImpact(docs, pairs).collect()
+      .map(r => r.getAs[String]("disposition") -> r).toMap
+    pairs.unpersist()
+    val kept = out("kept") // docs 1 and 3
+    assert(kept.getAs[Long]("n_docs") === 2L)
+    assert(kept.getAs[Long]("n_tokens") === 8L + 16L)
+    assert(kept.getAs[Double]("mean_quality") === r4((0.125 + 0.25) / 2))
+    assert(kept.getAs[Double]("mean_chars") === r4((15.0 + 31.0) / 2))
+    val dropped = out("dropped") // doc 2
+    assert(dropped.getAs[Long]("n_docs") === 1L)
+    assert(dropped.getAs[Long]("n_tokens") === 8L)
+    assert(dropped.getAs[Double]("mean_quality") === 0.125)
+    assert(dropped.getAs[Double]("mean_chars") === 15.0)
+    assert(dropped.getAs[Double]("token_share") === r4(8.0 / 32.0))
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
     assert(graft.llm.TextOps.vocabOverlapQ(spark, sfDir).count() > 0L)
     assert(graft.cdc.Cdc.compactionPlanQ(spark, sfDir).count() > 0L)
+    assert(graft.llm.Dedup.dedupCrossSourceQ(spark, sfDir).count() > 0L)
+    assert(graft.llm.Dedup.dedupQualityImpactQ(spark, sfDir).count() >= 1L)
   }
 }
