@@ -159,6 +159,7 @@ object SparkEntry {
     "text_readability" -> (TextOps.textReadabilityQ _),
     "text_collocations" -> (TextOps.textCollocationsQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
+    "corpus_curriculum" -> (TextOps.corpusCurriculumQ _),
     "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
     "text_perplexity_kn" -> (TextOps.textPerplexityKnQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
@@ -2591,6 +2592,38 @@ object SparkEntry {
          |    AS bits_per_token
          |FROM tok JOIN freq USING (t)
          |GROUP BY doc_id""".stripMargin,
+    // difficulty curriculum: per-doc 4dp bits/token → centibit bins →
+    // token-mass quartile stages by histogram algebra (integer div,
+    // straddling bins assigned by their start)
+    "corpus_curriculum" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(round(round(log2((SELECT n FROM tot)) - avg(log2(c)),
+         |        4) * 100) AS BIGINT) AS bin
+         |  FROM tok JOIN freq USING (t)
+         |  GROUP BY doc_id),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_toks
+         |  FROM per GROUP BY 1),
+         |s AS (SELECT *,
+         |    coalesce(CAST(sum(n_toks) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cum_before,
+         |    CAST(sum(n_toks) OVER () AS BIGINT) AS total
+         |  FROM b),
+         |st AS (SELECT *,
+         |    least(4, 1 + (cum_before * 4) // total) AS stage FROM s)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(min(bin) AS DOUBLE) / 100, 4) AS min_bits,
+         |  round(CAST(max(bin) AS DOUBLE) / 100, 4) AS max_bits,
+         |  round(CAST(sum(n_toks) AS DOUBLE) / CAST(max(total) AS DOUBLE),
+         |    4) AS token_share
+         |FROM st GROUP BY 1""".stripMargin,
     // benchmark-side transpose of decontaminate: clean items appear at 0
     // via the LEFT JOIN (count DISTINCT over NULL is 0 on both engines)
     "decontaminate_report" ->

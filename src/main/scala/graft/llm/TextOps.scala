@@ -960,6 +960,57 @@ object TextOps {
     result
   }
 
+  /** Difficulty-staged curriculum plan (r12 sC): the corpus split into
+    * `stages` phases of (near-)equal TOKEN mass ordered by per-doc
+    * unigram cross-entropy — the curriculum-learning schedule (Bengio
+    * et al. 2009: train predictable → surprising) priced as a table:
+    * per stage, its difficulty band [min_bits, max_bits], document and
+    * token counts, and token share. Equal token mass per stage means
+    * equal COMPUTE per phase, which is what a training scheduler
+    * actually allocates.
+    *
+    * No global sort: per-doc difficulty ([[textPerplexity]]'s 4dp
+    * bits/token) quantizes to centibit bins, the stage boundaries come
+    * from HISTOGRAM algebra (cumulative token mass before each bin,
+    * integer `div` — the events_power_users trick applied to
+    * difficulty), and a bin straddling a boundary is assigned wholly
+    * by its start, deterministically on both engines — so a single
+    * bin holding more than a full 1/stages of the token mass SWALLOWS
+    * the stage labels it spans (a narrow-difficulty corpus can emit
+    * fewer than `stages` rows; the fixture pins this). Windows touch
+    * only the bin histogram (difficulty-resolution-bounded, never the
+    * corpus). */
+  def corpusCurriculum(docs: DataFrame, stages: Int = 4): DataFrame = {
+    require(stages >= 1, "stages must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val per = textPerplexity(docs)
+      .select(col("n_tokens"),
+        round(col("bits_per_token") * 100).cast("long").as("bin"))
+    val hist = per.groupBy(col("bin")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+    val wBefore = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(wBefore), lit(0L)))
+      .withColumn("total", sum(col("n_toks")).over(wAll))
+      .withColumn("stage", least(lit(stages.toLong),
+        lit(1L) + expr(s"(cum_before * $stages) div total")))
+    staged.groupBy(col("stage")).agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(min(col("bin")).cast("double") / 100, 4).as("min_bits"),
+        round(max(col("bin")).cast("double") / 100, 4).as("max_bits"),
+        round(sum(col("n_toks")).cast("double") /
+          max(col("total")).cast("double"), 4).as("token_share"))
+  }
+
+  def corpusCurriculumQ(spark: SparkSession, dir: String): DataFrame =
+    corpusCurriculum(Tables.documents(spark, dir))
+
   /** Interpolation weight on the bigram term of
     * [[textPerplexityBigram]]'s LM: p = λ·p_bigram + (1−λ)·p_unigram. */
   val BigramLambda = 0.7

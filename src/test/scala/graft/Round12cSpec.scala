@@ -310,6 +310,37 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(dropped.getAs[Double]("token_share") === r4(8.0 / 32.0))
   }
 
+  test("corpus_curriculum: exact dyadic fixture — power-of-two counts " +
+    "make bits integral; straddling bins swallow stage labels") {
+    import spark.implicits._
+    // corpus total 16 tokens; counts 8/4/2/2 → per-doc bits are exact
+    // integers: d1 = 4−3 = 1.0, d2 = 4−2 = 2.0, d3 = 4−1 = 3.0
+    val docs = Seq(
+      (1L, Seq.fill(8)("a").mkString(" ")),
+      (2L, Seq.fill(4)("b").mkString(" ")),
+      (3L, "c c d d")).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.corpusCurriculum(docs).collect()
+      .map(r => r.getAs[Long]("stage") -> r).toMap
+    // token mass 8/4/4: bin 200 starts at cum 8 → stage 3 (stage 2
+    // swallowed by bin 100's half-mass block), bin 300 at 12 → stage 4
+    assert(out.keySet === Set(1L, 3L, 4L))
+    assert(out(1L).getAs[Long]("n_tokens") === 8L)
+    assert(out(1L).getAs[Double]("min_bits") === 1.0)
+    assert(out(1L).getAs[Double]("max_bits") === 1.0)
+    assert(out(1L).getAs[Double]("token_share") === 0.5)
+    assert(out(3L).getAs[Long]("n_tokens") === 4L)
+    assert(out(3L).getAs[Double]("min_bits") === 2.0)
+    assert(out(4L).getAs[Long]("n_tokens") === 4L)
+    assert(out(4L).getAs[Double]("max_bits") === 3.0)
+    // two stages: the same histogram re-cut at halves
+    val two = graft.llm.TextOps.corpusCurriculum(docs, stages = 2)
+      .collect().map(r => r.getAs[Long]("stage") -> r).toMap
+    assert(two.keySet === Set(1L, 2L))
+    assert(two(1L).getAs[Long]("n_tokens") === 8L)
+    assert(two(2L).getAs[Long]("n_tokens") === 8L)
+    assert(two(2L).getAs[Long]("n_bins") === 2L)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -317,5 +348,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(graft.cdc.Cdc.compactionPlanQ(spark, sfDir).count() > 0L)
     assert(graft.llm.Dedup.dedupCrossSourceQ(spark, sfDir).count() > 0L)
     assert(graft.llm.Dedup.dedupQualityImpactQ(spark, sfDir).count() >= 1L)
+    assert(graft.llm.TextOps.corpusCurriculumQ(spark, sfDir).count() >= 1L)
   }
 }
