@@ -200,6 +200,7 @@ object SparkEntry {
     "dedup_edit_verify" -> (Dedup.dedupEditVerifyQ _),
     "dedup_cross_source" -> (Dedup.dedupCrossSourceQ _),
     "dedup_quality_impact" -> (Dedup.dedupQualityImpactQ _),
+    "dedup_pair_budget" -> (Dedup.dedupPairBudgetQ _),
     "dedup_containment" -> (Dedup.dedupContainmentQ _),
     "text_similar_topk" -> (Dedup.textSimilarTopkQ _),
     "link_jaccard" -> (Dedup.linkJaccardQ _),
@@ -3355,6 +3356,32 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // df histogram over STRING shingles (the hash is a transport detail
+    // — xxhash64 collisions are the standard vanishing trade); bit-length
+    // buckets, exact pair products, share guards the zero-pair corpus
+    "dedup_pair_budget" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |df AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |b AS (SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS df_bucket,
+         |        CAST(count(*) AS BIGINT) AS n_shingles,
+         |        CAST(sum(df) AS BIGINT) AS doc_slots,
+         |        sum((df * (df - 1)) // 2) AS pm
+         |      FROM df GROUP BY 1),
+         |t AS (SELECT CAST(sum(pm) AS DOUBLE) AS tp FROM b)
+         |SELECT df_bucket,
+         |  CAST(pow(2.0, CAST(df_bucket AS DOUBLE)) AS BIGINT) AS lo_df,
+         |  n_shingles, doc_slots, CAST(pm AS BIGINT) AS pair_mass,
+         |  CASE WHEN tp > 0.0
+         |    THEN round(CAST(pm AS DOUBLE) / tp, 4) ELSE 0.0 END
+         |    AS pair_share,
+         |  CASE WHEN tp > 0.0
+         |    THEN round(CAST(sum(pm) OVER (ORDER BY df_bucket)
+         |      AS DOUBLE) / tp, 4) ELSE 0.0 END AS cum_pair_share
+         |FROM b, t""".stripMargin,
     // the jaccard pair CTE labeled by both ends' sources; each pair
     // explodes to its two ends so n_pairs = rows // 2 exactly and the
     // distinct-doc count rides the same group

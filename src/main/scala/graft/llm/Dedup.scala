@@ -62,6 +62,56 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
       .distinct()
 
+  /** Candidate-pair budget by shingle document-frequency (r12 sC): the
+    * inverted-index cost model COMPUTED before paying it. A shingle
+    * held by m docs emits m(m−1)/2 candidate pairs in
+    * [[dedupNgramJaccard]]'s self-join — this rolls the df
+    * distribution into power-of-two df buckets with each bucket's
+    * exact pair mass and share, so the skew risk every dedup docstring
+    * warns about ("ultra-frequent shingles → m² bucket pairs") is a
+    * readable table: pair mass concentrated in the top df bucket says
+    * drop stop-shingles or switch to the MinHash path BEFORE the join
+    * is the outage; mass in df=2..4 says exact jaccard is cheap here.
+    *
+    * Scale shape: [[shingleHashes]]'s map-side distinct (hashes on the
+    * wire), ONE vocab-sized df aggregation, ONE bucket rollup (≤ 64
+    * rows — bit-length buckets), shares over that frame's window.
+    * Pair products accumulate in DECIMAL(38,0) (a 1e9-df stop-shingle
+    * squares past bigint mid-sum at warehouse scale), emitted as
+    * bigint. Zero-pair corpora report 0.0 shares, not NaN. */
+  def dedupPairBudget(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = shingleHashes(docs, n)
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+    val b = df
+      .select((length(bin(col("df"))) - 1).cast("int").as("df_bucket"),
+        col("df"))
+      .groupBy(col("df_bucket")).agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("doc_slots"),
+        sum(expr("(df * (df - 1)) div 2").cast("decimal(38,0)"))
+          .as("pm"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("df_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = sum(col("pm")).over(wAll).cast("double")
+    b.select(col("df_bucket"),
+      pow(lit(2.0), col("df_bucket").cast("double")).cast("long")
+        .as("lo_df"),
+      col("n_shingles"), col("doc_slots"),
+      col("pm").cast("long").as("pair_mass"),
+      when(total > 0.0,
+        round(col("pm").cast("double") / total, 4)).otherwise(0.0)
+        .as("pair_share"),
+      when(total > 0.0,
+        round(sum(col("pm")).over(wCum).cast("double") / total, 4))
+        .otherwise(0.0).as("cum_pair_share"))
+  }
+
+  def dedupPairBudgetQ(spark: SparkSession, dir: String): DataFrame =
+    dedupPairBudget(Tables.documents(spark, dir))
+
   /** Exact dedup, keep-first: group by content hash, keep the smallest
     * doc_id. Single hash aggregation with map-side partial combine — at
     * 100 TB this shuffles one (hash, id, count) triple per distinct text,

@@ -341,6 +341,34 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(two(2L).getAs[Long]("n_bins") === 2L)
   }
 
+  test("dedup_pair_budget: hand-computed df histogram and pair mass; " +
+    "zero-pair corpus reports 0.0 shares, not NaN") {
+    import spark.implicits._
+    // shared shingle "a b c" df=3 → bucket 1, pair mass 3; the three
+    // tail shingles df=1 → bucket 0, pair mass 0
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupPairBudget(docs).collect()
+      .map(r => r.getAs[Int]("df_bucket") -> r).toMap
+    assert(out.keySet === Set(0, 1))
+    assert(out(0).getAs[Long]("lo_df") === 1L)
+    assert(out(0).getAs[Long]("n_shingles") === 3L)
+    assert(out(0).getAs[Long]("doc_slots") === 3L)
+    assert(out(0).getAs[Long]("pair_mass") === 0L)
+    assert(out(0).getAs[Double]("pair_share") === 0.0)
+    assert(out(1).getAs[Long]("lo_df") === 2L)
+    assert(out(1).getAs[Long]("n_shingles") === 1L)
+    assert(out(1).getAs[Long]("pair_mass") === 3L)
+    assert(out(1).getAs[Double]("pair_share") === 1.0)
+    assert(out(1).getAs[Double]("cum_pair_share") === 1.0)
+    val solo = graft.llm.Dedup.dedupPairBudget(
+      Seq((1L, "x y z w")).toDF("doc_id", "text")).collect()
+    assert(solo.length === 1)
+    assert(solo(0).getAs[Long]("pair_mass") === 0L)
+    assert(solo(0).getAs[Double]("pair_share") === 0.0)
+    assert(solo(0).getAs[Double]("cum_pair_share") === 0.0)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -349,5 +377,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(graft.llm.Dedup.dedupCrossSourceQ(spark, sfDir).count() > 0L)
     assert(graft.llm.Dedup.dedupQualityImpactQ(spark, sfDir).count() >= 1L)
     assert(graft.llm.TextOps.corpusCurriculumQ(spark, sfDir).count() >= 1L)
+    assert(graft.llm.Dedup.dedupPairBudgetQ(spark, sfDir).count() > 0L)
   }
 }
