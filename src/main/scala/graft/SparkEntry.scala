@@ -29,6 +29,7 @@ object SparkEntry {
     "cdc_append" -> (Cdc.appendQ _),
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
     "cdc_compaction_plan" -> (Cdc.compactionPlanQ _),
+    "cdc_watermark_sweep" -> (Cdc.watermarkSweepQ _),
     "cdc_op_mix" -> (Cdc.opMixQ _),
     "cdc_key_churn" -> (Cdc.keyChurnQ _),
     "cdc_tiebreak_audit" -> (Cdc.tiebreakAuditQ _),
@@ -729,6 +730,32 @@ object SparkEntry {
          |    AS share,
          |  max(lateness_ms) AS max_lateness_ms
          |FROM b GROUP BY bucket""".stripMargin,
+    // the lateness window reused, broadcast W-grid, per-W dead-letter
+    // accounting (threshold-sweep shape on event time)
+    "cdc_watermark_sweep" ->
+      s"""WITH f AS (
+         |  SELECT user_id, epoch_ms(ts) AS __ts_ms,
+         |    (CASE WHEN event_id % 7 = 0
+         |          THEN event_id + (event_id % 11 + 1) * 50
+         |          ELSE event_id END) * 1000000 + event_id AS event_id
+         |  FROM events),
+         |lt AS (
+         |  SELECT greatest(coalesce(
+         |    max(__ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      - __ts_ms, 0), 0) AS lateness_ms
+         |  FROM f),
+         |ws(watermark_ms) AS (VALUES (60000), (600000), (3600000),
+         |  (21600000), (86400000))
+         |SELECT watermark_ms, CAST(count(*) AS BIGINT) AS n_changes,
+         |  CAST(sum(CASE WHEN lateness_ms > watermark_ms
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+         |  round(CAST(sum(CASE WHEN lateness_ms > watermark_ms
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dead_share,
+         |  coalesce(max(CASE WHEN lateness_ms > watermark_ms
+         |    THEN lateness_ms END), 0) AS worst_dead_ms
+         |FROM lt, ws GROUP BY 1""".stripMargin,
     // incremental SCD2 == the full rebuild (closed intervals immutable
     // under the in-order changelog contract) — same oracle as cdc_scd2
     "cdc_scd2_incremental" ->

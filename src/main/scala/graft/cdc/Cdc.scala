@@ -549,6 +549,58 @@ object Cdc {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value")
       )
 
+  /** Watermark cost sweep (r12 sC): per candidate watermark W, exactly
+    * what that choice buys and costs — the number of changes arriving
+    * MORE than W behind an earlier-arrived change of the same key
+    * (the dead-letter volume a [[graft.streaming.CdcStream]] watermark
+    * W would drop), their share, and the worst dead lateness. The
+    * decision table on top of [[latenessProfile]]'s fixed buckets: the
+    * profile says "how late is the tail", this prices each candidate W
+    * directly — pick the boundary whose dead share you can afford to
+    * reprocess ([[Dedup.dedupThresholdSweep]]'s shape applied to
+    * event time).
+    *
+    * Scale shape: the SAME single user_id exchange as the profile (one
+    * arrival-order window), then the broadcast W-grid crossJoin fans
+    * the slim lateness rows |W| ways map-side and reduces immediately.
+    * Exact integer ms and counts; one 4dp ratio. */
+  def watermarkSweep(events: DataFrame,
+                     watermarksMs: Seq[Long] = Seq(60000L, 600000L,
+                       3600000L, 21600000L, 86400000L)): DataFrame = {
+    require(watermarksMs.nonEmpty, "watermarksMs must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val arrival = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = flatten(events)
+      .select(col("user_id"), col("event_id"), col("__ts_ms"))
+      .withColumn("lateness_ms",
+        greatest(coalesce(max(col("__ts_ms")).over(arrival) - col("__ts_ms"),
+          lit(0L)), lit(0L)))
+    val dead = col("lateness_ms") > col("watermark_ms")
+    late.crossJoin(broadcast(watermarksMs.sorted.toDF("watermark_ms")))
+      .groupBy(col("watermark_ms")).agg(
+        count(lit(1)).as("n_changes"),
+        sum(when(dead, 1L).otherwise(0L)).as("n_dead"),
+        round(sum(when(dead, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("dead_share"),
+        coalesce(max(when(dead, col("lateness_ms"))), lit(0L))
+          .as("worst_dead_ms"))
+  }
+
+  /** Same synthetic arrival scramble as [[latenessProfileQ]] — the
+    * driver corpus arrives in-order per key, so the sweep needs the
+    * planted delay pattern to have a tail to price. */
+  def watermarkSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val delayed = when(col("event_id") % 7 === 0,
+      col("event_id") + (col("event_id") % 11 + lit(1L)) * lit(50L))
+      .otherwise(col("event_id"))
+    watermarkSweep(Tables.events(spark, dir)
+      .withColumn("event_id", delayed * lit(1000000L) + col("event_id")))
+  }
+
   /** Compaction planner (r12 sC): per DAY partition, what hourly
     * micro-batch ingestion actually leaves on disk vs what compaction
     * would keep — batch count (one commit file per batch per partition,

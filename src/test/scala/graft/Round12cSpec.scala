@@ -369,6 +369,28 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(solo(0).getAs[Double]("cum_pair_share") === 0.0)
   }
 
+  test("cdc_watermark_sweep: hand-computed dead-letter table; an event " +
+    "exactly AT the watermark survives (strict >)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "view", 0.0, "{}", 100000L),
+      (2L, 1L, "view", 0.0, "{}", 40000L), // arrives 60000 ms late
+      (3L, 1L, "view", 0.0, "{}", 200000L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ms")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), timestamp_millis(col("ms")).as("ts"))
+    val out = graft.cdc.Cdc.watermarkSweep(events, Seq(50000L, 60000L))
+      .collect().map(r => r.getAs[Long]("watermark_ms") -> r).toMap
+    assert(out(50000L).getAs[Long]("n_changes") === 3L)
+    assert(out(50000L).getAs[Long]("n_dead") === 1L)
+    assert(out(50000L).getAs[Double]("dead_share") === r4(1.0 / 3.0))
+    assert(out(50000L).getAs[Long]("worst_dead_ms") === 60000L)
+    // lateness == W is NOT dead: the watermark admits it
+    assert(out(60000L).getAs[Long]("n_dead") === 0L)
+    assert(out(60000L).getAs[Long]("worst_dead_ms") === 0L)
+    assert(out(60000L).getAs[Double]("dead_share") === 0.0)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -378,5 +400,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(graft.llm.Dedup.dedupQualityImpactQ(spark, sfDir).count() >= 1L)
     assert(graft.llm.TextOps.corpusCurriculumQ(spark, sfDir).count() >= 1L)
     assert(graft.llm.Dedup.dedupPairBudgetQ(spark, sfDir).count() > 0L)
+    assert(graft.cdc.Cdc.watermarkSweepQ(spark, sfDir).count() === 5L)
   }
 }
