@@ -244,6 +244,7 @@ object SparkEntry {
     "knn_hubness" -> (Ann.knnHubnessQ _),
     "knn_reciprocity" -> (Ann.knnReciprocityQ _),
     "embed_intrinsic_dim" -> (Ann.embedIntrinsicDimQ _),
+    "knn_confusion" -> (Ann.knnConfusionQ _),
     "knn_quality_score" -> (Ann.knnQualityScoreQ _),
     "knn_label_prop" -> (Ann.knnLabelPropQ _),
     "knn_pagerank" -> (Ann.knnPagerankQ _),
@@ -4595,6 +4596,29 @@ object SparkEntry {
         |    * CAST(sum(CASE WHEN dmin > 0 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / sum(CASE WHEN dmin > 0 THEN denom END), 4) AS mlid_global
         |FROM pd GROUP BY k""".stripMargin,
+    // LOO majority vote over the exact graph; ties to the smallest
+    // label via (c DESC, lbl ASC) — mirrors Spark's max_by (c, −lbl)
+    "knn_confusion" ->
+      s"""WITH $knnNnSql,
+        |votes AS (
+        |  SELECT nn.vec_id, e.label AS lbl, count(*) AS c
+        |  FROM nn JOIN embeddings e ON nn.nbr_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT vec_id, lbl AS label_pred FROM (
+        |    SELECT vec_id, lbl, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, lbl ASC) AS r
+        |    FROM votes) WHERE r = 1),
+        |m AS (
+        |  SELECT t.label AS label_true, p.label_pred,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pred p JOIN embeddings t ON p.vec_id = t.vec_id
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT label_true, sum(n) AS tn FROM m GROUP BY 1)
+        |SELECT m.label_true, m.label_pred,
+        |  m.label_true = m.label_pred AS is_correct, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 4) AS row_share
+        |FROM m JOIN tt USING (label_true)""".stripMargin,
     "knn_hubness" ->
       s"""WITH $knnNnSql,
         |deg AS (SELECT nbr_id, count(*) AS d FROM nn GROUP BY nbr_id)

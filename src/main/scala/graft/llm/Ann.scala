@@ -996,6 +996,52 @@ object Ann {
     embedIntrinsicDim(Tables.embeddings(spark, dir))
   }
 
+  /** kNN leave-one-out confusion matrix (r12 sC): every vector
+    * classified by the MAJORITY label of its exact k nearest neighbors
+    * (self excluded — leave-one-out; ties to the smallest label,
+    * deterministically), rolled into the (true, predicted) matrix with
+    * row-normalized shares. The neighbor-geometry counterpart of
+    * [[embedCentroidClassify]] (which asks "are classes separated by
+    * their MEANS"; this asks "are they separated LOCALLY" — a class
+    * can pass the centroid test and still dissolve into its neighbors,
+    * which is exactly what the off-diagonal cells name: the label
+    * PAIRS the embedding confuses, where the classify op only scores
+    * labels one at a time).
+    *
+    * Scale shape: the quadratic scoring is [[knnGraph]]'s; votes are
+    * one (vec, label) count over the ≤ n·k edge list joined to the
+    * label column (slim), majority a bounded max_by per vec, the
+    * matrix ≤ |labels|² with row totals from a window over that frame.
+    * Exact integers + one 4dp ratio. */
+  def knnConfusion(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = knnGraph(embeddings, k)
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("lbl")), Seq("nbr_id"))
+      .groupBy(col("vec_id"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    // majority with ties to the SMALLEST label: max (c, −lbl)
+    val pred = votes.groupBy(col("vec_id"))
+      .agg(max_by(col("lbl"), struct(col("c"), -col("lbl")))
+        .as("label_pred"))
+    val m = pred.join(labels, Seq("vec_id"))
+      .groupBy(col("label").as("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("label_true"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.select(col("label_true"), col("label_pred"),
+      (col("label_true") === col("label_pred")).as("is_correct"),
+      col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(wRow).cast("double"), 4).as("row_share"))
+  }
+
+  def knnConfusionQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnConfusion(Tables.embeddings(spark, dir))
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

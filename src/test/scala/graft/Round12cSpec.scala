@@ -391,6 +391,33 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(out(60000L).getAs[Double]("dead_share") === 0.0)
   }
 
+  test("knn_confusion: a mislabeled point inside the other cluster " +
+    "lands in the off-diagonal cell; row shares normalize per true label") {
+    import spark.implicits._
+    // two tight clusters; vec 7 sits IN cluster B but carries label 0
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.001f, 0f, 0f), 0),
+      (2L, Array(1.0f, 0.002f, 0f, 0f), 0),
+      (3L, Array(1.0f, 0.003f, 0f, 0f), 0),
+      (4L, Array(0.001f, 1.0f, 0f, 0f), 1),
+      (5L, Array(0.002f, 1.0f, 0f, 0f), 1),
+      (6L, Array(0.003f, 1.0f, 0f, 0f), 1),
+      (7L, Array(0.004f, 1.0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.knnConfusion(vecs, k = 3).collect()
+      .map(r => (r.getAs[Int]("label_true"),
+        r.getAs[Int]("label_pred")) -> r).toMap
+    assert(out.keySet === Set((0, 0), (0, 1), (1, 1)))
+    assert(out((0, 0)).getAs[Long]("n") === 3L)
+    assert(out((0, 0)).getAs[Boolean]("is_correct"))
+    assert(out((0, 0)).getAs[Double]("row_share") === 0.75)
+    assert(out((0, 1)).getAs[Long]("n") === 1L) // vec 7
+    assert(!out((0, 1)).getAs[Boolean]("is_correct"))
+    assert(out((0, 1)).getAs[Double]("row_share") === 0.25)
+    assert(out((1, 1)).getAs[Long]("n") === 3L)
+    assert(out((1, 1)).getAs[Double]("row_share") === 1.0)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -401,5 +428,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(graft.llm.TextOps.corpusCurriculumQ(spark, sfDir).count() >= 1L)
     assert(graft.llm.Dedup.dedupPairBudgetQ(spark, sfDir).count() > 0L)
     assert(graft.cdc.Cdc.watermarkSweepQ(spark, sfDir).count() === 5L)
+    assert(Ann.knnConfusionQ(spark, sfDir).count() > 0L)
   }
 }
