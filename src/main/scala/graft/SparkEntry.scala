@@ -161,6 +161,7 @@ object SparkEntry {
     "text_collocations" -> (TextOps.textCollocationsQ _),
     "text_perplexity" -> (TextOps.textPerplexityQ _),
     "corpus_curriculum" -> (TextOps.corpusCurriculumQ _),
+    "corpus_curriculum_assign" -> (TextOps.corpusCurriculumAssignQ _),
     "text_perplexity_bigram" -> (TextOps.textPerplexityBigramQ _),
     "text_perplexity_kn" -> (TextOps.textPerplexityKnQ _),
     "corpus_split" -> (TextOps.corpusSplitQ _),
@@ -2653,6 +2654,33 @@ object SparkEntry {
          |  round(CAST(sum(n_toks) AS DOUBLE) / CAST(max(total) AS DOUBLE),
          |    4) AS token_share
          |FROM st GROUP BY 1""".stripMargin,
+    // the curriculum's per-doc executable twin: same bins, same
+    // histogram boundaries, per-doc rows instead of stage books
+    "corpus_curriculum_assign" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(log2((SELECT n FROM tot)) - avg(log2(c)), 4)
+         |      AS bits_per_token,
+         |    CAST(round(round(log2((SELECT n FROM tot)) - avg(log2(c)),
+         |        4) * 100) AS BIGINT) AS bin
+         |  FROM tok JOIN freq USING (t)
+         |  GROUP BY doc_id),
+         |b AS (SELECT bin, CAST(sum(n_tokens) AS BIGINT) AS n_toks
+         |  FROM per GROUP BY 1),
+         |s AS (SELECT bin,
+         |    coalesce(CAST(sum(n_toks) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cum_before,
+         |    CAST(sum(n_toks) OVER () AS BIGINT) AS total
+         |  FROM b),
+         |st AS (SELECT bin,
+         |    least(4, 1 + (cum_before * 4) // total) AS stage FROM s)
+         |SELECT per.doc_id, per.n_tokens, per.bits_per_token, per.bin,
+         |  st.stage
+         |FROM per JOIN st USING (bin)""".stripMargin,
     // benchmark-side transpose of decontaminate: clean items appear at 0
     // via the LEFT JOIN (count DISTINCT over NULL is 0 on both engines)
     "decontaminate_report" ->

@@ -1011,6 +1011,42 @@ object TextOps {
   def corpusCurriculumQ(spark: SparkSession, dir: String): DataFrame =
     corpusCurriculum(Tables.documents(spark, dir))
 
+  /** The executable twin of [[corpusCurriculum]]: per-document stage
+    * assignment (doc_id, difficulty bits, bin, stage) — what a training
+    * loader actually consumes, where the plan op reports the stage
+    * BOOKS. Same bins, same histogram-algebra boundaries, same
+    * straddling rule, so `assign.groupBy(stage)` reproduces the plan
+    * exactly (spec-pinned).
+    *
+    * Scale shape: the per-doc difficulty frame joins the ≤ 64-row
+    * staged bin table by BROADCAST — no second corpus exchange beyond
+    * [[textPerplexity]]'s own. */
+  def corpusCurriculumAssign(docs: DataFrame, stages: Int = 4): DataFrame = {
+    require(stages >= 1, "stages must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val per = textPerplexity(docs)
+      .select(col("doc_id"), col("n_tokens"), col("bits_per_token"),
+        round(col("bits_per_token") * 100).cast("long").as("bin"))
+    val hist = per.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("n_toks"))
+    val wBefore = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(wBefore), lit(0L)))
+      .withColumn("total", sum(col("n_toks")).over(wAll))
+      .select(col("bin"), least(lit(stages.toLong),
+        lit(1L) + expr(s"(cum_before * $stages) div total")).as("stage"))
+    per.join(broadcast(staged), Seq("bin"))
+      .select(col("doc_id"), col("n_tokens"), col("bits_per_token"),
+        col("bin"), col("stage"))
+  }
+
+  def corpusCurriculumAssignQ(spark: SparkSession, dir: String): DataFrame =
+    corpusCurriculumAssign(Tables.documents(spark, dir))
+
   /** Interpolation weight on the bigram term of
     * [[textPerplexityBigram]]'s LM: p = λ·p_bigram + (1−λ)·p_unigram. */
   val BigramLambda = 0.7

@@ -7,8 +7,10 @@ import graft.llm.Ann
 import graft.queries.Analytics4
 
 /** Fixtures and invariants for the round-12 session-C wave:
-  * events_conversion_lag (time-to-convert histogram) and
-  * embed_intrinsic_dim (Levina–Bickel MLE over the exact kNN graph). */
+  * events_conversion_lag, embed_intrinsic_dim (Levina–Bickel MLE),
+  * vocab_overlap, cdc_compaction_plan, cdc_watermark_sweep,
+  * dedup_cross_source, dedup_quality_impact, dedup_pair_budget,
+  * corpus_curriculum (+ its per-doc assign twin), knn_confusion. */
 class Round12cSpec extends AnyFunSuite with SparkFixture {
 
   private def r4(x: Double): Double =
@@ -416,6 +418,27 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(out((0, 1)).getAs[Double]("row_share") === 0.25)
     assert(out((1, 1)).getAs[Long]("n") === 3L)
     assert(out((1, 1)).getAs[Double]("row_share") === 1.0)
+  }
+
+  test("corpus_curriculum_assign: per-doc stages match the dyadic " +
+    "fixture and regroup to the plan's books exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(8)("a").mkString(" ")),
+      (2L, Seq.fill(4)("b").mkString(" ")),
+      (3L, "c c d d")).toDF("doc_id", "text")
+    val assign = graft.llm.TextOps.corpusCurriculumAssign(docs)
+    val m = assign.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("stage")).toMap
+    assert(m === Map(1L -> 1L, 2L -> 3L, 3L -> 4L))
+    val plan = graft.llm.TextOps.corpusCurriculum(docs).collect()
+      .map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val re = assign.groupBy(col("stage"))
+      .agg(count(lit(1)).as("d"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[Long]("d"), r.getAs[Long]("t")))).toMap
+    assert(re === plan)
   }
 
   test("session-C ops run on the warehouse and return rows") {
