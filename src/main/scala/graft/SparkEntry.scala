@@ -152,6 +152,7 @@ object SparkEntry {
     "vocab_coverage" -> (TextOps.vocabCoverageQ _),
     "vocab_growth" -> (TextOps.vocabGrowthQ _),
     "vocab_overlap" -> (TextOps.vocabOverlapQ _),
+    "corpus_vocab_profile" -> (TextOps.corpusVocabProfileQ _),
     "text_novelty" -> (TextOps.textNoveltyQ _),
     "corpus_quality_pareto" -> (TextOps.corpusQualityParetoQ _),
     "text_ngram_coverage" -> (TextOps.textNgramCoverageQ _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "embed_norm_profile" -> (Ann.embedNormProfileQ _),
     "embed_dim_stats" -> (Ann.embedDimStatsQ _),
     "embed_class_margin" -> (Ann.embedClassMarginQ _),
+    "embed_anova" -> (Ann.embedAnovaQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
@@ -3359,6 +3361,27 @@ object SparkEntry {
          |FROM marg ma JOIN marg mb ON ma.source < mb.source
          |LEFT JOIN c
          |  ON c.source_a = ma.source AND c.source_b = mb.source""".stripMargin,
+    // per-source lexical health: string-token twin of the hashed
+    // Spark path (xxhash collisions = the standard vanishing trade)
+    "corpus_vocab_profile" ->
+      s"""WITH tok AS (SELECT source, unnest($tokSql) AS t FROM documents),
+         |counts AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |v AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hapax
+         |  FROM counts GROUP BY 1),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT v.source, n_docs, n_tokens, vocab, hapax,
+         |  round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+         |    AS ttr,
+         |  round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 4)
+         |    AS hapax_share,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         |    AS mean_doc_tokens
+         |FROM v JOIN d ON v.source = d.source""".stripMargin,
     "vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
          |           FROM documents),
@@ -4570,6 +4593,38 @@ object SparkEntry {
         |    / CAST(n_edges AS DOUBLE), 4) AS reciprocity,
         |  n_nodes - n_mutual_nodes AS n_one_way_nodes
         |FROM es, ms""".stripMargin,
+    // one-way MANOVA from moment sums: (label, dim) moments → per-dim
+    // → global; SS identities avoid any centering join; η²/F guarded
+    "embed_anova" ->
+      """WITH ld AS (
+        |  SELECT label, g.i AS d, CAST(count(*) AS BIGINT) AS nc,
+        |    sum(CAST(embedding[g.i] AS DOUBLE)) AS s,
+        |    sum(CAST(embedding[g.i] AS DOUBLE)
+        |      * CAST(embedding[g.i] AS DOUBLE)) AS ss
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT d, sum(ss) AS sss, sum(s) AS sd,
+        |    CAST(sum(nc) AS BIGINT) AS n,
+        |    sum(s * s / CAST(nc AS DOUBLE)) AS bt
+        |  FROM ld GROUP BY 1),
+        |g AS (
+        |  SELECT sum(sss - sd * sd / CAST(n AS DOUBLE)) AS sst,
+        |    sum(bt - sd * sd / CAST(n AS DOUBLE)) AS ssb,
+        |    max(n) AS n, CAST(count(*) AS BIGINT) AS dim
+        |  FROM pd),
+        |k AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_classes
+        |  FROM embeddings)
+        |SELECT n AS n_vecs, n_classes, dim,
+        |  round(sst, 4) AS ss_total, round(ssb, 4) AS ss_between,
+        |  round(sst - ssb, 4) AS ss_within,
+        |  CASE WHEN sst > 0.0 THEN round(ssb / sst, 4) ELSE 0.0 END
+        |    AS eta2,
+        |  CASE WHEN sst - ssb > 0.0 AND n_classes > 1 AND n > n_classes
+        |    THEN round((ssb / CAST(n_classes - 1 AS DOUBLE))
+        |      / ((sst - ssb) / CAST(n - n_classes AS DOUBLE)), 4)
+        |    ELSE 0.0 END AS f_stat
+        |FROM g, k""".stripMargin,
     // Levina–Bickel intrinsic dimension: the exact-NN CTE re-derived
     // WITH the similarity kept (knnNnSql drops it), chordal distance
     // √(2−2·cos), per-(point, k) log-ratio sums, duplicate points

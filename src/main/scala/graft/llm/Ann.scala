@@ -1042,6 +1042,59 @@ object Ann {
     knnConfusion(Tables.embeddings(spark, dir))
   }
 
+  /** One-way MANOVA decomposition of the embedding space (r12 sC):
+    * total / between-class / within-class sums of squares, η² (the
+    * share of embedding variance the labels explain) and the pooled
+    * F statistic — the ONE-NUMBER separability verdict over
+    * [[embedClassMargin]]'s per-class geometry and the global
+    * complement of [[knnConfusion]]'s local view (η² near 0 says the
+    * labels are noise in this space and every label-conditioned
+    * operator downstream is fitting dust). Identity used:
+    * SS_total = ΣΣx² − Σ_d S_d²/n and SS_between = Σ_d Σ_c s_cd²/n_c
+    * − Σ_d S_d²/n — everything from one pass of moment sums, no
+    * centering join.
+    *
+    * Scale shape: ONE posexplode → (label, dim) moment agg (map-side
+    * combined, |labels|·dim rows), then per-dim and global reductions
+    * on that tiny frame; the moment sums are the one distributed
+    * double fold (4dp rule). Degenerate guards: η²/F are 0.0 when
+    * SS_total = 0 or n ≤ k (both engines). */
+  def embedAnova(embeddings: DataFrame): DataFrame = {
+    val ld = embeddings.select(col("label"),
+        posexplode(vecAsDouble(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(count(lit(1)).as("nc"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val perDim = ld.groupBy(col("d")).agg(
+      sum(col("ss")).as("sss"), sum(col("s")).as("sd"),
+      sum(col("nc")).as("n"),
+      sum(col("s") * col("s") / col("nc").cast("double")).as("bt"))
+    val k = broadcast(embeddings.agg(
+      countDistinct(col("label")).as("n_classes")))
+    val g = perDim.agg(
+      sum(col("sss") - col("sd") * col("sd") / col("n").cast("double"))
+        .as("sst"),
+      sum(col("bt") - col("sd") * col("sd") / col("n").cast("double"))
+        .as("ssb"),
+      max(col("n")).as("n"), count(lit(1)).as("dim"))
+    g.crossJoin(k).select(
+      col("n").as("n_vecs"), col("n_classes"), col("dim"),
+      round(col("sst"), 4).as("ss_total"),
+      round(col("ssb"), 4).as("ss_between"),
+      round(col("sst") - col("ssb"), 4).as("ss_within"),
+      when(col("sst") > 0.0, round(col("ssb") / col("sst"), 4))
+        .otherwise(0.0).as("eta2"),
+      when(col("sst") - col("ssb") > 0.0 && col("n_classes") > 1 &&
+          col("n") > col("n_classes"),
+        round((col("ssb") / (col("n_classes") - 1).cast("double")) /
+          ((col("sst") - col("ssb")) /
+            (col("n") - col("n_classes")).cast("double")), 4))
+        .otherwise(0.0).as("f_stat"))
+  }
+
+  def embedAnovaQ(spark: SparkSession, dir: String): DataFrame =
+    embedAnova(Tables.embeddings(spark, dir))
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

@@ -761,6 +761,44 @@ object TextOps {
   def vocabOverlapQ(spark: SparkSession, dir: String): DataFrame =
     vocabOverlap(Tables.documents(spark, dir))
 
+  /** Per-source lexical health profile (r12 sC): docs, tokens, distinct
+    * vocabulary, hapax legomena (count-1 tokens) with hapax share,
+    * type-token ratio and mean doc length — the per-FEED table behind
+    * [[vocabOverlap]]'s pairwise view and [[textLexicalDiversity]]'s
+    * corpus number. A feed whose TTR or hapax share spikes relative to
+    * its peers is usually ids/markup leaking through the tokenizer
+    * (the vocab_growth β≈1 smell, localized to the feed that causes
+    * it); one that craters is templated/boilerplate mass.
+    *
+    * Scale shape: tokens hash to longs map-side (the [[textRarity]]
+    * trick — strings never shuffle), ONE (source, token) count, one
+    * source rollup, one doc-count join on the |sources| dimension.
+    * Exact integers + three 4dp ratios. */
+  def corpusVocabProfile(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .select(col("source"), xxhash64(col("t")).as("th"))
+    val counts = tok.groupBy(col("source"), col("th"))
+      .agg(count(lit(1)).as("c"))
+    val v = counts.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+    val d = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    v.join(d, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("vocab"), col("hapax"),
+        round(col("vocab").cast("double") /
+          col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("hapax").cast("double") /
+          col("vocab").cast("double"), 4).as("hapax_share"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 4).as("mean_doc_tokens"))
+  }
+
+  def corpusVocabProfileQ(spark: SparkSession, dir: String): DataFrame =
+    corpusVocabProfile(Tables.documents(spark, dir))
+
   /** Per-document n-gram novelty (r12): for each doc, the share of its
     * distinct word n-grams whose FIRST corpus occurrence (by doc_id
     * order) is the doc itself — the ingestion-order memorization audit.

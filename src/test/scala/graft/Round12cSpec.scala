@@ -441,6 +441,53 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(re === plan)
   }
 
+  test("corpus_vocab_profile: hand-computed per-source lexical books") {
+    import spark.implicits._
+    val docs = Seq(("A", "a b a"), ("A", "c"), ("B", "x x x x"))
+      .toDF("source", "text")
+    val out = graft.llm.TextOps.corpusVocabProfile(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A") // counts a=2 b=1 c=1
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("n_tokens") === 4L)
+    assert(a.getAs[Long]("vocab") === 3L)
+    assert(a.getAs[Long]("hapax") === 2L)
+    assert(a.getAs[Double]("ttr") === 0.75)
+    assert(a.getAs[Double]("hapax_share") === r4(2.0 / 3.0))
+    assert(a.getAs[Double]("mean_doc_tokens") === 2.0)
+    val b = out("B")
+    assert(b.getAs[Long]("vocab") === 1L)
+    assert(b.getAs[Long]("hapax") === 0L)
+    assert(b.getAs[Double]("ttr") === 0.25)
+    assert(b.getAs[Double]("hapax_share") === 0.0)
+    assert(b.getAs[Double]("mean_doc_tokens") === 4.0)
+  }
+
+  test("embed_anova: exact hand-computed decomposition; single-class " +
+    "corpus reports zero eta2/F instead of dividing by zero") {
+    import spark.implicits._
+    // class means (1,0) and (1,2), global (1,1):
+    // SS_total = 8, SS_between = 4 → η² = 0.5, F = (4/1)/(4/2) = 2
+    val vecs = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(2f, 0f), 0),
+      (3L, Array(0f, 2f), 1), (4L, Array(2f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Ann.embedAnova(vecs).collect()(0)
+    assert(r.getAs[Long]("n_vecs") === 4L)
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("dim") === 2L)
+    assert(r.getAs[Double]("ss_total") === 8.0)
+    assert(r.getAs[Double]("ss_between") === 4.0)
+    assert(r.getAs[Double]("ss_within") === 4.0)
+    assert(r.getAs[Double]("eta2") === 0.5)
+    assert(r.getAs[Double]("f_stat") === 2.0)
+    val solo = Ann.embedAnova(vecs.withColumn("label", lit(0)))
+      .collect()(0)
+    assert(solo.getAs[Double]("eta2") === 0.0)
+    assert(solo.getAs[Double]("f_stat") === 0.0)
+    assert(solo.getAs[Double]("ss_between") === 0.0)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -452,5 +499,7 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(graft.llm.Dedup.dedupPairBudgetQ(spark, sfDir).count() > 0L)
     assert(graft.cdc.Cdc.watermarkSweepQ(spark, sfDir).count() === 5L)
     assert(Ann.knnConfusionQ(spark, sfDir).count() > 0L)
+    assert(Ann.embedAnovaQ(spark, sfDir).count() === 1L)
+    assert(graft.llm.TextOps.corpusVocabProfileQ(spark, sfDir).count() > 0L)
   }
 }
