@@ -109,6 +109,7 @@ object SparkEntry {
     "events_type_affinity" -> (Analytics4.eventsTypeAffinity _),
     "events_user_entropy" -> (Analytics4.eventsUserEntropy _),
     "events_conversion_lag" -> ((s, d) => Analytics4.eventsConversionLag(s, d)),
+    "events_concurrency" -> (Analytics4.eventsConcurrency _),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
@@ -2197,6 +2198,33 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // the sessions CTE exploded to covered hours — interval-stabbing
+    // concurrency via generate_series, exact integers only
+    "events_concurrency" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ms
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ms,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms) AS sid
+        |  FROM w),
+        |s AS (
+        |  SELECT min(ms) // 3600000 AS sh, max(ms) // 3600000 AS eh
+        |  FROM g GROUP BY user_id, sid),
+        |hrs AS (
+        |  SELECT sh, eh, t.h FROM s,
+        |    unnest(generate_series(sh, eh)) AS t(h))
+        |SELECT h * 3600 AS hour_epoch_s,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN h = sh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_started,
+        |  CAST(sum(CASE WHEN h = eh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ended
+        |FROM hrs GROUP BY 1""".stripMargin,
     // top-20 heavy keys with exact counts; share/x_mean are ratios of
     // exact longs rounded 4dp; ceil() is DOUBLE in DuckDB, BIGINT in Spark
     "skew_profile" ->

@@ -323,6 +323,51 @@ object Analytics4 {
         .as("repeat_rate"))
   }
 
+  /** Hourly session-concurrency profile (r12 sC): how many sessions
+    * are ACTIVE in each hour (interval-stabbing count), how many start
+    * and how many end there — the capacity-planning curve behind every
+    * "how many state slots does the sessionizer hold at peak" question
+    * a [[graft.streaming.StreamAggs.sessionize]] deployment asks, and
+    * the load view `events_hourly` (raw event counts) can't give: a
+    * few long sessions and many short ones count the same there but
+    * hold very different state here.
+    *
+    * Scale shape: sessions from ONE user_id exchange (the
+    * events_sessions window pair — lag + running boundary sum, same
+    * sort), then each session explodes to its covered hours (bounded
+    * by duration, not events) and ONE hour-keyed map-side-combined
+    * agg. Exact integers only. */
+  def eventsConcurrency(spark: SparkSession, dir: String): DataFrame =
+    eventsConcurrencyOn(Tables.events(spark, dir))
+
+  def eventsConcurrencyOn(events: DataFrame,
+                          gapMs: Long = 1800000L): DataFrame = {
+    val wLag = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val sessions = events
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("ts"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(wLag))
+      .withColumn("sid", sum(when(col("prev_ms").isNull ||
+        col("ms") - col("prev_ms") > gapMs, 1).otherwise(0)).over(wCum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+    sessions
+      .select(expr("start_ms div 3600000").as("sh"),
+        expr("end_ms div 3600000").as("eh"))
+      .select(col("sh"), col("eh"),
+        explode(sequence(col("sh"), col("eh"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("h") === col("sh"), 1L).otherwise(0L))
+          .as("n_started"),
+        sum(when(col("h") === col("eh"), 1L).otherwise(0L))
+          .as("n_ended"))
+      .select((col("h") * 3600L).as("hour_epoch_s"), col("n_active"),
+        col("n_started"), col("n_ended"))
+  }
+
   /** Time-to-convert distribution (r12 sB): for every `purchase`, the
     * lag back to the user's FIRST touch inside the attribution lookback
     * window, bucketed on a power-of-two minute grid — the journey-length

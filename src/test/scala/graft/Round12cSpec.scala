@@ -488,6 +488,32 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(solo.getAs[Double]("ss_between") === 0.0)
   }
 
+  test("events_concurrency: interval-stabbing counts with the exact " +
+    "1800 s gap boundary (equal gap = same session)") {
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, 0L), (2L, 1L, "view", 0.0, 100L),
+      (3L, 1L, "view", 0.0, 4000L), // gap 3900 s → new session, hour 1
+      (4L, 2L, "view", 0.0, 3000L),
+      (5L, 2L, "view", 0.0, 4500L), // gap 1500 s → same session, hrs 0-1
+      (6L, 3L, "view", 0.0, 10000L),
+      (7L, 3L, "view", 0.0, 11800L)) // gap EXACTLY 1800 s → same session
+    val out = Analytics4.eventsConcurrencyOn(eventsDf(rows)).collect()
+      .map(r => r.getAs[Long]("hour_epoch_s") -> r).toMap
+    assert(out.keySet === Set(0L, 3600L, 7200L, 10800L))
+    assert(out(0L).getAs[Long]("n_active") === 2L)
+    assert(out(0L).getAs[Long]("n_started") === 2L)
+    assert(out(0L).getAs[Long]("n_ended") === 1L)
+    assert(out(3600L).getAs[Long]("n_active") === 2L)
+    assert(out(3600L).getAs[Long]("n_started") === 1L)
+    assert(out(3600L).getAs[Long]("n_ended") === 2L)
+    // the exact-boundary pair stays ONE session spanning hours 2-3
+    assert(out(7200L).getAs[Long]("n_active") === 1L)
+    assert(out(7200L).getAs[Long]("n_started") === 1L)
+    assert(out(7200L).getAs[Long]("n_ended") === 0L)
+    assert(out(10800L).getAs[Long]("n_active") === 1L)
+    assert(out(10800L).getAs[Long]("n_ended") === 1L)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -501,5 +527,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(Ann.knnConfusionQ(spark, sfDir).count() > 0L)
     assert(Ann.embedAnovaQ(spark, sfDir).count() === 1L)
     assert(graft.llm.TextOps.corpusVocabProfileQ(spark, sfDir).count() > 0L)
+    assert(Analytics4.eventsConcurrency(spark, sfDir).count() > 0L)
   }
 }
