@@ -110,6 +110,7 @@ object SparkEntry {
     "events_user_entropy" -> (Analytics4.eventsUserEntropy _),
     "events_conversion_lag" -> ((s, d) => Analytics4.eventsConversionLag(s, d)),
     "events_concurrency" -> (Analytics4.eventsConcurrency _),
+    "events_mix_drift" -> (Analytics4.eventsMixDrift _),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
@@ -2198,6 +2199,31 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // sparse-exact daily mix drift: absent types contribute 0 to KL
+    // and q_t to L1, so no dense spine; shared IEEE tree, 4dp
+    "events_mix_drift" ->
+      """WITH dt AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM dt GROUP BY 1),
+        |q AS (SELECT event_type,
+        |    CAST(nt AS DOUBLE) / CAST((SELECT sum(nt) FROM tt) AS DOUBLE)
+        |      AS q
+        |  FROM tt),
+        |dd AS (SELECT dt.day, dt.event_type, dt.n,
+        |    CAST(sum(dt.n) OVER (PARTITION BY dt.day) AS BIGINT) AS nd,
+        |    q.q
+        |  FROM dt JOIN q ON dt.event_type = q.event_type)
+        |SELECT day, CAST(max(nd) AS BIGINT) AS n_events,
+        |  round(sum((CAST(n AS DOUBLE) / CAST(nd AS DOUBLE))
+        |    * ln((CAST(n AS DOUBLE) / CAST(nd AS DOUBLE)) / q)), 4)
+        |    AS kl_nats,
+        |  round((sum(abs(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE) - q))
+        |    + 1.0 - sum(q)) / 2.0, 4) AS tv_dist,
+        |  CAST(count(*) AS BIGINT) AS n_types
+        |FROM dd GROUP BY 1""".stripMargin,
     // the sessions CTE exploded to covered hours — interval-stabbing
     // concurrency via generate_series, exact integers only
     "events_concurrency" ->

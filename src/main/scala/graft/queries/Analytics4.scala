@@ -323,6 +323,50 @@ object Analytics4 {
         .as("repeat_rate"))
   }
 
+  /** Daily event-mix drift (r12 sC): per day, the KL divergence and
+    * total-variation distance of that day's event-TYPE mix against the
+    * corpus mix — composition drift, the failure mode
+    * [[eventsChangepoint]]'s count series is blind to (a day can hold
+    * volume flat while its mix flips from views to errors). The
+    * monitoring twin of [[graft.llm.TextOps.corpusMixKl]] pointed at
+    * time instead of sources.
+    *
+    * Sparse-exact identities — NO dense day×type spine: a type absent
+    * from a day contributes 0 to KL (measure convention) and exactly
+    * q_t to L1, so TV = (Σ_present |p−q| + 1 − Σ_present q) / 2.
+    *
+    * Scale shape: ONE (day, type) map-side-combined count; day totals
+    * by a window over that dimension-sized frame (days × |types|,
+    * never events); corpus mix rides a broadcast join. Integer counts
+    * into one shared IEEE tree, 4dp. */
+  def eventsMixDrift(spark: SparkSession, dir: String): DataFrame =
+    eventsMixDriftOn(Tables.events(spark, dir))
+
+  def eventsMixDriftOn(events: DataFrame): DataFrame = {
+    val dt = events.groupBy(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wDay = Window.partitionBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tTot = dt.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val q = tTot.select(col("event_type"),
+      (col("nt").cast("double") /
+        sum(col("nt")).over(wAll).cast("double")).as("q"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val p = d(col("n")) / d(col("nd"))
+    dt.withColumn("nd", sum(col("n")).over(wDay))
+      .join(broadcast(q), Seq("event_type"))
+      .groupBy(col("day"))
+      .agg(max(col("nd")).as("n_events"),
+        round(sum(p * log(p / col("q"))), 4).as("kl_nats"),
+        round((sum(abs(p - col("q"))) + lit(1.0) - sum(col("q"))) / 2.0,
+          4).as("tv_dist"),
+        count(lit(1)).as("n_types"))
+  }
+
   /** Hourly session-concurrency profile (r12 sC): how many sessions
     * are ACTIVE in each hour (interval-stabbing count), how many start
     * and how many end there — the capacity-planning curve behind every

@@ -514,6 +514,30 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(out(10800L).getAs[Long]("n_ended") === 1L)
   }
 
+  test("events_mix_drift: hand-computed KL/TV with an absent type — " +
+    "the sparse L1 identity carries the missing mass") {
+    // day 1: 2 views + 2 clicks; day 2: 4 views (clicks ABSENT)
+    // corpus mix q = (views .75, clicks .25)
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, 0L), (2L, 1L, "click", 0.0, 10L),
+      (3L, 2L, "view", 0.0, 20L), (4L, 2L, "click", 0.0, 30L),
+      (5L, 1L, "view", 0.0, 86400L), (6L, 2L, "view", 0.0, 86410L),
+      (7L, 3L, "view", 0.0, 86420L), (8L, 4L, "view", 0.0, 86430L))
+    val out = Analytics4.eventsMixDriftOn(eventsDf(rows)).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    val d1 = out("1970-01-01")
+    assert(d1.getAs[Long]("n_events") === 4L)
+    assert(d1.getAs[Long]("n_types") === 2L)
+    assert(d1.getAs[Double]("kl_nats") ===
+      r4(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)))
+    assert(d1.getAs[Double]("tv_dist") === 0.25)
+    val d2 = out("1970-01-02")
+    assert(d2.getAs[Long]("n_types") === 1L)
+    assert(d2.getAs[Double]("kl_nats") === r4(math.log(1.0 / 0.75)))
+    // |1−.75|/2 + the absent click's q/2 = .25
+    assert(d2.getAs[Double]("tv_dist") === 0.25)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -528,5 +552,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(Ann.embedAnovaQ(spark, sfDir).count() === 1L)
     assert(graft.llm.TextOps.corpusVocabProfileQ(spark, sfDir).count() > 0L)
     assert(Analytics4.eventsConcurrency(spark, sfDir).count() > 0L)
+    assert(Analytics4.eventsMixDrift(spark, sfDir).count() > 0L)
   }
 }
