@@ -265,6 +265,7 @@ object SparkEntry {
     "embed_dim_stats" -> (Ann.embedDimStatsQ _),
     "embed_class_margin" -> (Ann.embedClassMarginQ _),
     "embed_anova" -> (Ann.embedAnovaQ _),
+    "embed_sq_recall" -> (Ann.embedSqRecallQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
@@ -4432,6 +4433,57 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM s)
         |WHERE rank <= 10""".stripMargin,
+    // SQ retrieval audit: the embed_quantize CTE rebuilds dequantized
+    // vectors, both top-10 sides run the ann_topk pipeline, recall is
+    // a left join over n_queries·k rows
+    "embed_sq_recall" ->
+      """WITH d AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sc AS (SELECT i, max(abs(x)) / 127 AS s FROM d GROUP BY 1),
+        |dq AS (SELECT d.vec_id, d.i, d.x,
+        |        (CASE WHEN sc.s = 0 THEN 0
+        |          ELSE round(d.x / sc.s, 0) END) * sc.s AS y
+        |      FROM d JOIN sc ON d.i = sc.i),
+        |tn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM d GROUP BY 1),
+        |qn AS (SELECT vec_id, sqrt(sum(y * y)) AS nrm FROM dq GROUP BY 1),
+        |tdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    sum(a.x * b.x) AS dt
+        |  FROM d a JOIN d b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |qdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    sum(a.y * b.y) AS dt
+        |  FROM dq a JOIN dq b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT t.query_id, t.vec_id,
+        |      row_number() OVER (PARTITION BY t.query_id
+        |        ORDER BY t.dt / (na.nrm * nb.nrm) DESC, t.vec_id) AS r
+        |    FROM tdots t
+        |    JOIN tn na ON t.query_id = na.vec_id
+        |    JOIN tn nb ON t.vec_id = nb.vec_id)
+        |  WHERE r <= 10),
+        |approx AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT t.query_id, t.vec_id,
+        |      row_number() OVER (PARTITION BY t.query_id
+        |        ORDER BY t.dt / (na.nrm * nb.nrm) DESC, t.vec_id) AS r
+        |    FROM qdots t
+        |    JOIN qn na ON t.query_id = na.vec_id
+        |    JOIN qn nb ON t.vec_id = nb.vec_id)
+        |  WHERE r <= 10)
+        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 4) AS recall_at_k
+        |FROM truth t LEFT JOIN approx a
+        |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        |GROUP BY 1""".stripMargin,
     // filtered retrieval: the same brute-force pipeline with the label
     // equality applied BEFORE scoring (pre-filter semantics) — ranks are
     // dense within the filtered candidate set on both engines

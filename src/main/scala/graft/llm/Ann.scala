@@ -1095,6 +1095,31 @@ object Ann {
   def embedAnovaQ(spark: SparkSession, dir: String): DataFrame =
     embedAnova(Tables.embeddings(spark, dir))
 
+  /** Scalar-quantization retrieval audit (r12 sC): per query, recall@k
+    * of brute-force top-k over the DEQUANTIZED int8 vectors
+    * ([[embedQuantize]]'s codes × scales) against top-k over the
+    * originals — the "is int8 storage safe for retrieval" evidence
+    * [[embedQuantizeQ]]'s reconstruction error can't give directly
+    * (recon_err prices the geometry; this prices the RANKING, which is
+    * what the 4× cheaper store actually serves). The SQ member of the
+    * compression-eval family beside [[embedPqDistortion]].
+    *
+    * Scale shape: quantization is one pass + a dim-sized broadcast of
+    * scales; both retrieval sides are [[annTopK]]'s bounded two-phase
+    * top-k; the recall join touches n_queries·k rows. */
+  def embedSqRecall(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val deq = embedQuantize(embeddings, dim)
+      .select(col("vec_id"),
+        zip_with(col("q"), col("s"),
+          (a, b) => a.cast("double") * b).as("embedding"))
+    annRecallReport(annTopK(embeddings), annTopK(deq))
+  }
+
+  def embedSqRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    embedSqRecall(Tables.embeddings(spark, dir))
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

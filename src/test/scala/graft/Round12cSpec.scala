@@ -538,6 +538,29 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(d2.getAs[Double]("tv_dist") === 0.25)
   }
 
+  test("embed_sq_recall: integer vectors with per-dim max 127 quantize " +
+    "losslessly — recall is exactly 1.0 on every query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(808)
+    // per-dim scale = max|v|/127 = 1 exactly → q = v, dequantized == v
+    val vecs = (0L until 12L).map { i =>
+      val v = Array.fill(6)((rnd.nextInt(255) - 127).toFloat)
+      (i, if (i == 0L) v.updated(0, 127f) else v)
+    }.map { case (i, v) => (i, v.map(x => x: Float)) }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // force every dim's max to 127 via one saturating row
+    val sat = Seq((12L, Array.fill(6)(127f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Ann.embedSqRecall(df.unionByName(sat), dim = 6).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 10L)
+      assert(r.getAs[Long]("n_hit") === 10L)
+      assert(r.getAs[Double]("recall_at_k") === 1.0)
+    }
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -553,5 +576,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(graft.llm.TextOps.corpusVocabProfileQ(spark, sfDir).count() > 0L)
     assert(Analytics4.eventsConcurrency(spark, sfDir).count() > 0L)
     assert(Analytics4.eventsMixDrift(spark, sfDir).count() > 0L)
+    assert(Ann.embedSqRecallQ(spark, sfDir).count() === 10L)
   }
 }
