@@ -30,6 +30,7 @@ object SparkEntry {
     "cdc_partition_month" -> (Cdc.partitionMonthQ _),
     "cdc_compaction_plan" -> (Cdc.compactionPlanQ _),
     "cdc_watermark_sweep" -> (Cdc.watermarkSweepQ _),
+    "cdc_backfill_scope" -> (Cdc.backfillScopeQ _),
     "cdc_op_mix" -> (Cdc.opMixQ _),
     "cdc_key_churn" -> (Cdc.keyChurnQ _),
     "cdc_tiebreak_audit" -> (Cdc.tiebreakAuditQ _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "events_conversion_lag" -> ((s, d) => Analytics4.eventsConversionLag(s, d)),
     "events_concurrency" -> (Analytics4.eventsConcurrency _),
     "events_mix_drift" -> (Analytics4.eventsMixDrift _),
+    "q_seasonal_index" -> (Analytics4.qSeasonalIndex _),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
@@ -737,6 +739,23 @@ object SparkEntry {
          |    AS share,
          |  max(lateness_ms) AS max_lateness_ms
          |FROM b GROUP BY bucket""".stripMargin,
+    // touched keys from the window slice, tail changes semi-joined,
+    // per-day replay bill; exact integers
+    "cdc_backfill_scope" ->
+      """WITH touched AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10'
+        |    AND ts < TIMESTAMP '2024-01-20')
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) AS n_changes,
+        |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-20'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window,
+        |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+        |FROM events e JOIN touched t ON e.user_id = t.user_id
+        |WHERE ts >= TIMESTAMP '2024-01-10'
+        |GROUP BY 1""".stripMargin,
     // the lateness window reused, broadcast W-grid, per-W dead-letter
     // accounting (threshold-sweep shape on event time)
     "cdc_watermark_sweep" ->
@@ -2200,6 +2219,27 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // cell-counted seasonal index (partial years divide by their own
+    // cell counts); DECIMAL revenue, one index tree 4dp
+    "q_seasonal_index" ->
+      """WITH ym AS (
+        |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(rev) AS DOUBLE) AS trev,
+        |    CAST(count(*) AS BIGINT) AS cells
+        |  FROM ym)
+        |SELECT m AS month, CAST(count(*) AS BIGINT) AS n_years,
+        |  CAST(sum(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue,
+        |  round((CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / (CAST(tn AS DOUBLE) / CAST(cells AS DOUBLE)), 4)
+        |    AS count_index,
+        |  round((CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / (trev / CAST(cells AS DOUBLE)), 4) AS revenue_index
+        |FROM ym, tot GROUP BY m, tn, trev, cells""".stripMargin,
     // sparse-exact daily mix drift: absent types contribute 0 to KL
     // and q_t to L1, so no dense spine; shared IEEE tree, 4dp
     "events_mix_drift" ->

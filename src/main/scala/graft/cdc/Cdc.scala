@@ -590,6 +590,38 @@ object Cdc {
           .as("worst_dead_ms"))
   }
 
+  /** Backfill scope estimate (r12 sC): given a corrupted ingest window
+    * [t0, t1), the per-day replay bill — every key TOUCHED in the
+    * window must replay its window changes AND every later change
+    * (downstream state depends on the corrupted rows), so the table
+    * reports, per day from t0 on, the touched-key change volume split
+    * into in-window and tail, plus the distinct keys involved. The
+    * planning twin of [[snapshotDiff]] (which diffs STATES; this
+    * prices the REPLAY).
+    *
+    * Scale shape: touched keys = one distinct over the window slice
+    * (partition-pruned on a ts-partitioned warehouse); the scope pass
+    * scans only changes ≥ t0 and semi-joins the touched-key set (the
+    * scd2Incremental routing shape); one day-keyed map-side rollup.
+    * Exact integers only. */
+  def backfillScope(events: DataFrame, t0: Column, t1: Column): DataFrame = {
+    val touched = events.filter(col("ts") >= t0 && col("ts") < t1)
+      .select(col("user_id")).distinct()
+    events.filter(col("ts") >= t0)
+      .join(touched, Seq("user_id"), "left_semi")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_keys"),
+        count(lit(1)).as("n_changes"),
+        sum(when(col("ts") < t1, 1L).otherwise(0L)).as("n_in_window"),
+        sum(when(col("ts") >= t1, 1L).otherwise(0L)).as("n_tail"))
+  }
+
+  /** Driver window = the [[snapshotDiffQ]] convention (Jan 10–20). */
+  def backfillScopeQ(spark: SparkSession, dir: String): DataFrame =
+    backfillScope(Tables.events(spark, dir),
+      lit("2024-01-10").cast("timestamp"),
+      lit("2024-01-20").cast("timestamp"))
+
   /** Same synthetic arrival scramble as [[latenessProfileQ]] — the
     * driver corpus arrives in-order per key, so the sweep needs the
     * planted delay pattern to have a tail to price. */

@@ -323,6 +323,42 @@ object Analytics4 {
         .as("repeat_rate"))
   }
 
+  /** Month-of-year seasonal index (r12 sC): per calendar month, the
+    * mean monthly order count and revenue ACROSS YEARS divided by the
+    * all-months mean — the deseasonalization table [[q_growth_yoy]]'s
+    * year-over-year ratios assume away (an index of 1.3 for December
+    * says a 30% December jump is seasonality, not growth). Partial
+    * years are handled by cell counting: each month divides by the
+    * number of (year, month) cells it actually has, and the grand mean
+    * by the total cell count — no phantom zero months.
+    *
+    * Scale shape: one (year, month) agg (map-side), a 1-row broadcast
+    * of grand totals, a 12-row month rollup. Counts exact, revenue in
+    * DECIMAL until the final index tree (4dp). */
+  def qSeasonalIndex(spark: SparkSession, dir: String): DataFrame =
+    qSeasonalIndexOn(Tables.orders(spark, dir))
+
+  def qSeasonalIndexOn(orders: DataFrame): DataFrame = {
+    import graft.queries.Money.{asDouble, dec}
+    val ym = orders.groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    val tot = broadcast(ym.agg(sum(col("n")).as("tn"),
+      sum(col("rev")).as("trev"), count(lit(1)).as("cells")))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    ym.groupBy(col("m").as("month"))
+      .agg(count(lit(1)).as("n_years"), sum(col("n")).as("n_orders"),
+        sum(col("rev")).as("rv"))
+      .crossJoin(tot)
+      .select(col("month"), col("n_years"), col("n_orders"),
+        asDouble(col("rv")).as("revenue"),
+        round((d(col("n_orders")) / d(col("n_years"))) /
+          (d(col("tn")) / d(col("cells"))), 4).as("count_index"),
+        round((asDouble(col("rv")) / d(col("n_years"))) /
+          (asDouble(col("trev")) / d(col("cells"))), 4)
+          .as("revenue_index"))
+  }
+
   /** Daily event-mix drift (r12 sC): per day, the KL divergence and
     * total-variation distance of that day's event-TYPE mix against the
     * corpus mix — composition drift, the failure mode

@@ -561,6 +561,53 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_seasonal_index: partial years divide by their own cell " +
+    "counts — hand-computed indices") {
+    import spark.implicits._
+    // cells: (1995,1)=2, (1995,2)=4, (1996,1)=4 → grand mean 10/3
+    val days = Seq("1995-01-05", "1995-01-20") ++
+      Seq.fill(4)("1995-02-10") ++ Seq.fill(4)("1996-01-15")
+    val orders = days.zipWithIndex
+      .map { case (d, i) => (i.toLong, d, 10.0) }
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("d").cast("timestamp")
+        .as("o_orderdate"), col("o_totalprice"))
+    val out = Analytics4.qSeasonalIndexOn(orders).collect()
+      .map(r => r.getAs[Int]("month") -> r).toMap
+    assert(out.keySet === Set(1, 2))
+    assert(out(1).getAs[Long]("n_years") === 2L)
+    assert(out(1).getAs[Long]("n_orders") === 6L)
+    assert(out(1).getAs[Double]("count_index") === 0.9) // 3 / (10/3)
+    assert(out(1).getAs[Double]("revenue_index") === 0.9)
+    assert(out(2).getAs[Long]("n_years") === 1L)
+    assert(out(2).getAs[Double]("count_index") === 1.2) // 4 / (10/3)
+    assert(out(2).getAs[Double]("revenue") === 40.0)
+  }
+
+  test("cdc_backfill_scope: only window-touched keys bill their tail; " +
+    "untouched keys' changes never appear") {
+    import spark.implicits._
+    def t(d: String) = s"2024-01-$d 00:00:00"
+    val events = Seq(
+      (1L, t("11")), (1L, t("25")),  // touched → window + tail
+      (2L, t("05")), (2L, t("25")),  // NOT touched → fully excluded
+      (3L, t("19")))                 // touched, window only
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = graft.cdc.Cdc.backfillScope(events,
+        lit("2024-01-10").cast("timestamp"),
+        lit("2024-01-20").cast("timestamp"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r)
+      .toMap
+    assert(out.keySet === Set("2024-01-11", "2024-01-19", "2024-01-25"))
+    assert(out("2024-01-11").getAs[Long]("n_in_window") === 1L)
+    assert(out("2024-01-11").getAs[Long]("n_tail") === 0L)
+    assert(out("2024-01-25").getAs[Long]("n_keys") === 1L) // user 1 only
+    assert(out("2024-01-25").getAs[Long]("n_changes") === 1L)
+    assert(out("2024-01-25").getAs[Long]("n_tail") === 1L)
+    assert(out("2024-01-19").getAs[Long]("n_in_window") === 1L)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -577,5 +624,7 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(Analytics4.eventsConcurrency(spark, sfDir).count() > 0L)
     assert(Analytics4.eventsMixDrift(spark, sfDir).count() > 0L)
     assert(Ann.embedSqRecallQ(spark, sfDir).count() === 10L)
+    assert(Analytics4.qSeasonalIndex(spark, sfDir).count() === 12L)
+    assert(graft.cdc.Cdc.backfillScopeQ(spark, sfDir).count() > 0L)
   }
 }
