@@ -113,6 +113,7 @@ object SparkEntry {
     "events_concurrency" -> (Analytics4.eventsConcurrency _),
     "events_mix_drift" -> (Analytics4.eventsMixDrift _),
     "q_seasonal_index" -> (Analytics4.qSeasonalIndex _),
+    "events_dispersion" -> (Analytics4.eventsDispersion _),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
@@ -2219,6 +2220,28 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // Fano factor over the dense hour grid without a spine: zeros
+    // contribute nothing to the moments, only the span matters
+    "events_dispersion" ->
+      """WITH th AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT max(h) - min(h) + 1 AS n_hours FROM th)
+        |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+        |  CAST(count(*) AS BIGINT) AS active_hours,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(CAST(sum(n) AS DOUBLE) / CAST(n_hours AS DOUBLE), 4)
+        |    AS mean_per_hour,
+        |  round((CAST(n_hours AS DOUBLE) * CAST(sum(n * n) AS DOUBLE)
+        |    - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+        |    / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)), 4)
+        |    AS variance,
+        |  round((CAST(n_hours AS DOUBLE) * CAST(sum(n * n) AS DOUBLE)
+        |    - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+        |    / (CAST(n_hours AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 4)
+        |    AS fano
+        |FROM th, sp GROUP BY event_type, n_hours""".stripMargin,
     // cell-counted seasonal index (partial years divide by their own
     // cell counts); DECIMAL revenue, one index tree 4dp
     "q_seasonal_index" ->

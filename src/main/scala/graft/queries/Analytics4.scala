@@ -323,6 +323,50 @@ object Analytics4 {
         .as("repeat_rate"))
   }
 
+  /** Arrival dispersion per event type (r12 sC): the Fano factor
+    * (variance/mean of hourly counts over the DENSE corpus hour grid)
+    * — the one-number Poisson test behind every capacity model: a
+    * Poisson arrival process has Fano ≈ 1, bursty traffic reads ≫ 1,
+    * and a rate-limited/paced source reads < 1. [[eventsBurst]] flags
+    * WHICH hours spike; this says whether the process is bursty AT
+    * ALL, which decides if peak-provisioning or mean-provisioning is
+    * the right capacity model.
+    *
+    * Dense-grid exactness WITHOUT a spine explode: absent hours are
+    * zeros, and zeros contribute nothing to Σx or Σx² — so
+    * var = (n·Σx² − S²)/n² over n = the corpus hour span needs only
+    * the PRESENT (type, hour) rows plus the broadcast span. Exact
+    * integer moments into one IEEE tree, 4dp.
+    *
+    * Scale shape: ONE (type, hour) map-side count, a 1-row broadcast
+    * span, a |types| rollup. */
+  def eventsDispersion(spark: SparkSession, dir: String): DataFrame =
+    eventsDispersionOn(Tables.events(spark, dir))
+
+  def eventsDispersionOn(events: DataFrame): DataFrame = {
+    val th = events.groupBy(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = broadcast(th.agg(
+      (max(col("h")) - min(col("h")) + 1L).as("n_hours")))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    th.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_hours"),
+        sum(col("n")).as("n_events"),
+        sum(col("n") * col("n")).as("q"))
+      .crossJoin(span)
+      .select(col("event_type"), col("n_hours"), col("active_hours"),
+        col("n_events"),
+        round(d(col("n_events")) / d(col("n_hours")), 4)
+          .as("mean_per_hour"),
+        round((d(col("n_hours")) * d(col("q")) -
+          d(col("n_events")) * d(col("n_events"))) /
+          (d(col("n_hours")) * d(col("n_hours"))), 4).as("variance"),
+        round((d(col("n_hours")) * d(col("q")) -
+          d(col("n_events")) * d(col("n_events"))) /
+          (d(col("n_hours")) * d(col("n_events"))), 4).as("fano"))
+  }
+
   /** Month-of-year seasonal index (r12 sC): per calendar month, the
     * mean monthly order count and revenue ACROSS YEARS divided by the
     * all-months mean — the deseasonalization table [[q_growth_yoy]]'s

@@ -608,6 +608,28 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(out("2024-01-19").getAs[Long]("n_in_window") === 1L)
   }
 
+  test("events_dispersion: a one-hour burst reads Fano 3, perfectly " +
+    "paced traffic reads 0 — zeros carried by the span, not a spine") {
+    // global span hours 0..3; A bursts hour 0 ×4, B is 1/hour
+    val rows = Seq(
+      (1L, 1L, "A", 0.0, 100L), (2L, 1L, "A", 0.0, 200L),
+      (3L, 1L, "A", 0.0, 300L), (4L, 1L, "A", 0.0, 400L),
+      (5L, 2L, "B", 0.0, 0L), (6L, 2L, "B", 0.0, 3600L),
+      (7L, 2L, "B", 0.0, 7200L), (8L, 2L, "B", 0.0, 10800L))
+    val out = Analytics4.eventsDispersionOn(eventsDf(rows)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("A") // dense grid [4,0,0,0]
+    assert(a.getAs[Long]("n_hours") === 4L)
+    assert(a.getAs[Long]("active_hours") === 1L)
+    assert(a.getAs[Double]("mean_per_hour") === 1.0)
+    assert(a.getAs[Double]("variance") === 3.0)
+    assert(a.getAs[Double]("fano") === 3.0)
+    val b = out("B") // dense grid [1,1,1,1]
+    assert(b.getAs[Long]("active_hours") === 4L)
+    assert(b.getAs[Double]("variance") === 0.0)
+    assert(b.getAs[Double]("fano") === 0.0)
+  }
+
   test("session-C ops run on the warehouse and return rows") {
     assert(Analytics4.eventsConversionLag(spark, sfDir).count() >= 2L)
     assert(Ann.embedIntrinsicDimQ(spark, sfDir).count() === 3L)
@@ -626,5 +648,6 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(Ann.embedSqRecallQ(spark, sfDir).count() === 10L)
     assert(Analytics4.qSeasonalIndex(spark, sfDir).count() === 12L)
     assert(graft.cdc.Cdc.backfillScopeQ(spark, sfDir).count() > 0L)
+    assert(Analytics4.eventsDispersion(spark, sfDir).count() === 5L)
   }
 }
