@@ -58,6 +58,7 @@ object ScaleSmokeR12e {
 
     val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       ("events_mix_drift", graft.queries.Analytics4.eventsMixDrift _),
+      ("events_dispersion", graft.queries.Analytics4.eventsDispersion _),
       ("events_concurrency",
         graft.queries.Analytics4.eventsConcurrency _),
       ("q_seasonal_index", graft.queries.Analytics4.qSeasonalIndex _),
