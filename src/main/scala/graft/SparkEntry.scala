@@ -145,6 +145,7 @@ object SparkEntry {
     "text_compressibility" -> (TextOps.textCompressibilityQ _),
     "text_decontaminate" -> (TextOps.textDecontaminateQ _),
     "decontaminate_report" -> (TextOps.decontaminateReportQ _),
+    "decontaminate_sweep" -> (TextOps.decontaminateSweepQ _),
     "dsir_score" -> (TextOps.dsirScoreQ _),
     "text_repetition" -> (TextOps.textRepetitionQ _),
     "corpus_sample" -> (TextOps.corpusSampleQ _),
@@ -269,6 +270,7 @@ object SparkEntry {
     "embed_class_margin" -> (Ann.embedClassMarginQ _),
     "embed_anova" -> (Ann.embedAnovaQ _),
     "embed_sq_recall" -> (Ann.embedSqRecallQ _),
+    "ann_pq_recall" -> (Ann.annPqRecallQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
@@ -2566,6 +2568,37 @@ object SparkEntry {
          |JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 20) b ON tr.s = b.s
          |WHERE tr.doc_id >= 20
          |GROUP BY 1""".stripMargin,
+    // the decontaminate overlap counts swept over the k-grid; docs with
+    // zero overlap ride the LEFT join as nc = 0
+    "decontaminate_sweep" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+         |       WHERE len(t) >= 3),
+         |ov AS (
+         |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS nc
+         |  FROM sh tr
+         |  JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 20) b
+         |    ON tr.s = b.s
+         |  WHERE tr.doc_id >= 20 GROUP BY 1),
+         |per AS (
+         |  SELECT CAST(len($tokSql) AS BIGINT) AS nt,
+         |    coalesce(ov.nc, 0) AS nc
+         |  FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |  WHERE d.doc_id >= 20),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM per),
+         |ks(k) AS (VALUES (1), (2), (4), (8), (16))
+         |SELECT k,
+         |  CAST(sum(CASE WHEN nc >= k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  round(CAST(sum(CASE WHEN nc >= k THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE), 4) AS doc_share,
+         |  CAST(sum(CASE WHEN nc >= k THEN nt ELSE 0 END) AS BIGINT)
+         |    AS tokens_flagged,
+         |  round(CAST(sum(CASE WHEN nc >= k THEN nt ELSE 0 END) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 4) AS token_share
+         |FROM per, ks, tot GROUP BY k, n_docs, n_tokens""".stripMargin,
     // consistent-hash stratified sampling — identical integer arithmetic
     // on both engines (id reduced mod a prime keeps the product < 2^63;
     // bucket bits taken ABOVE SampleShift so they mix all id bits)
@@ -3870,6 +3903,57 @@ object SparkEntry {
          |  FROM cand c JOIN u ON c.vec_id = u.vec_id
          |  JOIN luts q ON q.query_id = c.query_id)
          |WHERE rank <= 10""".stripMargin,
+    // PQ recall audit: the ann_pq_topk chain verbatim as the approx
+    // side, the raw-cosine ann_topk chain as truth, recall left-join
+    "ann_pq_recall" ->
+      s"""WITH $unitCteSql,
+         |${pqTrainCtes("u")},
+         |enc AS (SELECT vec_id, codes FROM e3),
+         |$pqLutCte,
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, enc.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY $pqAdcSql DESC, enc.vec_id) AS arn
+         |    FROM luts q, enc WHERE enc.vec_id <> q.query_id)
+         |  WHERE arn <= 80),
+         |approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY list_dot_product(q.qv, u.v) DESC, c.vec_id)
+         |        AS rank
+         |    FROM cand c JOIN u ON c.vec_id = u.vec_id
+         |    JOIN luts q ON q.query_id = c.query_id)
+         |  WHERE rank <= 10),
+         |rnorms AS (
+         |  SELECT vec_id,
+         |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+         |  GROUP BY vec_id),
+         |rdots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+         |  FROM embeddings q, embeddings c,
+         |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT d.query_id, d.vec_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY dt / (nq.nrm * nc.nrm) DESC, d.vec_id) AS rank
+         |    FROM rdots d
+         |    JOIN rnorms nq ON d.query_id = nq.vec_id
+         |    JOIN rnorms nc ON d.vec_id = nc.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
     // IVF-PQ: coarse Lloyd on unit vectors, residual sub-codebooks,
     // ascore = q·c_cell + ADC; the serve-path index entry ranks by
     // ascore directly (no refine)

@@ -1120,6 +1120,25 @@ object Ann {
     embedSqRecall(Tables.embeddings(spark, dir))
   }
 
+  /** PQ retrieval audit (r12 sD): per query, recall@k of the
+    * [[annPqTopK]] candidate-then-refine pipeline against brute force
+    * — closing the recall family: [[annRecallReport]] pairs LSH,
+    * [[embedSqRecall]] pairs int8 SQ, this pairs the 16×-compressed
+    * product quantizer whose DISTORTION [[embedPqDistortion]] already
+    * prices (distortion says how wrong the distances are; this says
+    * whether the rank order the store serves survives it).
+    *
+    * Scale shape: both sides are existing bounded pipelines (exact
+    * two-phase top-k; PQ train + ADC scan + 80-candidate refine); the
+    * recall join touches n_queries·k rows. */
+  def annPqRecall(embeddings: DataFrame): DataFrame =
+    annRecallReport(annTopK(embeddings), annPqTopK(embeddings))
+
+  def annPqRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annPqRecall(Tables.embeddings(spark, dir))
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

@@ -431,6 +431,55 @@ object TextOps {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Decontamination threshold sweep (r12 sD): per candidate flagging
+    * threshold k (flag a doc when ≥ k of its distinct n-grams appear
+    * in the benchmark), the documents and tokens lost — the
+    * [[graft.llm.Dedup.dedupThresholdSweep]] shape applied to
+    * [[decontaminate]]: k=1 is paranoid (one shared trigram kills the
+    * doc, common idioms bleed corpus), k too high leaks verbatim
+    * benchmark spans into training. This is the table you read before
+    * choosing what [[decontaminate]]'s consumers filter on.
+    *
+    * Scale shape: ONE overlap-count pass (the decontaminate join,
+    * benchmark side broadcast by definition) left-joined onto the doc
+    * token books, then the broadcast k-grid crossJoin fans the slim
+    * (n_tokens, n_contaminated) rows |k| ways map-side and reduces
+    * immediately; totals ride a 1-row broadcast. Exact integers + two
+    * 4dp ratios. */
+  def decontaminateSweep(docs: DataFrame, benchmark: DataFrame,
+                         ks: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val overlap = decontaminate(docs, benchmark)
+    val per = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("nt"),
+        coalesce(col("n_contaminated_ngrams"), lit(0L)).as("nc"))
+    val tot = broadcast(per.agg(count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens")))
+    val flagged = col("nc") >= col("k")
+    per.crossJoin(broadcast(ks.sorted.toDF("k")))
+      .groupBy(col("k")).agg(
+        sum(when(flagged, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(flagged, col("nt")).otherwise(0L)).as("tokens_flagged"))
+      .crossJoin(tot)
+      .select(col("k"), col("n_flagged"),
+        round(col("n_flagged").cast("double") /
+          col("n_docs").cast("double"), 4).as("doc_share"),
+        col("tokens_flagged"),
+        round(col("tokens_flagged").cast("double") /
+          col("n_tokens").cast("double"), 4).as("token_share"))
+  }
+
+  /** Benchmark split = [[textDecontaminateQ]]'s (doc_id < 20). */
+  def decontaminateSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateSweep(docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20))
+  }
+
   /** Add-α smoothing constant of [[dsirScore]]'s two unigram LMs. */
   val DsirAlpha = 0.5
 
