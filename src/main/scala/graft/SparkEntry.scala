@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_compaction_plan" -> (Cdc.compactionPlanQ _),
     "cdc_watermark_sweep" -> (Cdc.watermarkSweepQ _),
     "cdc_backfill_scope" -> (Cdc.backfillScopeQ _),
+    "cdc_lifecycle_audit" -> (Cdc.lifecycleAuditQ _),
     "cdc_op_mix" -> (Cdc.opMixQ _),
     "cdc_key_churn" -> (Cdc.keyChurnQ _),
     "cdc_tiebreak_audit" -> (Cdc.tiebreakAuditQ _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "events_mix_drift" -> (Analytics4.eventsMixDrift _),
     "q_seasonal_index" -> (Analytics4.qSeasonalIndex _),
     "events_dispersion" -> (Analytics4.eventsDispersion _),
+    "q_customer_migration" -> ((s, d) => Analytics4.qCustomerMigration(s, d)),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
@@ -742,6 +744,23 @@ object SparkEntry {
          |    AS share,
          |  max(lateness_ms) AS max_lateness_ms
          |FROM b GROUP BY bucket""".stripMargin,
+    // op-pair grammar audit over the canonical change order; illegal =
+    // d→{u,d} or c→c
+    "cdc_lifecycle_audit" ->
+      s"""WITH f AS ($flattenSql),
+         |p AS (
+         |  SELECT lag(__op) OVER (PARTITION BY user_id
+         |      ORDER BY __source_ts_ms, $opPrioSql, event_id) AS op_from,
+         |    __op AS op_to
+         |  FROM f),
+         |g AS (SELECT op_from, op_to, CAST(count(*) AS BIGINT) AS n
+         |  FROM p WHERE op_from IS NOT NULL GROUP BY 1, 2)
+         |SELECT op_from, op_to, n,
+         |  (op_from = 'd' AND op_to IN ('u', 'd'))
+         |    OR (op_from = 'c' AND op_to = 'c') AS is_illegal,
+         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 4)
+         |    AS share
+         |FROM g""".stripMargin,
     // touched keys from the window slice, tail changes semi-joined,
     // per-day replay bill; exact integers
     "cdc_backfill_scope" ->
@@ -2222,6 +2241,31 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // power-of-two activity bands (bit length), band 0 = absent in
+    // the half; the matrix rollup is bands², shares by window
+    "q_customer_migration" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+        |      THEN 1 ELSE 2 END AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o_custkey,
+        |    coalesce(max(CASE WHEN h = 1
+        |      THEN CAST(length(bin(n)) AS INTEGER) END), 0) AS band_h1,
+        |    coalesce(max(CASE WHEN h = 2
+        |      THEN CAST(length(bin(n)) AS INTEGER) END), 0) AS band_h2
+        |  FROM per GROUP BY 1),
+        |g AS (SELECT band_h1, band_h2,
+        |    CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM m GROUP BY 1, 2)
+        |SELECT band_h1, band_h2, n_customers,
+        |  round(CAST(n_customers AS DOUBLE)
+        |    / CAST(sum(n_customers) OVER () AS DOUBLE), 4) AS share,
+        |  band_h2 > band_h1 AS upgraded,
+        |  band_h2 = 0 AS churned
+        |FROM g""".stripMargin,
     // Fano factor over the dense hour grid without a spine: zeros
     // contribute nothing to the moments, only the span matters
     "events_dispersion" ->

@@ -590,6 +590,45 @@ object Cdc {
           .as("worst_dead_ms"))
   }
 
+  /** CDC lifecycle grammar audit (r12 sD): per consecutive op-code
+    * pair within a key's change chain (canonical (ts, priority, id)
+    * order), the transition count plus an `is_illegal` flag for
+    * transitions the CDC grammar forbids — anything FOLLOWING a delete
+    * except a (re)create or snapshot read (`d→u`, `d→d`), and a second
+    * create without an intervening delete (`c→c`). Nonzero illegal
+    * rows mean the upstream connector dropped events or replayed out
+    * of order — the source-integrity alarm [[gapAudit]]'s timestamp
+    * view can't raise when the clock looks fine but the GRAMMAR is
+    * broken. The op-code twin of the events-side
+    * [[graft.queries.Analytics2]] type-transition matrix.
+    *
+    * Scale shape: ONE user_id exchange (the lag window in canonical
+    * change order), one (from, to) map-side rollup with window shares.
+    * Exact integers + one 4dp ratio. */
+  def lifecycleAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = flatten(events)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__source_ts_ms"), opPriorityCol(col("__op")),
+        col("event_id"))
+    val pairs = flat
+      .withColumn("prev_op", lag(col("__op"), 1).over(w))
+      .filter(col("prev_op").isNotNull)
+      .groupBy(col("prev_op").as("op_from"), col("__op").as("op_to"))
+      .agg(count(lit(1)).as("n"))
+    val illegal = (col("op_from") === "d" && col("op_to").isin("u", "d")) ||
+      (col("op_from") === "c" && col("op_to") === "c")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pairs.select(col("op_from"), col("op_to"), col("n"),
+      illegal.as("is_illegal"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(wAll).cast("double"), 4).as("share"))
+  }
+
+  def lifecycleAuditQ(spark: SparkSession, dir: String): DataFrame =
+    lifecycleAudit(Tables.events(spark, dir))
+
   /** Backfill scope estimate (r12 sC): given a corrupted ingest window
     * [t0, t1), the per-day replay bill — every key TOUCHED in the
     * window must replay its window changes AND every later change

@@ -323,6 +323,48 @@ object Analytics4 {
         .as("repeat_rate"))
   }
 
+  /** Customer activity-band migration (r12 sD): the transition matrix
+    * of per-customer order-count BANDS between two halves of the
+    * window — who upgraded, who churned to absent, where the new
+    * volume came from. Bands are power-of-two order counts (bit
+    * length: 1, 2–3, 4–7, 8+…) with band 0 = absent in that half, so
+    * banding is INTEGER-exact and scale-free (no quartile rank sort);
+    * the migration view is what [[Analytics.qRetentionMatrix]]'s
+    * presence triangle can't say — not just "came back" but "came
+    * back smaller".
+    *
+    * Scale shape: one (customer, half) count (map-side), a full-outer
+    * self-merge per customer (same exchange), the ≤ bands² matrix
+    * rollup with window shares. Exact integers + one 4dp ratio. */
+  def qCustomerMigration(spark: SparkSession, dir: String,
+                         split: String = "1998-07-01"): DataFrame =
+    qCustomerMigrationOn(Tables.orders(spark, dir), split)
+
+  def qCustomerMigrationOn(orders: DataFrame,
+                           split: String = "1998-07-01"): DataFrame = {
+    val half = when(col("o_orderdate") < lit(split).cast("timestamp"),
+      lit(1)).otherwise(lit(2))
+    val per = orders.groupBy(col("o_custkey"), half.as("h"))
+      .agg(count(lit(1)).as("n"))
+    val band = (c: org.apache.spark.sql.Column) =>
+      length(bin(c)).cast("int")
+    val merged = per.groupBy(col("o_custkey")).agg(
+      coalesce(max(when(col("h") === 1, band(col("n")))), lit(0))
+        .as("band_h1"),
+      coalesce(max(when(col("h") === 2, band(col("n")))), lit(0))
+        .as("band_h2"))
+    val m = merged.groupBy(col("band_h1"), col("band_h2"))
+      .agg(count(lit(1)).as("n_customers"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    m.select(col("band_h1"), col("band_h2"), col("n_customers"),
+      round(col("n_customers").cast("double") /
+        sum(col("n_customers")).over(wAll).cast("double"), 4)
+        .as("share"),
+      (col("band_h2") > col("band_h1")).as("upgraded"),
+      (col("band_h2") === 0).as("churned"))
+  }
+
   /** Arrival dispersion per event type (r12 sC): the Fano factor
     * (variance/mean of hourly counts over the DENSE corpus hour grid)
     * — the one-number Poisson test behind every capacity model: a
