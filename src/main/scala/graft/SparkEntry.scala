@@ -273,6 +273,7 @@ object SparkEntry {
     "embed_anova" -> (Ann.embedAnovaQ _),
     "embed_sq_recall" -> (Ann.embedSqRecallQ _),
     "ann_pq_recall" -> (Ann.annPqRecallQ _),
+    "ann_ivf_recall" -> (Ann.annIvfRecallQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
@@ -3947,6 +3948,66 @@ object SparkEntry {
          |  FROM cand c JOIN u ON c.vec_id = u.vec_id
          |  JOIN luts q ON q.query_id = c.query_id)
          |WHERE rank <= 10""".stripMargin,
+    // IVF recall audit: the ann_ivf_topk chain verbatim as the approx
+    // side, the raw-cosine truth chain, recall left-join
+    "ann_ivf_recall" ->
+      s"""WITH
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${lloydCte("v", 16, 1, "i")},
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM v),
+         |${assignCte("v", "ic1", "ax")},
+         |assigned AS (
+         |  SELECT n.vec_id, n.v, n.nrm, ax.cid
+         |  FROM n JOIN ax ON n.vec_id = ax.vec_id),
+         |probes AS (
+         |  SELECT query_id, j AS cid, qnrm FROM (
+         |    SELECT q.vec_id AS query_id, cc.j, q.nrm AS qnrm,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, cc.c)
+         |          - list_dot_product(cc.c, cc.c) / 2.0 DESC, cc.j ASC)
+         |        AS rn
+         |    FROM n q, ic1 cc WHERE q.vec_id < 10) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_dot_product(q.v, a.v) / (p.qnrm * a.nrm) AS sim
+         |  FROM assigned a JOIN probes p ON a.cid = p.cid
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, vec_id) AS rank
+         |    FROM cand) WHERE rank <= 10),
+         |rnorms AS (
+         |  SELECT vec_id,
+         |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+         |  GROUP BY vec_id),
+         |rdots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+         |  FROM embeddings q, embeddings c,
+         |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT d.query_id, d.vec_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY dt / (nq.nrm * nc.nrm) DESC, d.vec_id) AS rank
+         |    FROM rdots d
+         |    JOIN rnorms nq ON d.query_id = nq.vec_id
+         |    JOIN rnorms nc ON d.vec_id = nc.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
     // PQ recall audit: the ann_pq_topk chain verbatim as the approx
     // side, the raw-cosine ann_topk chain as truth, recall left-join
     "ann_pq_recall" ->

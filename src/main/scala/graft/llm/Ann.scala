@@ -1139,6 +1139,25 @@ object Ann {
     annPqRecall(Tables.embeddings(spark, dir))
   }
 
+  /** IVF retrieval audit (r12 sD): per query, recall@k of the
+    * [[annIvfTopK]] nprobe-pruned search against brute force — the
+    * last member of the recall family (LSH via [[annRecallReportQ]],
+    * int8 via [[embedSqRecall]], PQ via [[annPqRecall]]), so every
+    * index type in the ladder now carries a measured ranking audit
+    * next to its tuning report ([[ivfTuningReport]] sweeps nprobe
+    * analytically; this is the ground-truth check at the default).
+    *
+    * Scale shape: both sides are existing bounded pipelines (exact
+    * two-phase top-k; coarse train + nprobe-pruned cells); the recall
+    * join touches n_queries·k rows. */
+  def annIvfRecall(embeddings: DataFrame): DataFrame =
+    annRecallReport(annTopK(embeddings), annIvfTopK(embeddings))
+
+  def annIvfRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annIvfRecall(Tables.embeddings(spark, dir))
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

@@ -103,6 +103,22 @@ class Round12dSpec extends AnyFunSuite with SparkFixture {
     out.values.foreach(r => assert(r.getAs[Double]("share") === 0.25))
   }
 
+  test("ann_ivf_recall: well-formed per-query audit; probing ALL cells " +
+    "reduces IVF to brute force — recall exactly 1.0") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val full = Ann.annRecallReport(Ann.annTopK(emb),
+      Ann.annIvfTopK(emb, nprobe = 16)).collect()
+    assert(full.length === 10)
+    full.foreach(r => assert(r.getAs[Double]("recall_at_k") === 1.0))
+    val pruned = Ann.annIvfRecallQ(spark, sfDir).collect()
+    assert(pruned.length === 10)
+    pruned.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_true") === 10L)
+    }
+  }
+
   test("session-D ops run on the warehouse and return rows") {
     assert(TextOps.decontaminateSweepQ(spark, sfDir).count() === 5L)
     assert(graft.queries.Analytics4.qCustomerMigration(spark, sfDir)
