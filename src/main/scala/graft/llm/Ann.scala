@@ -1158,6 +1158,23 @@ object Ann {
     annIvfRecall(Tables.embeddings(spark, dir))
   }
 
+  /** IVF-PQ retrieval audit (r12 sD): recall@k of the composed
+    * coarse-prune + residual-ADC + refine pipeline against brute
+    * force — the fifth and last index type measured ([[annRecallReportQ]]
+    * LSH, [[embedSqRecall]] int8, [[annPqRecall]] PQ, [[annIvfRecall]]
+    * IVF), so the full compression/pruning ladder now carries
+    * ground-truth ranking audits end to end. Composes BOTH error
+    * sources the single-index audits isolate: cells the coarse prune
+    * never visits AND candidates the quantized ADC misranks out of
+    * the refine set. */
+  def annIvfPqRecall(embeddings: DataFrame): DataFrame =
+    annRecallReport(annTopK(embeddings), annIvfPqTopK(embeddings))
+
+  def annIvfPqRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    annIvfPqRecall(Tables.embeddings(spark, dir))
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
     * member of the compression family ([[annPqTopK]] quantizes for
     * distance computation inside an index; this quantizes the vectors

@@ -119,6 +119,18 @@ class Round12dSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ann_ivfpq_recall: well-formed audit of the composed pipeline, " +
+    "bounded above by neither single-index audit by construction") {
+    val rows = Ann.annIvfPqRecallQ(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_true") === 10L)
+      assert(r.getAs[Long]("n_hit") <= 10L)
+    }
+  }
+
   test("session-D ops run on the warehouse and return rows") {
     assert(TextOps.decontaminateSweepQ(spark, sfDir).count() === 5L)
     assert(graft.queries.Analytics4.qCustomerMigration(spark, sfDir)
