@@ -463,10 +463,11 @@ object SparkEntry {
          |t AS (SELECT * FROM st WHERE p_type IS NOT NULL),
          |u AS (
          |  SELECT user_id, 'value' AS col_name,
-         |    value <> p_value AS changed FROM t
-         |  UNION ALL SELECT user_id, 'prop_k', prop_k <> p_k FROM t
+         |    value IS DISTINCT FROM p_value AS changed FROM t
+         |  UNION ALL SELECT user_id, 'prop_k',
+         |    prop_k IS DISTINCT FROM p_k FROM t
          |  UNION ALL SELECT user_id, 'event_type',
-         |    event_type <> p_type FROM t)
+         |    event_type IS DISTINCT FROM p_type FROM t)
          |SELECT col_name, CAST(count(*) AS BIGINT) AS n_transitions,
          |  CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_changed,
@@ -5079,23 +5080,23 @@ object SparkEntry {
         |    max(CASE WHEN rank = k THEN ln(d) END) AS ltk
         |  FROM nn, ks WHERE rank <= k GROUP BY 1, 2),
         |pd AS (
-        |  SELECT vec_id, k, dmin,
+        |  SELECT vec_id, k, dmin > 0 AND ltk IS NOT NULL AS live,
         |    CAST(k - 1 AS DOUBLE) * ltk - slog AS denom
         |  FROM pp)
         |SELECT k,
-        |  CAST(sum(CASE WHEN dmin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN live THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_pts,
-        |  CAST(sum(CASE WHEN dmin > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN live THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_degenerate,
-        |  round(avg(CASE WHEN dmin > 0
+        |  round(avg(CASE WHEN live
         |    THEN CAST(k - 1 AS DOUBLE) / denom END), 4) AS mlid_mean,
-        |  round(min(CASE WHEN dmin > 0
+        |  round(min(CASE WHEN live
         |    THEN CAST(k - 1 AS DOUBLE) / denom END), 4) AS mlid_min,
-        |  round(max(CASE WHEN dmin > 0
+        |  round(max(CASE WHEN live
         |    THEN CAST(k - 1 AS DOUBLE) / denom END), 4) AS mlid_max,
         |  round(CAST(k - 1 AS DOUBLE)
-        |    * CAST(sum(CASE WHEN dmin > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / sum(CASE WHEN dmin > 0 THEN denom END), 4) AS mlid_global
+        |    * CAST(sum(CASE WHEN live THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN live THEN denom END), 4) AS mlid_global
         |FROM pd GROUP BY k""".stripMargin,
     // LOO majority vote over the exact graph; ties to the smallest
     // label via (c DESC, lbl ASC) — mirrors Spark's max_by (c, −lbl)

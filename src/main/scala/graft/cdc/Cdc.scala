@@ -419,10 +419,15 @@ object Cdc {
       .withColumn("p_k", lag(col("prop_k"), 1).over(canon))
       .withColumn("p_type", lag(col("event_type"), 1).over(canon))
       .filter(col("p_type").isNotNull) // non-first versions only
+    // NULL-SAFE inequality (ADVICE r12): prop_k is a nullable JSON
+    // extraction, and `=!=` yields NULL when either side is NULL — the
+    // when(changed, ...) would then silently drop null→value and
+    // value→null transitions, undercounting churn on exactly the
+    // columns a volatility audit cares about. `<=>` never returns NULL.
     val flags = st.select(col("user_id"), explode(map(
-        lit("value"), col("value") =!= col("p_value"),
-        lit("prop_k"), col("prop_k") =!= col("p_k"),
-        lit("event_type"), col("event_type") =!= col("p_type")
+        lit("value"), !(col("value") <=> col("p_value")),
+        lit("prop_k"), !(col("prop_k") <=> col("p_k")),
+        lit("event_type"), !(col("event_type") <=> col("p_type"))
       )).as(Seq("col_name", "changed")))
     flags.groupBy(col("col_name")).agg(
       count(lit(1)).as("n_transitions"),

@@ -856,13 +856,19 @@ object Ann {
     * centroid distance uses the Σ(aᵢ−bᵢ)² fold, not
     * ‖a‖²+‖b‖²−2ab (cancellation near equal centroids); nearest
     * ties break on the label id. */
-  def embedClassMargin(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+  def embedClassMargin(embeddings: DataFrame, dim: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val x = embeddings.select(col("label"),
       vecAsDouble(col("embedding")).as("v"))
+    // dim ≤ 0 (the default) derives the width from the data with one
+    // limit-1 job — the [[buildIvfPqIndex]] idiom (ADVICE r12: a
+    // hardcoded 64 silently truncated longer vectors and null-poisoned
+    // mu/intra/margin on shorter ones, diverging from the len()-driven
+    // oracle); an explicit dim still pins it for callers that know.
+    val d = if (dim > 0) dim else x.select(size(col("v"))).head().getInt(0)
     val byLabel = x.groupBy(col("label")).agg(
       count(lit(1)).as("n_vecs"),
-      array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("mu"),
+      array((0 until d).map(i => avg(col("v").getItem(i))): _*).as("mu"),
       avg(dot(col("v"), col("v"))).as("e2"))
     val lab = byLabel.withColumn("intra_rms",
       sqrt(greatest(lit(0.0), col("e2") - dot(col("mu"), col("mu")))))
@@ -974,7 +980,12 @@ object Ann {
         max(when(col("rank") === col("k"), log(col("d")))).as("ltk"))
     // denom = (k−1)·ln T_k − Σ_{j<k} ln T_j ;  m̂ = (k−1)/denom
     val denom = (col("k") - 1).cast("double") * col("ltk") - col("slog")
-    val live = col("dmin") > 0.0
+    // a point is live only with a POSITIVE 1-NN distance AND a full
+    // k-neighborhood (ADVICE r12: with n ≤ k, ltk is NULL, so the point
+    // dropped out of sdenom/avg but still counted in n_pts, inflating
+    // mlid_global = (k−1)·n_pts/sdenom); short-neighborhood points are
+    // reported as degenerate instead
+    val live = col("dmin") > 0.0 && col("ltk").isNotNull
     perPoint.groupBy(col("k")).agg(
         sum(when(live, 1L).otherwise(0L)).as("n_pts"),
         sum(when(live, 0L).otherwise(1L)).as("n_degenerate"),

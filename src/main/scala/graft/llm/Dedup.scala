@@ -89,8 +89,15 @@ object Dedup {
       .groupBy(col("df_bucket")).agg(
         count(lit(1)).as("n_shingles"),
         sum(col("df")).as("doc_slots"),
-        sum(expr("(df * (df - 1)) div 2").cast("decimal(38,0)"))
-          .as("pm"))
+        // the PER-TERM product is already decimal (ADVICE r12: a bigint
+        // df·(df−1) overflows at df ≳ 3.04e9 before the decimal sum can
+        // protect it). `div` can't halve the term (IntegralDivide
+        // returns LONG, re-truncating); df·(df−1) is even, so halving
+        // the decimal SUM once is exact and stays in decimal(38,0).
+        sum(expr("cast(df as decimal(38,0)) * cast(df - 1 as decimal(38,0))"))
+          .as("pm2"))
+      .withColumn("pm", (col("pm2") / 2).cast("decimal(38,0)"))
+      .drop("pm2")
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val wCum = Window.orderBy(col("df_bucket"))
