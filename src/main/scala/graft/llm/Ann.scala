@@ -911,9 +911,11 @@ object Ann {
     * — one self-join semi probe for mutuality, two map-side-combined
     * 1-row aggregates, a broadcast assembly. Exact integers + one
     * 4dp ratio. */
-  def knnReciprocity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def knnReciprocity(embeddings: DataFrame, k: Int = 5,
+                     graph: Option[DataFrame] = None): DataFrame = {
     val g = graft.Exec.materialize(
-      knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id")))
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
     val rev = g.select(col("nbr_id").as("vec_id"),
       col("vec_id").as("nbr_id"))
     val mutual = g.join(rev, Seq("vec_id", "nbr_id"), "left_semi")
@@ -955,10 +957,11 @@ object Ann {
     * undefined) are excluded and counted. One shared IEEE tree
     * (ln/sums of doubles), 4dp at the edge. */
   def embedIntrinsicDim(embeddings: DataFrame,
-                        ks: Seq[Int] = Seq(3, 4, 5)): DataFrame = {
+                        ks: Seq[Int] = Seq(3, 4, 5),
+                        graph: Option[DataFrame] = None): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 2), "each k must be >= 2")
     val spark = embeddings.sparkSession
-    val g = knnGraph(embeddings, ks.max)
+    val g = graph.getOrElse(knnGraph(embeddings, ks.max))
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -1024,10 +1027,11 @@ object Ann {
     * label column (slim), majority a bounded max_by per vec, the
     * matrix ≤ |labels|² with row totals from a window over that frame.
     * Exact integers + one 4dp ratio. */
-  def knnConfusion(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def knnConfusion(embeddings: DataFrame, k: Int = 5,
+                   graph: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = embeddings.select(col("vec_id"), col("label"))
-    val votes = knnGraph(embeddings, k)
+    val votes = graph.getOrElse(knnGraph(embeddings, k))
       .join(labels.select(col("vec_id").as("nbr_id"),
         col("label").as("lbl")), Seq("nbr_id"))
       .groupBy(col("vec_id"), col("lbl"))
@@ -1627,6 +1631,20 @@ object Ann {
     * not above it); the post-join aggregate exchange does NOT inflate —
     * each task's partial agg covers only its own block's vec_ids, so
     * the exchange stays n·k regardless of `blocks`. */
+  /* SUBSTRATE CONTRACT (r13, VERDICT task 1): every graph CONSUMER in
+   * this file (knnCluster/knnHubness/knnModularity/knnTriangles/
+   * knnAssortativity/knnReciprocity/knnConfusion/knnPagerank/
+   * knnLabelProp/knnCoreset/knnQualityScore/embedIntrinsicDim) accepts
+   * an optional `graph` edge frame with columns (vec_id, rank, nbr_id)
+   * — [[knnGraph]]'s and [[knnGraphLsh]]'s shared shape — and defaults
+   * to the exact [[knnGraph]] build when absent. At 100 TB the exact
+   * build's n² scoring is the outage, and [[knnGraphLsh]] is the
+   * declared scale substrate: pass its output (recall ≥ 0.9 at the
+   * pinned banding, GraphSubstrateSpec pins consumer-level agreement)
+   * so the quadratic term never runs. A supplied frame's persistence is
+   * the caller's to manage (consumers persist only their own derived
+   * projections); consumers that read `rank` (embedIntrinsicDim) need
+   * ranks up to their largest k. */
   def knnGraph(embeddings: DataFrame, k: Int = 5, blocks: Int = 32): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val corpus = embeddings.select(col("vec_id"),
@@ -1764,8 +1782,10 @@ object Ann {
     * assignment joins labels (≤ edge-touched nodes) back to the
     * corpus — broadcastable whenever the mutual-edge set is sparse,
     * which mutuality enforces. */
-  def knnCluster(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+  def knnCluster(embeddings: DataFrame, k: Int = 5,
+                 graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist() // both intersect sides — unpersisted after the probe
     val res = knnClusterOn(embeddings, g)
     g.unpersist()
@@ -1805,8 +1825,9 @@ object Ann {
     * Pure integer arithmetic after [[knnGraph]]: one count per nbr_id
     * (map-side combined, n·k slim input rows) right-joined to the
     * corpus so zero-degree anti-hubs appear explicitly. */
-  def knnHubness(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val deg = knnGraph(embeddings, k)
+  def knnHubness(embeddings: DataFrame, k: Int = 5,
+                 graph: Option[DataFrame] = None): DataFrame = {
+    val deg = graph.getOrElse(knnGraph(embeddings, k))
       .groupBy(col("nbr_id")).agg(count(lit(1)).as("d"))
     embeddings.select(col("vec_id"))
       .join(deg.withColumnRenamed("nbr_id", "vec_id"), Seq("vec_id"), "left")
@@ -1833,8 +1854,10 @@ object Ann {
     * rollups are label-dimension-sized; the edge total rides as a
     * broadcast 1-row crossJoin. One shared IEEE association order, 4dp;
     * an edgeless graph pins every term to 0.0. */
-  def knnModularity(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+  def knnModularity(embeddings: DataFrame, k: Int = 5,
+                    graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist()
     val mutual = g.intersect(
         g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
@@ -1896,8 +1919,10 @@ object Ann {
     * build runs once. Triangles enumerate as ordered triples a<b<c —
     * each counted exactly once, then credited to all three corners via
     * one explode. */
-  def knnTriangles(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+  def knnTriangles(embeddings: DataFrame, k: Int = 5,
+                   graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist()
     val mutual = g.intersect(
         g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
@@ -1948,8 +1973,10 @@ object Ann {
     * folded in one map-side-combined agg, and the closed-form r is one
     * shared IEEE expression tree over them, rounded 4dp — the
     * events_burst integer-sums determinism rule. */
-  def knnAssortativity(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+  def knnAssortativity(embeddings: DataFrame, k: Int = 5,
+                       graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist()
     val mutual = g.intersect(
         g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
@@ -2010,10 +2037,11 @@ object Ann {
     * summation-order rule); the gap subtracts two rounded values and
     * re-rounds, killing the binary residue both engines share. */
   def knnQualityScore(docs: DataFrame, embeddings: DataFrame,
-                      k: Int = 5): DataFrame = {
+                      k: Int = 5,
+                      graph: Option[DataFrame] = None): DataFrame = {
     val q = TextOps.textQuality(docs)
       .select(col("doc_id"), col("quality_score"))
-    val nbrQ = knnGraph(embeddings, k)
+    val nbrQ = graph.getOrElse(knnGraph(embeddings, k))
       .join(q.select(col("doc_id").as("nbr_id"),
         col("quality_score").as("nbr_q")), "nbr_id")
     val agg = nbrQ.groupBy(col("vec_id")).agg(
@@ -2050,8 +2078,10 @@ object Ann {
     * total order — deterministic across engines, so the oracle replays
     * the same fixed-point prefix as unrolled SQL iterations. */
   def knnLabelProp(embeddings: DataFrame, k: Int = 5, iters: Int = 3,
-                   seedMod: Int = 10): DataFrame = {
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+                   seedMod: Int = 10,
+                   graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist()
     // mutual edges, BOTH directions (propagation is symmetric but each
     // directed row is one vote delivery: nbr → vec)
@@ -2118,8 +2148,10 @@ object Ann {
     * [[knnLabelProp]] replay argument done properly for numeric
     * state. Truncation loses ≤ deg nano-units per node per round —
     * irrelevant to a ranking. */
-  def knnPagerank(embeddings: DataFrame, k: Int = 5, iters: Int = 3): DataFrame = {
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+  def knnPagerank(embeddings: DataFrame, k: Int = 5, iters: Int = 3,
+                  graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist()
     val res = knnPagerankOn(embeddings, g, iters)
     g.unpersist()
@@ -2177,11 +2209,13 @@ object Ann {
     * plus a map-side-combined size count. Everything downstream of the
     * n·k graph build is dimension-or-corpus-slim, nothing quadratic is
     * added. */
-  def knnCoreset(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def knnCoreset(embeddings: DataFrame, k: Int = 5,
+                 graph: Option[DataFrame] = None): DataFrame = {
     // ONE graph build shared by both consumers (the quadratic term —
     // measured 3.3 s at sf0.1 when cluster and pagerank each built
     // their own, ~2.0 s shared)
-    val g = knnGraph(embeddings, k).select(col("vec_id"), col("nbr_id"))
+    val g = graph.getOrElse(knnGraph(embeddings, k))
+      .select(col("vec_id"), col("nbr_id"))
       .persist()
     val clusters = knnClusterOn(embeddings, g)
     val pr = knnPagerankOn(embeddings, g)
