@@ -275,6 +275,7 @@ object SparkEntry {
     "ann_pq_recall" -> (Ann.annPqRecallQ _),
     "ann_ivf_recall" -> (Ann.annIvfRecallQ _),
     "ann_ivfpq_recall" -> (Ann.annIvfPqRecallQ _),
+    "ann_index_recall" -> (Ann.annIndexRecallQ _),
     "embed_quantize" -> (Ann.embedQuantizeQ _),
     "embed_binary_topk" -> (Ann.embedBinaryTopKQ _),
     "corpus_topic_terms" -> (Ann.corpusTopicTermsQ _),
@@ -4151,6 +4152,58 @@ object SparkEntry {
          |  FROM cand c JOIN u ON c.vec_id = u.vec_id
          |  JOIN luts q ON q.query_id = c.query_id)
          |WHERE rank <= 10""".stripMargin,
+    // served-index drift audit (r13): the ann_ivfpq_index serve chain
+    // verbatim as the approx side (the persisted index is a
+    // deterministic function of the corpus, so the oracle retrains the
+    // same quantizers the store froze), brute truth, recall left-join
+    "ann_index_recall" ->
+      s"""WITH $unitCteSql,
+         |${lloydCte("u", 16, 2, "q")},
+         |${ivfPqResidCte},
+         |${pqTrainCtes("resid")},
+         |enc0 AS (
+         |  SELECT r.vec_id, r.cid, e.codes
+         |  FROM resid r JOIN e3 e ON r.vec_id = e.vec_id),
+         |$ivfPqProbesCte,
+         |$pqLutCte,
+         |approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, enc.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY p.qdotc + $pqAdcSql DESC, enc.vec_id) AS rank
+         |    FROM probes p
+         |    JOIN enc0 enc ON enc.cid = p.cid
+         |    JOIN luts q ON q.query_id = p.query_id
+         |    WHERE enc.vec_id <> p.query_id)
+         |  WHERE rank <= 10),
+         |rnorms AS (
+         |  SELECT vec_id,
+         |    sqrt(sum(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+         |  GROUP BY vec_id),
+         |rdots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    sum(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dt
+         |  FROM embeddings q, embeddings c,
+         |    unnest(generate_series(1, len(q.embedding))) AS g(i)
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT d.query_id, d.vec_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY dt / (nq.nrm * nc.nrm) DESC, d.vec_id) AS rank
+         |    FROM rdots d
+         |    JOIN rnorms nq ON d.query_id = nq.vec_id
+         |    JOIN rnorms nc ON d.vec_id = nc.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
     "ann_ivfpq_index" ->
       s"""WITH $unitCteSql,
          |${lloydCte("u", 16, 2, "q")},
