@@ -3634,6 +3634,87 @@ object SparkEntry {
          |JOIN counts ca ON doc_a = ca.doc_id
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+    // r13: the xxhash64 replay ([[xxhashCtes]]) makes the MinHash
+    // signature VALUES oracle-checkable — banding, agreement estimate
+    // and the ≥0.5 gate all replayed downstream of the same hashes
+    "dedup_minhash" ->
+      s"""WITH RECURSIVE $mhSigBaseCtes,
+         |$mhPairsCtes
+         |SELECT doc_a, doc_b, est_sim FROM mhpairs""".stripMargin,
+    // the incremental probe is spec-proven equal to the batch pair set
+    // restricted to pairs touching the doc_id%10>=6 split (store holds
+    // the <6 split; banding is per-pair, so restriction commutes)
+    "dedup_incremental_minhash" ->
+      s"""WITH RECURSIVE $mhSigBaseCtes,
+         |$mhPairsCtes
+         |SELECT doc_a, doc_b, est_sim FROM mhpairs
+         |WHERE doc_a % 10 >= 6 OR doc_b % 10 >= 6""".stripMargin,
+    // minhash candidates vs exact jaccard@0.5 truth — both sides replayed
+    // over the SAME shingle CTEs, so the metric row is fully value-gated
+    "dedup_eval" ->
+      s"""WITH RECURSIVE $mhSigBaseCtes,
+         |$mhPairsCtes,
+         |jcounts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jpairs AS (SELECT doc_a, doc_b FROM jinter
+         |  JOIN jcounts ca ON doc_a = ca.doc_id
+         |  JOIN jcounts cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+         |j AS (SELECT (c.doc_a IS NOT NULL)::INT AS in_c,
+         |    (t.doc_a IS NOT NULL)::INT AS in_t
+         |  FROM (SELECT DISTINCT doc_a, doc_b FROM mhpairs) c
+         |  FULL OUTER JOIN jpairs t
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |agg AS (SELECT CAST(sum(in_c) AS BIGINT) AS n_candidates,
+         |    CAST(sum(in_t) AS BIGINT) AS n_truth,
+         |    CAST(sum(in_c * in_t) AS BIGINT) AS n_hit FROM j)
+         |SELECT n_candidates, n_truth, n_hit,
+         |  CASE WHEN n_candidates > 0
+         |    THEN round(CAST(n_hit AS DOUBLE) / n_candidates, 4)
+         |    ELSE 0.0 END AS precision,
+         |  CASE WHEN n_truth > 0
+         |    THEN round(CAST(n_hit AS DOUBLE) / n_truth, 4)
+         |    ELSE 0.0 END AS recall,
+         |  CASE WHEN n_candidates + n_truth > 0
+         |    THEN round(CAST(n_hit * 2 AS DOUBLE) / (n_candidates + n_truth),
+         |      4)
+         |    ELSE 0.0 END AS f1
+         |FROM agg""".stripMargin,
+    // per-banding occupancy pair mass measured over the replayed
+    // signatures; analytic recalls are the SAME driver-computed literals
+    // the engine emits (shared Scala expression, not a re-derivation)
+    "minhash_tuning_report" -> {
+      val arms = Seq(8, 16, 32).map { b =>
+        val r = graft.llm.Dedup.NumHashes / b
+        val recs = Seq(0.5, 0.7, 0.9).map { s =>
+          val rec = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+          val lit = BigDecimal(rec).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble
+          s"CAST($lit AS DOUBLE) AS recall_s${(s * 100).round}"
+        }.mkString(", ")
+        s"""(SELECT $b AS num_bands, $r AS rows_per_band, $recs,
+           |   (SELECT CAST(sum(c * (c - 1)) // 2 AS BIGINT) FROM
+           |     (SELECT count(*) AS c FROM
+           |       (SELECT doc_id, j, sig[$r*j+1:$r*j+$r] AS bk
+           |        FROM sigs, unnest(generate_series(0, ${b - 1})) AS bj(j))
+           |        bnd
+           |      GROUP BY j, bk) occ) AS est_candidate_pairs)""".stripMargin
+      }
+      s"""WITH RECURSIVE $mhSigBaseCtes
+         |SELECT * FROM (${arms.mkString(" UNION ALL ")})""".stripMargin
+    },
+    "dedup_simhash" ->
+      s"""WITH RECURSIVE $mhSigBaseCtes,
+         |$shPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM spairs""".stripMargin,
+    "dedup_incremental_simhash" ->
+      s"""WITH RECURSIVE $mhSigBaseCtes,
+         |$shPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM spairs
+         |WHERE doc_a % 10 >= 6 OR doc_b % 10 >= 6""".stripMargin,
     // df histogram over STRING shingles (the hash is a transport detail
     // — xxhash64 collisions are the standard vanishing trade); bit-length
     // buckets, exact pair products, share guards the zero-pair corpus
@@ -5587,6 +5668,200 @@ object SparkEntry {
        |                UNION
        |                SELECT r.a, e.b FROM reach r
        |                JOIN edges e ON r.b = e.a WHERE e.b <> r.a)""".stripMargin
+
+  // --- XXH64 replayed in DuckDB SQL (r13): Spark's `xxhash64` (XXH64 with
+  // seed 42) over a string's UTF-8 bytes, re-derived arithmetically so the
+  // signature-bound entries (minhash / simhash + incrementals, the tuning
+  // report, dedup_eval) gain real value-level oracles instead of rows-only
+  // checks. UBIGINT carries the 64-bit running state; every multiply
+  // detours through UHUGEINT and reduces mod 2^64 because DuckDB RAISES on
+  // 64-bit overflow instead of wrapping (a sub-2^64 product of sub-2^64
+  // factors always fits the 128-bit unsigned lane); a rotation is the
+  // wrapped multiply OR'd with the complementary logical right shift; the
+  // final state wraps back to Spark's signed long. Validated bit-for-bit
+  // against xxhash64 on empty / short / exactly-one-stripe / multi-stripe
+  // strings and the full sf0.01 shingle set. The algorithm is public
+  // domain (github.com/Cyan4973/xxHash spec); Spark's byte-stream variant
+  // is sql/catalyst XXH64.hashUnsafeBytesBlock.
+  private val xxM64 = "18446744073709551616::UHUGEINT"
+  private val xxP1 = "11400714785074694791::UBIGINT"
+  private val xxP2 = "14029467366897019727::UBIGINT"
+  private val xxP3 = "1609587929392839161::UBIGINT"
+  private val xxP4 = "9650029242287828579::UBIGINT"
+  private val xxP5 = "2870177450012600261::UBIGINT"
+  private def xxMul(a: String, b: String): String =
+    s"(((($a)::UHUGEINT * ($b)::UHUGEINT) % $xxM64)::UBIGINT)"
+  private def xxAdd(a: String, b: String): String =
+    s"(((($a)::UHUGEINT + ($b)::UHUGEINT) % $xxM64)::UBIGINT)"
+  private def xxSub(a: String, b: String): String =
+    s"(((($a)::UHUGEINT + $xxM64 - ($b)::UHUGEINT) % $xxM64)::UBIGINT)"
+  private def xxRotl(x: String, r: Int): String =
+    s"(${xxMul(x, (BigInt(1) << r).toString)} | (($x) >> ${64 - r}))"
+  private def xxXor(a: String, b: String): String =
+    s"xor(($a)::UBIGINT, ($b)::UBIGINT)"
+  private def xxFmix(h: String): String = {
+    val e1 = xxMul(xxXor(h, s"(($h) >> 33)"), xxP2)
+    val e2 = xxMul(xxXor(e1, s"(($e1) >> 29)"), xxP3)
+    xxXor(e2, s"(($e2) >> 32)")
+  }
+  /** One tail-word round: h' = rotl27(h ⊕ rotl31(w·P2)·P1)·P1 + P4. */
+  private def xxStep8(h: String, w: String): String = {
+    val k1 = xxMul(xxRotl(xxMul(w, xxP2), 31), xxP1)
+    xxAdd(xxMul(xxRotl(xxXor(h, k1), 27), xxP1), xxP4)
+  }
+  /** One stripe-lane round: v' = rotl31(v + w·P2)·P1. */
+  private def xxLane(v: String, w: String): String =
+    xxMul(xxRotl(xxAdd(v, xxMul(w, xxP2)), 31), xxP1)
+  private def xxMergeLane(h: String, v: String): String =
+    xxAdd(xxMul(xxXor(h, xxMul(xxRotl(xxMul(v, xxP2), 31), xxP1)), xxP1), xxP4)
+  /** Byte `i` (0-based) of hex-encoded column `hx` (hex() is uppercase). */
+  private def xxByte(hx: String, i: String): String =
+    s"((strpos('0123456789ABCDEF', substr($hx, 2*($i)+1, 1))-1)*16" +
+      s" + strpos('0123456789ABCDEF', substr($hx, 2*($i)+2, 1))-1)::UBIGINT"
+  /** Little-endian word at byte offset `off`: Σ byte(off+k)·256^k. */
+  private def xxWord(hx: String, off: String, nBytes: Int): String = {
+    val terms = (0 until nBytes).map(k =>
+      s"${xxByte(hx, s"($off)+$k")}::UHUGEINT * ${BigInt(1) << (8 * k)}::UHUGEINT")
+      .mkString(" + ")
+    s"((($terms) % $xxM64)::UBIGINT)"
+  }
+  private def xxToSigned(x: String): String =
+    s"((($x)::HUGEINT - CASE WHEN ($x) >= 9223372036854775808::UBIGINT" +
+      s" THEN $xxM64::HUGEINT ELSE 0::HUGEINT END)::BIGINT)"
+  private def xxBStep(h: String, b: String): String =
+    xxMul(xxRotl(xxXor(h, xxMul(b, xxP5)), 11), xxP1)
+  /** CTE chain hashing every row of `src`(key, s): emits `<pfx>xxh`(key, h)
+    * with h = Spark xxhash64(s) as a signed BIGINT. Recursive over 32-byte
+    * stripes and 8-byte tail words (depth = longest string / 8); the ≤3
+    * single-byte steps unroll as chained CTEs. Interpolate after a
+    * `WITH RECURSIVE`. */
+  private def xxhashCtes(src: String, pfx: String): String = {
+    val sd = "42::UBIGINT"
+    val v1i = xxAdd(xxAdd(sd, xxP1), xxP2)
+    val v2i = xxAdd(sd, xxP2)
+    val v4i = xxSub(sd, xxP1)
+    val hMerge = Seq("v1", "v2", "v3", "v4").foldLeft(
+      xxAdd(xxAdd(xxAdd(xxRotl("v1", 1), xxRotl("v2", 7)),
+        xxRotl("v3", 12)), xxRotl("v4", 18)))(xxMergeLane)
+    val hAfter4 = xxAdd(xxMul(xxRotl(
+      xxXor("h", xxMul(xxWord("hx", "p", 4), xxP1)), 23), xxP2), xxP3)
+    s"""${pfx}hx0 AS (SELECT key, hex(encode(s)) AS hx,
+       |  CAST(octet_length(encode(s)) AS INT) AS n FROM $src),
+       |${pfx}stripe(key, hx, n, i, v1, v2, v3, v4) AS (
+       |  SELECT key, hx, n, 0, $v1i, $v2i, $sd, $v4i FROM ${pfx}hx0
+       |  WHERE n >= 32
+       |  UNION ALL
+       |  SELECT key, hx, n, i+1,
+       |    ${xxLane("v1", xxWord("hx", "i*32", 8))},
+       |    ${xxLane("v2", xxWord("hx", "i*32+8", 8))},
+       |    ${xxLane("v3", xxWord("hx", "i*32+16", 8))},
+       |    ${xxLane("v4", xxWord("hx", "i*32+24", 8))}
+       |  FROM ${pfx}stripe WHERE i < n // 32),
+       |${pfx}base AS (
+       |  SELECT key, hx, n, (n // 32) * 32 AS p,
+       |    ${xxAdd(hMerge, "n::UBIGINT")} AS h
+       |  FROM ${pfx}stripe WHERE i = n // 32
+       |  UNION ALL
+       |  SELECT key, hx, n, 0 AS p,
+       |    ${xxAdd(xxAdd(sd, xxP5), "n::UBIGINT")} AS h
+       |  FROM ${pfx}hx0 WHERE n < 32),
+       |${pfx}w8(key, hx, n, p, h) AS (
+       |  SELECT key, hx, n, p, h FROM ${pfx}base
+       |  UNION ALL
+       |  SELECT key, hx, n, p+8, ${xxStep8("h", xxWord("hx", "p", 8))}
+       |  FROM ${pfx}w8 WHERE p + 8 <= n),
+       |${pfx}w4 AS (
+       |  SELECT key, hx, n,
+       |    CASE WHEN p + 4 <= n THEN p + 4 ELSE p END AS p,
+       |    CASE WHEN p + 4 <= n THEN $hAfter4 ELSE h END AS h
+       |  FROM ${pfx}w8 WHERE p + 8 > n),
+       |${pfx}b1 AS (SELECT key, hx, n, p + 1 AS p,
+       |    CASE WHEN p < n THEN ${xxBStep("h", xxByte("hx", "p"))}
+       |         ELSE h END AS h
+       |  FROM ${pfx}w4),
+       |${pfx}b2 AS (SELECT key, hx, n, p + 1 AS p,
+       |    CASE WHEN p < n THEN ${xxBStep("h", xxByte("hx", "p"))}
+       |         ELSE h END AS h
+       |  FROM ${pfx}b1),
+       |${pfx}b3 AS (SELECT key, hx, n,
+       |    CASE WHEN p < n THEN ${xxBStep("h", xxByte("hx", "p"))}
+       |         ELSE h END AS h
+       |  FROM ${pfx}b2),
+       |${pfx}xxh AS (SELECT key, ${xxToSigned(xxFmix("h"))} AS h
+       |  FROM ${pfx}b3)""".stripMargin
+  }
+
+  /** Shared signature base of the six converted entries: distinct
+    * (doc, 3-gram shingle) rows, ONE xxhash64 per distinct shingle string
+    * (the [[xxhashCtes]] replay), pmod onto [[graft.llm.Dedup.MinhashPrime]],
+    * and the 64 affine-min MinHash rows assembled as a LIST — Spark's
+    * [[graft.llm.Dedup.minhashSigs]] seed pairs interpolate as literals
+    * (data-independent: Random(42), exactly what the engine uses). Emits
+    * `shh`(doc_id, h) for the simhash arm and `sigs`(doc_id, sig). */
+  private lazy val mhSigBaseCtes: String = {
+    val p = graft.llm.Dedup.MinhashPrime
+    val mins = graft.llm.Dedup.MinhashSeeds
+      .map { case (a, b) => s"min((hp * $a + $b) % $p)" }.mkString(", ")
+    s"""toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       |       FROM toks, unnest(generate_series(1, len(t)-2)) AS g(i)
+       |       WHERE len(t) >= 3),
+       |ds AS (SELECT DISTINCT s AS key, s FROM sh),
+       |${xxhashCtes("ds", "x")},
+       |shh AS (SELECT DISTINCT sh.doc_id, x.h
+       |        FROM sh JOIN xxxh x ON sh.s = x.key),
+       |hs AS (SELECT doc_id, ((h % $p) + $p) % $p AS hp FROM shh),
+       |sigs AS (SELECT doc_id, [$mins] AS sig FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Banded MinHash pairs over `sigs`: bucket key = the band's signature
+    * SLICE itself (bucket identity — Spark's band hash only partitions
+    * buckets, so the slice is the same key up to xxhash64 collisions, the
+    * operator's own declared vanishing trade); est_sim = exact
+    * position-agreement count / 64, every k/64 binary-exact in DOUBLE.
+    * Emits `mhpairs`(doc_a, doc_b, est_sim ≥ 0.5). */
+  private lazy val mhPairsCtes: String =
+    s"""bands AS (SELECT doc_id, j, sig[4*j+1:4*j+4] AS bk, sig
+       |          FROM sigs, unnest(generate_series(0, 15)) AS bj(j)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.j = y.j AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |mhpairs AS (SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, 65),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64 AS est_sim
+       |  FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+       |            JOIN sigs sb ON cand.doc_b = sb.doc_id)
+       |  WHERE est_sim >= 0.5)""".stripMargin
+
+  /** SimHash over the same `shh` hash rows: per-bit ±1 votes on the
+    * UNSIGNED 64-bit pattern (HUGEINT carries it; bit i = (u / 2^i) mod 2),
+    * sign bit folded back for Spark's signed long, 4×16-bit pigeonhole
+    * blocks, exact hamming ≤ 3. Emits `spairs`(doc_a, doc_b, hamming). */
+  private lazy val shPairsCtes: String = {
+    val m = BigInt(1) << 64
+    val votes = (0 until 64).map(i =>
+      s"sum(CASE WHEN (u // ${BigInt(1) << i}) % 2 = 1 THEN 1 ELSE -1 END)" +
+        s" AS v$i").mkString(", ")
+    val bits = (0 until 64).map(i =>
+      s"(CASE WHEN v$i > 0 THEN ${BigInt(1) << i}::HUGEINT" +
+        " ELSE 0::HUGEINT END)").mkString(" + ")
+    val blocks = (0 until 4).map(j =>
+      s"SELECT doc_id, sig, $j AS blk, CAST((su // ${BigInt(1) << (16 * j)})" +
+        " % 65536 AS BIGINT) AS v FROM ssigs").mkString(" UNION ALL ")
+    s"""shu AS (SELECT doc_id, ((h::HUGEINT % $m) + $m) % $m AS u FROM shh),
+       |svot AS (SELECT doc_id, $votes FROM shu GROUP BY doc_id),
+       |ssigs AS (SELECT doc_id, ($bits) AS su,
+       |    CAST(($bits) - CASE WHEN v63 > 0 THEN $m::HUGEINT
+       |      ELSE 0::HUGEINT END AS BIGINT) AS sig
+       |  FROM svot),
+       |sblk AS ($blocks),
+       |spairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.sig, y.sig)) AS hamming
+       |  FROM sblk x JOIN sblk y
+       |    ON x.blk = y.blk AND x.v = y.v AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)""".stripMargin
+  }
 
   /** DuckDB equivalent of TextOps.tokens. Backslashes stay literal: this is
     * a plain (non-interpolated concatenation of) string so the SQL carries

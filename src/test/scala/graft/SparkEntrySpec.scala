@@ -20,21 +20,18 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // loops), MMR (recursive greedy), and the k-means family (Lloyd
     // unrolls; the train cap covers the corpus at the driver SF). r12
     // converted the eigensolve pair (embed_pca / embed_spectrum) via a
-    // gap-amplified deflated-power-iteration replay — eigenpairs are
-    // unique under the operator's conventions, so the oracle needn't
-    // replay Jacobi. What remains is genuinely engine-bound: xxhash64
-    // signatures (minhash/simhash), DEFLATE, media codecs, and sketch
-    // internals.
+    // gap-amplified deflated-power-iteration replay. r13 converted the
+    // whole xxhash64 signature family (minhash/simhash + incrementals,
+    // the tuning report, dedup_eval) by replaying XXH64 itself in
+    // DuckDB SQL (SparkEntry.xxhashCtes: UHUGEINT mod-2^64 arithmetic).
+    // What remains is genuinely engine-bound: DEFLATE, the three media
+    // codecs, and sketch internals (HLL/KLL/TopK binary states).
     assert(rowsOnly === Set(
-      "dedup_minhash", "dedup_eval",
-      "minhash_tuning_report",
-      "dedup_simhash",
       "text_compressibility",
       "multimodal", "media_audio", "media_video", "media_resize",
       "media_phash", "media_phash_incremental",
       "media_resample", "media_frames", "media_report",
-      "dedup_incremental_minhash",
-      "dedup_incremental_simhash", "sketch_quantiles",
+      "sketch_quantiles",
       "sketch_topk"),
       s"unexpected rows-only entries: $rowsOnly")
   }

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [only1,only2,...]
 
 Runs after `graft.Verify` has dumped each query result to
 <verifyOutDir>/<name>/ (parquet) and the oracle SQL to oracle_sql.json.
@@ -64,6 +64,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional third arg mirrors Verify's subset mode: re-check only the
+    # just-touched entries (the driver always runs everything)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
