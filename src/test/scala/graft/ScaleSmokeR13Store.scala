@@ -39,9 +39,14 @@ object ScaleSmokeR13Store {
     val events = Tables.events(spark, dir)
 
     // ---- 1) exact fingerprint store: corpus 10x -> 100x driver SF ----
+    // replica i gets a DISTINCT text suffix — identical texts would
+    // collapse in the md5-keyed store and the corpus would not actually
+    // grow (first run of this harness measured a 4 992-row store at
+    // every replication factor)
     def docsX(times: Int): DataFrame =
       (0 until times).map(i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", concat(col("text"), lit(s" replica$i"))))
         .reduce(_ unionByName _)
     // FIXED probe batch: 50 fresh docs (ids clear of every replica shift)
     val fpBatch = docs.filter(col("doc_id") < 50)
@@ -50,7 +55,7 @@ object ScaleSmokeR13Store {
     fpBatch.count()
 
     def fpProbe(times: Int, buckets: Int): Unit = {
-      val sink = new graft.sinks.WarehouseSink(s"$base/fp$times")
+      val sink = new graft.sinks.WarehouseSink(s"$base/fp${times}_$buckets")
       t(s"fp store build ${times}x (buckets=$buckets)") {
         graft.llm.Dedup.buildFingerprintStore(docsX(times), sink,
           numBuckets = buckets)
@@ -66,15 +71,32 @@ object ScaleSmokeR13Store {
       }
       println(f"=== FP ${times}x quiet probe: ${walls.tail.map(_._1).min}%.2f s" +
         s" (rows ${walls.head._2})")
-      val plan = graft.llm.Dedup
-        .dedupIncremental(fpBatch, spark, sink, numBuckets = buckets)
-        .queryExecution.explainString(
+      // the probe result goes through Exec.materialize, which hides the
+      // store scan from explain — pin the pruning on the probe's store
+      // read directly (the same isin(touched) filter dedupIncremental
+      // builds), and count the rows it admits vs the full store
+      val touched = fpBatch
+        .select(md5(col("text")).as("h"))
+        .select(graft.sinks.WarehouseSink
+          .bucketPartition(Seq("h"), buckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val pruned = sink.read(spark, "fingerprints")
+        .filter(col("part_bucket")
+          .isin(touched.toIndexedSeq.map(b => lit(b)): _*))
+      pruned.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .linesIterator.filter(_.contains("PartitionFilters"))
         .foreach(l => println(s"=== FP ${times}x ${l.trim.take(160)}"))
+      println(s"=== FP ${times}x pruned store rows ${pruned.count()}" +
+        s" of ${sink.read(spark, "fingerprints").count()}" +
+        s" (${touched.length} of $buckets buckets)")
     }
     fpProbe(10, 32)
     fpProbe(100, 320)
+    // control: SAME store at 100x but with the bucket knob left at 32 —
+    // bucket size grows 10x and the probe must read 10x the rows; the
+    // contrast with fpProbe(100, 320) is the invariance evidence
+    fpProbe(100, 32)
 
     // ---- 2) merge pipeline: key cardinality 10x -> 100x ----
     // mergeBatch's ordering expects the flattened CDC changelog shape
@@ -90,7 +112,7 @@ object ScaleSmokeR13Store {
     mergeBatch.count()
 
     def mergeProbe(times: Int, buckets: Int): Unit = {
-      val sink = new graft.sinks.WarehouseSink(s"$base/mp$times")
+      val sink = new graft.sinks.WarehouseSink(s"$base/mp${times}_$buckets")
       t(s"merge snapshot seed ${times}x (buckets=$buckets)") {
         graft.cdc.MergePipeline.mergeBatch(spark, sink, "snap",
           eventsKeysX(times), Seq("user_id"), numBuckets = buckets)
@@ -108,12 +130,18 @@ object ScaleSmokeR13Store {
         .select(graft.sinks.WarehouseSink
           .bucketPartition(Seq("user_id"), buckets).as("b"))
         .distinct().collect().map(_.getInt(0))
+      val prunedDf = sink.read(spark, "snap")
+        .filter(col("part_bucket")
+          .isin(touched.toIndexedSeq.map(b => lit(b)): _*))
+      prunedDf.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("PartitionFilters"))
+        .foreach(l => println(s"=== MERGE ${times}x ${l.trim.take(160)}"))
+      println(s"=== MERGE ${times}x pruned store rows ${prunedDf.count()}" +
+        s" of ${sink.read(spark, "snap").count()}")
       val prunedReads = (0 to 2).map { _ =>
         t(s"merge pruned read ${times}x") {
-          sink.read(spark, "snap")
-            .filter(col("part_bucket")
-              .isin(touched.toIndexedSeq.map(b => lit(b)): _*))
-            .write.format("noop").mode("overwrite").save()
+          prunedDf.write.format("noop").mode("overwrite").save()
         }
       }
       val fullReads = (0 to 2).map { _ =>
@@ -127,6 +155,8 @@ object ScaleSmokeR13Store {
     }
     mergeProbe(10, 32)
     mergeProbe(100, 320)
+    // fixed-bucket control, as for the fingerprint store above
+    mergeProbe(100, 32)
 
     // ---- 3) scd2: closed history 10x -> 100x, keys FIXED ----
     // time-replication: copy i shifts ts back i*31 days and event_id up,
@@ -137,11 +167,13 @@ object ScaleSmokeR13Store {
           .withColumn("ts", col("ts") - expr(s"INTERVAL ${i * 31} DAYS"))
           .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
         .reduce(_ unionByName _)
-    val scdBatch = events.filter(col("user_id") < 100)
-      .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
-      .withColumn("event_id", col("event_id") + lit(900000000L))
-      .persist()
-    scdBatch.count()
+    // one FIXED-size batch per fold iteration, each strictly later than
+    // the last (the store's strict in-order contract forbids re-folding
+    // the same timestamps): iteration i sits at +365 + 40*i days
+    def scdBatch(i: Int): DataFrame = events.filter(col("user_id") < 100)
+      .withColumn("ts", col("ts") + expr(s"INTERVAL ${365 + 40 * i} DAYS"))
+      .withColumn("event_id",
+        col("event_id") + lit(900000000L + i * 10000000L))
 
     def scdProbe(times: Int): Unit = {
       val sink = new graft.sinks.WarehouseSink(s"$base/scd$times")
@@ -149,8 +181,10 @@ object ScaleSmokeR13Store {
       t(s"scd2 build ${times}x history") { store.build(eventsHistX(times)) }
       val nParts = new java.io.File(sink.tablePath("scd2"))
         .listFiles().count(_.getName.startsWith("part="))
-      val walls = (0 to 2).map { _ =>
-        t(s"scd2 foldBatch ${times}x") { store.foldBatch(spark, scdBatch) }
+      val walls = (0 to 2).map { i =>
+        val b = scdBatch(i).persist(); b.count()
+        val s = t(s"scd2 foldBatch ${times}x") { store.foldBatch(spark, b) }
+        b.unpersist(); s
       }
       println(f"=== SCD2 ${times}x quiet fold: ${walls.tail.min}%.2f s" +
         s" ($nParts month partitions on disk)")
