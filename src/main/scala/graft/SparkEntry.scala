@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
-import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, Video}
-import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4}
+import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, TextProfile, Video}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -117,6 +117,13 @@ object SparkEntry {
     "events_dispersion" -> (Analytics4.eventsDispersion _),
     "q_customer_migration" -> ((s, d) => Analytics4.qCustomerMigration(s, d)),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
+    "events_periodicity" -> (Analytics5.eventsPeriodicity _),
+    "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
+    "q_benford_audit" -> (Analytics5.qBenfordAudit _),
+    "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
+    "q_order_value_bands" -> (Analytics5.qOrderValueBands _),
+    "q_supplier_hhi" -> (Analytics5.qSupplierHhi _),
+    "events_value_outliers" -> (Analytics5.eventsValueOutliers _),
     "q_fulfillment_lag" -> (Analytics3.qFulfillmentLag _),
     "events_bot_profile" -> ((s, d) => Analytics3.eventsBotProfile(s, d)),
     "q_cohort_ltv" -> (Analytics3.qCohortLtv _),
@@ -129,6 +136,7 @@ object SparkEntry {
     "q_user_sessions" -> (Analytics.qUserSessions _),
     "events_sessions" -> (graft.streaming.StreamAggs.eventsSessionsQ _),
     "skew_profile" -> (graft.operators.SkewProfile.skewProfileQ _),
+    "table_profile" -> (graft.operators.TableProfile.tableProfileQ _),
     "events_asof" -> (graft.operators.AsofJoin.eventsAsofQ _),
     // LLM-data-pipeline: text analysis (SURVEY §2C)
     "text_tokens" -> (TextOps.textTokensQ _),
@@ -160,6 +168,12 @@ object SparkEntry {
     "vocab_coverage" -> (TextOps.vocabCoverageQ _),
     "vocab_growth" -> (TextOps.vocabGrowthQ _),
     "vocab_overlap" -> (TextOps.vocabOverlapQ _),
+    "text_numeric_density" -> (TextProfile.textNumericDensityQ _),
+    "vocab_goodturing" -> (TextProfile.vocabGoodTuringQ _),
+    "text_word_length_profile" -> (TextProfile.textWordLengthProfileQ _),
+    "text_case_profile" -> (TextProfile.textCaseProfileQ _),
+    "corpus_prefix_clusters" -> (TextProfile.corpusPrefixClustersQ _),
+    "text_sentence_stats" -> (TextProfile.textSentenceStatsQ _),
     "corpus_vocab_profile" -> (TextOps.corpusVocabProfileQ _),
     "text_novelty" -> (TextOps.textNoveltyQ _),
     "corpus_quality_pareto" -> (TextOps.corpusQualityParetoQ _),
@@ -245,6 +259,8 @@ object SparkEntry {
     "ann_lsh_topk" -> (Ann.annLshTopKQ _),
     "ann_recall_report" -> (Ann.annRecallReportQ _),
     "knn_graph" -> (Ann.knnGraphQ _),
+    "knn_kcore" -> (Ann.knnKcoreQ _),
+    "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
     "knn_triangles" -> (Ann.knnTrianglesQ _),
@@ -391,6 +407,54 @@ object SparkEntry {
 
   private lazy val lshCteSql: String =
     lshCte(graft.llm.Ann.NumBands, graft.llm.Ann.BitsPerBand)
+
+  // --- JL distortion CTEs (r13) ---------------------------------------
+  // Same seeded-literal discipline as lshCte: the projection rows are
+  // Ann.hyperplanes(32) inlined, list_dot_product's left fold matches
+  // the codegen'd VecDot bit-for-bit (verified for lshCte in r11).
+  private lazy val jlCteSql: String = {
+    val planes = graft.llm.Ann.hyperplanes(32)
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""jv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id < 50),
+       |jplanes(pid, plane) AS (VALUES
+       |    $rows),
+       |jy AS (SELECT vec_id, pid, list_dot_product(v, plane) AS y
+       |  FROM jv, jplanes)""".stripMargin
+  }
+
+  // --- table_profile oracle (r13): one UNION ALL stanza per lineitem
+  // column; timestamps ride min_num/max_num as epoch MICROSECONDS
+  // (NULL typed timestamps don't survive every renderer — pd.NaT)
+  private val tableProfileOracle: String = {
+    def stanza(c: String, dt: String, mnNum: String, mxNum: String,
+               mnStr: String, mxStr: String): String =
+      s"""SELECT '$c' AS column_name, '$dt' AS data_type,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mnNum AS min_num, $mxNum AS max_num,
+         |  $mnStr AS min_str, $mxStr AS max_str
+         |FROM lineitem""".stripMargin
+    def num(c: String, dt: String) = stanza(c, dt,
+      s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+      "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    def str(c: String) = stanza(c, "string",
+      "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+      s"min($c)", s"max($c)")
+    def ts(c: String) = stanza(c, "timestamp",
+      s"CAST(epoch_us(min($c)) AS DOUBLE)",
+      s"CAST(epoch_us(max($c)) AS DOUBLE)",
+      "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    Seq(num("l_orderkey", "bigint"), num("l_partkey", "bigint"),
+      num("l_suppkey", "bigint"), num("l_linenumber", "int"),
+      num("l_quantity", "double"), num("l_extendedprice", "double"),
+      num("l_discount", "double"), num("l_tax", "double"),
+      str("l_returnflag"), str("l_linestatus"),
+      ts("l_shipdate")).mkString("\nUNION ALL\n")
+  }
 
   /** Approximate LSH top-k rows (query_id, rank, vec_id ≤ k) as a SQL
     * fragment over the [[lshCteSql]] CTEs — shared by the ann_lsh_topk
@@ -2313,6 +2377,183 @@ object SparkEntry {
         |  round((CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    / (trev / CAST(cells AS DOUBLE)), 4) AS revenue_index
         |FROM ym, tot GROUP BY m, tn, trev, cells""".stripMargin,
+    // epoch-folding chi2 = T*Q/N - N holds on the SPARSE phase frame
+    // (absent cells add nothing to Q); integer moments, one tree 4dp
+    "events_periodicity" ->
+      """WITH th AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT event_type, CAST(p.period_h AS BIGINT) AS period_h,
+        |    CAST(h % p.period_h AS BIGINT) AS phi,
+        |    CAST(sum(n) AS BIGINT) AS n
+        |  FROM th, (VALUES (6), (24), (168)) p(period_h) GROUP BY 1, 2, 3),
+        |mx AS (SELECT *,
+        |    max(n) OVER (PARTITION BY event_type, period_h) AS mxn
+        |  FROM cells)
+        |SELECT event_type, period_h,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS active_cells,
+        |  round(CAST(period_h * sum(n * n) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) - CAST(sum(n) AS DOUBLE), 4) AS chi2,
+        |  min(CASE WHEN n = mxn THEN phi END) AS peak_phase,
+        |  round(CAST(period_h * max(n) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 4) AS peak_lift
+        |FROM mx GROUP BY event_type, period_h""".stripMargin,
+    // outgoing-distribution entropy per state: H = log2(N) - sum c*log2(c)/N
+    // (the textEntropy identity in bits); ties on top_next -> lexical min
+    "events_transition_entropy" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cij AS (
+        |  SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT *, max(c) OVER (PARTITION BY from_type) AS mxc
+        |  FROM cij)
+        |SELECT from_type, CAST(sum(c) AS BIGINT) AS n_out,
+        |  CAST(count(*) AS BIGINT) AS k_next,
+        |  round(log2(CAST(sum(c) AS DOUBLE))
+        |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |      / CAST(sum(c) AS DOUBLE), 4) AS entropy_bits,
+        |  min(CASE WHEN c = mxc THEN next_type END) AS top_next,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS top_share
+        |FROM mx GROUP BY from_type""".stripMargin,
+    // first significant digit read LEXICALLY off the DECIMAL(18,2)
+    // rendering (both engines render decimals identically) — no
+    // floor(log10) edge cases at powers of ten
+    "q_benford_audit" ->
+      """WITH raw AS (
+        |  SELECT 'o_totalprice' AS measure,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2))
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT measure,
+        |    CAST(NULLIF(regexp_extract(CAST(v AS VARCHAR), '[1-9]'), '')
+        |      AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM raw GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY measure) AS BIGINT)
+        |    AS nn
+        |  FROM g WHERE digit IS NOT NULL)
+        |SELECT measure, digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 4) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4)
+        |    AS benford_share,
+        |  round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS excess,
+        |  round(pow(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+        |    * CAST(nn AS DOUBLE)
+        |    / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS chi2_term
+        |FROM t""".stripMargin,
+    // OLS on EXACT integer moments (discount -> percent 0..10,
+    // quantity integer-valued): both engines' streaming corr/regr
+    // differ in update algebra, raw moments don't
+    "q_price_elasticity" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |j AS (SELECT p.p_brand, li.x, li.y
+        |  FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+        |m AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT p_brand, n AS n_lines,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+        |    AS avg_discount,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS avg_qty,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * 100.0
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_qty_per_disc,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS corr
+        |FROM m""".stripMargin,
+    // magnitude bands: DECIMAL revenue, 6-row cumulative window;
+    // prices carry cents so floor(log10) never lands on a power of ten
+    "q_order_value_bands" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(log10(o_totalprice)) AS BIGINT) AS band,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+        |    CAST(sum(rev) AS DOUBLE) AS tr FROM b),
+        |c AS (SELECT *, sum(rev) OVER (ORDER BY band) AS cum_rev FROM b)
+        |SELECT band, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / CAST(tn AS DOUBLE), 4)
+        |    AS share_orders,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / tr, 4) AS share_revenue,
+        |  round(CAST(cum_rev AS DOUBLE) / tr, 4) AS cum_revenue_share,
+        |  round(CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE), 4)
+        |    AS avg_value
+        |FROM c, t""".stripMargin,
+    // HHI over per-nation supplier revenue shares; DECIMAL revenue,
+    // share squares summed on the supplier-sized frame only
+    "q_supplier_hhi" ->
+      s"""WITH bysup AS (
+         |  SELECT n.n_name, l.l_suppkey, sum($discPriceSql) AS rev
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2),
+         |w AS (SELECT *, sum(rev) OVER (PARTITION BY n_name) AS tot
+         |  FROM bysup)
+         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue,
+         |  round(sum(pow(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 2)), 4)
+         |    AS hhi,
+         |  round(1.0
+         |    / sum(pow(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 2)), 4)
+         |    AS effective_suppliers,
+         |  round(CAST(max(rev) AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 4)
+         |    AS top_share
+         |FROM w GROUP BY n_name""".stripMargin,
+    // median/MAD are SELECTED rows (low-median rank over a total
+    // order) — the q_median_order construction, never interpolated
+    "events_value_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |m AS (
+        |  SELECT event_type, value AS median_value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM e) WHERE rn = (n + 1) // 2),
+        |dv AS (
+        |  SELECT e.event_type, e.event_id,
+        |    abs(e.value - m.median_value) AS dev, m.median_value
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dv) WHERE rn = (n + 1) // 2)
+        |SELECT dv.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(dv.median_value, 4) AS median_value,
+        |  round(md.mad, 4) AS mad,
+        |  CAST(sum(CASE WHEN dv.dev > 3.0 * 1.4826 * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN dv.dev > 3.0 * 1.4826 * md.mad
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS outlier_share
+        |FROM dv JOIN md USING (event_type)
+        |GROUP BY dv.event_type, dv.median_value, md.mad""".stripMargin,
     // sparse-exact daily mix drift: absent types contribute 0 to KL
     // and q_t to L1, so no dense spine; shared IEEE tree, 4dp
     "events_mix_drift" ->
@@ -3581,6 +3822,131 @@ object SparkEntry {
          |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
          |    AS mean_doc_tokens
          |FROM v JOIN d ON v.source = d.source""".stripMargin,
+    // numeric-content density: full-token numeric regex on the nonempty
+    // token array, global-flag char strips, greatest() guards on both
+    // engines
+    "text_numeric_density" ->
+      s"""SELECT doc_id,
+         |  len(list_filter($tokSql, x -> length(x) > 0)) AS n_tokens,
+         |  len(list_filter($tokSql,
+         |    x -> regexp_matches(x, '^[0-9]+([.,][0-9]+)*%?$$')))
+         |    AS numeric_tokens,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |      AS DOUBLE)
+         |    / CAST(greatest(length(text), 1) AS DOUBLE), 4)
+         |    AS digit_char_ratio,
+         |  round(CAST(len(list_filter($tokSql,
+         |      x -> regexp_matches(x, '^[0-9]+([.,][0-9]+)*%?$$')))
+         |      AS DOUBLE)
+         |    / CAST(greatest(len(list_filter($tokSql,
+         |      x -> length(x) > 0)), 1) AS DOUBLE), 4)
+         |    AS numeric_token_share,
+         |  regexp_matches(text, '[0-9]{8}') AS has_long_number
+         |FROM documents""".stripMargin,
+    // Good-Turing unseen mass p0 = V1/N and singleton discount 2*V2/V1;
+    // exact counts, one IEEE tree 4dp
+    "vocab_goodturing" ->
+      s"""WITH c AS (
+         |  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents, unnest($tokSql) AS t(tok)
+         |  WHERE length(t.tok) > 0 GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c) AS DOUBLE), 4) AS p_unseen,
+         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS singleton_share,
+         |  round(2.0 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(greatest(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 1)
+         |      AS DOUBLE), 4) AS gt_singleton_discount
+         |FROM c GROUP BY source""".stripMargin,
+    // per-source word-length histogram, lengths capped into a 20+ tail
+    // bucket; shares/cumulative on the <=20-cell frame
+    "text_word_length_profile" ->
+      s"""WITH cells AS (
+         |  SELECT source, least(length(t.tok), 20) AS word_len,
+         |    CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM documents, unnest($tokSql) AS t(tok)
+         |  WHERE length(t.tok) > 0 GROUP BY 1, 2)
+         |SELECT source, word_len, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE)
+         |    / CAST(sum(n_tokens) OVER (PARTITION BY source) AS DOUBLE), 4)
+         |    AS share,
+         |  round(CAST(sum(n_tokens)
+         |      OVER (PARTITION BY source ORDER BY word_len) AS DOUBLE)
+         |    / CAST(sum(n_tokens) OVER (PARTITION BY source) AS DOUBLE), 4)
+         |    AS cum_share
+         |FROM cells""".stripMargin,
+    // casing audit on the ORIGINAL-case text (raw whitespace split, not
+    // the lower-casing tokenizer)
+    "text_case_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS toks,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS caps
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> regexp_matches(x, '^[A-Z]{2,}$')))
+        |    AS upper_tokens,
+        |  round(CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS DOUBLE)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS upper_share,
+        |  round(CAST(len(list_filter(toks,
+        |      x -> regexp_matches(x, '^[A-Z][a-z]+$'))) AS DOUBLE)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS title_share,
+        |  round(CAST(caps AS DOUBLE)
+        |    / CAST(greatest(alpha, 1) AS DOUBLE), 4) AS caps_char_ratio,
+        |  CAST(caps AS DOUBLE) / CAST(greatest(alpha, 1) AS DOUBLE) > 0.3
+        |    AS is_shouting
+        |FROM t""".stripMargin,
+    // normalized 32-char prefix families (n >= 2 only): lower, collapse
+    // whitespace, take the head; min doc_id is the exemplar
+    "corpus_prefix_clusters" ->
+      """WITH p AS (
+        |  SELECT substring(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), 1, 32) AS prefix,
+        |    doc_id, source
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+        |  FROM documents),
+        |g AS (
+        |  SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    min(doc_id) AS exemplar_doc_id
+        |  FROM p GROUP BY 1)
+        |SELECT prefix, n_docs, n_sources, exemplar_doc_id,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(n_docs_total AS DOUBLE), 4)
+        |    AS corpus_share
+        |FROM g, t WHERE n_docs >= 2""".stripMargin,
+    // sentence units = [.!?]+ runs, trimmed, empties dropped (both
+    // engines); dup fraction and repeat counts on exact (doc, sentence)
+    // counts
+    "text_sentence_stats" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, trim(s.sent) AS sent
+        |  FROM documents,
+        |    unnest(string_split_regex(text, '[.!?]+')) AS s(sent)),
+        |s1 AS (SELECT doc_id, sent,
+        |    len(list_filter(regexp_split_to_array(sent, '\s+'),
+        |      x -> length(x) > 0)) AS words
+        |  FROM s0 WHERE length(sent) > 0),
+        |g AS (
+        |  SELECT doc_id, sent, words, CAST(count(*) AS BIGINT) AS c
+        |  FROM s1 GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sentences,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(c) AS BIGINT) AS max_repeat,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS dup_sentence_frac,
+        |  round(CAST(sum(c * words) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS avg_sentence_words
+        |FROM g GROUP BY doc_id""".stripMargin,
     "vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
          |           FROM documents),
@@ -4965,6 +5331,72 @@ object SparkEntry {
     "knn_graph" ->
       s"""WITH $knnNnSql
         |SELECT vec_id, rank, nbr_id FROM nn""".stripMargin,
+    // h-index fixed point to coreness on the MUTUAL kNN edges: FIXED
+    // 10-iteration schedule replayed in a recursive CTE (the iteration
+    // count is part of the operator contract so both engines run the
+    // identical monotone sequence; KcoreSpec pins convergence). adj is
+    // MATERIALIZED — without it DuckDB re-derives the O(n²) dot chain
+    // on every recursive step (measured 5 min vs seconds at sf0.01)
+    "knn_kcore" ->
+      s"""WITH RECURSIVE $knnNnSql,
+        |adj AS MATERIALIZED (
+        |  SELECT a.vec_id, a.nbr_id FROM nn a
+        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+        |uni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
+        |core AS (
+        |  SELECT 0 AS iter, vec_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM adj GROUP BY vec_id
+        |  UNION ALL
+        |  SELECT iter + 1, vec_id,
+        |    CAST(max(CASE WHEN nc >= rn THEN rn ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM (
+        |    SELECT a.vec_id, co.iter, co.c AS nc,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY co.c DESC) AS rn
+        |    FROM adj a JOIN core co ON a.nbr_id = co.vec_id
+        |    WHERE co.iter < 10) t
+        |  GROUP BY iter, vec_id),
+        |fin AS (
+        |  SELECT u.vec_id, coalesce(core.c, 0) AS c
+        |  FROM uni u LEFT JOIN core ON u.vec_id = core.vec_id
+        |    AND core.iter = 10),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fin)
+        |SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+        |    AS share
+        |FROM fin, tot GROUP BY c, n_total""".stripMargin,
+    // JL ratio r = ||P(a-b)||^2 / (m * ||a-b||^2) on the fixed
+    // 50-vector panel (planes are RAW N(0,1) rows: E[(g.z)^2] = ||z||^2,
+    // so the m-row projection is unbiased after the 1/m); plane dots are
+    // bit-identical (lshCte discipline), the <=32-term p2 sum and the
+    // 1225-pair moments round 4dp
+    "embed_jl_distortion" ->
+      s"""WITH $jlCteSql,
+        |jpairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    list_dot_product(a.v, a.v)
+        |      - 2.0 * list_dot_product(a.v, b.v)
+        |      + list_dot_product(b.v, b.v) AS d2
+        |  FROM jv a JOIN jv b ON a.vec_id < b.vec_id),
+        |jp2 AS (
+        |  SELECT ya.vec_id AS ida, yb.vec_id AS idb, m.m,
+        |    sum((ya.y - yb.y) * (ya.y - yb.y)) AS p2
+        |  FROM jy ya
+        |  JOIN jy yb ON ya.pid = yb.pid AND ya.vec_id < yb.vec_id
+        |  CROSS JOIN (VALUES (8), (32)) m(m)
+        |  WHERE ya.pid < m.m
+        |  GROUP BY 1, 2, 3),
+        |jr AS (
+        |  SELECT m, p2 / (CAST(m AS DOUBLE) * d2) AS r
+        |  FROM jp2 JOIN jpairs USING (ida, idb))
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(r), 4) AS mean_ratio,
+        |  round(min(r), 4) AS min_ratio,
+        |  round(max(r), 4) AS max_ratio,
+        |  round(sqrt(avg((r - 1.0) * (r - 1.0))), 4) AS rmse
+        |FROM jr GROUP BY m""".stripMargin,
+    "table_profile" -> tableProfileOracle,
     // label-partition modularity: mutual edges labeled twice, per-label
     // rollups, e/m − (d/2m)² in one shared association order
     "knn_modularity" ->

@@ -3685,4 +3685,130 @@ object Ann {
   }
   def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
     embedOutliers(Tables.embeddings(spark, dir))
+
+  /** k-core decomposition of the MUTUAL-kNN graph — the degeneracy
+    * layering that separates a corpus's dense communal core from its
+    * fringe: a node's coreness is the largest k such that it survives
+    * in the subgraph where everyone keeps ≥ k neighbors. The mutual
+    * graph (only reciprocated kNN edges, [[knnReciprocity]]'s frame) is
+    * the right substrate: on the full symmetrized graph every node has
+    * degree ≥ k by construction and coreness collapses to the constant
+    * k (measured: 500/500 nodes at 5 on the sf0.01 corpus), while
+    * mutual degrees run 0..k and the layering actually separates
+    * near-duplicate/topic cores (high core) from outlier material
+    * (0-core: no reciprocated neighbor at all — the structural
+    * complement to [[embedOutliers]]' distance view).
+    *
+    * Algorithm: the h-index fixed point (Lü et al. 2016): start each
+    * node at its mutual degree, repeatedly replace c(v) by the h-index
+    * of its neighbors' values; the sequence is monotone non-increasing
+    * and converges to coreness. `iters` is FIXED (not
+    * convergence-tested) so the DuckDB oracle can replay the identical
+    * schedule in a recursive CTE; 10 iterations converges with a wide
+    * margin (KcoreSpec pins iters=10 ≡ iters=15 — values are bounded
+    * by the mutual degree ≤ k, so the monotone descent is short).
+    * Nodes absent from the mutual graph are emitted as coreness 0; the
+    * node universe is the graph's own vec_id side, so the operator
+    * stays substrate-agnostic ([[knnReciprocity]] convention: pass
+    * `graph` = [[knnGraphLsh]] output at warehouse scale).
+    *
+    * Scale shape: the mutual edge list is ≤ nk rows; each iteration is
+    * one join + one window + one agg on that frame — O(iters · nk), no
+    * quadratic term past the substrate build. */
+  def knnKcore(embeddings: DataFrame, k: Int = 5, iters: Int = 10,
+               graph: Option[DataFrame] = None): DataFrame = {
+    val g = graft.Exec.materialize(
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
+    val rev = g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+    val universe = g.select(col("vec_id")).distinct()
+    val adj = graft.Exec.materialize(g.join(rev, Seq("vec_id", "nbr_id"),
+      "left_semi"))
+    // materialize (localCheckpoint) per iteration: persist alone keeps
+    // the full 20-deep join+window lineage in the plan and the analyzer
+    // walks it quadratically — the checkpoint truncates it to a leaf
+    var c = graft.Exec.materialize(
+      adj.groupBy(col("vec_id")).agg(count(lit(1)).as("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc)
+    for (_ <- 1 to iters) {
+      c = graft.Exec.materialize(adj
+        .join(c.select(col("vec_id").as("nbr_id"), col("c")), Seq("nbr_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("c") >= col("rn"), col("rn").cast("bigint"))
+          .otherwise(lit(0L))).as("c")))
+    }
+    val full = universe.join(c, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = broadcast(full.agg(count(lit(1)).as("n_total")))
+    full.groupBy(col("c").as("coreness"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(tot)
+      .select(col("coreness"), col("n_nodes"),
+        round(col("n_nodes").cast("double") /
+          col("n_total").cast("double"), 4).as("share"))
+  }
+
+  def knnKcoreQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnKcore(Tables.embeddings(spark, dir))
+  }
+
+  /** Johnson–Lindenstrauss distortion audit for the seeded
+    * random-projection family every LSH/compression op here rides on
+    * ([[hyperplanes]], seed 1234): project a FIXED 50-vector panel to
+    * m ∈ {8, 32} dims with the first m hyperplanes, and measure how
+    * pairwise squared distances survive. The planes are RAW N(0,1)
+    * rows (not normalized), so E[(g·z)²] = ‖z‖² per row and the
+    * unbiased estimator is r = ‖P(a−b)‖²/(m·‖a−b‖²) (expected 1;
+    * spread shrinks ∝ 1/√m) — the table says how few dims a
+    * distance-based stage (dedup banding, coarse ANN routing) can
+    * afford before neighborhoods smear. The panel is corpus-size
+    * independent (vec_id < 50), so the audit costs the same at any
+    * scale; projections use the codegen'd [[dot]] whose left fold is
+    * bit-identical to DuckDB's list_dot_product (the [[lshCte]]
+    * verification).
+    *
+    * Scale shape: a pushed-down 50-row scan, a 1 225-pair self-join of
+    * a broadcast-sized frame, a per-m rollup. Zero corpus shuffles. */
+  def embedJlDistortion(embeddings: DataFrame,
+                        ms: Seq[Int] = Seq(8, 32),
+                        nPanel: Int = 50): DataFrame = {
+    require(ms.nonEmpty && ms.forall(_ >= 1), "each m must be >= 1")
+    val planes = hyperplanes(ms.max)
+    val panel = embeddings.filter(col("vec_id") < nPanel)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("y", array(planes.map(p =>
+        dot(col("v"), typedLit(p))): _*))
+    val a = panel.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("y").as("ya"))
+    val b = panel.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("y").as("yb"))
+    val dim = size(col("va"))
+    val d2 = dot(col("va"), col("va")) -
+      lit(2.0) * dot(col("va"), col("vb")) + dot(col("vb"), col("vb"))
+    val pairs = a.join(broadcast(b), col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), d2.as("d2"),
+        explode(typedLit(ms)).as("m"), col("ya"), col("yb"))
+      .withColumn("p2", aggregate(
+        zip_with(slice(col("ya"), lit(1), col("m")),
+          slice(col("yb"), lit(1), col("m")),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("m"),
+        (col("p2") / (col("m").cast("double") * col("d2"))).as("r"))
+    pairs.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("r")), 4).as("mean_ratio"),
+        round(min(col("r")), 4).as("min_ratio"),
+        round(max(col("r")), 4).as("max_ratio"),
+        round(sqrt(avg((col("r") - lit(1.0)) * (col("r") - lit(1.0)))), 4)
+          .as("rmse"))
+  }
+
+  def embedJlDistortionQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    embedJlDistortion(Tables.embeddings(spark, dir))
+  }
 }
