@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
 import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, TextProfile, Video}
-import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -118,6 +118,11 @@ object SparkEntry {
     "q_customer_migration" -> ((s, d) => Analytics4.qCustomerMigration(s, d)),
     "q_reorder_rate" -> (Analytics4.qReorderRate _),
     "events_periodicity" -> (Analytics5.eventsPeriodicity _),
+    "events_streaks" -> (Analytics6.eventsStreaks _),
+    "events_error_load_corr" -> (Analytics6.eventsErrorLoadCorr _),
+    "q_balance_activity" -> (Analytics6.qBalanceActivity _),
+    "events_window_funnel" -> (Analytics6.eventsWindowFunnel _),
+    "q_order_width_profile" -> (Analytics6.qOrderWidthProfile _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -260,7 +265,10 @@ object SparkEntry {
     "ann_recall_report" -> (Ann.annRecallReportQ _),
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_kcore" -> (Ann.knnKcoreQ _),
+    "knn_components" -> (Ann.knnComponentsQ _),
     "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
+    "embed_distance_profile" -> (Ann.embedDistanceProfileQ _),
+    "lsh_bucket_profile" -> (Ann.lshBucketProfileQ _),
     "knn_graph_lsh" -> (Ann.knnGraphLshQ _),
     "knn_cluster" -> (Ann.knnClusterQ _),
     "knn_triangles" -> (Ann.knnTrianglesQ _),
@@ -2554,6 +2562,214 @@ object SparkEntry {
         |    AS outlier_share
         |FROM dv JOIN md USING (event_type)
         |GROUP BY dv.event_type, dv.median_value, md.mad""".stripMargin,
+    // gaps-and-islands: island key = day - row_number(), constant
+    // within a consecutive run; all integer arithmetic
+    "events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM (
+        |    SELECT user_id, day,
+        |      day - row_number() OVER (PARTITION BY user_id
+        |        ORDER BY day) AS grp
+        |    FROM days) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT len AS streak_days, CAST(count(*) AS BIGINT)
+        |      AS n_users_best
+        |  FROM (SELECT user_id, max(len) AS len FROM st GROUP BY 1)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM st),
+        |h AS (SELECT len AS streak_days, CAST(count(*) AS BIGINT)
+        |    AS n_streaks
+        |  FROM st GROUP BY 1)
+        |SELECT h.streak_days, h.n_streaks,
+        |  coalesce(b.n_users_best, 0) AS n_users_best,
+        |  round(CAST(h.n_streaks AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+        |    AS share
+        |FROM h LEFT JOIN best b ON h.streak_days = b.streak_days,
+        |  tot""".stripMargin,
+    // per-type hourly correlation with TOTAL load over active hours;
+    // absent cells are (0, load) observations; exact integer moments
+    "events_error_load_corr" ->
+      """WITH th AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT h, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM th GROUP BY 1),
+        |ty AS (SELECT DISTINCT event_type FROM th),
+        |cells AS (
+        |  SELECT ty.event_type, tot.nt AS y, coalesce(th.n, 0) AS x
+        |  FROM tot CROSS JOIN ty
+        |  LEFT JOIN th ON th.event_type = ty.event_type
+        |    AND th.h = tot.h),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type, nh AS n_hours, sx AS n_events,
+        |  round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 4)
+        |    AS load_share,
+        |  round(CAST(nh * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+        |      * CAST(nh * syy - sy * sy AS DOUBLE)), 4)
+        |    AS corr_with_load,
+        |  round(CAST(nh * sxy - sx * sy AS DOUBLE)
+        |    / CAST(nh * syy - sy * sy AS DOUBLE), 4)
+        |    AS events_per_load_unit
+        |FROM m""".stripMargin,
+    // fixed acctbal bands (not quantiles) so the table is comparable
+    // across runs; no-order customers stay in their band via LEFT join
+    "q_balance_activity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN '1_negative'
+        |         WHEN c_acctbal < 2500 THEN '2_low'
+        |         WHEN c_acctbal < 5000 THEN '3_mid'
+        |         WHEN c_acctbal < 7500 THEN '4_high'
+        |         ELSE '5_top' END AS band
+        |  FROM customer),
+        |pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
+        |    sum(coalesce(rev, CAST(0 AS DECIMAL(18,2)))) AS rev
+        |  FROM cust LEFT JOIN pc ON c_custkey = o_custkey GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev) AS DOUBLE) AS tr FROM j)
+        |SELECT band, n_customers, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE), 4)
+        |    AS orders_per_customer,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / tr, 4) AS revenue_share,
+        |  round(CAST(rev AS DOUBLE)
+        |    / CAST(greatest(n_orders, 1) AS DOUBLE), 4)
+        |    AS avg_order_value
+        |FROM j, tot""".stripMargin,
+    // min-based windowFunnel: each step within INTERVAL 1 HOUR of the
+    // previous step's earliest qualifying time
+    "events_window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(ts) AS t2
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1
+        |    AND ts <= t1 + INTERVAL 1 HOUR GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(ts) AS t3
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2
+        |    AND ts <= t2 + INTERVAL 1 HOUR GROUP BY 1),
+        |c AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3)
+        |SELECT 1 AS step, 'view' AS step_type, n1 AS n_users,
+        |  1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM c
+        |UNION ALL
+        |SELECT 2, 'click', n2,
+        |  round(CAST(n2 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 4),
+        |  round(CAST(n2 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 4)
+        |FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', n3,
+        |  round(CAST(n3 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE), 4),
+        |  round(CAST(n3 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 4)
+        |FROM c""".stripMargin,
+    // lines-per-order width histogram; DECIMAL revenue
+    "q_order_width_profile" ->
+      s"""WITH po AS (
+         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w,
+         |    sum($discPriceSql) AS rev
+         |  FROM lineitem GROUP BY 1),
+         |h AS (SELECT w AS lines_per_order,
+         |    CAST(count(*) AS BIGINT) AS n_orders, sum(rev) AS rev
+         |  FROM po GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+         |  CAST(sum(rev) AS DOUBLE) AS tr FROM h)
+         |SELECT lines_per_order, n_orders,
+         |  round(CAST(n_orders AS DOUBLE) / CAST(tn AS DOUBLE), 4)
+         |    AS share,
+         |  CAST(rev AS DOUBLE) AS revenue,
+         |  round(CAST(rev AS DOUBLE) / tr, 4) AS revenue_share,
+         |  round(CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE), 4)
+         |    AS avg_order_revenue
+         |FROM h, tot""".stripMargin,
+    // LSH occupancy: expected_pairs = sum b(b-1)/2 per band is the
+    // exact candidate-verify cost; DECIMAL(38,0) pair mass
+    "lsh_bucket_profile" ->
+      s"""WITH $lshCteSql,
+         |occ AS (
+         |  SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS b
+         |  FROM buckets GROUP BY 1, 2)
+         |SELECT tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(b) AS BIGINT) AS n_vecs,
+         |  CAST(max(b) AS BIGINT) AS max_size,
+         |  CAST(sum(CAST(b AS DECIMAL(38,0))
+         |      * CAST(b - 1 AS DECIMAL(38,0))) AS DOUBLE) / 2.0
+         |    AS expected_pairs,
+         |  round(CAST(max(b) AS DOUBLE) / CAST(sum(b) AS DOUBLE), 4)
+         |    AS top_share,
+         |  round(CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         |    AS avg_size
+         |FROM occ GROUP BY tbl""".stripMargin,
+    // panel cosine histogram in 0.1 bands, clamped to [-10, 9]
+    "embed_distance_profile" ->
+      """WITH pv AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 50),
+        |pn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM pv),
+        |pb AS (
+        |  SELECT greatest(least(CAST(floor(list_dot_product(a.v, b.v)
+        |      / (a.nrm * b.nrm) * 10.0) AS BIGINT), 9), -10) AS band
+        |  FROM pn a JOIN pn b ON a.vec_id < b.vec_id),
+        |h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tn FROM h),
+        |c AS (SELECT *, sum(n_pairs) OVER (ORDER BY band) AS cum FROM h)
+        |SELECT band, round(CAST(band AS DOUBLE) / 10.0, 1) AS cos_lo,
+        |  n_pairs,
+        |  round(CAST(n_pairs AS DOUBLE) / CAST(tn AS DOUBLE), 4)
+        |    AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(tn AS DOUBLE), 4) AS cum_share
+        |FROM c, tot""".stripMargin,
+    // min-label propagation to connected components on the MUTUAL kNN
+    // graph (self-loop augmented); FIXED 25-iteration schedule,
+    // MATERIALIZED adjacency (knn_kcore rule)
+    "knn_components" ->
+      s"""WITH RECURSIVE $knnNnSql,
+        |madj AS MATERIALIZED (
+        |  SELECT a.vec_id, a.nbr_id FROM nn a
+        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+        |cuni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
+        |adjs AS MATERIALIZED (
+        |  SELECT vec_id, nbr_id FROM madj
+        |  UNION ALL SELECT vec_id, vec_id AS nbr_id FROM cuni),
+        |lab AS (
+        |  SELECT 0 AS iter, vec_id, CAST(vec_id AS BIGINT) AS c
+        |  FROM cuni
+        |  UNION ALL
+        |  SELECT l.iter + 1, a.vec_id, min(l.c) AS c
+        |  FROM adjs a JOIN lab l ON a.nbr_id = l.vec_id
+        |  WHERE l.iter < 25
+        |  GROUP BY l.iter, a.vec_id),
+        |fin AS (SELECT vec_id, c FROM lab WHERE iter = 25),
+        |siz AS (SELECT c, CAST(count(*) AS BIGINT) AS component_size
+        |  FROM fin GROUP BY 1),
+        |tot AS (SELECT CAST(sum(component_size) AS BIGINT) AS n_total
+        |  FROM siz)
+        |SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(component_size * count(*) AS BIGINT) AS n_nodes,
+        |  round(CAST(component_size * count(*) AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE), 4) AS node_share
+        |FROM siz, tot GROUP BY component_size, n_total""".stripMargin,
     // sparse-exact daily mix drift: absent types contribute 0 to KL
     // and q_t to L1, so no dense spine; shared IEEE tree, 4dp
     "events_mix_drift" ->

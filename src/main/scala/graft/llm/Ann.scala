@@ -3811,4 +3811,144 @@ object Ann {
     graft.functions.VectorFunctions.register(spark)
     embedJlDistortion(Tables.embeddings(spark, dir))
   }
+
+  /** LSH bucket occupancy profile — the tuning observable behind the
+    * banding dial ([[NumBands]]/[[BitsPerBand]] docstring): per band
+    * table, the bucket count, occupancy extremes, and above all
+    * `expected_pairs` = Σ b·(b−1)/2 — the EXACT candidate-verify cost
+    * the band contributes to [[dedupEmbed]]/[[knnGraphLsh]]. This is
+    * [[annIvfBalance]] for the LSH side: a band whose top bucket holds
+    * half the corpus does quadratic verify work no matter how good
+    * recall looks. Pair counts accumulate in DECIMAL(38,0) (the
+    * [[Dedup.dedupPairBudget]] rule — b·(b−1)/2 squares a bucket
+    * population, and warehouse-scale populations overflow BIGINT).
+    *
+    * Scale shape: one (tbl, bucket) count off the map-side signature
+    * projection — the same shape the LSH ops shuffle — then a
+    * |bands|-row rollup. */
+  def lshBucketProfile(embeddings: DataFrame,
+                       numBands: Int = NumBands,
+                       bitsPerBand: Int = BitsPerBand): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val occ = embeddings
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        posexplode(lshBucketInts(col("v"), numBands, bitsPerBand))
+          .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("b"))
+    occ.groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("b")).as("n_vecs"),
+        max(col("b")).as("max_size"),
+        sum(dec(col("b")) * dec(col("b") - 1)).as("pairs2"))
+      .select(col("tbl"), col("n_buckets"), col("n_vecs"),
+        col("max_size"),
+        (d(col("pairs2")) / lit(2.0)).as("expected_pairs"),
+        round(d(col("max_size")) / d(col("n_vecs")), 4).as("top_share"),
+        round(d(col("n_vecs")) / d(col("n_buckets")), 4).as("avg_size"))
+  }
+
+  def lshBucketProfileQ(spark: SparkSession, dir: String): DataFrame =
+    lshBucketProfile(Tables.embeddings(spark, dir))
+
+  /** Pairwise cosine histogram on the fixed 50-vector panel — the
+    * distance-landscape context every threshold pick
+    * ([[embedThresholdSweep]], [[dedupEmbed]]'s tau, [[annRange]]'s
+    * radius) is made against: bands of 0.1 cosine with shares and the
+    * cumulative curve. A bimodal histogram (near-dup spike + bulk) says
+    * thresholding works; a unimodal smear says it can't.
+    *
+    * Scale shape: pushed-down 50-row scan, 1 225-pair broadcast
+    * self-join, 20-cell rollup — corpus-size independent, like
+    * [[embedJlDistortion]]. */
+  def embedDistanceProfile(embeddings: DataFrame,
+                           nPanel: Int = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val d = (c: Column) => c.cast("double")
+    val panel = embeddings.filter(col("vec_id") < nPanel)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = panel.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = panel.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val banded = a.join(broadcast(b), col("ida") < col("idb"))
+      .select(greatest(least(floor(cos * lit(10.0)), lit(9L)), lit(-10L))
+        .as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("band"))
+    val tot = broadcast(banded.agg(sum(col("n_pairs")).as("tn")))
+    banded.crossJoin(tot)
+      .withColumn("cum", sum(col("n_pairs")).over(w))
+      .select(col("band"),
+        round(col("band").cast("double") / lit(10.0), 1).as("cos_lo"),
+        col("n_pairs"),
+        round(d(col("n_pairs")) / d(col("tn")), 4).as("share"),
+        round(d(col("cum")) / d(col("tn")), 4).as("cum_share"))
+  }
+
+  def embedDistanceProfileQ(spark: SparkSession, dir: String): DataFrame =
+    embedDistanceProfile(Tables.embeddings(spark, dir))
+
+  /** Connected components of the mutual-kNN graph — how many semantic
+    * islands the corpus falls into and how big they are, the
+    * cluster-count-free complement to [[knnCluster]] (k-means imposes
+    * k; components READ the actual connectivity). Emitted as a
+    * component-size histogram; singletons (no reciprocated neighbor)
+    * are their own components.
+    *
+    * Algorithm: min-label propagation (the BSP connected-components
+    * standard): every node starts as its own id and repeatedly takes
+    * the min over itself and its neighbors — implemented as one join
+    * over the self-loop-augmented mutual edge list per iteration. The
+    * schedule is FIXED at `iters` so the DuckDB oracle replays it in a
+    * recursive CTE; convergence needs the component diameter, and
+    * ComponentsSpec pins iters ≡ iters+10 on the test corpora. (At
+    * warehouse scale pointer-jumping halves the rounds, but needs a
+    * working-table self-join a single-reference recursive CTE can't
+    * express — linear propagation is the oracle-replayable contract.)
+    *
+    * Substrate-agnostic ([[knnKcore]] convention): pass `graph` =
+    * [[knnGraphLsh]] output at scale.
+    *
+    * Scale shape: ≤ nk + n self-loop edges; each iteration one
+    * join + one agg on that frame — O(iters · nk). */
+  def knnComponents(embeddings: DataFrame, k: Int = 5, iters: Int = 25,
+                    graph: Option[DataFrame] = None): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val g = graft.Exec.materialize(
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
+    val rev = g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+    val mutual = g.join(rev, Seq("vec_id", "nbr_id"), "left_semi")
+    val universe = g.select(col("vec_id")).distinct()
+    val adjS = graft.Exec.materialize(mutual.unionByName(
+      universe.select(col("vec_id"), col("vec_id").as("nbr_id"))))
+    var c = graft.Exec.materialize(
+      universe.select(col("vec_id"), col("vec_id").as("c")))
+    for (_ <- 1 to iters) {
+      c = graft.Exec.materialize(adjS
+        .join(c.select(col("vec_id").as("nbr_id"), col("c")), Seq("nbr_id"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("c")).as("c")))
+    }
+    val sizes = c.groupBy(col("c")).agg(count(lit(1)).as("component_size"))
+    val tot = broadcast(sizes.agg(sum(col("component_size")).as("n_total")))
+    sizes.groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .crossJoin(tot)
+      .select(col("component_size"), col("n_components"),
+        (col("component_size") * col("n_components")).as("n_nodes"),
+        round(d(col("component_size") * col("n_components")) /
+          d(col("n_total")), 4).as("node_share"))
+  }
+
+  def knnComponentsQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnComponents(Tables.embeddings(spark, dir))
+  }
 }

@@ -15,16 +15,21 @@ import graft.Tables
   * timestamps on the non-timestamp rows, and NULL timestamps don't
   * survive every downstream renderer), strings in `min_str`/`max_str`.
   *
-  * Distinct counts are EXACT: Spark plans the multi-column
-  * count-distinct as one Expand (×|columns| row multiplication) feeding
-  * a single shuffle — the honest price of exactness, paid in one pass.
-  * At warehouse scale the same profile runs approximate on
-  * [[graft.llm.Sketches]]' HLL (`sketch_distinct`), which this op is
-  * the exact contract for.
+  * Distinct counts are EXACT, and deliberately NOT via the single-agg
+  * multi-count-distinct form: Spark plans that as one Expand
+  * (×|columns| row multiplication) through one shuffle — measured 179×
+  * wall at a 10× scale-up (6M-row lineitem, ScaleSmokeR13b). Instead
+  * each column gets its own two-stage distinct-agg branch: on a
+  * COLUMNAR store the |columns| single-column scans read the same
+  * total bytes as one wide scan, each branch's shuffle is bounded by
+  * that column's cardinality (map-side partial distinct), and the
+  * branches run as independent stages of one DAG. At warehouse scale
+  * the same profile runs approximate on [[graft.llm.Sketches]]' HLL
+  * (`sketch_distinct`), which this op is the exact contract for.
   *
-  * Scale shape: ONE aggregation over the table (all moments map-side
-  * combined except the Expand for NDVs), persisted as a 1-row frame,
-  * then |columns| trivial selects unioned — no per-column rescans. */
+  * Scale shape: one aggregation for counts/nulls/min/max (map-side
+  * combined, persisted as a 1-row frame) + |columns| cardinality-
+  * bounded NDV branches, broadcast-joined — no Expand anywhere. */
 object TableProfile {
 
   def tableProfile(df: DataFrame): DataFrame = {
@@ -36,7 +41,7 @@ object TableProfile {
     val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
       fields.zipWithIndex.flatMap { case (f, i) =>
         val c = col(f.name)
-        Seq(count(c).as(s"nn_$i"), countDistinct(c).as(s"nd_$i")) ++
+        Seq(count(c).as(s"nn_$i")) ++
           (f.dataType match {
             case _: NumericType =>
               Seq(min(c).cast("double").as(s"mn_$i"),
@@ -51,6 +56,12 @@ object TableProfile {
       }
     val one = df.agg(aggs.head, aggs.tail: _*).persist()
     one.count()
+    // per-column NDV branches: a union of two-stage distinct aggs, each
+    // shuffle bounded by its column's cardinality
+    val ndv = fields.map { f =>
+      df.agg(countDistinct(col(f.name)).as("n_distinct"))
+        .select(lit(f.name).as("column_name"), col("n_distinct"))
+    }.reduce(_ unionByName _)
     val nullNum = lit(null).cast("double")
     val nullStr = lit(null).cast("string")
     val rows = fields.zipWithIndex.map { case (f, i) =>
@@ -68,11 +79,14 @@ object TableProfile {
       one.select(lit(f.name).as("column_name"), lit(dt).as("data_type"),
         col("n_rows"),
         (col("n_rows") - col(s"nn_$i")).as("n_null"),
-        col(s"nd_$i").as("n_distinct"),
         mnNum.as("min_num"), mxNum.as("max_num"),
         mnStr.as("min_str"), mxStr.as("max_str"))
     }
     rows.reduce(_ unionByName _)
+      .join(broadcast(ndv), Seq("column_name"))
+      .select(col("column_name"), col("data_type"), col("n_rows"),
+        col("n_null"), col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
   }
 
   /** Driver entry: profile `lineitem` (the widest, largest table). */
