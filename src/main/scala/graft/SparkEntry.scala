@@ -2533,7 +2533,8 @@ object SparkEntry {
     // median/MAD are SELECTED rows (low-median rank over a total
     // order) — the q_median_order construction, never interpolated
     "events_value_outliers" ->
-      """WITH e AS (SELECT event_type, event_id, value FROM events),
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
         |m AS (
         |  SELECT event_type, value AS median_value FROM (
         |    SELECT event_type, value,

@@ -288,6 +288,11 @@ object Analytics5 {
     * interpolated — and the deviation frame reuses the same
     * construction for the MAD.
     *
+    * NULL values are excluded up front ON BOTH ENGINES: the rank
+    * construction would otherwise diverge (Spark windows sort NULLS
+    * FIRST ascending, DuckDB NULLS LAST), and a NULL deviation can't
+    * be an outlier anyway.
+    *
     * Scale shape: two per-type sorted windows over the events frame
     * (the honest cost of EXACT order statistics; at warehouse scale
     * the same screen runs on [[graft.llm.Sketches]]' KLL quantile
@@ -306,6 +311,7 @@ object Analytics5 {
         .filter(col("rn") === expr("(nn + 1) div 2"))
         .select(col("event_type"), col(v).as(as))
     val e = events.select(col("event_type"), col("event_id"), col("value"))
+      .filter(col("value").isNotNull)
     val med = lowMedian(e, "value", "median_value")
     val dev = e.join(broadcast(med), "event_type")
       .select(col("event_type"), col("event_id"),
