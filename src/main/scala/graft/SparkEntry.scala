@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
 import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, TextProfile, Video}
-import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -123,6 +123,10 @@ object SparkEntry {
     "q_balance_activity" -> (Analytics6.qBalanceActivity _),
     "events_window_funnel" -> (Analytics6.eventsWindowFunnel _),
     "q_order_width_profile" -> (Analytics6.qOrderWidthProfile _),
+    "events_interarrival" -> (Analytics7.eventsInterarrival _),
+    "events_load_profile" -> (Analytics7.eventsLoadProfile _),
+    "q_retention_halflife" -> (Analytics7.qRetentionHalflife _),
+    "q_join_cardinality" -> (Analytics7.qJoinCardinality _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -2684,6 +2688,160 @@ object SparkEntry {
         |  round(CAST(n3 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE), 4),
         |  round(CAST(n3 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 4)
         |FROM c""".stripMargin,
+    // log2-ms inter-arrival buckets; boundaries are exact powers of two
+    // where IEEE log2 is exact on both engines
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(floor(log2(CAST(gap_ms + 1 AS DOUBLE))) AS BIGINT)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_gaps
+        |  FROM g WHERE gap_ms IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, bucket,
+        |  pow(2.0, CAST(bucket AS DOUBLE)) / 1000.0 AS gap_s_lo,
+        |  n_gaps,
+        |  round(CAST(n_gaps AS DOUBLE)
+        |    / CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS DOUBLE),
+        |    4) AS share
+        |FROM b""".stripMargin,
+    // dense-span provisioning profile; p95 is a SELECTED row with zero
+    // cells handled by rank arithmetic (rank <= span - active -> 0)
+    "events_load_profile" ->
+      """WITH th AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT max(h) - min(h) + 1 AS span_hours FROM th),
+        |rk AS (
+        |  SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n, h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS active,
+        |    sp.span_hours
+        |  FROM th, sp),
+        |p95 AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ceil(0.95 * span_hours) AS BIGINT)
+        |        <= span_hours - active THEN 0 ELSE n END AS p95_per_hour
+        |  FROM rk
+        |  WHERE (CAST(ceil(0.95 * span_hours) AS BIGINT)
+        |        <= span_hours - active AND rn = 1)
+        |    OR rn = CAST(ceil(0.95 * span_hours) AS BIGINT)
+        |      - (span_hours - active)),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS active_hours,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(max(n) AS BIGINT) AS peak_per_hour
+        |  FROM th GROUP BY 1)
+        |SELECT a.event_type, CAST(sp.span_hours AS BIGINT) AS span_hours,
+        |  a.active_hours, a.n_events,
+        |  round(CAST(a.n_events AS DOUBLE)
+        |    / CAST(sp.span_hours AS DOUBLE), 4) AS mean_per_hour,
+        |  CAST(p.p95_per_hour AS BIGINT) AS p95_per_hour,
+        |  a.peak_per_hour,
+        |  round(CAST(a.peak_per_hour * sp.span_hours AS DOUBLE)
+        |    / CAST(a.n_events AS DOUBLE), 4) AS peak_to_mean
+        |FROM agg a JOIN p95 p ON a.event_type = p.event_type, sp"""
+        .stripMargin,
+    // log-linear OLS on exact day-t retention shares, t in 1..14;
+    // zero-retention days drop out of the log identically
+    "q_retention_halflife" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+        |rt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_active, nu.n_users,
+        |    ln(CAST(count(*) AS DOUBLE) / CAST(nu.n_users AS DOUBLE))
+        |      AS y
+        |  FROM (SELECT d.day - f.d0 AS t
+        |        FROM days d JOIN f USING (user_id)
+        |        WHERE d.day - f.d0 BETWEEN 1 AND 14), nu
+        |  GROUP BY t, nu.n_users),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(t AS DOUBLE)) AS st, sum(y) AS sy,
+        |    sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS stt,
+        |    sum(CAST(t AS DOUBLE) * y) AS sty,
+        |    max(n_users) AS n_users,
+        |    max(CASE WHEN t = 1 THEN round(CAST(n_active AS DOUBLE)
+        |      / CAST(n_users AS DOUBLE), 4) END) AS r1
+        |  FROM rt)
+        |SELECT n_users, k AS n_days_fit, r1,
+        |  round(-((CAST(k AS DOUBLE) * sty - st * sy)
+        |    / (CAST(k AS DOUBLE) * stt - st * st)), 4) AS lambda_per_day,
+        |  round(ln(2.0) / -((CAST(k AS DOUBLE) * sty - st * sy)
+        |    / (CAST(k AS DOUBLE) * stt - st * st)), 4) AS half_life_days
+        |FROM fit""".stripMargin,
+    // exact join-size prediction from the two (key, count) histograms;
+    // DECIMAL(38,0) products (self-joins square per-key counts)
+    "q_join_cardinality" ->
+      """WITH ol_a AS (SELECT o_orderkey AS k,
+        |    CAST(count(*) AS BIGINT) AS ca FROM orders GROUP BY 1),
+        |ol_b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem GROUP BY 1),
+        |ol_p AS (SELECT k, CAST(ca AS DECIMAL(38,0))
+        |    * CAST(cb AS DECIMAL(38,0)) AS pm
+        |  FROM ol_a JOIN ol_b USING (k)),
+        |ol_t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_common,
+        |  sum(pm) AS est, max(pm) AS mx FROM ol_p),
+        |ol_s AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right),
+        |ol_k AS (SELECT min(k) AS top_key FROM ol_p, ol_t WHERE pm = mx),
+        |ll_a AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem GROUP BY 1),
+        |ll_p AS (SELECT k, CAST(ca AS DECIMAL(38,0))
+        |    * CAST(ca AS DECIMAL(38,0)) AS pm FROM ll_a),
+        |ll_t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_common,
+        |  sum(pm) AS est, max(pm) AS mx FROM ll_p),
+        |ll_s AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right),
+        |ll_k AS (SELECT min(k) AS top_key FROM ll_p, ll_t WHERE pm = mx),
+        |ev_a AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM events GROUP BY 1),
+        |ev_p AS (SELECT k, CAST(ca AS DECIMAL(38,0))
+        |    * CAST(ca AS DECIMAL(38,0)) AS pm FROM ev_a),
+        |ev_t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_common,
+        |  sum(pm) AS est, max(pm) AS mx FROM ev_p),
+        |ev_s AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_right),
+        |ev_k AS (SELECT min(k) AS top_key FROM ev_p, ev_t WHERE pm = mx)
+        |SELECT 'orders_x_lineitem_orderkey' AS join_name, n_left,
+        |  n_right, n_keys_common, CAST(est AS DOUBLE) AS est_rows,
+        |  round(CAST(est AS DOUBLE)
+        |    / CAST(greatest(n_left, n_right) AS DOUBLE), 4)
+        |    AS amplification,
+        |  top_key,
+        |  round(CAST(mx AS DOUBLE) / CAST(est AS DOUBLE), 4)
+        |    AS top_key_share
+        |FROM ol_t, ol_s, ol_k
+        |UNION ALL
+        |SELECT 'lineitem_x_lineitem_partkey', n_left, n_right,
+        |  n_keys_common, CAST(est AS DOUBLE),
+        |  round(CAST(est AS DOUBLE)
+        |    / CAST(greatest(n_left, n_right) AS DOUBLE), 4),
+        |  top_key,
+        |  round(CAST(mx AS DOUBLE) / CAST(est AS DOUBLE), 4)
+        |FROM ll_t, ll_s, ll_k
+        |UNION ALL
+        |SELECT 'events_x_events_user', n_left, n_right, n_keys_common,
+        |  CAST(est AS DOUBLE),
+        |  round(CAST(est AS DOUBLE)
+        |    / CAST(greatest(n_left, n_right) AS DOUBLE), 4),
+        |  top_key,
+        |  round(CAST(mx AS DOUBLE) / CAST(est AS DOUBLE), 4)
+        |FROM ev_t, ev_s, ev_k""".stripMargin,
     // lines-per-order width histogram; DECIMAL revenue
     "q_order_width_profile" ->
       s"""WITH po AS (

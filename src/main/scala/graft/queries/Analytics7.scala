@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-13 final analytics wave: inter-arrival cadence, capacity
+  * provisioning, engagement decay fitting, and join-cost estimation.
+  * Determinism contract as [[Analytics5]]/[[Analytics6]]. */
+object Analytics7 {
+
+  private val d = (c: Column) => c.cast("double")
+
+  /** Per-type inter-arrival cadence histogram: consecutive same-user
+    * gaps in log₂ millisecond buckets — "how often does a user do X",
+    * the distribution [[Analytics2]]'s session ops threshold at a
+    * single 30-minute point and [[Analytics4]]'s burstiness reduces to
+    * one CV number. The log₂ bucketing is floor(log2(gap_ms + 1)):
+    * boundary cases are exactly the powers of two, where IEEE log2 is
+    * exact on both engines, so the floor never straddles an ulp.
+    *
+    * Scale shape: the sessionization lag shuffle, then a
+    * (type, ≤ ~40 buckets) rollup. */
+  def eventsInterarrival(spark: SparkSession, dir: String): DataFrame =
+    eventsInterarrivalOn(Tables.events(spark, dir))
+
+  def eventsInterarrivalOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ms",
+        lag(expr("unix_millis(ts)"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .select(col("event_type"),
+        (expr("unix_millis(ts)") - col("prev_ms")).as("gap_ms"))
+    val byType = Window.partitionBy(col("event_type"))
+    gaps
+      .select(col("event_type"),
+        floor(log2(d(col("gap_ms") + lit(1L)))).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("tot", sum(col("n_gaps")).over(byType))
+      .select(col("event_type"), col("bucket"),
+        (pow(lit(2.0), d(col("bucket"))) / lit(1000.0)).as("gap_s_lo"),
+        col("n_gaps"),
+        round(d(col("n_gaps")) / d(col("tot")), 4).as("share"))
+  }
+
+  /** Per-type hourly load profile for capacity provisioning: mean over
+    * the DENSE hour span, exact p95 and peak, and the peak-to-mean
+    * ratio that decides peak- vs mean-provisioning.
+    * [[Analytics4.eventsDispersion]] says WHETHER the process is
+    * bursty; this says what to BUY. The p95 is a SELECTED row over the
+    * dense grid WITHOUT a spine: with z = span − active zero cells,
+    * the rank-r order statistic is 0 when r ≤ z, else the (r − z)-th
+    * smallest ACTIVE count — rank arithmetic on integers, never an
+    * interpolation ([[Analytics2.qMedianOrder]] rule).
+    *
+    * Scale shape: ONE (type, hour) map-side count; ranks/rollups on
+    * the dimension-sized cell frame. */
+  def eventsLoadProfile(spark: SparkSession, dir: String): DataFrame =
+    eventsLoadProfileOn(Tables.events(spark, dir))
+
+  def eventsLoadProfileOn(events: DataFrame): DataFrame = {
+    val th = events.groupBy(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = broadcast(th.agg(
+      (max(col("h")) - min(col("h")) + 1L).as("span_hours")))
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = th.crossJoin(span)
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("n"), col("h"))))
+      .withColumn("active", count(lit(1)).over(byType))
+    // p95 rank over the DENSE span; zeros occupy ranks 1..(span-active)
+    val p95 = ranked
+      .withColumn("target",
+        expr("CAST(ceil(0.95 * span_hours) AS BIGINT)"))
+      .withColumn("zeros", col("span_hours") - col("active"))
+      .filter((col("target") <= col("zeros") && col("rn") === 1) ||
+        col("rn") === col("target") - col("zeros"))
+      .select(col("event_type"),
+        when(col("target") <= col("zeros"), lit(0L)).otherwise(col("n"))
+          .as("p95_per_hour"))
+    th.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_hours"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("peak_per_hour"))
+      .crossJoin(span)
+      .join(p95, Seq("event_type"))
+      .select(col("event_type"), col("span_hours"), col("active_hours"),
+        col("n_events"),
+        round(d(col("n_events")) / d(col("span_hours")), 4)
+          .as("mean_per_hour"),
+        col("p95_per_hour"), col("peak_per_hour"),
+        round(d(col("peak_per_hour") * col("span_hours")) /
+          d(col("n_events")), 4).as("peak_to_mean"))
+  }
+
+  /** Engagement half-life: fit exponential decay to the
+    * days-since-first-activity retention curve r(t) = share of users
+    * active exactly t days after their first day, via OLS on
+    * ln r(t) over t ∈ 1..14 (zero-retention days drop out of the log
+    * on both engines identically). half_life = ln 2 / λ — the single
+    * number "how fast do new users fade" that the cohort matrix
+    * ([[Analytics.qRetentionMatrix]]) spreads over a triangle.
+    *
+    * Retention shares are exact integer ratios; the log-OLS runs over
+    * ≤ 14 rows in one IEEE tree, 4dp. Sign convention: a flat or
+    * RISING curve fits λ ≤ 0 and the "half-life" comes out negative —
+    * read it as "no decay measured" (the driver corpus is synthetic
+    * steady-state traffic and lands exactly there, λ = −0.0007).
+    *
+    * Scale shape: one distinct (user, day) reduction, a broadcast
+    * first-day join back, a ≤ 14-row fit frame. */
+  def qRetentionHalflife(spark: SparkSession, dir: String): DataFrame =
+    qRetentionHalflifeOn(Tables.events(spark, dir))
+
+  def qRetentionHalflifeOn(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day"))
+      .distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val nUsers = broadcast(first.agg(count(lit(1)).as("n_users")))
+    val rt = days.join(first, Seq("user_id"))
+      .select((col("day") - col("d0")).as("t"))
+      .filter(col("t").between(1, 14))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_active"))
+      .crossJoin(nUsers)
+      .select(col("t"), col("n_active"), col("n_users"),
+        log(d(col("n_active")) / d(col("n_users"))).as("y"))
+    val fit = rt.agg(count(lit(1)).as("k"),
+      sum(d(col("t"))).as("st"), sum(col("y")).as("sy"),
+      sum(d(col("t")) * d(col("t"))).as("stt"),
+      sum(d(col("t")) * col("y")).as("sty"),
+      max(col("n_users")).as("n_users"),
+      max(when(col("t") === 1,
+        round(d(col("n_active")) / d(col("n_users")), 4))).as("r1"))
+    val slope = (d(col("k")) * col("sty") - col("st") * col("sy")) /
+      (d(col("k")) * col("stt") - col("st") * col("st"))
+    fit.select(col("n_users"), col("k").as("n_days_fit"), col("r1"),
+      round(-slope, 4).as("lambda_per_day"),
+      round(log(lit(2.0)) / -slope, 4).as("half_life_days"))
+  }
+
+  /** Exact join-cardinality estimator — the planning question asked
+    * BEFORE paying a join: from the two sides' (key, count) histograms,
+    * the output size is EXACTLY Σ_k a_k·b_k; the table reports it for
+    * the three joins this warehouse actually runs (orders⋈lineitem,
+    * the lineitem self-join on partkey behind the basket ops, the
+    * events self-join on user_id behind sessionization), with the
+    * amplification factor and the single worst key —
+    * [[graft.operators.SkewProfile]]'s question answered cross-table.
+    * Products accumulate in DECIMAL(38,0) (self-join products square
+    * per-key counts; the [[graft.llm.Dedup.dedupPairBudget]] rule).
+    *
+    * Scale shape: per join, two map-side (key, count) aggs
+    * co-partitioned into one slim join — the histograms shuffle, the
+    * data never does. */
+  def qJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val events = Tables.events(spark, dir)
+    joinCardinality("orders_x_lineitem_orderkey",
+      orders, "o_orderkey", lineitem, "l_orderkey")
+      .unionByName(joinCardinality("lineitem_x_lineitem_partkey",
+        lineitem, "l_partkey", lineitem, "l_partkey"))
+      .unionByName(joinCardinality("events_x_events_user",
+        events, "user_id", events, "user_id"))
+  }
+
+  def joinCardinality(name: String, a: DataFrame, keyA: String,
+                      b: DataFrame, keyB: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cb"))
+    val prod = ca.join(cb, Seq("k"))
+      .select(col("k"), (dec(col("ca")) * dec(col("cb"))).as("pm"))
+    val tots = broadcast(prod.agg(
+      count(lit(1)).as("n_keys_common"),
+      sum(col("pm")).as("est"), max(col("pm")).as("mx")))
+    val sides = broadcast(a.agg(count(lit(1)).as("n_left"))
+      .crossJoin(b.agg(count(lit(1)).as("n_right"))))
+    val top = prod.crossJoin(tots)
+      .filter(col("pm") === col("mx"))
+      .agg(min(col("k")).as("top_key"))
+    broadcast(top).crossJoin(tots).crossJoin(sides)
+      .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+        col("n_keys_common"),
+        d(col("est")).as("est_rows"),
+        round(d(col("est")) /
+          d(greatest(col("n_left"), col("n_right"))), 4)
+          .as("amplification"),
+        col("top_key"),
+        round(d(col("mx")) / d(col("est")), 4).as("top_key_share"))
+  }
+}
