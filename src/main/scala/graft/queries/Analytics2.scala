@@ -371,25 +371,25 @@ object Analytics2 {
           lit(-1L)).as("gap_us"))
   }
 
-  /** Exact per-group median (lower/`percentile_disc` form) by rank
-    * construction: row_number + count over the same window partition,
-    * keep rank == (n+1) div 2. Everything is integer arithmetic over a
-    * total order (price, then orderkey), so the selected ROW — not an
-    * interpolated float — is engine-identical; `percentile_cont`-style
-    * interpolation differs in evaluation across engines and is exactly
-    * what this construction avoids. Both window functions share one
-    * shuffle + sort. */
-  def qMedianOrder(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPrio = Window.partitionBy(col("o_orderpriority"))
-    val w = byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byPrio))
-      .filter(col("rn") === expr("(n + 1) div 2"))
+  /** Exact per-group median (lower/`percentile_disc` form): the value
+    * at rank (n+1) div 2 of the per-priority price order. The selected
+    * VALUE — not an interpolated float — is engine-identical;
+    * `percentile_cont`-style interpolation differs in evaluation
+    * across engines and is exactly what this construction avoids.
+    *
+    * Rewritten r14 onto [[graft.operators.RankSelect.selectValues]]:
+    * the old row_number window sorted each priority (~orders/5 rows)
+    * in ONE task; the histogram selection keeps the same selected
+    * value (ties on price share the value, so the old o_orderkey
+    * tiebreak never influenced the output) with bounded shuffles and
+    * bounded window partitions. Oracle unchanged. */
+  def qMedianOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RankSelect.selectValues(
+        Tables.orders(spark, dir)
+          .select(col("o_orderpriority"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice",
+        graft.operators.RankSelect.lowMedian)
       .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
-  }
 
   /** TPC-H Q22-style dormant high-balance customers (adapted: "no orders"
     * → "no orders since 2000"): customers above the positive-balance
@@ -787,41 +787,76 @@ object Analytics2 {
   /** RFM segmentation: per purchasing user, recency (days from last
     * purchase to the corpus's newest event — a deterministic anchor),
     * frequency (purchase count), monetary (exact DECIMAL sum), and the
-    * classic 1–5 quintile scores via `ntile` — the one ranking window
-    * shape ([[qRunningTotal]] ROWS, [[qRollingRevenue]] RANGE,
-    * `row_number` everywhere) the surface didn't exercise yet. Score 5
-    * = most recent / most frequent / highest spend.
+    * classic 1–5 quintile scores, exactly `ntile(5)`'s assignment over
+    * each (metric, user_id) total order. Score 5 = most recent / most
+    * frequent / highest spend.
     *
-    * The three ntile windows are global-ordered but run over the
-    * PER-USER frame — |users| rows after one map-side-combined agg —
-    * so the implied single partition is entity-dimension-sized, the
-    * qRollingRevenue argument. Each ordering carries user_id as the
-    * tiebreak: ntile bucket boundaries are layout-dependent without a
-    * total order. */
+    * Rewritten r14 (the r13 verdict's task-1 rider): the three `ntile`
+    * windows were GLOBAL-ordered — each one a single task sorting the
+    * whole |users| frame. ntile's tile of a row is pure rank
+    * arithmetic: tile = 1 + #(t ∈ 1..4 : rank > cum(t)) where
+    * cum(t) = t·(n div 5) + min(t, n mod 5) is the last rank of tile
+    * t. So the rewrite selects the four BOUNDARY ROWS (the rank-cum(t)
+    * (metric, user_id) pairs — a tile boundary can split a run of tied
+    * metric values, hence rows, not values) per metric via
+    * [[graft.operators.RankSelect.selectRowsTied]]'s bounded histogram
+    * selection, broadcasts the three 4-element boundary arrays, and
+    * scores each user by comparing its sort-key struct against them —
+    * bit-identical to ntile (duplicate boundaries at n < 5 count
+    * multiply, matching ntile's empty tiles), no global sort anywhere.
+    * Oracle unchanged (still ntile SQL). The per-user frame is
+    * materialized once — the boundary selections re-read it, not the
+    * event stream. */
   def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import Money._
+    import graft.operators.RankSelect
     val p = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"))
     val anchor = broadcast(p.agg(max(col("ts")).as("anchor_ts")))
-    val per = p.groupBy("user_id")
-      .agg(max(col("ts")).as("last_ts"),
-        count(lit(1)).as("frequency"),
-        sum(dec(col("value"))).as("mon_dec"))
-      .crossJoin(anchor)
-    per.select(
-      col("user_id"),
-      datediff(col("anchor_ts").cast("date"), col("last_ts").cast("date"))
-        .as("recency_days"),
-      col("frequency"),
-      asDouble(col("mon_dec")).as("monetary"),
-      ntile(5).over(Window.orderBy(col("last_ts").asc, col("user_id").asc))
-        .as("r_score"),
-      ntile(5).over(Window.orderBy(col("frequency").asc, col("user_id").asc))
-        .as("f_score"),
-      ntile(5).over(Window.orderBy(col("mon_dec").asc, col("user_id").asc))
-        .as("m_score"))
+    val per = graft.Exec.materialize(
+      p.groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("value"))).as("mon_dec"))
+        .crossJoin(anchor))
+    val quintileBounds: Column => Column = n => array((1 to 4).map { t =>
+      lit(t.toLong) * (n / lit(5L)).cast("long") +
+        least(lit(t.toLong), n % lit(5L))
+    }: _*)
+    // melt: all three metrics map order-isomorphically AND injectively
+    // into doubles (timestamps: epoch seconds carry the µs fraction
+    // with ulp 2⁻²¹ s < 1 µs; counts and DECIMAL(12,2) sit under 2⁵³),
+    // so ONE selection pipeline serves all three orderings
+    def melt(m: String, c: Column): Column =
+      struct(lit(m).as("m"), c.cast("double").as("mv"),
+        col("user_id").as("u"))
+    val melted = per.select(explode(array(
+        melt("r", col("last_ts")), melt("f", col("frequency")),
+        melt("m", col("mon_dec")))).as("x"))
+      .select(col("x.m").as("metric"), col("x.mv").as("mv"),
+        col("x.u").as("user_id"))
+    val bounds = RankSelect.selectRowsTied(melted, Seq("metric"), "mv",
+      "user_id", quintileBounds)
+    def side(m: String): Column =
+      collect_list(when(col("metric") === m,
+        struct(col("mv").as("v"), col("user_id").as("u"))))
+    val bArr = broadcast(bounds.groupBy().agg(
+      side("r").as("__b_r"), side("f").as("__b_f"), side("m").as("__b_m")))
+    def score(metric: Column, arr: String): Column =
+      lit(1) + size(filter(col(arr),
+        b => struct(metric.cast("double").as("v"),
+          col("user_id").as("u")) > b))
+    per.crossJoin(bArr)
+      .select(
+        col("user_id"),
+        datediff(col("anchor_ts").cast("date"), col("last_ts").cast("date"))
+          .as("recency_days"),
+        col("frequency"),
+        asDouble(col("mon_dec")).as("monetary"),
+        score(col("last_ts"), "__b_r").as("r_score"),
+        score(col("frequency"), "__b_f").as("f_score"),
+        score(col("mon_dec"), "__b_m").as("m_score"))
   }
 
   /** Revenue pivot: ship-year rows × return-flag columns — the

@@ -293,30 +293,47 @@ object Analytics5 {
     * FIRST ascending, DuckDB NULLS LAST), and a NULL deviation can't
     * be an outlier anyway.
     *
-    * Scale shape: two per-type sorted windows over the events frame
-    * (the honest cost of EXACT order statistics; at warehouse scale
-    * the same screen runs on [[graft.llm.Sketches]]' KLL quantile
-    * sketch — this op is the exact contract the sketch approximates),
-    * then a broadcast of the 5-row med/MAD table back onto one
-    * grouped pass. */
+    * Scale shape (rewritten r14, the r13 verdict's top task): until
+    * r13 each median was a per-type sorted window — ONE task sorting
+    * ~n/5 corpus rows, twice. Exactness does not require that sort:
+    * both medians now ride [[graft.operators.RankSelect.selectValues]]
+    * — a bounded per-(type, bucket) histogram locates the rank's
+    * bucket by prefix sum, then the one touched bucket per type
+    * resolves the exact value — same selected row, same oracle, every
+    * shuffle map-side-combined and every window partition bounded by
+    * the histogram width. The med/MAD table then broadcasts back onto
+    * one grouped pass as before. (The quantile sketches in
+    * [[graft.llm.Sketches]] remain the single-pass approximate
+    * warehouse twin; this op is the exact contract they approximate.) */
   def eventsValueOutliers(spark: SparkSession, dir: String): DataFrame =
     eventsValueOutliersOn(Tables.events(spark, dir))
 
   def eventsValueOutliersOn(events: DataFrame): DataFrame = {
-    val byType = Window.partitionBy(col("event_type"))
-    def lowMedian(df: DataFrame, v: String, as: String): DataFrame =
-      df.withColumn("rn",
-          row_number().over(byType.orderBy(col(v), col("event_id"))))
-        .withColumn("nn", count(lit(1)).over(byType))
-        .filter(col("rn") === expr("(nn + 1) div 2"))
-        .select(col("event_type"), col(v).as(as))
-    val e = events.select(col("event_type"), col("event_id"), col("value"))
+    import graft.operators.RankSelect
+    // event_id (the old window tiebreak) is gone from the projection:
+    // the selected VALUE at a rank is tie-order-independent, so the
+    // scan now reads only (event_type, value)
+    val e = events.select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
-    val med = lowMedian(e, "value", "median_value")
+    val eStats = RankSelect.statsFor(e, Seq("event_type"), "value")
+    val med = graft.Exec.materialize(
+      RankSelect.selectValues(e, Seq("event_type"), "value",
+          RankSelect.lowMedian, stats = Some(eStats))
+        .select(col("event_type"), col("value").as("median_value")))
     val dev = e.join(broadcast(med), "event_type")
-      .select(col("event_type"), col("event_id"),
+      .select(col("event_type"),
         abs(col("value") - col("median_value")).as("dev"))
-    val mad = lowMedian(dev, "dev", "mad")
+    // the deviation pass needs no extent scan: 0 ≤ |v − med| ≤
+    // max(med − vmin, vmax − med), derived from the value pass's stats
+    val devStats = graft.Exec.materialize(eStats.join(med, "event_type")
+      .select(col("event_type"),
+        greatest(col("median_value") - col("__vmin"),
+          col("__vmax") - col("median_value")).as("__vmax"),
+        col("__n"))
+      .withColumn("__vmin", lit(0.0)))
+    val mad = RankSelect.selectValues(dev, Seq("event_type"), "dev",
+        RankSelect.lowMedian, stats = Some(devStats))
+      .select(col("event_type"), col("dev").as("mad"))
     val stats = broadcast(med.join(mad, "event_type"))
     dev.join(stats, "event_type")
       .groupBy(col("event_type"), col("median_value"), col("mad"))
