@@ -2482,17 +2482,22 @@ object SparkEntry {
         |    CAST(sum(x * x) AS BIGINT) AS sxx,
         |    CAST(sum(x * y) AS BIGINT) AS sxy,
         |    CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM j GROUP BY 1)
+        |  FROM j GROUP BY 1),
+        |v AS (
+        |  SELECT p_brand, n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vary
+        |  FROM m)
         |SELECT p_brand, n AS n_lines,
         |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
         |    AS avg_discount,
         |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS avg_qty,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * 100.0
-        |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_qty_per_disc,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |      * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS corr
-        |FROM m""".stripMargin,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE round(cov * 100.0 / varx, 4) END AS slope_qty_per_disc,
+        |  CASE WHEN varx * vary = 0 THEN NULL
+        |       ELSE round(cov / sqrt(varx * vary), 4) END AS corr
+        |FROM v""".stripMargin,
     // magnitude bands: DECIMAL revenue, 6-row cumulative window;
     // prices carry cents so floor(log10) never lands on a power of ten
     "q_order_value_bands" ->
@@ -2616,18 +2621,22 @@ object SparkEntry {
         |    CAST(sum(x * x) AS BIGINT) AS sxx,
         |    CAST(sum(x * y) AS BIGINT) AS sxy,
         |    CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM cells GROUP BY 1)
+        |  FROM cells GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, nh, sx, sy,
+        |    CAST(nh * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(nh * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(nh * syy - sy * sy AS DOUBLE) AS vary
+        |  FROM m)
         |SELECT event_type, nh AS n_hours, sx AS n_events,
         |  round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 4)
         |    AS load_share,
-        |  round(CAST(nh * sxy - sx * sy AS DOUBLE)
-        |    / sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
-        |      * CAST(nh * syy - sy * sy AS DOUBLE)), 4)
-        |    AS corr_with_load,
-        |  round(CAST(nh * sxy - sx * sy AS DOUBLE)
-        |    / CAST(nh * syy - sy * sy AS DOUBLE), 4)
-        |    AS events_per_load_unit
-        |FROM m""".stripMargin,
+        |  CASE WHEN varx * vary = 0 THEN NULL
+        |       ELSE round(cov / sqrt(varx * vary), 4)
+        |  END AS corr_with_load,
+        |  CASE WHEN vary = 0 THEN NULL
+        |       ELSE round(cov / vary, 4) END AS events_per_load_unit
+        |FROM v""".stripMargin,
     // fixed acctbal bands (not quantiles) so the table is comparable
     // across runs; no-order customers stay in their band via LEFT join
     "q_balance_activity" ->
@@ -2774,13 +2783,19 @@ object SparkEntry {
         |    max(n_users) AS n_users,
         |    max(CASE WHEN t = 1 THEN round(CAST(n_active AS DOUBLE)
         |      / CAST(n_users AS DOUBLE), 4) END) AS r1
-        |  FROM rt)
+        |  FROM rt),
+        |s AS (
+        |  SELECT n_users, k, r1,
+        |    CAST(k AS DOUBLE) * stt - st * st AS denom,
+        |    (CAST(k AS DOUBLE) * sty - st * sy)
+        |      / (CAST(k AS DOUBLE) * stt - st * st) AS slope
+        |  FROM fit)
         |SELECT n_users, k AS n_days_fit, r1,
-        |  round(-((CAST(k AS DOUBLE) * sty - st * sy)
-        |    / (CAST(k AS DOUBLE) * stt - st * st)), 4) AS lambda_per_day,
-        |  round(ln(2.0) / -((CAST(k AS DOUBLE) * sty - st * sy)
-        |    / (CAST(k AS DOUBLE) * stt - st * st)), 4) AS half_life_days
-        |FROM fit""".stripMargin,
+        |  CASE WHEN denom = 0 THEN NULL
+        |       ELSE round(-slope, 4) END AS lambda_per_day,
+        |  CASE WHEN denom = 0 OR abs(slope) < 1e-12 THEN NULL
+        |       ELSE round(ln(2.0) / -slope, 4) END AS half_life_days
+        |FROM s""".stripMargin,
     // exact join-size prediction from the two (key, count) histograms;
     // DECIMAL(38,0) products (self-joins square per-key counts)
     "q_join_cardinality" ->

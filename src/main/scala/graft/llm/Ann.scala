@@ -3785,7 +3785,6 @@ object Ann {
       col("y").as("ya"))
     val b = panel.select(col("vec_id").as("idb"), col("v").as("vb"),
       col("y").as("yb"))
-    val dim = size(col("va"))
     val d2 = dot(col("va"), col("va")) -
       lit(2.0) * dot(col("va"), col("vb")) + dot(col("vb"), col("vb"))
     val pairs = a.join(broadcast(b), col("ida") < col("idb"))

@@ -54,8 +54,10 @@ object TableProfile {
             case _ => Seq.empty
           })
       }
-    val one = df.agg(aggs.head, aggs.tail: _*).persist()
-    one.count()
+    // materialize (not persist): the 1-row frame is referenced by every
+    // per-column row; localCheckpoint cuts the lineage without leaving
+    // a cached frame behind per invocation (r13 advice)
+    val one = graft.Exec.materialize(df.agg(aggs.head, aggs.tail: _*))
     // per-column NDV branches: a union of two-stage distinct aggs, each
     // shuffle bounded by its column's cardinality
     val ndv = fields.map { f =>

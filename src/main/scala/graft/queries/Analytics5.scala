@@ -39,7 +39,13 @@ object Analytics5 {
     * Scale shape: ONE map-side (type, hour) count — the grid is
     * ≤ |types|·span_hours rows no matter the corpus — then the 3-way
     * period fan-out, phase re-agg, and window run on that
-    * dimension-sized frame. Zero shuffles touch raw events twice. */
+    * dimension-sized frame. Zero shuffles touch raw events twice.
+    *
+    * BIGINT moment bound (r13 advice): Σn_φ² ≤ N² per (type, period),
+    * so the sum stays exact to ~3×10⁹ events per type; past that
+    * promote `q` to DECIMAL(38,0) — the [[graft.llm.Dedup]]
+    * pair-budget pattern. (Spark WRAPS a bigint overflow where DuckDB
+    * errors — silent divergence, hence the documented bound.) */
   def eventsPeriodicity(spark: SparkSession, dir: String): DataFrame =
     eventsPeriodicityOn(Tables.events(spark, dir))
 
@@ -194,8 +200,16 @@ object Analytics5 {
         round(d(col("sx")) / d(col("n_lines")) / lit(100.0), 4)
           .as("avg_discount"),
         round(d(col("sy")) / d(col("n_lines")), 4).as("avg_qty"),
-        round(cov * lit(100.0) / varx, 4).as("slope_qty_per_disc"),
-        round(cov / sqrt(varx * vary), 4).as("corr"))
+        // degenerate-fit guards (r13 advice): a brand with one discount
+        // level has varx = 0 (slope 0/0 → NaN, whose rendering diverges
+        // between the gate's readers); a constant quantity zeroes vary
+        // (corr NaN). The moments are exact integers in doubles, so the
+        // = 0 compares are engine-identical.
+        when(varx === 0.0, lit(null))
+          .otherwise(round(cov * lit(100.0) / varx, 4))
+          .as("slope_qty_per_disc"),
+        when(varx * vary === 0.0, lit(null))
+          .otherwise(round(cov / sqrt(varx * vary), 4)).as("corr"))
   }
 
   /** Order-value magnitude bands — the revenue-distribution profile

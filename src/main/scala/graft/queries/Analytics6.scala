@@ -72,7 +72,12 @@ object Analytics6 {
     * traffic", not "does it track everyone else".
     *
     * Exact integer moments ([[Analytics5.qPriceElasticity]] rule), one
-    * IEEE tree, 4dp.
+    * IEEE tree, 4dp. BIGINT moment bound (r13 advice): Σy² over the
+    * span is ≤ span_hours · peak_hourly², so the sums stay exact to
+    * ~10⁹ events/hour over a 10⁵-hour span; past that promote the
+    * moments to DECIMAL(38,0) — the [[graft.llm.Dedup]] pair-budget
+    * pattern. (Spark would WRAP a bigint overflow where DuckDB errors
+    * — the divergence would be silent, hence the documented bound.)
     *
     * Scale shape: ONE (type, hour) map-side count; the dense
     * type×active-hour frame is dimension-sized (|types| · span_hours)
@@ -102,8 +107,15 @@ object Analytics6 {
       .select(col("event_type"), col("nh").as("n_hours"),
         col("sx").as("n_events"),
         round(d(col("sx")) / d(col("sy")), 4).as("load_share"),
-        round(cov / sqrt(varx * vary), 4).as("corr_with_load"),
-        round(cov / vary, 4).as("events_per_load_unit"))
+        // degenerate-fit guards (r14 audit): one active hour, or a
+        // type firing an identical count every hour, zeroes a variance
+        // — NULL ("no co-movement measurable") instead of a NaN whose
+        // rendering diverges between the gate's readers
+        when(varx * vary === 0.0, lit(null))
+          .otherwise(round(cov / sqrt(varx * vary), 4))
+          .as("corr_with_load"),
+        when(vary === 0.0, lit(null))
+          .otherwise(round(cov / vary, 4)).as("events_per_load_unit"))
   }
 
   /** Customer balance bands × order activity — the cross-table

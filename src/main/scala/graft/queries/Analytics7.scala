@@ -140,11 +140,18 @@ object Analytics7 {
       max(col("n_users")).as("n_users"),
       max(when(col("t") === 1,
         round(d(col("n_active")) / d(col("n_users")), 4))).as("r1"))
-    val slope = (d(col("k")) * col("sty") - col("st") * col("sy")) /
-      (d(col("k")) * col("stt") - col("st") * col("st"))
+    // degenerate-fit guards (r13 advice): k < 2 leaves the OLS
+    // denominator at 0 (slope NaN — and NaN/Inf RENDERINGS diverge
+    // between the gate's two readers); a perfectly flat curve fits
+    // slope = 0 and ln2/−0 = ±Infinity. Both land NULL — "no decay
+    // measurable" — via the same guarded tree on both engines.
+    val denom = d(col("k")) * col("stt") - col("st") * col("st")
+    val slope = (d(col("k")) * col("sty") - col("st") * col("sy")) / denom
     fit.select(col("n_users"), col("k").as("n_days_fit"), col("r1"),
-      round(-slope, 4).as("lambda_per_day"),
-      round(log(lit(2.0)) / -slope, 4).as("half_life_days"))
+      when(denom === 0.0, lit(null))
+        .otherwise(round(-slope, 4)).as("lambda_per_day"),
+      when(denom === 0.0 || abs(slope) < lit(1e-12), lit(null))
+        .otherwise(round(log(lit(2.0)) / -slope, 4)).as("half_life_days"))
   }
 
   /** Exact join-cardinality estimator — the planning question asked

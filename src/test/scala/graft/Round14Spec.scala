@@ -197,6 +197,68 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // --- r13 advice closures ---
+
+  test("table_profile oracle's hardcoded lineitem schema still matches") {
+    // the oracle in SparkEntry.tableProfileOracle spells out one UNION
+    // ALL stanza per lineitem column; if the warehouse schema drifts,
+    // THIS assertion names the drift instead of a bare row-count
+    // mismatch at the gate (r13 advice)
+    val expected = Seq(
+      "l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz")
+    val got = Tables.lineitem(spark, sfDir).schema.fields
+      .map(f => f.name -> f.dataType.simpleString).toSeq
+    assert(got === expected,
+      "lineitem schema drifted — update SparkEntry.tableProfileOracle's stanzas")
+  }
+
+  test("degenerate fits land NULL, not NaN/Infinity") {
+    import spark.implicits._
+    import graft.queries.{Analytics6, Analytics7}
+    // flat retention: every user active every day → slope 0 → half-life
+    // NULL ("no decay measurable"), lambda -0.0/0.0
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val flat = (for (u <- 0L until 20L; d <- 0 to 20) yield
+      (u * 100 + d, new java.sql.Timestamp(base + d * 86400000L), u))
+      .toDF("event_id", "ts", "user_id")
+    val hf = Analytics7.qRetentionHalflifeOn(flat).collect().head
+    assert(!hf.isNullAt(3), "lambda stays defined on a flat curve")
+    assert(hf.isNullAt(4), "half_life_days must be NULL on a flat curve")
+    // single active day (k=1): OLS denominator 0 → both NULL
+    val oneDay = Seq(
+      (1L, new java.sql.Timestamp(base), 1L),
+      (2L, new java.sql.Timestamp(base + 86400000L), 1L))
+      .toDF("event_id", "ts", "user_id")
+    val hf1 = Analytics7.qRetentionHalflifeOn(oneDay).collect().head
+    assert(hf1.isNullAt(3) && hf1.isNullAt(4))
+    // single-discount brand: varx = 0 → slope and corr NULL
+    val li = Seq((1L, 0.05, 10.0), (1L, 0.05, 20.0), (2L, 0.0, 5.0),
+      (2L, 0.1, 7.0)).toDF("l_partkey", "l_discount", "l_quantity")
+    val pt = Seq((1L, "FLAT"), (2L, "VAR")).toDF("p_partkey", "p_brand")
+    val el = graft.queries.Analytics5.qPriceElasticityOn(li, pt)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(el("FLAT").isNullAt(4) && el("FLAT").isNullAt(5))
+    assert(!el("VAR").isNullAt(4) && !el("VAR").isNullAt(5))
+    // constant-count type across hours (varx = 0) → corr NULL; the
+    // organic type keeps its fit
+    val ev = (for (h <- 0 until 12) yield Seq.tabulate(h + 2)(i =>
+        (h * 100L + i, new java.sql.Timestamp(base + h * 3600000L + i),
+          "organic")) :+
+        ((h * 1000L + 99, new java.sql.Timestamp(base + h * 3600000L),
+          "heartbeat"))).flatten
+      .toDF("event_id", "ts", "event_type")
+    val lc = Analytics6.eventsErrorLoadCorrOn(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(lc("heartbeat").isNullAt(4),
+      "constant-rate type must land NULL corr")
+    assert(!lc("organic").isNullAt(4))
+  }
+
   test("events_value_outliers scan reads only (event_type, value)") {
     val p = Analytics5.eventsValueOutliers(spark, sfDir)
       .queryExecution.executedPlan.toString
