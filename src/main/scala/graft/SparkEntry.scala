@@ -270,6 +270,8 @@ object SparkEntry {
     "knn_graph" -> (Ann.knnGraphQ _),
     "knn_kcore" -> (Ann.knnKcoreQ _),
     "knn_components" -> (Ann.knnComponentsQ _),
+    "knn_kcore_lsh" -> (Ann.knnKcoreLshQ _),
+    "knn_components_lsh" -> (Ann.knnComponentsLshQ _),
     "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
     "embed_distance_profile" -> (Ann.embedDistanceProfileQ _),
     "lsh_bucket_profile" -> (Ann.lshBucketProfileQ _),
@@ -467,6 +469,94 @@ object SparkEntry {
       str("l_returnflag"), str("l_linestatus"),
       ts("l_shipdate")).mkString("\nUNION ALL\n")
   }
+
+  // --- LSH-substrate kNN graph + shared graph-consumer bodies (r14) --
+  // The LSH pipeline is deterministic end to end (seeded plane
+  // literals), so the 100 TB graph substrate is itself oracle-able:
+  // `nn` below is knn_graph_lsh's edge construction verbatim (16×3
+  // banding — the fixed banding the plane literals require), and the
+  // kcore/components recursive bodies are FACTORED fragments shared by
+  // the exact- and LSH-substrate entries so the two oracles cannot
+  // drift.
+  private lazy val lshNnSql: String =
+    s"""${lshCte(16, 3)},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM buckets x JOIN buckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |      AND x.vec_id <> y.vec_id),
+       |sims AS (
+       |  SELECT src, dst,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |  FROM cand JOIN n a ON src = a.vec_id JOIN n b ON dst = b.vec_id),
+       |nn AS MATERIALIZED (
+       |  SELECT src AS vec_id, dst AS nbr_id FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+       |        AS rank
+       |    FROM sims)
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** h-index fixed-point coreness body over an `nn (vec_id, nbr_id)`
+    * CTE (FIXED 10-iteration schedule, MATERIALIZED adjacency). */
+  private val kcoreBodySql: String =
+    """adj AS MATERIALIZED (
+      |  SELECT a.vec_id, a.nbr_id FROM nn a
+      |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+      |uni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
+      |core AS (
+      |  SELECT 0 AS iter, vec_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM adj GROUP BY vec_id
+      |  UNION ALL
+      |  SELECT iter + 1, vec_id,
+      |    CAST(max(CASE WHEN nc >= rn THEN rn ELSE 0 END) AS BIGINT)
+      |      AS c
+      |  FROM (
+      |    SELECT a.vec_id, co.iter, co.c AS nc,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY co.c DESC) AS rn
+      |    FROM adj a JOIN core co ON a.nbr_id = co.vec_id
+      |    WHERE co.iter < 10) t
+      |  GROUP BY iter, vec_id),
+      |fin AS (
+      |  SELECT u.vec_id, coalesce(core.c, 0) AS c
+      |  FROM uni u LEFT JOIN core ON u.vec_id = core.vec_id
+      |    AND core.iter = 10),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fin)
+      |SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+      |    AS share
+      |FROM fin, tot GROUP BY c, n_total""".stripMargin
+
+  /** min-label-propagation components body over an `nn (vec_id,
+    * nbr_id)` CTE (FIXED 25-iteration schedule, self-loop augmented,
+    * MATERIALIZED adjacency). */
+  private val componentsBodySql: String =
+    """madj AS MATERIALIZED (
+      |  SELECT a.vec_id, a.nbr_id FROM nn a
+      |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+      |cuni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
+      |adjs AS MATERIALIZED (
+      |  SELECT vec_id, nbr_id FROM madj
+      |  UNION ALL SELECT vec_id, vec_id AS nbr_id FROM cuni),
+      |lab AS (
+      |  SELECT 0 AS iter, vec_id, CAST(vec_id AS BIGINT) AS c
+      |  FROM cuni
+      |  UNION ALL
+      |  SELECT l.iter + 1, a.vec_id, min(l.c) AS c
+      |  FROM adjs a JOIN lab l ON a.nbr_id = l.vec_id
+      |  WHERE l.iter < 25
+      |  GROUP BY l.iter, a.vec_id),
+      |fin AS (SELECT vec_id, c FROM lab WHERE iter = 25),
+      |siz AS (SELECT c, CAST(count(*) AS BIGINT) AS component_size
+      |  FROM fin GROUP BY 1),
+      |tot AS (SELECT CAST(sum(component_size) AS BIGINT) AS n_total
+      |  FROM siz)
+      |SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
+      |  CAST(component_size * count(*) AS BIGINT) AS n_nodes,
+      |  round(CAST(component_size * count(*) AS DOUBLE)
+      |    / CAST(n_total AS DOUBLE), 4) AS node_share
+      |FROM siz, tot GROUP BY component_size, n_total""".stripMargin
 
   /** Approximate LSH top-k rows (query_id, rank, vec_id ≤ k) as a SQL
     * fragment over the [[lshCteSql]] CTEs — shared by the ann_lsh_topk
@@ -2919,31 +3009,11 @@ object SparkEntry {
     // MATERIALIZED adjacency (knn_kcore rule)
     "knn_components" ->
       s"""WITH RECURSIVE $knnNnSql,
-        |madj AS MATERIALIZED (
-        |  SELECT a.vec_id, a.nbr_id FROM nn a
-        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
-        |cuni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
-        |adjs AS MATERIALIZED (
-        |  SELECT vec_id, nbr_id FROM madj
-        |  UNION ALL SELECT vec_id, vec_id AS nbr_id FROM cuni),
-        |lab AS (
-        |  SELECT 0 AS iter, vec_id, CAST(vec_id AS BIGINT) AS c
-        |  FROM cuni
-        |  UNION ALL
-        |  SELECT l.iter + 1, a.vec_id, min(l.c) AS c
-        |  FROM adjs a JOIN lab l ON a.nbr_id = l.vec_id
-        |  WHERE l.iter < 25
-        |  GROUP BY l.iter, a.vec_id),
-        |fin AS (SELECT vec_id, c FROM lab WHERE iter = 25),
-        |siz AS (SELECT c, CAST(count(*) AS BIGINT) AS component_size
-        |  FROM fin GROUP BY 1),
-        |tot AS (SELECT CAST(sum(component_size) AS BIGINT) AS n_total
-        |  FROM siz)
-        |SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
-        |  CAST(component_size * count(*) AS BIGINT) AS n_nodes,
-        |  round(CAST(component_size * count(*) AS DOUBLE)
-        |    / CAST(n_total AS DOUBLE), 4) AS node_share
-        |FROM siz, tot GROUP BY component_size, n_total""".stripMargin,
+        |$componentsBodySql""".stripMargin,
+    // the SAME components body over the LSH-substrate edge frame
+    "knn_components_lsh" ->
+      s"""WITH RECURSIVE $lshNnSql,
+        |$componentsBodySql""".stripMargin,
     // sparse-exact daily mix drift: absent types contribute 0 to KL
     // and q_t to L1, so no dense spine; shared IEEE tree, 4dp
     "events_mix_drift" ->
@@ -5729,33 +5799,12 @@ object SparkEntry {
     // on every recursive step (measured 5 min vs seconds at sf0.01)
     "knn_kcore" ->
       s"""WITH RECURSIVE $knnNnSql,
-        |adj AS MATERIALIZED (
-        |  SELECT a.vec_id, a.nbr_id FROM nn a
-        |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
-        |uni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
-        |core AS (
-        |  SELECT 0 AS iter, vec_id, CAST(count(*) AS BIGINT) AS c
-        |  FROM adj GROUP BY vec_id
-        |  UNION ALL
-        |  SELECT iter + 1, vec_id,
-        |    CAST(max(CASE WHEN nc >= rn THEN rn ELSE 0 END) AS BIGINT)
-        |      AS c
-        |  FROM (
-        |    SELECT a.vec_id, co.iter, co.c AS nc,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY co.c DESC) AS rn
-        |    FROM adj a JOIN core co ON a.nbr_id = co.vec_id
-        |    WHERE co.iter < 10) t
-        |  GROUP BY iter, vec_id),
-        |fin AS (
-        |  SELECT u.vec_id, coalesce(core.c, 0) AS c
-        |  FROM uni u LEFT JOIN core ON u.vec_id = core.vec_id
-        |    AND core.iter = 10),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fin)
-        |SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes,
-        |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
-        |    AS share
-        |FROM fin, tot GROUP BY c, n_total""".stripMargin,
+        |$kcoreBodySql""".stripMargin,
+    // the SAME coreness body over the LSH-substrate edge frame — the
+    // 100 TB graph path behind the gate (r13 verdict task 2)
+    "knn_kcore_lsh" ->
+      s"""WITH RECURSIVE $lshNnSql,
+        |$kcoreBodySql""".stripMargin,
     // JL ratio r = ||P(a-b)||^2 / (m * ||a-b||^2) on the fixed
     // 50-vector panel (planes are RAW N(0,1) rows: E[(g.z)^2] = ||z||^2,
     // so the m-row projection is unbiased after the 1/m); plane dots are

@@ -3755,6 +3755,18 @@ object Ann {
     knnKcore(Tables.embeddings(spark, dir))
   }
 
+  /** LSH-substrate coreness driver entry (r14): [[knnGraphLsh]] edges
+    * (16×3 banding pinned — the oracle inlines that plane matrix)
+    * feeding the identical coreness fold. This is the 100 TB path the
+    * substrate parameter exists for, now behind the value-level gate
+    * instead of smoke-only. */
+  def knnKcoreLshQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    knnKcore(emb, graph = Some(
+      knnGraphLsh(emb, bitsPerBand = 3).select("vec_id", "nbr_id")))
+  }
+
   /** Johnson–Lindenstrauss distortion audit for the seeded
     * random-projection family every LSH/compression op here rides on
     * ([[hyperplanes]], seed 1234): project a FIXED 50-vector panel to
@@ -3949,5 +3961,14 @@ object Ann {
   def knnComponentsQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     knnComponents(Tables.embeddings(spark, dir))
+  }
+
+  /** LSH-substrate components driver entry (r14) — [[knnKcoreLshQ]]
+    * rationale. */
+  def knnComponentsLshQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    knnComponents(emb, graph = Some(
+      knnGraphLsh(emb, bitsPerBand = 3).select("vec_id", "nbr_id")))
   }
 }
