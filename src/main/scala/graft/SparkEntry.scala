@@ -272,6 +272,7 @@ object SparkEntry {
     "knn_components" -> (Ann.knnComponentsQ _),
     "knn_kcore_lsh" -> (Ann.knnKcoreLshQ _),
     "knn_components_lsh" -> (Ann.knnComponentsLshQ _),
+    "knn_components_fast" -> (Ann.knnComponentsFastQ _),
     "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
     "embed_distance_profile" -> (Ann.embedDistanceProfileQ _),
     "lsh_bucket_profile" -> (Ann.lshBucketProfileQ _),
@@ -3013,6 +3014,11 @@ object SparkEntry {
     // the SAME components body over the LSH-substrate edge frame
     "knn_components_lsh" ->
       s"""WITH RECURSIVE $lshNnSql,
+        |$componentsBodySql""".stripMargin,
+    // pointer-doubled fixpoint ≡ the converged linear schedule, so the
+    // scale variant value-checks against the SAME linear replay
+    "knn_components_fast" ->
+      s"""WITH RECURSIVE $knnNnSql,
         |$componentsBodySql""".stripMargin,
     // sparse-exact daily mix drift: absent types contribute 0 to KL
     // and q_t to L1, so no dense spine; shared IEEE tree, 4dp

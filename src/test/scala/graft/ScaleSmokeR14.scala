@@ -50,6 +50,39 @@ object ScaleSmokeR14 {
     for ((label, d) <- Seq(("1x", dir), ("10x", dir10));
          (name, fn) <- ops)
       t(s"$name $label")(noop(fn(spark, d)))
+
+    // round-count collapse (verdict task 4): the SAME materialized LSH
+    // edge frame through the fixed-25-round linear schedule vs the
+    // pointer-doubling fixpoint, on the 1x corpus (the substrate build
+    // is paid once, outside both timers)
+    import graft.llm.Ann
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val g = t("lsh substrate build 1x")(Exec.materialize(
+      Ann.knnGraphLsh(emb).select("vec_id", "nbr_id")))
+    t("components linear-25 on substrate")(
+      noop(Ann.knnComponents(emb, graph = Some(g))))
+    t("components pointer-doubling on substrate")(
+      noop(Ann.knnComponentsFast(emb, graph = Some(g))))
+
+    // the collapse itself: a 100k-node chain (diameter 10⁵). The
+    // linear schedule would need 10⁵ rounds for the right answer; its
+    // 25-round run under-merges. Pointer doubling converges in
+    // ~log₂(10⁵) ≈ 17 rounds.
+    import spark.implicits._
+    val chain = Exec.materialize(
+      spark.range(0, 99999).toDF("vec_id")
+        .select(col("vec_id"), (col("vec_id") + 1).as("nbr_id"))
+        .unionByName(spark.range(0, 99999).toDF("nbr_id")
+          .select((col("nbr_id") + 1).as("vec_id"), col("nbr_id"))))
+    val lin = t("chain-100k linear-25 (WRONG answer)")(
+      Ann.knnComponents(chain, graph = Some(chain)).collect())
+    println(s"=== chain-100k linear-25 components: " +
+      s"${lin.map(_.getLong(1)).sum} (should be 1)")
+    val fst = t("chain-100k pointer-doubling (converged)")(
+      Ann.knnComponentsFast(chain, graph = Some(chain)).collect())
+    println(s"=== chain-100k pointer-doubling components: " +
+      s"${fst.map(_.getLong(1)).sum}")
     spark.stop()
   }
 }
