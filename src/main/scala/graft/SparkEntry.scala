@@ -5139,10 +5139,7 @@ object SparkEntry {
     // HLL pair (r11): at the driver SF every stratum's cardinality sits
     // far inside HLL's sparse EXACT mode (lgK=12), where the estimate
     // is the true distinct count and merge order cannot matter — so the
-    // oracle is plain COUNT(DISTINCT). (sketch_quantiles stays
-    // rows-only: en's 218 values exceed KLL k=200 and compact;
-    // sketch_topk stays rows-only: de ties at the k boundary, where the
-    // sketch's insertion order decides the kept token.)
+    // oracle is plain COUNT(DISTINCT).
     "sketch_distinct" ->
       """SELECT lang,
         |  CAST(count(DISTINCT text) AS BIGINT) AS est_distinct,
@@ -5153,6 +5150,94 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+    // r14 FLIP from rows-only (r13 verdict task 3): the quantile
+    // dashboard now rides the deterministic DDSketch-style log-bucket
+    // table — bucket = ceil(8·log2 n_tok), merge = count addition,
+    // estimate = geometric mid 2^((b−0.5)/8) — all replayable as one
+    // shared IEEE tree (log2/pow/ceil match bit-for-bit across engines)
+    "sketch_quantiles" ->
+      s"""WITH tok AS (
+         |  SELECT lang, CAST(len($tokSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |tbl AS (
+         |  SELECT lang,
+         |    CASE WHEN n_tok <= 0 THEN -1
+         |         ELSE CAST(ceil(log2(CAST(n_tok AS DOUBLE)) * 8.0)
+         |           AS BIGINT) END AS bkt,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, bkt, n,
+         |    sum(n) OVER (PARTITION BY lang ORDER BY bkt) AS cum
+         |  FROM tbl),
+         |ranks AS (
+         |  SELECT lang, n_docs, q,
+         |    CAST(ceil(q * CAST(n_docs AS DOUBLE)) AS BIGINT) AS r
+         |  FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs
+         |        FROM tbl GROUP BY 1),
+         |    (VALUES (0.5), (0.9), (0.99)) AS qv(q)),
+         |sel AS (
+         |  SELECT c.lang, r.n_docs, r.q,
+         |    CASE WHEN c.bkt = -1 THEN 0.0
+         |         ELSE round(pow(2.0, (CAST(c.bkt AS DOUBLE) - 0.5)
+         |           / 8.0), 4) END AS est
+         |  FROM cum c JOIN ranks r ON c.lang = r.lang
+         |  WHERE c.cum >= r.r AND c.cum - c.n < r.r)
+         |SELECT lang, n_docs,
+         |  max(CASE WHEN q = 0.5 THEN est END) AS p50,
+         |  max(CASE WHEN q = 0.9 THEN est END) AS p90,
+         |  max(CASE WHEN q = 0.99 THEN est END) AS p99
+         |FROM sel GROUP BY 1, 2""".stripMargin,
+    // r14 FLIP from rows-only: the heavy-hitter dashboard now rides the
+    // deterministic truncated-counter table (top-16 exact counts per
+    // stratum + the (17th)-count threshold, boundary ties broken by
+    // token — 16 keeps truncation LIVE at driver vocabs of 16-31); the
+    // rollup's lower/upper bounds are plain sums, and the k boundary
+    // uses the (est_count DESC, token) total order
+    "sketch_topk" ->
+      s"""WITH counts AS (
+         |  SELECT lang, source, t.tok AS tok,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents, unnest($tokSql) AS t(tok)
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT lang, source, tok, cnt,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY cnt DESC, tok) AS rnk
+         |  FROM counts),
+         |thr AS (
+         |  SELECT lang, source,
+         |    coalesce(max(CASE WHEN rnk = 17 THEN cnt END), 0)
+         |      AS threshold
+         |  FROM ranked GROUP BY 1, 2),
+         |tots AS (SELECT lang, source, CAST(sum(cnt) AS BIGINT)
+         |    AS n_tokens
+         |  FROM counts GROUP BY 1, 2),
+         |tbl AS (
+         |  SELECT r.lang, r.source, r.tok, r.cnt, t.threshold,
+         |    n.n_tokens
+         |  FROM ranked r
+         |  JOIN thr t ON r.lang = t.lang AND r.source = t.source
+         |  JOIN tots n ON r.lang = n.lang AND r.source = n.source
+         |  WHERE r.rnk <= 16),
+         |sums AS (
+         |  SELECT lang, CAST(sum(threshold) AS BIGINT) AS thr_all,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM (SELECT DISTINCT lang, source, threshold, n_tokens
+         |        FROM tbl) GROUP BY 1),
+         |cand AS (
+         |  SELECT lang, tok, CAST(sum(cnt) AS BIGINT) AS est_count,
+         |    CAST(sum(threshold) AS BIGINT) AS thr_present
+         |  FROM tbl GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT c.lang, c.tok AS token, c.est_count,
+         |    c.est_count + s.thr_all - c.thr_present AS est_upper,
+         |    s.n_tokens,
+         |    row_number() OVER (PARTITION BY c.lang
+         |      ORDER BY c.est_count DESC, c.tok) AS rnk
+         |  FROM cand c JOIN sums s ON c.lang = s.lang)
+         |SELECT lang, token, est_count, est_upper, n_tokens
+         |FROM fin WHERE rnk <= 20""".stripMargin,
     // k-means family (r11): Lloyd unrolled as chained CTEs (lloydCte)
     "ann_ivf_topk" ->
       s"""WITH

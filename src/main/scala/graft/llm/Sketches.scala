@@ -149,10 +149,65 @@ object Sketches {
     }: _*)
   }
 
-  /** Driver entry (rows-only: estimates have no DuckDB twin): per-lang
-    * token-count percentiles through the mergeable KLL table. */
+  // --- deterministic log-bucket quantile sketch (r14) ---
+
+  /** DDSketch-style log-bucket quantile sketch table (Masson, Lee &
+    * Rim, VLDB 2019 — relative-error quantiles from exponential
+    * buckets): per (lang, source, bucket), the count of docs whose
+    * token count lands in bucket b = ceil(8·log2 v), i.e. γ = 2^(1/8)
+    * buckets with guaranteed relative error ≤ 2^(1/16) − 1 ≈ 4.4% at
+    * the geometric-mid estimate. Bounded state (counts ≤ 2²⁴ span
+    * ≤ 192 buckets per stratum), and — unlike the KLL BINARY sketch
+    * ([[quantileSketchTable]], whose compaction is engine-bound and
+    * merge-order dependent) — bucket counts merge by ADDITION:
+    * order-independent, deterministic, replayable in DuckDB SQL. That
+    * determinism is what moves the quantile dashboard behind the
+    * value-level gate (r13 verdict task 3); the KLL table stays as the
+    * tighter-error library alternative with SketchesSpec tolerance
+    * pins. */
+  def ddQuantileTable(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bkt",
+        when(col("n_tok") <= 0, lit(-1L))
+          .otherwise(ceil(log2(col("n_tok").cast("double")) * lit(8.0))
+            .cast("long")))
+      .groupBy(col("lang"), col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-lang p50/p90/p99 token counts by sketch MERGE (= bucket-count
+    * addition; the corpus is not re-read). Quantile q selects the
+    * bucket holding rank ceil(q·n) by prefix sum (the RankSelect
+    * histogram shape — window partitions ≤ 192 bucket rows) and
+    * reports the bucket's geometric mid 2^((b−0.5)/8), rounded 4dp —
+    * one IEEE tree both engines evaluate identically. */
+  def ddQuantileRollup(tbl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = tbl.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_docs")).as("n"))
+    val cum = merged.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("bkt"))))
+    val ranks = merged.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        explode(typedLit(Seq(0.5, 0.9, 0.99))).as("q"))
+      .withColumn("r",
+        ceil(col("q") * col("n_docs").cast("double")).cast("long"))
+    val sel = cum.join(broadcast(ranks), Seq("lang"))
+      .filter(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+      .withColumn("est", when(col("bkt") === -1L, lit(0.0))
+        .otherwise(round(pow(lit(2.0),
+          (col("bkt").cast("double") - lit(0.5)) / lit(8.0)), 4)))
+    sel.groupBy(col("lang"), col("n_docs"))
+      .agg(max(when(col("q") === 0.5, col("est"))).as("p50"),
+        max(when(col("q") === 0.9, col("est"))).as("p90"),
+        max(when(col("q") === 0.99, col("est"))).as("p99"))
+  }
+
+  /** Driver entry (r14: FLIPPED from rows-only to value-oracled): the
+    * per-lang token-count percentile dashboard served through the
+    * deterministic mergeable log-bucket table. */
   def sketchQuantilesQ(spark: SparkSession, dir: String): DataFrame =
-    quantileRollupByLang(quantileSketchTable(Tables.documents(spark, dir)))
+    ddQuantileRollup(ddQuantileTable(Tables.documents(spark, dir)))
 
   // --- Frequent-items (heavy hitters) sketches ---
 
@@ -204,10 +259,88 @@ object Sketches {
       .select(col("lang"), col("e.item").as("token"),
         col("e.count").as("est_count"), col("n_tokens"))
 
-  /** Driver entry (rows-only: estimates have no DuckDB twin): per-lang
-    * heavy-hitter tokens through the mergeable sketch table. */
+  // --- deterministic truncated-counter heavy hitters (r14) ---
+
+  /** Truncated-counter heavy-hitters sketch table — the MERGEABLE
+    * SUMMARIES form of the frequent-items sketch (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012: truncated exact counters merge
+    * with additive error bounded by the truncation thresholds): per
+    * (lang, source), the EXACT counts of the top `maxItems` tokens
+    * (boundary ties broken by token — a total order, so the kept set
+    * is deterministic where the DataSketches binary FI sketch's is
+    * merge-order bound) plus the stratum's truncation `threshold` (the
+    * (maxItems+1)-th count; 0 when nothing was dropped — the counts
+    * are then exact) and the exact stratum token total. Any token
+    * absent from a stratum's sketch has a count ≤ that stratum's
+    * threshold there, which is what prices the rollup's upper bound.
+    *
+    * Determinism is what moves the heavy-hitter dashboard behind the
+    * value-level gate (r13 verdict task 3); the DataSketches FI table
+    * ([[topkSketchTable]]) stays as the library alternative with
+    * SketchesSpec exact-regime pins.
+    *
+    * Scale shape: one map-side (lang, source, token) count (the
+    * word-count shuffle, bounded by vocab×strata), truncation through
+    * [[graft.operators.GroupTopK]] (WindowGroupLimit bounds the
+    * exchange at maxItems+1 rows per stratum per partition), then
+    * windows only over ≤ maxItems+1-row frames. */
+  def hhSketchTable(docs: DataFrame, maxItems: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col("lang"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val kept1 = graft.operators.GroupTopK.topK(counts,
+      Seq("lang", "source"), Seq(col("cnt").desc, col("tok").asc),
+      maxItems + 1)
+    val ranked = kept1.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("cnt").desc, col("tok").asc)))
+    val thr = ranked.groupBy(col("lang"), col("source"))
+      .agg(coalesce(max(when(col("rnk") === maxItems + 1, col("cnt"))),
+        lit(0L)).as("threshold"))
+    val totals = counts.groupBy(col("lang"), col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+    ranked.filter(col("rnk") <= maxItems)
+      .select(col("lang"), col("source"), col("tok"), col("cnt"))
+      .join(broadcast(thr), Seq("lang", "source"))
+      .join(broadcast(totals), Seq("lang", "source"))
+  }
+
+  /** Per-lang top-k heavy hitters by sketch MERGE (tracked counts add;
+    * the corpus is not re-read), with the mergeable-summaries error
+    * bound made visible: `est_count` = Σ tracked counts (a LOWER
+    * bound on the true count), `est_upper` = est_count + Σ thresholds
+    * of the strata whose sketch does NOT track the token (the most it
+    * could have hidden there). Ranking and the k boundary use the
+    * (est_count DESC, token) total order — deterministic. */
+  def hhTopkRollup(tbl: DataFrame, k: Int = 20): DataFrame = {
+    val strata = tbl
+      .select(col("lang"), col("source"), col("threshold"), col("n_tokens"))
+      .distinct()
+    val sums = strata.groupBy(col("lang"))
+      .agg(sum(col("threshold")).as("thr_all"),
+        sum(col("n_tokens")).as("n_tokens"))
+    val cand = tbl.groupBy(col("lang"), col("tok"))
+      .agg(sum(col("cnt")).as("est_count"),
+        sum(col("threshold")).as("thr_present"))
+    val scored = cand.join(broadcast(sums), Seq("lang"))
+      .select(col("lang"), col("tok").as("token"), col("est_count"),
+        (col("est_count") + col("thr_all") - col("thr_present"))
+          .as("est_upper"),
+        col("n_tokens"))
+    graft.operators.GroupTopK.topK(scored, Seq("lang"),
+      Seq(col("est_count").desc, col("token").asc), k)
+  }
+
+  /** Driver entry (r14: FLIPPED from rows-only to value-oracled): the
+    * per-lang heavy-hitter dashboard served through the deterministic
+    * truncated-counter table. the default maxItems = 16 keeps the
+    * truncation LIVE at the driver SF (stratum vocabularies run
+    * 16–31), so the gate checks the merge's bound arithmetic, not
+    * just an exact regime. */
   def sketchTopkQ(spark: SparkSession, dir: String): DataFrame =
-    topkRollupByLang(topkSketchTable(Tables.documents(spark, dir)))
+    hhTopkRollup(hhSketchTable(Tables.documents(spark, dir)))
 
   /** KMV (k-minimum-values) sketch table: per key, the k smallest
     * xxhash64 values of the member set — the sketch family member HLL

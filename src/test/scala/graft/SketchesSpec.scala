@@ -181,4 +181,78 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(j - 1.0 / 3) < 0.12, s"jaccard_est=$j")
     assert(math.abs(inter - 2000.0) / 2000.0 < 0.30, s"est_inter=$inter")
   }
+
+  // --- r14 deterministic sketch twins (the gate-flipped pair) ---
+
+  test("DD log-bucket quantiles: estimates within the 4.43% relative bound") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sketches.ddQuantileRollup(Sketches.ddQuantileTable(docs))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val toks = docs.select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bound = math.pow(2.0, 1.0 / 16.0) - 1.0 // gamma = 2^(1/8)
+    for ((lang, xs0) <- toks.groupBy(_._1)) {
+      val xs = xs0.map(_._2).sorted
+      val (n, p50, p90, p99) = got(lang)
+      assert(n === xs.length)
+      for ((q, est) <- Seq((0.5, p50), (0.9, p90), (0.99, p99))) {
+        val exact = xs(math.ceil(q * xs.length).toInt - 1).toDouble
+        assert(math.abs(est - exact) / exact <= bound + 1e-4,
+          s"$lang q=$q est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("DD quantile rollup == direct per-lang bucket build (merge = addition)") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val viaTable = Sketches.ddQuantileRollup(Sketches.ddQuantileTable(docs))
+    // direct: same buckets built at the per-lang grain, one pass
+    val direct = Sketches.ddQuantileRollup(
+      Sketches.ddQuantileTable(docs.withColumn("source", lit("all"))))
+    assert(viaTable.collect().map(_.toSeq).toSet
+      === direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("truncated-counter heavy hitters: bounds bracket exact truth, " +
+      "guaranteed-tracked threshold holds, exact regime when vocab fits") {
+    import graft.llm.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = Sketches.hhSketchTable(docs) // maxItems=16, truncation live
+    // truncation IS live on this corpus (vocabs 16..31)
+    val thr = tbl.select(col("lang"), col("source"), col("threshold"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(thr.values.exists(_ > 0L), "expected live truncation at maxItems=16")
+    val rolled = Sketches.hhTopkRollup(tbl).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // exact per-lang truth
+    val exact = docs.select(col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (((lang, tok), (lo, hi)) <- rolled) {
+      val truth = exact((lang, tok))
+      assert(lo <= truth && truth <= hi,
+        s"$lang/$tok: bounds [$lo,$hi] must bracket exact $truth")
+    }
+    // mergeable-summaries guarantee: any token whose true count exceeds
+    // the summed thresholds is tracked somewhere (appears as a candidate)
+    val sumThr = thr.toSeq.groupBy(_._1._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sum }
+    val candidates = tbl.select(col("lang"), col("tok")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    for (((lang, tok), truth) <- exact if truth > sumThr(lang))
+      assert(candidates((lang, tok)),
+        s"$lang/$tok count=$truth > sum-of-thresholds=${sumThr(lang)} must be tracked")
+    // exact regime: maxItems >= vocab => thresholds 0, counts exact
+    val wide = Sketches.hhTopkRollup(Sketches.hhSketchTable(docs, maxItems = 4096),
+      k = 1000000).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    for (((lang, tok), (lo, hi)) <- wide) {
+      assert(lo === hi && lo === exact((lang, tok)))
+    }
+  }
 }

@@ -24,15 +24,17 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // whole xxhash64 signature family (minhash/simhash + incrementals,
     // the tuning report, dedup_eval) by replaying XXH64 itself in
     // DuckDB SQL (SparkEntry.xxhashCtes: UHUGEINT mod-2^64 arithmetic).
-    // What remains is genuinely engine-bound: DEFLATE, the three media
-    // codecs, and sketch internals (HLL/KLL/TopK binary states).
+    // r14 converted the two sketch dashboards by re-pointing their
+    // driver entries at DETERMINISTIC mergeable sketches (DDSketch-
+    // style log buckets; truncated-counter heavy hitters) whose merge
+    // is plain arithmetic — the DataSketches KLL/FI binaries stay as
+    // library alternatives. What remains is genuinely engine-bound:
+    // DEFLATE and the three media codec families.
     assert(rowsOnly === Set(
       "text_compressibility",
       "multimodal", "media_audio", "media_video", "media_resize",
       "media_phash", "media_phash_incremental",
-      "media_resample", "media_frames", "media_report",
-      "sketch_quantiles",
-      "sketch_topk"),
+      "media_resample", "media_frames", "media_report"),
       s"unexpected rows-only entries: $rowsOnly")
   }
 }
