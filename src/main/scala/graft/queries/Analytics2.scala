@@ -526,22 +526,41 @@ object Analytics2 {
     * carry X% of revenue", the concentration curve behind every
     * key-account and risk dashboard (and the business twin of
     * [[graft.operators.SkewProfile]]'s engineering view: the same
-    * heavy keys, priced). Deciles by `ntile(10)` over (revenue DESC,
-    * custkey) — a total order, so bucket boundaries replay exactly.
+    * heavy keys, priced). Deciles are exactly `ntile(10)` over
+    * (revenue DESC, custkey) — a total order, so bucket boundaries
+    * replay exactly.
     *
-    * The global window runs over the |customers| frame after ONE
-    * map-side-combined agg — entity-dimension-sized at any corpus
-    * scale (the events_rfm argument); shares divide exact DECIMAL
-    * sums as DOUBLE, rounded 4dp; the cumulative share windows over
-    * the 10-row decile frame. */
+    * Rewritten r14 with [[eventsRfm]]: the `ntile` window was a single
+    * task sorting the whole |customers| frame. The nine decile
+    * BOUNDARY ROWS are now selected by
+    * [[graft.operators.RankSelect.selectRowsTied]]'s bounded histogram
+    * (descending revenue rides the negated value — binning is
+    * monotone either way) and each customer scores by comparing its
+    * sort-key struct against the broadcast boundary array —
+    * bit-identical to ntile, no entity-sized sort anywhere. Oracle
+    * unchanged. Shares divide exact DECIMAL sums as DOUBLE, rounded
+    * 4dp; the cumulative share windows over the 10-row decile
+    * frame. */
   def qRevenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import Money._
-    val perCust = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(dec(col("o_totalprice"))).as("rev"))
-    val ranked = perCust.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+    import graft.operators.RankSelect
+    val perCust = graft.Exec.materialize(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        .withColumn("nrev", -col("rev")))
+    val decileBounds: Column => Column = n => array((1 to 9).map { t =>
+      lit(t.toLong) * (n / lit(10L)).cast("long") +
+        least(lit(t.toLong), n % lit(10L))
+    }: _*)
+    val bounds = RankSelect.selectRowsTied(perCust, Nil, "nrev",
+      "o_custkey", decileBounds)
+    val bArr = broadcast(bounds.agg(collect_list(
+      struct(col("nrev").as("v"), col("o_custkey").as("u"))).as("__b")))
+    val ranked = perCust.crossJoin(bArr)
+      .withColumn("decile", lit(1) + size(filter(col("__b"),
+        b => struct(col("nrev").as("v"), col("o_custkey").as("u")) > b)))
     val deciles = ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_dec"))
     val total = broadcast(deciles.agg(sum(col("rev_dec")).as("tot")))

@@ -189,7 +189,8 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     val plans = Seq(
       Analytics5.eventsValueOutliers(spark, sfDir),
       Analytics2.qMedianOrder(spark, sfDir),
-      Analytics2.eventsRfm(spark, sfDir))
+      Analytics2.eventsRfm(spark, sfDir),
+      Analytics2.qRevenueConcentration(spark, sfDir))
       .map(_.queryExecution.executedPlan.toString)
     for (p <- plans) {
       assert(!p.contains("row_number"), p.take(600))
