@@ -126,6 +126,7 @@ object SparkEntry {
     "events_interarrival" -> (Analytics7.eventsInterarrival _),
     "events_load_profile" -> (Analytics7.eventsLoadProfile _),
     "q_retention_halflife" -> (Analytics7.qRetentionHalflife _),
+    "events_value_percentiles" -> (Analytics7.eventsValuePercentiles _),
     "q_join_cardinality" -> (Analytics7.qJoinCardinality _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
@@ -2887,6 +2888,31 @@ object SparkEntry {
         |  CASE WHEN denom = 0 OR abs(slope) < 1e-12 THEN NULL
         |       ELSE round(ln(2.0) / -slope, 4) END AS half_life_days
         |FROM s""".stripMargin,
+    // exact selected-row percentiles at ranks ceil(q·n) — the values
+    // are actual input doubles, identical bits on both engines
+    "events_value_percentiles" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value) AS rn
+        |      FROM e),
+        |q AS (SELECT n.event_type, n.n, qq.q,
+        |        CAST(ceil(qq.q * CAST(n.n AS DOUBLE)) AS BIGINT) AS rk
+        |      FROM n, (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+        |        AS qq(q)),
+        |s AS (SELECT q.event_type, q.n, q.q, r.value
+        |      FROM q JOIN r ON r.event_type = q.event_type
+        |        AND r.rn = q.rk)
+        |SELECT event_type, n,
+        |  max(CASE WHEN q = 0.25 THEN value END) AS p25,
+        |  max(CASE WHEN q = 0.5 THEN value END) AS p50,
+        |  max(CASE WHEN q = 0.75 THEN value END) AS p75,
+        |  max(CASE WHEN q = 0.9 THEN value END) AS p90,
+        |  max(CASE WHEN q = 0.99 THEN value END) AS p99
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // exact join-size prediction from the two (key, count) histograms;
     // DECIMAL(38,0) products (self-joins square per-key counts)
     "q_join_cardinality" ->

@@ -205,4 +205,44 @@ object Analytics7 {
         col("top_key"),
         round(d(col("mx")) / d(col("est")), 4).as("top_key_share"))
   }
+
+  /** Exact per-type value percentile table (p25/p50/p75/p90/p99) —
+    * the distribution summary behind alert thresholds and SLO
+    * dashboards, as SELECTED rows: percentile q is the value at rank
+    * ceil(q·n) of the per-type value order (at q = 0.5 this is
+    * exactly the (n+1) div 2 low-median convention), never
+    * interpolated, so the outputs are actual input values both
+    * engines reproduce bit-for-bit. NULL values are excluded up front
+    * on both engines (the r13 NULL-ordering rule).
+    *
+    * All five ranks ride ONE multi-rank
+    * [[graft.operators.RankSelect.selectValues]] pass (r14): the
+    * histogram is built once per type and each target rank resolves
+    * in its own touched bucket — no per-type sort, shuffles map-side
+    * combined, window partitions bounded by the histogram width.
+    * The exact twin of [[graft.llm.Sketches.ddQuantileRollup]]'s
+    * log-bucket estimates (EpsilonPinSpec's measured-bound pair). */
+  def eventsValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    eventsValuePercentilesOn(Tables.events(spark, dir))
+
+  def eventsValuePercentilesOn(events: DataFrame): DataFrame = {
+    import graft.operators.RankSelect
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val e = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val ranksOf: Column => Column = n =>
+      array(qs.map(q => ceil(lit(q) * n.cast("double")).cast("long")): _*)
+    val sel = RankSelect.selectValues(e, Seq("event_type"), "value", ranksOf)
+    val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    sel.groupBy(col("event_type"))
+      .agg(
+        max(when(col("__ridx") === 0, col("value"))).as("p25"),
+        max(when(col("__ridx") === 1, col("value"))).as("p50"),
+        max(when(col("__ridx") === 2, col("value"))).as("p75"),
+        max(when(col("__ridx") === 3, col("value"))).as("p90"),
+        max(when(col("__ridx") === 4, col("value"))).as("p99"))
+      .join(broadcast(counts), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p25"), col("p50"),
+        col("p75"), col("p90"), col("p99"))
+  }
 }

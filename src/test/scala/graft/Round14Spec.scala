@@ -112,6 +112,24 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("events_value_percentiles: randomized replay vs plain-Scala sort") {
+    import spark.implicits._
+    val ev = Seq.tabulate(2500)(i =>
+      (s"t${i % 3}", rnd.nextDouble() * 100)).toDF("event_type", "value")
+    val got = graft.queries.Analytics7.eventsValuePercentilesOn(ev)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rows = ev.collect().map(r => (r.getString(0), r.getDouble(1)))
+    for ((t, xs0) <- rows.groupBy(_._1)) {
+      val xs = xs0.map(_._2).sorted
+      val r = got(t)
+      assert(r.getLong(1) === xs.length.toLong)
+      for ((q, i) <- Seq(0.25, 0.5, 0.75, 0.9, 0.99).zipWithIndex) {
+        val exp = xs(math.ceil(q * xs.length).toInt - 1)
+        assert(r.getDouble(i + 2) === exp, s"$t q=$q")
+      }
+    }
+  }
+
   // --- consumer equality vs the retired window constructions ---
 
   test("events_value_outliers ≡ old sorted-window construction (random)") {

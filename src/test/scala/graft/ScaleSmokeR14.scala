@@ -45,7 +45,9 @@ object ScaleSmokeR14 {
       ("events_value_outliers", Analytics5.eventsValueOutliers _),
       ("q_median_order", Analytics2.qMedianOrder _),
       ("events_rfm", Analytics2.eventsRfm _),
-      ("q_revenue_concentration", Analytics2.qRevenueConcentration _))
+      ("q_revenue_concentration", Analytics2.qRevenueConcentration _),
+      ("events_value_percentiles",
+        graft.queries.Analytics7.eventsValuePercentiles _))
 
     ops.foreach { case (_, fn) => noop(fn(spark, dir)) } // untimed warmup
     for ((label, d) <- Seq(("1x", dir), ("10x", dir10));
