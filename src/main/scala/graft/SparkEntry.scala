@@ -127,6 +127,7 @@ object SparkEntry {
     "events_load_profile" -> (Analytics7.eventsLoadProfile _),
     "q_retention_halflife" -> (Analytics7.qRetentionHalflife _),
     "events_value_percentiles" -> (Analytics7.eventsValuePercentiles _),
+    "events_value_trimmed" -> (Analytics7.eventsValueTrimmed _),
     "q_join_cardinality" -> (Analytics7.qJoinCardinality _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
@@ -2913,6 +2914,51 @@ object SparkEntry {
         |  max(CASE WHEN q = 0.9 THEN value END) AS p90,
         |  max(CASE WHEN q = 0.99 THEN value END) AS p99
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // exact rank-trimmed mean: boundary values at ranks l and n−l+1,
+    // DECIMAL accumulation, tie corrections trim exactly l per side
+    "events_value_trimmed" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(floor(0.05 * CAST(count(*) AS DOUBLE)) AS BIGINT)
+        |          AS l
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value) AS rn
+        |      FROM e),
+        |b AS (SELECT p.event_type, p.n, p.l,
+        |        max(CASE WHEN r.rn = p.l THEN r.value END) AS vlo,
+        |        max(CASE WHEN r.rn = p.n - p.l + 1 THEN r.value END)
+        |          AS vhi
+        |      FROM p JOIN r ON p.event_type = r.event_type
+        |      GROUP BY 1, 2, 3),
+        |a AS (SELECT e.event_type,
+        |        sum(CAST(e.value AS DECIMAL(12,2))) AS s_all,
+        |        sum(CASE WHEN e.value < b.vlo
+        |              THEN CAST(e.value AS DECIMAL(12,2))
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_lo,
+        |        CAST(count(CASE WHEN e.value < b.vlo THEN 1 END)
+        |          AS BIGINT) AS c_lo,
+        |        sum(CASE WHEN e.value > b.vhi
+        |              THEN CAST(e.value AS DECIMAL(12,2))
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_hi,
+        |        CAST(count(CASE WHEN e.value > b.vhi THEN 1 END)
+        |          AS BIGINT) AS c_hi
+        |      FROM e JOIN b ON e.event_type = b.event_type
+        |      GROUP BY 1)
+        |SELECT b.event_type, b.n, b.n - 2 * b.l AS n_trimmed,
+        |  round(CAST(s_all AS DOUBLE) / CAST(b.n AS DOUBLE), 4)
+        |    AS mean_value,
+        |  round(CAST(s_all - s_lo
+        |      - (CASE WHEN b.l = 0 THEN CAST(0 AS DECIMAL(12,2))
+        |           ELSE CAST(b.vlo AS DECIMAL(12,2)) * (b.l - c_lo) END)
+        |      - s_hi
+        |      - (CASE WHEN b.l = 0 THEN CAST(0 AS DECIMAL(12,2))
+        |           ELSE CAST(b.vhi AS DECIMAL(12,2)) * (b.l - c_hi) END)
+        |    AS DOUBLE) / CAST(b.n - 2 * b.l AS DOUBLE), 4)
+        |    AS trimmed_mean
+        |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
     // exact join-size prediction from the two (key, count) histograms;
     // DECIMAL(38,0) products (self-joins square per-key counts)
     "q_join_cardinality" ->

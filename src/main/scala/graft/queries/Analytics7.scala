@@ -245,4 +245,70 @@ object Analytics7 {
       .select(col("event_type"), col("n"), col("p25"), col("p50"),
         col("p75"), col("p90"), col("p99"))
   }
+
+  /** Exact 5%-per-side rank-trimmed mean of event values per type —
+    * the robust KPI (one fat-tailed day can move a plain mean by
+    * percent; trimming by RANK is the BI-standard fix) computed
+    * WITHOUT sorting any group: with l = floor(0.05·n) trimmed from
+    * each side, the trimmed sum is
+    *   S − S(v < vlo) − vlo·(l − c(v < vlo))
+    *     − S(v > vhi) − vhi·(l − c(v > vhi))
+    * where vlo/vhi are the SELECTED boundary values at ranks l and
+    * n−l+1 ([[graft.operators.RankSelect.selectValues]], one
+    * histogram pass both ranks ride) and the vlo/vhi product terms
+    * are the tie corrections: ties spanning a trim boundary are
+    * trimmed exactly l copies, by rank, not by value. l = 0 (n < 20)
+    * degrades to the plain mean — the boundary ranks fall out of
+    * range, select no row, and the guarded terms vanish.
+    *
+    * Money discipline: values accumulate in DECIMAL(12,2) (exact,
+    * order-independent — the [[Money]] rule), divided as DOUBLE at
+    * the output edge, 4dp. */
+  def eventsValueTrimmed(spark: SparkSession, dir: String): DataFrame =
+    eventsValueTrimmedOn(Tables.events(spark, dir))
+
+  def eventsValueTrimmedOn(events: DataFrame): DataFrame = {
+    import graft.operators.RankSelect
+    val dec = (c: Column) => c.cast("decimal(12,2)")
+    val e = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = RankSelect.statsFor(e, Seq("event_type"), "value")
+    val ranksOf: Column => Column = n => {
+      val l = floor(lit(0.05) * n.cast("double")).cast("long")
+      array(l, n.cast("long") - l + lit(1L))
+    }
+    val sel = RankSelect.selectValues(e, Seq("event_type"), "value",
+      ranksOf, stats = Some(stats))
+    val b = stats
+      .select(col("event_type"), col("__n").as("n"),
+        floor(lit(0.05) * col("__n").cast("double")).cast("long").as("l"))
+      .join(sel.groupBy(col("event_type"))
+          .agg(max(when(col("__ridx") === 0, col("value"))).as("vlo"),
+            max(when(col("__ridx") === 1, col("value"))).as("vhi")),
+        Seq("event_type"), "left")
+    val z = lit(0).cast("decimal(12,2)")
+    e.join(broadcast(b), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("l"), col("vlo"),
+        col("vhi"))
+      .agg(sum(dec(col("value"))).as("s_all"),
+        sum(when(col("value") < col("vlo"), dec(col("value")))
+          .otherwise(z)).as("s_lo"),
+        count(when(col("value") < col("vlo"), lit(1))).as("c_lo"),
+        sum(when(col("value") > col("vhi"), dec(col("value")))
+          .otherwise(z)).as("s_hi"),
+        count(when(col("value") > col("vhi"), lit(1))).as("c_hi"))
+      .select(col("event_type"), col("n"),
+        (col("n") - lit(2L) * col("l")).as("n_trimmed"),
+        round(col("s_all").cast("double") / col("n").cast("double"), 4)
+          .as("mean_value"),
+        round((col("s_all") - col("s_lo")
+            - when(col("l") === 0L, z)
+              .otherwise(dec(col("vlo")) * (col("l") - col("c_lo")))
+            - col("s_hi")
+            - when(col("l") === 0L, z)
+              .otherwise(dec(col("vhi")) * (col("l") - col("c_hi"))))
+          .cast("double")
+          / (col("n") - lit(2L) * col("l")).cast("double"), 4)
+          .as("trimmed_mean"))
+  }
 }

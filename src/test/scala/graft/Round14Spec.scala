@@ -130,6 +130,43 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("events_value_trimmed: boundary ties trim exactly l copies") {
+    import spark.implicits._
+    // n=20 → l=1: one of the three tied 1.0s and the single 100.0 go
+    val vals = Seq(1.0, 1.0, 1.0, 9.0, 9.0, 100.0) ++ Seq.fill(14)(5.0)
+    val ev = vals.map(("x", _)).toDF("event_type", "value")
+    val r = graft.queries.Analytics7.eventsValueTrimmedOn(ev).collect().head
+    val trimmed = (vals.sum - 1.0 - 100.0) / 18.0
+    assert(r.getLong(1) === 20L && r.getLong(2) === 18L)
+    assert(r.getDouble(4) ===
+      BigDecimal(trimmed).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("events_value_trimmed randomized replay (incl. n<20 → plain mean)") {
+    import spark.implicits._
+    val rows = Seq.tabulate(3000) { i =>
+      // 2dp values so the DECIMAL(12,2) accumulation is exact
+      (s"t${i % 4}", math.rint(rnd.nextDouble() * 10000) / 100.0)
+    } ++ Seq.tabulate(7)(i => ("tiny", math.rint(i * 123.0) / 100.0))
+    val got = graft.queries.Analytics7
+      .eventsValueTrimmedOn(rows.toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((t, xs0) <- rows.groupBy(_._1)) {
+      val xs = xs0.map(x => BigDecimal(x._2)).sorted
+      val n = xs.length
+      val l = math.floor(0.05 * n).toInt
+      val kept = xs.slice(l, n - l)
+      val r = got(t)
+      assert(r.getLong(1) === n.toLong && r.getLong(2) === (n - 2 * l).toLong)
+      assert(r.getDouble(3) === r4((xs.sum / n).toDouble), s"$t mean")
+      assert(r.getDouble(4) === r4((kept.sum / kept.length).toDouble),
+        s"$t trimmed")
+    }
+  }
+
   // --- consumer equality vs the retired window constructions ---
 
   test("events_value_outliers ≡ old sorted-window construction (random)") {

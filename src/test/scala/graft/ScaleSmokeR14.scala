@@ -47,7 +47,9 @@ object ScaleSmokeR14 {
       ("events_rfm", Analytics2.eventsRfm _),
       ("q_revenue_concentration", Analytics2.qRevenueConcentration _),
       ("events_value_percentiles",
-        graft.queries.Analytics7.eventsValuePercentiles _))
+        graft.queries.Analytics7.eventsValuePercentiles _),
+      ("events_value_trimmed",
+        graft.queries.Analytics7.eventsValueTrimmed _))
 
     ops.foreach { case (_, fn) => noop(fn(spark, dir)) } // untimed warmup
     for ((label, d) <- Seq(("1x", dir), ("10x", dir10));
