@@ -128,6 +128,7 @@ object SparkEntry {
     "q_retention_halflife" -> (Analytics7.qRetentionHalflife _),
     "events_value_percentiles" -> (Analytics7.eventsValuePercentiles _),
     "events_value_trimmed" -> (Analytics7.eventsValueTrimmed _),
+    "q_integrity_audit" -> (Analytics7.qIntegrityAudit _),
     "q_join_cardinality" -> (Analytics7.qJoinCardinality _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
@@ -2959,6 +2960,35 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(b.n - 2 * b.l AS DOUBLE), 4)
         |    AS trimmed_mean
         |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // referential-integrity audit: one stanza per FK edge, NOT EXISTS
+    // both ways, exact-integer shares rounded 4dp
+    "q_integrity_audit" -> {
+      def edge(nm: String, child: String, ck: String, parent: String,
+               pk: String): String =
+        s"""SELECT '$nm' AS edge, n_child, n_orphans,
+           |  round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE),
+           |    4) AS orphan_share,
+           |  n_parent, n_childless,
+           |  round(CAST(n_childless AS DOUBLE)
+           |    / CAST(n_parent AS DOUBLE), 4) AS childless_share
+           |FROM (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                     WHERE p.$pk = c.$ck)) AS n_orphans,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $parent) AS n_parent,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $parent p
+           |   WHERE NOT EXISTS (SELECT 1 FROM $child c
+           |                     WHERE c.$ck = p.$pk)) AS n_childless)"""
+          .stripMargin
+      Seq(
+        edge("lineitem_orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("orders_custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("lineitem_partkey", "lineitem", "l_partkey",
+          "part", "p_partkey")).mkString("\nUNION ALL\n")
+    },
     // exact join-size prediction from the two (key, count) histograms;
     // DECIMAL(38,0) products (self-joins square per-key counts)
     "q_join_cardinality" ->

@@ -311,4 +311,45 @@ object Analytics7 {
           / (col("n") - lit(2L) * col("l")).cast("double"), 4)
           .as("trimmed_mean"))
   }
+
+  /** Referential-integrity audit over the warehouse's foreign-key
+    * edges — the first data-quality gate a CDC-fed warehouse runs
+    * after every load (the cross-TABLE complement of
+    * [[graft.cdc.Cdc]]'s lifecycle audit, which watches orphan
+    * UPDATES/DELETES inside one changelog): per edge, child rows
+    * whose key has no parent (orphans — broken ingest ordering or
+    * lost parents) and parent rows with no children (childless —
+    * expected for dims, an alarm for orders). One row per edge.
+    *
+    * Scale shape: per edge one LEFT ANTI join each way — key-hash
+    * shuffles (broadcast when the parent is a dim), map-side-combined
+    * counts, 1-row crossJoins. No row data moves, only keys. */
+  def qIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val edges = Seq(
+      ("lineitem_orderkey",
+        lineitem.select(col("l_orderkey").as("k")),
+        orders.select(col("o_orderkey").as("k"))),
+      ("orders_custkey",
+        orders.select(col("o_custkey").as("k")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("k"))),
+      ("lineitem_partkey",
+        lineitem.select(col("l_partkey").as("k")),
+        Tables.part(spark, dir).select(col("p_partkey").as("k"))))
+    edges.map { case (nm, c, p) =>
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent")))
+        .crossJoin(p.join(c, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_childless")))
+        .select(lit(nm).as("edge"), col("n_child"), col("n_orphans"),
+          round(d(col("n_orphans")) / d(col("n_child")), 4)
+            .as("orphan_share"),
+          col("n_parent"), col("n_childless"),
+          round(d(col("n_childless")) / d(col("n_parent")), 4)
+            .as("childless_share"))
+    }.reduce(_ unionByName _)
+  }
 }

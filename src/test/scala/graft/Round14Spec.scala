@@ -167,6 +167,44 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_integrity_audit: orphans and childless counted both ways") {
+    import spark.implicits._
+    val dir = tmpDir("integ14_")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // orders 1..5 belong to customers 1..3 (4 is referenced but absent
+    // -> orphan order); customer 5 exists with no orders (childless);
+    // lineitems reference orders {1,1,2,9} (9 is an orphan lineitem);
+    // orders 3,4,5 are childless; parts: lineitems use {1,2}, 2 absent
+    Seq((1L, 1L, "O", 10.0, ts, "1-URGENT"), (2L, 2L, "O", 10.0, ts, "1-URGENT"),
+      (3L, 3L, "O", 10.0, ts, "1-URGENT"), (4L, 4L, "O", 10.0, ts, "1-URGENT"),
+      (5L, 1L, "O", 10.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "a", 1L, 100.0), (2L, "b", 1L, 100.0), (3L, "c", 1L, 100.0),
+      (5L, "e", 1L, 100.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (2L, 2L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (9L, 2L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "p1", "B1", "T1", 1.0), (3L, "p3", "B1", "T1", 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val got = graft.queries.Analytics7.qIntegrityAudit(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // (n_child, n_orphans, n_parent, n_childless)
+    assert(got("lineitem_orderkey") === ((4L, 1L, 5L, 3L)))
+    assert(got("orders_custkey") === ((5L, 1L, 4L, 1L)))
+    assert(got("lineitem_partkey") === ((4L, 2L, 2L, 1L)))
+  }
+
   // --- consumer equality vs the retired window constructions ---
 
   test("events_value_outliers ≡ old sorted-window construction (random)") {
