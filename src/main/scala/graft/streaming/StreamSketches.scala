@@ -69,4 +69,48 @@ object StreamSketches {
       .groupBy(col("hour"), col("event_type"))
       .agg(hll_union_agg(col("sketch")).as("sketch"),
         sum(col("n_events")).as("n_events"))
+
+  // --- DD log-bucket quantile maintenance (r14) ---
+
+  /** Per-micro-batch worker for the deterministic quantile table
+    * ([[Sketches.ddQuantileTable]]): the batch's (lang, source, bkt)
+    * count rows land tagged with `batch_id`, idempotently (dynamic
+    * overwrite of the batch's own partition — the replay convention
+    * above). Because the DD merge is plain ADDITION, the streaming-
+    * built table serves the batch rebuild EXACTLY — bit-equal counts,
+    * not within-tolerance estimates — which StreamSketchesSpec pins
+    * across real micro-batch boundaries and a replay. */
+  def ddQuantileBatch(batch: DataFrame, batchId: Long, sink: WarehouseSink,
+                      table: String): Unit = {
+    val rows = Sketches.ddQuantileTable(batch)
+      .withColumn("batch_id", lit(batchId))
+    sink.write(rows, table, "batch_id", Seq("lang", "source", "bkt"),
+      dynamicOverwrite = true)
+  }
+
+  /** Start the DD quantile maintenance loop over a streaming documents
+    * frame. */
+  def ddQuantileStream(stream: DataFrame, sink: WarehouseSink,
+                       table: String = "dd_quantile_sketch",
+                       checkpoint: String,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ddQuantileBatch(batch, batchId, sink, table)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Serve the finest grain off the persisted DD table: batch shards
+    * sum per (lang, source, bkt) — the EXACT equivalent of
+    * [[Sketches.ddQuantileTable]] over all history. Feed to
+    * [[Sketches.ddQuantileRollup]] for the percentile dashboard. */
+  def servedDdQuantileTable(spark: SparkSession, sink: WarehouseSink,
+                            table: String = "dd_quantile_sketch")
+      : DataFrame =
+    sink.read(spark, table)
+      .groupBy(col("lang"), col("source"), col("bkt"))
+      .agg(sum(col("n_docs")).as("n_docs"))
 }

@@ -68,4 +68,42 @@ class StreamSketchesSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSet
     assert(after === before)
   }
+
+  test("streaming DD quantile table == batch rebuild, bit-exact, replay-proof") {
+    val docs = Tables.documents(spark, sfDir)
+    val inputDir = tmpDir("ddst_in_")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$inputDir/f0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$inputDir/f1")
+    val sink = new WarehouseSink(tmpDir("ddst_wh_"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = StreamSketches.ddQuantileStream(stream, sink,
+      checkpoint = tmpDir("ddst_ckpt_"),
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination()
+    assert(sink.read(spark, "dd_quantile_sketch")
+      .select("batch_id").distinct().count() >= 2)
+    // the DD merge is addition: streaming shards sum to the EXACT
+    // batch-rebuilt table, and the percentile dashboard matches
+    // bit-for-bit (no tolerance anywhere)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val served = StreamSketches.servedDdQuantileTable(spark, sink)
+    assert(rows(served) === rows(Sketches.ddQuantileTable(docs)))
+    assert(rows(Sketches.ddQuantileRollup(served))
+      === rows(Sketches.ddQuantileRollup(Sketches.ddQuantileTable(docs))))
+    // replay: rewriting batch 0 from either slice leaves the table as-is
+    val before = rows(served)
+    val b0 = sink.read(spark, "dd_quantile_sketch")
+      .filter(col("batch_id") === 0).agg(sum("n_docs"))
+      .collect().head.getLong(0)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val replay = if (even.count() == b0) even else odd
+    StreamSketches.ddQuantileBatch(replay, 0L, sink, "dd_quantile_sketch")
+    assert(rows(StreamSketches.servedDdQuantileTable(spark, sink))
+      === before)
+  }
 }
