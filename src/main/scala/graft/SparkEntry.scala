@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
 import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, TextProfile, Video}
-import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
   *
@@ -130,6 +130,12 @@ object SparkEntry {
     "events_value_trimmed" -> (Analytics7.eventsValueTrimmed _),
     "q_integrity_audit" -> (Analytics7.qIntegrityAudit _),
     "q_join_cardinality" -> (Analytics7.qJoinCardinality _),
+    "q_price_weighted_median" -> (Analytics8.qPriceWeightedMedian _),
+    "events_value_winsorized" -> (Analytics8.eventsValueWinsorized _),
+    "q_acctbal_gini" -> (Analytics8.qAcctbalGini _),
+    "events_user_gini" -> (Analytics8.eventsUserGini _),
+    "q_acctbal_lorenz" -> (Analytics8.qAcctbalLorenz _),
+    "q_part_skyline" -> (Analytics8.qPartSkyline _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -2960,6 +2966,164 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(b.n - 2 * b.l AS DOUBLE), 4)
         |    AS trimmed_mean
         |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // weighted median = lower median of the weight-expanded multiset:
+    // min v whose RANGE-framed cumulative weight reaches (W+1)//2 —
+    // ties share the frame total, so the min picks exactly the
+    // expanded rank value
+    "q_price_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS v,
+        |              CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |t AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(sum(w) AS BIGINT) AS total_qty FROM li GROUP BY 1),
+        |c AS (SELECT l_returnflag, v,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cw,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY v) AS rn
+        |      FROM li),
+        |wm AS (SELECT c.l_returnflag, min(v) AS wmedian_price
+        |       FROM c JOIN t USING (l_returnflag)
+        |       WHERE cw >= (total_qty + 1) // 2 GROUP BY 1),
+        |um AS (SELECT c.l_returnflag,
+        |         max(CASE WHEN rn = (n_lines + 1) // 2 THEN v END)
+        |           AS median_price
+        |       FROM c JOIN t USING (l_returnflag) GROUP BY 1)
+        |SELECT t.l_returnflag, t.n_lines, t.total_qty,
+        |  um.median_price, wm.wmedian_price
+        |FROM t JOIN um USING (l_returnflag)
+        |  JOIN wm USING (l_returnflag)""".stripMargin,
+    // winsorized mean: clamp into the SELECTED [p10, p90] boundary
+    // values (ceil-rank convention), closed-form clamped sum in
+    // DECIMAL off one grouped pass
+    "events_value_winsorized" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value) AS rn
+        |      FROM e),
+        |b AS (SELECT n.event_type, n.n,
+        |        max(CASE WHEN r.rn =
+        |          CAST(ceil(0.1 * CAST(n.n AS DOUBLE)) AS BIGINT)
+        |          THEN r.value END) AS vlo,
+        |        max(CASE WHEN r.rn =
+        |          CAST(ceil(0.9 * CAST(n.n AS DOUBLE)) AS BIGINT)
+        |          THEN r.value END) AS vhi
+        |      FROM n JOIN r ON n.event_type = r.event_type
+        |      GROUP BY 1, 2),
+        |a AS (SELECT e.event_type,
+        |        sum(CAST(e.value AS DECIMAL(12,2))) AS s_all,
+        |        sum(CASE WHEN e.value < b.vlo
+        |              THEN CAST(e.value AS DECIMAL(12,2))
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_lo,
+        |        CAST(count(CASE WHEN e.value < b.vlo THEN 1 END)
+        |          AS BIGINT) AS c_lo,
+        |        sum(CASE WHEN e.value > b.vhi
+        |              THEN CAST(e.value AS DECIMAL(12,2))
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_hi,
+        |        CAST(count(CASE WHEN e.value > b.vhi THEN 1 END)
+        |          AS BIGINT) AS c_hi
+        |      FROM e JOIN b ON e.event_type = b.event_type
+        |      GROUP BY 1)
+        |SELECT b.event_type, b.n, b.vlo, b.vhi,
+        |  round(CAST(s_all AS DOUBLE) / CAST(b.n AS DOUBLE), 4)
+        |    AS mean_value,
+        |  round(CAST(s_all - s_lo
+        |      + CAST(b.vlo AS DECIMAL(12,2)) * c_lo
+        |      - s_hi + CAST(b.vhi AS DECIMAL(12,2)) * c_hi
+        |    AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS winsorized_mean
+        |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // exact Gini via rank sums: row_number rank-sum ≡ the engine's
+    // tie-class closed form (tied rows share the value), DOUBLED so
+    // no integer ever divides; DECIMAL(38,0) accumulation both sides
+    "q_acctbal_gini" ->
+      """WITH c AS (SELECT c_mktsegment,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |           FROM customer WHERE c_acctbal > 0),
+        |r AS (SELECT c_mktsegment, bal,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY bal) AS rn
+        |      FROM c),
+        |t AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(bal AS DECIMAL(38,0))) AS tot,
+        |        sum(CAST(2 * rn AS DECIMAL(38,0))
+        |          * CAST(bal AS DECIMAL(38,0))) AS rs2
+        |      FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n AS n_customers,
+        |  round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 100, 4)
+        |    AS mean_bal,
+        |  round(CAST(rs2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 4) AS gini
+        |FROM t""".stripMargin,
+    // activity-concentration Gini over per-user counts — same algebra
+    "events_user_gini" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, n_events,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n_events) AS rn
+        |      FROM u),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(n_events AS DECIMAL(38,0))) AS tot,
+        |        sum(CAST(2 * rn AS DECIMAL(38,0))
+        |          * CAST(n_events AS DECIMAL(38,0))) AS rs2
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n AS n_users,
+        |  round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |    AS mean_events,
+        |  round(CAST(rs2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 4) AS gini
+        |FROM t""".stripMargin,
+    // Lorenz deciles: distinct-value prefix frame + tie partial at the
+    // ceil-rank boundary — exact DECIMAL mass, DOUBLE only at the edge
+    "q_acctbal_lorenz" ->
+      """WITH c AS (SELECT c_mktsegment,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |           FROM customer WHERE c_acctbal > 0),
+        |v AS (SELECT c_mktsegment, bal, CAST(count(*) AS BIGINT) AS c,
+        |        sum(CAST(bal AS DECIMAL(38,0))) AS s
+        |      FROM c GROUP BY 1, 2),
+        |p AS (SELECT c_mktsegment, bal, c,
+        |        coalesce(sum(c) OVER w, 0) AS f,
+        |        coalesce(sum(s) OVER w, CAST(0 AS DECIMAL(38,0))) AS sp
+        |      FROM v WINDOW w AS (PARTITION BY c_mktsegment
+        |        ORDER BY bal
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(bal AS DECIMAL(38,0))) AS tt
+        |      FROM c GROUP BY 1),
+        |d AS (SELECT t.c_mktsegment, t.n, t.tt, dd.decile,
+        |        CAST(ceil(dd.decile * CAST(t.n AS DOUBLE) / 10.0)
+        |          AS BIGINT) AS r
+        |      FROM t, (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
+        |        (9), (10)) AS dd(decile))
+        |SELECT d.c_mktsegment, d.decile,
+        |  round(CAST(p.bal AS DOUBLE) / 100, 2) AS bal_at,
+        |  round(CAST(p.sp + CAST(p.bal AS DECIMAL(38,0)) * (d.r - p.f)
+        |      AS DOUBLE) / CAST(d.tt AS DOUBLE), 4) AS cum_share
+        |FROM p JOIN d ON p.c_mktsegment = d.c_mktsegment
+        |  AND p.f < d.r AND d.r <= p.f + p.c""".stripMargin,
+    // 2-D skyline: per-price max size, kept iff no strictly cheaper
+    // price reaches it (NOT EXISTS replay of the prefix-max filter)
+    "q_part_skyline" ->
+      """WITH pts AS (SELECT
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price,
+        |    p_size, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |m AS (SELECT price, max(p_size) AS ms FROM pts GROUP BY 1),
+        |sky AS (SELECT m.price, m.ms FROM m
+        |        WHERE NOT EXISTS (SELECT 1 FROM m m2
+        |          WHERE m2.price < m.price AND m2.ms >= m.ms))
+        |SELECT round(CAST(p.price AS DOUBLE) / 100, 2) AS p_retailprice,
+        |  p.p_size, p.n_parts
+        |FROM pts p JOIN sky ON p.price = sky.price
+        |  AND p.p_size = sky.ms""".stripMargin,
     // referential-integrity audit: one stanza per FK edge, NOT EXISTS
     // both ways, exact-integer shares rounded 4dp
     "q_integrity_audit" -> {

@@ -53,7 +53,10 @@ import org.apache.spark.sql.functions._
   */
 object RankSelect {
 
-  /** rank = (n+1) div 2 — the repo's lower-median convention. */
+  /** rank = (n+1) div 2 — the repo's lower-median convention. The same
+    * function serves the WEIGHTED selection ([[selectValuesWeighted]]),
+    * where n is the group's total weight and the rank is in weight
+    * units — the lower median of the weight-expanded multiset. */
   val lowMedian: Column => Column =
     n => array(((n + lit(1L)) / lit(2L)).cast("long"))
 
@@ -83,12 +86,16 @@ object RankSelect {
     * the exact value at that rank plus the residual rank `__resid`
     * (1-based) WITHIN the value's tie class and the tie-class size
     * `__nties`. Output: groups ++ (__ridx, valueCol, __resid,
-    * __nties). */
+    * __nties). `base` must carry a LONG `__w` row-weight column
+    * (lit(1L) for the unweighted paths): ranks, residuals and tie
+    * sizes are in weight units — the selection over the
+    * weight-expanded multiset without materializing the expansion.
+    * Zero-weight rows shift no rank and are never selected. */
   private def locateValue(base: DataFrame, groups: Seq[String],
                           valueCol: String, stats: DataFrame,
                           targets: DataFrame, buckets: Int): DataFrame = {
     val gcols = groups.map(col)
-    val proj = base.select((groups :+ valueCol).map(col): _*)
+    val proj = base.select((groups ++ Seq(valueCol, "__w")).map(col): _*)
     val vd = col(valueCol).cast("double")
     val ext = stats.select((gcols ++
       Seq(col("__vmin"), col("__vmax"))): _*)
@@ -100,7 +107,7 @@ object RankSelect {
       .drop("__vmin", "__vmax")
     // pass 1: histogram + prefix sum over ≤`buckets` rows per group
     val hist = binned.groupBy((gcols :+ col("__bkt")): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__w")).as("__c"))
     val cum = hist.withColumn("__cum",
       sum(col("__c")).over(Window.partitionBy(gcols: _*).orderBy(col("__bkt"))))
     val loc = joinG(cum, targets, groups)
@@ -115,7 +122,7 @@ object RankSelect {
     val vc = marked
       .groupBy((gcols ++ Seq(col("__ridx"), col("__bresid"),
         col(valueCol))): _*)
-      .agg(count(lit(1)).as("__vc"))
+      .agg(sum(col("__w")).as("__vc"))
     val vcum = vc.withColumn("__vcum",
       sum(col("__vc")).over(Window
         .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col(valueCol))))
@@ -141,7 +148,47 @@ object RankSelect {
                    stats: Option[DataFrame] = None): DataFrame = {
     val base = df.select((groups :+ valueCol).map(col): _*)
       .filter(col(valueCol).isNotNull)
+      .withColumn("__w", lit(1L))
     val st = stats.getOrElse(statsFor(base, groups, valueCol))
+    val targets = explodeRanks(st, groups, ranksOf)
+    locateValue(base, groups, valueCol, st, targets, buckets)
+      .select((groups ++ Seq("__ridx", valueCol)).map(col): _*)
+  }
+
+  /** Per-group (double-image bound, total weight) frame for the
+    * WEIGHTED selection: groups ++ (__vmin, __vmax, __n) with __n =
+    * Σ weight — the [[statsFor]] analogue in weight units. */
+  def statsForWeighted(df: DataFrame, groups: Seq[String],
+                       valueCol: String, weightCol: String): DataFrame = {
+    val vd = col(valueCol).cast("double")
+    graft.Exec.materialize(
+      df.filter(col(valueCol).isNotNull).groupBy(groups.map(col): _*)
+        .agg(min(vd).as("__vmin"), max(vd).as("__vmax"),
+          sum(col(weightCol).cast("long")).as("__n")))
+  }
+
+  /** WEIGHTED exact selection: for each group, the value at each
+    * target rank of the weight-expanded multiset — the rank-r value
+    * is the smallest v whose cumulative weight (over the order on
+    * `valueCol`) reaches r, identical to [[selectValues]] run on the
+    * multiset with each row repeated `weightCol` times, WITHOUT the
+    * expansion (quantity-weighted medians over billions of expanded
+    * units stay one histogram pass). `ranksOf` receives the group's
+    * TOTAL WEIGHT; weights are non-negative LONGs (zero-weight rows
+    * shift no rank and are never selected — the locate filter needs
+    * a strictly positive tie mass). Same pass structure and bounds
+    * as [[selectValues]]: every shuffle map-side-combined, every
+    * window partition ≤ `buckets` rows or one bucket's distinct
+    * values. Output: groups ++ (__ridx, valueCol). */
+  def selectValuesWeighted(df: DataFrame, groups: Seq[String],
+                           valueCol: String, weightCol: String,
+                           ranksOf: Column => Column, buckets: Int = 1024,
+                           stats: Option[DataFrame] = None): DataFrame = {
+    val base = df.select((groups ++ Seq(valueCol, weightCol)).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__w", col(weightCol).cast("long"))
+      .drop(weightCol)
+    val st = stats.getOrElse(statsForWeighted(base, groups, valueCol, "__w"))
     val targets = explodeRanks(st, groups, ranksOf)
     locateValue(base, groups, valueCol, st, targets, buckets)
       .select((groups ++ Seq("__ridx", valueCol)).map(col): _*)
@@ -161,6 +208,7 @@ object RankSelect {
     val gcols = groups.map(col)
     val base = df.select((groups ++ Seq(valueCol, tieCol)).map(col): _*)
       .filter(col(valueCol).isNotNull)
+      .withColumn("__w", lit(1L))
     val st = statsFor(base, groups, valueCol)
     val targets = explodeRanks(st, groups, ranksOf)
     val lv = locateValue(base, groups, valueCol, st, targets, buckets)
@@ -172,7 +220,7 @@ object RankSelect {
     // tie classes of the located values, re-keyed by the rank label
     val tied = joinG(base, key, groups)
       .filter(col(valueCol) === col("__v"))
-      .select(gcols ++ Seq(col("__oridx"), col(tieCol)): _*)
+      .select(gcols ++ Seq(col("__oridx"), col(tieCol), col("__w")): _*)
     val targets2 = key.select(gcols ++ Seq(col("__oridx"),
       lit(0).as("__ridx"), col("__r2").as("__r")): _*)
     val st2 = statsFor(tied, groups :+ "__oridx", tieCol)

@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-14 analytics wave 1: weighted order statistics and the
+  * winsorized-mean robust KPI — the [[graft.operators.RankSelect]]
+  * family extended to weight-expanded multisets. Determinism contract
+  * as [[Analytics5]]/[[Analytics6]]: integer/DECIMAL accumulation,
+  * doubles only at the output edge (4dp), selected rows never
+  * interpolated, NULLs excluded up front on both engines. */
+object Analytics8 {
+
+  private val d = (c: Column) => c.cast("double")
+
+  /** Quantity-weighted median unit price per return flag — "the price
+    * of the median shipped UNIT", the inventory-weighted KPI a plain
+    * row median gets wrong whenever cheap lines carry bulk quantity.
+    * The weighted median is the exact lower median of the multiset
+    * with each line repeated l_quantity times, selected WITHOUT the
+    * expansion ([[graft.operators.RankSelect.selectValuesWeighted]]:
+    * the histogram counts weight mass instead of rows — at 100 TB the
+    * expansion would be ~50× the fact table, the weighted histogram
+    * is the same two bounded passes as the unweighted one). The plain
+    * row median rides the same call tree for contrast.
+    *
+    * Scale shape: two histogram selections (each: one map-side
+    * extent, one ≤1024-bucket histogram + bounded prefix window, one
+    * single-bucket resolve) + one map-side-combined count — no
+    * group-sized sort, no expansion. */
+  def qPriceWeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    qPriceWeightedMedianOn(Tables.lineitem(spark, dir))
+
+  def qPriceWeightedMedianOn(lineitem: DataFrame): DataFrame = {
+    import graft.operators.RankSelect
+    val li = lineitem.select(col("l_returnflag"),
+      col("l_extendedprice"),
+      col("l_quantity").cast("long").as("qty"))
+    val wsel = RankSelect.selectValuesWeighted(li, Seq("l_returnflag"),
+        "l_extendedprice", "qty", RankSelect.lowMedian)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").as("wmedian_price"))
+    val usel = RankSelect.selectValues(li, Seq("l_returnflag"),
+        "l_extendedprice", RankSelect.lowMedian)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").as("median_price"))
+    val tot = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("total_qty"))
+    tot.join(usel, Seq("l_returnflag"))
+      .join(wsel, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_lines"), col("total_qty"),
+        col("median_price"), col("wmedian_price"))
+  }
+
+  /** Winsorized mean of event values per type — the OTHER robust
+    * mean: where [[Analytics7.eventsValueTrimmed]] DROPS the tail
+    * ranks, winsorizing CLAMPS every value into [p10, p90] (selected
+    * boundary values, ceil-rank convention of
+    * [[Analytics7.eventsValuePercentiles]]) so n is preserved — the
+    * estimator of choice when the tail rows must keep their weight
+    * (billing reconciliation: every event counts once, outliers just
+    * can't dominate). Clamped sum in closed form from one grouped
+    * pass: S − S(v<lo) + lo·c(v<lo) − S(v>hi) + hi·c(v>hi), DECIMAL
+    * accumulation, so no second scan materializes clamped values.
+    *
+    * Scale shape: one histogram selection (both boundary ranks ride
+    * one pass), one map-side-combined grouped aggregate over the
+    * corpus, 5-row broadcast joins. */
+  def eventsValueWinsorized(spark: SparkSession, dir: String): DataFrame =
+    eventsValueWinsorizedOn(Tables.events(spark, dir))
+
+  /** Exact Gini coefficient of positive account balances per market
+    * segment — the concentration KPI (0 = perfectly even, →1 = one
+    * customer holds everything). Closed form over the distinct-value
+    * prefix frame ([[graft.operators.OrderedPrefix]]): a tie class of
+    * c copies of value v with F rows strictly below occupies ranks
+    * F+1..F+c, so Σ rank·value = Σ_v v·(c·F + c(c+1)/2) — exact
+    * DECIMAL(38,0) (ranks reach corpus size, values 10^6 cents; the
+    * product needs ~38 digits at warehouse scale, the pair-mass
+    * rule), and G = 2R/(nT) − (n+1)/n only becomes DOUBLE at the
+    * output edge. Rank-sum is tie-order invariant (tied rows share
+    * v), so ANY total order gives the same R — no tiebreak needed.
+    *
+    * Scale shape: one distinct-cents shuffle (domain-bounded — acctbal
+    * has ≤ ~1.1M distinct cent values at ANY corpus size), bounded
+    * prefix windows, one |distinct|-sized grouped reduce. */
+  def qAcctbalGini(spark: SparkSession, dir: String): DataFrame =
+    qAcctbalGiniOn(Tables.customer(spark, dir))
+
+  def qAcctbalGiniOn(customer: DataFrame): DataFrame = {
+    import graft.operators.OrderedPrefix
+    val cust = customer.filter(col("c_acctbal") > 0)
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+    giniOf(OrderedPrefix.distinctPrefix(cust, Seq("c_mktsegment"), "bal"),
+      Seq("c_mktsegment"), "bal")
+      .select(col("c_mktsegment"), col("n").as("n_customers"),
+        round(col("mean_raw") / lit(100.0), 4).as("mean_bal"),
+        col("gini"))
+  }
+
+  /** Gini over the per-distinct-value prefix frame: groups ++
+    * (n, mean_raw, gini). Shared by the balance- and activity-
+    * concentration queries so the rank-sum algebra has one home.
+    * Accumulates DOUBLED rank-sums (2R = Σ_v v·(2cF + c(c+1)),
+    * always integral) so no intermediate ever divides — Spark's `/`
+    * on integers is DOUBLE division, and c(c+1)/2 through a double
+    * would silently lose exactness past 2^52. */
+  private def giniOf(pref: DataFrame, groups: Seq[String],
+                     valueCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val c38 = d38(col("__c"))
+    val r2 = d38(col(valueCol)) *
+      (lit(2L) * c38 * d38(col("__cumc")) + c38 * (c38 + lit(1L)))
+    val t = d38(col(valueCol)) * col("__c")
+    pref.groupBy(groups.map(col): _*)
+      .agg(sum(col("__c")).as("n"), sum(t).as("tot"), sum(r2).as("rs2"))
+      .select((groups.map(col) ++ Seq(col("n"),
+        (col("tot").cast("double") / d(col("n"))).as("mean_raw"),
+        round(col("rs2").cast("double") /
+            (d(col("n")) * col("tot").cast("double"))
+          - (d(col("n")) + lit(1.0)) / d(col("n")), 4).as("gini"))): _*)
+  }
+
+  /** Gini of per-user activity per event type — "is this event driven
+    * by the crowd or by a handful of accounts" (→1 flags bot/power
+    * concentration [[Analytics3.eventsBotProfile]] screens row-wise).
+    * Same rank-sum algebra as [[qAcctbalGini]], but over the OTHER
+    * distinct-value regime: values are per-user event counts, so the
+    * distinct domain is tiny (counts 1..k) and the prefix frame
+    * nearly collapses — the two queries together pin both ends of the
+    * operator's bound. */
+  def eventsUserGini(spark: SparkSession, dir: String): DataFrame =
+    eventsUserGiniOn(Tables.events(spark, dir))
+
+  def eventsUserGiniOn(events: DataFrame): DataFrame = {
+    import graft.operators.OrderedPrefix
+    val perUser = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    giniOf(OrderedPrefix.distinctPrefix(perUser, Seq("event_type"),
+        "n_events"), Seq("event_type"), "n_events")
+      .select(col("event_type"), col("n").as("n_users"),
+        round(col("mean_raw"), 4).as("mean_events"), col("gini"))
+  }
+
+  /** Lorenz curve of positive balances per segment at the ten decile
+    * ranks: with r_d = ceil(d·n/10), the cumulative balance share at
+    * rank r_d is (S(v<b) + b·(r_d − F(v<b))) / T where b is the
+    * SELECTED decile boundary value — the tie partial b·(r_d − F)
+    * counts exactly the copies of b at ranks ≤ r_d, so the share is
+    * exact even when a decile lands mid-tie (never interpolated, the
+    * [[Analytics2.qMedianOrder]] rule). Rides ONE
+    * [[graft.operators.OrderedPrefix]] frame: the boundary row for
+    * rank r is the distinct value with F < r ≤ F + c — a broadcast
+    * range-join of 10·|segments| targets against the distinct-value
+    * frame, no second corpus pass.
+    *
+    * The straight reading: "the bottom 50% of SEGMENT's customers
+    * hold cum_share of its receivable balance" — the audit view of
+    * [[qAcctbalGini]]'s single number. */
+  def qAcctbalLorenz(spark: SparkSession, dir: String): DataFrame =
+    qAcctbalLorenzOn(Tables.customer(spark, dir))
+
+  def qAcctbalLorenzOn(customer: DataFrame): DataFrame = {
+    import graft.operators.OrderedPrefix
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cust = customer.filter(col("c_acctbal") > 0)
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+    val pref = OrderedPrefix.distinctPrefix(cust, Seq("c_mktsegment"), "bal")
+    val tot = pref.groupBy(col("c_mktsegment"))
+      .agg(sum(col("__c")).as("n"),
+        sum(d38(col("bal")) * col("__c")).as("t"))
+    val targets = tot.select(col("c_mktsegment"), col("n"), col("t"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("r", ceil(col("decile") * d(col("n")) / lit(10.0))
+        .cast("long"))
+    pref.join(broadcast(targets), Seq("c_mktsegment"))
+      .filter(col("__cumc") < col("r") &&
+        col("r") <= col("__cumc") + col("__c"))
+      .select(col("c_mktsegment"), col("decile"),
+        round(d(col("bal")) / lit(100.0), 2).as("bal_at"),
+        round((col("__cums") + d38(col("bal")) *
+            (col("r") - col("__cumc"))).cast("double")
+          / col("t").cast("double"), 4).as("cum_share"))
+  }
+
+  /** 2-D skyline (Pareto frontier) of the part catalog on (retail
+    * price ↓, size ↑): the distinct (price, size) points no other
+    * point beats on both axes — "the efficient frontier of what a
+    * dollar buys". A point is dominated iff a STRICTLY cheaper point
+    * carries ≥ its size, or an equal-priced point carries MORE — so
+    * the skyline is exactly: per price, the max-size point, kept when
+    * its size strictly exceeds the exclusive prefix max over cheaper
+    * prices ([[graft.operators.OrderedPrefix]] `maxCol`; NULL prefix
+    * = group minimum = always on the frontier). The textbook
+    * construction sorts the catalog in one task; the prefix-max
+    * split keeps every window bounded, and dominance transitivity is
+    * what makes the bucket offset sufficient.
+    *
+    * Scale shape: one distinct-price shuffle (domain-bounded), the
+    * bounded prefix windows, one distinct-pair aggregate for the
+    * membership counts. */
+  def qPartSkyline(spark: SparkSession, dir: String): DataFrame =
+    qPartSkylineOn(Tables.part(spark, dir))
+
+  def qPartSkylineOn(part: DataFrame): DataFrame = {
+    import graft.operators.OrderedPrefix
+    val pts = part.select(
+      round(col("p_retailprice") * 100, 0).cast("long").as("price"),
+      col("p_size"))
+    val pref = OrderedPrefix.distinctPrefix(pts, Seq.empty, "price",
+      maxCol = Some("p_size"))
+    val frontier = pref
+      .filter(col("__cummax").isNull || col("__m") > col("__cummax"))
+      .select(col("price"), col("__m").as("p_size"))
+    val pairs = pts.groupBy(col("price"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"))
+    pairs.join(broadcast(frontier), Seq("price", "p_size"))
+      .select(round(d(col("price")) / lit(100.0), 2).as("p_retailprice"),
+        col("p_size"), col("n_parts"))
+  }
+
+  def eventsValueWinsorizedOn(events: DataFrame): DataFrame = {
+    import graft.operators.RankSelect
+    val dec = (c: Column) => c.cast("decimal(12,2)")
+    val e = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = RankSelect.statsFor(e, Seq("event_type"), "value")
+    val ranksOf: Column => Column = n => array(
+      ceil(lit(0.1) * n.cast("double")).cast("long"),
+      ceil(lit(0.9) * n.cast("double")).cast("long"))
+    val sel = RankSelect.selectValues(e, Seq("event_type"), "value",
+      ranksOf, stats = Some(stats))
+    val b = stats.select(col("event_type"), col("__n").as("n"))
+      .join(sel.groupBy(col("event_type"))
+          .agg(max(when(col("__ridx") === 0, col("value"))).as("vlo"),
+            max(when(col("__ridx") === 1, col("value"))).as("vhi")),
+        Seq("event_type"))
+    val z = lit(0).cast("decimal(12,2)")
+    e.join(broadcast(b), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("vlo"), col("vhi"))
+      .agg(sum(dec(col("value"))).as("s_all"),
+        sum(when(col("value") < col("vlo"), dec(col("value")))
+          .otherwise(z)).as("s_lo"),
+        count(when(col("value") < col("vlo"), lit(1))).as("c_lo"),
+        sum(when(col("value") > col("vhi"), dec(col("value")))
+          .otherwise(z)).as("s_hi"),
+        count(when(col("value") > col("vhi"), lit(1))).as("c_hi"))
+      .select(col("event_type"), col("n"), col("vlo"), col("vhi"),
+        round(col("s_all").cast("double") / d(col("n")), 4)
+          .as("mean_value"),
+        round((col("s_all") - col("s_lo") + dec(col("vlo")) * col("c_lo")
+            - col("s_hi") + dec(col("vhi")) * col("c_hi"))
+          .cast("double") / d(col("n")), 4)
+          .as("winsorized_mean"))
+  }
+}
