@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{Cdc, MergePipeline, TypeMap}
-import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, TextProfile, Video}
+import graft.llm.{Ann, Audio, Dedup, Multimodal, Sketches, SpanDedup, TextOps, TextProfile, TextProfile2, Video}
 import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5 + the builder prompt.
@@ -192,6 +192,10 @@ object SparkEntry {
     "text_case_profile" -> (TextProfile.textCaseProfileQ _),
     "corpus_prefix_clusters" -> (TextProfile.corpusPrefixClustersQ _),
     "text_sentence_stats" -> (TextProfile.textSentenceStatsQ _),
+    "corpus_source_diversity" -> (TextProfile2.corpusSourceDiversityQ _),
+    "corpus_quality_budget_curve" -> (TextProfile2.corpusQualityBudgetCurveQ _),
+    "text_vocab_gini" -> (TextProfile2.textVocabGiniQ _),
+    "text_markup_audit" -> (TextProfile2.textMarkupAuditQ _),
     "corpus_vocab_profile" -> (TextOps.corpusVocabProfileQ _),
     "text_novelty" -> (TextOps.textNoveltyQ _),
     "corpus_quality_pareto" -> (TextOps.corpusQualityParetoQ _),
@@ -4679,6 +4683,101 @@ object SparkEntry {
         |  round(CAST(sum(c * words) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
         |    AS avg_sentence_words
         |FROM g GROUP BY doc_id""".stripMargin,
+    // source-mix diversity: the entropy identity of events_user_entropy
+    // plus EXACT Σc² (DECIMAL) for Simpson / effective sources
+    "corpus_source_diversity" ->
+      """WITH ls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_sources,
+        |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |          AS clogc,
+        |        sum(CAST(c AS DECIMAL(38,0)) * c) AS c2
+        |      FROM ls GROUP BY 1)
+        |SELECT lang, n_docs, n_sources,
+        |  round(greatest(0.0, ln(CAST(n_docs AS DOUBLE))
+        |    - clogc / CAST(n_docs AS DOUBLE)), 4) AS entropy,
+        |  round(CAST(c2 AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)
+        |    AS simpson,
+        |  round(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |    / CAST(c2 AS DOUBLE), 4) AS effective_sources
+        |FROM a""".stripMargin,
+    // quality budget curve: the text_quality score tree, floor-binned
+    // to 20 bars, descending prefix sums over the ≤20-row bucket frame
+    "corpus_quality_budget_curve" ->
+      s"""WITH m AS (SELECT
+         |    least(CAST(floor(20.0 *
+         |      (least(CAST(len($tokSql) AS DOUBLE) / 64.0, 1.0)
+         |        * (1.0 - CAST(len(regexp_extract_all(text,
+         |            '$punctClass')) AS DOUBLE)
+         |          / CAST(len(text) AS DOUBLE)))) AS BIGINT), 19)
+         |      AS bucket,
+         |    CAST(len($tokSql) AS BIGINT) AS nt
+         |  FROM documents),
+         |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nd,
+         |        CAST(sum(nt) AS BIGINT) AS ntk
+         |      FROM m GROUP BY 1),
+         |c AS (SELECT bucket,
+         |        CAST(sum(nd) OVER w AS BIGINT) AS n_docs_ge,
+         |        CAST(sum(ntk) OVER w AS BIGINT) AS n_tokens_ge,
+         |        CAST(sum(nd) OVER () AS BIGINT) AS td,
+         |        CAST(sum(ntk) OVER () AS BIGINT) AS tt
+         |      FROM b WINDOW w AS (ORDER BY bucket DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT round(CAST(bucket AS DOUBLE) / 20.0, 2) AS threshold,
+         |  n_docs_ge, n_tokens_ge,
+         |  round(CAST(n_docs_ge AS DOUBLE) / CAST(td AS DOUBLE), 4)
+         |    AS doc_share,
+         |  round(CAST(n_tokens_ge AS DOUBLE) / CAST(tt AS DOUBLE), 4)
+         |    AS token_share
+         |FROM c""".stripMargin,
+    // vocabulary-concentration Gini: doubled rank-sum algebra of
+    // q_acctbal_gini over per-(lang, term) frequencies
+    "text_vocab_gini" ->
+      s"""WITH tok AS (SELECT lang, unnest($tokSql) AS t
+         |             FROM documents),
+         |tf AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS freq
+         |       FROM tok WHERE len(t) > 0 GROUP BY 1, 2),
+         |r AS (SELECT lang, freq, row_number() OVER (PARTITION BY lang
+         |        ORDER BY freq) AS rn
+         |      FROM tf),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(freq AS DECIMAL(38,0))) AS tot,
+         |        sum(CAST(2 * rn AS DECIMAL(38,0))
+         |          * CAST(freq AS DECIMAL(38,0))) AS rs2
+         |      FROM r GROUP BY 1)
+         |SELECT lang, n AS n_terms,
+         |  round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 4)
+         |    AS mean_freq,
+         |  round(CAST(rs2 AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+         |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 4) AS gini
+         |FROM a""".stripMargin,
+    // foreign-syntax audit: exact char-class extraction counts — the
+    // corpus is clean prose, so the all-zero row set IS the assertion
+    "text_markup_audit" ->
+      """WITH m AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[{}()\[\];]'))
+        |      AS BIGINT) AS braces,
+        |    CAST(len(regexp_extract_all(text, '<[a-zA-Z/]'))
+        |      AS BIGINT) AS tags,
+        |    CAST(len(regexp_extract_all(text, 'http|www\.'))
+        |      AS BIGINT) AS links,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]@[a-zA-Z0-9]'))
+        |      AS BIGINT) AS emails
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(braces) AS BIGINT) AS brace_chars,
+        |  CAST(sum(tags) AS BIGINT) AS tag_hits,
+        |  CAST(sum(links) AS BIGINT) AS link_hits,
+        |  CAST(sum(emails) AS BIGINT) AS email_hits,
+        |  CAST(sum(CASE WHEN braces + tags + links + emails > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS foreign_docs,
+        |  round(CAST(sum(CASE WHEN braces + tags + links + emails > 0
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS foreign_share
+        |FROM m GROUP BY 1""".stripMargin,
     "vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
          |           FROM documents),

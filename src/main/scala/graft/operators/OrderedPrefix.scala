@@ -104,4 +104,34 @@ object OrderedPrefix {
       maxCol.map(_ => col("__m")) ++
       maxCol.map(_ => col("__cummax"))): _*)
   }
+
+  /** Exact Gini coefficient per group over `valueCol` (integral,
+    * positive), via the distinct-value prefix frame: a tie class of c
+    * copies of v with F rows strictly below occupies ranks F+1..F+c,
+    * so Σ rank·value = Σ_v v·(cF + c(c+1)/2). Accumulates the DOUBLED
+    * rank-sum 2R = Σ_v v·(2cF + c(c+1)) — always integral, so nothing
+    * divides before the output edge (Spark's `/` on integers is
+    * DOUBLE division; c(c+1)/2 through a double would silently lose
+    * exactness past 2^52) — in DECIMAL(38,0), and
+    * G = 2R/(nT) − (n+1)/n only becomes DOUBLE in the returned
+    * columns. Rank-sums are tie-order invariant (tied rows share v),
+    * so no tiebreak is ever needed. Output: groups ++
+    * (n, mean_raw, gini) with mean_raw = T/n un-rounded (callers
+    * rescale cents→currency before rounding) and gini rounded 4dp. */
+  def gini(df: DataFrame, groups: Seq[String], valueCol: String,
+           buckets: Int = 1024): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val pref = distinctPrefix(df, groups, valueCol, buckets = buckets)
+    val c38 = d38(col("__c"))
+    val r2 = d38(col(valueCol)) *
+      (lit(2L) * c38 * d38(col("__cumc")) + c38 * (c38 + lit(1L)))
+    val t = d38(col(valueCol)) * col("__c")
+    pref.groupBy(groups.map(col): _*)
+      .agg(sum(col("__c")).as("n"), sum(t).as("tot"), sum(r2).as("rs2"))
+      .select((groups.map(col) ++ Seq(col("n"),
+        (dd(col("tot")) / dd(col("n"))).as("mean_raw"),
+        round(dd(col("rs2")) / (dd(col("n")) * dd(col("tot")))
+          - (dd(col("n")) + lit(1.0)) / dd(col("n")), 4).as("gini"))): _*)
+  }
 }

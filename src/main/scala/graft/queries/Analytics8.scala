@@ -94,34 +94,10 @@ object Analytics8 {
     val cust = customer.filter(col("c_acctbal") > 0)
       .select(col("c_mktsegment"),
         round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
-    giniOf(OrderedPrefix.distinctPrefix(cust, Seq("c_mktsegment"), "bal"),
-      Seq("c_mktsegment"), "bal")
+    OrderedPrefix.gini(cust, Seq("c_mktsegment"), "bal")
       .select(col("c_mktsegment"), col("n").as("n_customers"),
         round(col("mean_raw") / lit(100.0), 4).as("mean_bal"),
         col("gini"))
-  }
-
-  /** Gini over the per-distinct-value prefix frame: groups ++
-    * (n, mean_raw, gini). Shared by the balance- and activity-
-    * concentration queries so the rank-sum algebra has one home.
-    * Accumulates DOUBLED rank-sums (2R = Σ_v v·(2cF + c(c+1)),
-    * always integral) so no intermediate ever divides — Spark's `/`
-    * on integers is DOUBLE division, and c(c+1)/2 through a double
-    * would silently lose exactness past 2^52. */
-  private def giniOf(pref: DataFrame, groups: Seq[String],
-                     valueCol: String): DataFrame = {
-    val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val c38 = d38(col("__c"))
-    val r2 = d38(col(valueCol)) *
-      (lit(2L) * c38 * d38(col("__cumc")) + c38 * (c38 + lit(1L)))
-    val t = d38(col(valueCol)) * col("__c")
-    pref.groupBy(groups.map(col): _*)
-      .agg(sum(col("__c")).as("n"), sum(t).as("tot"), sum(r2).as("rs2"))
-      .select((groups.map(col) ++ Seq(col("n"),
-        (col("tot").cast("double") / d(col("n"))).as("mean_raw"),
-        round(col("rs2").cast("double") /
-            (d(col("n")) * col("tot").cast("double"))
-          - (d(col("n")) + lit(1.0)) / d(col("n")), 4).as("gini"))): _*)
   }
 
   /** Gini of per-user activity per event type — "is this event driven
@@ -139,8 +115,7 @@ object Analytics8 {
     import graft.operators.OrderedPrefix
     val perUser = events.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    giniOf(OrderedPrefix.distinctPrefix(perUser, Seq("event_type"),
-        "n_events"), Seq("event_type"), "n_events")
+    OrderedPrefix.gini(perUser, Seq("event_type"), "n_events")
       .select(col("event_type"), col("n").as("n_users"),
         round(col("mean_raw"), 4).as("mean_events"), col("gini"))
   }
