@@ -286,6 +286,8 @@ object SparkEntry {
     "knn_kcore_lsh" -> (Ann.knnKcoreLshQ _),
     "knn_components_lsh" -> (Ann.knnComponentsLshQ _),
     "knn_components_fast" -> (Ann.knnComponentsFastQ _),
+    "knn_edge_jaccard" -> (Ann.knnEdgeJaccardQ _),
+    "knn_edge_jaccard_lsh" -> (Ann.knnEdgeJaccardLshQ _),
     "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
     "embed_distance_profile" -> (Ann.embedDistanceProfileQ _),
     "lsh_bucket_profile" -> (Ann.lshBucketProfileQ _),
@@ -510,6 +512,39 @@ object SparkEntry {
        |        AS rank
        |    FROM sims)
        |  WHERE rank <= 5)""".stripMargin
+
+  /** SNN (shared-nearest-neighbor) edge-strength histogram body over
+    * an `nn (vec_id, nbr_id)` CTE: mutual edges, wedge-join common
+    * neighbors, open-neighborhood Jaccard floor(10J)-bucketed —
+    * matches Ann.knnEdgeJaccard exactly. */
+  private val edgeJaccardBodySql: String =
+    """mutual AS MATERIALIZED (
+      |  SELECT a.vec_id, a.nbr_id FROM nn a
+      |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+      |mdeg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS deg
+      |  FROM mutual GROUP BY 1),
+      |medges AS (SELECT vec_id AS a, nbr_id AS b FROM mutual
+      |  WHERE vec_id < nbr_id),
+      |mcmn AS (SELECT x.vec_id AS a, y.vec_id AS b,
+      |    CAST(count(*) AS BIGINT) AS cmn
+      |  FROM mutual x JOIN mutual y
+      |    ON x.nbr_id = y.nbr_id AND x.vec_id < y.vec_id
+      |  GROUP BY 1, 2),
+      |je AS (SELECT coalesce(c.cmn, 0) AS cmn,
+      |    da.deg + db.deg AS dd
+      |  FROM medges e
+      |  LEFT JOIN mcmn c ON e.a = c.a AND e.b = c.b
+      |  JOIN mdeg da ON e.a = da.vec_id
+      |  JOIN mdeg db ON e.b = db.vec_id),
+      |jb AS (SELECT CAST(floor(10.0 * CAST(cmn AS DOUBLE)
+      |    / CAST(dd - cmn AS DOUBLE)) AS BIGINT) AS bucket FROM je),
+      |jt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM jb)
+      |SELECT bucket,
+      |  round(CAST(bucket AS DOUBLE) / 10.0, 1) AS jaccard_lo,
+      |  CAST(count(*) AS BIGINT) AS n_edges,
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM jt), 4)
+      |    AS share
+      |FROM jb GROUP BY 1""".stripMargin
 
   /** h-index fixed-point coreness body over an `nn (vec_id, nbr_id)`
     * CTE (FIXED 10-iteration schedule, MATERIALIZED adjacency). */
@@ -6256,6 +6291,15 @@ object SparkEntry {
     "knn_kcore" ->
       s"""WITH RECURSIVE $knnNnSql,
         |$kcoreBodySql""".stripMargin,
+    // SNN edge-strength histogram: wedge join for common mutual
+    // neighbors, open-neighborhood Jaccard, floor(10J) buckets — the
+    // same body over both substrates
+    "knn_edge_jaccard" ->
+      s"""WITH $knnNnSql,
+        |$edgeJaccardBodySql""".stripMargin,
+    "knn_edge_jaccard_lsh" ->
+      s"""WITH $lshNnSql,
+        |$edgeJaccardBodySql""".stripMargin,
     // the SAME coreness body over the LSH-substrate edge frame — the
     // 100 TB graph path behind the gate (r13 verdict task 2)
     "knn_kcore_lsh" ->

@@ -4023,4 +4023,73 @@ object Ann {
     knnComponents(emb, graph = Some(
       knnGraphLsh(emb, bitsPerBand = 3).select("vec_id", "nbr_id")))
   }
+
+  /** Shared-nearest-neighbor strength histogram over the MUTUAL kNN
+    * graph (r14): per undirected edge (u,v), the Jaccard of the two
+    * open mutual neighborhoods |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    * Jarvis–Patrick / SNN similarity that graph sparsification and
+    * density clustering threshold on. The histogram (floor(10·J)
+    * buckets) is the DIAL-PRICING view: "how many edges survive an
+    * SNN cut at 0.3" — the [[lshBucketProfile]] analogue for the
+    * graph-sparsify knob. Neighborhoods are OPEN (v ∈ N(u) counts in
+    * the union, never the intersection), so J < 1 strictly and the
+    * buckets are exactly 0..9; counts are exact integers, the only
+    * double is the bucket assignment (ratio of exact ints — identical
+    * IEEE both engines) and the 4dp share.
+    *
+    * Scale shape: wedge self-join on the shared neighbor (pair mass
+    * Σ_w deg(w)² ≤ n·k² on the mutual graph — duplicate-bounded, the
+    * [[knnTriangles]] precedent), degree join, ≤10-row rollup. No
+    * quadratic term past the substrate build; pass `graph` =
+    * [[knnGraphLsh]] output at warehouse scale. */
+  def knnEdgeJaccard(embeddings: DataFrame, k: Int = 5,
+                     graph: Option[DataFrame] = None): DataFrame = {
+    val g = graft.Exec.materialize(
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
+    val rev = g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+    val adj = graft.Exec.materialize(
+      g.join(rev, Seq("vec_id", "nbr_id"), "left_semi"))
+    val deg = adj.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val edges = adj.filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    // common mutual neighbors per ordered pair via the wedge join
+    val common = adj.select(col("vec_id").as("a"), col("nbr_id").as("w"))
+      .join(adj.select(col("vec_id").as("b"), col("nbr_id").as("w")),
+        Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cmn"))
+    val j = edges
+      .join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("vec_id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("vec_id").as("b"), col("deg").as("db")), Seq("b"))
+      .select((coalesce(col("cmn"), lit(0L))).as("cmn"),
+        (col("da") + col("db")).as("dd"))
+      .select(floor(lit(10.0) * col("cmn").cast("double")
+        / (col("dd") - col("cmn")).cast("double")).cast("long")
+        .as("bucket"))
+    val tot = broadcast(j.agg(count(lit(1)).as("n_total")))
+    j.groupBy(col("bucket")).agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tot)
+      .select(col("bucket"),
+        round(col("bucket").cast("double") / lit(10.0), 1)
+          .as("jaccard_lo"),
+        col("n_edges"),
+        round(col("n_edges").cast("double") /
+          col("n_total").cast("double"), 4).as("share"))
+  }
+
+  def knnEdgeJaccardQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnEdgeJaccard(Tables.embeddings(spark, dir))
+  }
+
+  /** LSH-substrate SNN histogram driver entry — [[knnKcoreLshQ]]
+    * rationale: the sparsify dial priced on the scale path's graph. */
+  def knnEdgeJaccardLshQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    knnEdgeJaccard(emb, graph = Some(
+      knnGraphLsh(emb, bitsPerBand = 3).select("vec_id", "nbr_id")))
+  }
 }

@@ -57,7 +57,9 @@ class GraphSubstrateSpec extends AnyFunSuite with SparkFixture {
       "quality" -> (Ann.knnQualityScore(docs, emb, 5),
         Ann.knnQualityScore(docs, emb, 5, Some(exactG))),
       "intrinsic_dim" -> (Ann.embedIntrinsicDim(emb),
-        Ann.embedIntrinsicDim(emb, graph = Some(exactG))))
+        Ann.embedIntrinsicDim(emb, graph = Some(exactG))),
+      "edge_jaccard" -> (Ann.knnEdgeJaccard(emb, 5),
+        Ann.knnEdgeJaccard(emb, 5, graph = Some(exactG))))
     pairs.foreach { case (name, (dflt, explicitPath)) =>
       assert(sameRows(dflt, explicitPath), s"$name diverged")
     }
