@@ -136,6 +136,8 @@ object SparkEntry {
     "events_user_gini" -> (Analytics8.eventsUserGini _),
     "q_acctbal_lorenz" -> (Analytics8.qAcctbalLorenz _),
     "q_part_skyline" -> (Analytics8.qPartSkyline _),
+    "q_ship_delay_profile" -> (Analytics8.qShipDelayProfile _),
+    "events_top_movers" -> (Analytics8.eventsTopMovers _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -3075,6 +3077,50 @@ object SparkEntry {
         |      - s_hi + CAST(b.vhi AS DECIMAL(12,2)) * c_hi
         |    AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS winsorized_mean
         |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // ship-delay SLA percentiles: datediff over the orderkey fact
+    // join, ceil-rank selection on integer days
+    "q_ship_delay_profile" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT)
+        |        AS n_lines FROM d GROUP BY 1),
+        |r AS (SELECT o_orderpriority, delay_days,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY delay_days) AS rn
+        |      FROM d),
+        |q AS (SELECT n.o_orderpriority, n.n_lines, qq.q,
+        |        CAST(ceil(qq.q * CAST(n.n_lines AS DOUBLE)) AS BIGINT)
+        |          AS rk
+        |      FROM n, (VALUES (0.5), (0.9), (0.99)) AS qq(q)),
+        |s AS (SELECT q.o_orderpriority, q.n_lines, q.q, r.delay_days
+        |      FROM q JOIN r ON r.o_orderpriority = q.o_orderpriority
+        |        AND r.rn = q.rk)
+        |SELECT o_orderpriority, n_lines,
+        |  max(CASE WHEN q = 0.5 THEN delay_days END) AS p50_days,
+        |  max(CASE WHEN q = 0.9 THEN delay_days END) AS p90_days,
+        |  max(CASE WHEN q = 0.99 THEN delay_days END) AS p99_days
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // WoW top movers: epoch-day÷7 integer weeks (no calendar-week
+    // dialect), lag + |Δ|-desc/week-asc row_number cut at 3
+    "events_top_movers" ->
+      """WITH w AS (SELECT event_type,
+        |    (epoch_ms(ts) // 86400000) // 7 AS wk,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, wk, n,
+        |        lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+        |          AS prev_n
+        |      FROM w),
+        |d AS (SELECT event_type, wk, n, prev_n, n - prev_n AS delta
+        |      FROM p WHERE prev_n IS NOT NULL),
+        |r AS (SELECT event_type, wk, n, prev_n, delta,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY abs(delta) DESC, wk) AS rk
+        |      FROM d)
+        |SELECT event_type, rk, wk, n, prev_n, delta
+        |FROM r WHERE rk <= 3""".stripMargin,
     // exact Gini via rank sums: row_number rank-sum ≡ the engine's
     // tie-class closed form (tied rows share the value), DOUBLED so
     // no integer ever divides; DECIMAL(38,0) accumulation both sides

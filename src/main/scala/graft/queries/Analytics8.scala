@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -68,6 +69,78 @@ object Analytics8 {
     * Scale shape: one histogram selection (both boundary ranks ride
     * one pass), one map-side-combined grouped aggregate over the
     * corpus, 5-row broadcast joins. */
+  /** Ship-delay percentiles per order priority: exact p50/p90/p99 of
+    * datediff(shipdate, orderdate) in days — the SLA dashboard
+    * ("does URGENT actually ship faster, and by how much at the
+    * tail"). The delay column only exists after the orders⋈lineitem
+    * join (the natural orderkey co-partitioned fact join — at scale
+    * both sides bucket on the key, no extra shuffle), then the three
+    * ranks ride ONE [[graft.operators.RankSelect]] histogram pass on
+    * small-integer days (the near-collapsed bucket regime: ~120
+    * distinct values).
+    *
+    * Ceil-rank convention of [[Analytics7.eventsValuePercentiles]];
+    * delays are int days — never interpolated, never doubled. */
+  def qShipDelayProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankSelect
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val delays = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("delay_days"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ranksOf: Column => Column = n =>
+      array(qs.map(q => ceil(lit(q) * n.cast("double")).cast("long")): _*)
+    val sel = RankSelect.selectValues(delays, Seq("o_orderpriority"),
+      "delay_days", ranksOf)
+    val counts = delays.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"))
+    sel.groupBy(col("o_orderpriority"))
+      .agg(max(when(col("__ridx") === 0, col("delay_days"))).as("p50_days"),
+        max(when(col("__ridx") === 1, col("delay_days"))).as("p90_days"),
+        max(when(col("__ridx") === 2, col("delay_days"))).as("p99_days"))
+      .join(broadcast(counts), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_lines"), col("p50_days"),
+        col("p90_days"), col("p99_days"))
+  }
+
+  /** Week-over-week top movers per event type: the three weeks with
+    * the largest |Δ count| vs the PREVIOUS ACTIVE week — the ops
+    * review's "what changed" list ([[Analytics4.eventsMixDrift]]
+    * reads composition drift; this reads raw level moves). Weeks are
+    * epoch-day÷7 integers (engine-exact; no calendar-week dialect to
+    * disagree on). Both windows partition by type over |weeks| rows —
+    * bounded by the calendar, not the corpus; the heavy lifting is
+    * the (type, week) count aggregate, map-side combined.
+    *
+    * Ranking tiebreak: |Δ| desc, then week asc — total order, so the
+    * top-3 cut is deterministic. */
+  def eventsTopMovers(spark: SparkSession, dir: String): DataFrame =
+    eventsTopMoversOn(Tables.events(spark, dir))
+
+  def eventsTopMoversOn(events: DataFrame): DataFrame = {
+    val wk = (expr("unix_millis(ts)") / lit(86400000L)).cast("long") / lit(7L)
+    val weekly = events
+      .select(col("event_type"), wk.cast("long").as("wk"))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    val withPrev = weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+    val ranked = withPrev.withColumn("rk",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("delta")).desc, col("wk"))))
+    ranked.filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("wk"), col("n"),
+        col("prev_n"), col("delta"))
+  }
+
   def eventsValueWinsorized(spark: SparkSession, dir: String): DataFrame =
     eventsValueWinsorizedOn(Tables.events(spark, dir))
 

@@ -42,6 +42,49 @@ class Round14eSpec extends AnyFunSuite with SparkFixture {
       3L -> ((0.3, 1L, 0.25))))
   }
 
+  test("events_top_movers: lag deltas and the |Δ|-desc top-3 cut, by hand") {
+    import spark.implicits._
+    // one type, five active weeks: counts 10, 14, 5, 6, 26
+    // deltas: +4, −9, +1, +20 → top3 = wk4(+20), wk2(−9), wk1(+4)
+    val day = 86400000L
+    val rows = Seq.tabulate(5)(w => (w, Seq(10, 14, 5, 6, 26)(w)))
+      .flatMap { case (w, n) => (1 to n).map(i =>
+        ((w * 7L + 1) * day * 1000L, s"e${w}_$i")) }
+    val df = rows.zipWithIndex.map { case ((us, _), i) =>
+      (i.toLong, new java.sql.Timestamp(us / 1000), 1L, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.queries.Analytics8.eventsTopMoversOn(df).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(1) === ((4L, 26L, 6L, 20L)))
+    assert(got(2) === ((2L, 5L, 14L, -9L)))
+    assert(got(3) === ((1L, 14L, 10L, 4L)))
+  }
+
+  test("q_ship_delay_profile replay vs plain-Scala sort on the sf corpus") {
+    val got = graft.queries.Analytics8.qShipDelayProfile(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val epochDay = (c: String) =>
+      expr(s"datediff($c, DATE'1970-01-01')").cast("long")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), epochDay("l_shipdate")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val om = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), epochDay("o_orderdate"),
+        col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    li.flatMap { case (ok, ship) => om.get(ok).map { case (od, pri) =>
+      pri -> (ship - od) } }
+      .groupBy(_._1).foreach { case (pri, grp) =>
+        val ds = grp.map(_._2).sorted
+        def at(q: Double) = ds(math.ceil(q * ds.length).toInt - 1)
+        assert(got(pri) === ((ds.length.toLong, at(0.5), at(0.9),
+          at(0.99))), s"priority $pri")
+      }
+  }
+
   test("knn_edge_jaccard randomized replay vs plain-Scala neighborhoods") {
     for (trial <- 1 to 3) {
       val n = 30
