@@ -39,17 +39,28 @@ object Analytics8 {
     val li = lineitem.select(col("l_returnflag"),
       col("l_extendedprice"),
       col("l_quantity").cast("long").as("qty"))
+    // ONE stats scan serves both selections and the totals row: the
+    // extent is weight-independent, only __n differs (rows vs mass)
+    val both = graft.Exec.materialize(
+      li.groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice").cast("double")).as("__vmin"),
+          max(col("l_extendedprice").cast("double")).as("__vmax"),
+          count(lit(1)).as("n_lines"), sum(col("qty")).as("total_qty")))
+    val wstats = both.select(col("l_returnflag"), col("__vmin"),
+      col("__vmax"), col("total_qty").as("__n"))
+    val ustats = both.select(col("l_returnflag"), col("__vmin"),
+      col("__vmax"), col("n_lines").as("__n"))
     val wsel = RankSelect.selectValuesWeighted(li, Seq("l_returnflag"),
-        "l_extendedprice", "qty", RankSelect.lowMedian)
+        "l_extendedprice", "qty", RankSelect.lowMedian,
+        stats = Some(wstats))
       .select(col("l_returnflag"),
         col("l_extendedprice").as("wmedian_price"))
     val usel = RankSelect.selectValues(li, Seq("l_returnflag"),
-        "l_extendedprice", RankSelect.lowMedian)
+        "l_extendedprice", RankSelect.lowMedian, stats = Some(ustats))
       .select(col("l_returnflag"),
         col("l_extendedprice").as("median_price"))
-    val tot = li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("total_qty"))
-    tot.join(usel, Seq("l_returnflag"))
+    both.select(col("l_returnflag"), col("n_lines"), col("total_qty"))
+      .join(usel, Seq("l_returnflag"))
       .join(wsel, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_lines"), col("total_qty"),
         col("median_price"), col("wmedian_price"))
