@@ -290,6 +290,7 @@ object SparkEntry {
     "knn_components_fast" -> (Ann.knnComponentsFastQ _),
     "knn_edge_jaccard" -> (Ann.knnEdgeJaccardQ _),
     "knn_edge_jaccard_lsh" -> (Ann.knnEdgeJaccardLshQ _),
+    "knn_snn_cluster" -> (Ann.knnSnnClusterQ _),
     "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
     "embed_distance_profile" -> (Ann.embedDistanceProfileQ _),
     "lsh_bucket_profile" -> (Ann.lshBucketProfileQ _),
@@ -515,11 +516,12 @@ object SparkEntry {
        |    FROM sims)
        |  WHERE rank <= 5)""".stripMargin
 
-  /** SNN (shared-nearest-neighbor) edge-strength histogram body over
-    * an `nn (vec_id, nbr_id)` CTE: mutual edges, wedge-join common
-    * neighbors, open-neighborhood Jaccard floor(10J)-bucketed —
-    * matches Ann.knnEdgeJaccard exactly. */
-  private val edgeJaccardBodySql: String =
+  /** SNN pair-stats CTE chain over an `nn (vec_id, nbr_id)` CTE:
+    * mutual edges, wedge-join common neighbors, degree sums — the
+    * `mje (a, b, cmn, dd)` frame matching Ann.mutualPairStats,
+    * shared by the edge-strength histogram and the SNN clustering
+    * bodies. */
+  private val snnPairsSql: String =
     """mutual AS MATERIALIZED (
       |  SELECT a.vec_id, a.nbr_id FROM nn a
       |  JOIN nn b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
@@ -532,14 +534,19 @@ object SparkEntry {
       |  FROM mutual x JOIN mutual y
       |    ON x.nbr_id = y.nbr_id AND x.vec_id < y.vec_id
       |  GROUP BY 1, 2),
-      |je AS (SELECT coalesce(c.cmn, 0) AS cmn,
+      |mje AS (SELECT e.a, e.b, coalesce(c.cmn, 0) AS cmn,
       |    da.deg + db.deg AS dd
       |  FROM medges e
       |  LEFT JOIN mcmn c ON e.a = c.a AND e.b = c.b
       |  JOIN mdeg da ON e.a = da.vec_id
-      |  JOIN mdeg db ON e.b = db.vec_id),
+      |  JOIN mdeg db ON e.b = db.vec_id)""".stripMargin
+
+  /** Edge-strength histogram body: open-neighborhood Jaccard
+    * floor(10J)-bucketed — matches Ann.knnEdgeJaccard exactly. */
+  private val edgeJaccardBodySql: String =
+    s"""$snnPairsSql,
       |jb AS (SELECT CAST(floor(10.0 * CAST(cmn AS DOUBLE)
-      |    / CAST(dd - cmn AS DOUBLE)) AS BIGINT) AS bucket FROM je),
+      |    / CAST(dd - cmn AS DOUBLE)) AS BIGINT) AS bucket FROM mje),
       |jt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM jb)
       |SELECT bucket,
       |  round(CAST(bucket AS DOUBLE) / 10.0, 1) AS jaccard_lo,
@@ -547,6 +554,42 @@ object SparkEntry {
       |  round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM jt), 4)
       |    AS share
       |FROM jb GROUP BY 1""".stripMargin
+
+  /** Jarvis–Patrick clustering body: SNN edges clearing the EXACT
+    * integer threshold 5·cmn ≥ 1·(dd−cmn) (τ = 0.2), then the
+    * fixed-25-iteration min-label propagation of componentsBodySql
+    * over survivors + a self-loop per BASE-graph node (losers land as
+    * singletons) — matches Ann.knnSnnCluster exactly. */
+  private val snnClusterBodySql: String =
+    s"""$snnPairsSql,
+      |snne AS MATERIALIZED (
+      |  SELECT a AS vec_id, b AS nbr_id FROM mje
+      |  WHERE cmn * 5 >= (dd - cmn) * 1
+      |  UNION ALL
+      |  SELECT b AS vec_id, a AS nbr_id FROM mje
+      |  WHERE cmn * 5 >= (dd - cmn) * 1),
+      |cuni AS MATERIALIZED (SELECT DISTINCT vec_id FROM nn),
+      |adjs AS MATERIALIZED (
+      |  SELECT vec_id, nbr_id FROM snne
+      |  UNION ALL SELECT vec_id, vec_id AS nbr_id FROM cuni),
+      |lab AS (
+      |  SELECT 0 AS iter, vec_id, CAST(vec_id AS BIGINT) AS c
+      |  FROM cuni
+      |  UNION ALL
+      |  SELECT l.iter + 1, a.vec_id, min(l.c) AS c
+      |  FROM adjs a JOIN lab l ON a.nbr_id = l.vec_id
+      |  WHERE l.iter < 25
+      |  GROUP BY l.iter, a.vec_id),
+      |fin AS (SELECT vec_id, c FROM lab WHERE iter = 25),
+      |siz AS (SELECT c, CAST(count(*) AS BIGINT) AS component_size
+      |  FROM fin GROUP BY 1),
+      |tot AS (SELECT CAST(sum(component_size) AS BIGINT) AS n_total
+      |  FROM siz)
+      |SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
+      |  CAST(component_size * count(*) AS BIGINT) AS n_nodes,
+      |  round(CAST(component_size * count(*) AS DOUBLE)
+      |    / CAST(n_total AS DOUBLE), 4) AS node_share
+      |FROM siz, tot GROUP BY component_size, n_total""".stripMargin
 
   /** h-index fixed-point coreness body over an `nn (vec_id, nbr_id)`
     * CTE (FIXED 10-iteration schedule, MATERIALIZED adjacency). */
@@ -6346,6 +6389,11 @@ object SparkEntry {
     "knn_edge_jaccard_lsh" ->
       s"""WITH $lshNnSql,
         |$edgeJaccardBodySql""".stripMargin,
+    // Jarvis–Patrick: integer-threshold SNN cut + the components
+    // propagation over survivors (self-loops keep losers as singletons)
+    "knn_snn_cluster" ->
+      s"""WITH RECURSIVE $knnNnSql,
+        |$snnClusterBodySql""".stripMargin,
     // the SAME coreness body over the LSH-substrate edge frame — the
     // 100 TB graph path behind the gate (r13 verdict task 2)
     "knn_kcore_lsh" ->

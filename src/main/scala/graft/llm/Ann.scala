@@ -4042,11 +4042,11 @@ object Ann {
     * [[knnTriangles]] precedent), degree join, ≤10-row rollup. No
     * quadratic term past the substrate build; pass `graph` =
     * [[knnGraphLsh]] output at warehouse scale. */
-  def knnEdgeJaccard(embeddings: DataFrame, k: Int = 5,
-                     graph: Option[DataFrame] = None): DataFrame = {
-    val g = graft.Exec.materialize(
-      graph.getOrElse(knnGraph(embeddings, k))
-        .select(col("vec_id"), col("nbr_id")))
+  /** Per mutual edge (a < b): common-neighbor count `cmn` and degree
+    * sum `dd` — the SNN numerator/denominator frame shared by
+    * [[knnEdgeJaccard]] (histogram) and [[knnSnnCluster]] (threshold
+    * + components). Input is the DIRECTED substrate edge frame. */
+  private def mutualPairStats(g: DataFrame): DataFrame = {
     val rev = g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
     val adj = graft.Exec.materialize(
       g.join(rev, Seq("vec_id", "nbr_id"), "left_semi"))
@@ -4059,12 +4059,20 @@ object Ann {
         Seq("w"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cmn"))
-    val j = edges
+    edges
       .join(common, Seq("a", "b"), "left")
       .join(deg.select(col("vec_id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("vec_id").as("b"), col("deg").as("db")), Seq("b"))
-      .select((coalesce(col("cmn"), lit(0L))).as("cmn"),
+      .select(col("a"), col("b"), coalesce(col("cmn"), lit(0L)).as("cmn"),
         (col("da") + col("db")).as("dd"))
+  }
+
+  def knnEdgeJaccard(embeddings: DataFrame, k: Int = 5,
+                     graph: Option[DataFrame] = None): DataFrame = {
+    val g = graft.Exec.materialize(
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
+    val j = mutualPairStats(g)
       .select(floor(lit(10.0) * col("cmn").cast("double")
         / (col("dd") - col("cmn")).cast("double")).cast("long")
         .as("bucket"))
@@ -4091,5 +4099,45 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     knnEdgeJaccard(emb, graph = Some(
       knnGraphLsh(emb, bitsPerBand = 3).select("vec_id", "nbr_id")))
+  }
+
+  /** Jarvis–Patrick (SNN) clustering: keep the mutual edges whose
+    * shared-neighbor Jaccard clears τ = num/den, then connected
+    * components of the survivor graph — the density clustering that
+    * needs NO centroid count and leaves noise as singletons (the
+    * k-means-free sibling of [[knnCluster]], which clusters the RAW
+    * mutual graph and so chains through hub edges SNN cuts). The
+    * threshold is evaluated as the exact INTEGER comparison
+    * den·cmn ≥ num·(dd − cmn) — no floating point anywhere in the
+    * cut, so engines cannot disagree at the boundary. Components ride
+    * [[knnComponents]]' fixed-schedule propagation (the
+    * oracle-replayable contract) over the survivor edges plus a
+    * self-loop per BASE-graph node, so nodes that lose every edge —
+    * or never had a mutual one — land as singletons rather than
+    * disappearing.
+    *
+    * Scale shape: [[mutualPairStats]]' wedge join (≤ n·k² pair mass)
+    * + the components fold on the ≤ nk survivor frame. */
+  def knnSnnCluster(embeddings: DataFrame, k: Int = 5,
+                    tauNum: Int = 1, tauDen: Int = 5,
+                    graph: Option[DataFrame] = None): DataFrame = {
+    val g = graft.Exec.materialize(
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
+    val snn = mutualPairStats(g)
+      .filter(col("cmn") * lit(tauDen.toLong) >=
+        (col("dd") - col("cmn")) * lit(tauNum.toLong))
+      .select(col("a"), col("b"))
+    val both = snn.select(col("a").as("vec_id"), col("b").as("nbr_id"))
+      .unionByName(snn.select(col("b").as("vec_id"), col("a").as("nbr_id")))
+    val selfLoops = g.select(col("vec_id")).distinct()
+      .select(col("vec_id"), col("vec_id").as("nbr_id"))
+    knnComponents(embeddings, k, graph =
+      Some(both.unionByName(selfLoops)))
+  }
+
+  def knnSnnClusterQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnSnnCluster(Tables.embeddings(spark, dir))
   }
 }

@@ -42,6 +42,21 @@ class Round14eSpec extends AnyFunSuite with SparkFixture {
       3L -> ((0.3, 1L, 0.25))))
   }
 
+  test("knn_snn_cluster: the SNN cut severs the hub bridge raw components keep") {
+    // two triangles bridged by 3–4, plus the isolated pair 7–8:
+    // bridge J = 0 (no shared neighbor) < 0.2 → cut; pair J = 0 → cut
+    val g = graphDf(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L), (7L, 8L)))
+    val got = Ann.knnSnnCluster(emptyEmb, graph = Some(g)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got === Map(1L -> ((2L, 2L, 0.25)), 3L -> ((2L, 6L, 0.75))))
+    // contrast: the raw mutual graph is one 6-component + the pair
+    val raw = Ann.knnComponents(emptyEmb, graph = Some(g)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw === Map(6L -> 1L, 2L -> 1L))
+  }
+
   test("events_top_movers: lag deltas and the |Δ|-desc top-3 cut, by hand") {
     import spark.implicits._
     // one type, five active weeks: counts 10, 14, 5, 6, 26
