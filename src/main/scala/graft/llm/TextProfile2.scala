@@ -38,10 +38,17 @@ object TextProfile2 {
     *
     * Scale shape: one (lang, source) count aggregate (domain-bounded:
     * langs × sources), then a per-lang rollup of that tiny frame. */
-  def corpusSourceDiversity(docs: DataFrame): DataFrame = {
+  def corpusSourceDiversity(docs: DataFrame): DataFrame =
+    corpusSourceDiversityFromCounts(
+      docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c")))
+
+  /** The diversity dashboard off a pre-aggregated (lang, source, c)
+    * count table — the serving path for the STREAM-maintained mix
+    * table ([[graft.streaming.StreamSketches.servedSourceMixTable]]):
+    * the count merge is plain addition, so the streamed table feeds
+    * this bit-exactly. */
+  def corpusSourceDiversityFromCounts(ls: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val ls = docs.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("c"))
     ls.groupBy(col("lang"))
       .agg(sum(col("c")).as("n_docs"),
         count(lit(1)).as("n_sources"),

@@ -113,4 +113,44 @@ object StreamSketches {
     sink.read(spark, table)
       .groupBy(col("lang"), col("source"), col("bkt"))
       .agg(sum(col("n_docs")).as("n_docs"))
+
+  // --- source-mix maintenance (r14) ---
+
+  /** Per-micro-batch worker for the (lang, source) mix table feeding
+    * the diversity dashboard
+    * ([[graft.llm.TextProfile2.corpusSourceDiversityFromCounts]]):
+    * plain additive counts, batch_id-tagged, idempotent under replay —
+    * the [[ddQuantileBatch]] convention on the coarser grain. */
+  def sourceMixBatch(batch: DataFrame, batchId: Long, sink: WarehouseSink,
+                     table: String): Unit = {
+    val rows = batch.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("batch_id", lit(batchId))
+    sink.write(rows, table, "batch_id", Seq("lang", "source"),
+      dynamicOverwrite = true)
+  }
+
+  /** Start the source-mix maintenance loop over a streaming documents
+    * frame. */
+  def sourceMixStream(stream: DataFrame, sink: WarehouseSink,
+                      table: String = "source_mix",
+                      checkpoint: String,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sourceMixBatch(batch, batchId, sink, table)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Serve the (lang, source) counts off the persisted table — the
+    * EXACT equivalent of the batch groupBy over all history; feed to
+    * corpusSourceDiversityFromCounts for the dashboard. */
+  def servedSourceMixTable(spark: SparkSession, sink: WarehouseSink,
+                           table: String = "source_mix"): DataFrame =
+    sink.read(spark, table)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("c")).as("c"))
 }

@@ -106,4 +106,41 @@ class StreamSketchesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(StreamSketches.servedDdQuantileTable(spark, sink))
       === before)
   }
+
+  test("streaming source-mix table serves the diversity dashboard bit-exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val inputDir = tmpDir("smix_in_")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$inputDir/f0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$inputDir/f1")
+    val sink = new WarehouseSink(tmpDir("smix_wh_"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inputDir/f*")
+    val q = StreamSketches.sourceMixStream(stream, sink,
+      checkpoint = tmpDir("smix_ckpt_"),
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination()
+    assert(sink.read(spark, "source_mix")
+      .select("batch_id").distinct().count() >= 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val served = StreamSketches.servedSourceMixTable(spark, sink)
+    // counts merge additively → the dashboard off the streamed table
+    // IS the batch dashboard, bit for bit
+    import graft.llm.TextProfile2
+    assert(rows(TextProfile2.corpusSourceDiversityFromCounts(served))
+      === rows(TextProfile2.corpusSourceDiversity(docs)))
+    // replay idempotence on the coarse grain
+    val before = rows(served)
+    val b0 = sink.read(spark, "source_mix")
+      .filter(col("batch_id") === 0).agg(sum("c"))
+      .collect().head.getLong(0)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val replay = if (even.count() == b0) even else odd
+    StreamSketches.sourceMixBatch(replay, 0L, sink, "source_mix")
+    assert(rows(StreamSketches.servedSourceMixTable(spark, sink))
+      === before)
+  }
 }
