@@ -238,6 +238,7 @@ object SparkEntry {
     "corpus_rebalance" -> (TextOps.corpusRebalanceQ _),
     "corpus_temperature_sample" -> (TextOps.corpusTemperatureSampleQ _),
     "corpus_sample_fixed" -> (TextOps.corpusSampleFixedQ _),
+    "corpus_weighted_sample" -> (TextOps.corpusWeightedSampleQ _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratifiedQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
     "corpus_split_shards" -> (graft.llm.Export.corpusSplitShardsQ _),
@@ -3835,6 +3836,16 @@ object SparkEntry {
          |    >> ${TextOps.SampleShift}) % 1000000 AS sample_key
          |FROM documents
          |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    // priority sampling: integer floor(w·10^12/(u+1)) priorities over
+    // the Knuth-mix uniform — integer-exact ordering, top-100 cut
+    "corpus_weighted_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+         |  n_chars * 1000000000000 //
+         |    ((((doc_id % ${TextOps.SampleIdPrime})
+         |        * ${TextOps.WeightedMultiplier})
+         |      >> ${TextOps.SampleShift}) % 1000000 + 1) AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     // stratified fixed sample: bottom-50 of the hash order per lang
     "corpus_sample_stratified" ->
       s"""SELECT doc_id, lang, source, sample_key FROM (

@@ -2270,6 +2270,43 @@ object TextOps {
   def corpusSampleFixedQ(spark: SparkSession, dir: String): DataFrame =
     corpusSampleFixed(Tables.documents(spark, dir))
 
+  /** Multiplier for the WEIGHTED sampler's uniform — must differ from
+    * [[SampleMultiplier]]/[[FixedMultiplier]]/[[TempMultiplier]] so
+    * the weighted draw decorrelates from every other sampler's kept
+    * set. Another well-mixed odd public constant (xxhash PRIME32_2). */
+  val WeightedMultiplier = 2246822519L
+
+  /** Deterministic WEIGHTED sample: priority sampling
+    * (Duffield–Lund–Thorup, JACM 2007) with q_i = w_i / u_i and the
+    * top-k cut — inclusion odds scale with the weight (here n_chars:
+    * a length-proportional draw, the right null model for "sample
+    * k docs' worth of TEXT", where the unweighted samplers answer
+    * "k docs"). The uniform is the doc's consistent-hash key at 10⁻⁶
+    * granularity and the priority is the INTEGER
+    * floor(w·10¹² / (u+1)) — ordering is integer-exact end to end (no
+    * libm call anywhere near the cut, the determinism rule every
+    * selected-row op here follows), replayable forever, append-stable
+    * in the bottom-k sense. Bound: w·10¹² must fit int64 — fine to
+    * ~9·10⁶-char docs; chunk longer docs upstream ([[corpusChunk]]).
+    *
+    * Scale shape: TakeOrderedAndProject (per-partition top-k, driver
+    * merges P·k rows) — no global sort, no shuffle. */
+  def corpusWeightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val uInt = pmod(
+      shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * WeightedMultiplier,
+        SampleShift),
+      lit(1000000L))
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        uInt.as("u1"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        expr("n_chars * 1000000000000 div (u1 + 1)").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def corpusWeightedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    corpusWeightedSample(Tables.documents(spark, dir))
+
   /** Deterministic STRATIFIED fixed-size sample: the `k` smallest
     * (consistent-hash key, doc_id) docs of EVERY language — the
     * balanced eval-set draw ("50 docs per language, same ones every

@@ -82,6 +82,26 @@ class Round14dSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("corpus_weighted_sample: integer priorities, plain-Scala replay, no sort exchange") {
+    import graft.llm.TextOps
+    val df = Tables.documents(spark, sfDir)
+    val res = TextOps.corpusWeightedSample(df, k = 20)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(4)))
+    // plain-Scala replay of the priority arithmetic + top-k cut
+    val want = df.select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val u = ((id % TextOps.SampleIdPrime) * TextOps.WeightedMultiplier
+          >> TextOps.SampleShift) % 1000000L
+        (id, w * 1000000000000L / (u + 1L))
+      }
+      .sortBy { case (id, p) => (-p, id) }.take(20)
+    assert(got.toSeq === want.toSeq)
+    // the cut is a per-partition top-k, not a global sort
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("text_markup_audit: planted code, HTML, links, emails counted exactly") {
     val df = docs(Seq(
       (1L, "def f(x): return {x: [1]};", "en", "code"),   // ( ) { } [ ] ; : → braces
