@@ -138,6 +138,7 @@ object SparkEntry {
     "q_part_skyline" -> (Analytics8.qPartSkyline _),
     "q_ship_delay_profile" -> (Analytics8.qShipDelayProfile _),
     "events_top_movers" -> (Analytics8.eventsTopMovers _),
+    "q_revenue_pareto" -> (Analytics8.qRevenuePareto _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -3121,6 +3122,33 @@ object SparkEntry {
         |      - s_hi + CAST(b.vhi AS DECIMAL(12,2)) * c_hi
         |    AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS winsorized_mean
         |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // ABC / Pareto: minimal part count covering 80% of brand revenue —
+    // integer crossing (5·cum ≥ 4·T in DECIMAL), canonical desc order
+    "q_revenue_pareto" ->
+      """WITH pr AS (SELECT p.p_brand, l.l_partkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT p_brand, rev,
+        |    sum(CAST(rev AS DECIMAL(38,0))) OVER (PARTITION BY p_brand
+        |      ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY rev DESC, l_partkey) AS rn
+        |  FROM pr),
+        |t AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |    sum(CAST(rev AS DECIMAL(38,0))) AS tt
+        |  FROM pr GROUP BY 1),
+        |k AS (SELECT r.p_brand, CAST(min(rn) AS BIGINT) AS k
+        |  FROM r JOIN t USING (p_brand)
+        |  WHERE 5 * cum >= 4 * tt GROUP BY 1)
+        |SELECT t.p_brand, t.n_parts,
+        |  round(CAST(tt AS DOUBLE) / 100, 2) AS total_revenue,
+        |  k.k AS parts_for_80pct,
+        |  round(CAST(k.k AS DOUBLE) / CAST(t.n_parts AS DOUBLE), 4)
+        |    AS share_of_parts
+        |FROM t JOIN k USING (p_brand)""".stripMargin,
     // ship-delay SLA percentiles: datediff over the orderkey fact
     // join, ceil-rank selection on integer days
     "q_ship_delay_profile" ->

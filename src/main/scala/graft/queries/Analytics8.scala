@@ -80,6 +80,64 @@ object Analytics8 {
     * Scale shape: one histogram selection (both boundary ranks ride
     * one pass), one map-side-combined grouped aggregate over the
     * corpus, 5-row broadcast joins. */
+  /** Pareto / ABC analysis per brand: the MINIMAL number of parts
+    * whose (gross, cents-exact) revenue covers 80% of the brand's
+    * total, under the canonical order (revenue desc, partkey asc) —
+    * "how concentrated is this brand's catalog" as a COUNT, where
+    * [[qAcctbalGini]] gives the index. Rides
+    * [[graft.operators.OrderedPrefix]] on the NEGATED revenue
+    * (exclusive prefixes over strictly-larger revenues); within the
+    * one tie class that crosses the bar, the extra members needed are
+    * j = ceil((4T − 5S)/(5v)) evaluated as the INTEGER
+    * (x + 5v − 1) div (5v) on longs — the whole crossing is integer
+    * arithmetic (5·cum ≥ 4·T in DECIMAL, never 0.8·double; the long
+    * residual x = 4T − 5S is bounded by the crossing class's own
+    * revenue mass 5·v·c), and k is tie-order invariant because tie
+    * members are interchangeable.
+    *
+    * Scale shape: one (brand, part) revenue aggregate (part-domain
+    * bounded), the bounded prefix windows, a 1-row-per-brand filter. */
+  def qRevenuePareto(spark: SparkSession, dir: String): DataFrame =
+    qRevenueParetoOn(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  def qRevenueParetoOn(lineitem: DataFrame, partT: DataFrame): DataFrame = {
+    import graft.operators.OrderedPrefix
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val li = lineitem
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val part = partT.select(col("p_partkey"), col("p_brand"))
+    val rev = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(col("cents")).as("rev"))
+      .select(col("p_brand"), (-col("rev")).as("nrev"))
+    val pref = OrderedPrefix.distinctPrefix(rev, Seq("p_brand"), "nrev")
+    // per tie class (v = −nrev): F parts and S cents strictly above
+    val cls = pref.select(col("p_brand"), (-col("nrev")).as("v"),
+      col("__c"), col("__cumc").as("f"), (-col("__cums")).as("s"))
+    val tot = cls.groupBy(col("p_brand"))
+      .agg(sum(col("__c")).as("n_parts"),
+        sum(d38(col("v")) * col("__c")).as("t"))
+    val j = expr("(__x + 5L * v - 1L) div (5L * v)")
+    cls.join(broadcast(tot), Seq("p_brand"))
+      // exactly one class crosses: 5S < 4T ≤ 5(S + c·v)
+      .filter(lit(5) * col("s") < lit(4) * col("t") &&
+        lit(5) * (col("s") + d38(col("v")) * col("__c")) >=
+          lit(4) * col("t"))
+      // the long residual only exists on the crossing row, where the
+      // filter bounds it by the class's own mass 5·v·c (ANSI casts
+      // throw on overflow — computing x pre-filter would risk that on
+      // the deep tail rows)
+      .withColumn("__x", (lit(4) * col("t") - lit(5) * col("s"))
+        .cast("long"))
+      .select(col("p_brand"), col("n_parts"),
+        round(col("t").cast("double") / lit(100.0), 2)
+          .as("total_revenue"),
+        (col("f") + j).as("parts_for_80pct"),
+        round((col("f") + j).cast("double") / d(col("n_parts")), 4)
+          .as("share_of_parts"))
+  }
+
   /** Ship-delay percentiles per order priority: exact p50/p90/p99 of
     * datediff(shipdate, orderdate) in days — the SLA dashboard
     * ("does URGENT actually ship faster, and by how much at the

@@ -42,6 +42,25 @@ class Round14eSpec extends AnyFunSuite with SparkFixture {
       3L -> ((0.3, 1L, 0.25))))
   }
 
+  test("q_revenue_pareto: crossing inside a tie class takes the exact j") {
+    import spark.implicits._
+    // brand A revenues (dollars): 4.00, 2.00, 2.00, 2.00 → T=10.00;
+    // 80% bar crosses inside the 2.00 tie class at the 3rd part
+    // brand B: 5.00, 3.00, 1.00, 1.00 → crossing at part 2 exactly
+    val li = Seq(
+      (1L, 4.00), (2L, 2.00), (3L, 2.00), (4L, 2.00),
+      (11L, 5.00), (12L, 3.00), (13L, 1.00), (14L, 1.00))
+      .toDF("l_partkey", "l_extendedprice")
+    val part = (1L to 4L).map((_, "A")) ++ (11L to 14L).map((_, "B"))
+    val got = graft.queries.Analytics8.qRevenueParetoOn(li,
+        part.toDF("p_partkey", "p_brand")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got("A") === ((4L, 10.0, 3L, 0.75)))
+    assert(got("B") === ((4L, 10.0, 2L, 0.5)))
+  }
+
   test("knn_snn_cluster: the SNN cut severs the hub bridge raw components keep") {
     // two triangles bridged by 3–4, plus the isolated pair 7–8:
     // bridge J = 0 (no shared neighbor) < 0.2 → cut; pair J = 0 → cut
