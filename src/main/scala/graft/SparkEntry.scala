@@ -139,6 +139,7 @@ object SparkEntry {
     "q_ship_delay_profile" -> (Analytics8.qShipDelayProfile _),
     "events_top_movers" -> (Analytics8.eventsTopMovers _),
     "q_revenue_pareto" -> (Analytics8.qRevenuePareto _),
+    "events_session_profile" -> (Analytics8.eventsSessionProfile _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -3122,6 +3123,43 @@ object SparkEntry {
         |      - s_hi + CAST(b.vhi AS DECIMAL(12,2)) * c_hi
         |    AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS winsorized_mean
         |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // session-shape percentiles: the events_sessions CTE + global
+    // ceil-rank selection on integer durations and counts
+    "events_session_profile" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ms,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms) AS sid
+        |  FROM w),
+        |s AS (SELECT max(ms) - min(ms) AS dur_ms,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM g GROUP BY user_id, sid),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM s),
+        |rd AS (SELECT dur_ms, row_number() OVER (ORDER BY dur_ms) AS rn
+        |       FROM s),
+        |re AS (SELECT n_events, row_number() OVER (ORDER BY n_events)
+        |         AS rn
+        |       FROM s),
+        |q AS (SELECT qq.q, CAST(ceil(qq.q * CAST(n.n_sessions AS DOUBLE))
+        |        AS BIGINT) AS rk
+        |      FROM n, (VALUES (0.5), (0.9), (0.99)) AS qq(q))
+        |SELECT n.n_sessions,
+        |  max(CASE WHEN q.q = 0.5 THEN rd.dur_ms END) AS p50_dur_ms,
+        |  max(CASE WHEN q.q = 0.9 THEN rd.dur_ms END) AS p90_dur_ms,
+        |  max(CASE WHEN q.q = 0.99 THEN rd.dur_ms END) AS p99_dur_ms,
+        |  max(CASE WHEN q.q = 0.5 THEN re.n_events END) AS p50_events,
+        |  max(CASE WHEN q.q = 0.9 THEN re.n_events END) AS p90_events,
+        |  max(CASE WHEN q.q = 0.99 THEN re.n_events END) AS p99_events
+        |FROM n, q
+        |JOIN rd ON rd.rn = q.rk
+        |JOIN re ON re.rn = q.rk
+        |GROUP BY n.n_sessions""".stripMargin,
     // ABC / Pareto: minimal part count covering 80% of brand revenue —
     // integer crossing (5·cum ≥ 4·T in DECIMAL), canonical desc order
     "q_revenue_pareto" ->

@@ -138,6 +138,54 @@ object Analytics8 {
           .as("share_of_parts"))
   }
 
+  /** Session-shape percentiles: exact p50/p90/p99 of session DURATION
+    * and session EVENT COUNT over the 30-minute-gap sessionization —
+    * the capacity-planning shape ("how long is a p99 session, how
+    * chatty") that events_sessions lists raw and events_user_sessions
+    * averages away. Sessions build with the standard lag + running
+    * new-session flag (the per-user window every sessionization here
+    * pays); both percentile families then ride GLOBAL RankSelect
+    * histogram selections — single-group selection is exactly where
+    * the old `row_number` construction was a one-task sort of EVERY
+    * session, and where the bounded histogram matters most.
+    *
+    * Durations are integer milliseconds, counts integers — selected
+    * rows, never interpolated. */
+  def eventsSessionProfile(spark: SparkSession, dir: String): DataFrame =
+    eventsSessionProfileOn(Tables.events(spark, dir))
+
+  def eventsSessionProfileOn(events: DataFrame): DataFrame = {
+    import graft.operators.RankSelect
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ms = expr("unix_millis(ts)")
+    val flagged = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ms", ms)
+      .withColumn("new_s",
+        when(lag(col("ms"), 1).over(w).isNull ||
+          col("ms") - lag(col("ms"), 1).over(w) > lit(1800000L), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+    val sessions = flagged.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select((col("end_ms") - col("start_ms")).as("dur_ms"),
+        col("n_events"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ranksOf: Column => Column = n =>
+      array(qs.map(q => ceil(lit(q) * n.cast("double")).cast("long")): _*)
+    def sel(valueCol: String, pfx: String): DataFrame =
+      RankSelect.selectValues(sessions, Seq.empty, valueCol, ranksOf)
+        .agg(max(when(col("__ridx") === 0, col(valueCol))).as(s"p50_$pfx"),
+          max(when(col("__ridx") === 1, col(valueCol))).as(s"p90_$pfx"),
+          max(when(col("__ridx") === 2, col(valueCol))).as(s"p99_$pfx"))
+    val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    n.crossJoin(sel("dur_ms", "dur_ms"))
+      .crossJoin(sel("n_events", "events"))
+  }
+
   /** Ship-delay percentiles per order priority: exact p50/p90/p99 of
     * datediff(shipdate, orderdate) in days — the SLA dashboard
     * ("does URGENT actually ship faster, and by how much at the

@@ -42,6 +42,41 @@ class Round14eSpec extends AnyFunSuite with SparkFixture {
       3L -> ((0.3, 1L, 0.25))))
   }
 
+  test("events_session_profile randomized replay vs plain-Scala sessionization") {
+    import spark.implicits._
+    val gap = 1800000L
+    val rows = (1 to 8).flatMap { u =>
+      var t = 1000000L
+      (1 to 20 + rnd.nextInt(40)).map { i =>
+        t += (if (rnd.nextInt(5) == 0) gap + 1 + rnd.nextInt(100000)
+              else rnd.nextInt(600000).toLong)
+        (u * 1000L + i, new java.sql.Timestamp(t), u.toLong, "e", 1.0, "{}")
+      }
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val got = graft.queries.Analytics8.eventsSessionProfileOn(df)
+      .collect().head
+    // plain-Scala sessionization + sorted percentiles
+    val sess = rows.groupBy(_._3).values.flatMap { evs =>
+      val ms = evs.map(_._2.getTime).sorted
+      val cuts = ms.zip(ms.head +: ms.init)
+        .map { case (c, p) => c - p > gap }
+      val sids = cuts.scanLeft(0) { case (s, n) => if (n) s + 1 else s }
+        .tail
+      ms.zip(sids).groupBy(_._2).values
+        .map(g => (g.map(_._1).max - g.map(_._1).min, g.size.toLong))
+    }.toSeq
+    def at(xs: Seq[Long], q: Double) = {
+      val s = xs.sorted; s(math.ceil(q * s.length).toInt - 1)
+    }
+    assert(got.getLong(0) === sess.size.toLong)
+    assert((1 to 3).map(i => got.getLong(i)) ===
+      Seq(0.5, 0.9, 0.99).map(q => at(sess.map(_._1), q)))
+    assert((4 to 6).map(i => got.getLong(i)) ===
+      Seq(0.5, 0.9, 0.99).map(q => at(sess.map(_._2), q)))
+  }
+
   test("q_revenue_pareto: crossing inside a tie class takes the exact j") {
     import spark.implicits._
     // brand A revenues (dollars): 4.00, 2.00, 2.00, 2.00 → T=10.00;
