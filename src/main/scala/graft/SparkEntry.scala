@@ -140,6 +140,8 @@ object SparkEntry {
     "events_top_movers" -> (Analytics8.eventsTopMovers _),
     "q_revenue_pareto" -> (Analytics8.qRevenuePareto _),
     "events_session_profile" -> (Analytics8.eventsSessionProfile _),
+    "q_order_value_deciles" -> (Analytics8.qOrderValueDeciles _),
+    "events_ewma_baseline" -> (Analytics8.eventsEwmaBaseline _),
     "events_transition_entropy" -> (Analytics5.eventsTransitionEntropy _),
     "q_benford_audit" -> (Analytics5.qBenfordAudit _),
     "q_price_elasticity" -> (Analytics5.qPriceElasticity _),
@@ -3123,6 +3125,55 @@ object SparkEntry {
         |      - s_hi + CAST(b.vhi AS DECIMAL(12,2)) * c_hi
         |    AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS winsorized_mean
         |FROM b JOIN a ON b.event_type = a.event_type""".stripMargin,
+    // α=½ 20-day EWMA: dyadic weights, bounded significand spread →
+    // every partial sum exact, order-independent, engine-identical
+    "events_ewma_baseline" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, max(day) AS maxd FROM daily
+        |      GROUP BY 1),
+        |h AS (SELECT d.event_type, CAST(count(*) AS BIGINT)
+        |        AS days_used,
+        |        sum(CAST(d.c AS DOUBLE)
+        |          * pow(2.0, CAST(d.day - m.maxd AS DOUBLE))) AS ewma
+        |      FROM daily d JOIN m ON d.event_type = m.event_type
+        |      WHERE d.day >= m.maxd - 20 AND d.day < m.maxd
+        |      GROUP BY 1),
+        |l AS (SELECT d.event_type, d.c AS actual_last
+        |      FROM daily d JOIN m ON d.event_type = m.event_type
+        |        AND d.day = m.maxd)
+        |SELECT h.event_type, h.days_used, h.ewma, l.actual_last,
+        |  round(CAST(l.actual_last AS DOUBLE) / h.ewma, 4)
+        |    AS surge_ratio
+        |FROM h JOIN l ON h.event_type = l.event_type""".stripMargin,
+    // value-decile bands: nine selected boundary values, band = 1 + #
+    // boundaries strictly below (ties land together, unlike ntile)
+    "q_order_value_deciles" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |             AS cents FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+        |      FROM o),
+        |b AS (SELECT r.cents AS bv
+        |      FROM r, n, (VALUES (1), (2), (3), (4), (5), (6), (7),
+        |        (8), (9)) AS d(dcl)
+        |      WHERE r.rn = CAST(ceil(d.dcl * CAST(n.n AS DOUBLE)
+        |        / 10.0) AS BIGINT)),
+        |band AS (SELECT o.cents,
+        |    1 + (SELECT count(*) FROM b WHERE b.bv < o.cents) AS band
+        |  FROM o),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |    sum(CAST(cents AS DECIMAL(38,0))) AS rt FROM o)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 100, 2) AS revenue,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(t.nt AS DOUBLE), 4)
+        |    AS order_share,
+        |  round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(t.rt AS DOUBLE), 4) AS revenue_share
+        |FROM band, t GROUP BY band, t.nt, t.rt""".stripMargin,
     // session-shape percentiles: the events_sessions CTE + global
     // ceil-rank selection on integer durations and counts
     "events_session_profile" ->

@@ -138,6 +138,93 @@ object Analytics8 {
           .as("share_of_parts"))
   }
 
+  /** EWMA surge baseline per event type: the α = ½, 20-day-horizon
+    * exponentially weighted mean of daily counts up to D−1, and the
+    * last day's actual against it — the ops-page "is today hot"
+    * number ([[Analytics4]]'s forecast baseline reads seasonality;
+    * this reads level with exponential forgetting). α = ½ is chosen
+    * for DETERMINISM, not convenience: every weight 2^⁻ⁱ is a dyadic
+    * rational, counts are ≤ ~2³⁷, and with the horizon capped at 20
+    * the full significand spread stays under 53 bits — every partial
+    * sum is EXACT in IEEE double, so the result is summation-order
+    * independent and the two engines cannot diverge even though
+    * windowed FP sums combine in different orders (Spark running
+    * frames vs DuckDB segment trees). The ≤ 2⁻²⁰ tail mass the cap
+    * drops is the documented truncation.
+    *
+    * Scale shape: one map-side (type, day) count, a per-type max
+    * broadcast, a ≤ 20-row-per-type weighted reduce. */
+  def eventsEwmaBaseline(spark: SparkSession, dir: String): DataFrame =
+    eventsEwmaBaselineOn(Tables.events(spark, dir))
+
+  def eventsEwmaBaselineOn(events: DataFrame): DataFrame = {
+    val day = (expr("unix_millis(ts)") / lit(86400000L)).cast("long")
+    val daily = events.select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val maxd = daily.groupBy(col("event_type"))
+      .agg(max(col("day")).as("maxd"))
+    val joined = daily.join(broadcast(maxd), Seq("event_type"))
+    val hist = joined
+      .filter(col("day") >= col("maxd") - lit(20L) &&
+        col("day") < col("maxd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days_used"),
+        sum(d(col("c")) *
+          pow(lit(2.0), d(col("day") - col("maxd")))).as("ewma"))
+    val last = joined.filter(col("day") === col("maxd"))
+      .select(col("event_type"), col("c").as("actual_last"))
+    hist.join(last, Seq("event_type"))
+      .select(col("event_type"), col("days_used"), col("ewma"),
+        col("actual_last"),
+        round(d(col("actual_last")) / col("ewma"), 4).as("surge_ratio"))
+  }
+
+  /** Value-decile band table for order totals: the nine exact decile
+    * boundary VALUES (ceil-rank selection, one histogram pass) and,
+    * per band, the order count and exact revenue share —
+    * [[Analytics5.qOrderValueBands]] with data-driven boundaries
+    * instead of fixed widths, and the order-side sibling of
+    * [[qAcctbalLorenz]]. Band assignment is BY VALUE (band = 1 + #
+    * boundaries strictly below), so tied orders always land together
+    * — deterministic where ntile splits ties by arbitrary rank; bands
+    * can be empty (heavy ties collapse them) and emitted counts are
+    * the proof.
+    *
+    * Scale shape: one RankSelect pass (9 ranks share one histogram),
+    * a 9-row broadcast, one map-side banded aggregate. */
+  def qOrderValueDeciles(spark: SparkSession, dir: String): DataFrame =
+    qOrderValueDecilesOn(Tables.orders(spark, dir))
+
+  def qOrderValueDecilesOn(orders: DataFrame): DataFrame = {
+    import graft.operators.RankSelect
+    val o = orders.select(
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val ranksOf: Column => Column = n => array((1 to 9).map(dcl =>
+      ceil(lit(dcl) * n.cast("double") / lit(10.0)).cast("long")): _*)
+    val bounds = RankSelect.selectValues(o, Seq.empty, "cents", ranksOf)
+      .groupBy()
+      .agg(collect_list(struct(col("__ridx"), col("cents"))).as("bs"))
+      .select(sort_array(col("bs")).getField("cents").as("bs"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val banded = o.crossJoin(broadcast(bounds))
+      .select(col("cents"),
+        (lit(1) + size(filter(col("bs"), b => b < col("cents"))))
+          .as("band"))
+    val tot = broadcast(banded.agg(count(lit(1)).as("n_orders_tot"),
+      sum(d38(col("cents"))).as("rev_tot")))
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d38(col("cents"))).as("rev"))
+      .crossJoin(tot)
+      .select(col("band"), col("n_orders"),
+        round(col("rev").cast("double") / lit(100.0), 2).as("revenue"),
+        round(col("n_orders").cast("double") /
+          col("n_orders_tot").cast("double"), 4).as("order_share"),
+        round(col("rev").cast("double") / col("rev_tot").cast("double"),
+          4).as("revenue_share"))
+  }
+
   /** Session-shape percentiles: exact p50/p90/p99 of session DURATION
     * and session EVENT COUNT over the 30-minute-gap sessionization —
     * the capacity-planning shape ("how long is a p99 session, how

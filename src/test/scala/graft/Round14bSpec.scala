@@ -82,6 +82,34 @@ class Round14bSpec extends AnyFunSuite with SparkFixture {
     assert(got("B") === ((2L, 2L, 20.0, 20.0)))
   }
 
+  test("q_order_value_deciles: ties land together; randomized replay") {
+    import spark.implicits._
+    import graft.queries.Analytics8
+    // all-tied corpus: every boundary equals v → ONE band holds all
+    val tied = (1 to 10).map(_ => 50.0).toDF("o_totalprice")
+    val gotTied = Analytics8.qOrderValueDecilesOn(tied).collect()
+    assert(gotTied.length === 1 && gotTied.head.getInt(0) === 1 &&
+      gotTied.head.getLong(1) === 10L)
+    // randomized replay vs plain-Scala banding
+    for (trial <- 1 to 2) {
+      val vals = (1 to 300).map(_ => (rnd.nextInt(40) + 1) * 1.0)
+      val got = Analytics8.qOrderValueDecilesOn(vals.toDF("o_totalprice"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1),
+          r.getDouble(2))).toMap
+      val cents = vals.map(v => math.round(v * 100)).sorted
+      val n = cents.length
+      val bounds = (1 to 9).map(d => cents(math.ceil(d * n / 10.0).toInt - 1))
+      val want = vals.map(v => math.round(v * 100))
+        .groupBy(c => 1 + bounds.count(_ < c))
+        .map { case (b, g) => b -> ((g.size.toLong,
+          BigDecimal(g.sum) / 100)) }
+      assert(got.keySet === want.keySet, s"trial $trial")
+      want.foreach { case (b, (cnt, rev)) =>
+        assert(got(b)._1 === cnt && BigDecimal(got(b)._2) ===
+          rev.setScale(2), s"trial $trial band $b") }
+    }
+  }
+
   test("events_value_winsorized randomized replay vs plain-Scala clamp") {
     import spark.implicits._
     val rows = (1 to 500).map { i =>

@@ -42,6 +42,28 @@ class Round14eSpec extends AnyFunSuite with SparkFixture {
       3L -> ((0.3, 1L, 0.25))))
   }
 
+  test("events_ewma_baseline: exact dyadic EWMA, worked by hand") {
+    import spark.implicits._
+    // one type, days 100..103 with counts 8, 4, 2, 16 (last = 16):
+    // ewma over days 100..102 = 8·2⁻³ + 4·2⁻² + 2·2⁻¹ = 3.0 exactly
+    val day = 86400000L
+    val rows = Seq((100L, 8), (101L, 4), (102L, 2), (103L, 16))
+      .flatMap { case (d, n) => (1 to n).map(i =>
+        (d * 100 + i, new java.sql.Timestamp(d * day), 1L, "click",
+          1.0, "{}")) }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val r = graft.queries.Analytics8.eventsEwmaBaselineOn(df)
+      .collect().head
+    assert(r.getLong(1) === 3L)       // days_used
+    assert(r.getDouble(2) === 3.0)    // exact dyadic sum
+    assert(r.getLong(3) === 16L)
+    assert(r.getDouble(4) === round4(16.0 / 3.0))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("events_session_profile randomized replay vs plain-Scala sessionization") {
     import spark.implicits._
     val gap = 1800000L
