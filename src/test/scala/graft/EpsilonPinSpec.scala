@@ -44,6 +44,34 @@ class EpsilonPinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sketch_quantiles served rollup vs exact RankSelect percentiles: ≤ 4.43%") {
+    // the PRODUCTION serving path (ddQuantileTable → ddQuantileRollup,
+    // the sketch_quantiles driver entry) against the exact selected-row
+    // percentiles of the same per-doc token counts — the theoretical
+    // γ = 2^(1/8) bound measured at every (lang, q) cell
+    import graft.llm.{Sketches, TextOps}
+    import graft.operators.RankSelect
+    val docs = Tables.documents(spark, sfDir)
+    val dd = Sketches.ddQuantileRollup(Sketches.ddQuantileTable(docs))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val toks = docs.select(col("lang"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ranksOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => array(qs.map(q =>
+        ceil(lit(q) * n.cast("double")).cast("long")): _*)
+    val exact = RankSelect.selectValues(toks, Seq("lang"), "n_tok", ranksOf)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val bound = math.pow(2.0, 1.0 / 16.0) - 1.0
+    for ((lang, ests) <- dd; (est, i) <- ests.zipWithIndex) {
+      val ex = exact((lang, i)).toDouble
+      assert(math.abs(est - ex) / ex <= bound + 1e-4,
+        s"$lang q=${qs(i)}: dd=$est exact=$ex")
+    }
+  }
+
   test("table_profile exact NDVs vs HLL estimates: within 5% per column") {
     val li = Tables.lineitem(spark, sfDir)
     val exact = graft.operators.TableProfile.tableProfile(li)

@@ -25,7 +25,10 @@ class PlanPinR14bSpec extends AnyFunSuite with SparkFixture {
       Analytics8.qShipDelayProfile(spark, sfDir),
       Analytics8.qAcctbalGini(spark, sfDir),
       Analytics8.qAcctbalLorenz(spark, sfDir),
-      Analytics8.qPartSkyline(spark, sfDir))
+      Analytics8.qPartSkyline(spark, sfDir),
+      Analytics8.qRevenuePareto(spark, sfDir),
+      Analytics8.qOrderValueDeciles(spark, sfDir),
+      Analytics8.eventsSessionProfile(spark, sfDir))
       .map(plan)
     for (p <- plans) {
       assert(!p.contains("row_number"), p.take(600))
