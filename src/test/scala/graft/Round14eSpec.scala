@@ -118,6 +118,17 @@ class Round14eSpec extends AnyFunSuite with SparkFixture {
     assert(got("B") === ((4L, 10.0, 2L, 0.5)))
   }
 
+  test("sessionExactGraph equals a fresh exact kNN build exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cached = Ann.sessionExactGraph(spark, sfDir)
+    val fresh = Ann.knnGraph(emb)
+    assert(cached.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(cached).isEmpty)
+    // second read serves the same store
+    val again = Ann.sessionExactGraph(spark, sfDir)
+    assert(again.exceptAll(fresh).isEmpty)
+  }
+
   test("knn_snn_cluster: the SNN cut severs the hub bridge raw components keep") {
     // two triangles bridged by 3–4, plus the isolated pair 7–8:
     // bridge J = 0 (no shared neighbor) < 0.2 → cut; pair J = 0 → cut
