@@ -243,6 +243,8 @@ object SparkEntry {
     "corpus_temperature_sample" -> (TextOps.corpusTemperatureSampleQ _),
     "corpus_sample_fixed" -> (TextOps.corpusSampleFixedQ _),
     "corpus_weighted_sample" -> (TextOps.corpusWeightedSampleQ _),
+    "corpus_weighted_sample_stratified" ->
+      (TextOps.corpusWeightedSampleStratifiedQ _),
     "corpus_sample_stratified" -> (TextOps.corpusSampleStratifiedQ _),
     "corpus_shards" -> (graft.llm.Export.corpusShardsQ _),
     "corpus_split_shards" -> (graft.llm.Export.corpusSplitShardsQ _),
@@ -3953,6 +3955,22 @@ object SparkEntry {
          |    >> ${TextOps.SampleShift}) % 1000000 AS sample_key
          |FROM documents
          |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    // per-lang top-20 of the same integer priority order
+    "corpus_weighted_sample_stratified" ->
+      s"""SELECT doc_id, lang, source, n_chars, priority FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    n_chars * 1000000000000 //
+         |      ((((doc_id % ${TextOps.SampleIdPrime})
+         |          * ${TextOps.WeightedMultiplier})
+         |        >> ${TextOps.SampleShift}) % 1000000 + 1) AS priority,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY n_chars * 1000000000000 //
+         |        ((((doc_id % ${TextOps.SampleIdPrime})
+         |            * ${TextOps.WeightedMultiplier})
+         |          >> ${TextOps.SampleShift}) % 1000000 + 1) DESC,
+         |        doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 20""".stripMargin,
     // priority sampling: integer floor(w·10^12/(u+1)) priorities over
     // the Knuth-mix uniform — integer-exact ordering, top-100 cut
     "corpus_weighted_sample" ->

@@ -2307,6 +2307,36 @@ object TextOps {
   def corpusWeightedSampleQ(spark: SparkSession, dir: String): DataFrame =
     corpusWeightedSample(Tables.documents(spark, dir))
 
+  /** Stratified weighted sample: the top-k PRIORITIES of EVERY
+    * language — [[corpusWeightedSample]]'s draw balanced across
+    * strata the way [[corpusSampleStratified]] balances the
+    * unweighted one ("k docs' worth of text per language, same ones
+    * every run"). Same integer priorities, same append-stability per
+    * stratum.
+    *
+    * Scale shape: [[graft.operators.GroupTopK]] over the priority
+    * order — Spark 4's WindowGroupLimit keeps a map-side partial
+    * top-k per stratum. */
+  def corpusWeightedSampleStratified(docs: DataFrame, k: Int = 20)
+      : DataFrame = {
+    val uInt = pmod(
+      shiftright(pmod(col("doc_id"), lit(SampleIdPrime)) * WeightedMultiplier,
+        SampleShift),
+      lit(1000000L))
+    graft.operators.GroupTopK.topK(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), uInt.as("u1"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr("n_chars * 1000000000000 div (u1 + 1)").as("priority")),
+      Seq("lang"), Seq(col("priority").desc, col("doc_id").asc), k)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("priority"))
+  }
+
+  def corpusWeightedSampleStratifiedQ(spark: SparkSession,
+                                      dir: String): DataFrame =
+    corpusWeightedSampleStratified(Tables.documents(spark, dir))
+
   /** Deterministic STRATIFIED fixed-size sample: the `k` smallest
     * (consistent-hash key, doc_id) docs of EVERY language — the
     * balanced eval-set draw ("50 docs per language, same ones every

@@ -102,6 +102,26 @@ class Round14dSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("corpus_weighted_sample_stratified: per-lang top-k of the priority order") {
+    import graft.llm.TextOps
+    val df = Tables.documents(spark, sfDir)
+    val got = TextOps.corpusWeightedSampleStratified(df, k = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(4)))
+    val want = df.select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(2)
+        val u = ((id % TextOps.SampleIdPrime) * TextOps.WeightedMultiplier
+          >> TextOps.SampleShift) % 1000000L
+        (r.getString(1), id, w * 1000000000000L / (u + 1L))
+      }
+      .groupBy(_._1).values.flatMap(
+        _.sortBy { case (_, id, p) => (-p, id) }.take(5))
+      .toSet
+    assert(got.toSet === want)
+    assert(got.map(_._1).distinct.length === 5) // every language drawn
+  }
+
   test("text_markup_audit: planted code, HTML, links, emails counted exactly") {
     val df = docs(Seq(
       (1L, "def f(x): return {x: [1]};", "en", "code"),   // ( ) { } [ ] ; : → braces
