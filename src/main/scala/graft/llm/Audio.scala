@@ -251,7 +251,10 @@ object Audio {
     resampleAudio(media, 2).toDF()
       .select(col("doc_id"), col("meta.sample_rate").as("sample_rate"),
         col("meta.n_frames").as("n_frames"),
-        length(col("media")).as("n_bytes"), md5(col("media")).as("media_fp"))
+        length(col("media")).as("n_bytes"),
+        // xxhash64, not md5 (r15): the XXH64 SQL replay hashes the
+        // SQL-reconstructed WAV bytes — full value oracle
+        xxhash64(col("media")).as("media_fp"))
   }
 
   /** Driver entry: attach audio column, decode, flat scalar feature frame

@@ -407,7 +407,11 @@ object Multimodal {
 
   /** Driver query: resize the synthetic media corpus to 16×16 and
     * fingerprint the re-encoded payloads (scalar columns only — the
-    * driver comparator sorts in pandas). */
+    * driver comparator sorts in pandas). Fingerprint is xxhash64 (r15):
+    * DuckDB has no md5-over-BLOB, but the repo's XXH64 SQL replay
+    * ([[graft.SparkEntry]] xxhashCtes) hashes the SQL-reconstructed
+    * payload bytes exactly — the sketch-flip pattern that turned this
+    * rows-only entry into a full value oracle. */
   def mediaResizeQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withMediaColumn(Tables.documents(spark, dir)
@@ -415,7 +419,8 @@ object Multimodal {
     resizeMedia(media, 16, 16).toDF()
       .select(col("doc_id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"),
-        length(col("media")).as("n_bytes"), md5(col("media")).as("media_fp"))
+        length(col("media")).as("n_bytes"),
+        xxhash64(col("media")).as("media_fp"))
   }
 
   /** End-to-end multimodal pipeline over `documents`: attach media column,

@@ -277,7 +277,10 @@ object Video {
     sampleFrames(media, 2).toDF()
       .select(col("doc_id"), col("meta.width").as("width"),
         col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
-        length(col("media")).as("n_bytes"), md5(col("media")).as("media_fp"))
+        length(col("media")).as("n_bytes"),
+        // xxhash64, not md5 (r15): the XXH64 SQL replay hashes the
+        // SQL-reconstructed Y4M bytes — full value oracle
+        xxhash64(col("media")).as("media_fp"))
   }
 
   def mediaVideoQ(spark: SparkSession, dir: String): DataFrame = {

@@ -33,9 +33,17 @@ import org.apache.spark.sql.functions._
   *      partitions ≤ `buckets` rows) locates each target rank's
   *      bucket and its residual rank by prefix sum;
   *   2. rows of the ONE located bucket per (group, rank) collapse to
-  *      per-distinct-value counts (map-side-combined); a running sum
-  *      over the collapsed frame (window partitions = distinct values
-  *      in the bucket) selects the exact value covering the residual.
+  *      per-distinct-value counts (map-side-combined, materialized —
+  *      ≈ n/buckets rows worst case); when the bucket holds ≤ `buckets`
+  *      distinct values, a running sum over the collapsed frame selects
+  *      the exact value covering the residual;
+  *   3. (occupancy-triggered, r15) when a continuous domain leaves
+  *      > `buckets` distinct values in the located bucket, that bucket
+  *      is re-binned ONCE more — sub-histogram + prefix over ≤ `buckets`
+  *      sub-buckets, final window over one sub-bucket's distinct values
+  *      (≈ n/buckets²) — so no window partition ever exceeds
+  *      max(buckets, n/buckets²) short of a degenerate double-image
+  *      collapse.
   *
   * The double cast used for binning only needs to be monotone
   * NON-STRICTLY (collisions share a bucket, they never invert order),
@@ -116,21 +124,66 @@ object RankSelect {
       .select(gcols ++ Seq(col("__ridx"), col("__bkt").as("__tbkt"),
         (col("__r") - col("__cum") + col("__c")).as("__bresid")): _*)
     // pass 2: the one touched bucket per (group, rank), collapsed to
-    // distinct values — ties never inflate the window partition
+    // distinct values — ties never inflate the window partition. The
+    // collapsed frame is materialized: it is referenced by the
+    // occupancy split below, and its size is one bucket's distinct
+    // values (≈ n/buckets worst case), not the corpus.
     val marked = joinG(binned, loc, groups)
       .filter(col("__bkt") === col("__tbkt"))
-    val vc = marked
+    val vc = graft.Exec.materialize(marked
       .groupBy((gcols ++ Seq(col("__ridx"), col("__bresid"),
         col(valueCol))): _*)
-      .agg(sum(col("__w")).as("__vc"))
-    val vcum = vc.withColumn("__vcum",
-      sum(col("__vc")).over(Window
-        .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col(valueCol))))
-    vcum.filter(col("__vcum") >= col("__bresid") &&
-        col("__vcum") - col("__vc") < col("__bresid"))
-      .select(gcols ++ Seq(col("__ridx"), col(valueCol),
-        (col("__bresid") - col("__vcum") + col("__vc")).as("__resid"),
-        col("__vc").as("__nties")): _*)
+      .agg(sum(col("__w")).as("__vc")))
+    // occupancy-triggered recursion (r14 verdict task 4): on a
+    // continuous domain one bucket still holds ~n/buckets DISTINCT
+    // values, so resolving it with a single ordered window would be a
+    // one-task sort of that occupancy at 100×. Split per (group, rank)
+    // on the bucket's distinct-value count: ≤ buckets resolves with
+    // the direct window (bounded by construction), > buckets re-bins
+    // the located bucket once more — histogram + prefix over ≤ buckets
+    // sub-buckets, final window over ONE sub-bucket's distinct values
+    // (≈ n/buckets² — one extra level squares the bound). Degenerate
+    // double-image collapse (all survivors share one double, e.g.
+    // longs past 2^53) lands everything in sub-bucket 0 and degrades
+    // to the direct window — correct, just unbounded-by-binning there.
+    val occ = vc.groupBy((gcols :+ col("__ridx")): _*)
+      .agg(count(lit(1)).as("__occ"),
+        min(vd).as("__vmin2"), max(vd).as("__vmax2"))
+    val withOcc = joinG(vc, occ, groups :+ "__ridx")
+    def resolve(frame: DataFrame, rankCol: String): DataFrame =
+      frame.withColumn("__vcum",
+          sum(col("__vc")).over(Window
+            .partitionBy((gcols :+ col("__ridx")): _*)
+            .orderBy(col(valueCol))))
+        .filter(col("__vcum") >= col(rankCol) &&
+          col("__vcum") - col("__vc") < col(rankCol))
+        .select(gcols ++ Seq(col("__ridx"), col(valueCol),
+          (col(rankCol) - col("__vcum") + col("__vc")).as("__resid"),
+          col("__vc").as("__nties")): _*)
+    val direct = resolve(withOcc.filter(col("__occ") <= lit(buckets.toLong))
+      .drop("__occ", "__vmin2", "__vmax2"), "__bresid")
+    // deep path: one more binning level over the located bucket
+    val width2 = (col("__vmax2") - col("__vmin2")) / lit(buckets.toDouble)
+    val sbkt = when(col("__vmax2") <= col("__vmin2"), lit(0L))
+      .otherwise(least(lit((buckets - 1).toLong),
+        floor((vd - col("__vmin2")) / width2).cast("long")))
+    val deepBinned = withOcc.filter(col("__occ") > lit(buckets.toLong))
+      .withColumn("__sbkt", sbkt)
+      .drop("__occ", "__vmin2", "__vmax2")
+    val cum2 = deepBinned
+      .groupBy((gcols ++ Seq(col("__ridx"), col("__bresid"),
+        col("__sbkt"))): _*)
+      .agg(sum(col("__vc")).as("__c2"))
+      .withColumn("__cum2", sum(col("__c2")).over(Window
+        .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col("__sbkt"))))
+    val loc2 = cum2.filter(col("__cum2") >= col("__bresid") &&
+        col("__cum2") - col("__c2") < col("__bresid"))
+      .select(gcols ++ Seq(col("__ridx"), col("__sbkt").as("__tsbkt"),
+        (col("__bresid") - col("__cum2") + col("__c2")).as("__sresid")): _*)
+    val deep = resolve(
+      joinG(deepBinned.drop("__bresid"), loc2, groups :+ "__ridx")
+        .filter(col("__sbkt") === col("__tsbkt")), "__sresid")
+    direct.unionByName(deep)
   }
 
   private def explodeRanks(stats: DataFrame, groups: Seq[String],

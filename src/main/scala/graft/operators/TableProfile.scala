@@ -28,8 +28,10 @@ import graft.Tables
   * (`sketch_distinct`), which this op is the exact contract for.
   *
   * Scale shape: one aggregation for counts/nulls/min/max (map-side
-  * combined, persisted as a 1-row frame) + |columns| cardinality-
-  * bounded NDV branches, broadcast-joined — no Expand anywhere. */
+  * combined, collected as the sanctioned 1-row aggregate and inlined
+  * as a local relation — nothing cached or checkpointed survives the
+  * call) + |columns| cardinality-bounded NDV branches,
+  * broadcast-joined — no Expand anywhere. */
 object TableProfile {
 
   def tableProfile(df: DataFrame): DataFrame = {
@@ -54,37 +56,51 @@ object TableProfile {
             case _ => Seq.empty
           })
       }
-    // materialize (not persist): the 1-row frame is referenced by every
-    // per-column row; localCheckpoint cuts the lineage without leaving
-    // a cached frame behind per invocation (r13 advice)
-    val one = graft.Exec.materialize(df.agg(aggs.head, aggs.tail: _*))
+    // The stats frame is exactly ONE row (a global aggregate) — collect
+    // it and inline the per-column rows as a local relation. This is
+    // the sanctioned dimension-bounded collect (1-row aggregate), and
+    // it replaces the r13 localCheckpoint whose block-manager entries
+    // accumulated across invocations (r14 verdict: the table_profile
+    // board delta's first suspect) plus the |columns|-way union of
+    // 1-row scans that referenced it.
+    val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = one.getLong(one.fieldIndex("n_rows"))
+    def optD(name: String): Option[Double] = {
+      val i = one.fieldIndex(name)
+      if (one.isNullAt(i)) None else Some(one.getDouble(i))
+    }
+    def optS(name: String): Option[String] = {
+      val i = one.fieldIndex(name)
+      if (one.isNullAt(i)) None else Some(one.getString(i))
+    }
     // per-column NDV branches: a union of two-stage distinct aggs, each
     // shuffle bounded by its column's cardinality
     val ndv = fields.map { f =>
       df.agg(countDistinct(col(f.name)).as("n_distinct"))
         .select(lit(f.name).as("column_name"), col("n_distinct"))
     }.reduce(_ unionByName _)
-    val nullNum = lit(null).cast("double")
-    val nullStr = lit(null).cast("string")
+    val session = df.sparkSession
+    import session.implicits._
     val rows = fields.zipWithIndex.map { case (f, i) =>
       val (mnNum, mxNum, mnStr, mxStr) = f.dataType match {
         case _: NumericType | TimestampType | TimestampNTZType =>
-          (col(s"mn_$i"), col(s"mx_$i"), nullStr, nullStr)
+          (optD(s"mn_$i"), optD(s"mx_$i"),
+            None: Option[String], None: Option[String])
         case StringType =>
-          (nullNum, nullNum, col(s"ms_$i"), col(s"xs_$i"))
-        case _ => (nullNum, nullNum, nullStr, nullStr)
+          (None: Option[Double], None: Option[Double],
+            optS(s"ms_$i"), optS(s"xs_$i"))
+        case _ => (None: Option[Double], None: Option[Double],
+          None: Option[String], None: Option[String])
       }
       val dt = f.dataType match {
         case TimestampNTZType => "timestamp"
         case other => other.simpleString
       }
-      one.select(lit(f.name).as("column_name"), lit(dt).as("data_type"),
-        col("n_rows"),
-        (col("n_rows") - col(s"nn_$i")).as("n_null"),
-        mnNum.as("min_num"), mxNum.as("max_num"),
-        mnStr.as("min_str"), mxStr.as("max_str"))
+      (f.name, dt, nRows, nRows - one.getLong(one.fieldIndex(s"nn_$i")),
+        mnNum, mxNum, mnStr, mxStr)
     }
-    rows.reduce(_ unionByName _)
+    rows.toSeq.toDF("column_name", "data_type", "n_rows", "n_null",
+        "min_num", "max_num", "min_str", "max_str")
       .join(broadcast(ndv), Seq("column_name"))
       .select(col("column_name"), col("data_type"), col("n_rows"),
         col("n_null"), col("n_distinct"), col("min_num"), col("max_num"),
@@ -94,4 +110,18 @@ object TableProfile {
   /** Driver entry: profile `lineitem` (the widest, largest table). */
   def tableProfileQ(spark: SparkSession, dir: String): DataFrame =
     tableProfile(Tables.lineitem(spark, dir))
+
+  /** Column inventory of the lineitem driver entry: (name, data_type
+    * as [[tableProfile]] renders it). Single source for the DuckDB
+    * oracle generator in `graft.SparkEntry` — previously a
+    * free-standing 11-column copy that could silently drift from this
+    * schema-driven operator (r14 verdict) — and pinned against the
+    * real parquet schema by TableProfileSpec. */
+  val LineitemProfileColumns: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+    "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+    "l_quantity" -> "double", "l_extendedprice" -> "double",
+    "l_discount" -> "double", "l_tax" -> "double",
+    "l_returnflag" -> "string", "l_linestatus" -> "string",
+    "l_shipdate" -> "timestamp")
 }

@@ -41,11 +41,11 @@ object Analytics5 {
     * period fan-out, phase re-agg, and window run on that
     * dimension-sized frame. Zero shuffles touch raw events twice.
     *
-    * BIGINT moment bound (r13 advice): Σn_φ² ≤ N² per (type, period),
-    * so the sum stays exact to ~3×10⁹ events per type; past that
-    * promote `q` to DECIMAL(38,0) — the [[graft.llm.Dedup]]
-    * pair-budget pattern. (Spark WRAPS a bigint overflow where DuckDB
-    * errors — silent divergence, hence the documented bound.) */
+    * Moment exactness (r13 advice, promoted r15): Σn_φ² accumulates
+    * in DECIMAL(38,0) — the [[graft.llm.Dedup]] pair-budget pattern —
+    * so the moment is exact to 10³⁸ (≈10¹⁹ events per type), not the
+    * ~3×10⁹ a BIGINT square would cap at before Spark silently WRAPS
+    * where DuckDB errors. Doubles only at the rounded output edge. */
   def eventsPeriodicity(spark: SparkSession, dir: String): DataFrame =
     eventsPeriodicityOn(Tables.events(spark, dir))
 
@@ -63,7 +63,7 @@ object Analytics5 {
       .groupBy(col("event_type"), col("period_h"))
       .agg(sum(col("n")).as("n_events"),
         count(lit(1)).as("active_cells"),
-        sum(col("n") * col("n")).as("q"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("q"),
         min(when(col("n") === col("mx"), col("phi"))).as("peak_phase"),
         max(col("n")).as("peak_n"))
       .select(col("event_type"), col("period_h"), col("n_events"),

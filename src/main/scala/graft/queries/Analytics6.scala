@@ -72,12 +72,12 @@ object Analytics6 {
     * traffic", not "does it track everyone else".
     *
     * Exact integer moments ([[Analytics5.qPriceElasticity]] rule), one
-    * IEEE tree, 4dp. BIGINT moment bound (r13 advice): Σy² over the
-    * span is ≤ span_hours · peak_hourly², so the sums stay exact to
-    * ~10⁹ events/hour over a 10⁵-hour span; past that promote the
-    * moments to DECIMAL(38,0) — the [[graft.llm.Dedup]] pair-budget
-    * pattern. (Spark would WRAP a bigint overflow where DuckDB errors
-    * — the divergence would be silent, hence the documented bound.)
+    * IEEE tree, 4dp. Moment exactness (r13 advice, promoted r15): the
+    * second moments and their combine products accumulate in
+    * DECIMAL(38,0) — the [[graft.llm.Dedup]] pair-budget pattern — so
+    * they are exact to 10³⁸ (≈10¹⁹ events/hour over a 10⁵-hour span)
+    * instead of wrapping at the ~10⁹-per-hour BIGINT square bound
+    * (Spark would WRAP where DuckDB errors — silent divergence).
     *
     * Scale shape: ONE (type, hour) map-side count; the dense
     * type×active-hour frame is dimension-sized (|types| · span_hours)
@@ -95,15 +95,16 @@ object Analytics6 {
       .join(th, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("nt").as("y"),
         coalesce(col("n"), lit(0L)).as("x"))
-    val cov = d(col("nh") * col("sxy") - col("sx") * col("sy"))
-    val varx = d(col("nh") * col("sxx") - col("sx") * col("sx"))
-    val vary = d(col("nh") * col("syy") - col("sy") * col("sy"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cov = d(d38(col("nh")) * col("sxy") - d38(col("sx")) * col("sy"))
+    val varx = d(d38(col("nh")) * col("sxx") - d38(col("sx")) * col("sx"))
+    val vary = d(d38(col("nh")) * col("syy") - d38(col("sy")) * col("sy"))
     cells.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nh"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("y")) * col("y")).as("syy"))
       .select(col("event_type"), col("nh").as("n_hours"),
         col("sx").as("n_events"),
         round(d(col("sx")) / d(col("sy")), 4).as("load_share"),

@@ -158,7 +158,7 @@ object Analytics8 {
     eventsEwmaBaselineOn(Tables.events(spark, dir))
 
   def eventsEwmaBaselineOn(events: DataFrame): DataFrame = {
-    val day = (expr("unix_millis(ts)") / lit(86400000L)).cast("long")
+    val day = expr("unix_millis(ts) div 86400000")
     val daily = events.select(col("event_type"), day.as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
@@ -211,11 +211,18 @@ object Analytics8 {
       .select(col("cents"),
         (lit(1) + size(filter(col("bs"), b => b < col("cents"))))
           .as("band"))
-    val tot = broadcast(banded.agg(count(lit(1)).as("n_orders_tot"),
-      sum(d38(col("cents"))).as("rev_tot")))
-    banded.groupBy(col("band"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(d38(col("cents"))).as("rev"))
+    // Aggregate per band FIRST, then derive the totals from the ≤10
+    // band rows (materialized once) — the orders scan and boundary
+    // crossJoin execute exactly once; a totals aggregate over `banded`
+    // would re-execute the whole scan lineage (ADVICE r14).
+    val perBand = graft.Exec.materialize(
+      banded.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d38(col("cents"))).as("rev")))
+    val tot = broadcast(perBand.agg(
+      sum(col("n_orders")).as("n_orders_tot"),
+      sum(col("rev")).as("rev_tot")))
+    perBand
       .crossJoin(tot)
       .select(col("band"), col("n_orders"),
         round(col("rev").cast("double") / lit(100.0), 2).as("revenue"),
@@ -269,8 +276,13 @@ object Analytics8 {
           max(when(col("__ridx") === 1, col(valueCol))).as(s"p90_$pfx"),
           max(when(col("__ridx") === 2, col(valueCol))).as(s"p99_$pfx"))
     val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    // Empty-input contract: the DuckDB oracle body yields 0 rows on an
+    // empty events table (its rank join is empty), while agg-on-empty
+    // plus crossJoin would emit one (0, NULL, …) row here — drop the
+    // degenerate row so both engines agree (ADVICE r14).
     n.crossJoin(sel("dur_ms", "dur_ms"))
       .crossJoin(sel("n_events", "events"))
+      .filter(col("n_sessions") > 0)
   }
 
   /** Ship-delay percentiles per order priority: exact p50/p90/p99 of
@@ -327,9 +339,9 @@ object Analytics8 {
     eventsTopMoversOn(Tables.events(spark, dir))
 
   def eventsTopMoversOn(events: DataFrame): DataFrame = {
-    val wk = (expr("unix_millis(ts)") / lit(86400000L)).cast("long") / lit(7L)
+    val wk = expr("unix_millis(ts) div 86400000 div 7")
     val weekly = events
-      .select(col("event_type"), wk.cast("long").as("wk"))
+      .select(col("event_type"), wk.as("wk"))
       .groupBy(col("event_type"), col("wk"))
       .agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))

@@ -43,6 +43,41 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, "d", 11L), (2L, "c", 21L), (3L, "u", 31L)))
   }
 
+  test("dedupLatestConfigured: upsert-dedup-column override changes the winner") {
+    import spark.implicits._
+    // key 1: the DEFAULT ordering (source ts) picks seq=11 (ts 200),
+    // but an operator re-pointing upsert-dedup-column at the source
+    // LSN picks seq=10 (lsn 7 > 5) — the weak-timestamp scenario the
+    // reference's StreamConsumerConfig.java:75-76 override exists for
+    val df = Seq(
+      (1L, "u", 200L, 5L, 10L), (1L, "d", 100L, 7L, 11L),
+      // key 2: lsn tie — op priority via the RENAMED op column decides
+      (2L, "c", 100L, 9L, 20L), (2L, "u", 100L, 9L, 21L)
+    ).toDF("user_id", "opcode", "__source_ts_ms", "lsn", "seq")
+    val default = Cdc.dedupLatestConfigured(df, Seq("user_id"),
+      dedupColumn = Some("__source_ts_ms"), arrivalCol = "seq",
+      opColumn = "opcode")
+      .select("user_id", "seq").as[(Long, Long)].collect().sortBy(_._1)
+    val byLsn = Cdc.dedupLatestConfigured(df, Seq("user_id"),
+      dedupColumn = Some("lsn"), arrivalCol = "seq", opColumn = "opcode")
+      .select("user_id", "seq").as[(Long, Long)].collect().sortBy(_._1)
+    assert(default === Array((1L, 10L), (2L, 21L)))
+    assert(byLsn === Array((1L, 11L), (2L, 21L)))
+  }
+
+  test("dedupLatestConfigured: blank dedup column = newest arrival wins") {
+    import spark.implicits._
+    // reference's blank-config branch (compareByTsThenOp returns -1 →
+    // the merge keeps the newer arrival regardless of ts or op)
+    val df = Seq(
+      (1L, "d", 900L, 10L), (1L, "c", 100L, 11L)
+    ).toDF("user_id", "__op", "__source_ts_ms", "seq")
+    val out = Cdc.dedupLatestConfigured(df, Seq("user_id"),
+      dedupColumn = None, arrivalCol = "seq")
+      .select("user_id", "__op", "seq").as[(Long, String, Long)].collect()
+    assert(out === Array((1L, "c", 11L)))
+  }
+
   test("mergeIncremental equals upsertSnapshot over the full changelog") {
     val events = Tables.events(spark, sfDir)
     val full = Cdc.upsertSnapshot(events)

@@ -72,13 +72,15 @@ object ScaleSmokeR14c {
     import spark.implicits._
     val emptyEmb = Seq.empty[(Long, Array[Float])]
       .toDF("vec_id", "embedding")
+    // r15: the smoke reads the PRODUCTION fold (pointer-doubling
+    // snnClusterFast) — the linear fold stays the oracle contract only
     val g1 = graft.Exec.materialize(randGraph(50000, 10))
     val g10 = graft.Exec.materialize(randGraph(500000, 10))
-    noop(graft.llm.Ann.knnSnnCluster(emptyEmb, graph = Some(g1)))
-    t("knn_snn_cluster consumer 1x (50k nodes)")(
-      noop(graft.llm.Ann.knnSnnCluster(emptyEmb, graph = Some(g1))))
-    t("knn_snn_cluster consumer 10x (500k nodes)")(
-      noop(graft.llm.Ann.knnSnnCluster(emptyEmb, graph = Some(g10))))
+    noop(graft.llm.Ann.knnSnnClusterFast(emptyEmb, graph = Some(g1)))
+    t("knn_snn_cluster_fast consumer 1x (50k nodes)")(
+      noop(graft.llm.Ann.knnSnnClusterFast(emptyEmb, graph = Some(g1))))
+    t("knn_snn_cluster_fast consumer 10x (500k nodes)")(
+      noop(graft.llm.Ann.knnSnnClusterFast(emptyEmb, graph = Some(g10))))
 
     spark.stop()
   }
