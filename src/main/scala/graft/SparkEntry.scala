@@ -763,6 +763,120 @@ object SparkEntry {
        |FROM vdim v JOIN vwxxh x ON v.doc_id = x.key""".stripMargin
   }
 
+  /** media_audio oracle (r15): every waveform moment is
+    * order-independent EXACT in IEEE double (samples/2¹⁵ are dyadic
+    * with ≤16-bit fractions, squares need ≤32 mantissa bits, ≤900
+    * sub-1 terms keep partial sums under 2⁴²), so DuckDB's
+    * arbitrary-order aggregation reproduces the decode loop
+    * bit-for-bit — duration/rms/peak plus the 16 energy-bin columns
+    * are a full value oracle with no fingerprint indirection. */
+  private lazy val mediaAudioOracle: String = {
+    def smp(i: String): String = {
+      val b = s"CASE WHEN L = 0 THEN (($i)*31 + doc_id) & 255 " +
+        s"ELSE ${mediaTextByte(i)} END"
+      s"((($b) - 128) * 200 + (((($i)*37 + doc_id) % 64) - 32) * 50)"
+    }
+    // Rounding discipline: duration (den 8000 → ≤6 decimal digits)
+    // and rms (sqrt — irrational off perfect squares) round the IEEE
+    // double; but peak and the energy bins are exact RATIONALS with
+    // power-of-two denominators whose decimal expansions CAN terminate
+    // in a 5 at exactly the 7th digit — a tie DuckDB's double-scaled
+    // round resolves differently than Spark's BigDecimal HALF_UP
+    // (shortest-repr). Those round with exact integer HALF_UP:
+    // round6(num/den) = (2·num·10⁶ + den) // (2·den), then /10⁶.
+    // mono = ivv/2¹⁶ with ivv = 2v (mono ch) or v0+v1 (stereo) —
+    // bit-identical to the decode loop's acc/channels (all dyadic).
+    val bin = "(f * 16) // fr"
+    val eCols = (0 until 16).map(i =>
+      s"""((2 * sum(CASE WHEN $bin = $i THEN ivv*ivv END) * 1000000
+         |    + 4294967296 * count(CASE WHEN $bin = $i THEN 1 END))
+         |  // (2 * 4294967296 * count(CASE WHEN $bin = $i THEN 1 END)))
+         |  / 1000000.0 AS e$i""".stripMargin)
+      .mkString(",\n")
+    s"""WITH aud0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS L,
+       |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch,
+       |    doc_id % 800 + 100 AS fr
+       |  FROM documents),
+       |amono AS (
+       |  SELECT doc_id, f.range AS f, fr, ch,
+       |    CASE WHEN ch = 1 THEN 2 * (${smp("f.range")})
+       |         ELSE (${smp("f.range*2")}) + (${smp("f.range*2+1")})
+       |    END AS ivv
+       |  FROM aud0, range(900) f
+       |  WHERE f.range < fr),
+       |astat AS (
+       |  SELECT doc_id, max(fr) AS fr, max(ch) AS ch,
+       |    sum((ivv/65536.0)*(ivv/65536.0)) AS sumsq,
+       |    max(abs(ivv)) AS pmax,
+       |$eCols
+       |  FROM amono GROUP BY doc_id)
+       |SELECT doc_id, 'wav' AS format,
+       |  44 + fr * ch * 2 AS n_bytes,
+       |  round(fr / 8000.0, 6) AS duration_s,
+       |  round(sqrt(sumsq / fr), 6) AS rms,
+       |  ((2 * pmax * 1000000 + 65536) // 131072) / 1000000.0 AS peak,
+       |  e0, e1, e2, e3, e4, e5, e6, e7,
+       |  e8, e9, e10, e11, e12, e13, e14, e15
+       |FROM astat""".stripMargin
+  }
+
+  /** media_video oracle (r15): luma/motion/grid moments accumulate
+    * INTEGER pixel values (< 2⁵³ total), hence order-independent exact
+    * — mean/motion/4×4-grid columns replay the frame-sampled decode
+    * loop; the previous frame's pixel re-synthesizes in place (same
+    * drift formula at f−2), so motion needs no self-join. */
+  private lazy val mediaVideoOracle: String = {
+    val b = s"CASE WHEN L = 0 THEN (j.range*31 + doc_id) & 255 " +
+      s"ELSE ${mediaTextByte("j.range")} END"
+    // integer-HALF_UP rounding (mediaAudioOracle discipline): the luma
+    // means are exact integer rationals whose decimal expansions tie
+    // at the 7th digit for power-of-two-heavy denominators — observed
+    // live (doc 252 mean 131.4734375 → Spark 131.473438, double-scaled
+    // DuckDB round 131.473437)
+    val cell = "((p // w) * 4 // hh) * 4 + (p % w) * 4 // w"
+    val gCols = (0 until 16).map(i =>
+      s"""((2 * sum(CASE WHEN $cell = $i THEN l END) * 1000000
+         |    + count(CASE WHEN $cell = $i THEN 1 END))
+         |  // (2 * count(CASE WHEN $cell = $i THEN 1 END)))
+         |  / 1000000.0 AS g$i""".stripMargin).mkString(",\n")
+    s"""WITH vq0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS L,
+       |    (doc_id % 16) * 2 + 16 AS w, (doc_id % 12) * 2 + 16 AS hh,
+       |    doc_id % 2 = 1 AS mono, doc_id % 8 + 3 AS nf,
+       |    (doc_id % 8 + 3 + 1) // 2 AS keptn
+       |  FROM documents),
+       |vpx AS (
+       |  SELECT doc_id, w, hh, keptn, j.range AS p,
+       |    (($b) + (2*k.range) * 11 + j.range // 64) & 255 AS l,
+       |    CASE WHEN k.range > 0
+       |      THEN (($b) + (2*k.range - 2) * 11 + j.range // 64) & 255
+       |    END AS lp
+       |  FROM vq0, range(5) k, range(1748) j
+       |  WHERE k.range < keptn AND j.range < w * hh),
+       |vagg AS (
+       |  SELECT doc_id, sum(l) AS lsum, sum(abs(l - lp)) AS msum,
+       |$gCols
+       |  FROM vpx GROUP BY doc_id)
+       |SELECT q.doc_id,
+       |  CASE WHEN mono THEN 'y4m_mono' ELSE 'y4m' END AS format,
+       |  length('YUV4MPEG2 W' || w || ' H' || hh || ' F25:1 Ip A1:1 '
+       |    || (CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)) + 1
+       |  + nf * (6 + CASE WHEN mono THEN w * hh
+       |      ELSE w * hh + 2 * ((w // 2) * (hh // 2)) END) AS n_bytes,
+       |  nf AS n_frames, keptn AS n_sampled,
+       |  round(CAST(25.0 AS DOUBLE), 6) AS fps,
+       |  ((2 * lsum * 1000000 + keptn * w * hh)
+       |    // (2 * keptn * w * hh)) / 1000000.0 AS mean_luma,
+       |  ((2 * msum * 1000000 + (keptn - 1) * w * hh)
+       |    // (2 * (keptn - 1) * w * hh)) / 1000000.0 AS motion,
+       |  g0, g1, g2, g3, g4, g5, g6, g7,
+       |  g8, g9, g10, g11, g12, g13, g14, g15
+       |FROM vq0 q JOIN vagg USING (doc_id)""".stripMargin
+  }
+
   // --- LSH-substrate kNN graph + shared graph-consumer bodies (r14) --
   // The LSH pipeline is deterministic end to end (seeded plane
   // literals), so the 100 TB graph substrate is itself oracle-able:
@@ -6838,6 +6952,11 @@ object SparkEntry {
     "media_resize" -> mediaResizeOracle,
     "media_resample" -> mediaResampleOracle,
     "media_frames" -> mediaFramesOracle,
+    // the two feature entries whose moments are order-independent
+    // EXACT (dyadic audio samples; integer video lumas) — the feature
+    // loops replay as plain SQL aggregates
+    "media_audio" -> mediaAudioOracle,
+    "media_video" -> mediaVideoOracle,
     // the SAME coreness body over the LSH-substrate edge frame — the
     // 100 TB graph path behind the gate (r13 verdict task 2)
     "knn_kcore_lsh" ->

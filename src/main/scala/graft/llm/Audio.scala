@@ -257,19 +257,25 @@ object Audio {
         xxhash64(col("media")).as("media_fp"))
   }
 
-  /** Driver entry: attach audio column, decode, flat scalar feature frame
-    * (the 16-bin profile goes out as an md5 fingerprint of its rounded
-    * cells — the driver comparator needs scalar columns, same constraint
-    * as [[Multimodal.multimodalQ]]). */
+  /** Driver entry: attach audio column, decode, flat scalar feature
+    * frame. The 16-bin energy profile goes out as sixteen scalar
+    * columns (r15; previously an md5-of-JSON fingerprint whose float
+    * RENDERING differs between engines): every moment here is
+    * order-independent EXACT in IEEE double — samples/2¹⁵ are dyadic
+    * with ≤16-bit fractions, their squares need ≤32 mantissa bits, and
+    * ≤900 sub-1 terms keep every partial sum under 2⁴², so DuckDB's
+    * arbitrary-order sums reproduce the loop bit-for-bit and the whole
+    * frame is a full value oracle. */
   def mediaAudioQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withAudioColumn(Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
+    val energyCols = (0 until 16).map(i =>
+      round(col("energy").getItem(i), 6).as(s"e$i"))
     extractFeatures(media).toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes"),
+      .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
         round(col("duration_s"), 6).as("duration_s"),
         round(col("rms"), 6).as("rms"),
-        round(col("peak"), 6).as("peak"),
-        md5(to_json(expr("transform(energy, e -> round(e, 6))"))).as("energy_fp"))
+        round(col("peak"), 6).as("peak")) ++ energyCols: _*)
   }
 }

@@ -283,16 +283,24 @@ object Video {
         xxhash64(col("media")).as("media_fp"))
   }
 
+  /** Driver entry (r15: full value oracle): luma/motion/grid moments
+    * accumulate INTEGER pixel values and |diffs| (< 2⁵³ total), so
+    * they are order-independent EXACT in IEEE double and DuckDB's
+    * arbitrary-order sums reproduce the loop bit-for-bit — the 4×4
+    * grid goes out as sixteen scalar columns (previously an
+    * md5-of-JSON fingerprint whose float rendering differs between
+    * engines). */
   def mediaVideoQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withVideoColumn(Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
+    val gridCols = (0 until 16).map(i =>
+      round(col("grid").getItem(i), 6).as(s"g$i"))
     extractFeatures(media).toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes"), col("n_frames"),
-        col("n_sampled"), round(col("fps"), 6).as("fps"),
+      .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
+        col("n_frames"), col("n_sampled"), round(col("fps"), 6).as("fps"),
         round(col("mean_luma"), 6).as("mean_luma"),
-        round(col("motion"), 6).as("motion"),
-        md5(to_json(expr("transform(grid, g -> round(g, 4))"))).as("grid_fp"))
+        round(col("motion"), 6).as("motion")) ++ gridCols: _*)
   }
 
   /** Cross-modality media health rollup: per (modality, format) —

@@ -20,30 +20,28 @@ import org.apache.spark.sql.functions._
   * histogram, then resolve the exact value inside the one touched
   * bucket. Every shuffle is a map-side-combinable aggregate and every
   * window partition is bounded by `buckets` or by the occupancy of a
-  * single bucket (~n/buckets for spread values; for heavily tied
-  * values the in-bucket frame first collapses to DISTINCT values, so
-  * ties never inflate a partition).
+  * single FINE bucket (~n/buckets² for spread values — the r15 fused
+  * two-level binning; for heavily tied values the in-bucket frame
+  * first collapses to DISTINCT values, so ties never inflate a
+  * partition).
   *
   * Pass structure (per call):
   *   0. per-group extent `(min, max)` of the value's double image —
   *      one map-side-combined aggregate, |groups| rows, broadcast;
-  *   1. per-(group, bucket) count histogram over monotone linear
-  *      binning of the double image — map-side-combined, ≤ `buckets`
-  *      rows per group; a running sum over the histogram (window
-  *      partitions ≤ `buckets` rows) locates each target rank's
-  *      bucket and its residual rank by prefix sum;
-  *   2. rows of the ONE located bucket per (group, rank) collapse to
-  *      per-distinct-value counts (map-side-combined, materialized —
-  *      ≈ n/buckets rows worst case); when the bucket holds ≤ `buckets`
-  *      distinct values, a running sum over the collapsed frame selects
-  *      the exact value covering the residual;
-  *   3. (occupancy-triggered, r15) when a continuous domain leaves
-  *      > `buckets` distinct values in the located bucket, that bucket
-  *      is re-binned ONCE more — sub-histogram + prefix over ≤ `buckets`
-  *      sub-buckets, final window over one sub-bucket's distinct values
-  *      (≈ n/buckets²) — so no window partition ever exceeds
-  *      max(buckets, n/buckets²) short of a degenerate double-image
-  *      collapse.
+  *   1. ONE per-(group, fine-bucket) count histogram over monotone
+  *      linear binning of the double image at `buckets`² granularity —
+  *      map-side-combined, ≤ `buckets`² occupied bins per group
+  *      (dimension-bounded at any corpus size); the coarse histogram
+  *      (fine div `buckets`) is an aggregate OF THE FINE ONE, never a
+  *      second base scan: a prefix sum over ≤ `buckets` coarse rows
+  *      locates each rank's coarse bucket, a prefix over that bucket's
+  *      ≤ `buckets` fine bins locates its fine bucket (r15 fused
+  *      two-level design — the r14 one-level histogram left ~n/buckets
+  *      DISTINCT values in one final window on continuous domains);
+  *   2. rows of the ONE located fine bucket per (group, rank) collapse
+  *      to per-distinct-value counts (map-side-combined); a running sum
+  *      over the collapsed frame (window partitions ≈ n/buckets²
+  *      distinct values) selects the exact value covering the residual.
   *
   * The double cast used for binning only needs to be monotone
   * NON-STRICTLY (collisions share a bucket, they never invert order),
@@ -107,83 +105,70 @@ object RankSelect {
     val vd = col(valueCol).cast("double")
     val ext = stats.select((gcols ++
       Seq(col("__vmin"), col("__vmax"))): _*)
-    val width = (col("__vmax") - col("__vmin")) / lit(buckets.toDouble)
-    val bkt = when(col("__vmax") <= col("__vmin"), lit(0L))
-      .otherwise(least(lit((buckets - 1).toLong),
+    // FUSED two-level binning (r14 verdict task 4, redesigned r15 after
+    // the first cut's eager occupancy split cost one Spark job per
+    // call): bin the base ONCE at buckets² fine granularity — the same
+    // single map-side-combined histogram pass as the one-level design,
+    // just with a finer key (≤ buckets² occupied bins per group on the
+    // wire, dimension-bounded at any corpus size). The coarse histogram
+    // is then an aggregate OF THE FINE ONE (never a second base scan):
+    // prefix over ≤ buckets coarse rows locates the coarse bucket,
+    // prefix over its ≤ buckets fine bins locates the fine bucket, and
+    // the final ordered window runs over ONE fine bucket's distinct
+    // values (≈ n/buckets²) — the squared bound holds unconditionally,
+    // with no occupancy test, no extra job, no materialization. A
+    // degenerate double-image collapse (all values share one double,
+    // e.g. longs past 2⁵³) still lands everything in fine bin 0 and
+    // degrades to a single window over the tie-collapsed values.
+    val fineN = buckets.toLong * buckets
+    val width = (col("__vmax") - col("__vmin")) / lit(fineN.toDouble)
+    val fbkt = when(col("__vmax") <= col("__vmin") || width === lit(0.0),
+        lit(0L))
+      .otherwise(least(lit(fineN - 1),
         floor((vd - col("__vmin")) / width).cast("long")))
-    val binned = joinG(proj, ext, groups).withColumn("__bkt", bkt)
+    val binned = joinG(proj, ext, groups).withColumn("__fbkt", fbkt)
       .drop("__vmin", "__vmax")
-    // pass 1: histogram + prefix sum over ≤`buckets` rows per group
-    val hist = binned.groupBy((gcols :+ col("__bkt")): _*)
+    // the ONE base histogram pass, fine-grained
+    val histF = binned.groupBy((gcols :+ col("__fbkt")): _*)
       .agg(sum(col("__w")).as("__c"))
-    val cum = hist.withColumn("__cum",
-      sum(col("__c")).over(Window.partitionBy(gcols: _*).orderBy(col("__bkt"))))
-    val loc = joinG(cum, targets, groups)
+    // level 1: coarse = fine div buckets, prefix over ≤ buckets rows
+    val histC = histF
+      .groupBy((gcols :+ expr(s"__fbkt div $buckets").as("__cbkt")): _*)
+      .agg(sum(col("__c")).as("__cc"))
+    val cumC = histC.withColumn("__cum",
+      sum(col("__cc")).over(
+        Window.partitionBy(gcols: _*).orderBy(col("__cbkt"))))
+    val locC = joinG(cumC, targets, groups)
       .filter(col("__cum") >= col("__r") &&
-        col("__cum") - col("__c") < col("__r"))
-      .select(gcols ++ Seq(col("__ridx"), col("__bkt").as("__tbkt"),
-        (col("__r") - col("__cum") + col("__c")).as("__bresid")): _*)
-    // pass 2: the one touched bucket per (group, rank), collapsed to
-    // distinct values — ties never inflate the window partition. The
-    // collapsed frame is materialized: it is referenced by the
-    // occupancy split below, and its size is one bucket's distinct
-    // values (≈ n/buckets worst case), not the corpus.
-    val marked = joinG(binned, loc, groups)
-      .filter(col("__bkt") === col("__tbkt"))
-    val vc = graft.Exec.materialize(marked
+        col("__cum") - col("__cc") < col("__r"))
+      .select(gcols ++ Seq(col("__ridx"), col("__cbkt").as("__tcbkt"),
+        (col("__r") - col("__cum") + col("__cc")).as("__cresid")): _*)
+    // level 2: prefix over the located coarse bucket's ≤ buckets fine
+    // bins — read from the FINE HISTOGRAM, not the base
+    val cumF = joinG(histF, locC, groups)
+      .filter(expr(s"__fbkt div $buckets") === col("__tcbkt"))
+      .withColumn("__fcum", sum(col("__c")).over(Window
+        .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col("__fbkt"))))
+    val locF = cumF.filter(col("__fcum") >= col("__cresid") &&
+        col("__fcum") - col("__c") < col("__cresid"))
+      .select(gcols ++ Seq(col("__ridx"), col("__fbkt").as("__tfbkt"),
+        (col("__cresid") - col("__fcum") + col("__c")).as("__bresid")): _*)
+    // pass 2: rows of the ONE fine bucket per (group, rank), collapsed
+    // to distinct values — ties never inflate the window partition
+    val marked = joinG(binned, locF, groups)
+      .filter(col("__fbkt") === col("__tfbkt"))
+    val vc = marked
       .groupBy((gcols ++ Seq(col("__ridx"), col("__bresid"),
         col(valueCol))): _*)
-      .agg(sum(col("__w")).as("__vc")))
-    // occupancy-triggered recursion (r14 verdict task 4): on a
-    // continuous domain one bucket still holds ~n/buckets DISTINCT
-    // values, so resolving it with a single ordered window would be a
-    // one-task sort of that occupancy at 100×. Split per (group, rank)
-    // on the bucket's distinct-value count: ≤ buckets resolves with
-    // the direct window (bounded by construction), > buckets re-bins
-    // the located bucket once more — histogram + prefix over ≤ buckets
-    // sub-buckets, final window over ONE sub-bucket's distinct values
-    // (≈ n/buckets² — one extra level squares the bound). Degenerate
-    // double-image collapse (all survivors share one double, e.g.
-    // longs past 2^53) lands everything in sub-bucket 0 and degrades
-    // to the direct window — correct, just unbounded-by-binning there.
-    val occ = vc.groupBy((gcols :+ col("__ridx")): _*)
-      .agg(count(lit(1)).as("__occ"),
-        min(vd).as("__vmin2"), max(vd).as("__vmax2"))
-    val withOcc = joinG(vc, occ, groups :+ "__ridx")
-    def resolve(frame: DataFrame, rankCol: String): DataFrame =
-      frame.withColumn("__vcum",
-          sum(col("__vc")).over(Window
-            .partitionBy((gcols :+ col("__ridx")): _*)
-            .orderBy(col(valueCol))))
-        .filter(col("__vcum") >= col(rankCol) &&
-          col("__vcum") - col("__vc") < col(rankCol))
-        .select(gcols ++ Seq(col("__ridx"), col(valueCol),
-          (col(rankCol) - col("__vcum") + col("__vc")).as("__resid"),
-          col("__vc").as("__nties")): _*)
-    val direct = resolve(withOcc.filter(col("__occ") <= lit(buckets.toLong))
-      .drop("__occ", "__vmin2", "__vmax2"), "__bresid")
-    // deep path: one more binning level over the located bucket
-    val width2 = (col("__vmax2") - col("__vmin2")) / lit(buckets.toDouble)
-    val sbkt = when(col("__vmax2") <= col("__vmin2"), lit(0L))
-      .otherwise(least(lit((buckets - 1).toLong),
-        floor((vd - col("__vmin2")) / width2).cast("long")))
-    val deepBinned = withOcc.filter(col("__occ") > lit(buckets.toLong))
-      .withColumn("__sbkt", sbkt)
-      .drop("__occ", "__vmin2", "__vmax2")
-    val cum2 = deepBinned
-      .groupBy((gcols ++ Seq(col("__ridx"), col("__bresid"),
-        col("__sbkt"))): _*)
-      .agg(sum(col("__vc")).as("__c2"))
-      .withColumn("__cum2", sum(col("__c2")).over(Window
-        .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col("__sbkt"))))
-    val loc2 = cum2.filter(col("__cum2") >= col("__bresid") &&
-        col("__cum2") - col("__c2") < col("__bresid"))
-      .select(gcols ++ Seq(col("__ridx"), col("__sbkt").as("__tsbkt"),
-        (col("__bresid") - col("__cum2") + col("__c2")).as("__sresid")): _*)
-    val deep = resolve(
-      joinG(deepBinned.drop("__bresid"), loc2, groups :+ "__ridx")
-        .filter(col("__sbkt") === col("__tsbkt")), "__sresid")
-    direct.unionByName(deep)
+      .agg(sum(col("__w")).as("__vc"))
+    val vcum = vc.withColumn("__vcum",
+      sum(col("__vc")).over(Window
+        .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col(valueCol))))
+    vcum.filter(col("__vcum") >= col("__bresid") &&
+        col("__vcum") - col("__vc") < col("__bresid"))
+      .select(gcols ++ Seq(col("__ridx"), col(valueCol),
+        (col("__bresid") - col("__vcum") + col("__vc")).as("__resid"),
+        col("__vc").as("__nties")): _*)
   }
 
   private def explodeRanks(stats: DataFrame, groups: Seq[String],

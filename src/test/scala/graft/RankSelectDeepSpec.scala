@@ -5,19 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.RankSelect
 
-/** Occupancy-triggered recursion in [[RankSelect]] (r15, verdict task
-  * 4): on a continuous domain the located bucket holds ~n/buckets
-  * DISTINCT values — past `buckets` occupancy the operator must re-bin
-  * that bucket instead of sorting it in one window task, and the
-  * recursion must return EXACTLY what the direct window would. */
+/** Fused two-level binning in [[RankSelect]] (r15, verdict task 4):
+  * on a continuous domain a one-level histogram's located bucket holds
+  * ~n/buckets DISTINCT values — the fine level must shrink the final
+  * window to ~n/buckets², and the two-level selection must return
+  * EXACTLY what a direct sort would. */
 class RankSelectDeepSpec extends AnyFunSuite with SparkFixture {
 
-  test("deep path ≡ truth for every rank (buckets=4, 100 distinct)") {
+  test("two-level path ≡ truth for every rank (buckets=4, 100 distinct)") {
     import spark.implicits._
-    // 100 distinct values, buckets=4 → every located bucket holds ~25
-    // distinct values > 4 — the deep path is exercised for EVERY rank.
-    // Values are a deterministic shuffle (i*37 mod 100) so bucket
-    // boundaries don't align with insertion order.
+    // 100 distinct values, buckets=4 → 16 fine bins, every coarse
+    // bucket holds ~25 distinct values > 4 — the fine level carries
+    // real residual accounting for EVERY rank. Values are a
+    // deterministic shuffle (i*37 mod 100) so bucket boundaries don't
+    // align with insertion order.
     val vals = (0 until 100).map(i => ((i * 37) % 100).toLong)
     val df = vals.toDF("v")
     val ranksOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -31,11 +32,11 @@ class RankSelectDeepSpec extends AnyFunSuite with SparkFixture {
       s"rank index $ridx selected $v")
   }
 
-  test("deep path with groups and ties ≡ direct truth") {
+  test("two-level path with groups and ties ≡ direct truth") {
     import spark.implicits._
-    // two groups; group a: 60 distinct values ×2 copies (ties must
-    // collapse BEFORE the occupancy test), group b: 7 distinct values
-    // (stays on the direct path) — the union of both paths in one call
+    // two groups; group a: 60 distinct values ×2 copies (ties collapse
+    // in the final frame), group b: 7 distinct values (near-collapsed
+    // regime) — both regimes in one call
     val a = (0 until 120).map(i => ("a", (i % 60).toLong))
     val b = (0 until 7).map(i => ("b", i.toLong * 10))
     val df = (a ++ b).toDF("g", "v")
@@ -46,7 +47,7 @@ class RankSelectDeepSpec extends AnyFunSuite with SparkFixture {
     assert(med === Map("a" -> 29L, "b" -> 30L))
   }
 
-  test("weighted deep path ≡ expansion truth") {
+  test("weighted two-level path ≡ expansion truth") {
     import spark.implicits._
     // 50 distinct values, weight i+1 → total weight 1275; buckets=4
     // forces recursion; the rank-638 value of the expanded multiset
@@ -60,9 +61,9 @@ class RankSelectDeepSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("continuous-domain smoke: 2M unique doubles, default buckets") {
-    // occupancy ≈ 2M/1024 ≈ 1953 > 1024 in every bucket → the deep
-    // path runs at the DEFAULT bucket count, and the final window
-    // partition is ~2 distinct values, not 1953
+    // a one-level histogram would leave ≈ 2M/1024 ≈ 1953 distinct
+    // values in the final window; the fine level (1024² bins) leaves
+    // ~2 — and the selected values must still be exact
     val df = spark.range(2000000L)
       .select((col("id").cast("double") * lit(0.001)).as("v"))
     val qs = Seq(0.5, 0.99)

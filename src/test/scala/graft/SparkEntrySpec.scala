@@ -28,19 +28,21 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // driver entries at DETERMINISTIC mergeable sketches (DDSketch-
     // style log buckets; truncated-counter heavy hitters) whose merge
     // is plain arithmetic — the DataSketches KLL/FI binaries stay as
-    // library alternatives. r15 converted SIX media entries: the dHash
-    // family (media_phash / media_phash_incremental) by replaying the
-    // synthetic raster + integer dHash itself in SQL (mediaSigCtes);
-    // media_report via closed-form payload lengths; and the three
-    // transform entries (media_resize / media_resample / media_frames)
-    // by re-pointing their fingerprints at xxhash64 and reconstructing
-    // the transformed payload bytes in SQL for the XXH64 replay. What
-    // remains is genuinely engine-bound: DEFLATE, and the three
-    // feature entries whose outputs are FLOAT accumulations whose
-    // summation order differs between engines (mean/rms/motion/grid).
-    assert(rowsOnly === Set(
-      "text_compressibility",
-      "multimodal", "media_audio", "media_video"),
+    // library alternatives. r15 converted EIGHT media entries: the
+    // dHash family (media_phash / media_phash_incremental) by
+    // replaying the synthetic raster + integer dHash itself in SQL
+    // (mediaSigCtes); media_report via closed-form payload lengths;
+    // the three transform entries (media_resize / media_resample /
+    // media_frames) by re-pointing their fingerprints at xxhash64 and
+    // reconstructing the transformed payload bytes in SQL for the
+    // XXH64 replay; and the two feature entries whose moments are
+    // order-independent EXACT in IEEE double (media_audio: dyadic
+    // sample fractions; media_video: integer lumas), emitted as
+    // scalar columns. What remains is genuinely engine-bound: DEFLATE
+    // (text_compressibility) and multimodal's BT.601 double-weighted
+    // mean, whose per-pixel products round so its 5k-term sum IS
+    // accumulation-order dependent between engines.
+    assert(rowsOnly === Set("text_compressibility", "multimodal"),
       s"unexpected rows-only entries: $rowsOnly")
   }
 }
