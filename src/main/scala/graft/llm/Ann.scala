@@ -3966,7 +3966,6 @@ object Ann {
     * join + one agg on that frame — O(iters · nk). */
   def knnComponents(embeddings: DataFrame, k: Int = 5, iters: Int = 25,
                     graph: Option[DataFrame] = None): DataFrame = {
-    val d = (c: Column) => c.cast("double")
     val g = graft.Exec.materialize(
       graph.getOrElse(knnGraph(embeddings, k))
         .select(col("vec_id"), col("nbr_id")))
