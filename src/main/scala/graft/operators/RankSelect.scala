@@ -19,27 +19,25 @@ import org.apache.spark.sql.functions._
   * order-statistics jobs): locate the rank's bucket with a bounded
   * histogram, then resolve the exact value inside the one touched
   * bucket. Every shuffle is a map-side-combinable aggregate and every
-  * window partition is bounded by `buckets` or by the occupancy of a
-  * single FINE bucket (~n/buckets² for spread values — the r15 fused
-  * two-level binning; for heavily tied values the in-bucket frame
-  * first collapses to DISTINCT values, so ties never inflate a
-  * partition).
+  * window partition is DIMENSION-bounded: the histogram prefix by the
+  * ≤ `buckets`² occupied bins, the final selection by the occupancy of
+  * a single fine bin (~n/buckets² for spread values — r15; for heavily
+  * tied values the in-bin frame first collapses to DISTINCT values, so
+  * ties never inflate a partition).
   *
   * Pass structure (per call):
   *   0. per-group extent `(min, max)` of the value's double image —
   *      one map-side-combined aggregate, |groups| rows, broadcast;
-  *   1. ONE per-(group, fine-bucket) count histogram over monotone
-  *      linear binning of the double image at `buckets`² granularity —
+  *   1. ONE per-(group, bin) count histogram over monotone linear
+  *      binning of the double image at `buckets`² granularity —
   *      map-side-combined, ≤ `buckets`² occupied bins per group
-  *      (dimension-bounded at any corpus size); the coarse histogram
-  *      (fine div `buckets`) is an aggregate OF THE FINE ONE, never a
-  *      second base scan: a prefix sum over ≤ `buckets` coarse rows
-  *      locates each rank's coarse bucket, a prefix over that bucket's
-  *      ≤ `buckets` fine bins locates its fine bucket (r15 fused
-  *      two-level design — the r14 one-level histogram left ~n/buckets
-  *      DISTINCT values in one final window on continuous domains);
-  *   2. rows of the ONE located fine bucket per (group, rank) collapse
-  *      to per-distinct-value counts (map-side-combined); a running sum
+  *      (dimension-bounded at any corpus size, ~16 MB worst case); a
+  *      running sum over the occupied bins locates each target rank's
+  *      bin and its residual rank by prefix sum (r15: the r14
+  *      `buckets`-level histogram left ~n/buckets DISTINCT values in
+  *      the final window on continuous domains);
+  *   2. rows of the ONE located bin per (group, rank) collapse to
+  *      per-distinct-value counts (map-side-combined); a running sum
   *      over the collapsed frame (window partitions ≈ n/buckets²
   *      distinct values) selects the exact value covering the residual.
   *
@@ -105,21 +103,21 @@ object RankSelect {
     val vd = col(valueCol).cast("double")
     val ext = stats.select((gcols ++
       Seq(col("__vmin"), col("__vmax"))): _*)
-    // FUSED two-level binning (r14 verdict task 4, redesigned r15 after
-    // the first cut's eager occupancy split cost one Spark job per
-    // call): bin the base ONCE at buckets² fine granularity — the same
-    // single map-side-combined histogram pass as the one-level design,
-    // just with a finer key (≤ buckets² occupied bins per group on the
-    // wire, dimension-bounded at any corpus size). The coarse histogram
-    // is then an aggregate OF THE FINE ONE (never a second base scan):
-    // prefix over ≤ buckets coarse rows locates the coarse bucket,
-    // prefix over its ≤ buckets fine bins locates the fine bucket, and
-    // the final ordered window runs over ONE fine bucket's distinct
-    // values (≈ n/buckets²) — the squared bound holds unconditionally,
-    // with no occupancy test, no extra job, no materialization. A
-    // degenerate double-image collapse (all values share one double,
-    // e.g. longs past 2⁵³) still lands everything in fine bin 0 and
-    // degrades to a single window over the tie-collapsed values.
+    // FINE binning (r14 verdict task 4, final r15 design after two
+    // measured detours — an eager occupancy split cost one Spark job
+    // per call, and a cascaded coarse/fine histogram re-executed the
+    // base scan once per level): bin the base ONCE at buckets²
+    // granularity. The plan SHAPE is exactly the r14 one-level
+    // selection — same two base scans, same single histogram shuffle —
+    // only the bin key is finer: the prefix window runs over the
+    // occupied fine bins (≤ buckets² = ~1M rows per group,
+    // DIMENSION-bounded at any corpus size — a one-task integer sort
+    // of ≤1M histogram rows, ~16 MB), and the final ordered window
+    // over the ONE located bin's distinct values shrinks from
+    // ~n/buckets to ~n/buckets². A degenerate double-image collapse
+    // (all values share one double, e.g. longs past 2⁵³) still lands
+    // everything in bin 0 and degrades to a single window over the
+    // tie-collapsed values.
     val fineN = buckets.toLong * buckets
     val width = (col("__vmax") - col("__vmin")) / lit(fineN.toDouble)
     val fbkt = when(col("__vmax") <= col("__vmin") || width === lit(0.0),
@@ -128,34 +126,20 @@ object RankSelect {
         floor((vd - col("__vmin")) / width).cast("long")))
     val binned = joinG(proj, ext, groups).withColumn("__fbkt", fbkt)
       .drop("__vmin", "__vmax")
-    // the ONE base histogram pass, fine-grained
-    val histF = binned.groupBy((gcols :+ col("__fbkt")): _*)
+    // pass 1: the ONE base histogram pass + prefix over occupied bins
+    val hist = binned.groupBy((gcols :+ col("__fbkt")): _*)
       .agg(sum(col("__w")).as("__c"))
-    // level 1: coarse = fine div buckets, prefix over ≤ buckets rows
-    val histC = histF
-      .groupBy((gcols :+ expr(s"__fbkt div $buckets").as("__cbkt")): _*)
-      .agg(sum(col("__c")).as("__cc"))
-    val cumC = histC.withColumn("__cum",
-      sum(col("__cc")).over(
-        Window.partitionBy(gcols: _*).orderBy(col("__cbkt"))))
-    val locC = joinG(cumC, targets, groups)
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(gcols: _*).orderBy(col("__fbkt"))))
+    val loc = joinG(cum, targets, groups)
       .filter(col("__cum") >= col("__r") &&
-        col("__cum") - col("__cc") < col("__r"))
-      .select(gcols ++ Seq(col("__ridx"), col("__cbkt").as("__tcbkt"),
-        (col("__r") - col("__cum") + col("__cc")).as("__cresid")): _*)
-    // level 2: prefix over the located coarse bucket's ≤ buckets fine
-    // bins — read from the FINE HISTOGRAM, not the base
-    val cumF = joinG(histF, locC, groups)
-      .filter(expr(s"__fbkt div $buckets") === col("__tcbkt"))
-      .withColumn("__fcum", sum(col("__c")).over(Window
-        .partitionBy((gcols :+ col("__ridx")): _*).orderBy(col("__fbkt"))))
-    val locF = cumF.filter(col("__fcum") >= col("__cresid") &&
-        col("__fcum") - col("__c") < col("__cresid"))
+        col("__cum") - col("__c") < col("__r"))
       .select(gcols ++ Seq(col("__ridx"), col("__fbkt").as("__tfbkt"),
-        (col("__cresid") - col("__fcum") + col("__c")).as("__bresid")): _*)
+        (col("__r") - col("__cum") + col("__c")).as("__bresid")): _*)
     // pass 2: rows of the ONE fine bucket per (group, rank), collapsed
     // to distinct values — ties never inflate the window partition
-    val marked = joinG(binned, locF, groups)
+    val marked = joinG(binned, loc, groups)
       .filter(col("__fbkt") === col("__tfbkt"))
     val vc = marked
       .groupBy((gcols ++ Seq(col("__ridx"), col("__bresid"),
