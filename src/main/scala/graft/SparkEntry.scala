@@ -583,35 +583,45 @@ object SparkEntry {
   // all closed-form in the synthesis parameters (Netpbm/Wav/Y4m header
   // grammar + raster/sample/frame sizes) — Multimodal.withMediaColumn,
   // Audio.withAudioColumn, Video.withVideoColumn respectively
+  // Audio.withAudioColumn / Video.withVideoColumn synthesis
+  // parameters — SINGLE SOURCE for every oracle that restates them
+  // (report, transform, feature), the TableProfile.
+  // LineitemProfileColumns anti-drift rule: a synthesis change breaks
+  // ONE Scala constant, not three hand-written SQL copies.
+  private val audioChSql = "CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END"
+  private val audioFrSql = "doc_id % 800 + 100"
+  private val videoDimsSql =
+    "(doc_id % 16) * 2 + 16 AS w, (doc_id % 12) * 2 + 16 AS hh, " +
+      "doc_id % 2 = 1 AS mono, doc_id % 8 + 3 AS nf"
+  // frame bytes + total payload length of the synthetic Y4M stream
+  private val videoFbSql =
+    "CASE WHEN mono THEN w * hh ELSE w * hh + 2 * ((w // 2) * (hh // 2)) END"
+  // single-line ON PURPOSE: this interpolates into stripMargin
+  // templates, where a continuation line starting with `||` would
+  // lose a pipe to the outer stripMargin
+  private val videoBytesSql =
+    "length('YUV4MPEG2 W' || w || ' H' || hh || ' F25:1 Ip A1:1 ' || " +
+      "(CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)) + 1 " +
+      s"+ nf * (6 + $videoFbSql)"
+
   private lazy val mediaReportOracle: String =
-    """WITH mm AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 50 IN (5,9) THEN doc_id - doc_id % 50 + 5
-      |         ELSE doc_id END AS sid
-      |  FROM documents),
+    s"""WITH $mediaBaseCtes,
       |img AS (
       |  SELECT 'image' AS modality,
-      |    CASE WHEN sid % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
-      |    length('P6' || chr(10) || (sid % 64 + 16) || ' '
-      |      || (sid % 48 + 16) || chr(10) || '255' || chr(10))
-      |    + (sid % 64 + 16) * (sid % 48 + 16)
-      |      * (CASE WHEN sid % 2 = 0 THEN 3 ELSE 1 END) AS n_bytes
-      |  FROM mm),
+      |    CASE WHEN rgb THEN 'ppm' ELSE 'pgm' END AS format,
+      |    length('P6' || chr(10) || w || ' '
+      |      || h || chr(10) || '255' || chr(10))
+      |    + w * h * (CASE WHEN rgb THEN 3 ELSE 1 END) AS n_bytes
+      |  FROM md),
       |aud AS (
       |  SELECT 'audio' AS modality, 'wav' AS format,
-      |    44 + (doc_id % 800 + 100)
-      |      * (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END) * 2 AS n_bytes
+      |    44 + ($audioFrSql) * ($audioChSql) * 2 AS n_bytes
       |  FROM documents),
       |vid AS (
       |  SELECT 'video' AS modality,
       |    CASE WHEN mono THEN 'y4m_mono' ELSE 'y4m' END AS format,
-      |    length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 '
-      |      || (CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)) + 1
-      |    + (doc_id % 8 + 3) * (6 + CASE WHEN mono THEN w * h
-      |        ELSE w * h + 2 * ((w // 2) * (h // 2)) END) AS n_bytes
-      |  FROM (SELECT doc_id, (doc_id % 16) * 2 + 16 AS w,
-      |          (doc_id % 12) * 2 + 16 AS h, doc_id % 2 = 1 AS mono
-      |        FROM documents)),
+      |    $videoBytesSql AS n_bytes
+      |  FROM (SELECT doc_id, $videoDimsSql FROM documents)),
       |cells AS (
       |  SELECT modality, format, CAST(count(*) AS BIGINT) AS n_files,
       |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes
@@ -679,8 +689,8 @@ object SparkEntry {
     s"""WITH RECURSIVE asrc0 AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS L,
-       |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch,
-       |    doc_id % 800 + 100 AS fr
+       |    $audioChSql AS ch,
+       |    $audioFrSql AS fr
        |  FROM documents),
        |apix AS (
        |  SELECT doc_id, k.range*ch + c.range AS opos,
@@ -721,12 +731,10 @@ object SparkEntry {
     s"""WITH RECURSIVE vsrc0 AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS L,
-       |    (doc_id % 16) * 2 + 16 AS w, (doc_id % 12) * 2 + 16 AS hh,
-       |    doc_id % 2 = 1 AS mono, doc_id % 8 + 3 AS nf
+       |    $videoDimsSql
        |  FROM documents),
        |vdim AS (SELECT *,
-       |    CASE WHEN mono THEN w * hh
-       |         ELSE w * hh + 2 * ((w // 2) * (hh // 2)) END AS fb,
+       |    $videoFbSql AS fb,
        |    (nf + 1) // 2 AS keptn
        |  FROM vsrc0),
        |vfr AS (
@@ -778,11 +786,17 @@ object SparkEntry {
     }
     // Rounding discipline: duration (den 8000 → ≤6 decimal digits)
     // and rms (sqrt — irrational off perfect squares) round the IEEE
-    // double; but peak and the energy bins are exact RATIONALS with
-    // power-of-two denominators whose decimal expansions CAN terminate
-    // in a 5 at exactly the 7th digit — a tie DuckDB's double-scaled
-    // round resolves differently than Spark's BigDecimal HALF_UP
-    // (shortest-repr). Those round with exact integer HALF_UP:
+    // double; but peak and the energy bins are exact RATIONALS whose
+    // decimal expansions CAN land exactly on a 7th-digit tie (the
+    // power-of-two factors of the numerator quantization make this
+    // likely, not rare) — a tie DuckDB's double-scaled round resolves
+    // differently than Spark's BigDecimal HALF_UP (shortest-repr).
+    // Those round with exact integer HALF_UP on the rational, which
+    // equals Spark's shortest-repr HALF_UP whenever the rational's
+    // expansion is the double's shortest representation — the
+    // residual divergence window (rational within ~1 ulp of a tie
+    // with the double's shortest repr on the other side) is ~1e-9 per
+    // value and absent from the gated corpus:
     // round6(num/den) = (2·num·10⁶ + den) // (2·den), then /10⁶.
     // mono = ivv/2¹⁶ with ivv = 2v (mono ch) or v0+v1 (stereo) —
     // bit-identical to the decode loop's acc/channels (all dyadic).
@@ -796,8 +810,8 @@ object SparkEntry {
     s"""WITH aud0 AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS L,
-       |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch,
-       |    doc_id % 800 + 100 AS fr
+       |    $audioChSql AS ch,
+       |    $audioFrSql AS fr
        |  FROM documents),
        |amono AS (
        |  SELECT doc_id, f.range AS f, fr, ch,
@@ -842,12 +856,11 @@ object SparkEntry {
          |  // (2 * count(CASE WHEN $cell = $i THEN 1 END)))
          |  / 1000000.0 AS g$i""".stripMargin).mkString(",\n")
     s"""WITH vq0 AS (
-       |  SELECT doc_id, hex(encode(text)) AS hx,
-       |    octet_length(encode(text)) AS L,
-       |    (doc_id % 16) * 2 + 16 AS w, (doc_id % 12) * 2 + 16 AS hh,
-       |    doc_id % 2 = 1 AS mono, doc_id % 8 + 3 AS nf,
-       |    (doc_id % 8 + 3 + 1) // 2 AS keptn
-       |  FROM documents),
+       |  SELECT *, (nf + 1) // 2 AS keptn FROM (
+       |    SELECT doc_id, hex(encode(text)) AS hx,
+       |      octet_length(encode(text)) AS L,
+       |      $videoDimsSql
+       |    FROM documents)),
        |vpx AS (
        |  SELECT doc_id, w, hh, keptn, j.range AS p,
        |    (($b) + (2*k.range) * 11 + j.range // 64) & 255 AS l,
@@ -862,10 +875,7 @@ object SparkEntry {
        |  FROM vpx GROUP BY doc_id)
        |SELECT q.doc_id,
        |  CASE WHEN mono THEN 'y4m_mono' ELSE 'y4m' END AS format,
-       |  length('YUV4MPEG2 W' || w || ' H' || hh || ' F25:1 Ip A1:1 '
-       |    || (CASE WHEN mono THEN 'Cmono' ELSE 'C420' END)) + 1
-       |  + nf * (6 + CASE WHEN mono THEN w * hh
-       |      ELSE w * hh + 2 * ((w // 2) * (hh // 2)) END) AS n_bytes,
+       |  $videoBytesSql AS n_bytes,
        |  nf AS n_frames, keptn AS n_sampled,
        |  round(CAST(25.0 AS DOUBLE), 6) AS fps,
        |  ((2 * lsum * 1000000 + keptn * w * hh)

@@ -238,9 +238,6 @@ object Video {
     }
   }
 
-  /** Driver entry: attach video column, decode + frame-sample, flat
-    * scalar feature frame (grid → md5 fingerprint, same comparator
-    * constraint as [[Multimodal.multimodalQ]]). */
   /** Batched video TRANSFORM: decode → keep every `every`-th frame
     * (frame 0 always; the fps numerator divides so wall duration is
     * preserved) → re-encode — [[Multimodal.resizeMedia]]'s video twin,

@@ -211,19 +211,20 @@ object Analytics8 {
       .select(col("cents"),
         (lit(1) + size(filter(col("bs"), b => b < col("cents"))))
           .as("band"))
-    // Aggregate per band FIRST, then derive the totals from the ≤10
-    // band rows (materialized once) — the orders scan and boundary
-    // crossJoin execute exactly once; a totals aggregate over `banded`
-    // would re-execute the whole scan lineage (ADVICE r14).
-    val perBand = graft.Exec.materialize(
-      banded.groupBy(col("band"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(d38(col("cents"))).as("rev")))
-    val tot = broadcast(perBand.agg(
-      sum(col("n_orders")).as("n_orders_tot"),
-      sum(col("rev")).as("rev_tot")))
+    // Aggregate per band FIRST, then derive the totals as an
+    // unpartitioned window over the ≤10 band rows — one orders scan,
+    // no second aggregate lineage (ADVICE r14), and nothing cached or
+    // checkpointed survives the call (the TableProfile r15 lesson:
+    // per-invocation localCheckpoints accumulate block-manager
+    // entries). The single-task window is bounded by the band count
+    // (10), not the corpus.
+    val perBand = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d38(col("cents"))).as("rev"))
+    val wAll = Window.partitionBy()
     perBand
-      .crossJoin(tot)
+      .withColumn("n_orders_tot", sum(col("n_orders")).over(wAll))
+      .withColumn("rev_tot", sum(col("rev")).over(wAll))
       .select(col("band"), col("n_orders"),
         round(col("rev").cast("double") / lit(100.0), 2).as("revenue"),
         round(col("n_orders").cast("double") /
