@@ -24,6 +24,8 @@ object SparkEntry {
     // CDC core (SURVEY §2A)
     "cdc_flatten" -> (Cdc.flattenQ _),
     "cdc_dedup_latest" -> (Cdc.dedupLatestQ _),
+    "cdc_dedup_configured" -> (Cdc.dedupConfiguredQ _),
+    "cdc_dedup_arrival" -> (Cdc.dedupArrivalQ _),
     "cdc_upsert_snapshot" -> (Cdc.upsertSnapshotQ _),
     "cdc_soft_delete" -> (Cdc.softDeleteQ _),
     "cdc_append" -> (Cdc.appendQ _),
@@ -579,6 +581,53 @@ object SparkEntry {
        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)""".stripMargin
   }
 
+  /** multimodal oracle (r16, verdict task 1): the feature stage's
+    * integer BT.601 accumulators replayed over the FULL synthesized
+    * raster — per-pixel luminance ×1000 through [[mediaRasterByte]]
+    * (`299r+587g+114b` RGB / `1000·gray`, the dhash64 integer-gray
+    * convention), summed per doc and per 4×4 average-pool cell as
+    * exact integers, then the SAME single divisions the Scala side
+    * performs (`num::DOUBLE / (1000.0·count)` — numerator < 2⁵³,
+    * quotient correctly rounded, so the doubles are bit-identical).
+    * This is the flip that retires multimodal from the rows-only pin:
+    * the old double-folded mean was accumulation-order-dependent; the
+    * integer numerator is not. */
+  private lazy val multimodalOracle: String = {
+    def bv(i: String): String = mediaRasterByte(i)
+    val lum =
+      s"""CASE WHEN rgb THEN 299*(${bv("3*p")}) + 587*(${bv("3*p+1")})
+         |  + 114*(${bv("3*p+2")}) ELSE 1000*(${bv("p")}) END""".stripMargin
+    val gcols = (0 until 16).map(i =>
+      s"max(CASE WHEN cell = $i THEN gv END) AS g$i").mkString(",\n  ")
+    s"""WITH $mediaBaseCtes,
+       |px AS (
+       |  SELECT doc_id, cell, $lum AS lum
+       |  FROM (
+       |    SELECT doc_id, sid, twin, shft, hx, L, rgb,
+       |      ((yx.y*4)//h)*4 + (yx.x*4)//w AS cell,
+       |      yx.y*w + yx.x AS p
+       |    FROM md, (SELECT a.range AS y, b.range AS x
+       |              FROM range(63) a, range(79) b) yx
+       |    WHERE yx.y < h AND yx.x < w)),
+       |cagg AS (
+       |  SELECT doc_id, cell, CAST(sum(lum) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM px GROUP BY 1, 2),
+       |g AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS num, $gcols
+       |  FROM (SELECT doc_id, cell, n, c,
+       |        CAST(n AS DOUBLE) / (1000.0 * c) AS gv FROM cagg)
+       |  GROUP BY doc_id)
+       |SELECT m.doc_id,
+       |  CASE WHEN rgb THEN 'ppm' ELSE 'pgm' END AS format,
+       |  length('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+       |    || chr(10)) + w * h * (CASE WHEN rgb THEN 3 ELSE 1 END)
+       |    AS n_bytes,
+       |  CAST(g.num AS DOUBLE) / (1000.0 * w * h) AS mean_byte,
+       |  ${(0 until 16).map(i => s"g.g$i").mkString(", ")}
+       |FROM md m JOIN g USING (doc_id)""".stripMargin
+  }
+
   // media health rollup: the report needs only per-doc payload LENGTHS,
   // all closed-form in the synthesis parameters (Netpbm/Wav/Y4m header
   // grammar + raster/sample/frame sizes) — Multimodal.withMediaColumn,
@@ -1076,6 +1125,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "cdc_flatten" -> flattenSql,
     "cdc_dedup_latest" -> dedupLatestSql,
+    // configured dedup ordering (r16): same row_number shape, primary
+    // ordering re-pointed at `value`; and the blank-config branch where
+    // the newest arrival (event_id) wins outright. __op is never NULL
+    // on this corpus (flatten synthesizes it), so the NULL→'c' default
+    // lives in the Scala unit spec, not here.
+    "cdc_dedup_configured" ->
+      s"""SELECT event_id, user_id, event_type, value, ts, prop_k, __op,
+         |  __ts_ms, __source_ts_ms, __deleted
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY value DESC, $opPrioSql DESC, event_id DESC) AS rn
+         |  FROM ($flattenSql) flat
+         |) t WHERE rn = 1""".stripMargin,
+    "cdc_dedup_arrival" ->
+      s"""SELECT event_id, user_id, event_type, value, ts, prop_k, __op,
+         |  __ts_ms, __source_ts_ms, __deleted
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM ($flattenSql) flat
+         |) t WHERE rn = 1""".stripMargin,
     "cdc_upsert_snapshot" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // one-row column-level stats over the live snapshot; exact ints,
     // exact stored doubles/timestamps, nothing rounded
@@ -6943,6 +7014,10 @@ object SparkEntry {
     // oracles — per-doc 64-bit dHash, banded near-dup degree, and the
     // store/probe incremental pair view (banding complete at hamming
     // ≤ 3, so the pair set IS the hamming predicate)
+    // r16 (verdict task 1): the multimodal feature stage itself joins
+    // the value-oracled set — integer BT.601 accumulators replayed over
+    // the full raster, see [[multimodalOracle]]
+    "multimodal" -> multimodalOracle,
     "media_phash" ->
       s"""WITH $mediaSigCtes,
         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n

@@ -103,6 +103,12 @@ object Cdc {
     * stand-in for "newer arrival" — a distributed groupBy has no
     * arrival order to fall back on.
     *
+    * A NULL op defaults to "c" (priority 1) — the reference reads the
+    * op with `asText("c")` (compareByTsThenOp:244-245), so a record
+    * missing its op column ties with a create rather than losing to
+    * everything (ADVICE r15: the bare [[opPriorityCol]] maps NULL to
+    * -1, which would demote it below even unknown op CODES).
+    *
     * @param dedupColumn   `upsert-dedup-column`: primary ordering
     *                      column; None = blank config (arrival wins)
     * @param opColumn      `upsert-op-column`: op-code column for the
@@ -115,7 +121,8 @@ object Cdc {
                             opColumn: String = "__op"): DataFrame =
     dedupLatest(df, keyCols,
       dedupColumn.toSeq.flatMap(c =>
-        Seq(col(c), opPriorityCol(col(opColumn)))) :+ col(arrivalCol))
+        Seq(col(c), opPriorityCol(coalesce(col(opColumn), lit("c")))))
+        :+ col(arrivalCol))
 
   /** Latest change per user with the reference's exact ordering. */
   def dedupLatestEvents(events: DataFrame): DataFrame = {
@@ -802,6 +809,22 @@ object Cdc {
     flatten(Tables.events(spark, dir))
   def dedupLatestQ(spark: SparkSession, dir: String): DataFrame =
     dedupLatestEvents(Tables.events(spark, dir))
+  /** Driver query (r16, verdict task 5): the CONFIGURED dedup ordering
+    * behind the gate — `upsert-dedup-column` re-pointed at `value`
+    * (the weak-source-timestamp override scenario the reference's
+    * StreamConsumerConfig.java:75-76 exists for), op priority on value
+    * ties, event_id as the arrival tiebreak. The sf corpus has real
+    * (user_id, value) ties, so the op-priority leg is exercised. */
+  def dedupConfiguredQ(spark: SparkSession, dir: String): DataFrame =
+    dedupLatestConfigured(flatten(Tables.events(spark, dir)),
+      Seq("user_id"), dedupColumn = Some("value"), arrivalCol = "event_id")
+  /** Driver query (r16, verdict task 5): the BLANK-config branch —
+    * no dedup column, newest arrival wins outright
+    * (compareByTsThenOp:240-242 returns -1), with event_id as the
+    * deterministic arrival stand-in. */
+  def dedupArrivalQ(spark: SparkSession, dir: String): DataFrame =
+    dedupLatestConfigured(flatten(Tables.events(spark, dir)),
+      Seq("user_id"), dedupColumn = None, arrivalCol = "event_id")
   def upsertSnapshotQ(spark: SparkSession, dir: String): DataFrame =
     upsertSnapshot(Tables.events(spark, dir))
   def softDeleteQ(spark: SparkSession, dir: String): DataFrame =

@@ -191,8 +191,13 @@ object Audio {
           val b = if (tb.isEmpty) (i * 31 + id).toInt & 0xff
                   else tb(i % tb.length) & 0xff
           // integer-only: a byte-driven carrier plus a slow position
-          // ramp, spanning a wide dynamic range without overflow
-          (((b - 128) * 200) + (((i * 37 + id.toInt) % 64) - 32) * 50).toShort
+          // ramp, spanning a wide dynamic range without overflow; the
+          // ramp is computed on the LONG id (ADVICE r15: `id.toInt`
+          // wrapped negative past 2^31, diverging from the oracle's
+          // BIGINT `(i*37 + doc_id) % 64` — value-identical on any
+          // non-negative doc_id that fits an Int, so the corpus
+          // payloads are unchanged)
+          (((b - 128) * 200) + ((((i * 37 + id) % 64).toInt - 32) * 50)).toShort
         }
         AudioRecord(id, Wav.encode(rate, channels, samples),
           AudioMeta("wav", rate, frames))

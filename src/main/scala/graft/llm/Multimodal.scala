@@ -113,40 +113,57 @@ object Netpbm {
     if (img.channels == 3) encodeP6(img.width, img.height, img.raster)
     else encodeP5(img.width, img.height, img.raster)
 
-  /** Real feature extraction from DECODED PIXELS: mean luminance
-    * (BT.601 weights for RGB) and a true 4×4 average-pool downsample —
-    * the resize step — as a 16-cell row-major grid. */
-  def features(img: Image): (Double, Array[Double]) = {
-    def lum(x: Int, y: Int): Double = {
+  /** EXACT-INTEGER feature accumulators (r16, verdict task 1): the
+    * per-pixel luminance scaled ×1000 — `299r + 587g + 114b` for RGB
+    * (the integer-gray convention [[Multimodal.dhash64]] already
+    * uses), `1000·gray` for grayscale — summed as Long, plus the 4×4
+    * average-pool cell numerators and pixel counts. Every accumulator
+    * is an integer (≤ 255000 per pixel × ≤ 4096² pixels < 2⁶²), so
+    * the sums are ORDER-INDEPENDENT: the BT.601 mean stops being
+    * accumulation-order-dependent double folding, and a DuckDB oracle
+    * replays it integer-for-integer. Returns (total numerator, cell
+    * numerators, cell counts). */
+  def featuresExact(img: Image): (Long, Array[Long], Array[Long]) = {
+    def lum1000(x: Int, y: Int): Long = {
       val i = (y * img.width + x) * img.channels
       if (img.channels == 3)
-        0.299 * (img.raster(i) & 0xff) + 0.587 * (img.raster(i + 1) & 0xff) +
-          0.114 * (img.raster(i + 2) & 0xff)
-      else (img.raster(i) & 0xff).toDouble
+        299L * (img.raster(i) & 0xff) + 587L * (img.raster(i + 1) & 0xff) +
+          114L * (img.raster(i + 2) & 0xff)
+      else 1000L * (img.raster(i) & 0xff)
     }
-    var total = 0.0
-    val grid = Array.fill(16)(0.0)
+    var total = 0L
+    val nums = Array.fill(16)(0L)
     val counts = Array.fill(16)(0L)
     var y = 0
     while (y < img.height) {
       val gy = y * 4 / img.height
       var x = 0
       while (x < img.width) {
-        val l = lum(x, y)
+        val l = lum1000(x, y)
         total += l
         val cell = gy * 4 + x * 4 / img.width
-        grid(cell) += l
+        nums(cell) += l
         counts(cell) += 1
         x += 1
       }
       y += 1
     }
-    var c = 0
-    while (c < 16) {
-      if (counts(c) > 0) grid(c) /= counts(c)
-      c += 1
+    (total, nums, counts)
+  }
+
+  /** Real feature extraction from DECODED PIXELS: mean luminance
+    * (BT.601 weights for RGB) and a true 4×4 average-pool downsample —
+    * the resize step — as a 16-cell row-major grid. Both derive from
+    * the [[featuresExact]] integer accumulators by ONE division each
+    * (numerator and divisor exactly representable, the quotient
+    * correctly rounded), so the doubles are bit-identical regardless
+    * of pixel iteration order or engine. */
+  def features(img: Image): (Double, Array[Double]) = {
+    val (total, nums, counts) = featuresExact(img)
+    val grid = Array.tabulate(16) { c =>
+      if (counts(c) > 0) nums(c).toDouble / (1000.0 * counts(c)) else 0.0
     }
-    (total / (img.width.toLong * img.height), grid)
+    (total.toDouble / (1000.0 * img.width * img.height), grid)
   }
 }
 
@@ -426,11 +443,18 @@ object Multimodal {
   /** End-to-end multimodal pipeline over `documents`: attach media column,
     * batched decode/feature stage, flat feature frame out.
     *
-    * The driver's comparator loads the result into pandas and sorts rows, so
-    * every output column must be scalar — an `array<double>` crashes the
-    * sort (CORRECTNESS_r02 "unhashable numpy.ndarray"). The 16-cell grid is
-    * therefore emitted as a deterministic md5 fingerprint of its rounded
-    * cells; the full array stays available via [[extractFeatures]]. */
+    * Full value oracle since r16 (verdict task 1): the
+    * [[Netpbm.featuresExact]] integer accumulators make `mean_byte`
+    * and every grid cell an exact rational `num / (1000·count)` whose
+    * single division is correctly rounded in IEEE — DuckDB recomputes
+    * the identical doubles from the identical integers, so the raw
+    * (unrounded) values go out directly. The driver's comparator loads
+    * the result into pandas and sorts rows, so every output column must
+    * be scalar — an `array<double>` crashes the sort (CORRECTNESS_r02
+    * "unhashable numpy.ndarray"); the 16-cell grid goes out as sixteen
+    * scalar columns, the [[graft.llm.Video.mediaVideoQ]] convention
+    * (previously an md5-of-rounded-JSON fingerprint no SQL engine
+    * could replay). */
   def multimodalQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     // the test table is one parquet split; without a repartition the whole
@@ -438,9 +462,9 @@ object Multimodal {
     // real media corpus arrives in many files)
     val media = withMediaColumn(Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
+    val gridCols = (0 until 16).map(i => col("grid").getItem(i).as(s"g$i"))
     extractFeatures(media).toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes"),
-        round(col("mean_byte"), 6).as("mean_byte"),
-        md5(to_json(expr("transform(grid, g -> round(g, 4))"))).as("grid_fp"))
+      .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
+        col("mean_byte")) ++ gridCols: _*)
   }
 }

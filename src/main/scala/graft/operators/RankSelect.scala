@@ -102,30 +102,40 @@ object RankSelect {
     val proj = base.select((groups ++ Seq(valueCol, "__w")).map(col): _*)
     val vd = col(valueCol).cast("double")
     val ext = stats.select((gcols ++
-      Seq(col("__vmin"), col("__vmax"))): _*)
-    // FINE binning (r14 verdict task 4, final r15 design after two
-    // measured detours — an eager occupancy split cost one Spark job
-    // per call, and a cascaded coarse/fine histogram re-executed the
-    // base scan once per level): bin the base ONCE at buckets²
-    // granularity. The plan SHAPE is exactly the r14 one-level
-    // selection — same two base scans, same single histogram shuffle —
-    // only the bin key is finer: the prefix window runs over the
-    // occupied fine bins (≤ buckets² = ~1M rows per group,
-    // DIMENSION-bounded at any corpus size — a one-task integer sort
-    // of ≤1M histogram rows, ~16 MB), and the final ordered window
-    // over the ONE located bin's distinct values shrinks from
-    // ~n/buckets to ~n/buckets². A degenerate double-image collapse
-    // (all values share one double, e.g. longs past 2⁵³) still lands
-    // everything in bin 0 and degrades to a single window over the
-    // tie-collapsed values.
-    val fineN = buckets.toLong * buckets
-    val width = (col("__vmax") - col("__vmin")) / lit(fineN.toDouble)
+      Seq(col("__vmin"), col("__vmax"), col("__n"))): _*)
+    // FINE binning (r14 verdict task 4; r15 fixed buckets²; r16 made
+    // the bin count PER-GROUP ADAPTIVE — verdict task 3, after the r15
+    // board showed sf-sized groups paying ~0.2–0.5 s per selection to
+    // sort ~1M-bin histograms their n never fills): bin the base ONCE
+    // at `fineN = clamp(n div buckets, buckets, buckets²)` granularity,
+    // derived from the already-joined stats frame, so the plan SHAPE is
+    // unchanged (same two base scans, same single histogram shuffle).
+    // The invariants both bounds need still hold at every n:
+    //  - prefix window ≤ min(n, fineN) ≤ buckets² occupied bins per
+    //    group — a one-task integer sort of ≤1M histogram rows
+    //    (~16 MB), DIMENSION-bounded at any corpus size;
+    //  - final ordered window over the ONE located bin ≈ n/fineN ≤
+    //    max(buckets, n/buckets ≤ buckets at small n) ≈ buckets
+    //    distinct values for spread domains — the n/buckets² bound
+    //    mattered only as "≈ buckets at the n where buckets² engages",
+    //    which the adaptive form preserves exactly (n ≥ buckets³ pins
+    //    fineN = buckets² and the bin holds n/buckets² ≥ buckets).
+    // So small groups pay small histograms (sf0.1 ≈ the r14 cost) and
+    // the 100× bound is the same as r15's. A degenerate double-image
+    // collapse (all values share one double, e.g. longs past 2⁵³)
+    // still lands everything in bin 0 and degrades to a single window
+    // over the tie-collapsed values.
+    val fineN = least(lit(buckets.toLong * buckets),
+      greatest(lit(buckets.toLong),
+        floor(col("__n") / lit(buckets.toDouble)).cast("long")))
+    val width = (col("__vmax") - col("__vmin")) / col("__fineN").cast("double")
     val fbkt = when(col("__vmax") <= col("__vmin") || width === lit(0.0),
         lit(0L))
-      .otherwise(least(lit(fineN - 1),
+      .otherwise(least(col("__fineN") - lit(1L),
         floor((vd - col("__vmin")) / width).cast("long")))
-    val binned = joinG(proj, ext, groups).withColumn("__fbkt", fbkt)
-      .drop("__vmin", "__vmax")
+    val binned = joinG(proj, ext, groups).withColumn("__fineN", fineN)
+      .withColumn("__fbkt", fbkt)
+      .drop("__vmin", "__vmax", "__n", "__fineN")
     // pass 1: the ONE base histogram pass + prefix over occupied bins
     val hist = binned.groupBy((gcols :+ col("__fbkt")): _*)
       .agg(sum(col("__w")).as("__c"))

@@ -62,7 +62,12 @@ object TableProfile {
     // it replaces the r13 localCheckpoint whose block-manager entries
     // accumulated across invocations (r14 verdict: the table_profile
     // board delta's first suspect) plus the |columns|-way union of
-    // 1-row scans that referenced it.
+    // 1-row scans that referenced it. DELIBERATE behavior change vs
+    // the pre-r15 lazy plan (ADVICE r15 #4): constructing the profile
+    // runs the stats scan at CALL time even if the result frame is
+    // never consumed — acceptable for a profiling entry point whose
+    // only purpose is that scan; callers needing laziness should call
+    // at first use.
     val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val nRows = one.getLong(one.fieldIndex("n_rows"))
     def optD(name: String): Option[Double] = {

@@ -106,6 +106,54 @@ class OffsetStore(val path: String, spark: SparkSession,
       .groupBy("key")
       .agg(max_by(col("value"), col("seq")).as("value"))
       .as[(String, String)].collect().toMap
+
+  /** One-time migration of a FILE-based Debezium offset into this
+    * store — the reference's `bigquery.migrate-offset-file`
+    * (BigqueryOffsetBackingStore.java:163-185 `loadFileOffset`, called
+    * from `initializeTable`:110-117 only when the storage table was
+    * just CREATED). Same semantics here:
+    *
+    *  - load-only-if-empty: a store that already holds offsets is
+    *    never touched (the reference only migrates on table creation);
+    *    returns false;
+    *  - a missing/non-regular file is a warn-and-skip no-op (the
+    *    reference logs and returns), NOT an error — returns false;
+    *  - the file is Kafka Connect's `FileOffsetBackingStore` format: a
+    *    Java-serialized `HashMap<byte[], byte[]>` of UTF-8 key/value
+    *    bytes. Anything else deserializable but not a HashMap throws
+    *    (the reference's ConnectException), as does a corrupt stream;
+    *  - entries with a NULL key are skipped (the store is keyed; the
+    *    reference's `set` path skips them too).
+    *
+    * The imported map lands as ONE ordinary generation via [[put]], so
+    * idempotence is structural: the second call sees a non-empty store
+    * and no-ops. Driver-side file IO on a KB-sized artifact — never a
+    * Spark job over the file. Returns true iff a migration ran. */
+  def migrateFromFile(file: String): Boolean = {
+    if (load().nonEmpty) return false
+    val p = Paths.get(file)
+    if (!Files.isRegularFile(p)) return false
+    val in = new java.io.ObjectInputStream(Files.newInputStream(p))
+    val raw =
+      try in.readObject()
+      finally in.close()
+    val entries = raw match {
+      case m: java.util.HashMap[_, _] =>
+        m.asScala.toSeq.collect {
+          case (k: Array[Byte], v) if k != null =>
+            new String(k, java.nio.charset.StandardCharsets.UTF_8) ->
+              (v match {
+                case b: Array[Byte] =>
+                  new String(b, java.nio.charset.StandardCharsets.UTF_8)
+                case null => null
+              })
+        }
+      case other => throw new IllegalStateException(
+        s"expected HashMap in offset file but found ${other.getClass}")
+    }
+    if (entries.nonEmpty) put(entries.toMap)
+    true
+  }
 }
 
 /** Schema-history store: an append-only parquet log, the analog of the
@@ -197,6 +245,48 @@ class SchemaHistory(val path: String, spark: SparkSession,
   /** Recovery: feed every record, oldest first, to `consume` — the
     * reference's `recoverRecords(Consumer<HistoryRecord>)` shape. */
   def recover(consume: String => Unit): Unit = replay().foreach(consume)
+
+  /** One-time migration of a FILE-based Debezium schema history into
+    * this store — the reference's `bigquery.migrate-history-file`
+    * (BigquerySchemaHistory.java:226-240 `loadFileSchemaHistory`,
+    * called from `initializeStorage`:204-216 only when the storage
+    * was just created). Same semantics here:
+    *
+    *  - load-only-if-empty: a history that already holds records is
+    *    never touched — returns false;
+    *  - missing/non-regular file: warn-and-skip no-op, returns false;
+    *  - the file is Debezium's `FileSchemaHistory` format — JSON
+    *    LINES, one HistoryRecord document per line; EMPTY lines are
+    *    skipped (the reference's `line.isEmpty()` guard), everything
+    *    else is stored verbatim IN FILE ORDER with consecutive seqs,
+    *    so the migrated log replays in the exact original sequence.
+    *    The whole file lands as ONE bulk generation (the reference
+    *    stores line-by-line because each store is a warehouse insert;
+    *    here one append preserves the same per-record ordering
+    *    without one Spark write per DDL line).
+    *
+    * Idempotence is structural: the second call sees a non-empty
+    * history and no-ops. Driver-side file IO on a DDL-sized artifact.
+    * Returns the number of migrated records (0 = no migration ran). */
+  def migrateFromFile(file: String): Int = {
+    if (exists) return 0
+    val p = Paths.get(file)
+    if (!Files.isRegularFile(p)) return 0
+    val recs = Files.readAllLines(
+      p, java.nio.charset.StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).toSeq
+    if (recs.nonEmpty) {
+      val start = lastSeq() + 1L
+      val now = System.currentTimeMillis()
+      recs.zipWithIndex
+        .map { case (e, i) => (start + i, e, now) }
+        .toDF("seq", "entry", "recorded_at_ms")
+        .coalesce(1)
+        .write.mode("append").parquet(path)
+      cachedSeq = start + recs.length - 1
+    }
+    recs.length
+  }
 
   def asDF: DataFrame = spark.read.parquet(path)
 

@@ -78,6 +78,26 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, "c", 11L)))
   }
 
+  test("dedupLatestConfigured: NULL op ties with 'c' — arrival decides") {
+    import spark.implicits._
+    // reference reads the op with asText("c") (compareByTsThenOp:
+    // 244-245): a record missing its op column ties with a create on a
+    // primary-ordering tie, so the newer ARRIVAL wins — it must not be
+    // demoted to priority -1 below even unknown op codes (ADVICE r15)
+    val df = Seq(
+      // key 1: ts tie, NULL op arrives after "c" → NULL-op row wins
+      (1L, Some("c"), 100L, 10L), (1L, None, 100L, 11L),
+      // key 2: ts tie, "c" arrives after NULL op → "c" row wins
+      (2L, None, 100L, 20L), (2L, Some("c"), 100L, 21L),
+      // key 3: a real op code still outranks NULL on the tie
+      (3L, Some("u"), 100L, 31L), (3L, None, 100L, 32L)
+    ).toDF("user_id", "__op", "__source_ts_ms", "seq")
+    val out = Cdc.dedupLatestConfigured(df, Seq("user_id"),
+      dedupColumn = Some("__source_ts_ms"), arrivalCol = "seq")
+      .select("user_id", "seq").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 11L), (2L, 21L), (3L, 31L)))
+  }
+
   test("mergeIncremental equals upsertSnapshot over the full changelog") {
     val events = Tables.events(spark, sfDir)
     val full = Cdc.upsertSnapshot(events)

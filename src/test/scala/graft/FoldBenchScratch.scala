@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B harness for the r16 fused-convergence fold — run with
+  * Test/runMain graft.FoldBenchScratch. Not a spec; deleted or kept as
+  * a profiling tool only. */
+object FoldBenchScratch {
+
+  // verbatim copy of the r15 fold for comparison
+  def oldFold(edges: DataFrame, maxIters: Int = 20,
+              checkpointEvery: Int = 3): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val incoming = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaNbr = labels.unionByName(incoming)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val jumped = viaNbr.as("a")
+        .join(viaNbr.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"))
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("llabel")).as("label"))
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) graft.Exec.materialize(jumped)
+        else jumped.persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      viaNbr.unpersist()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, "no converge")
+    labels
+  }
+
+  // copy of the r16 sum-invariant fold with per-round timing
+  def newFoldTimed(edges: DataFrame, maxIters: Int = 20,
+                   checkpointEvery: Int = 3): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val incoming = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaNbr = labels.unionByName(incoming)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val jumped = viaNbr.as("a")
+        .join(viaNbr.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"))
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("llabel")).as("label"))
+        .persist()
+      val t1 = System.nanoTime()
+      val sumNow = jumped
+        .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+      val t2 = System.nanoTime()
+      val next =
+        if ((iter + 1) % checkpointEvery == 0
+            && !prevSum.exists(_.compareTo(sumNow) == 0)) {
+          val cut = graft.Exec.materialize(jumped)
+          jumped.unpersist()
+          cut
+        } else jumped
+      val t3 = System.nanoTime()
+      viaNbr.unpersist()
+      labels.unpersist()
+      labels = next
+      converged = prevSum.exists(_.compareTo(sumNow) == 0)
+      prevSum = Some(sumNow)
+      iter += 1
+      println(f"  new round $iter plan=${(t1-t0)/1e6}%.0f act=${(t2-t1)/1e6}%.0f ckpt=${(t3-t2)/1e6}%.0f ms")
+    }
+    sym.unpersist()
+    require(converged, "no converge")
+    labels
+  }
+
+  def oldFoldTimed(edges: DataFrame, maxIters: Int = 20,
+                   checkpointEvery: Int = 3): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val incoming = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaNbr = labels.unionByName(incoming)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val jumped = viaNbr.as("a")
+        .join(viaNbr.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"))
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("llabel")).as("label"))
+      val t1 = System.nanoTime()
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) graft.Exec.materialize(jumped)
+        else jumped.persist()
+      val t2 = System.nanoTime()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      val t3 = System.nanoTime()
+      viaNbr.unpersist()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+      println(f"  old round $iter plan=${(t1-t0)/1e6}%.0f ckpt=${(t2-t1)/1e6}%.0f cnt=${(t3-t2)/1e6}%.0f ms")
+    }
+    sym.unpersist()
+    require(converged, "no converge")
+    labels
+  }
+
+  // variant: TWO pointer-doubling updates per Spark action; sum-invariant
+  // convergence checked at action boundaries only
+  def twoStepFoldTimed(edges: DataFrame, maxActions: Int = 12): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var iter = 0
+    def round(l: DataFrame): DataFrame = {
+      val incoming = sym.join(l, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaNbr = l.unionByName(incoming)
+        .groupBy("id").agg(min(col("label")).as("label"))
+      viaNbr.as("a")
+        .join(viaNbr.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"))
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("llabel")).as("label"))
+    }
+    while (!converged && iter < maxActions) {
+      val t0 = System.nanoTime()
+      val jumped = round(round(labels)).persist()
+      val t1 = System.nanoTime()
+      val sumNow = jumped
+        .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+      val t2 = System.nanoTime()
+      val next =
+        if (!prevSum.exists(_.compareTo(sumNow) == 0)) {
+          val cut = graft.Exec.materialize(jumped)
+          jumped.unpersist()
+          cut
+        } else jumped
+      val t3 = System.nanoTime()
+      labels.unpersist()
+      labels = next
+      converged = prevSum.exists(_.compareTo(sumNow) == 0)
+      prevSum = Some(sumNow)
+      iter += 1
+      println(f"  two round $iter plan=${(t1-t0)/1e6}%.0f act=${(t2-t1)/1e6}%.0f ckpt=${(t3-t2)/1e6}%.0f ms")
+    }
+    sym.unpersist()
+    require(converged, "no converge")
+    labels
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // chain of 50k nodes -> diameter 50k, pointer doubling ~ log2 rounds
+    val edges = spark.range(49999)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .persist()
+    edges.count()
+    def jobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    @volatile var stageTime = 0L
+    @volatile var taskCount = 0L
+    @volatile var gcTime = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stageTime += si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        taskCount += si.numTasks
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) gcTime += te.taskMetrics.jvmGCTime
+    })
+    for (mode <- Seq("two", "old", "two", "old")) {
+      val j0 = jobs(); val t0 = System.nanoTime()
+      val s0 = stageTime; val tk0 = taskCount; val g0 = gcTime
+      val out = if (mode == "two") twoStepFoldTimed(edges)
+      else if (mode == "new") newFoldTimed(edges)
+      else oldFoldTimed(edges)
+      val n = out.agg(countDistinct(col("label"))).as[Long].head()
+      println(f"MODE=$mode comps=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s " +
+        f"jobs=${jobs()-j0} stageMs=${stageTime-s0} tasks=${taskCount-tk0} gcMs=${gcTime-g0}")
+      out.unpersist()
+    }
+    spark.stop()
+  }
+}

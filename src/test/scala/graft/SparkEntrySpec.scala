@@ -38,11 +38,20 @@ class SparkEntrySpec extends AnyFunSuite with SparkFixture {
     // XXH64 replay; and the two feature entries whose moments are
     // order-independent EXACT in IEEE double (media_audio: dyadic
     // sample fractions; media_video: integer lumas), emitted as
-    // scalar columns. What remains is genuinely engine-bound: DEFLATE
-    // (text_compressibility) and multimodal's BT.601 double-weighted
-    // mean, whose per-pixel products round so its 5k-term sum IS
-    // accumulation-order dependent between engines.
-    assert(rowsOnly === Set("text_compressibility", "multimodal"),
+    // scalar columns. r16 converted multimodal itself: the BT.601
+    // mean's numerator Σ(299r+587g+114b) is an exact INTEGER when
+    // accumulated ×1000 (Netpbm.featuresExact), so mean and grid
+    // cells become single correctly-rounded divisions both engines
+    // reproduce bit-for-bit. What remains is genuinely engine-bound:
+    // DEFLATE (text_compressibility) — plain DuckDB has no deflate,
+    // so the DRIVER's gate records rows-only. The r16 probe showed
+    // java.util.zip.Deflater(6, nowrap) and Python zlib raw deflate
+    // agree byte-for-byte (0 size mismatches over every sf0.01 doc),
+    // so tools/check.py carries an INJECTED-STATE value oracle for it
+    // (zlib-computed sizes as a temp table + the downstream SQL) —
+    // the local/judge replay value-checks this entry even though the
+    // driver cannot.
+    assert(rowsOnly === Set("text_compressibility"),
       s"unexpected rows-only entries: $rowsOnly")
   }
 }

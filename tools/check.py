@@ -56,6 +56,57 @@ def norm_spark(path):
     return cols, rows
 
 
+# Injected-state oracles (r16, verdict task 4): entries whose engine
+# step has no SQL replay but IS reproducible outside the JVM. The one
+# member is text_compressibility: java.util.zip.Deflater(6, nowrap)
+# and Python zlib raw deflate (level 6, wbits=-15, memLevel 8, default
+# strategy) produce byte-identical streams (probed: 0 size mismatches
+# over all sf0.01 docs; both are zlib-derived deflate at the same
+# parameters), so this replica computes per-doc compressed sizes with
+# zlib, injects them as a DuckDB temp table, and oracles the
+# downstream SQL (ratio, flag) exactly. The DRIVER's gate cannot run
+# Python inside its DuckDB session, so the entry stays out of
+# SparkEntry.oracleSql (rows-only there) — this check is the stronger
+# local/judge-replay gate. If a zlib build ever diverges from the JVM
+# deflater, this FAILS loudly instead of the divergence hiding behind
+# the rows-only pin.
+def inject_compressibility(con, sf_dir):
+    import zlib
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    rows = []
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        if not raw:
+            rows.append((doc_id, 0, 0, 1.0))
+        else:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15, 8,
+                                  zlib.Z_DEFAULT_STRATEGY)
+            comp = co.compress(raw) + co.flush()
+            # math.rint replica: Python round() on a float is IEEE
+            # round-half-even over the SAME double n/raw*1e4 the JVM
+            # computes (DuckDB's round() is half-away — kept out of
+            # the value path on purpose)
+            ratio = round(len(comp) / len(raw) * 1e4) / 1e4
+            rows.append((doc_id, len(raw), len(comp), ratio))
+    con.execute("CREATE OR REPLACE TEMP TABLE zlib_sizes "
+                "(doc_id BIGINT, n_bytes INT, n_compressed INT, "
+                " ratio DOUBLE)")
+    con.executemany("INSERT INTO zlib_sizes VALUES (?, ?, ?, ?)", rows)
+
+
+# Mirrors graft.llm.TextOps.textCompressibility downstream of the
+# injected deflate sizes + exact-in-IEEE ratio; empty docs pin ratio
+# 1.0 unflagged.
+INJECTED_ORACLES = {
+    "text_compressibility": """
+        SELECT doc_id, n_bytes, n_compressed, ratio,
+          n_bytes > 0 AND ratio < 0.4 AS high_redundancy
+        FROM zlib_sizes
+    """,
+}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -64,6 +115,8 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    inject_compressibility(con, sf_dir)
+    oracle = {**INJECTED_ORACLES, **oracle}
     # optional third arg mirrors Verify's subset mode: re-check only the
     # just-touched entries (the driver always runs everything)
     if len(sys.argv) > 3:
