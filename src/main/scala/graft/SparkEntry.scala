@@ -833,28 +833,20 @@ object SparkEntry {
         s"ELSE ${mediaTextByte(i)} END"
       s"((($b) - 128) * 200 + (((($i)*37 + doc_id) % 64) - 32) * 50)"
     }
-    // Rounding discipline: duration (den 8000 → ≤6 decimal digits)
-    // and rms (sqrt — irrational off perfect squares) round the IEEE
-    // double; but peak and the energy bins are exact RATIONALS whose
-    // decimal expansions CAN land exactly on a 7th-digit tie (the
-    // power-of-two factors of the numerator quantization make this
-    // likely, not rare) — a tie DuckDB's double-scaled round resolves
-    // differently than Spark's BigDecimal HALF_UP (shortest-repr).
-    // Those round with exact integer HALF_UP on the rational, which
-    // equals Spark's shortest-repr HALF_UP whenever the rational's
-    // expansion is the double's shortest representation — the
-    // residual divergence window (rational within ~1 ulp of a tie
-    // with the double's shortest repr on the other side) is ~1e-9 per
-    // value and absent from the gated corpus:
-    // round6(num/den) = (2·num·10⁶ + den) // (2·den), then /10⁶.
-    // mono = ivv/2¹⁶ with ivv = 2v (mono ch) or v0+v1 (stereo) —
-    // bit-identical to the decode loop's acc/channels (all dyadic).
+    // RAW doubles (r16, ADVICE r15 #3 — no rounding on either side):
+    // mono = ivv/2¹⁶ with ivv = 2v (mono ch) or v0+v1 (stereo), bit-
+    // identical to the decode loop's acc/channels (all dyadic); its
+    // square is exact (≤32 mantissa bits), the ≤900-term sums are
+    // exact (< 2⁴²), and every output below is ONE correctly-rounded
+    // division/sqrt of those exact operands — the same IEEE double the
+    // JVM loop produces, under ANY accumulation order. The r15
+    // exact-integer HALF_UP rounding apparatus (and its documented
+    // ~1e-9 tie window) is gone because the rounding it replicated is
+    // gone.
     val bin = "(f * 16) // fr"
     val eCols = (0 until 16).map(i =>
-      s"""((2 * sum(CASE WHEN $bin = $i THEN ivv*ivv END) * 1000000
-         |    + 4294967296 * count(CASE WHEN $bin = $i THEN 1 END))
-         |  // (2 * 4294967296 * count(CASE WHEN $bin = $i THEN 1 END)))
-         |  / 1000000.0 AS e$i""".stripMargin)
+      s"""(sum(CASE WHEN $bin = $i THEN (ivv/65536.0)*(ivv/65536.0) END)
+         |  / count(CASE WHEN $bin = $i THEN 1 END)) AS e$i""".stripMargin)
       .mkString(",\n")
     s"""WITH aud0 AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
@@ -877,9 +869,9 @@ object SparkEntry {
        |  FROM amono GROUP BY doc_id)
        |SELECT doc_id, 'wav' AS format,
        |  44 + fr * ch * 2 AS n_bytes,
-       |  round(fr / 8000.0, 6) AS duration_s,
-       |  round(sqrt(sumsq / fr), 6) AS rms,
-       |  ((2 * pmax * 1000000 + 65536) // 131072) / 1000000.0 AS peak,
+       |  fr / 8000.0 AS duration_s,
+       |  sqrt(sumsq / fr) AS rms,
+       |  pmax / 65536.0 AS peak,
        |  e0, e1, e2, e3, e4, e5, e6, e7,
        |  e8, e9, e10, e11, e12, e13, e14, e15
        |FROM astat""".stripMargin
@@ -893,17 +885,16 @@ object SparkEntry {
   private lazy val mediaVideoOracle: String = {
     val b = s"CASE WHEN L = 0 THEN (j.range*31 + doc_id) & 255 " +
       s"ELSE ${mediaTextByte("j.range")} END"
-    // integer-HALF_UP rounding (mediaAudioOracle discipline): the luma
-    // means are exact integer rationals whose decimal expansions tie
-    // at the 7th digit for power-of-two-heavy denominators — observed
-    // live (doc 252 mean 131.4734375 → Spark 131.473438, double-scaled
-    // DuckDB round 131.473437)
+    // RAW doubles (r16, ADVICE r15 #3): the luma sums are exact
+    // integers, so each mean is ONE correctly-rounded division — the
+    // identical IEEE double the JVM loop produces (the r15 integer
+    // HALF_UP apparatus replicated a rounding that no longer exists;
+    // doc 252's 131.4734375 7th-digit tie is now simply emitted as is)
     val cell = "((p // w) * 4 // hh) * 4 + (p % w) * 4 // w"
     val gCols = (0 until 16).map(i =>
-      s"""((2 * sum(CASE WHEN $cell = $i THEN l END) * 1000000
-         |    + count(CASE WHEN $cell = $i THEN 1 END))
-         |  // (2 * count(CASE WHEN $cell = $i THEN 1 END)))
-         |  / 1000000.0 AS g$i""".stripMargin).mkString(",\n")
+      s"""(CAST(sum(CASE WHEN $cell = $i THEN l END) AS DOUBLE)
+         |  / count(CASE WHEN $cell = $i THEN 1 END)) AS g$i""".stripMargin)
+      .mkString(",\n")
     s"""WITH vq0 AS (
        |  SELECT *, (nf + 1) // 2 AS keptn FROM (
        |    SELECT doc_id, hex(encode(text)) AS hx,
@@ -926,11 +917,9 @@ object SparkEntry {
        |  CASE WHEN mono THEN 'y4m_mono' ELSE 'y4m' END AS format,
        |  $videoBytesSql AS n_bytes,
        |  nf AS n_frames, keptn AS n_sampled,
-       |  round(CAST(25.0 AS DOUBLE), 6) AS fps,
-       |  ((2 * lsum * 1000000 + keptn * w * hh)
-       |    // (2 * keptn * w * hh)) / 1000000.0 AS mean_luma,
-       |  ((2 * msum * 1000000 + (keptn - 1) * w * hh)
-       |    // (2 * (keptn - 1) * w * hh)) / 1000000.0 AS motion,
+       |  CAST(25.0 AS DOUBLE) AS fps,
+       |  CAST(lsum AS DOUBLE) / (keptn * w * hh) AS mean_luma,
+       |  CAST(msum AS DOUBLE) / ((keptn - 1) * w * hh) AS motion,
        |  g0, g1, g2, g3, g4, g5, g6, g7,
        |  g8, g9, g10, g11, g12, g13, g14, g15
        |FROM vq0 q JOIN vagg USING (doc_id)""".stripMargin

@@ -270,17 +270,25 @@ object Audio {
     * with ≤16-bit fractions, their squares need ≤32 mantissa bits, and
     * ≤900 sub-1 terms keep every partial sum under 2⁴², so DuckDB's
     * arbitrary-order sums reproduce the loop bit-for-bit and the whole
-    * frame is a full value oracle. */
+    * frame is a full value oracle.
+    *
+    * RAW doubles since r16 (ADVICE r15 #3): the r15 6dp rounding was
+    * itself the only cross-engine divergence window (Spark rounds the
+    * double's shortest decimal repr HALF_UP, DuckDB rounds the scaled
+    * double — they disagree exactly on 7th-digit ties, which the
+    * power-of-two denominators here make likely). The UNROUNDED values
+    * are bit-identical by the exactness argument above — each output
+    * is one correctly-rounded division/sqrt of exact operands — so
+    * dropping the rounding removes the divergence window instead of
+    * papering over it. */
   def mediaAudioQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withAudioColumn(Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
     val energyCols = (0 until 16).map(i =>
-      round(col("energy").getItem(i), 6).as(s"e$i"))
+      col("energy").getItem(i).as(s"e$i"))
     extractFeatures(media).toDF()
       .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
-        round(col("duration_s"), 6).as("duration_s"),
-        round(col("rms"), 6).as("rms"),
-        round(col("peak"), 6).as("peak")) ++ energyCols: _*)
+        col("duration_s"), col("rms"), col("peak")) ++ energyCols: _*)
   }
 }

@@ -286,18 +286,23 @@ object Video {
     * arbitrary-order sums reproduce the loop bit-for-bit — the 4×4
     * grid goes out as sixteen scalar columns (previously an
     * md5-of-JSON fingerprint whose float rendering differs between
-    * engines). */
+    * engines). RAW doubles since r16 (ADVICE r15 #3, the
+    * [[graft.llm.Audio.mediaAudioQ]] argument): each output is one
+    * correctly-rounded division of exact integer operands, so the
+    * unrounded values are bit-identical across engines and the 6dp
+    * rounding — the only remaining divergence window (7th-digit ties
+    * under two different HALF_UP implementations, observed live on
+    * doc 252's 131.4734375) — is simply dropped. */
   def mediaVideoQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val media = withVideoColumn(Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
     val gridCols = (0 until 16).map(i =>
-      round(col("grid").getItem(i), 6).as(s"g$i"))
+      col("grid").getItem(i).as(s"g$i"))
     extractFeatures(media).toDF()
       .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
-        col("n_frames"), col("n_sampled"), round(col("fps"), 6).as("fps"),
-        round(col("mean_luma"), 6).as("mean_luma"),
-        round(col("motion"), 6).as("motion")) ++ gridCols: _*)
+        col("n_frames"), col("n_sampled"), col("fps"),
+        col("mean_luma"), col("motion")) ++ gridCols: _*)
   }
 
   /** Cross-modality media health rollup: per (modality, format) —
