@@ -101,8 +101,6 @@ object RankSelect {
     val gcols = groups.map(col)
     val proj = base.select((groups ++ Seq(valueCol, "__w")).map(col): _*)
     val vd = col(valueCol).cast("double")
-    val ext = stats.select((gcols ++
-      Seq(col("__vmin"), col("__vmax"), col("__n"))): _*)
     // FINE binning (r14 verdict task 4; r15 fixed buckets²; r16 made
     // the bin count PER-GROUP ADAPTIVE — verdict task 3, after the r15
     // board showed sf-sized groups paying ~0.2–0.5 s per selection to
@@ -125,17 +123,24 @@ object RankSelect {
     // collapse (all values share one double, e.g. longs past 2⁵³)
     // still lands everything in bin 0 and degrades to a single window
     // over the tie-collapsed values.
+    // __fineN and the bin width are PER-GROUP quantities — computed
+    // once in the |groups|-row broadcast frame, not re-derived per row
+    // inside the codegen'd bin expression (measured ~0.2 s per
+    // selection at sf0.1 when the least/greatest/floor chain rode the
+    // row side of the join).
     val fineN = least(lit(buckets.toLong * buckets),
       greatest(lit(buckets.toLong),
         floor(col("__n") / lit(buckets.toDouble)).cast("long")))
-    val width = (col("__vmax") - col("__vmin")) / col("__fineN").cast("double")
-    val fbkt = when(col("__vmax") <= col("__vmin") || width === lit(0.0),
-        lit(0L))
+    val ext = stats.select((gcols ++
+      Seq(col("__vmin"), col("__vmax"), fineN.as("__fineN"))): _*)
+      .withColumn("__width",
+        (col("__vmax") - col("__vmin")) / col("__fineN").cast("double"))
+    val fbkt = when(col("__vmax") <= col("__vmin")
+        || col("__width") === lit(0.0), lit(0L))
       .otherwise(least(col("__fineN") - lit(1L),
-        floor((vd - col("__vmin")) / width).cast("long")))
-    val binned = joinG(proj, ext, groups).withColumn("__fineN", fineN)
-      .withColumn("__fbkt", fbkt)
-      .drop("__vmin", "__vmax", "__n", "__fineN")
+        floor((vd - col("__vmin")) / col("__width")).cast("long")))
+    val binned = joinG(proj, ext, groups).withColumn("__fbkt", fbkt)
+      .drop("__vmin", "__vmax", "__fineN", "__width")
     // pass 1: the ONE base histogram pass + prefix over occupied bins
     val hist = binned.groupBy((gcols :+ col("__fbkt")): _*)
       .agg(sum(col("__w")).as("__c"))
