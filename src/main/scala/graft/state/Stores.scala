@@ -133,10 +133,26 @@ class OffsetStore(val path: String, spark: SparkSession,
     if (load().nonEmpty) return false
     val p = Paths.get(file)
     if (!Files.isRegularFile(p)) return false
-    val in = new java.io.ObjectInputStream(Files.newInputStream(p))
+    // the offset file is UNTRUSTED input — the reference reads it with
+    // Kafka's SafeObjectInputStream for exactly this reason; resolve
+    // only the classes the FileOffsetBackingStore format can contain
+    // (HashMap + byte[]), so a hostile file cannot drive arbitrary
+    // deserialization. The raw stream is opened first so a corrupt
+    // header (constructor throw) cannot leak it.
+    val fis = Files.newInputStream(p)
     val raw =
-      try in.readObject()
-      finally in.close()
+      try {
+        val in = new java.io.ObjectInputStream(fis) {
+          override def resolveClass(d: java.io.ObjectStreamClass): Class[_] = {
+            val ok = Set("java.util.HashMap", "[B")
+            if (!ok.contains(d.getName))
+              throw new java.io.InvalidClassException(
+                d.getName, "class not allowed in an offset file")
+            super.resolveClass(d)
+          }
+        }
+        in.readObject()
+      } finally fis.close()
     val entries = raw match {
       case m: java.util.HashMap[_, _] =>
         m.asScala.toSeq.collect {

@@ -74,6 +74,21 @@ class MigrationSpec extends AnyFunSuite with SparkFixture {
     assert(store.load() === Map.empty)
   }
 
+  test("offset migration: classes outside the allowlist are refused") {
+    // the offset file is untrusted input — only HashMap and byte[]
+    // may deserialize (the reference's SafeObjectInputStream stance);
+    // any other class must be rejected BEFORE instantiation
+    val dir = tmpDir("migrate_off_gadget_")
+    val file = s"$dir/file.offsets"
+    val evil = new java.util.ArrayList[String](); evil.add("x")
+    val out = new java.io.ObjectOutputStream(
+      Files.newOutputStream(Paths.get(file)))
+    try out.writeObject(evil) finally out.close()
+    val store = new OffsetStore(s"$dir/offsets", spark)
+    intercept[java.io.InvalidClassException](store.migrateFromFile(file))
+    assert(store.load() === Map.empty)
+  }
+
   test("history migration: JSON lines in order, empty lines skipped, idempotent") {
     val dir = tmpDir("migrate_hist_")
     val file = s"$dir/history.jsonl"
