@@ -42,6 +42,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // zlib-oracle precondition probe (r17, verdict task 5): check.py's
+    // injected text_compressibility oracle assumes this JVM's
+    // Deflater(6, nowrap) stream is byte-identical to Python's zlib raw
+    // deflate at the same parameters. Dump the JVM-side compressed
+    // bytes of a FIXED fixture — compressed right here, not through the
+    // operator, so a mismatch can only mean a diverging zlib build,
+    // never an operator bug. check.py byte-compares and, on divergence,
+    // degrades that one entry to rows-only with a NAMED recorded cause
+    // instead of a mystery hash mismatch.
+    val fixture =
+      "graft zlib probe: the quick brown fox jumps over the lazy dog 0123456789 " * 7
+    val deflater = new java.util.zip.Deflater(6, true)
+    deflater.setInput(fixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    deflater.finish()
+    val buf = new Array[Byte](64 * 1024)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    deflater.end()
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    Files.writeString(Paths.get(s"$outDir/zlib_probe.json"),
+      s"""{"fixture_repeat": 7, "deflate_b64": ${q(b64)}}""")
     spark.stop()
   }
 }

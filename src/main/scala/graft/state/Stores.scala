@@ -113,9 +113,10 @@ class OffsetStore(val path: String, spark: SparkSession,
     * from `initializeTable`:110-117 only when the storage table was
     * just CREATED). Same semantics here:
     *
-    *  - load-only-if-empty: a store that already holds offsets is
-    *    never touched (the reference only migrates on table creation);
-    *    returns false;
+    *  - migrate-only-on-creation: a store that has EVER been written —
+    *    any generation, including the empty one a prior empty-file
+    *    migration left — is never touched (the reference only migrates
+    *    when the storage table was just created); returns false;
     *  - a missing/non-regular file is a warn-and-skip no-op (the
     *    reference logs and returns), NOT an error — returns false;
     *  - the file is Kafka Connect's `FileOffsetBackingStore` format: a
@@ -125,12 +126,15 @@ class OffsetStore(val path: String, spark: SparkSession,
     *  - entries with a NULL key are skipped (the store is keyed; the
     *    reference's `set` path skips them too).
     *
-    * The imported map lands as ONE ordinary generation via [[put]], so
-    * idempotence is structural: the second call sees a non-empty store
-    * and no-ops. Driver-side file IO on a KB-sized artifact — never a
-    * Spark job over the file. Returns true iff a migration ran. */
+    * The imported map lands as ONE ordinary generation via [[put]] —
+    * written even when the parsed map is EMPTY (a zero-row marker
+    * generation, ADVICE r16), so idempotence is structural either way:
+    * the second call sees an existing store and no-ops instead of
+    * re-migrating a later file. Driver-side file IO on a KB-sized
+    * artifact — never a Spark job over the file. Returns true iff a
+    * migration ran. */
   def migrateFromFile(file: String): Boolean = {
-    if (load().nonEmpty) return false
+    if (exists) return false
     val p = Paths.get(file)
     if (!Files.isRegularFile(p)) return false
     // the offset file is UNTRUSTED input — the reference reads it with
@@ -167,7 +171,7 @@ class OffsetStore(val path: String, spark: SparkSession,
       case other => throw new IllegalStateException(
         s"expected HashMap in offset file but found ${other.getClass}")
     }
-    if (entries.nonEmpty) put(entries.toMap)
+    put(entries.toMap) // empty map → zero-row marker generation
     true
   }
 }
@@ -283,7 +287,16 @@ class SchemaHistory(val path: String, spark: SparkSession,
     *
     * Idempotence is structural: the second call sees a non-empty
     * history and no-ops. Driver-side file IO on a DDL-sized artifact.
-    * Returns the number of migrated records (0 = no migration ran). */
+    * Returns the number of migrated records (0 = no migration ran).
+    *
+    * DELIBERATE DEVIATION (ADVICE r16): a mid-read IOException
+    * PROPAGATES here, where the reference's `loadFileSchemaHistory`
+    * (BigquerySchemaHistory.java:239) logs-and-continues with a
+    * partial import. A truncated history replay silently loses DDL —
+    * the connector then mis-parses every later change for the
+    * affected tables — so an unreadable file should stop the one-time
+    * migration loudly and let the operator fix the file and re-run
+    * (nothing was written, the store is still empty). */
   def migrateFromFile(file: String): Int = {
     if (exists) return 0
     val p = Paths.get(file)

@@ -46,6 +46,28 @@ class MigrationSpec extends AnyFunSuite with SparkFixture {
     assert(store.load().size === 2)
   }
 
+  test("offset migration: an empty file map migrates ONCE (marker generation)") {
+    // ADVICE r16: the empty parsed map used to leave the store empty,
+    // so a later call — even with a different, non-empty file — would
+    // migrate again, deviating from the reference's one-shot
+    // migrate-on-table-creation. The zero-row marker generation makes
+    // the one-shot structural.
+    val dir = tmpDir("migrate_off_empty_")
+    val empty = s"$dir/empty.offsets"
+    writeOffsetFile(empty, Map.empty)
+    val store = new OffsetStore(s"$dir/offsets", spark)
+    assert(store.migrateFromFile(empty))
+    assert(store.load() === Map.empty)
+    val full = s"$dir/full.offsets"
+    writeOffsetFile(full, Map("k" -> "v"))
+    assert(!store.migrateFromFile(full))
+    assert(!new OffsetStore(s"$dir/offsets", spark).migrateFromFile(full))
+    assert(store.load() === Map.empty)
+    // the store still works as a store after the marker
+    store.put(Map("live" -> "1"))
+    assert(store.load() === Map("live" -> "1"))
+  }
+
   test("offset migration: missing file is a warn-and-skip no-op") {
     val dir = tmpDir("migrate_off_miss_")
     val store = new OffsetStore(s"$dir/offsets", spark)

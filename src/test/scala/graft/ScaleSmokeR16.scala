@@ -54,9 +54,16 @@ object ScaleSmokeR16 {
       ("events_value_outliers", Analytics5.eventsValueOutliers _))
 
     ops.foreach { case (_, fn) => noop(fn(spark, dir)) } // untimed warmup
-    for ((label, d) <- Seq(("1x", dir), ("10x", dir10));
-         (name, fn) <- ops)
-      t(s"$name $label")(noop(fn(spark, d)))
+    try
+      for ((label, d) <- Seq(("1x", dir), ("10x", dir10));
+           (name, fn) <- ops)
+        t(s"$name $label")(noop(fn(spark, d)))
+    finally { // the 10x warehouse is ~10x sf0.1 of parquet — reclaim it
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir10))
+    }
 
     spark.stop()
   }
