@@ -26,6 +26,7 @@ object SparkEntry {
     "cdc_dedup_latest" -> (Cdc.dedupLatestQ _),
     "cdc_dedup_configured" -> (Cdc.dedupConfiguredQ _),
     "cdc_dedup_arrival" -> (Cdc.dedupArrivalQ _),
+    "cdc_dedup_nullop" -> (Cdc.dedupNullOpQ _),
     "cdc_upsert_snapshot" -> (Cdc.upsertSnapshotQ _),
     "cdc_soft_delete" -> (Cdc.softDeleteQ _),
     "cdc_append" -> (Cdc.appendQ _),
@@ -1135,6 +1136,29 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY user_id ORDER BY event_id DESC) AS rn
          |  FROM ($flattenSql) flat
+         |) t WHERE rn = 1""".stripMargin,
+    // NULL-op default (r17): the synthesized broken-op batch — %13==0
+    // loses its op (NULL → coalesce default 'c', priority 1), %13==1
+    // carries the unmapped code 'x' (→ -1), batch_seq puts exactly that
+    // slice at the top of the configured ordering so the priority CASE
+    // decides between the two branches (66/150 sf0.01 winners flip
+    // without the coalesce)
+    "cdc_dedup_nullop" ->
+      s"""SELECT event_id, user_id, event_type, value, ts, prop_k, __op,
+         |  __ts_ms, __source_ts_ms, __deleted, batch_seq
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY batch_seq DESC,
+         |      CASE coalesce(__op, 'c') WHEN 'c' THEN 1 WHEN 'r' THEN 2
+         |        WHEN 'u' THEN 3 WHEN 'd' THEN 4 ELSE -1 END DESC,
+         |      event_id DESC) AS rn
+         |  FROM (SELECT event_id, user_id, event_type, value, ts, prop_k,
+         |      CASE WHEN event_id % 13 = 0 THEN NULL
+         |        WHEN event_id % 13 = 1 THEN 'x' ELSE __op END AS __op,
+         |      __ts_ms, __source_ts_ms, __deleted,
+         |      CASE WHEN event_id % 13 < 2 THEN 1 ELSE 0 END AS batch_seq
+         |    FROM ($flattenSql) f) flat
          |) t WHERE rn = 1""".stripMargin,
     "cdc_upsert_snapshot" -> s"SELECT * FROM ($dedupLatestSql) s WHERE __op <> 'd'",
     // one-row column-level stats over the live snapshot; exact ints,

@@ -825,6 +825,40 @@ object Cdc {
   def dedupArrivalQ(spark: SparkSession, dir: String): DataFrame =
     dedupLatestConfigured(flatten(Tables.events(spark, dir)),
       Seq("user_id"), dedupColumn = None, arrivalCol = "event_id")
+
+  /** The synthesized broken-op changelog behind [[dedupNullOpQ]]: the
+    * `event_id % 13 == 0` slice LOSES its op column (the broken
+    * producer that stops emitting it — the record shape the
+    * reference's `asText("c")` default exists for), the `% 13 == 1`
+    * slice emits the unmapped code "x" (the `cdcOperations
+    * .getOrDefault(op, -1)` branch), and exactly those rows form the
+    * NEWEST batch via a synthesized `batch_seq` — so when the
+    * configured dedup orders by `batch_seq`, the top tie group is all
+    * NULL/"x" rows and the op-priority leg DECIDES between the two
+    * reference branches. Deterministic, the [[latenessProfileQ]]
+    * synthesized-permutation convention. */
+  private[graft] def nullOpSynth(flat: DataFrame): DataFrame =
+    flat
+      .withColumn("__op",
+        when(col("event_id") % 13 === 0, lit(null).cast("string"))
+          .when(col("event_id") % 13 === 1, lit("x"))
+          .otherwise(col("__op")))
+      .withColumn("batch_seq",
+        when(col("event_id") % 13 < 2, 1).otherwise(0))
+
+  /** Driver query (r17, verdict task 1): the NULL-op → "c" default
+    * (compareByTsThenOp:244-245) and the unknown-code → -1 branch,
+    * together behind the value gate — the corpus never carries either,
+    * so [[nullOpSynth]] plants them. Inside the planted top batch a
+    * NULL op competes at the create priority 1 and BEATS the unknown
+    * code's -1: 66 of 150 sf0.01 winners (8 of 15 at sf0.001) flip if
+    * the coalesce default is dropped, so the gate pins the branch
+    * rather than riding along (CdcSpec carries the same
+    * discrimination pin). */
+  def dedupNullOpQ(spark: SparkSession, dir: String): DataFrame =
+    dedupLatestConfigured(nullOpSynth(flatten(Tables.events(spark, dir))),
+      Seq("user_id"), dedupColumn = Some("batch_seq"),
+      arrivalCol = "event_id")
   def upsertSnapshotQ(spark: SparkSession, dir: String): DataFrame =
     upsertSnapshot(Tables.events(spark, dir))
   def softDeleteQ(spark: SparkSession, dir: String): DataFrame =

@@ -98,6 +98,24 @@ class CdcSpec extends AnyFunSuite with SparkFixture {
     assert(out === Array((1L, 11L), (2L, 21L), (3L, 31L)))
   }
 
+  test("cdc_dedup_nullop entry: the NULL→'c' default DECIDES winners") {
+    // discrimination pin for the r17 driver entry: with the coalesce
+    // default dropped (NULL demoted to -1 like an unknown code), the
+    // winner set must CHANGE — otherwise the gate row would ride along
+    // without pinning the branch (8 of 15 sf0.001 winners flip)
+    val synth = Cdc.nullOpSynth(Cdc.flatten(Tables.events(spark, sfDir)))
+    val withDefault = Cdc.dedupNullOpQ(spark, sfDir)
+      .select("user_id", "event_id")
+    val rawPriority = Cdc.dedupLatest(synth, Seq("user_id"),
+      Seq(col("batch_seq"), Cdc.opPriorityCol(col("__op")), col("event_id")))
+      .select("user_id", "event_id")
+    assert(withDefault.except(rawPriority).count() >= 8)
+    // and every planted top batch actually surfaces: all winners come
+    // from the batch_seq=1 slice
+    assert(Cdc.dedupNullOpQ(spark, sfDir)
+      .filter(col("batch_seq") =!= 1).count() === 0)
+  }
+
   test("mergeIncremental equals upsertSnapshot over the full changelog") {
     val events = Tables.events(spark, sfDir)
     val full = Cdc.upsertSnapshot(events)
