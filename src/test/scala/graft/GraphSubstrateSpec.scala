@@ -65,6 +65,19 @@ class GraphSubstrateSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sessionLshGraph equals a fresh knnGraphLsh build exactly") {
+    // r17 (verdict task 2): the four *_lsh driver entries serve the
+    // 16×3-band substrate from a per-JVM session store instead of
+    // rebuilding it in-query; the store must be a bit-exact
+    // materialization of the fresh build (integer columns only, so the
+    // parquet round-trip cannot perturb anything) — the
+    // sessionExactGraph/sessionBruteTruth contract extended to the
+    // LSH family.
+    val fresh = Ann.knnGraphLsh(emb, k = 5, bitsPerBand = 3)
+    val stored = Ann.sessionLshGraph(spark, sfDir)
+    assert(sameRows(fresh, stored))
+  }
+
   test("LSH substrate tracks the exact substrate at consumer level") {
     // reciprocity: same node universe, ratio within the recall gap
     val rE = Ann.knnReciprocity(emb, 5, Some(exactG)).head()
