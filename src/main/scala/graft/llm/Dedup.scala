@@ -1309,7 +1309,15 @@ object Dedup {
     *  (c) two pointer rounds per action (halve the actions): 10× the
     *      stage time — without the viaNbr persist the self-join
     *      recomputes the aggregation twice per round and AQE does NOT
-    *      reuse the exchange across the chained rounds.
+    *      reuse the exchange across the chained rounds;
+    *  (d) r17, the structurally-different Kiveris large-star/
+    *      small-star alternation (FoldBenchScratch `lss` mode): ~3.9×
+    *      the wall at 50k (38.1 vs 9.9 s warm, 17 rounds) — every LSS
+    *      round re-emits and must `distinct()` the full (child, min)
+    *      edge list and its checkpoints materialize that edge frame
+    *      (3.7-12 s) where this shape checkpoints a flat n-row label
+    *      frame (~0.5 s). Rejected at the 50k leg of the 50k-AND-500k
+    *      acceptance bar (BENCH_README r17 ledger).
     * The join-based count is NOT the bottleneck it reads as: on plain
     * rounds it is the round's ONLY action and the join adds ~0.2 s over
     * the pipeline it must execute anyway; on checkpoint rounds it reads

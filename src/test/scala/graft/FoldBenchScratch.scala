@@ -193,6 +193,69 @@ object FoldBenchScratch {
     labels
   }
 
+  // variant (r17, verdict task 6): Kiveris et al. large-star/small-star
+  // alternation — a STRUCTURALLY different algorithm (per-node
+  // neighborhood-min stars over a shrinking edge list, no global label
+  // frame), not a re-fusion of the rejected r16 variants. Each round =
+  // large-star (attach strictly-larger neighbors of every node to the
+  // neighborhood min) then small-star (attach the smaller neighbors and
+  // the center to the local min), on a (big, small)-oriented distinct
+  // edge list. Fixpoint = a star forest; detected by a (count, Σa, Σb)
+  // checksum that is invariant exactly at the fixpoint, and the final
+  // component count is cross-checked against the shipped fold in main.
+  def lssFoldTimed(edges: DataFrame, maxIters: Int = 40,
+                   checkpointEvery: Int = 3): DataFrame = {
+    var e = edges
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+      .persist()
+    var prev: Option[(Long, java.math.BigDecimal, java.math.BigDecimal)] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val lmin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val smin = large.groupBy("a").agg(min(col("b")).as("m"))
+      val small = large.join(smin, "a")
+        .select(col("b").as("a2"), col("m").as("b2"))
+        .unionByName(smin.select(col("a").as("a2"), col("m").as("b2")))
+        .filter(col("a2") =!= col("b2"))
+        .select(greatest(col("a2"), col("b2")).as("a"),
+          least(col("a2"), col("b2")).as("b"))
+        .distinct()
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) graft.Exec.materialize(small)
+        else small.persist()
+      val t1 = System.nanoTime()
+      val sums = next.agg(count(lit(1)),
+        sum(col("a").cast("decimal(38,0)")),
+        sum(col("b").cast("decimal(38,0)"))).collect()(0)
+      val now = (sums.getLong(0), sums.getDecimal(1), sums.getDecimal(2))
+      val t2 = System.nanoTime()
+      e.unpersist()
+      e = next
+      converged = prev.exists(p => p._1 == now._1 &&
+        p._2.compareTo(now._2) == 0 && p._3.compareTo(now._3) == 0)
+      prev = Some(now)
+      iter += 1
+      println(f"  lss round $iter plan+ckpt=${(t1-t0)/1e6}%.0f act=${(t2-t1)/1e6}%.0f ms")
+    }
+    require(converged, "no converge")
+    // labels: every child points at its root; roots label themselves
+    val roots = e.select(col("b").as("id")).distinct()
+      .join(e.select(col("a").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    e.select(col("a").as("id"), col("b").as("label")).unionByName(roots)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Tables.configure(SparkSession.builder()
       .master("local[8]")
@@ -201,8 +264,13 @@ object FoldBenchScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    // chain of 50k nodes -> diameter 50k, pointer doubling ~ log2 rounds
-    val edges = spark.range(49999)
+    // chain of N nodes (default 50k) -> diameter N; pointer doubling
+    // ~ log2 rounds. args: [nNodes] [comma-separated modes]
+    val nNodes = args.headOption.map(_.toLong).getOrElse(50000L)
+    val modes: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("two", "old", "two", "old")
+    val edges = spark.range(nNodes - 1)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       .persist()
     edges.count()
@@ -221,11 +289,12 @@ object FoldBenchScratch {
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null) gcTime += te.taskMetrics.jvmGCTime
     })
-    for (mode <- Seq("two", "old", "two", "old")) {
+    for (mode <- modes) {
       val j0 = jobs(); val t0 = System.nanoTime()
       val s0 = stageTime; val tk0 = taskCount; val g0 = gcTime
       val out = if (mode == "two") twoStepFoldTimed(edges)
       else if (mode == "new") newFoldTimed(edges)
+      else if (mode == "lss") lssFoldTimed(edges)
       else oldFoldTimed(edges)
       val n = out.agg(countDistinct(col("label"))).as[Long].head()
       println(f"MODE=$mode comps=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s " +
