@@ -1324,11 +1324,53 @@ object Dedup {
     * the just-materialized flat checkpoint. */
   def connectedComponentsDistributed(edges: DataFrame, maxIters: Int = 20,
                                      checkpointEvery: Int = 3): DataFrame = {
+    val spark0 = edges.sparkSession
+    import spark0.implicits._
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // SEED (r17): partition-local union-find over the raw edge list —
+    // one mapPartitions pass, no extra shuffle beyond the same
+    // (id → min label) aggregation the plain init's distinct() paid.
+    // Every component segment that sits inside one partition collapses
+    // to its local minimum BEFORE the first round, so the rounds only
+    // close the CONTRACTED graph: log₂(contracted diameter) rounds
+    // instead of log₂(raw diameter). On the 50k/500k chain A/B
+    // (FoldBenchScratch `seed` vs `old`, warm): 16 rounds/12.5 s → 4
+    // rounds/3.2 s and 20 rounds/25.6 s → 4 rounds/6.0 s. The label
+    // invariant (every label is the id of a same-component vertex,
+    // ≤ own id, non-increasing) holds for the seed, so the fixpoint —
+    // component minimum — and the convergence THROW are untouched;
+    // ComponentsFastSpec/SnnClusterFastSpec pin the results. Transient
+    // memory is bounded by the PARTITION, never the graph: the
+    // union-find map holds ≤ 2·(edges in partition) longs (~16M
+    // entries ≈ 0.4 GB for default 128 MB shuffle partitions of long
+    // pairs — inside a 100 TB executor's task budget, and shrinking
+    // with spark.sql.files.maxPartitionBytes if needed).
+    val seed = edges
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // materialize keys before find(): path compression mutates the
+        // map, which must not interleave with its own key iterator
+        val ks = parent.keys.toArray
+        ks.iterator.map(x => (x, find(x)))
+      }.toDF("id", "label")
+    var labels = seed.groupBy("id").agg(min(col("label")).as("label"))
       .persist()
     var converged = false
     var iter = 0

@@ -256,6 +256,84 @@ object FoldBenchScratch {
     e.select(col("a").as("id"), col("b").as("label")).unionByName(roots)
   }
 
+  // variant (r17): partition-local union-find SEED + the shipped
+  // pointer-doubling rounds, unchanged. The seed emits (id, localMin)
+  // per edge partition (one mapPartitions pass, no shuffle of its own);
+  // the global min-merge produces INITIAL labels that already collapse
+  // every component segment that happens to sit inside one partition,
+  // so the surviving rounds only have to close the CONTRACTED graph —
+  // log2(contracted diameter) instead of log2(raw diameter). The label
+  // invariant (every label is the id of a same-component vertex, ≤ own
+  // id) holds for the seed, so the fixpoint — and the convergence
+  // THROW — are untouched.
+  def seededFoldTimed(edges: DataFrame, maxIters: Int = 20,
+                      checkpointEvery: Int = 3): DataFrame = {
+    val spark0 = edges.sparkSession
+    import spark0.implicits._
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val t0 = System.nanoTime()
+    val seed = edges
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // materialize keys before find(): path compression mutates the
+        // map, which must not interleave with its own key iterator
+        val ks = parent.keys.toArray
+        ks.iterator.map(x => (x, find(x)))
+      }.toDF("id", "label")
+    var labels = seed.groupBy("id").agg(min(col("label")).as("label"))
+      .persist()
+    labels.count()
+    println(f"  seed pass ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val r0 = System.nanoTime()
+      val incoming = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaNbr = labels.unionByName(incoming)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val jumped = viaNbr.as("a")
+        .join(viaNbr.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+          col("a.label") === col("b.lid"))
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("llabel")).as("label"))
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) graft.Exec.materialize(jumped)
+        else jumped.persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      viaNbr.unpersist()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+      println(f"  seeded round $iter ${(System.nanoTime() - r0) / 1e6}%.0f ms")
+    }
+    sym.unpersist()
+    require(converged, "no converge")
+    labels
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Tables.configure(SparkSession.builder()
       .master("local[8]")
@@ -295,6 +373,7 @@ object FoldBenchScratch {
       val out = if (mode == "two") twoStepFoldTimed(edges)
       else if (mode == "new") newFoldTimed(edges)
       else if (mode == "lss") lssFoldTimed(edges)
+      else if (mode == "seed") seededFoldTimed(edges)
       else oldFoldTimed(edges)
       val n = out.agg(countDistinct(col("label"))).as[Long].head()
       println(f"MODE=$mode comps=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s " +

@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** One-off isolation probe for the r17 board flag on knn_snn_cluster
-  * (untouched code, +0.9 s vs the r16 quiet board on two consecutive
-  * r17 boards): bench protocol in a fresh JVM, outside the board's
-  * scheduling neighborhood. Scratch tool, FoldBenchScratch convention. */
+/** One-off isolation probe (r17): bench-protocol timings of the
+  * distributed-fold consumers in a fresh JVM, outside the board's
+  * scheduling neighborhood. First used to adjudicate the knn_snn_cluster
+  * board flag (session drift, code byte-identical); re-used to measure
+  * the partition-local union-find seed on the real corpus shapes.
+  * Scratch tool, FoldBenchScratch convention. */
 object SnnIsoScratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkFixture.session
@@ -19,6 +21,7 @@ object SnnIsoScratch {
       }
       println(f"$name min=${ts.min}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+    run("knn_components_fast", () => graft.llm.Ann.knnComponentsFastQ(spark, dir))
     run("knn_snn_cluster", () => graft.llm.Ann.knnSnnClusterQ(spark, dir))
     run("knn_snn_cluster_fast", () => graft.llm.Ann.knnSnnClusterFastQ(spark, dir))
     spark.stop()
