@@ -24,6 +24,30 @@ object SnnIsoScratch {
     run("knn_components_fast", () => graft.llm.Ann.knnComponentsFastQ(spark, dir))
     run("knn_snn_cluster", () => graft.llm.Ann.knnSnnClusterQ(spark, dir))
     run("knn_snn_cluster_fast", () => graft.llm.Ann.knnSnnClusterFastQ(spark, dir))
+    if (args.contains("injected")) {
+      // the ScaleSmokeR14c injected-graph protocol, post-seed re-run:
+      // random mutual graphs, substrate build kept out of the timing
+      import spark.implicits._
+      def randGraph(nodes: Int, avgDeg: Int) = {
+        val edges = spark.range(nodes.toLong * avgDeg / 2)
+          .select(
+            pmod(hash(col("id"), lit(1)).cast("long"), lit(nodes.toLong))
+              .as("a"),
+            pmod(hash(col("id"), lit(2)).cast("long"), lit(nodes.toLong))
+              .as("b"))
+          .filter(col("a") =!= col("b"))
+        edges.select(col("a").as("vec_id"), col("b").as("nbr_id"))
+          .union(edges.select(col("b").as("vec_id"), col("a").as("nbr_id")))
+          .distinct()
+      }
+      val emptyEmb = Seq.empty[(Long, Array[Float])]
+        .toDF("vec_id", "embedding")
+      for ((n, label) <- Seq(50000 -> "50k", 500000 -> "500k")) {
+        val g = graft.Exec.materialize(randGraph(n, 10))
+        run(s"snn_fast injected $label",
+          () => graft.llm.Ann.knnSnnClusterFast(emptyEmb, graph = Some(g)))
+      }
+    }
     spark.stop()
   }
 }
