@@ -3991,7 +3991,8 @@ object Ann {
     * Scale shape: ≤ nk + n self-loop edges; each iteration one
     * join + one agg on that frame — O(iters · nk). */
   def knnComponents(embeddings: DataFrame, k: Int = 5, iters: Int = 25,
-                    graph: Option[DataFrame] = None): DataFrame = {
+                    graph: Option[DataFrame] = None,
+                    earlyExit: Boolean = true): DataFrame = {
     val g = graft.Exec.materialize(
       graph.getOrElse(knnGraph(embeddings, k))
         .select(col("vec_id"), col("nbr_id")))
@@ -4002,11 +4003,40 @@ object Ann {
       universe.select(col("vec_id"), col("vec_id").as("nbr_id"))))
     var c = graft.Exec.materialize(
       universe.select(col("vec_id"), col("vec_id").as("c")))
-    for (_ <- 1 to iters) {
+    // FIXPOINT EARLY-EXIT (r17, guide §1.2 "don't compute things you
+    // throw away"): the schedule is CONTRACTUALLY linear (the oracle's
+    // single-reference recursive CTE replays exactly these rounds), but
+    // once a round is a no-op every remaining round is the identity, so
+    // breaking there returns the byte-identical frame the full schedule
+    // would. Detection is one exact DECIMAL(38,0) scalar agg per round
+    // on the just-checkpointed n-row frame: adjS carries a self-edge
+    // per node, so new c(v) = min(old c(v), neighbors') ≤ old c(v) —
+    // labels are per-node monotone non-increasing and sum equality ⟺
+    // per-node equality ⟺ fixpoint. (The r16 fused-fold rejection
+    // ledger does not apply: that adjudicated the POINTER-DOUBLING
+    // fold, whose rounds were NOT otherwise materialized — here every
+    // round already pays a localCheckpoint and the agg reads the flat
+    // cached result.) A null sum (decimal overflow at ~1e19 rows ×
+    // max-long ids) never compares equal, degrading to the full fixed
+    // schedule, never a wrong exit. At sf0.1 the mutual 5-NN graph
+    // reaches fixpoint in ≤7 rounds; the other 18+ materialized rounds
+    // were pure identity work. Under-merge semantics at diameter >
+    // iters are UNCHANGED (no fixpoint ⇒ no early exit ⇒ same output).
+    var prevSum: java.math.BigDecimal = null
+    var done = false
+    for (_ <- 1 to iters if !done) {
       c = graft.Exec.materialize(adjS
         .join(c.select(col("vec_id").as("nbr_id"), col("c")), Seq("nbr_id"))
         .groupBy(col("vec_id"))
         .agg(min(col("c")).as("c")))
+      if (earlyExit) {
+        val s = c.agg(sum(col("c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"))
+          .head().getDecimal(0)
+        if (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+          done = true
+        prevSum = s
+      }
     }
     componentSizeHistogram(c)
   }
@@ -4188,12 +4218,13 @@ object Ann {
     * + the components fold on the ≤ nk survivor frame. */
   def knnSnnCluster(embeddings: DataFrame, k: Int = 5,
                     tauNum: Int = 1, tauDen: Int = 5,
-                    graph: Option[DataFrame] = None): DataFrame = {
+                    graph: Option[DataFrame] = None,
+                    earlyExit: Boolean = true): DataFrame = {
     val g = graft.Exec.materialize(
       graph.getOrElse(knnGraph(embeddings, k))
         .select(col("vec_id"), col("nbr_id")))
     knnComponents(embeddings, k, graph =
-      Some(snnSurvivorGraph(g, tauNum, tauDen)))
+      Some(snnSurvivorGraph(g, tauNum, tauDen)), earlyExit = earlyExit)
   }
 
   /** The SNN-cut survivor frame shared by [[knnSnnCluster]] and

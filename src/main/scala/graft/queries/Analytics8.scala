@@ -263,11 +263,20 @@ object Analytics8 {
       .withColumn("sid", sum(col("new_s")).over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))))
-    val sessions = flagged.groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
-        count(lit(1)).as("n_events"))
-      .select((col("end_ms") - col("start_ms")).as("dur_ms"),
-        col("n_events"))
+    // r17: MATERIALIZED (guide §1.2 "don't recompute") — the two
+    // RankSelect selections plus the count re-read this frame SEVEN
+    // times (statsFor + histogram + located-bin per selection, + the
+    // n_sessions agg), and each re-read re-paid the full per-user
+    // sessionization window shuffle. One localCheckpoint of the
+    // |sessions|-row 2-column frame (the events_rfm `per` convention)
+    // makes every re-read a flat cached scan. Same rows, same
+    // selections — result-identical by construction.
+    val sessions = graft.Exec.materialize(
+      flagged.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          count(lit(1)).as("n_events"))
+        .select((col("end_ms") - col("start_ms")).as("dur_ms"),
+          col("n_events")))
     val qs = Seq(0.5, 0.9, 0.99)
     val ranksOf: Column => Column = n =>
       array(qs.map(q => ceil(lit(q) * n.cast("double")).cast("long")): _*)
@@ -305,10 +314,17 @@ object Analytics8 {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_orderpriority"))
-    val delays = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority"),
-        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
-          .as("delay_days"))
+    // r17: MATERIALIZED — RankSelect's three passes plus the per-priority
+    // count re-read this frame four times, and each re-read re-paid the
+    // orders⋈lineitem join. One localCheckpoint of the narrow
+    // (priority, delay_days) frame trades one write of ~16 B/row for
+    // three repeated join executions (guide §1.2; the events_rfm
+    // convention). Result-identical: same rows feed the same selection.
+    val delays = graft.Exec.materialize(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay_days")))
     val qs = Seq(0.5, 0.9, 0.99)
     val ranksOf: Column => Column = n =>
       array(qs.map(q => ceil(lit(q) * n.cast("double")).cast("long")): _*)
