@@ -56,6 +56,12 @@ object Ann {
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .persist()
+    // PERSISTED (r17): the projection below a broadcast pair join is
+    // re-evaluated per OUTPUT PAIR, not per row (PqPieceScratch /
+    // AnnPairScratch measured the PQ encode at nQueries x and this
+    // cast+norm at ~1.5x entry wall); the cache boundary pins it to
+    // once per vector. Freed by the ContextCleaner when the plan dies.
     val queries = broadcast(
       corpus.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("q"),
@@ -96,6 +102,7 @@ object Ann {
     val corpus = embeddings.select(col("vec_id"), col("label"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .persist() // r17 pair-join pin, the annTopK rationale
     val queries = broadcast(
       corpus.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
@@ -305,6 +312,7 @@ object Ann {
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .persist() // r17 pair-join pin, the annTopK rationale
     val queries = broadcast(
       corpus.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("q"),
@@ -379,6 +387,7 @@ object Ann {
     val corpus = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .persist() // r17 pair-join pin, the annTopK rationale
     val queries = broadcast(
       corpus.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("q"),
@@ -415,6 +424,7 @@ object Ann {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .persist() // r17 pair-join pin, the annTopK rationale
     val b = broadcast(bench
       .select(col("vec_id").as("bench_id"), vecAsDouble(col("embedding")).as("q"))
       .withColumn("nq", norm(col("q"))))
@@ -1685,6 +1695,7 @@ object Ann {
     val vecs = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .persist() // r17 pair-join pin, the annTopK rationale
     val buckets = vecs.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(lshBucketInts(col("v"))).as(Seq("tbl", "bucket")))
     val qb = broadcast(buckets.filter(col("vec_id") < nQueries)
@@ -2531,8 +2542,15 @@ object Ann {
     val kEff = cents(0).length
 
     // encode: the corpus reduces to (vec_id, codes) — the narrow table a
-    // persisted deployment would store and the ADC scan would read
-    val encoded = vecs.select(col("vec_id"), pqCodesCol(cents, dsub).as("codes"))
+    // persisted deployment would store and the ADC scan would read.
+    // PERSISTED (r17): unpersisted, the per-row m-argmax encode expression
+    // sat under the ADC join and was re-evaluated once per (vector, query)
+    // PAIR — measured 1.71 s vs 0.16 s for the join+ADC step at sf0.1
+    // (PqPieceScratch, nQueries× redundant encode work; guide §1.2). The
+    // cache boundary pins encode-once-per-vector, which is also the
+    // deployment contract this table models.
+    val encoded = vecs.select(col("vec_id"),
+      pqCodesCol(cents, dsub).as("codes")).persist()
 
     // driver-side query LUTs: lut[j*kEff + c] = q_subj · cent_{j,c}
     val queryVecs = vecs.filter(col("vec_id") < nQueries).collect()
@@ -2564,6 +2582,7 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
     val out = graft.Exec.materialize(result)
     vecs.unpersist()
+    encoded.unpersist()
     out
   }
 
@@ -2574,7 +2593,7 @@ object Ann {
     * rows in vec_id order — every codebook gets the ACTUAL seed count
     * as its size (the hardcoded-ksub misalignment fix). Shared by
     * [[annPqTopK]] and [[annIvfPqTopK]] (which trains on residuals). */
-  private def trainSubCodebooks(train: DataFrame, m: Int, dsub: Int,
+  private[graft] def trainSubCodebooks(train: DataFrame, m: Int, dsub: Int,
       ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
     val vIdx = train.schema.fieldIndex("v")
     val init = train.orderBy("vec_id").limit(ksub)
@@ -2605,7 +2624,7 @@ object Ann {
   /** Map-side PQ encode of the `v` column: array of m sub-codes, each a
     * native CentroidArgmax over the subspace slice. nlist follows each
     * codebook's actual row count. */
-  private def pqCodesCol(cents: Array[Array[Array[Double]]], dsub: Int): Column =
+  private[graft] def pqCodesCol(cents: Array[Array[Array[Double]]], dsub: Int): Column =
     array(cents.indices.map { j =>
       graft.functions.VectorFunctions.centroidArgmax(
         slice(col("v"), j * dsub + 1, dsub),
@@ -2614,7 +2633,7 @@ object Ann {
 
   /** Driver-side ADC lookup table for one query: lut[j*kEff + c] =
     * q_subj · cent_{j,c}. */
-  private def pqLut(qv: Array[Double], cents: Array[Array[Array[Double]]],
+  private[graft] def pqLut(qv: Array[Double], cents: Array[Array[Array[Double]]],
                     dsub: Int): Array[Double] =
     cents.indices.flatMap { j =>
       val qs = qv.slice(j * dsub, (j + 1) * dsub)
@@ -2624,7 +2643,7 @@ object Ann {
   /** The ADC score: Σ_j lut[j*kEff + codes[j]] — a static m-term sum of
     * element_ats over the broadcast `lut` and the row's `codes`,
     * codegen-friendly. */
-  private def pqAdcScore(m: Int, kEff: Int): Column =
+  private[graft] def pqAdcScore(m: Int, kEff: Int): Column =
     (0 until m).map { j =>
       element_at(col("lut"),
         lit(j * kEff) + element_at(col("codes"), j + 1) + 1)
@@ -2679,9 +2698,13 @@ object Ann {
     val cents = trainSubCodebooks(residuals(train, coarse), m, dsub, ksub, iters)
     val kEff = cents(0).length
     // the persisted-deployment table: (vec_id, cid, codes) — cell id plus
-    // m sub-codes per vector
+    // m sub-codes per vector. PERSISTED (r17, the annPqTopK finding): a
+    // vector's cell is probed by several queries, and unpersisted the
+    // residual + m-argmax encode re-evaluated per matching (vector,
+    // query) pair above the probe join; the cache boundary pins
+    // encode-once-per-vector (PqPieceScratch A/B, guide §1.2).
     val encoded = resid.select(col("vec_id"), col("cid"),
-      pqCodesCol(cents, dsub).as("codes"))
+      pqCodesCol(cents, dsub).as("codes")).persist()
 
     // driver-side probe rows: per (query, probed cell), the constant
     // q·c_cid rides the row; the residual LUT is cell-independent
@@ -2726,6 +2749,7 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"))
     val out = graft.Exec.materialize(result)
     vecs.unpersist()
+    encoded.unpersist()
     out
   }
 
