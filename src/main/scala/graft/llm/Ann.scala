@@ -3116,7 +3116,8 @@ object Ann {
   def ivfTuningReport(embeddings: DataFrame, nQueries: Int = 10,
                       k: Int = 10, nlist: Int = 16,
                       probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
-                      iters: Int = 1, trainPerCell: Int = 256): DataFrame = {
+                      iters: Int = 1, trainPerCell: Int = 256,
+                      truthOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -3153,7 +3154,11 @@ object Ann {
       }.sortBy { case (j, s) => (-s, j) }.map(_._1)
       (qid, qnorm, ownCid, order)
     }
-    val truth = annTopK(embeddings, nQueries, k).persist()
+    // truth side: callers with the session brute-force store pass it in
+    // (the recall-family convention — annPqRecallQ etc.); the default
+    // computes it fresh, same rows (sessionBruteTruth is spec-pinned
+    // equal to a fresh annTopK at these shared defaults)
+    val truth = truthOpt.getOrElse(annTopK(embeddings, nQueries, k)).persist()
     truth.count()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -3198,7 +3203,8 @@ object Ann {
     * the full-probe recall ≡ 1.0 identity, and the exact candidate
     * arithmetic). */
   def ivfTuningReportQ(spark: SparkSession, dir: String): DataFrame =
-    ivfTuningReport(Tables.embeddings(spark, dir))
+    ivfTuningReport(Tables.embeddings(spark, dir),
+      truthOpt = Some(sessionBruteTruth(spark, dir)))
 
   /** [[dedupSemantic]] under a FIXED quantizer: assign the raw
     * embeddings to `centroids` cells map-side, emit within-cell cosine

@@ -2034,11 +2034,12 @@ object TextOps {
         col("n_tokens"), col("quality_score"))
   }
 
-  /** Driver query: train on the raw corpus, refine under the learned
-    * gate. */
+  /** Driver query: train on the raw corpus (once per JVM — the model is
+    * a deterministic function of the immutable dir,
+    * [[Classifier.sessionModel]]), refine under the learned gate. */
   def corpusRefineLearnedQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    corpusRefineLearned(docs, Classifier.train(docs))
+    corpusRefineLearned(docs, Classifier.sessionModel(spark, dir))
   }
 
   /** Mixture rebalancing: downsample every language stratum toward the

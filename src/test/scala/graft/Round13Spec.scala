@@ -53,5 +53,11 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     val entryIvf = Ann.annIvfRecallQ(spark, sfDir)
     assert(freshIvf.exceptAll(entryIvf).isEmpty &&
       entryIvf.exceptAll(freshIvf).isEmpty)
+    // r17: ivf_tuning_report joined the family — its Q entry passes the
+    // session truth; the in-query-truth composition must be identical
+    val freshTune = Ann.ivfTuningReport(emb)
+    val entryTune = Ann.ivfTuningReportQ(spark, sfDir)
+    assert(freshTune.exceptAll(entryTune).isEmpty &&
+      entryTune.exceptAll(freshTune).isEmpty)
   }
 }

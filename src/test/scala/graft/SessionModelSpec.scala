@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Classifier
+
+/** Pins the r17 session-cached classifier model ([[Classifier
+  * .sessionModel]]) to the fresh-train contract: same dir + same
+  * hyperparameters ⇒ the exact model a fresh [[Classifier.train]]
+  * produces (train is deterministic — deterministic sample, fixed
+  * iterations, sequential driver arithmetic), and the second call
+  * serves the cached instance instead of retraining. The four
+  * train-then-serve driver entries therefore compute identical results
+  * whether the model is fresh or served — the SessionStores equality
+  * discipline applied to a model object. */
+class SessionModelSpec extends AnyFunSuite with SparkFixture {
+
+  test("sessionModel equals a fresh train, field for field") {
+    val fresh = Classifier.train(Tables.documents(spark, sfDir))
+    val cached = Classifier.sessionModel(spark, sfDir)
+    assert(cached.mu.toSeq === fresh.mu.toSeq)
+    assert(cached.sd.toSeq === fresh.sd.toSeq)
+    assert(cached.w.toSeq === fresh.w.toSeq)
+    assert(cached.b === fresh.b)
+  }
+
+  test("second call serves the cached instance; params key the cache") {
+    val a = Classifier.sessionModel(spark, sfDir)
+    val b = Classifier.sessionModel(spark, sfDir)
+    assert(a eq b)
+    // different hyperparameters are a different cache entry (and a
+    // genuinely different model)
+    val c = Classifier.sessionModel(spark, sfDir, iters = 10)
+    assert(!(c eq a))
+    assert(c.w.toSeq !== a.w.toSeq)
+  }
+
+  test("train-then-serve entries are identical under the session model") {
+    // fresh-model arms, composed exactly as the entries compose them
+    val docs = Tables.documents(spark, sfDir)
+    val fresh = Classifier.train(docs)
+    assert(Classifier.score(docs, fresh).collect().toSet ===
+      Classifier.qualityClassifierQ(spark, sfDir).collect().toSet)
+    assert(Classifier.sampleByQuality(docs, fresh).collect().toSet ===
+      Classifier.corpusSampleQualityQ(spark, sfDir).collect().toSet)
+    assert(Classifier.qualityCalibration(docs).collect().toSet ===
+      Classifier.qualityCalibrationQ(spark, sfDir).collect().toSet)
+    assert(graft.llm.TextOps.corpusRefineLearned(docs, fresh).collect().toSet ===
+      graft.llm.TextOps.corpusRefineLearnedQ(spark, sfDir).collect().toSet)
+  }
+}
