@@ -251,6 +251,13 @@ object Cdc {
     * versions — O(batch), not O(history), at 100 TB. */
   def scd2Incremental(existing: DataFrame, batch: DataFrame,
                       strict: Boolean = true): DataFrame = {
+    // (Deliberately NOT persisted, r17: a cache boundary on `existing`
+    // here broke Scd2Store's retire path — the store overwrites its
+    // partition files after the fold, and a PARTIALLY-materialized
+    // lazy cache re-reads deleted files on later actions, the exact
+    // hazard MergePipeline.mergeBatch documents. The driver entry's
+    // repeated scd2() re-runs are the price of that safety; measured
+    // ~1.4 s honest at sf0.1.)
     val flatB = flatten(batch).select(col("user_id"), col("event_id"),
       col("event_type"), col("value"), col("prop_k"), col("__op"),
       col("__source_ts_ms"))

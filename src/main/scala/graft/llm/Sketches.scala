@@ -286,16 +286,24 @@ object Sketches {
     * windows only over ≤ maxItems+1-row frames. */
   def hhSketchTable(docs: DataFrame, maxItems: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // PERSISTED (r17, guide §1.2): the word-count table feeds both the
+    // truncation chain and the exact stratum totals, and the ranked
+    // frame feeds both the threshold agg and the kept filter —
+    // unpersisted, the corpus was tokenized twice (plans/r17/
+    // sketch_topk_before.txt). counts is vocab×strata bounded, ranked
+    // ≤ (maxItems+1)×strata; ContextCleaner-freed.
     val counts = docs.select(col("lang"), col("source"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("lang"), col("source"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val kept1 = graft.operators.GroupTopK.topK(counts,
       Seq("lang", "source"), Seq(col("cnt").desc, col("tok").asc),
       maxItems + 1)
     val ranked = kept1.withColumn("rnk",
       row_number().over(Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("cnt").desc, col("tok").asc)))
+      .persist()
     val thr = ranked.groupBy(col("lang"), col("source"))
       .agg(coalesce(max(when(col("rnk") === maxItems + 1, col("cnt"))),
         lit(0L)).as("threshold"))

@@ -48,10 +48,17 @@ object OrderedPrefix {
     val base = df.filter(col(valueCol).isNotNull)
     // distinct-value frame: the only corpus-sized shuffle, bounded by
     // the value domain (map-side combined)
+    // PERSISTED (r17, guide §1.2): three subtrees consume this frame —
+    // the extent agg, the in-bucket prefix, and the bucket-total
+    // branch — and without the cache boundary each re-ran the corpus
+    // aggregation (q_revenue_pareto's pre-persist plan carried 8
+    // lineitem scans, plans/r17/*_before.txt). Distinct-value-domain
+    // bounded; freed by the ContextCleaner when the plan dies.
     val vc = base
       .groupBy((gcols :+ v.as("__v")): _*)
       .agg(count(lit(1)).as("__c"),
         maxCol.map(m => max(col(m)).as("__m")).toSeq: _*)
+      .persist()
     val ext = vc.groupBy(gcols: _*)
       .agg(min(col("__v").cast("double")).as("__vmin"),
         max(col("__v").cast("double")).as("__vmax"))
@@ -99,6 +106,11 @@ object OrderedPrefix {
         // greatest(null, x) = x in Spark, but make the all-null case
         // explicit: no smaller value anywhere → NULL
       ))
+    // (Deliberately NOT persisted: consumers that reference the prefix
+    // frame twice re-run only the bounded window passes above the vc
+    // cache — ≤ buckets rows per partition at any corpus size — and an
+    // A/B of the extra boundary read +0.05 s of pure overhead at sf0.1,
+    // PersistBatchScratch.)
     out.select((gcols ++ Seq(col("__v").as(valueCol), col("__c"),
       col("__cumc"), col("__cums")) ++
       maxCol.map(_ => col("__m")) ++

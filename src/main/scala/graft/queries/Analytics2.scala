@@ -282,11 +282,17 @@ object Analytics2 {
 
   def funnel(events: DataFrame): DataFrame = {
     val ev = events.select("user_id", "event_type", "ts")
+    // PERSISTED (r17, guide §1.2): s1/s2 each feed the next stage AND
+    // the final outer-join spine — unpersisted the chain re-ran per
+    // reference (6 events scans, plans/r17/q_funnel_before.txt).
+    // Per-user min frames, corpus-slim, ContextCleaner-freed.
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      .persist()
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
       .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      .persist()
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min(col("ts")).as("t3"))
@@ -592,9 +598,16 @@ object Analytics2 {
 
   def qBasketPairsOn(lineitem: DataFrame, topK: Int = 50,
                      minOrders: Long = 3): DataFrame = {
+    // PERSISTED (r17): the distinct line frame feeds FIVE subplans
+    // (both self-join sides, the two marginal joins' source, the order
+    // total) and Spark's ReuseExchange does not unify them — the
+    // pre-persist plan carried 10 lineitem scans and 5 distinct
+    // aggregations (plans/r17/q_basket_pairs_before.txt). The cache
+    // boundary computes it once; freed by the ContextCleaner when the
+    // plan dies (the ANN-family pair-join-pin convention).
     val lines = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().persist()
     val pairs = lines.as("a")
       .join(lines.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -639,15 +652,21 @@ object Analytics2 {
 
   def qBasketRulesOn(lineitem: DataFrame, topK: Int = 50,
                      minOrders: Long = 3): DataFrame = {
+    // PERSISTED (r17): same rationale as qBasketPairsOn — five
+    // otherwise-recomputed references to the distinct line frame
     val lines = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().persist()
+    // PERSISTED (r17): the direction union references the min-support
+    // pair frame twice; uncached, each arm re-ran the within-order
+    // self-join + pair count
     val pairs = lines.as("a")
       .join(lines.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minOrders)
+      .persist()
     val rules = pairs.select(col("pa").as("antecedent"),
         col("pb").as("consequent"), col("n_both"))
       .unionByName(pairs.select(col("pb").as("antecedent"),

@@ -172,7 +172,12 @@ object Analytics4 {
     eventsTypeAffinityOn(Tables.events(spark, dir))
 
   def eventsTypeAffinityOn(events: DataFrame): DataFrame = {
+    // PERSISTED (r17, guide §1.2): the distinct (user, type) frame
+    // feeds both self-join sides, the marginals, and the user total —
+    // five otherwise-recomputed references (plans/r17/events_type_
+    // affinity_before.txt). ContextCleaner-freed.
     val ud = events.select(col("user_id"), col("event_type")).distinct()
+      .persist()
     val marg = ud.groupBy(col("event_type"))
       .agg(count(lit(1)).as("users"))
     val nTot = broadcast(ud.agg(countDistinct(col("user_id")).as("n")))

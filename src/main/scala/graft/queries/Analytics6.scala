@@ -185,13 +185,21 @@ object Analytics6 {
       : DataFrame = {
     require(steps.size == 3, "the 3-step shape is the driver contract")
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    // PERSISTED (r17, guide §1.2): each step frame feeds BOTH the next
+    // step's join and its own count, and the 3-branch output union
+    // referenced the whole chain once per branch — the pre-persist
+    // plan scanned events 18 times (plans/r17/events_window_funnel_
+    // before.txt). The boundaries pin each step to one execution;
+    // per-user min frames, corpus-slim, ContextCleaner-freed.
     val s1 = ev.filter(col("event_type") === steps(0))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .persist()
     val s2 = ev.filter(col("event_type") === steps(1))
       .join(s1, Seq("user_id"))
       .filter(col("ts") > col("t1") &&
         col("ts") <= col("t1") + expr(window))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .persist()
     val s3 = ev.filter(col("event_type") === steps(2))
       .join(s2, Seq("user_id"))
       .filter(col("ts") > col("t2") &&
@@ -200,6 +208,7 @@ object Analytics6 {
     val c = s1.agg(count(lit(1)).as("n1"))
       .crossJoin(s2.agg(count(lit(1)).as("n2")))
       .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .persist()
     def conv(a: Column, b: Column): Column =
       round(d(a) / d(greatest(b, lit(1L))), 4)
     c.select(lit(1).as("step"), lit(steps(0)).as("step_type"),

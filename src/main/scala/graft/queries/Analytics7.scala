@@ -185,8 +185,13 @@ object Analytics7 {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
     val cb = b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cb"))
+    // PERSISTED (r17, guide §1.2): the totals agg and the top-key probe
+    // both consume the product frame, and unpersisted each re-ran both
+    // histogram aggregations (q_join_cardinality's pre-persist plan:
+    // 24 scans across its three joins). Key-domain bounded.
     val prod = ca.join(cb, Seq("k"))
       .select(col("k"), (dec(col("ca")) * dec(col("cb"))).as("pm"))
+      .persist()
     val tots = broadcast(prod.agg(
       count(lit(1)).as("n_keys_common"),
       sum(col("pm")).as("est"), max(col("pm")).as("mx")))
@@ -337,7 +342,14 @@ object Analytics7 {
       ("lineitem_partkey",
         lineitem.select(col("l_partkey").as("k")),
         Tables.part(spark, dir).select(col("p_partkey").as("k"))))
-    edges.map { case (nm, c, p) =>
+    edges.map { case (nm, cRaw, pRaw) =>
+      // PERSISTED (r17, guide §1.2): each edge consumes its child and
+      // parent key frames three times (count, orphan anti-join,
+      // childless anti-join) — 18 scans across the three edges before
+      // the boundaries (plans/r17/q_integrity_audit_before.txt).
+      // Single-key-column frames, ContextCleaner-freed.
+      val c = cRaw.persist()
+      val p = pRaw.persist()
       c.agg(count(lit(1)).as("n_child"))
         .crossJoin(c.join(p, Seq("k"), "left_anti")
           .agg(count(lit(1)).as("n_orphans")))
