@@ -3979,10 +3979,14 @@ object Ann {
     val b = panel.select(col("vec_id").as("idb"), col("v").as("vb"),
       col("nrm").as("nb"))
     val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // PERSISTED (r17, guide §1.2): the 20-cell band histogram feeds the
+    // total agg and the cumulative window — unpersisted, each re-ran
+    // the 1225-pair panel join.
     val banded = a.join(broadcast(b), col("ida") < col("idb"))
       .select(greatest(least(floor(cos * lit(10.0)), lit(9L)), lit(-10L))
         .as("band"))
       .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .persist()
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("band"))
     val tot = broadcast(banded.agg(sum(col("n_pairs")).as("tn")))
     banded.crossJoin(tot)

@@ -420,7 +420,10 @@ object Sketches {
     * regime against exact truth with tolerance bounds instead. */
   def sketchOverlapQ(spark: SparkSession, dir: String): DataFrame = {
     val k = 512
+    // PERSISTED (r17, guide §1.2): kmvOverlap joins the sketch table
+    // with itself — unpersisted, each side re-ran the distinct +
+    // GroupTopK sketch build. |keys|-sized (one k-array row per type).
     kmvOverlap(kmvSketchTable(Tables.events(spark, dir),
-      "event_type", "user_id", k), k)
+      "event_type", "user_id", k).persist(), k)
   }
 }

@@ -452,11 +452,15 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val overlap = decontaminate(docs, benchmark)
+    // PERSISTED (r17, guide §1.2): the per-doc (tokens, contaminated)
+    // frame feeds the totals agg and the k-sweep rollup — unpersisted,
+    // each re-ran the n-gram decontamination join. Two longs per doc.
     val per = docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("nt"))
       .join(overlap, Seq("doc_id"), "left")
       .select(col("nt"),
         coalesce(col("n_contaminated_ngrams"), lit(0L)).as("nc"))
+      .persist()
     val tot = broadcast(per.agg(count(lit(1)).as("n_docs"),
       sum(col("nt")).as("n_tokens")))
     val flagged = col("nc") >= col("k")
@@ -775,10 +779,15 @@ object TextOps {
     * never documents². Marginals ride two broadcast joins. Exact
     * integers + three 4dp ratios. */
   def vocabOverlap(docs: DataFrame): DataFrame = {
+    // PERSISTED (r17, guide §1.2): the distinct (source, token) frame
+    // feeds the marginals and both sides of the overlap self-join —
+    // three otherwise-recomputed tokenize+distinct passes. Vocabulary-
+    // bounded; ContextCleaner-freed.
     val st = docs.select(col("source"),
         explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
+      .persist()
     val marg = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
     val counts = st.select(col("source").as("source_a"), col("tok"))
       .join(st.select(col("source").as("source_b"), col("tok")),
@@ -2699,10 +2708,15 @@ object TextOps {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
+    // PERSISTED (r17, guide §1.2): the unigram table feeds both
+    // marginal joins, and the token total is EXACTLY its count mass
+    // (Σ c over the unigram groups ≡ count of exploded tokens — an
+    // integer identity), so the corpus is tokenized twice (pairs +
+    // unigrams) instead of four times. Vocabulary-bounded.
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nt = docs.select(explode(tokens(col("text"))).as("w"))
-      .agg(count(lit(1)).as("nt"))
+      .persist()
+    val nt = uni.agg(sum(col("c")).as("nt"))
     pc.join(uni.select(col("w").as("a"), col("c").as("ca")), "a")
       .join(uni.select(col("w").as("b"), col("c").as("cb")), "b")
       .crossJoin(broadcast(nt))

@@ -530,9 +530,13 @@ object Analytics3 {
     * 4dp. */
   def eventsStickiness(spark: SparkSession, dir: String,
                        windowDays: Int = 30): DataFrame = {
+    // PERSISTED (r17, guide §1.2): the distinct (user, day) frame feeds
+    // the DAU rollup, the bounds agg, and the MAU window cover — three
+    // otherwise-recomputed references. ContextCleaner-freed.
     val ud = Tables.events(spark, dir)
       .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("di"))
       .distinct()
+      .persist()
     val dau = ud.groupBy(col("di")).agg(count(lit(1)).as("dau"))
     val bounds = broadcast(ud.agg(min(col("di")).as("d0"),
       max(col("di")).as("d1")))

@@ -120,9 +120,13 @@ object Analytics4 {
     eventsChangepointOn(Tables.events(spark, dir), topK)
 
   def eventsChangepointOn(events: DataFrame, topK: Int = 5): DataFrame = {
+    // PERSISTED (r17, guide §1.2): the hourly rollup feeds the bounds
+    // agg and the dense spine join — two otherwise-recomputed corpus
+    // aggregations. |hours|-sized.
     val hourly = events
       .select((col("ts").cast("long") / 3600L).cast("long").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .persist()
     val bounds = broadcast(hourly.agg(min(col("h")).as("h0"),
       max(col("h")).as("h1")))
     val dense = bounds

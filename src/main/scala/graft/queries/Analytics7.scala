@@ -65,9 +65,13 @@ object Analytics7 {
     eventsLoadProfileOn(Tables.events(spark, dir))
 
   def eventsLoadProfileOn(events: DataFrame): DataFrame = {
+    // PERSISTED (r17, guide §1.2): the (type, hour) cell frame feeds
+    // the span agg, the p95 ranking, and the per-type rollup — three
+    // otherwise-recomputed references. Dimension-sized.
     val th = events.groupBy(col("event_type"),
         expr("unix_millis(ts) div 3600000").as("h"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val span = broadcast(th.agg(
       (max(col("h")) - min(col("h")) + 1L).as("span_hours")))
     val byType = Window.partitionBy(col("event_type"))

@@ -159,9 +159,13 @@ object Analytics8 {
 
   def eventsEwmaBaselineOn(events: DataFrame): DataFrame = {
     val day = expr("unix_millis(ts) div 86400000")
+    // PERSISTED (r17, guide §1.2): the daily cell frame feeds the maxd
+    // agg and, through `joined`, both the EWMA history and the last-day
+    // probe — three otherwise-recomputed corpus aggregations.
     val daily = events.select(col("event_type"), day.as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
+      .persist()
     val maxd = daily.groupBy(col("event_type"))
       .agg(max(col("day")).as("maxd"))
     val joined = daily.join(broadcast(maxd), Seq("event_type"))
