@@ -2853,6 +2853,30 @@ object Ann {
     trainOnUnit(unitVecs(embeddings), nlist, iters, trainPerCell)
   }
 
+  /** Session-cached shared semantic quantizer (r17): the four driver
+    * entries that serve the SAME 16-cell Lloyd quantizer
+    * (ann_ivf_balance, corpus_topic_terms, dedup_semantic,
+    * embed_silhouette) each re-paid its training passes per invocation
+    * — count + seeded init + iters×(assign + per-dim mean) over the
+    * corpus — although the quantizer is a deterministic function of
+    * (immutable dir, nlist, iters, trainPerCell) and every docstring's
+    * deployment story is train-once-freeze ([[dedupSemanticWith]] IS
+    * the frozen-quantizer serve form). The
+    * [[graft.state.SessionStores]] / [[Classifier.sessionModel]]
+    * pattern applied to the centroid matrix (nlist × dim doubles —
+    * KBs). Exact equality with a fresh train is spec-pinned
+    * (SessionModelSpec); oracles unchanged (they replay the unrolled
+    * Lloyd chains in SQL regardless of who computed the plan
+    * literals). */
+  private val semCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+  private[graft] def sessionSemanticCentroids(
+      spark: SparkSession, dir: String, nlist: Int = 16, iters: Int = 2,
+      trainPerCell: Int = 256): Seq[Array[Double]] =
+    semCentroidCache.computeIfAbsent(s"$dir|$nlist|$iters|$trainPerCell",
+      _ => trainSemanticCentroids(Tables.embeddings(spark, dir), nlist,
+        iters, trainPerCell))
+
   /** Quantizer-health balance report: per trained cell, member count,
     * corpus share, and ratio to the uniform-fill mean — the audit a
     * vector deployment runs after (re)training a coarse quantizer,
@@ -2892,7 +2916,7 @@ object Ann {
     * empty-cell visibility). */
   def ivfBalanceQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    ivfBalance(emb, trainSemanticCentroids(emb))
+    ivfBalance(emb, sessionSemanticCentroids(spark, dir))
   }
 
   /** Cluster-separation audit (r12): simplified (centroid-based)
@@ -2918,12 +2942,15 @@ object Ann {
     * |c|² a plan literal; means 4dp. */
   def embedSilhouette(embeddings: DataFrame, nlist: Int = 16,
                       iters: Int = 2,
-                      trainPerCell: Int = 256): DataFrame = {
+                      trainPerCell: Int = 256,
+                      centroids: Option[Seq[Array[Double]]] = None)
+      : DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val vecs = unitVecs(embeddings).persist()
-    val coarse = trainOnUnit(vecs, nlist, iters, trainPerCell)
+    val coarse = centroids.getOrElse(
+      trainOnUnit(vecs, nlist, iters, trainPerCell))
     val cid = graft.functions.VectorFunctions.centroidArgmax(
       col("v"), coarse.flatten.toIndexedSeq, coarse.size)
     val dists = array(coarse.map { c =>
@@ -2962,7 +2989,8 @@ object Ann {
   }
 
   def embedSilhouetteQ(spark: SparkSession, dir: String): DataFrame =
-    embedSilhouette(Tables.embeddings(spark, dir))
+    embedSilhouette(Tables.embeddings(spark, dir),
+      centroids = Some(sessionSemanticCentroids(spark, dir)))
 
   /** k-means elbow sweep (r12): mean squared own-centroid distance
     * (inertia) per candidate `nlist`, with the marginal gain over the
@@ -3219,7 +3247,13 @@ object Ann {
 
   private def pairsOnUnit(vecs: DataFrame, centroids: Seq[Array[Double]],
                           tau: Double): DataFrame = {
-    val assigned = assignCells(vecs, centroids)
+    // PERSISTED (r17): both sides of the within-cell join read this
+    // frame — dedupSemantic used to cover it by persisting its own
+    // unit-vector input; now that dedupSemanticQ serves the session
+    // quantizer through dedupSemanticWith, the boundary lives here so
+    // EVERY caller pays the normalize+assign pass once. Freed by the
+    // ContextCleaner when the plan dies.
+    val assigned = assignCells(vecs, centroids).persist()
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
@@ -3290,7 +3324,7 @@ object Ann {
     * on a separable fixture). */
   def corpusTopicTermsQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cells = semanticCells(emb, trainSemanticCentroids(emb))
+    val cells = semanticCells(emb, sessionSemanticCentroids(spark, dir))
     cellTopicTerms(Tables.documents(spark, dir), cells)
   }
 
@@ -3299,7 +3333,11 @@ object Ann {
     * additionally pins nlist=1 == brute force and cell-restricted
     * exactness). */
   def dedupSemanticQ(spark: SparkSession, dir: String): DataFrame =
-    dedupSemantic(Tables.embeddings(spark, dir))
+    // the frozen-quantizer serve form over the session-trained cells —
+    // value-identical to the in-query retrain (same deterministic
+    // Lloyd), spec-pinned in SessionModelSpec
+    dedupSemanticWith(Tables.embeddings(spark, dir),
+      sessionSemanticCentroids(spark, dir), tau = 0.4)
 
   // --- Incremental semantic dedup against a persisted cell store ---
   // Sixth member of the store family (exact / minhash / simhash / embed /

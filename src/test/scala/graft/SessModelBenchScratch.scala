@@ -41,7 +41,24 @@ object SessModelBenchScratch {
         () => TextOps.corpusRefineLearnedQ(spark, dir)),
       ("ivf_tuning_report",
         () => Ann.ivfTuningReport(Tables.embeddings(spark, dir)),
-        () => Ann.ivfTuningReportQ(spark, dir)))
+        () => Ann.ivfTuningReportQ(spark, dir)),
+      // r17 second wave: the shared-semantic-quantizer servers — old
+      // arms are the fresh-train compositions the entries used to run
+      ("ann_ivf_balance",
+        () => { val e = Tables.embeddings(spark, dir)
+          Ann.ivfBalance(e, Ann.trainSemanticCentroids(e)) },
+        () => Ann.ivfBalanceQ(spark, dir)),
+      ("corpus_topic_terms",
+        () => { val e = Tables.embeddings(spark, dir)
+          Ann.cellTopicTerms(Tables.documents(spark, dir),
+            Ann.semanticCells(e, Ann.trainSemanticCentroids(e))) },
+        () => Ann.corpusTopicTermsQ(spark, dir)),
+      ("dedup_semantic",
+        () => Ann.dedupSemantic(Tables.embeddings(spark, dir)),
+        () => Ann.dedupSemanticQ(spark, dir)),
+      ("embed_silhouette",
+        () => Ann.embedSilhouette(Tables.embeddings(spark, dir)),
+        () => Ann.embedSilhouetteQ(spark, dir)))
 
     cases.foreach { case (name, mkOld, mkNew) =>
       mkOld().write.format("noop").mode("overwrite").save()

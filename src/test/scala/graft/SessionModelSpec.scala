@@ -35,6 +35,25 @@ class SessionModelSpec extends AnyFunSuite with SparkFixture {
     assert(c.w.toSeq !== a.w.toSeq)
   }
 
+  test("session semantic centroids equal a fresh Lloyd train; entries agree") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val fresh = Ann.trainSemanticCentroids(emb)
+    val cached = Ann.sessionSemanticCentroids(spark, sfDir)
+    assert(cached.map(_.toSeq) === fresh.map(_.toSeq))
+    assert(Ann.sessionSemanticCentroids(spark, sfDir) eq cached)
+    // the four serving entries equal their fresh-train compositions
+    assert(Ann.ivfBalanceQ(spark, sfDir).collect().toSet ===
+      Ann.ivfBalance(emb, fresh).collect().toSet)
+    assert(Ann.dedupSemanticQ(spark, sfDir).collect().toSet ===
+      Ann.dedupSemantic(emb).collect().toSet)
+    assert(Ann.embedSilhouetteQ(spark, sfDir).collect().toSet ===
+      Ann.embedSilhouette(emb).collect().toSet)
+    assert(Ann.corpusTopicTermsQ(spark, sfDir).collect().toSet ===
+      Ann.cellTopicTerms(Tables.documents(spark, sfDir),
+        Ann.semanticCells(emb, fresh)).collect().toSet)
+  }
+
   test("train-then-serve entries are identical under the session model") {
     // fresh-model arms, composed exactly as the entries compose them
     val docs = Tables.documents(spark, sfDir)
