@@ -1251,14 +1251,16 @@ object Ann {
     * two-phase top-k; PQ train + ADC scan + 80-candidate refine); the
     * recall join touches n_queries·k rows. */
   def annPqRecall(embeddings: DataFrame,
-                  truth: Option[DataFrame] = None): DataFrame =
+                  truth: Option[DataFrame] = None,
+                  quantizerCacheKey: Option[String] = None): DataFrame =
     annRecallReport(truth.getOrElse(annTopK(embeddings)),
-      annPqTopK(embeddings))
+      annPqTopK(embeddings, quantizerCacheKey = quantizerCacheKey))
 
   def annPqRecallQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annPqRecall(Tables.embeddings(spark, dir),
-      truth = Some(sessionBruteTruth(spark, dir)))
+      truth = Some(sessionBruteTruth(spark, dir)),
+      quantizerCacheKey = Some(dir))
   }
 
   /** IVF retrieval audit (r12 sD): per query, recall@k of the
@@ -1273,14 +1275,16 @@ object Ann {
     * two-phase top-k; coarse train + nprobe-pruned cells); the recall
     * join touches n_queries·k rows. */
   def annIvfRecall(embeddings: DataFrame,
-                   truth: Option[DataFrame] = None): DataFrame =
+                   truth: Option[DataFrame] = None,
+                   quantizerCacheKey: Option[String] = None): DataFrame =
     annRecallReport(truth.getOrElse(annTopK(embeddings)),
-      annIvfTopK(embeddings))
+      annIvfTopK(embeddings, quantizerCacheKey = quantizerCacheKey))
 
   def annIvfRecallQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annIvfRecall(Tables.embeddings(spark, dir),
-      truth = Some(sessionBruteTruth(spark, dir)))
+      truth = Some(sessionBruteTruth(spark, dir)),
+      quantizerCacheKey = Some(dir))
   }
 
   /** IVF-PQ retrieval audit (r12 sD): recall@k of the composed
@@ -1293,14 +1297,16 @@ object Ann {
     * never visits AND candidates the quantized ADC misranks out of
     * the refine set. */
   def annIvfPqRecall(embeddings: DataFrame,
-                     truth: Option[DataFrame] = None): DataFrame =
+                     truth: Option[DataFrame] = None,
+                     quantizerCacheKey: Option[String] = None): DataFrame =
     annRecallReport(truth.getOrElse(annTopK(embeddings)),
-      annIvfPqTopK(embeddings))
+      annIvfPqTopK(embeddings, quantizerCacheKey = quantizerCacheKey))
 
   def annIvfPqRecallQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     annIvfPqRecall(Tables.embeddings(spark, dir),
-      truth = Some(sessionBruteTruth(spark, dir)))
+      truth = Some(sessionBruteTruth(spark, dir)),
+      quantizerCacheKey = Some(dir))
   }
 
   /** Symmetric per-dimension int8 scalar quantization — the STORAGE
@@ -2432,9 +2438,37 @@ object Ann {
     * stays O(trainCap) while the corpus only ever pays the one map-side
     * assignment pass. Below the cap the sample IS the corpus — local
     * results are bit-identical to full training. */
+  /** Per-JVM caches for the deterministic in-query quantizer trainings
+    * of the index family (r17): the six index/recall entries re-paid
+    * the identical Lloyd trainings per invocation although each is a
+    * deterministic function of (immutable dir, hyperparameters) and
+    * the docstrings' own deployment contract is train-once-freeze
+    * ([[buildIvfPqIndex]] IS the persisted form; [[annIndexRecallQ]]
+    * serves it). A `quantizerCacheKey` (the Q entries pass the input
+    * dir) makes the FIRST invocation train exactly as before — same
+    * frame, same partitioning, bit-identical centroids — and later
+    * invocations serve the cached matrices; None (the library default)
+    * trains fresh every call. The [[graft.state.SessionStores]] /
+    * [[Classifier.sessionModel]] pattern; equality spec-pinned
+    * (SessionModelSpec), oracles unchanged (they replay the unrolled
+    * Lloyd chains in SQL regardless of who computed the literals). */
+  private val coarseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+  private def cachedCoarse(key: Option[String], params: String)(
+      train: => Seq[Array[Double]]): Seq[Array[Double]] =
+    key.map(k => coarseCache.computeIfAbsent(s"$k|$params", _ => train))
+      .getOrElse(train)
+  private def cachedPq(key: Option[String], params: String)(
+      train: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    key.map(k => pqCache.computeIfAbsent(s"$k|$params", _ => train))
+      .getOrElse(train)
+
   def annIvfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                  nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
-                 trainPerCell: Int = 256): DataFrame = {
+                 trainPerCell: Int = 256,
+                 quantizerCacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col("vec_id"),
@@ -2457,7 +2491,8 @@ object Ann {
       graft.functions.VectorFunctions.centroidArgmax(
         col("v"), cents.flatten.toIndexedSeq, cents.size)
 
-    val centroids = trainCoarse(train, nlist, iters)
+    val centroids = cachedCoarse(quantizerCacheKey,
+      s"ivf|$nlist|$iters|$trainPerCell")(trainCoarse(train, nlist, iters))
 
     val assigned = vecs.withColumn("cid", assignCol(centroids))
       .withColumn("nrm", norm(col("v")))
@@ -2519,7 +2554,8 @@ object Ann {
     *        survivors per query to the exact re-rank — recall knob. */
   def annPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                 m: Int = 16, ksub: Int = 16, iters: Int = 2,
-                refineFactor: Int = 8, trainCap: Long = 4096L): DataFrame = {
+                refineFactor: Int = 8, trainCap: Long = 4096L,
+                quantizerCacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val raw = embeddings.select(col("vec_id"),
@@ -2538,7 +2574,8 @@ object Ann {
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
 
-    val cents = trainSubCodebooks(train, m, dsub, ksub, iters)
+    val cents = cachedPq(quantizerCacheKey, s"pq|$m|$ksub|$iters|$trainCap")(
+      trainSubCodebooks(train, m, dsub, ksub, iters))
     val kEff = cents(0).length
 
     // encode: the corpus reduces to (vec_id, codes) — the narrow table a
@@ -2665,7 +2702,8 @@ object Ann {
   def annIvfPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
                    nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
                    ksub: Int = 16, iters: Int = 2, refineFactor: Int = 8,
-                   trainCap: Long = 4096L): DataFrame = {
+                   trainCap: Long = 4096L,
+                   quantizerCacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val raw = embeddings.select(col("vec_id"),
@@ -2686,7 +2724,8 @@ object Ann {
 
     // coarse quantizer: the shared Lloyd on the training sample — only
     // (nlist × dim) centroids ever reach the driver
-    val coarse = trainCoarse(train, nlist, iters)
+    val coarse = cachedCoarse(quantizerCacheKey,
+      s"ivfpq_coarse|$nlist|$iters|$trainCap")(trainCoarse(train, nlist, iters))
 
     // full-corpus residuals v − c_cid for the encode pass
     val resid = residuals(vecs, coarse)
@@ -2695,7 +2734,9 @@ object Ann {
     // the filtered train frame directly, not the full-corpus resid
     // joined back down: each Lloyd action re-executes its input, and
     // the joined form re-ran the corpus-wide argmax iters+1 times
-    val cents = trainSubCodebooks(residuals(train, coarse), m, dsub, ksub, iters)
+    val cents = cachedPq(quantizerCacheKey,
+      s"ivfpq_cents|$nlist|$nprobe|$m|$ksub|$iters|$trainCap")(
+      trainSubCodebooks(residuals(train, coarse), m, dsub, ksub, iters))
     val kEff = cents(0).length
     // the persisted-deployment table: (vec_id, cid, codes) — cell id plus
     // m sub-codes per vector. PERSISTED (r17, the annPqTopK finding): a
@@ -3145,7 +3186,8 @@ object Ann {
                       k: Int = 10, nlist: Int = 16,
                       probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
                       iters: Int = 1, trainPerCell: Int = 256,
-                      truthOpt: Option[DataFrame] = None): DataFrame = {
+                      truthOpt: Option[DataFrame] = None,
+                      quantizerCacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -3158,7 +3200,11 @@ object Ann {
       if (corpusN <= trainCap) vecs
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
-    val centroids = trainCoarse(train, nlist, iters)
+    // same params string as annIvfTopK: the identical training (same
+    // sample, same Lloyd) is shared across ann_ivf_topk /
+    // ann_ivf_recall / ivf_tuning_report through one cache slot
+    val centroids = cachedCoarse(quantizerCacheKey,
+      s"ivf|$nlist|$iters|$trainPerCell")(trainCoarse(train, nlist, iters))
     val assigned = vecs
       .withColumn("cid", graft.functions.VectorFunctions.centroidArgmax(
         col("v"), centroids.flatten.toIndexedSeq, centroids.size))
@@ -3232,7 +3278,8 @@ object Ann {
     * arithmetic). */
   def ivfTuningReportQ(spark: SparkSession, dir: String): DataFrame =
     ivfTuningReport(Tables.embeddings(spark, dir),
-      truthOpt = Some(sessionBruteTruth(spark, dir)))
+      truthOpt = Some(sessionBruteTruth(spark, dir)),
+      quantizerCacheKey = Some(dir))
 
   /** [[dedupSemantic]] under a FIXED quantizer: assign the raw
     * embeddings to `centroids` cells map-side, emit within-cell cosine
@@ -3803,15 +3850,15 @@ object Ann {
   }
   def annIvfTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    annIvfTopK(Tables.embeddings(spark, dir))
+    annIvfTopK(Tables.embeddings(spark, dir), quantizerCacheKey = Some(dir))
   }
   def annPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    annPqTopK(Tables.embeddings(spark, dir))
+    annPqTopK(Tables.embeddings(spark, dir), quantizerCacheKey = Some(dir))
   }
   def annIvfPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    annIvfPqTopK(Tables.embeddings(spark, dir))
+    annIvfPqTopK(Tables.embeddings(spark, dir), quantizerCacheKey = Some(dir))
   }
   def embedOutliersQ(spark: SparkSession, dir: String): DataFrame =
     embedOutliers(Tables.embeddings(spark, dir))

@@ -58,7 +58,30 @@ object SessModelBenchScratch {
         () => Ann.dedupSemanticQ(spark, dir)),
       ("embed_silhouette",
         () => Ann.embedSilhouette(Tables.embeddings(spark, dir)),
-        () => Ann.embedSilhouetteQ(spark, dir)))
+        () => Ann.embedSilhouetteQ(spark, dir)),
+      // r17 third wave: the index-family quantizer caches — old arms
+      // train fresh (no cache key), new arms are the live entries
+      ("ann_ivf_topk",
+        () => Ann.annIvfTopK(Tables.embeddings(spark, dir)),
+        () => Ann.annIvfTopKQ(spark, dir)),
+      ("ann_pq_topk",
+        () => Ann.annPqTopK(Tables.embeddings(spark, dir)),
+        () => Ann.annPqTopKQ(spark, dir)),
+      ("ann_ivfpq_topk",
+        () => Ann.annIvfPqTopK(Tables.embeddings(spark, dir)),
+        () => Ann.annIvfPqTopKQ(spark, dir)),
+      ("ann_ivf_recall",
+        () => Ann.annIvfRecall(Tables.embeddings(spark, dir),
+          truth = Some(Ann.sessionBruteTruth(spark, dir))),
+        () => Ann.annIvfRecallQ(spark, dir)),
+      ("ann_pq_recall",
+        () => Ann.annPqRecall(Tables.embeddings(spark, dir),
+          truth = Some(Ann.sessionBruteTruth(spark, dir))),
+        () => Ann.annPqRecallQ(spark, dir)),
+      ("ann_ivfpq_recall",
+        () => Ann.annIvfPqRecall(Tables.embeddings(spark, dir),
+          truth = Some(Ann.sessionBruteTruth(spark, dir))),
+        () => Ann.annIvfPqRecallQ(spark, dir)))
 
     cases.foreach { case (name, mkOld, mkNew) =>
       mkOld().write.format("noop").mode("overwrite").save()

@@ -54,6 +54,22 @@ class SessionModelSpec extends AnyFunSuite with SparkFixture {
         Ann.semanticCells(emb, fresh)).collect().toSet)
   }
 
+  test("index-family entries equal their fresh-quantizer compositions") {
+    import graft.llm.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    // cached-quantizer entries vs fully-fresh library compositions
+    assert(rows(Ann.annIvfTopKQ(spark, sfDir)) === rows(Ann.annIvfTopK(emb)))
+    assert(rows(Ann.annPqTopKQ(spark, sfDir)) === rows(Ann.annPqTopK(emb)))
+    assert(rows(Ann.annIvfPqTopKQ(spark, sfDir))
+      === rows(Ann.annIvfPqTopK(emb)))
+    assert(rows(Ann.annIvfRecallQ(spark, sfDir))
+      === rows(Ann.annIvfRecall(emb)))
+    assert(rows(Ann.annPqRecallQ(spark, sfDir)) === rows(Ann.annPqRecall(emb)))
+    assert(rows(Ann.annIvfPqRecallQ(spark, sfDir))
+      === rows(Ann.annIvfPqRecall(emb)))
+  }
+
   test("train-then-serve entries are identical under the session model") {
     // fresh-model arms, composed exactly as the entries compose them
     val docs = Tables.documents(spark, sfDir)
