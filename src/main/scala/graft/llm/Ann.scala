@@ -3053,14 +3053,19 @@ object Ann {
   def ivfElbowReport(embeddings: DataFrame,
                      nlists: Seq[Int] = Seq(4, 8, 16),
                      iters: Int = 2,
-                     trainPerCell: Int = 256): DataFrame = {
+                     trainPerCell: Int = 256,
+                     centroidsOf: Option[Int => Seq[Array[Double]]] = None)
+      : DataFrame = {
     require(nlists.nonEmpty, "ivfElbowReport needs at least one nlist")
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     val vecs = unitVecs(embeddings).persist()
     val inertias = nlists.sorted.map { nl =>
-      val coarse = trainOnUnit(vecs, nl, iters, trainPerCell)
+      // centroidsOf: the Q entry serves the session quantizer per grid
+      // point (the nlist=16 slot is the one the semantic family shares)
+      val coarse = centroidsOf.map(_(nl))
+        .getOrElse(trainOnUnit(vecs, nl, iters, trainPerCell))
       val cid = graft.functions.VectorFunctions.centroidArgmax(
         col("v"), coarse.flatten.toIndexedSeq, coarse.size)
       val d2s = array(coarse.map { c =>
@@ -3084,7 +3089,8 @@ object Ann {
   }
 
   def ivfElbowReportQ(spark: SparkSession, dir: String): DataFrame =
-    ivfElbowReport(Tables.embeddings(spark, dir))
+    ivfElbowReport(Tables.embeddings(spark, dir),
+      centroidsOf = Some(nl => sessionSemanticCentroids(spark, dir, nl)))
 
   /** PQ reconstruction-distortion report (r12): per subspace, the mean
     * squared quantization error ‖v_sub − codeword‖² of the trained
@@ -3106,7 +3112,8 @@ object Ann {
     * partials. Means 4dp. */
   def embedPqDistortion(embeddings: DataFrame, m: Int = 16,
                         ksub: Int = 16, iters: Int = 2,
-                        trainCap: Long = 4096L): DataFrame = {
+                        trainCap: Long = 4096L,
+                        quantizerCacheKey: Option[String] = None): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val raw = embeddings.select(col("vec_id"),
       vecAsDouble(col("embedding")).as("v0"))
@@ -3123,7 +3130,11 @@ object Ann {
       if (corpusN <= trainCap) vecs
       else vecs.filter(
         pmod(xxhash64(col("vec_id")), lit(math.max(1L, corpusN / trainCap))) === 0)
-    val cents = trainSubCodebooks(train, m, dsub, ksub, iters)
+    // same params string as annPqTopK: identical prep + Lloyd ⇒ the
+    // distortion audit shares the serving path's cache slot ("the
+    // number audited is the number served", now literally one matrix)
+    val cents = cachedPq(quantizerCacheKey, s"pq|$m|$ksub|$iters|$trainCap")(
+      trainSubCodebooks(train, m, dsub, ksub, iters))
     val kEff = cents(0).length
     val codes = pqCodesCol(cents, dsub)
     // the m×ksub codewords ride a BROADCAST table, not plan literals:
@@ -3160,7 +3171,8 @@ object Ann {
   }
 
   def embedPqDistortionQ(spark: SparkSession, dir: String): DataFrame =
-    embedPqDistortion(Tables.embeddings(spark, dir))
+    embedPqDistortion(Tables.embeddings(spark, dir),
+      quantizerCacheKey = Some(dir))
 
   /** IVF parameter-sweep report: for each candidate `nprobe`, the
     * MEASURED mean/min recall@k against exact brute force and the exact

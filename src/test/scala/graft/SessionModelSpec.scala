@@ -68,6 +68,10 @@ class SessionModelSpec extends AnyFunSuite with SparkFixture {
     assert(rows(Ann.annPqRecallQ(spark, sfDir)) === rows(Ann.annPqRecall(emb)))
     assert(rows(Ann.annIvfPqRecallQ(spark, sfDir))
       === rows(Ann.annIvfPqRecall(emb)))
+    assert(rows(Ann.embedPqDistortionQ(spark, sfDir))
+      === rows(Ann.embedPqDistortion(emb)))
+    assert(rows(Ann.ivfElbowReportQ(spark, sfDir))
+      === rows(Ann.ivfElbowReport(emb)))
   }
 
   test("train-then-serve entries are identical under the session model") {
