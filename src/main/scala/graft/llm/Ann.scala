@@ -3913,20 +3913,33 @@ object Ann {
     val universe = g.select(col("vec_id")).distinct()
     val adj = graft.Exec.materialize(g.join(rev, Seq("vec_id", "nbr_id"),
       "left_semi"))
-    // materialize (localCheckpoint) per iteration: persist alone keeps
-    // the full 20-deep join+window lineage in the plan and the analyzer
-    // walks it quadratically — the checkpoint truncates it to a leaf
-    var c = graft.Exec.materialize(
-      adj.groupBy(col("vec_id")).agg(count(lit(1)).as("c")))
+    // materialize (localCheckpoint) every SECOND iteration (r18, verdict
+    // task 1 — one checkpoint job per two rounds halves the fold's
+    // driver-action count; each round references the previous `c`
+    // exactly ONCE, so the un-materialized odd round is executed once
+    // inside the even round's job, never recomputed). The degree init
+    // rides the first round's job the same way. Cadence measured in
+    // GraphFoldScratch (interleaved, min of 5, local[32], sf0.1):
+    // every-1 (the r16 shape) 2.62/2.03 s (kcore/kcore_lsh), every-2
+    // 2.18/1.77 s, every-5 2.68/2.01 s — two stacked join+window+agg
+    // rounds still plan and AQE-optimize well, deeper lazy chains lose
+    // per-segment AQE and re-planning (and persist-instead-of-
+    // checkpoint variants lose outright: the mega-action forfeits
+    // per-round AQE; ledger in the scratch docstring). Per-round
+    // persist-alone was already rejected in r16 (20-deep lineage,
+    // quadratic analyzer walk). The FINAL round is always materialized
+    // (the tail references it twice: broadcast total + rollup).
+    var c = adj.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("c").desc)
-    for (_ <- 1 to iters) {
-      c = graft.Exec.materialize(adj
+    for (i <- 1 to iters) {
+      val next = adj
         .join(c.select(col("vec_id").as("nbr_id"), col("c")), Seq("nbr_id"))
         .withColumn("rn", row_number().over(w))
         .groupBy(col("vec_id"))
         .agg(max(when(col("c") >= col("rn"), col("rn").cast("bigint"))
-          .otherwise(lit(0L))).as("c")))
+          .otherwise(lit(0L))).as("c"))
+      c = if (i % 2 == 0 || i == iters) graft.Exec.materialize(next) else next
     }
     val full = universe.join(c, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("c"), lit(0L)).as("c"))
