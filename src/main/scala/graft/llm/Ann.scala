@@ -3310,19 +3310,23 @@ object Ann {
     // frame — dedupSemantic used to cover it by persisting its own
     // unit-vector input; now that dedupSemanticQ serves the session
     // quantizer through dedupSemanticWith, the boundary lives here so
-    // EVERY caller pays the normalize+assign pass once. Freed by the
-    // ContextCleaner when the plan dies.
+    // EVERY caller pays the normalize+assign pass once. Explicitly
+    // unpersisted after the eager materialize below (ADVICE r17: the
+    // checkpoint cuts the output's lineage, so the cached blocks are
+    // provably dead the moment it returns — no ContextCleaner wait).
     val assigned = assignCells(vecs, centroids).persist()
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
       col("v").as("vb"))
-    graft.Exec.materialize(
+    val res = graft.Exec.materialize(
       a.join(b, Seq("cid"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           dot(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= tau))
+    assigned.unpersist(blocking = false)
+    res
   }
 
   /** Map-side nearest-centroid assignment of unit (vec_id, v) rows. */
@@ -4134,9 +4138,27 @@ object Ann {
     *
     * Scale shape: ≤ nk + n self-loop edges; each iteration one
     * join + one agg on that frame — O(iters · nk). */
+  /** @param roundsPerCkpt linear rounds per materialization (r18, the
+    *        knnKcore cadence lever): the round references the previous
+    *        label frame exactly ONCE, so an un-materialized round
+    *        executes once inside the next checkpoint's job — never
+    *        recomputed — and the fixpoint probe moves to the batch
+    *        boundary (sum equality across a boundary ⟺ every batched
+    *        round was the identity ⟺ fixpoint, the same monotone
+    *        invariant on a coarser schedule; a late-detected fixpoint
+    *        only adds identity rounds, the output frame is
+    *        byte-identical). Measured (GraphFoldScratch, interleaved,
+    *        min of 5, sf0.1): 2 wins on the mutual-graph entries
+    *        (knn_components 2.61 → 2.07, knn_components_lsh
+    *        2.33 → 1.79) and LOSES on the sparse early-converging SNN
+    *        survivor graph (knn_snn_cluster 1.19 → 1.40, fixpoint ~1-2
+    *        rounds — batching overshoots identity rounds), so
+    *        [[knnSnnCluster]] pins 1. */
   def knnComponents(embeddings: DataFrame, k: Int = 5, iters: Int = 25,
                     graph: Option[DataFrame] = None,
-                    earlyExit: Boolean = true): DataFrame = {
+                    earlyExit: Boolean = true,
+                    roundsPerCkpt: Int = 2): DataFrame = {
+    require(roundsPerCkpt >= 1, "roundsPerCkpt must be >= 1")
     val g = graft.Exec.materialize(
       graph.getOrElse(knnGraph(embeddings, k))
         .select(col("vec_id"), col("nbr_id")))
@@ -4152,7 +4174,8 @@ object Ann {
     // single-reference recursive CTE replays exactly these rounds), but
     // once a round is a no-op every remaining round is the identity, so
     // breaking there returns the byte-identical frame the full schedule
-    // would. Detection is one exact DECIMAL(38,0) scalar agg per round
+    // would. Detection is one exact DECIMAL(38,0) scalar agg per
+    // CHECKPOINT BOUNDARY (every roundsPerCkpt rounds since r18)
     // on the just-checkpointed n-row frame: adjS carries a self-edge
     // per node, so new c(v) = min(old c(v), neighbors') ≤ old c(v) —
     // labels are per-node monotone non-increasing and sum equality ⟺
@@ -4168,11 +4191,19 @@ object Ann {
     // iters are UNCHANGED (no fixpoint ⇒ no early exit ⇒ same output).
     var prevSum: java.math.BigDecimal = null
     var done = false
-    for (_ <- 1 to iters if !done) {
-      c = graft.Exec.materialize(adjS
-        .join(c.select(col("vec_id").as("nbr_id"), col("c")), Seq("nbr_id"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("c")).as("c")))
+    var r = 0
+    while (r < iters && !done) {
+      val step = math.min(roundsPerCkpt, iters - r)
+      var next = c
+      for (_ <- 1 to step) {
+        next = adjS
+          .join(next.select(col("vec_id").as("nbr_id"), col("c")),
+            Seq("nbr_id"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("c")).as("c"))
+      }
+      c = graft.Exec.materialize(next)
+      r += step
       if (earlyExit) {
         val s = c.agg(sum(col("c"))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"))
@@ -4367,16 +4398,20 @@ object Ann {
     val g = graft.Exec.materialize(
       graph.getOrElse(knnGraph(embeddings, k))
         .select(col("vec_id"), col("nbr_id")))
+    // roundsPerCkpt = 1: the SNN survivor graph is sparse and its fold
+    // converges in ~1-2 rounds — batching overshoots identity rounds
+    // (measured +18%, see the knnComponents param doc)
     knnComponents(embeddings, k, graph =
-      Some(snnSurvivorGraph(g, tauNum, tauDen)), earlyExit = earlyExit)
+      Some(snnSurvivorGraph(g, tauNum, tauDen)), earlyExit = earlyExit,
+      roundsPerCkpt = 1)
   }
 
   /** The SNN-cut survivor frame shared by [[knnSnnCluster]] and
     * [[knnSnnClusterFast]]: symmetric survivor edges (exact integer
     * threshold den·cmn ≥ num·(dd − cmn)) plus a self-loop per
     * BASE-graph node, so the two folds cannot drift on the cut. */
-  private def snnSurvivorGraph(g: DataFrame, tauNum: Int,
-                               tauDen: Int): DataFrame = {
+  private[graft] def snnSurvivorGraph(g: DataFrame, tauNum: Int,
+                                      tauDen: Int): DataFrame = {
     val snn = mutualPairStats(g)
       .filter(col("cmn") * lit(tauDen.toLong) >=
         (col("dd") - col("cmn")) * lit(tauNum.toLong))

@@ -167,8 +167,9 @@ object Dedup {
     *        0.0 forces direct, anything > 1 forces collapse — exposed so
     *        tests can prove both paths produce the same pairs. */
   def dedupNgramJaccard(docs: DataFrame, tau: Double = 0.8, n: Int = 3,
-                        collapseThreshold: Double = 0.95): DataFrame =
-    adaptiveShinglePairs(docs, n, collapseThreshold, "jaccard")(
+                        collapseThreshold: Double = 0.95,
+                        shingles: Option[DataFrame] = None): DataFrame =
+    adaptiveShinglePairs(docs, n, collapseThreshold, "jaccard", shingles)(
       shW => jaccardPairs(shW, tau))
 
   /** Edit-distance verification of near-dup candidates: every jaccard
@@ -318,8 +319,8 @@ object Dedup {
     * measured counterpart of [[minhashTuningReport]]'s analytic recall
     * curve, on exact jaccard instead of banding estimates.
     *
-    * ONE inverted-index pair pass at the grid's MINIMUM τ; every
-    * sweep step is a filter + two tiny aggregations over that pair
+    * ONE inverted-index pair pass at the grid's MINIMUM τ; the whole
+    * sweep is then a filter + ONE tiny aggregation over that pair
     * frame (pair volume is duplicate-bounded, never corpus²). A τ
     * whose pairs vanish still reports a zero row. Counts are exact
     * integers; share is an exact ratio, 4dp. */
@@ -329,27 +330,32 @@ object Dedup {
     require(taus.nonEmpty, "dedupThresholdSweep needs at least one tau")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = dedupNgramJaccard(docs, tau = taus.min, n = n).persist()
+    val pairs = dedupNgramJaccard(docs, tau = taus.min, n = n)
     val total = docs.count()
     val tauDf = broadcast(taus.sorted.toDF("tau"))
-    val tagged = pairs.crossJoin(tauDf)
-      .filter(col("jaccard") >= col("tau")).persist()
-    val nPairs = tagged.groupBy(col("tau"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = tagged
+    // ONE aggregation computes pairs AND distinct docs together (r18 —
+    // the dedupCrossSource explode trick: each surviving pair explodes
+    // to its two ends, so n_pairs = rows/2 exactly). The r17 shape ran
+    // two aggregations over a persisted tagged frame and joined them
+    // back separately; the pair frame is a checkpoint leaf
+    // (adaptiveShinglePairs materializes), so with a single downstream
+    // consumer no persist is needed either. Interleaved A/B
+    // (DedupPieceScratch, min of 5, local[32], sf0.1): 2.09 → 1.54 s,
+    // identical 4-row output.
+    val agg = pairs.crossJoin(tauDf)
+      .filter(col("jaccard") >= col("tau"))
       .select(col("tau"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .groupBy(col("tau")).agg(countDistinct(col("d")).as("n_docs"))
-    val result = graft.Exec.materialize(
-      tauDf.join(nPairs, Seq("tau"), "left").join(nDocs, Seq("tau"), "left")
+      .groupBy(col("tau"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+    graft.Exec.materialize(
+      tauDf.join(agg, Seq("tau"), "left")
         .select(col("tau"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           round(coalesce(col("n_docs"), lit(0L)).cast("double") / total, 4)
             .as("doc_share")))
-    tagged.unpersist()
-    pairs.unpersist()
-    result
   }
 
   def dedupThresholdSweepQ(spark: SparkSession, dir: String): DataFrame =
@@ -377,9 +383,17 @@ object Dedup {
     * bench regression). The ±2% HLL error can only flip the path choice
     * near the threshold; both paths produce identical pair sets
     * (LlmOpsSpec "collapse and direct paths"). */
+  /** @param shingles caller-shared [[shingleHashes]] frame (same docs,
+    *        same n — the dedup_eval contract, r18): both the direct and
+    *        collapse paths consume it in place of their own build, so an
+    *        entry composing two shingle-derived metrics (minhash + exact
+    *        jaccard) pays the tokenize→window→distinct pipeline once.
+    *        Callers persist it; this function never unpersists it. */
   private def adaptiveShinglePairs(docs: DataFrame, n: Int,
-      collapseThreshold: Double, scoreName: String)(
+      collapseThreshold: Double, scoreName: String,
+      shingles: Option[DataFrame] = None)(
       pairsOf: DataFrame => DataFrame): DataFrame = {
+    def sh = shingles.getOrElse(shingleHashes(docs, n))
     val gate = docs.agg(count(lit(1)).as("n"),
       approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
     val (nDocs, nClasses) = (gate.getLong(0), gate.getLong(1))
@@ -388,7 +402,7 @@ object Dedup {
       // exchange reuse does NOT fire across the aliased join sides under
       // AQE (measured, see the collapse path's shW), so un-cached the
       // tokenize→window→distinct pipeline would run twice.
-      val shW = withShingleCount(shingleHashes(docs, n)).persist()
+      val shW = withShingleCount(sh).persist()
       val result = graft.Exec.materialize(
         pairsOf(shW)
           .select(col("ka").as("doc_a"), col("kb").as("doc_b"), col(scoreName)))
@@ -414,7 +428,7 @@ object Dedup {
     // tokenize→window→distinct pipeline — exchange reuse does NOT kick
     // in across the aliased join sides under AQE)
     val shW = withShingleCount(
-      shingleHashes(docs, n)
+      sh
         .join(members.filter(col("doc_id") === col("rep_id"))
           .select(col("rep_id")), col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("sh_h")))
@@ -825,7 +839,11 @@ object Dedup {
     *        (LlmOpsSpec path-equality test). With the default 0.0 the
     *        gate aggregation is skipped entirely — zero overhead. */
   def dedupMinhash(docs: DataFrame, minEstSim: Double = 0.5,
-                   collapseThreshold: Double = 0.0): DataFrame = {
+                   collapseThreshold: Double = 0.0,
+                   shingles: Option[DataFrame] = None): DataFrame = {
+    // caller-shared shingle frame (the adaptiveShinglePairs contract;
+    // must be the n=3 default build over the same docs)
+    def sh = shingles.getOrElse(shingleHashes(docs))
     val direct = collapseThreshold <= 0.0 || {
       val gate = docs.agg(count(lit(1)).as("n"),
         approx_count_distinct(md5(col("text")), 0.02).as("nc")).head()
@@ -835,7 +853,7 @@ object Dedup {
       // materialize + unpersist like the embed/jaccard direct paths —
       // a leaked persisted sigs frame per call otherwise accumulates
       // cache until LRU pressure (ADVICE-r5-class leak, caught in review)
-      val sigs = minhashSigs(shingleHashes(docs)).persist()
+      val sigs = minhashSigs(sh).persist()
       val result = graft.Exec.materialize(minhashPairs(sigs, minEstSim))
       sigs.unpersist()
       return result
@@ -850,7 +868,7 @@ object Dedup {
       .join(classes, "tkey").select(col("doc_id"), col("rep_id"))
       .persist()
     val repSigs = minhashSigs(
-      shingleHashes(docs)
+      sh
         .join(members.filter(col("doc_id") === col("rep_id"))
           .select(col("rep_id")), col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("sh_h")))
@@ -1471,7 +1489,19 @@ object Dedup {
     * of minhash_tuning_report's analytic curve. */
   def dedupEvalQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    dedupEval(dedupMinhash(docs), dedupNgramJaccard(docs, tau = 0.5))
+    // ONE shingle pass shared by both arms (r18, verdict task 4): the
+    // minhash signature build and the exact-jaccard inverted index both
+    // derive from shingleHashes(docs) — un-shared, the entry paid the
+    // tokenize→window→distinct pipeline twice (DedupPieceScratch:
+    // 0.43 s of the 1.98 s entry; interleaved A/B 2.11 → 1.76 s,
+    // identical output). Both arms materialize internally
+    // (their pair frames are checkpoint leaves), so the cache is dead —
+    // and explicitly unpersisted — before the eval join ever runs.
+    val sh = shingleHashes(docs).persist()
+    val cand = dedupMinhash(docs, shingles = Some(sh))
+    val truth = dedupNgramJaccard(docs, tau = 0.5, shingles = Some(sh))
+    sh.unpersist(blocking = false)
+    dedupEval(cand, truth)
   }
   def dedupSimhashQ(spark: SparkSession, dir: String): DataFrame =
     dedupSimhash(Tables.documents(spark, dir))

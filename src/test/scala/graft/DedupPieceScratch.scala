@@ -77,6 +77,61 @@ object DedupPieceScratch {
       Dedup.dedupThresholdSweepQ(spark, dir)
     }
 
+    // ---- (b2) interleaved A/B: r17 entry shapes vs shipped (r18) ----
+    // r17 dedup_eval: both arms build their own shingle frame
+    def evalOld(): DataFrame =
+      Dedup.dedupEval(Dedup.dedupMinhash(docs),
+        Dedup.dedupNgramJaccard(docs, tau = 0.5))
+    // r17 dedup_threshold_sweep: persisted tagged frame, TWO aggs + two joins
+    def sweepOld(taus: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame = {
+      import spark.implicits._
+      val pairs = Dedup.dedupNgramJaccard(docs, tau = taus.min).persist()
+      val total = docs.count()
+      val tauDf = broadcast(taus.sorted.toDF("tau"))
+      val tagged = pairs.crossJoin(tauDf)
+        .filter(col("jaccard") >= col("tau")).persist()
+      val nPairs = tagged.groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = tagged
+        .select(col("tau"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("tau")).agg(countDistinct(col("d")).as("n_docs"))
+      val result = graft.Exec.materialize(
+        tauDf.join(nPairs, Seq("tau"), "left").join(nDocs, Seq("tau"), "left")
+          .select(col("tau"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            round(coalesce(col("n_docs"), lit(0L)).cast("double") / total, 4)
+              .as("doc_share")))
+      tagged.unpersist()
+      pairs.unpersist()
+      result
+    }
+    val abCases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("dedup_eval", () => evalOld(),
+        () => Dedup.dedupEvalQ(spark, dir)),
+      ("dedup_threshold_sweep", () => sweepOld(),
+        () => Dedup.dedupThresholdSweepQ(spark, dir)))
+    abCases.foreach { case (name, mkOld, mkNew) =>
+      val ref = mkOld().collect().map(_.toString).sorted
+      val got = mkNew().collect().map(_.toString).sorted
+      require(ref.sameElements(got), s"$name old/new outputs differ")
+      println(s"[ab] $name old/new equal (${got.length} rows)")
+      noop(mkOld()); noop(mkNew())
+      var tO, tN = List.empty[Double]
+      (1 to 5).foreach { _ =>
+        val t0 = System.nanoTime()
+        noop(mkOld())
+        val t1 = System.nanoTime()
+        noop(mkNew())
+        val t2 = System.nanoTime()
+        tO = tO :+ (t1 - t0) / 1e9
+        tN = tN :+ (t2 - t1) / 1e9
+      }
+      println(f"[ab] $name%-24s old min=${tO.min}%.2f all=${tO.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[ab] $name%-24s new min=${tN.min}%.2f all=${tN.map(t => f"$t%.2f").mkString(",")}")
+    }
+
     // ---- (c) min-of-10 adjudication on untouched code ----
     Seq(
       "corpus_families" -> (() => Dedup.corpusFamiliesQ(spark, dir)),

@@ -46,4 +46,22 @@ class GraphFoldCadenceSpec extends AnyFunSuite with SparkFixture {
     // pair 8,9 (5 nodes); 4: the clique 0..4
     assert(out === Seq((0L, 1L), (1L, 5L), (4L, 5L)))
   }
+
+  test("knnComponents roundsPerCkpt=2 equals the per-round fold, both exit arms, even and odd iters") {
+    for (iters <- Seq(25, 7); ee <- Seq(true, false)) {
+      val batched = Ann.knnComponents(spark.emptyDataFrame, iters = iters,
+        graph = Some(graph), earlyExit = ee)
+        .orderBy("component_size").collect()
+      val perRound = Ann.knnComponents(spark.emptyDataFrame, iters = iters,
+        graph = Some(graph), earlyExit = ee, roundsPerCkpt = 1)
+        .orderBy("component_size").collect()
+      assert(batched.toSeq === perRound.toSeq, s"iters=$iters earlyExit=$ee")
+    }
+    // hand values: mutual components are {0..7} (clique+path, 8 nodes),
+    // {8,9}, {10} (self-loop only)
+    val out = Ann.knnComponents(spark.emptyDataFrame, graph = Some(graph))
+      .orderBy("component_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (8L, 1L)))
+  }
 }
